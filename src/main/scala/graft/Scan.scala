@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/**
+ * The scan operator: dragnet's whole pipeline — user filter → synthetic
+ * date fields → time-bounds filter → count aggregation grouped by breakdown
+ * columns (reference: lib/stream-scan.js:40-96) — expressed as ONE
+ * declarative DataFrame plan.
+ *
+ * Dragnet pipes object streams through five Node transforms; here Catalyst
+ * gets a single `where → project → groupBy → sum` plan, so predicate/projection
+ * pushdown reaches the source scan, aggregation is partial (map-side) before
+ * the shuffle, and the whole thing runs in whole-stage codegen. The
+ * unique-tuple memory limit dragnet documents (README.md:668-690) does not
+ * exist here: group state is distributed and spill-safe.
+ */
+object Scan {
+
+  /** Weight column: 1 for raw records, `value` for skinner-style points. */
+  private def weight(cfg: QueryConfig): Column =
+    cfg.valueField.map(col).getOrElse(lit(1L))
+
+  /** Compile one breakdown spec to its Column (unaliased). */
+  def breakdownCol(fs: FieldSpec, resolve: String => Column): Column = {
+    var c = resolve(fs.field)
+    if (fs.isDate) c = epochSecs(c)
+    fs.aggr match {
+      case Some("quantize")  => quantize(c)
+      case Some("lquantize") => lquantize(c, fs.step.get)
+      case _                 => c
+    }
+  }
+
+  /**
+   * Run a query over a DataFrame of records.
+   *
+   * Result schema: one column per breakdown (named `fs.name`, in order) plus
+   * BIGINT `value` = weighted record count. No breakdowns → single row with
+   * just `value`. Rows are ordered by the breakdown columns so output is
+   * deterministic.
+   *
+   * Rows are dropped (never grouped under NULL) when: the filter references
+   * a missing/null field, a breakdown value is null, a date fails to parse,
+   * or an `aggr` field is non-numeric — matching dragnet
+   * (README.md:700-712).
+   */
+  def scan(df: DataFrame, cfg: QueryConfig,
+           resolve: String => Column = col): DataFrame = {
+    var cur = df
+
+    cfg.filter.foreach(p => cur = cur.where(p.toColumn(resolve)))
+
+    (cfg.after, cfg.before) match {
+      case (None, None) => ()
+      case (a, b) =>
+        val tf = cfg.timeField.getOrElse(
+          throw new GraftException("time bounds require a timeField"))
+        val ts = epochSecs(resolve(tf))
+        // Inclusive start / exclusive end, both rounded UP to whole seconds
+        // (reference: lib/dragnet-impl.js queryTimeBoundsFilter).
+        a.foreach(t => cur = cur.where(ts >= lit(ceilSecs(t))))
+        b.foreach(t => cur = cur.where(ts < lit(ceilSecs(t))))
+    }
+
+    val cols = cfg.breakdowns.map(fs => breakdownCol(fs, resolve).as(fs.name))
+    if (cols.isEmpty) {
+      cur.agg(sum(weight(cfg)).cast("long").as("value"))
+    } else {
+      cfg.breakdowns.foreach { fs =>
+        cur = cur.where(breakdownCol(fs, resolve).isNotNull)
+      }
+      val names = cfg.breakdowns.map(_.name)
+      cur.groupBy(cols: _*)
+        .agg(sum(weight(cfg)).cast("long").as("value"))
+        .orderBy(names.map(col): _*)
+    }
+  }
+
+  /** SQL text of one breakdown spec for the DuckDB oracle. */
+  def breakdownSql(fs: FieldSpec, resolve: String => String): String = {
+    var e = resolve(fs.field)
+    if (fs.isDate) e = epochSecsSql(e)
+    fs.aggr match {
+      case Some("quantize")  => quantizeSql(e)
+      case Some("lquantize") => lquantizeSql(e, fs.step.get)
+      case _                 => e
+    }
+  }
+
+  /**
+   * Generate the DuckDB oracle SQL for the same query — built from the same
+   * QueryConfig so the Spark plan and the oracle can't drift apart.
+   */
+  def scanSql(table: String, cfg: QueryConfig,
+              resolve: String => String = identity,
+              valueExpr: String = "1"): String = {
+    val where = scala.collection.mutable.ListBuffer.empty[String]
+    cfg.filter.foreach(p => where += p.toSql(resolve))
+    (cfg.after, cfg.before) match {
+      case (None, None) => ()
+      case (a, b) =>
+        val tf = cfg.timeField.getOrElse(
+          throw new GraftException("time bounds require a timeField"))
+        val ts = epochSecsSql(resolve(tf))
+        a.foreach(t => where += s"$ts >= ${ceilSecs(t)}")
+        b.foreach(t => where += s"$ts < ${ceilSecs(t)}")
+    }
+    val weightExpr = cfg.valueField.map(resolve).getOrElse(valueExpr)
+    val value = s"CAST(SUM($weightExpr) AS BIGINT) AS value"
+
+    if (cfg.breakdowns.isEmpty) {
+      val w = if (where.isEmpty) "" else where.mkString(" WHERE ", " AND ", "")
+      s"SELECT $value FROM $table$w"
+    } else {
+      val exprs = cfg.breakdowns.map(fs => breakdownSql(fs, resolve))
+      cfg.breakdowns.foreach { fs =>
+        where += s"${breakdownSql(fs, resolve)} IS NOT NULL"
+      }
+      val sel = exprs.zip(cfg.breakdowns).map { case (e, fs) =>
+        s"$e AS ${fs.name}" }.mkString(", ")
+      val pos = (1 to cfg.breakdowns.size).mkString(", ")
+      s"SELECT $sel, $value FROM $table WHERE ${where.mkString(" AND ")} " +
+        s"GROUP BY $pos ORDER BY $pos"
+    }
+  }
+
+  /** ms instant → whole seconds, rounded up (dragnet's time-bound rounding). */
+  private def ceilSecs(t: java.time.Instant): Long =
+    math.ceil(t.toEpochMilli / 1000.0).toLong
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Bucketing and time helpers — the Spark expressions behind dragnet's
+ * DTrace-style aggregations (reference: README.md:185-230, node-skinner
+ * bucketizers). All built from codegen'd builtins; no UDFs.
+ */
+package object functions {
+
+  /**
+   * Power-of-two bucketing (`aggr=quantize`): 1→1, 2-3→2, 4-7→4, 16-31→16…
+   * Values < 1 land in bucket 0. NULL/non-numeric propagates NULL (callers
+   * drop those rows — dragnet drops records whose aggr field isn't numeric,
+   * README.md:704-708).
+   *
+   * Exactly `pow(2, floor(log2(v)))` in double math so a DuckDB oracle using
+   * the same formula hashes identically.
+   */
+  def quantize(c: Column): Column =
+    when(c.isNull, lit(null).cast("long"))
+      .when(c < 1, lit(0L))
+      .otherwise(pow(lit(2.0), floor(log2(c))).cast("long"))
+
+  /** SQL rendering of [[quantize]] for DuckDB oracles. */
+  def quantizeSql(c: String): String =
+    s"CASE WHEN $c < 1 THEN 0 ELSE CAST(pow(2, floor(log2($c))) AS BIGINT) END"
+
+  /** Linear bucketing (`aggr=lquantize,step=S`): floor(v/S)*S as BIGINT. */
+  def lquantize(c: Column, step: Double): Column =
+    (floor(c / lit(step)) * lit(step)).cast("long")
+
+  /** SQL rendering of [[lquantize]] for DuckDB oracles. */
+  def lquantizeSql(c: String, step: Double): String = {
+    val s = if (step == step.longValue().toDouble) step.longValue().toString
+            else step.toString
+    s"CAST(floor($c / $s) * $s AS BIGINT)"
+  }
+
+  /**
+   * Record timestamp -> unix seconds, dragnet's synthetic date field
+   * (reference: lib/stream-synthetic.js:57-79 — numeric passes through,
+   * strings are ISO-8601 parsed, result floor(ms/1000); unparseable → NULL
+   * and the row is dropped by the caller).
+   */
+  def epochSecs(c: Column): Column = {
+    // TimestampType -> truncate to seconds; string -> parse then truncate;
+    // numeric -> pass through (already unix seconds).
+    floor(unix_micros(c.cast("timestamp")) / lit(1000000L)).cast("long")
+  }
+
+  /** SQL rendering of [[epochSecs]] over a DuckDB TIMESTAMP column. */
+  def epochSecsSql(c: String): String =
+    s"CAST(floor(epoch($c)) AS BIGINT)"
+}
