@@ -1,0 +1,88 @@
+package graft
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.filter.Cmp
+import graft.index.Index
+import graft.index.Index.Metric
+import graft.sources.Sources
+
+/**
+ * SURVEY.md §2 rows 13-15: dn build / dn query. Indexes are built once per
+ * (sfDir, interval) into /tmp and reused — they are derived artifacts, the
+ * analog of dragnet's per-day sqlite files under my_index/by_day/.
+ *
+ * Each index-served query's oracle is the corresponding RAW-DATA scan SQL:
+ * the index must be a lossless rollup (dragnet's core guarantee — query ==
+ * scan when the metric covers the query).
+ */
+object IndexQueries {
+
+  /** minute-grain time + type + user: covers every query below */
+  private val metrics = Seq(
+    Metric("by_minute", Seq(
+      FieldSpec("ts_min", "ts", isDate = true,
+        aggr = Some("lquantize"), step = Some(60)),
+      FieldSpec.plain("event_type"),
+      FieldSpec.plain("user_id"))))
+
+  private def indexPath(sfDir: String, interval: String): String =
+    s"/tmp/graft-index/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$interval"
+
+  /** Build once per (sfDir, interval); parquet _SUCCESS is the marker. */
+  private def ensureBuilt(spark: SparkSession, sfDir: String,
+                          interval: String): String = synchronized {
+    val path = indexPath(sfDir, interval)
+    val marker = new java.io.File(s"$path/${metrics.head.name}/_SUCCESS")
+    if (!marker.exists()) {
+      Index.build(Sources.events(spark, sfDir), metrics, path,
+        timeField = "ts", interval = interval)
+    }
+    path
+  }
+
+  private def serve(interval: String, cfg: QueryConfig)
+      : (SparkSession, String) => DataFrame =
+    (s, dir) => Index.query(s, ensureBuilt(s, dir, interval), metrics, cfg)
+
+  private val rq: String => String = identity
+
+  def all: Seq[Q] = Seq(
+    // #13 build + query == scan (lossless rollup round trip)
+    Q("index_roundtrip",
+      serve("day", QueryConfig(breakdowns = AttrParser.parse("event_type"))),
+      Some(Scan.scanSql("events",
+        QueryConfig(breakdowns = AttrParser.parse("event_type")), rq))),
+
+    // #14 filter on indexed columns + coarser re-bucketing of indexed time
+    Q("index_filtered",
+      serve("day", QueryConfig(
+        filter = Some(Cmp("eq", "event_type", "error")),
+        breakdowns = Seq(
+          FieldSpec("day", "ts_min", aggr = Some("lquantize"), step = Some(86400)),
+          FieldSpec.plain("event_type")))),
+      Some(Scan.scanSql("events",
+        QueryConfig(
+          filter = Some(Cmp("eq", "event_type", "error")),
+          breakdowns = Seq(
+            FieldSpec("day", "ts", isDate = true,
+              aggr = Some("lquantize"), step = Some(86400)),
+            FieldSpec.plain("event_type"))), rq))),
+
+    // #15 hourly interval + minute-aligned time bounds → partition pruning
+    Q("index_hourly",
+      serve("hour", QueryConfig(
+        breakdowns = AttrParser.parse("event_type"),
+        timeField = Some("ts_min"),
+        after = Some(Instant.parse("2024-01-02T00:00:00Z")),
+        before = Some(Instant.parse("2024-01-05T00:00:00Z")))),
+      Some(Scan.scanSql("events",
+        QueryConfig(
+          breakdowns = AttrParser.parse("event_type"),
+          timeField = Some("ts"),
+          after = Some(Instant.parse("2024-01-02T00:00:00Z")),
+          before = Some(Instant.parse("2024-01-05T00:00:00Z"))), rq)))
+  )
+}

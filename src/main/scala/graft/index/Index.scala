@@ -1,0 +1,115 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{FieldSpec, GraftException, QueryConfig, Scan}
+
+/**
+ * The index layer: dragnet's `dn build` / `dn query`
+ * (reference: lib/index-sink.js, lib/index-query.js, README.md:345-420)
+ * re-expressed Spark-first.
+ *
+ * Dragnet writes one sqlite file per day/hour containing the aggregated
+ * tuples for each predefined metric, then answers queries by scanning only
+ * the index files in the requested time range. The Spark-native analog is a
+ * parquet dataset per metric, pre-aggregated to the metric's grain and
+ * partitioned by `dn_date` (and `dn_hour` for hourly intervals):
+ *
+ *  - per-day sqlite files        → hive-style `dn_date=…` partitions
+ *  - file pruning by time range  → Catalyst partition pruning (metadata only)
+ *  - sqlite row scans            → columnar parquet + pushed filters
+ *  - "sum the value column"      → Scan with valueField = "value"
+ *
+ * At 100 TB this is the layout you want anyway: the index is tiny relative
+ * to raw data (unique tuples only), splittable, and time-sliced queries
+ * never touch out-of-range partitions.
+ */
+object Index {
+
+  /** A predefined metric (dragnet `dn metric-add`): a name plus the
+    * breakdown columns gathered for it. */
+  final case class Metric(name: String, breakdowns: Seq[FieldSpec],
+                          filter: Option[graft.filter.Pred] = None)
+
+  val Intervals = Set("day", "hour", "all")
+
+  /**
+   * Build the index for each metric. `timeField` provides the partition
+   * date/hour (reference: datasource --time-field).
+   */
+  def build(df: DataFrame, metrics: Seq[Metric], path: String,
+            timeField: String, interval: String = "day",
+            resolve: String => Column = col): Unit = {
+    require(Intervals.contains(interval), s"bad interval: $interval")
+    metrics.foreach { m =>
+      var cur = df
+      m.filter.foreach(p => cur = cur.where(p.toColumn(resolve)))
+      val dims = m.breakdowns.map(fs => Scan.breakdownCol(fs, resolve).as(fs.name))
+      val partCols = interval match {
+        case "day" => Seq(date_format(resolve(timeField), "yyyy-MM-dd").as("dn_date"))
+        case "hour" => Seq(
+          date_format(resolve(timeField), "yyyy-MM-dd").as("dn_date"),
+          hour(resolve(timeField)).as("dn_hour"))
+        case "all" => Nil
+      }
+      m.breakdowns.foreach { fs =>
+        cur = cur.where(Scan.breakdownCol(fs, resolve).isNotNull)
+      }
+      val grouped = cur
+        .groupBy(dims ++ partCols: _*)
+        .agg(sum(lit(1L)).cast("long").as("value"))
+      val partNames = interval match {
+        case "day"  => Seq("dn_date")
+        case "hour" => Seq("dn_date", "dn_hour")
+        case "all"  => Nil
+      }
+      (if (partNames.nonEmpty)
+         grouped.write.mode("overwrite").partitionBy(partNames: _*)
+       else grouped.write.mode("overwrite"))
+        .parquet(s"$path/${m.name}")
+    }
+  }
+
+  /**
+   * Answer a query from the index, dragnet `dn query`: pick a metric whose
+   * gathered columns cover the query's breakdowns and filter fields, then
+   * re-aggregate its pre-summed tuples. Time bounds become partition-pruning
+   * predicates on `dn_date` plus the exact per-second bound on any indexed
+   * timestamp column.
+   */
+  def query(spark: SparkSession, path: String, metrics: Seq[Metric],
+            cfg: QueryConfig): DataFrame = {
+    val needed = cfg.breakdowns.map(_.field).toSet ++
+      cfg.filter.map(_.fields).getOrElse(Set.empty)
+    val metric = metrics.find(m => needed.subsetOf(m.breakdowns.map(_.name).toSet))
+      .getOrElse(throw new GraftException(
+        s"no metrics available to serve query (need $needed)"))
+    var df = spark.read.parquet(s"$path/${metric.name}")
+
+    // Partition pruning on the day directory, the analog of dragnet's
+    // by_day file pruning (lib/path-enum.js).
+    (cfg.after, cfg.before) match {
+      case (None, None) => ()
+      case (a, b) =>
+        a.foreach { t =>
+          df = df.where(col("dn_date") >=
+            lit(t.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString))
+        }
+        b.foreach { t =>
+          df = df.where(col("dn_date") <=
+            lit(t.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString))
+        }
+    }
+    // Then the precise per-second bounds via the indexed timestamp column
+    // when the query carries one (cfg.timeField must name an indexed,
+    // epoch-seconds breakdown for sub-day precision).
+    val hasBounds = cfg.after.isDefined || cfg.before.isDefined
+    val indexedTime = cfg.timeField.filter(tf =>
+      metric.breakdowns.exists(_.name == tf))
+    if (hasBounds && indexedTime.isEmpty)
+      throw new GraftException(
+        "no metrics available to serve query (time bounds need an indexed time column)")
+    Scan.scan(df, cfg.copy(valueField = Some("value"), timeField = indexedTime))
+  }
+}
