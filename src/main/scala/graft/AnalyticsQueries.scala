@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources
+
+/**
+ * SURVEY.md §2 rows 19-24: analytical queries over the star schema —
+ * the scale exercise beyond dragnet's count-only surface. Plans are built
+ * the way they should run on a 1000-executor cluster: dims broadcast,
+ * facts shuffle only on their join/group keys, money math in DECIMAL so
+ * results are bit-identical regardless of aggregation order (a DOUBLE sum
+ * is order-dependent and would flake the hash compare — and on a real
+ * cluster, would flake between runs).
+ */
+object AnalyticsQueries {
+
+  /** Exact money term: l_extendedprice * (1 - l_discount) as DECIMAL. */
+  private def revExpr = (col("l_extendedprice").cast("decimal(18,2)") *
+    (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+  private val revSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  def all: Seq[Q] = Seq(
+
+    // #19 wide aggregation, multiple exact measures (TPC-H Q1 shape)
+    Q("q1_pricing",
+      (s, dir) => {
+        val l = Sources.table(s, dir, "lineitem")
+          .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        l.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
+            sum(revExpr).cast("double").as("sum_disc"),
+            sum(revExpr * (lit(1).cast("decimal(18,2)") +
+              col("l_tax").cast("decimal(18,2)"))).cast("double").as("sum_charge"),
+            (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+              count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+          CAST(SUM($revSql) AS DOUBLE) AS sum_disc,
+          CAST(SUM($revSql * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+          CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // #20 fact-fact join with a broadcast dim filter (TPC-H Q3 shape).
+    // customer is the small side → broadcast; orders⋈lineitem shuffles on
+    // the order key only.
+    Q("q3_shipping",
+      (s, dir) => {
+        val cut = lit("1998-03-15").cast("timestamp")
+        val c = Sources.table(s, dir, "customer")
+          .where(col("c_mktsegment") === "BUILDING")
+        val o = Sources.table(s, dir, "orders").where(col("o_orderdate") < cut)
+        val l = Sources.table(s, dir, "lineitem").where(col("l_shipdate") > cut)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(sum(revExpr).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some(s"""
+        SELECT o_orderkey, o_orderdate, CAST(SUM($revSql) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 20""")),
+
+    // #21 dim-chain multi-join (TPC-H Q5 shape): region→nation→customer and
+    // supplier broadcast; the only shuffles are the two fact joins.
+    Q("q5_local",
+      (s, dir) => {
+        val r = Sources.table(s, dir, "region").where(col("r_name") === "ASIA")
+        val n = Sources.table(s, dir, "nation")
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        val c = Sources.table(s, dir, "customer")
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        val sup = Sources.table(s, dir, "supplier")
+        val o = Sources.table(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                 col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val l = Sources.table(s, dir, "lineitem")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup),
+            col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(revExpr).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""
+        SELECT n_name, CAST(SUM($revSql) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1 ORDER BY revenue DESC, n_name""")),
+
+    // #22 top-k with deterministic tie-break — TakeOrderedAndProject, no
+    // full sort of the fact table.
+    Q("q_topk_orders",
+      (s, dir) => Sources.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+      Some("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    // #23 exact distinct count per group (two-phase under the hood)
+    Q("q_user_counts",
+      (s, dir) => Sources.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("users"))
+        .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // #24 window function: sessionize per user with a 30-minute gap rule —
+    // one shuffle on user_id, window runs within partitions.
+    Q("q_sessionize",
+      (s, dir) => {
+        val e = Sources.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            graft.functions.epochSecs(col("ts")).as("sec"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        e.withColumn("prev", lag(col("sec"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev").isNull || col("sec") - col("prev") > 1800, 1L)
+              .otherwise(0L))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_session")).cast("long").as("sessions"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                 lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                   (PARTITION BY user_id ORDER BY event_id) AS prev
+          FROM events)
+        SELECT user_id,
+               CAST(SUM(CASE WHEN prev IS NULL OR sec - prev > 1800
+                             THEN 1 ELSE 0 END) AS BIGINT) AS sessions
+        FROM d GROUP BY 1 ORDER BY 1"""))
+  )
+}

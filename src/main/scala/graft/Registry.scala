@@ -12,7 +12,8 @@ final case class Q(
 /** All queries exposed through SparkEntry — the coverage list the driver
   * verifies against SURVEY.md §2. */
 object Registry {
-  def all: Seq[Q] = CoreScanQueries.all ++ IndexQueries.all
+  def all: Seq[Q] =
+    CoreScanQueries.all ++ IndexQueries.all ++ AnalyticsQueries.all
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
   def oracles: Map[String, String] =
