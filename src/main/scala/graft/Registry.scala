@@ -13,7 +13,8 @@ final case class Q(
   * verifies against SURVEY.md §2. */
 object Registry {
   def all: Seq[Q] =
-    CoreScanQueries.all ++ IndexQueries.all ++ AnalyticsQueries.all
+    CoreScanQueries.all ++ IndexQueries.all ++ AnalyticsQueries.all ++
+      TextQueries.all
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
   def oracles: Map[String, String] =

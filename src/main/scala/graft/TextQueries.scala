@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources
+import graft.text.Text
+
+/**
+ * SURVEY.md §2 rows 32-35: text analysis over the `documents` table —
+ * language ID, quality scoring, token counting, fingerprinting. Every
+ * query is a narrow projection + per-row codegen'd expressions: no
+ * shuffle, no UDF, a single pass that scales linearly with input splits
+ * (exactly the shape you want for a 100 TB document corpus).
+ */
+object TextQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Sources.table(s, dir, "documents")
+
+  def all: Seq[Q] = Seq(
+
+    // #34 token counting: whitespace tokens + BPE-ish pre-tokenizer runs
+    Q("text_tokens",
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("ws_tokens"),
+        Text.bpeCount(col("text")).cast("long").as("bpe_tokens")),
+      Some("""
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,
+          CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        FROM documents""")),
+
+    // #33 quality scoring: length/punctuation/stopword signals + composite
+    Q("text_quality",
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        Text.punctRatio(col("text")).as("punct_ratio"),
+        Text.stopwordRatio(col("text")).as("stopword_ratio"),
+        Text.qualityScore(col("text")).as("quality")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            CAST(length(text) AS BIGINT) AS n_chars,
+            CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+              / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+            CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                   x -> list_contains(['the','a','an','and','of','to','in','is','that','it','was','for','on','with','as'], x))) AS DOUBLE)
+              / CAST(greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1) AS DOUBLE) AS stopword_ratio
+          FROM documents)
+        SELECT doc_id, n_chars, punct_ratio, stopword_ratio,
+          least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+            + least(stopword_ratio * 4.0, 1.0) * 0.4
+            + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 AS quality
+        FROM t""")),
+
+    // #35 fingerprinting: content hash (order-insensitive normalization)
+    // + rolling polynomial hash (order-sensitive)
+    Q("text_fingerprint",
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        Text.fingerprint(col("text")).as("fp"),
+        Text.rollingHash(col("text")).as("rhash")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+          FROM documents)
+        SELECT doc_id, md5(norm) AS fp,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(norm, '.'),
+                c -> CAST(unicode(c) AS BIGINT))),
+            (acc, c) -> (acc * 131 + c) % 1000000007) AS rhash
+        FROM t""")),
+
+    // #32 language ID (stopword-profile heuristic) — rows-only: the
+    // tie-break chain isn't worth re-expressing in SQL, but the documents
+    // table carries a ground-truth `lang` column we emit alongside for
+    // eyeballing accuracy.
+    Q("text_langid",
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        col("lang").as("lang_actual"),
+        Text.langId(col("text")).as("lang_pred")),
+      None)
+  )
+}

@@ -1,0 +1,101 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines (SURVEY.md §2
+ * rows 32-35). All pure Column expressions over built-ins — codegen'd,
+ * shuffle-free, embarrassingly parallel at 100 TB (one pass over the
+ * documents, no driver involvement).
+ */
+object Text {
+
+  /** Lower-cased whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /**
+   * BPE-ish subword count: runs of letters, single digits, and single
+   * punctuation marks each count as one token — the usual pre-tokenizer
+   * regex shape, minus the learned merges.
+   */
+  def bpeCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"))
+
+  /** Punctuation chars per character. */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[.,;:!?]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  private val enStops = Seq("the", "a", "an", "and", "of", "to", "in", "is",
+    "that", "it", "was", "for", "on", "with", "as")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    size(filter(t, c => c.isInCollection(enStops))).cast("double") /
+      greatest(size(t), lit(1)).cast("double")
+  }
+
+  /**
+   * Composite quality score in [0,1]: length saturation + stopword
+   * presence - punctuation noise. Single-expression double math (no
+   * reassociation) so an oracle computing the same formula is
+   * bit-identical.
+   */
+  def qualityScore(text: Column): Column =
+    least(length(text).cast("double") / lit(500.0), lit(1.0)) * lit(0.4) +
+      least(stopwordRatio(text) * lit(4.0), lit(1.0)) * lit(0.4) +
+      (lit(1.0) - least(punctRatio(text) * lit(10.0), lit(1.0))) * lit(0.2)
+
+  /** Content fingerprint: md5 of the whitespace-normalized lower text. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /**
+   * Rolling (polynomial) hash over the codepoints of the whitespace-
+   * normalized text: acc = (acc * 131 + codepoint) mod 1e9+7.
+   * Order-sensitive, unlike [[fingerprint]] — reordered documents hash
+   * differently. Mod-prime (not wrapping int64) so the same formula is
+   * computable in any SQL engine without overflow semantics differences.
+   */
+  def rollingHash(text: Column): Column = {
+    val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
+    aggregate(split(norm, ""), lit(0L),
+      (acc, ch) => (acc * lit(131L) + ascii(ch)) % lit(1000000007L))
+  }
+
+  private val stopProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> enStops,
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un",
+      "una", "es", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "dans",
+      "que", "pour", "qui", "sur"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu",
+      "von", "mit", "nicht", "auf"))
+
+  /**
+   * Heuristic language ID: CJK character ratio decides zh; otherwise the
+   * stopword profile with the most hits wins, 'und' when nothing hits.
+   * (An n-gram-profile classifier in the fasttext style needs model
+   * weights; stopword profiles are the standard dependency-free
+   * approximation.)
+   */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val n = greatest(size(t), lit(1)).cast("double")
+    val cjk = regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+    val scores = stopProfiles.map { case (lang, stops) =>
+      lang -> (size(filter(t, c => c.isInCollection(stops))).cast("double") / n)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val byLang = scores.foldLeft(when(lit(false), lit("und"))) {
+      case (acc, (lang, sc)) => acc.when(sc === best && sc > 0, lit(lang))
+    }
+    when(cjk > 0.3, lit("zh")).otherwise(coalesce(byLang, lit("und")))
+  }
+}
