@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Ann
+import graft.sources.Sources
+
+/**
+ * SURVEY.md §2 rows 29-31: similarity search over the `embeddings`
+ * table. Brute-force cosine top-k is the oracle-checked baseline (the
+ * DuckDB side computes the identical strict-order double arithmetic);
+ * the LSH-bucketed variants are the scale paths (rows-only).
+ */
+object AnnQueries {
+
+  private def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Sources.table(s, dir, "embeddings")
+
+  /** The query point: the lowest-id vector (deterministic, oracle-able). */
+  private def queryVec(e: org.apache.spark.sql.DataFrame) =
+    e.orderBy(col("vec_id")).limit(1)
+
+  def all: Seq[Q] = Seq(
+
+    // #30 brute-force cosine top-k — exact baseline, oracle-checked
+    Q("ann_topk",
+      (s, dir) => {
+        val e = emb(s, dir)
+        Ann.bruteForceTopK(e, queryVec(e), 10)
+      },
+      Some("""
+        WITH q AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1),
+        t AS (
+          SELECT vec_id,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(list_zip(embedding, qe),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+              (a, b) -> a + b) AS dp,
+            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, b) -> a + b)) AS na,
+            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, b) -> a + b)) AS nb
+          FROM embeddings, q)
+        SELECT vec_id, dp / (na * nb) AS cos
+        FROM t ORDER BY cos DESC, vec_id LIMIT 10""")),
+
+    // #31 LSH-bucketed top-k: scan only the query's sign bucket
+    Q("ann_lsh",
+      (s, dir) => {
+        val e = emb(s, dir)
+        Ann.lshTopK(e, queryVec(e), 10)
+      },
+      None),
+
+    // #29 embedding-cosine near-dup pairs (bucket join + exact verify)
+    Q("dedup_embed",
+      (s, dir) => Ann.cosinePairs(emb(s, dir), minCos = 0.35),
+      None)
+  )
+}

@@ -14,7 +14,7 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     CoreScanQueries.all ++ IndexQueries.all ++ AnalyticsQueries.all ++
-      TextQueries.all
+      TextQueries.all ++ DedupQueries.all ++ AnnQueries.all
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
   def oracles: Map[String, String] =

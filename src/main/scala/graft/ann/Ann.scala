@@ -1,0 +1,87 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (SURVEY.md §2 rows 29-31).
+ *
+ * All vector math is zip_with/aggregate over built-in HOFs in strict
+ * left-to-right double precision — deterministic (bit-identical across
+ * runs and engines that evaluate in the same order), codegen'd, no UDFs.
+ *
+ * Scale shape: brute-force top-k is a single map pass + TakeOrdered (no
+ * shuffle of the corpus); the LSH paths bucket on sign-bit keys so only
+ * same-bucket pairs are formed.
+ */
+object Ann {
+
+  private def d(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Dot product in strict sequential double math. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  /** Euclidean norm in strict sequential double math. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(d(a), lit(0.0), (s, x) => s + x * x))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Sign-bit LSH bucket: bit j = sign of component j*stride. Cheap
+   * deterministic bucketing (axis-aligned hyperplanes); `bits` tunes the
+   * recall/bucket-size trade-off — at 1000 executors you'd raise bits to
+   * keep buckets memory-sized and add multi-probe for recall.
+   */
+  def signBucket(v: Column, bits: Int = 4, stride: Int = 1): Column =
+    (0 until bits).map { j =>
+      when(element_at(v, j * stride + 1) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /**
+   * Brute-force cosine top-k against one query vector (a 1-row DF —
+   * broadcast, never collected). The global plan is scan → broadcast
+   * join → TakeOrderedAndProject: no corpus shuffle at any scale.
+   */
+  def bruteForceTopK(corpus: DataFrame, query: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.join(broadcast(query.select(col(vecCol).as("q"))))
+      .select(col(idCol), cosine(col(vecCol), col("q")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+
+  /**
+   * LSH-bucketed top-k: restrict the scan to the query's sign bucket
+   * before scoring — the 1/2^bits-of-the-corpus scale path, trading
+   * recall at bucket boundaries.
+   */
+  def lshTopK(corpus: DataFrame, query: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bits: Int = 4): DataFrame = {
+    val q = broadcast(query.select(col(vecCol).as("q"),
+      signBucket(col(vecCol), bits).as("qb")))
+    corpus.withColumn("b", signBucket(col(vecCol), bits))
+      .join(q, col("b") === col("qb"))
+      .select(col(idCol), cosine(col(vecCol), col("q")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
+   * Embedding-cosine near-dup pairs: sign-bucket join (pairs only form
+   * within a bucket), exact cosine verify ≥ minCos.
+   */
+  def cosinePairs(corpus: DataFrame, minCos: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bits: Int = 4): DataFrame = {
+    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), bits).as("b"))
+    b.as("a").join(b.as("c"),
+        col("a.b") === col("c.b") && col("a.id") < col("c.id"))
+      .select(col("a.id").as("vec_a"), col("c.id").as("vec_b"),
+        cosine(col("a.v"), col("c.v")).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+}
