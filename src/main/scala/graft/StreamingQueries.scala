@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamScan
+
+/**
+ * SURVEY.md §2 row 18: the streaming scan run as a real Structured
+ * Streaming job — the events parquet read through `readStream`, windowed
+ * per-day × event_type counts, drained with an AvailableNow trigger into
+ * a memory sink. Rows-only (the oracle story for streaming is the
+ * StreamingSpec equivalence test: stream result == batch Scan result).
+ */
+object StreamingQueries {
+
+  def all: Seq[Q] = Seq(
+    Q("stream_window_counts",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val path = s"$dir/events.parquet"
+        val raw = s.read.parquet(path)
+        def fix(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // the file stream source wants a directory or glob, not a bare
+        // file path — glob just the events file
+        val stream = fix(s.readStream.schema(raw.schema)
+          .parquet(s"$dir/{events}.parquet"))
+        val agg = StreamScan.scanStream(stream,
+          QueryConfig(breakdowns = Seq(FieldSpec.plain("event_type"))),
+          timeCol = "ts", windowDur = "1 day", watermarkDelay = "0 seconds")
+        val name = "graft_stream_counts"
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+      },
+      None)
+  )
+}

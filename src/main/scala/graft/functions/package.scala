@@ -47,8 +47,10 @@ package object functions {
    */
   def epochSecs(c: Column): Column = {
     // TimestampType -> truncate to seconds; string -> parse then truncate;
-    // numeric -> pass through (already unix seconds).
-    floor(unix_micros(c.cast("timestamp")) / lit(1000000L)).cast("long")
+    // numeric -> pass through (already unix seconds). try_cast, not cast:
+    // under ANSI mode a malformed date must yield NULL (row dropped by the
+    // caller), not fail the job — dragnet's drop semantics.
+    floor(unix_micros(c.try_cast("timestamp")) / lit(1000000L)).cast("long")
   }
 
   /** SQL rendering of [[epochSecs]] over a DuckDB TIMESTAMP column. */

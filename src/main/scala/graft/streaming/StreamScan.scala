@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.{QueryConfig, Scan}
+
+/**
+ * Streaming scan (SURVEY.md §2 row 18): the same QueryConfig semantics —
+ * krill filter → breakdown columns → weighted count — over an unbounded
+ * source, which dragnet has no answer to (its scan is batch-only over
+ * files; reference: lib/stream-scan.js processes a finite stream and
+ * emits once at end).
+ *
+ * Spark-first shape: `readStream → where → groupBy(window, breakdowns) →
+ * sum` with an event-time watermark, so state is bounded and late data
+ * beyond the watermark is dropped deterministically. The streaming index
+ * builder is the same windowed aggregate appended to a `dn_date`-
+ * partitioned parquet sink — batch `Index.query` reads it unchanged
+ * (partition pruning and all), giving a kappa-style pipeline: one logical
+ * plan, batch or streaming.
+ */
+object StreamScan {
+
+  /**
+   * Windowed streaming scan. Output columns: `window_start`, `window_end`
+   * (event-time window bounds), one column per breakdown, BIGINT `value`.
+   */
+  def scanStream(df: DataFrame, cfg: QueryConfig, timeCol: String,
+      windowDur: String, watermarkDelay: String,
+      resolve: String => Column = col): DataFrame = {
+    var cur = df
+    cfg.filter.foreach(p => cur = cur.where(p.toColumn(resolve)))
+    cfg.breakdowns.foreach { fs =>
+      cur = cur.where(Scan.breakdownCol(fs, resolve).isNotNull)
+    }
+    val cols = cfg.breakdowns.map(fs => Scan.breakdownCol(fs, resolve).as(fs.name))
+    val weight = cfg.valueField.map(resolve).getOrElse(lit(1L))
+    cur.withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowDur) +: cols: _*)
+      .agg(sum(weight).cast("long").as("value"))
+      .select(Seq(col("window.start").as("window_start"),
+        col("window.end").as("window_end")) ++
+        cfg.breakdowns.map(fs => col(fs.name)) :+ col("value"): _*)
+  }
+
+  /**
+   * Streaming index build: append the windowed aggregate to a parquet
+   * index partitioned by `dn_date` — the streaming analog of
+   * `Index.build` (dragnet `dn build` re-run per day; reference:
+   * lib/index-sink.js). Append mode: a window's row is emitted exactly
+   * once, when the watermark passes its end.
+   */
+  def indexSink(windowedAgg: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    windowedAgg
+      .withColumn("dn_date", date_format(col("window_start"), "yyyy-MM-dd"))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("dn_date")
+      .outputMode("append")
+      .start()
+}

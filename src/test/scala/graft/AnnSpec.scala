@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.ann.Ann
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, -0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val c = vecs.as("a").join(vecs.as("b"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Ann.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(c((0L, 0L)) - 1.0) < 1e-12)
+    assert(math.abs(c((0L, 2L))) < 1e-12)
+    assert(math.abs(c((0L, 3L)) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k orders by cosine desc with id tie-break") {
+    val q = vecs.where(col("vec_id") === 0L)
+    val top = Ann.bruteForceTopK(vecs, q, 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(0L, 1L, 2L))
+  }
+
+  test("lsh top-k searches only the query's sign bucket") {
+    val q = vecs.where(col("vec_id") === 0L)
+    val ids = Ann.lshTopK(vecs, q, 10, bits = 2)
+      .collect().map(_.getLong(0)).toSet
+    // bucket key = signs of dims 0,1: doc3 (-1,0) and doc2 (0,1) differ
+    assert(ids.contains(0L) && ids.contains(1L))
+    assert(!ids.contains(3L))
+  }
+
+  test("cosine near-dup pairs: only the close pair survives the threshold") {
+    val pairs = Ann.cosinePairs(vecs, minCos = 0.9, bits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

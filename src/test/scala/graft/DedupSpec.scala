@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc 1/2 exact dups; 3 near-dup of 1 (one word changed); 4 unrelated.
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2L, "The quick  brown fox jumps over the lazy dog and runs far away home"),
+    (3L, "the quick brown fox jumps over the lazy cat and runs far away home"),
+    (4L, "completely different content about spark query engines and shuffles")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized-identical docs") {
+    val groups = docs.groupBy(Dedup.contentKey(col("text")).as("fp"))
+      .count().collect().map(_.getLong(1)).sorted.toSeq
+    assert(groups == Seq(1L, 1L, 2L))
+  }
+
+  test("minhash candidates include both dup pairs, not the unrelated doc") {
+    val pairs = Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccard verify: exact dups at 1.0, near-dups high, all ≥ threshold") {
+    val verified = Dedup.jaccardVerified(docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(verified((1L, 2L)) == 1.0)
+    verified.values.foreach(j => assert(j >= 0.6))
+  }
+
+  test("simhash: exact dups at hamming 0; near-dups within 6") {
+    val pairs = Dedup.simhashPairs(docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.get((1L, 3L)).forall(_ <= 6))
+  }
+
+  test("shingles of short docs fall back to whole text") {
+    val sh = Seq((1L, "two words")).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text")).as("sh"))
+      .collect().head.getSeq[String](0)
+    assert(sh == Seq("two words"))
+  }
+}

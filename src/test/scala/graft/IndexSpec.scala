@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.filter.Cmp
+import graft.index.Index
+import graft.index.Index.Metric
+import graft.sources.Sources
+
+/** Index build/query equivalence: querying the rollup must equal scanning
+  * raw data (reference: README.md:345-420 — "the results are the same"). */
+class IndexSpec extends SparkSpec {
+
+  private def tmp() = Files.createTempDirectory("graft-index").toString
+
+  private lazy val ev = Sources.events(spark, sf001).cache()
+  private val metric = Metric("by_type_user",
+    Seq(FieldSpec.plain("event_type"), FieldSpec.plain("user_id")))
+
+  test("day index round-trips a breakdown query") {
+    val path = tmp()
+    Index.build(ev, Seq(metric), path, timeField = "ts", interval = "day")
+    val cfg = QueryConfig(breakdowns = Seq(FieldSpec.plain("event_type")))
+    val fromIndex = Index.query(spark, path, Seq(metric), cfg)
+      .collect().map(_.toSeq).toSet
+    val fromScan = Scan.scan(ev, cfg).collect().map(_.toSeq).toSet
+    assert(fromIndex == fromScan)
+  }
+
+  test("filtered query over indexed column matches scan") {
+    val path = tmp()
+    Index.build(ev, Seq(metric), path, timeField = "ts", interval = "day")
+    val cfg = QueryConfig(
+      filter = Some(Cmp("eq", "event_type", "click")),
+      breakdowns = Seq(FieldSpec.plain("user_id")))
+    assert(Index.query(spark, path, Seq(metric), cfg).collect().map(_.toSeq).toSet ==
+      Scan.scan(ev, cfg).collect().map(_.toSeq).toSet)
+  }
+
+  test("hour and all intervals round-trip too") {
+    for (interval <- Seq("hour", "all")) {
+      val path = tmp()
+      Index.build(ev, Seq(metric), path, timeField = "ts", interval = interval)
+      val cfg = QueryConfig(breakdowns = Seq(FieldSpec.plain("user_id")))
+      assert(Index.query(spark, path, Seq(metric), cfg).collect().map(_.toSeq).toSet ==
+        Scan.scan(ev, cfg).collect().map(_.toSeq).toSet, s"interval=$interval")
+    }
+  }
+
+  test("query needing un-indexed columns is rejected") {
+    val path = tmp()
+    Index.build(ev, Seq(metric), path, timeField = "ts", interval = "day")
+    val cfg = QueryConfig(breakdowns = Seq(FieldSpec.plain("region")))
+    assertThrows[GraftException](Index.query(spark, path, Seq(metric), cfg))
+  }
+
+  test("index is value-weighted: total count preserved") {
+    val path = tmp()
+    Index.build(ev, Seq(metric), path, timeField = "ts", interval = "day")
+    val total = Index.query(spark, path, Seq(metric), QueryConfig())
+      .collect().head.getLong(0)
+    assert(total == ev.count())
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamScan
+
+/** Streaming scan == batch scan on the same data, plus the streaming
+  * index sink (SURVEY.md §2 row 18). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.from(java.time.Instant.parse(s))
+
+  test("windowed streaming counts equal batch counts per window") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "event_type")
+    val agg = StreamScan.scanStream(df,
+      QueryConfig(breakdowns = Seq(FieldSpec.plain("event_type"))),
+      timeCol = "ts", windowDur = "1 hour", watermarkDelay = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("t_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01T00:10:00Z"), "click"),
+        (ts("2024-01-01T00:20:00Z"), "click"),
+        (ts("2024-01-01T00:40:00Z"), "view"),
+        (ts("2024-01-01T01:05:00Z"), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("t_stream")
+        .select(col("window_start").cast("string"), col("event_type"), col("value"))
+        .collect().map(_.toSeq).toSet
+      assert(rows == Set(
+        Seq("2024-01-01 00:00:00", "click", 2L),
+        Seq("2024-01-01 00:00:00", "view", 1L),
+        Seq("2024-01-01 01:00:00", "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("filter + breakdown apply in the streaming plan too") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "event_type")
+    val agg = StreamScan.scanStream(df,
+      QueryConfig(filter = Some(graft.filter.Cmp("ne", "event_type", "view")),
+        breakdowns = Seq(FieldSpec.plain("event_type"))),
+      timeCol = "ts", windowDur = "1 hour", watermarkDelay = "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("t_stream2")
+      .outputMode("complete").start()
+    try {
+      input.addData((ts("2024-01-01T00:10:00Z"), "click"),
+        (ts("2024-01-01T00:20:00Z"), "view"))
+      q.processAllAvailable()
+      assert(spark.table("t_stream2").select("event_type")
+        .collect().map(_.getString(0)).toSeq == Seq("click"))
+    } finally q.stop()
+  }
+
+  test("streaming index sink appends dn_date partitions readable by batch") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "event_type")
+    val agg = StreamScan.scanStream(df,
+      QueryConfig(breakdowns = Seq(FieldSpec.plain("event_type"))),
+      timeCol = "ts", windowDur = "1 hour", watermarkDelay = "0 seconds")
+    val dir = Files.createTempDirectory("graft-stream-index")
+    val q = StreamScan.indexSink(agg, s"$dir/idx", s"$dir/ckpt")
+    try {
+      input.addData((ts("2024-01-01T00:10:00Z"), "click"))
+      q.processAllAvailable()
+      // advance the watermark past the first window so append emits it
+      input.addData((ts("2024-01-02T05:00:00Z"), "view"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-03T05:00:00Z"), "view"))
+      q.processAllAvailable()
+      val idx = spark.read.parquet(s"$dir/idx")
+      // partition discovery types dn_date as DATE — cast back for compare
+      val rows = idx.select(col("dn_date").cast("string"), col("event_type"), col("value"))
+        .collect().map(_.toSeq).toSet
+      assert(rows.contains(Seq("2024-01-01", "click", 1L)))
+      // partition column materialized → partition pruning applies
+      assert(idx.where(col("dn_date") === "2024-01-01").count() >= 1)
+    } finally q.stop()
+  }
+}

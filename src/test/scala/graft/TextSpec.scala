@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.text.Text
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("r")).collect().head.getAs[T]("r")
+
+  test("token counts") {
+    assert(one[Int](Text.tokenCount(col("t")), "The quick  brown fox") == 4)
+    // hello | , | world | 4 | 2
+    assert(one[Int](Text.bpeCount(col("t")), "hello, world 42") == 5)
+  }
+
+  test("fingerprint is whitespace/case invariant; rolling hash is order-sensitive") {
+    val a = one[String](Text.fingerprint(col("t")), "Hello   World")
+    val b = one[String](Text.fingerprint(col("t")), "hello world ")
+    assert(a == b)
+    val h1 = one[Long](Text.rollingHash(col("t")), "alpha beta")
+    val h2 = one[Long](Text.rollingHash(col("t")), "beta alpha")
+    assert(h1 != h2)
+    assert(h1 >= 0 && h1 < 1000000007L)
+  }
+
+  test("quality score stays in [0,1] and ranks clean text above noise") {
+    val clean = one[Double](Text.qualityScore(col("t")),
+      "The house was on the hill and it was a good day for a walk in the park.")
+    val noise = one[Double](Text.qualityScore(col("t")), "!!!;;;...???")
+    assert(clean >= 0 && clean <= 1 && noise >= 0 && noise <= 1)
+    assert(clean > noise)
+  }
+
+  test("langId picks the profile with most stopword hits") {
+    assert(one[String](Text.langId(col("t")),
+      "le chat est dans la maison et il est pour les amis") == "fr")
+    assert(one[String](Text.langId(col("t")),
+      "der hund ist ein freund und das ist gut") == "de")
+    assert(one[String](Text.langId(col("t")), "zzz qqq") == "und")
+  }
+}
