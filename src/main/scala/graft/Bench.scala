@@ -10,6 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: first-use session costs (codegen compiler, parquet
+    // reader/writer init, committer) otherwise land on whichever query
+    // happens to run first and swamp its number.
+    locally {
+      import org.apache.spark.sql.functions._
+      val warm = s"/tmp/graft-bench-warmup-${System.nanoTime()}"
+      spark.range(0, 100000).select(col("id"), (col("id") % 7).as("k"))
+        .groupBy("k").agg(sum("id")).write.mode("overwrite").parquet(warm)
+      spark.read.parquet(warm).count()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -24,10 +24,25 @@ object Scan {
   private def weight(cfg: QueryConfig): Column =
     cfg.valueField.map(col).getOrElse(lit(1L))
 
-  /** Compile one breakdown spec to its Column (unaliased). */
-  def breakdownCol(fs: FieldSpec, resolve: String => Column): Column = {
+  /**
+   * The null-determining base expression of a breakdown: date parsing and
+   * numeric coercion are the only steps that can turn a present value into
+   * NULL; quantize/lquantize are null-preserving on top. The row-drop
+   * filter tests THIS, not the full bucketized expression — otherwise
+   * predicate pushdown inlines the whole CASE chain (and any expensive
+   * source expression like from_json, several times over) into the
+   * pushed filter.
+   */
+  def baseCol(fs: FieldSpec, resolve: String => Column): Column = {
     var c = resolve(fs.field)
     if (fs.isDate) c = epochSecs(c)
+    else if (fs.aggr.isDefined) c = c.try_cast("double")
+    c
+  }
+
+  /** Compile one breakdown spec to its Column (unaliased). */
+  def breakdownCol(fs: FieldSpec, resolve: String => Column): Column = {
+    val c = baseCol(fs, resolve)
     fs.aggr match {
       case Some("quantize")  => quantize(c)
       case Some("lquantize") => lquantize(c, fs.step.get)
@@ -71,7 +86,7 @@ object Scan {
       cur.agg(sum(weight(cfg)).cast("long").as("value"))
     } else {
       cfg.breakdowns.foreach { fs =>
-        cur = cur.where(breakdownCol(fs, resolve).isNotNull)
+        cur = cur.where(baseCol(fs, resolve).isNotNull)
       }
       val names = cfg.breakdowns.map(_.name)
       cur.groupBy(cols: _*)
@@ -80,10 +95,17 @@ object Scan {
     }
   }
 
-  /** SQL text of one breakdown spec for the DuckDB oracle. */
-  def breakdownSql(fs: FieldSpec, resolve: String => String): String = {
+  /** SQL text of [[baseCol]] for the DuckDB oracle. */
+  def baseSql(fs: FieldSpec, resolve: String => String): String = {
     var e = resolve(fs.field)
     if (fs.isDate) e = epochSecsSql(e)
+    else if (fs.aggr.isDefined) e = s"TRY_CAST($e AS DOUBLE)"
+    e
+  }
+
+  /** SQL text of one breakdown spec for the DuckDB oracle. */
+  def breakdownSql(fs: FieldSpec, resolve: String => String): String = {
+    val e = baseSql(fs, resolve)
     fs.aggr match {
       case Some("quantize")  => quantizeSql(e)
       case Some("lquantize") => lquantizeSql(e, fs.step.get)
@@ -118,7 +140,7 @@ object Scan {
     } else {
       val exprs = cfg.breakdowns.map(fs => breakdownSql(fs, resolve))
       cfg.breakdowns.foreach { fs =>
-        where += s"${breakdownSql(fs, resolve)} IS NOT NULL"
+        where += s"${baseSql(fs, resolve)} IS NOT NULL"
       }
       val sel = exprs.zip(cfg.breakdowns).map { case (e, fs) =>
         s"$e AS ${fs.name}" }.mkString(", ")

@@ -30,6 +30,19 @@ object Ann {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /**
+   * Add `out` = vecCol / ||vecCol|| (double array). The norm lands in its
+   * own projection first: HOF lambdas are interpreted with NO common-
+   * subexpression elimination, so an inline norm(v) inside the transform
+   * would be recomputed per element. Pre-normalizing turns every
+   * downstream pairwise cosine into a single dot pass instead of three
+   * (dot + two norms) — the pairwise stages are the quadratic ones.
+   */
+  def withNormalized(df: DataFrame, vecCol: String, out: String): DataFrame =
+    df.withColumn("_nrm", norm(col(vecCol)))
+      .withColumn(out, transform(col(vecCol), x => x.cast("double") / col("_nrm")))
+      .drop("_nrm")
+
+  /**
    * Sign-bit LSH bucket: bit j = sign of component j*stride. Cheap
    * deterministic bucketing (axis-aligned hyperplanes); `bits` tunes the
    * recall/bucket-size trade-off — at 1000 executors you'd raise bits to
@@ -60,11 +73,12 @@ object Ann {
   def lshTopK(corpus: DataFrame, query: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       bits: Int = 4): DataFrame = {
-    val q = broadcast(query.select(col(vecCol).as("q"),
-      signBucket(col(vecCol), bits).as("qb")))
-    corpus.withColumn("b", signBucket(col(vecCol), bits))
+    val q = broadcast(withNormalized(query, vecCol, "qn")
+      .select(col("qn"), signBucket(col(vecCol), bits).as("qb")))
+    withNormalized(corpus, vecCol, "vn")
+      .withColumn("b", signBucket(col(vecCol), bits))
       .join(q, col("b") === col("qb"))
-      .select(col(idCol), cosine(col(vecCol), col("q")).as("cos"))
+      .select(col(idCol), dot(col("vn"), col("qn")).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -76,12 +90,17 @@ object Ann {
   def cosinePairs(corpus: DataFrame, minCos: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       bits: Int = 4): DataFrame = {
-    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      signBucket(col(vecCol), bits).as("b"))
+    // Rebalance on id first (input may be a single split), pre-normalize
+    // each vector ONCE, then shuffle both sides on the bucket key; the
+    // quadratic in-bucket stage pays one dot pass per pair.
+    val b = withNormalized(corpus.repartition(col(idCol)), vecCol, "vn")
+      .select(col(idCol).as("id"), col("vn").as("v"),
+        signBucket(col(vecCol), bits).as("b"))
+      .repartition(col("b"))
     b.as("a").join(b.as("c"),
         col("a.b") === col("c.b") && col("a.id") < col("c.id"))
       .select(col("a.id").as("vec_a"), col("c.id").as("vec_b"),
-        cosine(col("a.v"), col("c.v")).as("cos"))
+        dot(col("a.v"), col("c.v")).as("cos"))
       .where(col("cos") >= minCos)
   }
 }

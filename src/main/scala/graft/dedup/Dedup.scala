@@ -33,37 +33,73 @@ object Dedup {
   }
 
   /**
+   * Per-doc MinHash signature columns m0..m{k-1}. Shingles are EXPLODED
+   * to rows and each hash is a plain codegen'd column min-aggregated
+   * per doc — NOT k `transform(...)` passes over the shingle array:
+   * higher-order-function lambdas are interpreted (no codegen), which
+   * makes the array formulation ~10× slower. The min() aggregation
+   * combines map-side, so the shuffle carries one row per doc per
+   * partition, not one per shingle.
+   */
+  def minhashSignature(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, k: Int = 16): DataFrame = {
+    // Explode shingle INDICES and build each shingle with a codegen'd
+    // slice+concat_ws per row — building the shingle array via
+    // transform() would run the lambda interpreter. Duplicate shingles
+    // need no dedup: min over a multiset == min over its set.
+    val exploded = docs.repartition(col(idCol))
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - n, lit(0)))).as("i"))
+      .select(col("id"),
+        when(size(col("toks")) < n, concat_ws(" ", col("toks")))
+          .otherwise(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n))))
+          .as("s"))
+      .select(col("id") +: (0 until k).map(i =>
+        xxhash64(lit(i), col("s")).as(s"h$i")): _*)
+    exploded.groupBy(col("id"))
+      .agg((0 until k).map(i => min(col(s"h$i")).as(s"m$i")).head,
+           (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+  }
+
+  /**
    * MinHash+LSH candidate pairs: k=bands*rowsPerBand hash functions
    * (xxhash64 seeded by index), banded so two docs collide iff some band
    * of their signatures matches exactly. Probability of a pair with
    * Jaccard j surfacing = 1-(1-j^rows)^bands — 8 bands × 2 rows targets
-   * j ≳ 0.5. Self-join on (band, bandHash): one shuffle on the bucket
-   * key, pairs formed only within buckets.
+   * j ≳ 0.5. One shuffle on the bucket key, then pairs are generated
+   * INSIDE each bucket (sorted id list → ordered combinations) — never a
+   * self-join (which would evaluate the signature pipeline per side) and
+   * never a cross join. Bucket width is bounded by the banding
+   * parameters, which bounds the quadratic pair expansion per bucket.
    */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3,
       bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sig = minhashSignature(docs, idCol, textCol, n, bands * rowsPerBand)
     val bandCols = (0 until bands).map { b =>
-      val rowHashes = (0 until rowsPerBand).map { r =>
-        array_min(transform(col("sh"), s => xxhash64(lit(b * rowsPerBand + r), s)))
-      }
+      val rowHashes = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(rowHashes: _*).as("bh"))
     }
-    val banded = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val banded = sig
       .select(col("id"), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+    banded.groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
   }
 
   /**
-   * SimHash: per-token xxhash64, majority vote per bit — near-identical
-   * token multisets land within a few bits of each other. 32 bits keeps
-   * the expression tree codegen-friendly.
+   * SimHash as a single Column: per-token xxhash64, majority vote per
+   * bit — near-identical token multisets land within a few bits of each
+   * other. NOTE: this form runs the lambda interpreter (HOFs don't
+   * codegen); for corpus-scale use [[simhashTable]], which computes the
+   * same value via explode + codegen'd bit aggregation.
    */
   def simhash(text: Column, bits: Int = 32): Column = {
     val hs = transform(Text.tokens(text), t => xxhash64(t))
@@ -76,26 +112,57 @@ object Dedup {
   }
 
   /**
+   * Per-doc (id, sim) via explode + codegen'd aggregation: one row per
+   * token, each bit a SUM(bit_j) column combined map-side, majority vote
+   * after the aggregate. Bit-identical to [[simhash]].
+   */
+  def simhashTable(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", bits: Int = 32): DataFrame = {
+    val tok = docs.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        explode(Text.tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until bits).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"s$j"))
+    tok.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+      .select(col("id"),
+        (0 until bits).map(j =>
+          when(col(s"s$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
+  }
+
+  /**
    * SimHash near-dup pairs: band the 32-bit hash into 4 bytes; a pair is
-   * a candidate if any byte matches (pigeonhole: hamming ≤ 3 ⇒ some byte
-   * equal); verify with exact hamming ≤ maxHamming via bit_count(xor).
+   * a candidate if any byte matches; verify with exact hamming ≤
+   * maxHamming via bit_count(xor). Default maxHamming=3 is the largest
+   * distance with full recall under 4-byte banding (pigeonhole: ≤ 3
+   * flipped bits leave at least one byte untouched).
    */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 6): DataFrame = {
-    val withSim = docs.select(col(idCol).as("id"),
-      simhash(col(textCol)).as("sim"))
+      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    val withSim = simhashTable(docs, idCol, textCol)
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sim"), b * 8).bitwiseAND(lit(255L)).as("byte"))
     }
+    // Same in-bucket pair generation as minhashCandidates: one shuffle,
+    // the 32-bit simhash computed once per doc. sort_array on
+    // struct(id, sim) orders by id, so doc_a < doc_b by construction.
     val banded = withSim
       .select(col("id"), col("sim"), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("sim"), col("b.band").as("band"), col("b.byte").as("byte"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+    banded.groupBy(col("band"), col("byte"))
+      .agg(sort_array(collect_set(struct(col("id"), col("sim")))).as("xs"))
+      .where(size(col("xs")) > 1)
+      .select(explode(flatten(transform(col("xs"), (x, i) =>
+        transform(slice(col("xs"), i + lit(2), size(col("xs"))),
+          y => struct(x.getField("id").as("doc_a"),
+            y.getField("id").as("doc_b"),
+            bit_count(x.getField("sim").bitwiseXOR(y.getField("sim")))
+              .as("hamming")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.hamming").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -112,7 +179,8 @@ object Dedup {
    */
   def jaccardVerified(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, minJaccard: Double = 0.6): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val sh = docs.repartition(col(idCol))
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
     minhashCandidates(docs, idCol, textCol, n)
       .join(sh.as("sa"), col("doc_a") === col("sa.id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.id"))

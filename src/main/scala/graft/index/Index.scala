@@ -54,19 +54,25 @@ object Index {
         case "all" => Nil
       }
       m.breakdowns.foreach { fs =>
-        cur = cur.where(Scan.breakdownCol(fs, resolve).isNotNull)
+        cur = cur.where(Scan.baseCol(fs, resolve).isNotNull)
       }
       val grouped = cur
         .groupBy(dims ++ partCols: _*)
         .agg(sum(lit(1L)).cast("long").as("value"))
-      val partNames = interval match {
-        case "day"  => Seq("dn_date")
-        case "hour" => Seq("dn_date", "dn_hour")
-        case "all"  => Nil
+      // Directory partitioning stops at the DAY even for hourly grain:
+      // hour-level directories are a small-files/commit-storm anti-pattern
+      // (24× the directories, tiny files). Instead dn_hour stays a data
+      // column, sorted within each day's file, so hour predicates prune
+      // via parquet row-group stats. Rows are clustered by day before the
+      // write → exactly one file per day directory.
+      val clustered = interval match {
+        case "hour" => grouped.repartition(col("dn_date"))
+          .sortWithinPartitions(col("dn_hour"))
+        case "day"  => grouped.repartition(col("dn_date"))
+        case "all"  => grouped
       }
-      (if (partNames.nonEmpty)
-         grouped.write.mode("overwrite").partitionBy(partNames: _*)
-       else grouped.write.mode("overwrite"))
+      (if (interval == "all") clustered.write.mode("overwrite")
+       else clustered.write.mode("overwrite").partitionBy("dn_date"))
         .parquet(s"$path/${m.name}")
     }
   }

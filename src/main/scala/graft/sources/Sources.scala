@@ -24,10 +24,15 @@ object Sources {
     // events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark 4 rejects;
     // read it as raw nanos and rebuild a (microsecond) TimestampType column.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // json_tuple, not from_json: a Generator is a predicate-pushdown
+    // barrier, so each record's JSON is parsed exactly once no matter how
+    // many filters/breakdowns reference props.* — from_json gets inlined
+    // into every pushed predicate (one parse per reference per row).
     table(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-      .withColumn("props",
-        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .select(col("*"), json_tuple(col("props"), "k").as("k_json"))
+      .withColumn("props", struct(col("k_json").try_cast("int").as("k")))
+      .drop("k_json")
   }
 
   /**
