@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 /**
  * Similarity search over an embedding column (SURVEY.md §2 rows 29-31).
  *
- * All vector math is zip_with/aggregate over built-in HOFs in strict
- * left-to-right double precision — deterministic (bit-identical across
- * runs and engines that evaluate in the same order), codegen'd, no UDFs.
+ * All vector math runs through graft's native Catalyst expressions
+ * (ArrayDotProduct/ArrayL2Norm, proper doGenCode) in strict left-to-right
+ * double precision — deterministic (bit-identical across runs and engines
+ * that evaluate in the same order), whole-stage-codegen'd, no UDFs.
  *
  * Scale shape: brute-force top-k is a single map pass + TakeOrdered (no
  * shuffle of the corpus); the LSH paths bucket on sign-bit keys so only
@@ -16,15 +17,22 @@ import org.apache.spark.sql.functions._
  */
 object Ann {
 
-  private def d(c: Column): Column = transform(c, x => x.cast("double"))
-
-  /** Dot product in strict sequential double math. */
+  /**
+   * Dot product in strict sequential double math — the native codegen'd
+   * [[graft.functions.ArrayDotProduct]] (HOF zip_with/aggregate would run
+   * interpreted in the quadratic pairwise stages). Bit-identical results.
+   */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.ArrayDotProduct(
+        org.apache.spark.sql.graft.bridge.expression(a),
+        org.apache.spark.sql.graft.bridge.expression(b)))
 
-  /** Euclidean norm in strict sequential double math. */
+  /** Euclidean norm in strict sequential double math (native codegen'd). */
   def norm(a: Column): Column =
-    sqrt(aggregate(d(a), lit(0.0), (s, x) => s + x * x))
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.ArrayL2Norm(
+        org.apache.spark.sql.graft.bridge.expression(a)))
 
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))

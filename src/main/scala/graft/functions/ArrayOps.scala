@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for the vector-math hot path.
+ *
+ * Spark's higher-order functions (zip_with/aggregate) evaluate their
+ * lambdas in the interpreter — fine for a per-row pass, ruinous for the
+ * quadratic pairwise stages of ANN/dedup. These expressions generate a
+ * tight primitive loop via doGenCode (and stay inside whole-stage
+ * codegen), with an interpreted eval fallback that computes the identical
+ * strict left-to-right double arithmetic, so results are bit-identical to
+ * the HOF formulation.
+ *
+ * Accepts array<double> and array<float>; floats are widened per element
+ * (exact in double). NULL array → NULL; NULL elements contribute 0.
+ */
+private[graft] object ArrayOps {
+  def accepts(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def check(name: String, children: Seq[Expression]): TypeCheckResult =
+    children.find(c => !accepts(c.dataType)) match {
+      case Some(bad) => TypeCheckResult.TypeCheckFailure(
+        s"$name expects array<double> or array<float>, got ${bad.dataType.sql}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+
+  def getter(et: DataType, arr: String, i: String): String = et match {
+    case DoubleType => s"$arr.getDouble($i)"
+    case FloatType  => s"((double) $arr.getFloat($i))"
+    case other      => throw new IllegalStateException(s"bad element: $other")
+  }
+
+  def get(et: DataType, arr: ArrayData, i: Int): Double = et match {
+    case DoubleType => arr.getDouble(i)
+    case FloatType  => arr.getFloat(i).toDouble
+    case other      => throw new IllegalStateException(s"bad element: $other")
+  }
+
+  def elementType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+}
+
+/** dot(a, b) = Σ a_i * b_i over the common prefix, in sequential double
+  * precision. */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import ArrayOps._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    check(prettyName, children)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (et1, et2) = (elementType(left), elementType(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) s += get(et1, x, i) * get(et2, y, i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (et1, et2) = (elementType(left), elementType(right))
+      val (n, i, s) = (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("s"))
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += ${getter(et1, a, i)} * ${getter(et2, b, i)};
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** l2norm(a) = sqrt(Σ a_i²) in sequential double precision. */
+case class ArrayL2Norm(child: Expression)
+    extends UnaryExpression {
+  import ArrayOps._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    check(prettyName, children)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2norm"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val et = elementType(child)
+    var s = 0.0
+    var i = 0
+    while (i < x.numElements()) {
+      if (!x.isNullAt(i)) { val v = get(et, x, i); s += v * v }
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val et = elementType(child)
+      val (i, s, v) = (ctx.freshName("i"), ctx.freshName("s"), ctx.freshName("v"))
+      s"""
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    double $v = ${getter(et, a, i)};
+         |    $s += $v * $v;
+         |  }
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayL2Norm =
+    copy(child = newChild)
+}
