@@ -42,4 +42,53 @@ object Sources {
    */
   def ndjson(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
+
+  private val dayDirRe = "(\\d{2})-(\\d{2})".r
+  private val yearRe = "\\d{4}".r
+
+  /**
+   * Enumerate the day directories of a dragnet-style `%Y/%m-%d` layout
+   * that can contain records in [after, before) — the Spark analog of the
+   * reference's path pruning (lib/path-enum.js, lib/fs-find.js): a
+   * metadata-only listing through the Hadoop FS API (works on any
+   * scheme), conservative to the day like the reference, with exact
+   * record-level bounds still applied by the scan.
+   */
+  def dateLayoutDirs(spark: SparkSession, root: String,
+      after: Option[java.time.Instant], before: Option[java.time.Instant])
+      : Seq[(java.time.LocalDate, String)] = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val days = for {
+      y <- fs.listStatus(rootPath).toSeq
+      if y.isDirectory && yearRe.matches(y.getPath.getName)
+      d <- fs.listStatus(y.getPath).toSeq
+      if d.isDirectory
+      date <- d.getPath.getName match {
+        case dayDirRe(m, dd) =>
+          try Some(java.time.LocalDate.of(y.getPath.getName.toInt, m.toInt, dd.toInt))
+          catch { case _: java.time.DateTimeException => None }
+        case _ => None
+      }
+    } yield (date, d.getPath.toString)
+    days.filter { case (date, _) =>
+      val start = date.atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+      val end = start.plus(java.time.Duration.ofDays(1))
+      after.forall(a => end.isAfter(a)) && before.forall(b => start.isBefore(b))
+    }.sortBy(_._1)
+  }
+
+  /**
+   * Read a `%Y/%m-%d` ndjson dataset, scanning ONLY day directories that
+   * overlap [after, before). Empty selection → empty DataFrame with an
+   * empty schema.
+   */
+  def dateLayout(spark: SparkSession, root: String,
+      after: Option[java.time.Instant] = None,
+      before: Option[java.time.Instant] = None): DataFrame = {
+    val dirs = dateLayoutDirs(spark, root, after, before).map(_._2)
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else spark.read.json(dirs: _*)
+  }
 }
