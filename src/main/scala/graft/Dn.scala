@@ -1,0 +1,115 @@
+package graft
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.filter.Krill
+import graft.index.Index
+import graft.index.Index.Metric
+import graft.sources.Sources
+
+/**
+ * CLI parity with the reference's `dn` tool (README.md:9-14): scan raw
+ * data, build an index, query an index — same flags, library underneath.
+ *
+ *   dn scan  --data=PATH --breakdowns=SPECS [--filter=KRILL_JSON]
+ *            [--time-field=F] [--after=ISO] [--before=ISO] [--points]
+ *   dn build --data=PATH --index=PATH --breakdowns=SPECS
+ *            [--filter=…] --time-field=F [--interval=day|hour|all]
+ *   dn query --index=PATH --breakdowns=SPECS [--filter=…]
+ *            [--time-field=F] [--after=ISO] [--before=ISO]
+ *
+ * `--data` reads parquet when the path ends in .parquet, a `%Y/%m-%d`
+ * ndjson tree when the directory looks date-laid-out (file pruning by
+ * --after/--before, like the reference), plain ndjson otherwise.
+ * `run(...)` is the testable surface; `main` prints the result (with
+ * dragnet-style histograms for trailing aggr columns via [[Format]]).
+ */
+object Dn {
+
+  final case class DnArgs(
+      mode: String,
+      flags: Map[String, String],
+      points: Boolean)
+
+  def parseArgs(argv: Seq[String]): DnArgs = {
+    if (argv.isEmpty)
+      throw new GraftException("usage: dn scan|build|query --flag=value …")
+    val mode = argv.head
+    if (!Set("scan", "build", "query").contains(mode))
+      throw new GraftException(s"unknown command: $mode")
+    var points = false
+    val flags = argv.tail.flatMap {
+      case "--points" => points = true; None
+      case f if f.startsWith("--") && f.contains("=") =>
+        val i = f.indexOf('=')
+        Some(f.substring(2, i) -> f.substring(i + 1))
+      case other => throw new GraftException(s"bad argument: $other")
+    }.toMap
+    DnArgs(mode, flags, points)
+  }
+
+  private def cfgOf(a: DnArgs): QueryConfig = QueryConfig(
+    filter = a.flags.get("filter").map(Krill.parse),
+    breakdowns = a.flags.get("breakdowns").map(AttrParser.parse).getOrElse(Nil),
+    timeField = a.flags.get("time-field"),
+    after = a.flags.get("after").map(Instant.parse),
+    before = a.flags.get("before").map(Instant.parse))
+
+  /** Resolve --data to a DataFrame (parquet / date-layout ndjson / ndjson). */
+  def readData(spark: SparkSession, a: DnArgs): DataFrame = {
+    val path = a.flags.getOrElse("data",
+      throw new GraftException("--data is required"))
+    val cfg = cfgOf(a)
+    if (path.endsWith(".parquet")) spark.read.parquet(path)
+    else if (Sources.dateLayoutDirs(spark, path, None, None).nonEmpty)
+      Sources.dateLayout(spark, path, cfg.after, cfg.before)
+    else Sources.ndjson(spark, path)
+  }
+
+  def run(spark: SparkSession, argv: Seq[String]): DataFrame = {
+    val a = parseArgs(argv)
+    val cfg = cfgOf(a)
+    a.mode match {
+      case "scan" =>
+        Scan.scan(readData(spark, a), cfg)
+      case "build" =>
+        val idx = a.flags.getOrElse("index",
+          throw new GraftException("--index is required"))
+        val tf = a.flags.getOrElse("time-field",
+          throw new GraftException("build needs --time-field"))
+        val metric = Metric("default", cfg.breakdowns, cfg.filter)
+        Index.build(readData(spark, a), Seq(metric), idx, tf,
+          a.flags.getOrElse("interval", "day"))
+        spark.emptyDataFrame
+      case "query" =>
+        val idx = a.flags.getOrElse("index",
+          throw new GraftException("--index is required"))
+        val metric = Metric("default",
+          a.flags.get("metric-breakdowns").orElse(a.flags.get("breakdowns"))
+            .map(AttrParser.parse).getOrElse(Nil), None)
+        Index.query(spark, idx, Seq(metric), cfg)
+    }
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = run(spark, argv.toSeq)
+    val a = parseArgs(argv.toSeq)
+    val lastAggr = a.flags.get("breakdowns").map(AttrParser.parse)
+      .getOrElse(Nil).lastOption.exists(_.aggr.isDefined)
+    if (df.schema.nonEmpty) {
+      if (lastAggr && !a.points) print(Format.histogram(df))
+      else df.show(1000, truncate = false)
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Display-only rendering of scan results, mirroring the reference's
+ * output modes (lib/format-json.js): a DTrace-style ASCII histogram for
+ * a trailing bucketized column. Driver-side by design — it formats the
+ * (small, already-aggregated) result of a scan, never raw data.
+ */
+object Format {
+
+  /**
+   * Render `(…groupCols, bucket, value)` rows as per-group histograms:
+   *
+   *            value  ------------- Distribution ------------- count
+   *                1 |@@@@                                     7
+   *
+   * Buckets are shown in order with the @-bar scaled to the group's max.
+   */
+  def histogram(df: DataFrame, width: Int = 40): String = {
+    val cols = df.columns
+    require(cols.length >= 2, "need at least (bucket, value) columns")
+    val groupCols = cols.dropRight(2)
+    val rows = df.collect()
+    val sb = new StringBuilder
+    val grouped = rows.groupBy(r => groupCols.map(c => r.getAs[Any](c)).toSeq)
+    grouped.toSeq.sortBy(_._1.mkString(",")).foreach { case (key, rs) =>
+      if (groupCols.nonEmpty)
+        sb.append(groupCols.zip(key).map { case (c, v) => s"$c=$v" }
+          .mkString("", ", ", "\n"))
+      val maxCount = rs.map(r => r.getLong(cols.length - 1)).max.toDouble
+      val header = "Distribution"
+      val dashes = "-" * ((width - header.length - 2) / 2)
+      sb.append(f"${cols(cols.length - 2)}%16s  $dashes $header $dashes count\n")
+      rs.sortBy(r => r.getLong(cols.length - 2)).foreach { r =>
+        val count = r.getLong(cols.length - 1)
+        val bar = "@" * math.round(count / maxCount * width).toInt
+        val bucket = "%16d".format(r.getLong(cols.length - 2))
+        sb.append(s"$bucket |${bar.padTo(width, ' ')} $count\n")
+      }
+      sb.append("\n")
+    }
+    sb.toString
+  }
+}
