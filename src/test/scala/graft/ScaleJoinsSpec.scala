@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.ScaleJoins
+
+/** Skew salting + bucketed co-located joins (SURVEY.md §4). */
+class ScaleJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals plain join on skewed data") {
+    // 90% of fact rows share one hot key
+    val big = spark.range(0, 10000)
+      .select((when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id") % 100))
+        .as("k"), col("id").as("v"))
+    val small = Seq((1L, "hot"), (0L, "zero"), (20L, "x"), (30L, "y"))
+      .toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+      .collect().map(_.toSeq).toSet
+    val salted = ScaleJoins.saltedJoin(big, small, "k", salts = 8)
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(plain.size == 9000 + big.where(col("k") === 0 || col("k") === 20 ||
+      col("k") === 30).count().toInt)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    // a previous JVM's managed-table locations are invisible to this
+    // session's fresh in-memory catalog — clear them
+    for (t <- Seq("t_orders_b", "t_cust_b")) {
+      val dir = new java.io.File(s"/tmp/graft-test-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
+    val o = Sources("orders"); val c = Sources("customer")
+    ScaleJoins.writeBucketed(o.select("o_orderkey", "o_custkey", "o_totalprice"),
+      "t_orders_b", "o_custkey", 8)
+    ScaleJoins.writeBucketed(c.select(col("c_custkey").as("o_custkey"), col("c_name")),
+      "t_cust_b", "o_custkey", 8)
+    // MERGE hint: at test scale the planner would broadcast (also
+    // shuffle-free, but trivially); the 100 TB case is two big tables,
+    // where bucket co-location must eliminate the shuffle of a
+    // sort-merge join.
+    val joined = ScaleJoins.readBucketed(spark, "t_orders_b")
+      .join(ScaleJoins.readBucketed(spark, "t_cust_b").hint("MERGE"),
+        Seq("o_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketing should have removed the shuffle:\n$plan")
+    assert(joined.count() > 0)
+  }
+
+  private def Sources(name: String) =
+    graft.sources.Sources.table(spark, sf001, name)
+}
