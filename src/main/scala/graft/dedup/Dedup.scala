@@ -41,13 +41,15 @@ object Dedup {
    * combines map-side, so the shuffle carries one row per doc per
    * partition, not one per shingle.
    */
-  def minhashSignature(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", n: Int = 3, k: Int = 16): DataFrame = {
-    // Explode shingle INDICES and build each shingle with a codegen'd
-    // slice+concat_ws per row — building the shingle array via
-    // transform() would run the lambda interpreter. Duplicate shingles
-    // need no dedup: min over a multiset == min over its set.
-    val exploded = docs.repartition(col(idCol))
+  /**
+   * One row per (doc id, shingle): shingle INDICES are exploded and each
+   * shingle built with a codegen'd slice+concat_ws per row — building the
+   * shingle array via transform() would run the lambda interpreter (~7×
+   * slower). May contain duplicate shingles.
+   */
+  def shingleRows(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame =
+    docs.repartition(col(idCol))
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .select(col("id"), col("toks"),
         explode(sequence(lit(0), greatest(size(col("toks")) - n, lit(0)))).as("i"))
@@ -55,6 +57,12 @@ object Dedup {
         when(size(col("toks")) < n, concat_ws(" ", col("toks")))
           .otherwise(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n))))
           .as("s"))
+
+  def minhashSignature(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, k: Int = 16): DataFrame = {
+    // Duplicate shingles need no dedup: min over a multiset == min over
+    // its set.
+    val exploded = shingleRows(docs, idCol, textCol, n)
       .select(col("id") +: (0 until k).map(i =>
         xxhash64(lit(i), col("s")).as(s"h$i")): _*)
     exploded.groupBy(col("id"))
@@ -179,8 +187,11 @@ object Dedup {
    */
   def jaccardVerified(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, minJaccard: Double = 0.6): DataFrame = {
-    val sh = docs.repartition(col(idCol))
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    // shingle SETS via the codegen'd row path + collect_set (the
+    // interpreted array build would be the slow path); array_intersect /
+    // array_union treat arrays as sets anyway.
+    val sh = shingleRows(docs, idCol, textCol, n)
+      .groupBy(col("id")).agg(collect_set(col("s")).as("sh"))
     minhashCandidates(docs, idCol, textCol, n)
       .join(sh.as("sa"), col("doc_a") === col("sa.id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.id"))
