@@ -46,17 +46,53 @@ object AnnQueries {
         SELECT vec_id, dp / (na * nb) AS cos
         FROM t ORDER BY cos DESC, vec_id LIMIT 10""")),
 
-    // #31 LSH-bucketed top-k: scan only the query's sign bucket
+    // #31 LSH-bucketed top-k: scan only the query's sign bucket. The
+    // oracle reproduces the identical arithmetic: sign bucket from dims
+    // 1-4, per-vector normalization, sequential-double dot.
     Q("ann_lsh",
       (s, dir) => {
         val e = emb(s, dir)
         Ann.lshTopK(e, queryVec(e), 10)
       },
-      None),
+      Some(s"""
+        WITH n AS (
+          SELECT vec_id, $bucketSql AS b,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
+          FROM embeddings),
+        q AS (SELECT b AS qb, vn AS qn FROM n ORDER BY vec_id LIMIT 1)
+        SELECT vec_id, ${dotSql("vn", "qn")} AS cos
+        FROM n, q WHERE b = qb ORDER BY cos DESC, vec_id LIMIT 10""")),
 
     // #29 embedding-cosine near-dup pairs (bucket join + exact verify)
     Q("dedup_embed",
       (s, dir) => Ann.cosinePairs(emb(s, dir), minCos = 0.35),
-      None)
+      Some(s"""
+        WITH n AS (
+          SELECT vec_id, $bucketSql AS b,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
+          FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+            ${dotSql("a.vn", "c.vn")} AS cos
+          FROM n a JOIN n c ON a.b = c.b AND a.vec_id < c.vec_id)
+        SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.35"""))
   )
+
+  /** Sign bucket over dims 1-4 — mirrors Ann.signBucket(bits=4). */
+  private def bucketSql: String =
+    (0 until 4).map(j =>
+      s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** Sequential-double L2 norm — mirrors ArrayL2Norm. */
+  private def normSql: String =
+    """sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (a, b) -> a + b))""".stripMargin
+
+  /** Sequential-double dot product — mirrors ArrayDotProduct. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip($a, $b), p -> p[1] * p[2])),
+       |      (x, y) -> x + y)""".stripMargin
 }

@@ -36,6 +36,14 @@ object StreamingQueries {
         q.awaitTermination()
         s.table(name)
       },
-      None)
+      // The streaming result IS oracle-checkable: 1-day event-time
+      // windows align to UTC days, so the drained AvailableNow run must
+      // equal a batch day-truncated count.
+      Some("""
+        SELECT date_trunc('day', ts) AS window_start,
+               date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS value
+        FROM events GROUP BY 1, 2, 3"""))
   )
 }

@@ -75,15 +75,51 @@ object TextQueries {
             (acc, c) -> (acc * 131 + c) % 1000000007) AS rhash
         FROM t""")),
 
-    // #32 language ID (stopword-profile heuristic) — rows-only: the
-    // tie-break chain isn't worth re-expressing in SQL, but the documents
-    // table carries a ground-truth `lang` column we emit alongside for
-    // eyeballing accuracy.
+    // #32 language ID (stopword-profile heuristic). The oracle replays
+    // the same profiles in the same tie-break order (first profile with
+    // the max nonzero score wins; CJK char ratio short-circuits to zh).
+    // The documents table's ground-truth `lang` column rides along.
     Q("text_langid",
       (s, dir) => docs(s, dir).select(
         col("doc_id"),
         col("lang").as("lang_actual"),
         Text.langId(col("text")).as("lang_pred")),
-      None)
+      Some {
+        val profiles = Seq(
+          "en" -> Seq("the", "a", "an", "and", "of", "to", "in", "is",
+            "that", "it", "was", "for", "on", "with", "as"),
+          "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en",
+            "un", "una", "es", "por", "con", "para"),
+          "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est",
+            "dans", "que", "pour", "qui", "sur"),
+          "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine",
+            "zu", "von", "mit", "nicht", "auf"))
+        val scoreCols = profiles.map { case (lang, stops) =>
+          val listLit = stops.map(s => s"'$s'").mkString("[", ", ", "]")
+          s"""CAST(len(list_filter(toks, x -> list_contains($listLit, x))) AS DOUBLE)
+             |        / CAST(greatest(len(toks), 1) AS DOUBLE) AS sc_$lang""".stripMargin
+        }.mkString(",\n      ")
+        val best = profiles.map(p => s"sc_${p._1}").mkString("greatest(", ", ", ")")
+        val tieBreak = profiles.map { case (lang, _) =>
+          s"WHEN sc_$lang = best AND sc_$lang > 0 THEN '$lang'"
+        }.mkString("\n          ")
+        s"""
+        WITH t AS (
+          SELECT doc_id, lang AS lang_actual, text,
+            string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, lang_actual,
+            CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE)
+              / CAST(greatest(length(text), 1) AS DOUBLE) AS cjk,
+            $scoreCols
+          FROM t),
+        b AS (SELECT *, $best AS best FROM s)
+        SELECT doc_id, lang_actual,
+          CASE WHEN cjk > 0.3 THEN 'zh'
+          $tieBreak
+          ELSE 'und' END AS lang_pred
+        FROM b"""
+      })
   )
 }
