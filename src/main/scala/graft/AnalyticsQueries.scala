@@ -134,6 +134,20 @@ object AnalyticsQueries {
         SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
         FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // #23b approximate distinct (HyperLogLog++): single-pass mergeable
+    // sketch — THE distinct-count at 100 TB (exact needs a key shuffle;
+    // the sketch merges map-side in fixed memory). Rows-only: DuckDB's
+    // HLL is a different implementation, so the exact column anchors the
+    // check and the spec bounds the approximation error instead.
+    Q("q_user_counts_approx",
+      (s, dir) => Sources.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy(col("event_type")),
+      None),
+
     // #24 window function: sessionize per user with a 30-minute gap rule —
     // one shuffle on user_id, window runs within partitions.
     Q("q_sessionize",
