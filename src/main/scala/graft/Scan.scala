@@ -83,7 +83,9 @@ object Scan {
 
     val cols = cfg.breakdowns.map(fs => breakdownCol(fs, resolve).as(fs.name))
     if (cols.isEmpty) {
-      cur.agg(sum(weight(cfg)).cast("long").as("value"))
+      // coalesce: zero records must count 0, not NULL (reference:
+      // tests/dn/local empty-data case prints 0)
+      cur.agg(coalesce(sum(weight(cfg)), lit(0L)).cast("long").as("value"))
     } else {
       cfg.breakdowns.foreach { fs =>
         cur = cur.where(baseCol(fs, resolve).isNotNull)
@@ -132,7 +134,10 @@ object Scan {
         b.foreach(t => where += s"$ts < ${ceilSecs(t)}")
     }
     val weightExpr = cfg.valueField.map(resolve).getOrElse(valueExpr)
-    val value = s"CAST(SUM($weightExpr) AS BIGINT) AS value"
+    val value =
+      if (cfg.breakdowns.isEmpty)
+        s"CAST(COALESCE(SUM($weightExpr), 0) AS BIGINT) AS value"
+      else s"CAST(SUM($weightExpr) AS BIGINT) AS value"
 
     if (cfg.breakdowns.isEmpty) {
       val w = if (where.isEmpty) "" else where.mkString(" WHERE ", " AND ", "")

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+
+import graft.filter.Cmp
+import graft.index.Index
+import graft.index.Index.Metric
+import graft.text.Text
+
+/** Edge cases mirroring the reference's empty-data / degenerate-input
+  * tests (tests/dn/local). */
+class EdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(("a", 1L), ("b", 2L)).toDF("host", "latency")
+
+  test("scan of zero matching records counts 0, not NULL") {
+    val cfg = QueryConfig(filter = Some(Cmp("eq", "host", "nope")))
+    assert(Scan.scan(df, cfg).collect().toSeq == Seq(Row(0L)))
+    // and the generated oracle SQL coalesces identically
+    assert(Scan.scanSql("t", cfg).contains("COALESCE"))
+  }
+
+  test("scan with breakdowns over zero records yields zero rows") {
+    val cfg = QueryConfig(filter = Some(Cmp("eq", "host", "nope")),
+      breakdowns = Seq(FieldSpec.plain("host")))
+    assert(Scan.scan(df, cfg).count() == 0)
+  }
+
+  test("index built over empty input answers 0") {
+    val path = Files.createTempDirectory("graft-empty-index").toString
+    val metric = Metric("m", Seq(FieldSpec.plain("host")))
+    val empty = df.where(col("host") === "nope")
+      .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+    Index.build(empty, Seq(metric), path, timeField = "ts", interval = "all")
+    val out = Index.query(spark, path, Seq(metric), QueryConfig())
+    assert(out.collect().toSeq == Seq(Row(0L)))
+  }
+
+  test("text ops survive empty and whitespace-only strings") {
+    val weird = Seq("", "   ", "\t\n", "a").toDF("t")
+    val out = weird.select(
+      Text.tokenCount(col("t")).as("n"),
+      Text.qualityScore(col("t")).as("q"),
+      Text.fingerprint(col("t")).as("f"),
+      Text.rollingHash(col("t")).as("r"),
+      Text.langId(col("t")).as("l")).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getDouble(1) >= 0 && r.getDouble(1) <= 1)
+      assert(r.getString(2).nonEmpty)
+    }
+    // normalized-identical inputs agree
+    assert(out(0).getString(2) == out(1).getString(2))
+  }
+
+  test("filters never resurrect dropped rows via NOT semantics") {
+    val withNull = Seq((Some("x"), 1), (None, 2)).toDF("k", "v")
+    // ne: NULL row fails (dropped), not treated as "not equal"
+    val ne = withNull.where(Cmp("ne", "k", "x").toColumn(withNull.col))
+    assert(ne.count() == 0)
+  }
+}
