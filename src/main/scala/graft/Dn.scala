@@ -57,12 +57,15 @@ object Dn {
     after = a.flags.get("after").map(Instant.parse),
     before = a.flags.get("before").map(Instant.parse))
 
-  /** Resolve --data to a DataFrame (parquet / date-layout ndjson / ndjson). */
+  /** Resolve --data to a DataFrame (parquet / json-skinner /
+    * date-layout ndjson / ndjson). */
   def readData(spark: SparkSession, a: DnArgs): DataFrame = {
     val path = a.flags.getOrElse("data",
       throw new GraftException("--data is required"))
     val cfg = cfgOf(a)
-    if (path.endsWith(".parquet")) spark.read.parquet(path)
+    if (a.flags.get("data-format").contains("json-skinner"))
+      Sources.skinnerPoints(spark, path)
+    else if (path.endsWith(".parquet")) spark.read.parquet(path)
     else if (Sources.dateLayoutDirs(spark, path, None, None).nonEmpty)
       Sources.dateLayout(spark, path, cfg.after, cfg.before)
     else Sources.ndjson(spark, path)
@@ -73,7 +76,18 @@ object Dn {
     val cfg = cfgOf(a)
     a.mode match {
       case "scan" =>
-        Scan.scan(readData(spark, a), cfg)
+        val base = cfg.copy(valueField =
+          if (a.flags.get("data-format").contains("json-skinner"))
+            Some("value") else None)
+        val out = Scan.scan(readData(spark, a), base)
+        // --points: emit skinner-format points (fields struct + weight),
+        // the reference's machine-readable output mode
+        if (a.points && base.breakdowns.nonEmpty)
+          out.select(org.apache.spark.sql.functions.struct(
+            base.breakdowns.map(fs =>
+              org.apache.spark.sql.functions.col(fs.name)): _*).as("fields"),
+            org.apache.spark.sql.functions.col("value"))
+        else out
       case "build" =>
         val idx = a.flags.getOrElse("index",
           throw new GraftException("--index is required"))

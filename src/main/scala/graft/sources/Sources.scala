@@ -43,6 +43,18 @@ object Sources {
   def ndjson(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /**
+   * Read dragnet's json-skinner point format — ndjson of
+   * `{"fields": {…record…}, "value": N}` (reference:
+   * lib/format-json.js SkinnerAdapterStream, lib/dragnet-impl.js
+   * parserFor) — flattened to record columns plus the `value` weight.
+   * Scan with `valueField = Some("value")` re-aggregates losslessly.
+   */
+  def skinnerPoints(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.json(path)
+    raw.select(col("fields.*"), col("value"))
+  }
+
   private val dayDirRe = "(\\d{2})-(\\d{2})".r
   private val yearRe = "\\d{4}".r
 

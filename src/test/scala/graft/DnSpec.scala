@@ -54,6 +54,32 @@ class DnSpec extends SparkSpec {
     assert(bounded > 0 && bounded < all)
   }
 
+  test("json-skinner points round-trip like the reference's format test") {
+    // reference: tests/dn/local/tst.format_skinner.sh — scan --points,
+    // feed the points back 3x as json-skinner, counts triple
+    val pts = Dn.run(spark, Seq("scan", s"--data=$events",
+      "--breakdowns=event_type,user_id", "--points"))
+    val dir = Files.createTempDirectory("graft-skinner")
+    val lines = pts.toJSON.collect()
+    Files.writeString(dir.resolve("points.ndjson"),
+      (lines ++ lines ++ lines).mkString("\n") + "\n")
+    val total = Dn.run(spark, Seq("scan", s"--data=$events")).collect()
+      .head.getLong(0)
+    val reagg = Dn.run(spark, Seq("scan",
+      s"--data=$dir/points.ndjson", "--data-format=json-skinner"))
+      .collect().head.getLong(0)
+    assert(reagg == 3 * total)
+    // and a coarser re-breakdown over the points matches the raw scan 3x
+    val byType = Dn.run(spark, Seq("scan", s"--data=$events",
+      "--breakdowns=event_type")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byTypePts = Dn.run(spark, Seq("scan",
+      s"--data=$dir/points.ndjson", "--data-format=json-skinner",
+      "--breakdowns=event_type")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTypePts == byType.map { case (k, v) => k -> 3 * v })
+  }
+
   test("bad arguments throw GraftException") {
     assertThrows[GraftException](Dn.parseArgs(Nil))
     assertThrows[GraftException](Dn.parseArgs(Seq("frobnicate")))
