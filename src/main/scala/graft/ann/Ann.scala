@@ -92,6 +92,30 @@ object Ann {
   }
 
   /**
+   * Multi-probe LSH top-k: additionally probe every bucket at hamming
+   * distance 1 from the query's bucket (flip each sign bit once) —
+   * recovers the recall lost at bucket boundaries for (bits+1)/2^bits of
+   * the corpus scanned. Probe buckets are distinct, so no result dedup
+   * is needed.
+   */
+  def lshTopKMultiProbe(corpus: DataFrame, query: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bits: Int = 4): DataFrame = {
+    val q0 = withNormalized(query, vecCol, "qn")
+      .select(col("qn"), signBucket(col(vecCol), bits).as("qb"))
+    val probeCols = col("qb") +:
+      (0 until bits).map(j => col("qb").bitwiseXOR(lit(1L << j)))
+    val q = broadcast(q0.select(col("qn"),
+      explode(array(probeCols: _*)).as("qb")))
+    withNormalized(corpus, vecCol, "vn")
+      .withColumn("b", signBucket(col(vecCol), bits))
+      .join(q, col("b") === col("qb"))
+      .select(col(idCol), dot(col("vn"), col("qn")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
    * Embedding-cosine near-dup pairs: sign-bucket join (pairs only form
    * within a bucket), exact cosine verify ≥ minCos.
    */

@@ -78,6 +78,29 @@ object Index {
   }
 
   /**
+   * Incremental maintenance, dragnet's re-run of `dn build` over new days
+   * (per-day sqlite files get added/replaced; reference:
+   * lib/index-sink.js). Spark-native analog: dynamic partition overwrite —
+   * ONLY the `dn_date` partitions present in `df` are replaced, the rest
+   * of the index is untouched (no read-modify-write of the whole
+   * dataset). Not applicable to interval=all (no partitions to scope the
+   * overwrite).
+   */
+  def update(df: DataFrame, metrics: Seq[Metric], path: String,
+             timeField: String, interval: String = "day",
+             resolve: String => Column = col): Unit = {
+    require(interval != "all", "interval=all has no partitions to update")
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try build(df, metrics, path, timeField, interval, resolve)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /**
    * Answer a query from the index, dragnet `dn query`: pick a metric whose
    * gathered columns cover the query's breakdowns and filter fields, then
    * re-aggregate its pre-summed tuples. Time bounds become partition-pruning

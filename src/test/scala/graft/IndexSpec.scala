@@ -54,6 +54,38 @@ class IndexSpec extends SparkSpec {
     assertThrows[GraftException](Index.query(spark, path, Seq(metric), cfg))
   }
 
+  test("incremental update replaces only the touched day partitions") {
+    val path = tmp()
+    Index.build(ev, Seq(metric), path, timeField = "ts", interval = "day")
+    val full = Index.query(spark, path, Seq(metric), QueryConfig())
+      .collect().head.getLong(0)
+    // re-run over ONE day's records with doubled rows for that day
+    val day = ev.selectExpr("date_format(ts, 'yyyy-MM-dd') d")
+      .groupBy("d").count().orderBy("d").collect().head
+    val (dayStr, dayCount) = (day.getString(0), day.getLong(1))
+    val oneDay = ev.where(
+      org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col("ts"), "yyyy-MM-dd") === dayStr)
+    Index.update(oneDay.union(oneDay), Seq(metric), path,
+      timeField = "ts", interval = "day")
+    val updated = Index.query(spark, path, Seq(metric), QueryConfig())
+      .collect().head.getLong(0)
+    // that day doubled, every other partition untouched
+    assert(updated == full + dayCount)
+  }
+
+  test("multi-probe lsh recall ≥ single-bucket recall vs brute force") {
+    val e = graft.sources.Sources.table(spark, sf001, "embeddings")
+    val q = e.orderBy(org.apache.spark.sql.functions.col("vec_id")).limit(1)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val truth = ids(graft.ann.Ann.bruteForceTopK(e, q, 10))
+    val single = ids(graft.ann.Ann.lshTopK(e, q, 10))
+    val multi = ids(graft.ann.Ann.lshTopKMultiProbe(e, q, 10))
+    assert((multi & truth).size >= (single & truth).size)
+    assert(multi.size == 10)
+  }
+
   test("index is value-weighted: total count preserved") {
     val path = tmp()
     Index.build(ev, Seq(metric), path, timeField = "ts", interval = "day")
