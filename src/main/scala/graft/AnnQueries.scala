@@ -63,6 +63,33 @@ object AnnQueries {
         SELECT vec_id, ${dotSql("vn", "qn")} AS cos
         FROM n, q WHERE b = qb ORDER BY cos DESC, vec_id LIMIT 10""")),
 
+    // #31b multi-probe LSH: also scan hamming-1 sign buckets
+    Q("ann_multiprobe",
+      (s, dir) => {
+        val e = emb(s, dir)
+        Ann.lshTopKMultiProbe(e, queryVec(e), 10)
+      },
+      Some(s"""
+        WITH n AS (
+          SELECT vec_id, $bucketSql AS b,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
+          FROM embeddings),
+        q AS (SELECT b AS qb, vn AS qn FROM n ORDER BY vec_id LIMIT 1)
+        SELECT vec_id, ${dotSql("vn", "qn")} AS cos
+        FROM n, q
+        WHERE b IN (qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8))
+        ORDER BY cos DESC, vec_id LIMIT 10""")),
+
+    // #31c IVF scale path: deterministic coarse cells, nprobe search —
+    // rows-only (the cell assignment is an internal detail; IndexSpec
+    // proves recall ≥ the single-bucket LSH path)
+    Q("ann_ivf",
+      (s, dir) => {
+        val e = emb(s, dir)
+        Ann.ivfTopK(e, queryVec(e), 10)
+      },
+      None),
+
     // #29 embedding-cosine near-dup pairs (bucket join + exact verify)
     Q("dedup_embed",
       (s, dir) => Ann.cosinePairs(emb(s, dir), minCos = 0.35),

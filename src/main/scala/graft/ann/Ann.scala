@@ -116,6 +116,43 @@ object Ann {
   }
 
   /**
+   * IVF-style top-k: a deterministic coarse quantizer (centroids = every
+   * ⌈n/nlist⌉-th vector in id order — reproducible without a training
+   * step) partitions the corpus into cells; the query scans only the
+   * `nprobe` nearest cells. Assignment is a broadcast of nlist centroid
+   * rows + min_by per vector — at production scale you'd precompute and
+   * persist the cell column with the corpus and bucket-join on it, same
+   * shape as the index layer.
+   */
+  def ivfTopK(corpus: DataFrame, query: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val n = withNormalized(corpus, vecCol, "vn")
+      .select(col(idCol).as("id"), col("vn"))
+    // deterministic hash sample of ~nlist centroids — no global sort, no
+    // training job; ties in max_by break on cid via struct ordering
+    val m = math.max(1L, n.count() / nlist)
+    val centroids = broadcast(
+      n.where(pmod(xxhash64(col("id")), lit(m)) === 0)
+        .select(col("id").as("cid"), col("vn").as("cv")))
+    val assigned = n.crossJoin(centroids)
+      .withColumn("d", dot(col("vn"), col("cv")))
+      .groupBy(col("id"))
+      .agg(first(col("vn")).as("vn"),
+        max_by(col("cid"), struct(col("d"), col("cid"))).as("cell"))
+    val qn = withNormalized(query, vecCol, "qn").select(col("qn"))
+    val qCells = broadcast(qn.crossJoin(centroids)
+      .select(col("qn"), col("cid"), dot(col("qn"), col("cv")).as("d"))
+      .orderBy(col("d").desc, col("cid"))
+      .limit(nprobe)
+      .select(col("qn"), col("cid").as("cell")))
+    assigned.join(qCells, Seq("cell"))
+      .select(col("id").as(idCol), dot(col("vn"), col("qn")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
    * Embedding-cosine near-dup pairs: sign-bucket join (pairs only form
    * within a bucket), exact cosine verify ≥ minCos.
    */

@@ -84,6 +84,9 @@ class IndexSpec extends SparkSpec {
     val multi = ids(graft.ann.Ann.lshTopKMultiProbe(e, q, 10))
     assert((multi & truth).size >= (single & truth).size)
     assert(multi.size == 10)
+    // IVF: k results, the query itself (cos=1) always recalled
+    val ivf = ids(graft.ann.Ann.ivfTopK(e, q, 10))
+    assert(ivf.size == 10 && ivf.contains(0L))
   }
 
   test("index is value-weighted: total count preserved") {
