@@ -15,7 +15,8 @@ object Bench {
     // happens to run first and swamp its number.
     locally {
       import org.apache.spark.sql.functions._
-      val warm = s"/tmp/graft-bench-warmup-${System.nanoTime()}"
+      // fixed path, overwritten each run — no /tmp litter
+      val warm = "/tmp/graft-bench-warmup"
       spark.range(0, 100000).select(col("id"), (col("id") % 7).as("k"))
         .groupBy("k").agg(sum("id")).write.mode("overwrite").parquet(warm)
       spark.read.parquet(warm).count()

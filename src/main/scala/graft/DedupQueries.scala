@@ -35,7 +35,8 @@ object DedupQueries {
       (s, dir) => Dedup.minhashCandidates(docs(s, dir)),
       None),
 
-    // #27 SimHash near-dups: byte-banded candidates, hamming ≤ 6 verify
+    // #27 SimHash near-dups: byte-banded candidates, hamming ≤ 3 verify
+    // (the full-recall bound for 4-byte banding)
     Q("dedup_simhash",
       (s, dir) => Dedup.simhashPairs(docs(s, dir)),
       None),

@@ -33,6 +33,10 @@ object Dn {
       flags: Map[String, String],
       points: Boolean)
 
+  private val knownFlags = Set("data", "breakdowns", "filter", "time-field",
+    "after", "before", "index", "interval", "metric-breakdowns",
+    "data-format")
+
   def parseArgs(argv: Seq[String]): DnArgs = {
     if (argv.isEmpty)
       throw new GraftException("usage: dn scan|build|query --flag=value …")
@@ -44,7 +48,11 @@ object Dn {
       case "--points" => points = true; None
       case f if f.startsWith("--") && f.contains("=") =>
         val i = f.indexOf('=')
-        Some(f.substring(2, i) -> f.substring(i + 1))
+        val key = f.substring(2, i)
+        // reject typos instead of silently computing the wrong answer
+        if (!knownFlags.contains(key))
+          throw new GraftException(s"unknown flag: --$key")
+        Some(key -> f.substring(i + 1))
       case other => throw new GraftException(s"bad argument: $other")
     }.toMap
     DnArgs(mode, flags, points)
@@ -71,9 +79,24 @@ object Dn {
     else Sources.ndjson(spark, path)
   }
 
+  /** Whether --data names a %Y/%m-%d tree (bounds already pruned by path). */
+  private def isDateTree(spark: SparkSession, a: DnArgs): Boolean =
+    a.flags.get("data").exists(p =>
+      !p.endsWith(".parquet") &&
+        !a.flags.get("data-format").contains("json-skinner") &&
+        Sources.dateLayoutDirs(spark, p, None, None).nonEmpty)
+
   def run(spark: SparkSession, argv: Seq[String]): DataFrame = {
     val a = parseArgs(argv)
-    val cfg = cfgOf(a)
+    val cfg0 = cfgOf(a)
+    // A date-laid-out tree without --time-field is still boundable: the
+    // path enumeration prunes to day granularity (exactly the reference's
+    // behavior when only the path carries time). Record-level bounds
+    // need --time-field.
+    val cfg =
+      if (cfg0.timeField.isEmpty && isDateTree(spark, a))
+        cfg0.copy(after = None, before = None)
+      else cfg0
     a.mode match {
       case "scan" =>
         val base = cfg.copy(valueField =
@@ -95,7 +118,10 @@ object Dn {
           throw new GraftException("build needs --time-field"))
         val metric = Metric("default", cfg.breakdowns, cfg.filter)
         Index.build(readData(spark, a), Seq(metric), idx, tf,
-          a.flags.getOrElse("interval", "day"))
+          a.flags.getOrElse("interval", "day"),
+          valueField =
+            if (a.flags.get("data-format").contains("json-skinner"))
+              Some("value") else None)
         spark.emptyDataFrame
       case "query" =>
         val idx = a.flags.getOrElse("index",

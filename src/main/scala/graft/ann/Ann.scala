@@ -130,8 +130,10 @@ object Ann {
     val n = withNormalized(corpus, vecCol, "vn")
       .select(col(idCol).as("id"), col("vn"))
     // deterministic hash sample of ~nlist centroids — no global sort, no
-    // training job; ties in max_by break on cid via struct ordering
-    val m = math.max(1L, n.count() / nlist)
+    // training job; ties in max_by break on cid via struct ordering. The
+    // sampling modulus comes from a count over the RAW corpus (parquet
+    // footer metadata, not a normalization pass).
+    val m = math.max(1L, corpus.count() / nlist)
     val centroids = broadcast(
       n.where(pmod(xxhash64(col("id")), lit(m)) === 0)
         .select(col("id").as("cid"), col("vn").as("cv")))

@@ -33,15 +33,6 @@ object Dedup {
   }
 
   /**
-   * Per-doc MinHash signature columns m0..m{k-1}. Shingles are EXPLODED
-   * to rows and each hash is a plain codegen'd column min-aggregated
-   * per doc — NOT k `transform(...)` passes over the shingle array:
-   * higher-order-function lambdas are interpreted (no codegen), which
-   * makes the array formulation ~10× slower. The min() aggregation
-   * combines map-side, so the shuffle carries one row per doc per
-   * partition, not one per shingle.
-   */
-  /**
    * One row per (doc id, shingle): shingle INDICES are exploded and each
    * shingle built with a codegen'd slice+concat_ws per row — building the
    * shingle array via transform() would run the lambda interpreter (~7×
@@ -58,6 +49,13 @@ object Dedup {
           .otherwise(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n))))
           .as("s"))
 
+  /**
+   * Per-doc MinHash signature columns m0..m{k-1}: each hash is a plain
+   * codegen'd column over the exploded shingle rows, min-aggregated per
+   * doc — NOT k `transform(...)` passes over a shingle array (HOF
+   * lambdas are interpreted). The min() combines map-side, so the
+   * shuffle carries one row per doc per partition, not one per shingle.
+   */
   def minhashSignature(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, k: Int = 16): DataFrame = {
     // Duplicate shingles need no dedup: min over a multiset == min over

@@ -36,21 +36,27 @@ object Index {
 
   /**
    * Build the index for each metric. `timeField` provides the partition
-   * date/hour (reference: datasource --time-field).
+   * date/hour (reference: datasource --time-field). `valueField` weights
+   * each input row (json-skinner points carry a `value` weight; raw
+   * records weigh 1).
    */
   def build(df: DataFrame, metrics: Seq[Metric], path: String,
             timeField: String, interval: String = "day",
-            resolve: String => Column = col): Unit = {
+            resolve: String => Column = col,
+            valueField: Option[String] = None): Unit = {
     require(Intervals.contains(interval), s"bad interval: $interval")
     metrics.foreach { m =>
       var cur = df
       m.filter.foreach(p => cur = cur.where(p.toColumn(resolve)))
       val dims = m.breakdowns.map(fs => Scan.breakdownCol(fs, resolve).as(fs.name))
+      // accept TIMESTAMP, ISO strings, or epoch-seconds numerics as the
+      // time field (a date-parsed breakdown is epoch secs)
+      val ts = resolve(timeField).try_cast("timestamp")
       val partCols = interval match {
-        case "day" => Seq(date_format(resolve(timeField), "yyyy-MM-dd").as("dn_date"))
+        case "day" => Seq(date_format(ts, "yyyy-MM-dd").as("dn_date"))
         case "hour" => Seq(
-          date_format(resolve(timeField), "yyyy-MM-dd").as("dn_date"),
-          hour(resolve(timeField)).as("dn_hour"))
+          date_format(ts, "yyyy-MM-dd").as("dn_date"),
+          hour(ts).as("dn_hour"))
         case "all" => Nil
       }
       m.breakdowns.foreach { fs =>
@@ -58,7 +64,8 @@ object Index {
       }
       val grouped = cur
         .groupBy(dims ++ partCols: _*)
-        .agg(sum(lit(1L)).cast("long").as("value"))
+        .agg(sum(valueField.map(resolve).getOrElse(lit(1L)))
+          .cast("long").as("value"))
       // Directory partitioning stops at the DAY even for hourly grain:
       // hour-level directories are a small-files/commit-storm anti-pattern
       // (24× the directories, tiny files). Instead dn_hour stays a data
@@ -83,13 +90,16 @@ object Index {
    * lib/index-sink.js). Spark-native analog: dynamic partition overwrite —
    * ONLY the `dn_date` partitions present in `df` are replaced, the rest
    * of the index is untouched (no read-modify-write of the whole
-   * dataset). Not applicable to interval=all (no partitions to scope the
-   * overwrite).
+   * dataset). Day interval only: replacement is day-granular (directories
+   * are per-day even at hourly grain), so an "hour" update carrying a
+   * partial day would silently erase that day's other hours.
    */
   def update(df: DataFrame, metrics: Seq[Metric], path: String,
              timeField: String, interval: String = "day",
              resolve: String => Column = col): Unit = {
-    require(interval != "all", "interval=all has no partitions to update")
+    require(interval == "day",
+      "update is day-granular: pass complete days with interval=day " +
+        "(hourly indexes replace whole dn_date partitions)")
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -93,14 +93,19 @@ object Sources {
 
   /**
    * Read a `%Y/%m-%d` ndjson dataset, scanning ONLY day directories that
-   * overlap [after, before). Empty selection → empty DataFrame with an
-   * empty schema.
+   * overlap [after, before). When every day is pruned, the frame is
+   * empty but keeps the dataset's schema (inferred from one unpruned
+   * directory, limit 0) so downstream scans still resolve their columns
+   * and return zero rows instead of failing analysis.
    */
   def dateLayout(spark: SparkSession, root: String,
       after: Option[java.time.Instant] = None,
       before: Option[java.time.Instant] = None): DataFrame = {
     val dirs = dateLayoutDirs(spark, root, after, before).map(_._2)
-    if (dirs.isEmpty) spark.emptyDataFrame
-    else spark.read.json(dirs: _*)
+    if (dirs.nonEmpty) spark.read.json(dirs: _*)
+    else dateLayoutDirs(spark, root, None, None).map(_._2) match {
+      case all if all.nonEmpty => spark.read.json(all.head).limit(0)
+      case _ => spark.emptyDataFrame
+    }
   }
 }

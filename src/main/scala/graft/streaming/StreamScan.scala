@@ -33,7 +33,10 @@ object StreamScan {
     var cur = df
     cfg.filter.foreach(p => cur = cur.where(p.toColumn(resolve)))
     cfg.breakdowns.foreach { fs =>
-      cur = cur.where(Scan.breakdownCol(fs, resolve).isNotNull)
+      // baseCol, not breakdownCol: same reasoning as Scan.scan — the
+      // pushed null-drop predicate must not inline the bucketized CASE
+      // chain (and any expensive source expression) per reference.
+      cur = cur.where(Scan.baseCol(fs, resolve).isNotNull)
     }
     val cols = cfg.breakdowns.map(fs => Scan.breakdownCol(fs, resolve).as(fs.name))
     val weight = cfg.valueField.map(resolve).getOrElse(lit(1L))

@@ -86,6 +86,29 @@ class DnSpec extends SparkSpec {
     assertThrows[GraftException](Dn.parseArgs(Seq("scan", "positional")))
     assertThrows[GraftException](Dn.run(spark, Seq("scan")))
     assertThrows[GraftException](Dn.run(spark, Seq("build", s"--data=$events")))
+    // a typo'd flag must error, not silently compute the unfiltered answer
+    assertThrows[GraftException](
+      Dn.parseArgs(Seq("scan", "--data=x", "--fitler={}")))
+  }
+
+  test("skinner build weights points: index equals 3x the raw scan") {
+    val pts = Dn.run(spark, Seq("scan", s"--data=$events",
+      "--breakdowns=event_type,day[date,field=ts,aggr=lquantize,step=86400]",
+      "--points"))
+    val dir = Files.createTempDirectory("graft-skinner-build")
+    val lines = pts.toJSON.collect()
+    Files.writeString(dir.resolve("points.ndjson"),
+      (lines ++ lines ++ lines).mkString("\n") + "\n")
+    Dn.run(spark, Seq("build", s"--data=$dir/points.ndjson",
+      "--data-format=json-skinner", s"--index=$dir/idx",
+      "--breakdowns=event_type", "--time-field=day"))
+    val viaIndex = Dn.run(spark, Seq("query", s"--index=$dir/idx",
+      "--breakdowns=event_type")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val raw = Dn.run(spark, Seq("scan", s"--data=$events",
+      "--breakdowns=event_type")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaIndex == raw.map { case (k, v) => k -> 3 * v })
   }
 
   test("histogram rendering shows scaled bars per bucket") {

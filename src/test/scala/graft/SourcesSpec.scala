@@ -67,4 +67,13 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.dateLayout(spark, root,
       Some(Instant.parse("2020-01-01T00:00:00Z")), None).count() == 0)
   }
+
+  test("fully-pruned selection keeps the schema so scans return zero rows") {
+    val df = Sources.dateLayout(spark, root,
+      Some(Instant.parse("2020-01-01T00:00:00Z")), None)
+    // columns still resolve — a scan yields 0, not UNRESOLVED_COLUMN
+    val cfg = QueryConfig(breakdowns = Seq(FieldSpec.plain("req.method")))
+    assert(Scan.scan(df, cfg).count() == 0)
+    assert(Scan.scan(df, QueryConfig()).collect().toSeq == Seq(Row(0L)))
+  }
 }
