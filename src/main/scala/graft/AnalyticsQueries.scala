@@ -148,6 +148,35 @@ object AnalyticsQueries {
         .orderBy(col("event_type")),
       None),
 
+    // #24b hierarchical rollup: subtotals at every grouping level in one
+    // pass (partial aggregation handles all levels map-side)
+    Q("q_rollup",
+      (s, dir) => Sources.table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("""
+        SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""")),
+
+    // #24c exact percentiles of order totals: both engines sort and
+    // linearly interpolate, so the doubles agree
+    Q("q_percentiles",
+      (s, dir) => Sources.table(s, dir, "orders")
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          expr("percentile(o_totalprice, 0.99)").as("p99")),
+      Some("""
+        SELECT quantile_cont(o_totalprice, 0.5) AS p50,
+               quantile_cont(o_totalprice, 0.9) AS p90,
+               quantile_cont(o_totalprice, 0.99) AS p99
+        FROM orders""")),
+
     // #24 window function: sessionize per user with a 30-minute gap rule —
     // one shuffle on user_id, window runs within partitions.
     Q("q_sessionize",
