@@ -34,6 +34,14 @@ object CoreScanQueries {
     FieldSpec("day", "ts", isDate = true,
       aggr = Some("lquantize"), step = Some(86400))
 
+  /** A config exercising all three drop stages for scan_counters. */
+  private val countersCfg = QueryConfig(
+    filter = Some(Cmp("ne", "event_type", "error")),
+    breakdowns = Seq(
+      FieldSpec("k_nz", "props.k", aggr = Some("quantize"))),
+    timeField = Some("ts"),
+    after = Some(Instant.parse("2024-01-02T00:00:00Z")))
+
   def all: Seq[Q] = Seq(
     // #1 count all records
     q("scan_count", QueryConfig()),
@@ -135,6 +143,15 @@ object CoreScanQueries {
         QueryConfig(breakdowns = AttrParser.parse("k_nz[aggr=quantize]")),
         { case "k_nz" => "NULLIF(CAST(props->>'k' AS INTEGER), 0)"
           case f => f }))),
+
+    // #16b --counters/--warnings: per-stage drop accounting (input =
+    // filter_dropped + time_dropped + invalid_dropped + aggregated)
+    Q("scan_counters",
+      (s, dir) => {
+        val cfg = countersCfg
+        Scan.counters(Sources.events(s, dir), cfg, rs)
+      },
+      Some(Scan.countersSql("events", countersCfg, rq))),
 
     // #17 skinner-points round trip: aggregate to points, re-aggregate
     // weighting by `value` (dragnet --points / --data-format=json-skinner).

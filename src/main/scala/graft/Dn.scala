@@ -31,7 +31,8 @@ object Dn {
   final case class DnArgs(
       mode: String,
       flags: Map[String, String],
-      points: Boolean)
+      points: Boolean,
+      counters: Boolean)
 
   private val knownFlags = Set("data", "breakdowns", "filter", "time-field",
     "after", "before", "index", "interval", "metric-breakdowns",
@@ -44,8 +45,10 @@ object Dn {
     if (!Set("scan", "build", "query").contains(mode))
       throw new GraftException(s"unknown command: $mode")
     var points = false
+    var counters = false
     val flags = argv.tail.flatMap {
       case "--points" => points = true; None
+      case "--counters" | "--warnings" => counters = true; None
       case f if f.startsWith("--") && f.contains("=") =>
         val i = f.indexOf('=')
         val key = f.substring(2, i)
@@ -55,7 +58,7 @@ object Dn {
         Some(key -> f.substring(i + 1))
       case other => throw new GraftException(s"bad argument: $other")
     }.toMap
-    DnArgs(mode, flags, points)
+    DnArgs(mode, flags, points, counters)
   }
 
   private def cfgOf(a: DnArgs): QueryConfig = QueryConfig(
@@ -102,6 +105,8 @@ object Dn {
         val base = cfg.copy(valueField =
           if (a.flags.get("data-format").contains("json-skinner"))
             Some("value") else None)
+        if (a.counters)
+          return Scan.counters(readData(spark, a), base)
         val out = Scan.scan(readData(spark, a), base)
         // --points: emit skinner-format points (fields struct + weight),
         // the reference's machine-readable output mode
@@ -147,7 +152,7 @@ object Dn {
     val lastAggr = a.flags.get("breakdowns").map(AttrParser.parse)
       .getOrElse(Nil).lastOption.exists(_.aggr.isDefined)
     if (df.schema.nonEmpty) {
-      if (lastAggr && !a.points) print(Format.histogram(df))
+      if (lastAggr && !a.points && !a.counters) print(Format.histogram(df))
       else df.show(1000, truncate = false)
     }
     spark.stop()

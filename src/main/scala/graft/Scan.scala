@@ -158,4 +158,68 @@ object Scan {
   /** ms instant → whole seconds, rounded up (dragnet's time-bound rounding). */
   private def ceilSecs(t: java.time.Instant): Long =
     math.ceil(t.toEpochMilli / 1000.0).toLong
+
+  /**
+   * Per-stage drop accounting — dragnet's `--counters`/`--warnings`
+   * (README: pipeline counters; records dropped by filter, by time
+   * bounds, by invalid/missing fields). One conditional-aggregation pass
+   * (codegen'd, map-side combined), not per-stage stream instrumentation:
+   * `input = filter_dropped + time_dropped + invalid_dropped + aggregated`.
+   */
+  def counters(df: DataFrame, cfg: QueryConfig,
+               resolve: String => Column = col): DataFrame = {
+    val filterPass = cfg.filter
+      .map(p => coalesce(p.toColumn(resolve), lit(false))).getOrElse(lit(true))
+    val timePass: Column = (cfg.after, cfg.before) match {
+      case (None, None) => lit(true)
+      case (a, b) =>
+        val tf = cfg.timeField.getOrElse(
+          throw new GraftException("time bounds require a timeField"))
+        val ts = epochSecs(resolve(tf))
+        val conds = a.map(t => ts >= lit(ceilSecs(t))).toSeq ++
+          b.map(t => ts < lit(ceilSecs(t))).toSeq
+        coalesce(conds.reduce(_ && _), lit(false))
+    }
+    val validPass = cfg.breakdowns
+      .map(fs => baseCol(fs, resolve).isNotNull)
+      .foldLeft(lit(true))(_ && _)
+    def n(c: Column) = coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+      .cast("long")
+    df.agg(
+      coalesce(count(lit(1)), lit(0L)).cast("long").as("input"),
+      n(!filterPass).as("filter_dropped"),
+      n(filterPass && !timePass).as("time_dropped"),
+      n(filterPass && timePass && !validPass).as("invalid_dropped"),
+      n(filterPass && timePass && validPass).as("aggregated"))
+  }
+
+  /** DuckDB oracle SQL for [[counters]], built from the same QueryConfig. */
+  def countersSql(table: String, cfg: QueryConfig,
+                  resolve: String => String = identity): String = {
+    val filterPass = cfg.filter
+      .map(p => s"COALESCE(${p.toSql(resolve)}, FALSE)").getOrElse("TRUE")
+    val timePass = (cfg.after, cfg.before) match {
+      case (None, None) => "TRUE"
+      case (a, b) =>
+        val tf = cfg.timeField.getOrElse(
+          throw new GraftException("time bounds require a timeField"))
+        val ts = epochSecsSql(resolve(tf))
+        val conds = a.map(t => s"$ts >= ${ceilSecs(t)}").toSeq ++
+          b.map(t => s"$ts < ${ceilSecs(t)}").toSeq
+        s"COALESCE(${conds.mkString("(", " AND ", ")")}, FALSE)"
+    }
+    val validPass =
+      if (cfg.breakdowns.isEmpty) "TRUE"
+      else cfg.breakdowns
+        .map(fs => s"${baseSql(fs, resolve)} IS NOT NULL")
+        .mkString("(", " AND ", ")")
+    def n(c: String) =
+      s"CAST(COALESCE(SUM(CASE WHEN $c THEN 1 ELSE 0 END), 0) AS BIGINT)"
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS input,
+       |  ${n(s"NOT $filterPass")} AS filter_dropped,
+       |  ${n(s"$filterPass AND NOT $timePass")} AS time_dropped,
+       |  ${n(s"$filterPass AND $timePass AND NOT $validPass")} AS invalid_dropped,
+       |  ${n(s"$filterPass AND $timePass AND $validPass")} AS aggregated
+       |FROM $table""".stripMargin
+  }
 }

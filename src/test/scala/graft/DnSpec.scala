@@ -80,6 +80,23 @@ class DnSpec extends SparkSpec {
     assert(byTypePts == byType.map { case (k, v) => k -> 3 * v })
   }
 
+  test("--counters accounts for every input row across drop stages") {
+    val r = Dn.run(spark, Seq("scan", s"--data=$events",
+      """--filter={"ne": ["event_type", "error"]}""",
+      "--breakdowns=event_type", "--time-field=ts",
+      "--after=2024-01-02T00:00:00Z", "--counters")).collect().head
+    val (input, fd, td, id, agg) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(input == fd + td + id + agg)
+    assert(fd > 0 && td > 0 && agg > 0)
+    // aggregated must equal what the real scan counts
+    val scanned = Dn.run(spark, Seq("scan", s"--data=$events",
+      """--filter={"ne": ["event_type", "error"]}""",
+      "--breakdowns=event_type", "--time-field=ts",
+      "--after=2024-01-02T00:00:00Z")).collect().map(_.getLong(1)).sum
+    assert(agg == scanned)
+  }
+
   test("bad arguments throw GraftException") {
     assertThrows[GraftException](Dn.parseArgs(Nil))
     assertThrows[GraftException](Dn.parseArgs(Seq("frobnicate")))
