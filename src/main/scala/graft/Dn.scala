@@ -58,6 +58,10 @@ object Dn {
         Some(key -> f.substring(i + 1))
       case other => throw new GraftException(s"bad argument: $other")
     }.toMap
+    if (counters && mode != "scan")
+      throw new GraftException("--counters is only meaningful with scan")
+    if (counters && points)
+      throw new GraftException("--counters and --points are mutually exclusive")
     DnArgs(mode, flags, points, counters)
   }
 

@@ -68,18 +68,7 @@ object Scan {
     var cur = df
 
     cfg.filter.foreach(p => cur = cur.where(p.toColumn(resolve)))
-
-    (cfg.after, cfg.before) match {
-      case (None, None) => ()
-      case (a, b) =>
-        val tf = cfg.timeField.getOrElse(
-          throw new GraftException("time bounds require a timeField"))
-        val ts = epochSecs(resolve(tf))
-        // Inclusive start / exclusive end, both rounded UP to whole seconds
-        // (reference: lib/dragnet-impl.js queryTimeBoundsFilter).
-        a.foreach(t => cur = cur.where(ts >= lit(ceilSecs(t))))
-        b.foreach(t => cur = cur.where(ts < lit(ceilSecs(t))))
-    }
+    timeBoundCols(cfg, resolve).foreach(c => cur = cur.where(c))
 
     val cols = cfg.breakdowns.map(fs => breakdownCol(fs, resolve).as(fs.name))
     if (cols.isEmpty) {
@@ -124,15 +113,7 @@ object Scan {
               valueExpr: String = "1"): String = {
     val where = scala.collection.mutable.ListBuffer.empty[String]
     cfg.filter.foreach(p => where += p.toSql(resolve))
-    (cfg.after, cfg.before) match {
-      case (None, None) => ()
-      case (a, b) =>
-        val tf = cfg.timeField.getOrElse(
-          throw new GraftException("time bounds require a timeField"))
-        val ts = epochSecsSql(resolve(tf))
-        a.foreach(t => where += s"$ts >= ${ceilSecs(t)}")
-        b.foreach(t => where += s"$ts < ${ceilSecs(t)}")
-    }
+    where ++= timeBoundSqls(cfg, resolve)
     val weightExpr = cfg.valueField.map(resolve).getOrElse(valueExpr)
     val value =
       if (cfg.breakdowns.isEmpty)
@@ -160,33 +141,61 @@ object Scan {
     math.ceil(t.toEpochMilli / 1000.0).toLong
 
   /**
+   * The time-bound predicates of a config — inclusive start / exclusive
+   * end, both rounded UP to whole seconds (reference: lib/dragnet-impl.js
+   * queryTimeBoundsFilter). Single source of truth for scan, counters,
+   * and both SQL twins.
+   */
+  private def timeBoundCols(cfg: QueryConfig,
+      resolve: String => Column): Seq[Column] =
+    (cfg.after, cfg.before) match {
+      case (None, None) => Nil
+      case (a, b) =>
+        val tf = cfg.timeField.getOrElse(
+          throw new GraftException("time bounds require a timeField"))
+        val ts = epochSecs(resolve(tf))
+        a.map(t => ts >= lit(ceilSecs(t))).toSeq ++
+          b.map(t => ts < lit(ceilSecs(t))).toSeq
+    }
+
+  /** SQL twin of [[timeBoundCols]]. */
+  private def timeBoundSqls(cfg: QueryConfig,
+      resolve: String => String): Seq[String] =
+    (cfg.after, cfg.before) match {
+      case (None, None) => Nil
+      case (a, b) =>
+        val tf = cfg.timeField.getOrElse(
+          throw new GraftException("time bounds require a timeField"))
+        val ts = epochSecsSql(resolve(tf))
+        a.map(t => s"$ts >= ${ceilSecs(t)}").toSeq ++
+          b.map(t => s"$ts < ${ceilSecs(t)}").toSeq
+    }
+
+  /**
    * Per-stage drop accounting — dragnet's `--counters`/`--warnings`
    * (README: pipeline counters; records dropped by filter, by time
    * bounds, by invalid/missing fields). One conditional-aggregation pass
    * (codegen'd, map-side combined), not per-stage stream instrumentation:
    * `input = filter_dropped + time_dropped + invalid_dropped + aggregated`.
+   * Rows are weighted by cfg.valueField (skinner points count their
+   * value), so `aggregated` always equals the scan's total.
    */
   def counters(df: DataFrame, cfg: QueryConfig,
                resolve: String => Column = col): DataFrame = {
     val filterPass = cfg.filter
       .map(p => coalesce(p.toColumn(resolve), lit(false))).getOrElse(lit(true))
-    val timePass: Column = (cfg.after, cfg.before) match {
-      case (None, None) => lit(true)
-      case (a, b) =>
-        val tf = cfg.timeField.getOrElse(
-          throw new GraftException("time bounds require a timeField"))
-        val ts = epochSecs(resolve(tf))
-        val conds = a.map(t => ts >= lit(ceilSecs(t))).toSeq ++
-          b.map(t => ts < lit(ceilSecs(t))).toSeq
-        coalesce(conds.reduce(_ && _), lit(false))
+    val timePass: Column = timeBoundCols(cfg, resolve) match {
+      case Nil   => lit(true)
+      case conds => coalesce(conds.reduce(_ && _), lit(false))
     }
     val validPass = cfg.breakdowns
       .map(fs => baseCol(fs, resolve).isNotNull)
       .foldLeft(lit(true))(_ && _)
-    def n(c: Column) = coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    val w = weight(cfg)
+    def n(c: Column) = coalesce(sum(when(c, w).otherwise(0L)), lit(0L))
       .cast("long")
     df.agg(
-      coalesce(count(lit(1)), lit(0L)).cast("long").as("input"),
+      coalesce(sum(w), lit(0L)).cast("long").as("input"),
       n(!filterPass).as("filter_dropped"),
       n(filterPass && !timePass).as("time_dropped"),
       n(filterPass && timePass && !validPass).as("invalid_dropped"),
@@ -195,27 +204,23 @@ object Scan {
 
   /** DuckDB oracle SQL for [[counters]], built from the same QueryConfig. */
   def countersSql(table: String, cfg: QueryConfig,
-                  resolve: String => String = identity): String = {
+                  resolve: String => String = identity,
+                  valueExpr: String = "1"): String = {
     val filterPass = cfg.filter
       .map(p => s"COALESCE(${p.toSql(resolve)}, FALSE)").getOrElse("TRUE")
-    val timePass = (cfg.after, cfg.before) match {
-      case (None, None) => "TRUE"
-      case (a, b) =>
-        val tf = cfg.timeField.getOrElse(
-          throw new GraftException("time bounds require a timeField"))
-        val ts = epochSecsSql(resolve(tf))
-        val conds = a.map(t => s"$ts >= ${ceilSecs(t)}").toSeq ++
-          b.map(t => s"$ts < ${ceilSecs(t)}").toSeq
-        s"COALESCE(${conds.mkString("(", " AND ", ")")}, FALSE)"
+    val timePass = timeBoundSqls(cfg, resolve) match {
+      case Nil   => "TRUE"
+      case conds => s"COALESCE(${conds.mkString("(", " AND ", ")")}, FALSE)"
     }
     val validPass =
       if (cfg.breakdowns.isEmpty) "TRUE"
       else cfg.breakdowns
         .map(fs => s"${baseSql(fs, resolve)} IS NOT NULL")
         .mkString("(", " AND ", ")")
+    val w = cfg.valueField.map(resolve).getOrElse(valueExpr)
     def n(c: String) =
-      s"CAST(COALESCE(SUM(CASE WHEN $c THEN 1 ELSE 0 END), 0) AS BIGINT)"
-    s"""SELECT CAST(COUNT(*) AS BIGINT) AS input,
+      s"CAST(COALESCE(SUM(CASE WHEN $c THEN $w ELSE 0 END), 0) AS BIGINT)"
+    s"""SELECT CAST(COALESCE(SUM($w), 0) AS BIGINT) AS input,
        |  ${n(s"NOT $filterPass")} AS filter_dropped,
        |  ${n(s"$filterPass AND NOT $timePass")} AS time_dropped,
        |  ${n(s"$filterPass AND $timePass AND NOT $validPass")} AS invalid_dropped,

@@ -17,22 +17,32 @@ object StreamDedup {
 
   /**
    * Keep the first occurrence of each normalized-content fingerprint
-   * within the watermark horizon. Output carries the computed `fp`
-   * column alongside the input columns.
+   * within the watermark horizon. Output carries the computed
+   * fingerprint in `fpCol` alongside the input columns; `fpCol` must not
+   * collide with an input column (it would be silently replaced).
    */
   def dedupExact(df: DataFrame, textCol: String, timeCol: String,
-      watermarkDelay: String): DataFrame =
-    df.withColumn("fp", Text.fingerprint(col(textCol)))
+      watermarkDelay: String, fpCol: String = "fp"): DataFrame = {
+    require(!df.columns.contains(fpCol),
+      s"output column '$fpCol' already exists in the input; pass a " +
+        "different fpCol")
+    df.withColumn(fpCol, Text.fingerprint(col(textCol)))
       .withWatermark(timeCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark("fp")
+      .dropDuplicatesWithinWatermark(fpCol)
+  }
 
   /**
    * Same shape for an arbitrary precomputed key (e.g. a MinHash band
-   * hash or a SimHash value) — streaming candidate suppression.
+   * hash or a SimHash value) — streaming candidate suppression. The
+   * internal key column does not appear in the output.
    */
   def dedupByKey(df: DataFrame, key: Column, timeCol: String,
-      watermarkDelay: String): DataFrame =
-    df.withColumn("dn_key", key)
+      watermarkDelay: String): DataFrame = {
+    val kc = "__graft_dedup_key"
+    require(!df.columns.contains(kc), s"reserved column name: $kc")
+    df.withColumn(kc, key)
       .withWatermark(timeCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark("dn_key")
+      .dropDuplicatesWithinWatermark(kc)
+      .drop(kc)
+  }
 }
