@@ -44,6 +44,45 @@ object StreamingQueries {
                date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
                event_type,
                CAST(COUNT(*) AS BIGINT) AS value
-        FROM events GROUP BY 1, 2, 3"""))
+        FROM events GROUP BY 1, 2, 3""")),
+
+    // #24d stateful streaming sessionization (mapGroupsWithState) run to
+    // completion over the events stream — the final per-user session
+    // counts must equal the batch lag-window computation, which IS the
+    // oracle (same SQL as q_sessionize, different engine path entirely).
+    Q("stream_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val path = s"$dir/events.parquet"
+        val raw = s.read.parquet(path)
+        val stream = s.readStream.schema(raw.schema)
+          .parquet(s"$dir/{events}.parquet")
+          // integral div: ts/1e9 through double would lose precision at
+          // nanosecond magnitudes (> 2^53)
+          .select(col("user_id"), expr("ts div 1000000000").as("sec"))
+          .as[(Long, Long)]
+        val out = graft.streaming.StreamSessionize.sessionize(stream, 1800L)
+        val name = "graft_stream_sessions"
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode(graft.streaming.StreamSessionize.outputMode)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).groupBy("user_id")
+          .agg(max(col("sessions")).cast("long").as("sessions"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                 lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                   (PARTITION BY user_id ORDER BY epoch(ts)) AS prev
+          FROM events)
+        SELECT user_id,
+               CAST(SUM(CASE WHEN prev IS NULL OR sec - prev > 1800
+                             THEN 1 ELSE 0 END) AS BIGINT) AS sessions
+        FROM d GROUP BY 1 ORDER BY 1"""))
   )
 }
