@@ -13,28 +13,38 @@ import graft.streaming.StreamScan
  */
 object StreamingQueries {
 
+  /** readStream over the events parquet (nanos ts kept as a raw long;
+    * the file stream source wants a glob, not a bare file path). */
+  private def eventStream(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    s.readStream.schema(raw.schema).parquet(s"$dir/{events}.parquet")
+  }
+
+  /** Drain a streaming frame to completion (AvailableNow → memory sink)
+    * and return the sink table. */
+  private def drain(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: org.apache.spark.sql.streaming.OutputMode)(
+      implicit s: org.apache.spark.sql.SparkSession) = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   def all: Seq[Q] = Seq(
     Q("stream_window_counts",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val path = s"$dir/events.parquet"
-        val raw = s.read.parquet(path)
-        def fix(df: org.apache.spark.sql.DataFrame) =
-          df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-        // the file stream source wants a directory or glob, not a bare
-        // file path — glob just the events file
-        val stream = fix(s.readStream.schema(raw.schema)
-          .parquet(s"$dir/{events}.parquet"))
+        implicit val session: org.apache.spark.sql.SparkSession = s
+        val stream = eventStream(s, dir)
+          .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
         val agg = StreamScan.scanStream(stream,
           QueryConfig(breakdowns = Seq(FieldSpec.plain("event_type"))),
           timeCol = "ts", windowDur = "1 day", watermarkDelay = "0 seconds")
-        val name = "graft_stream_counts"
-        val q = agg.writeStream.format("memory").queryName(name)
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(name)
+        drain(agg, "graft_stream_counts",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
       },
       // The streaming result IS oracle-checkable: 1-day event-time
       // windows align to UTC days, so the drained AvailableNow run must
@@ -53,32 +63,25 @@ object StreamingQueries {
     Q("stream_sessionize",
       (s, dir) => {
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val path = s"$dir/events.parquet"
-        val raw = s.read.parquet(path)
-        val stream = s.readStream.schema(raw.schema)
-          .parquet(s"$dir/{events}.parquet")
+        implicit val session: org.apache.spark.sql.SparkSession = s
+        val stream = eventStream(s, dir)
           // integral div: ts/1e9 through double would lose precision at
           // nanosecond magnitudes (> 2^53)
           .select(col("user_id"), expr("ts div 1000000000").as("sec"))
           .as[(Long, Long)]
         val out = graft.streaming.StreamSessionize.sessionize(stream, 1800L)
-        val name = "graft_stream_sessions"
-        val q = out.writeStream.format("memory").queryName(name)
-          .outputMode(graft.streaming.StreamSessionize.outputMode)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(name).groupBy("user_id")
+        drain(out.toDF(), "graft_stream_sessions",
+          graft.streaming.StreamSessionize.outputMode)
+          .groupBy("user_id")
           .agg(max(col("sessions")).cast("long").as("sessions"))
           .orderBy(col("user_id"))
       },
       Some("""
         WITH d AS (
           SELECT user_id,
-                 CAST(floor(epoch(ts)) AS BIGINT) AS sec,
-                 lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
-                   (PARTITION BY user_id ORDER BY epoch(ts)) AS prev
+                 epoch_ns(ts) // 1000000000 AS sec,
+                 lag(epoch_ns(ts) // 1000000000) OVER
+                   (PARTITION BY user_id ORDER BY epoch_ns(ts)) AS prev
           FROM events)
         SELECT user_id,
                CAST(SUM(CASE WHEN prev IS NULL OR sec - prev > 1800
