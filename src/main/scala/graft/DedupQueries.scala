@@ -44,6 +44,15 @@ object DedupQueries {
     // #28 exact n-gram Jaccard verify pass over the MinHash candidates
     Q("dedup_jaccard",
       (s, dir) => Dedup.jaccardVerified(docs(s, dir)),
+      None),
+
+    // #25b the composed cleaning pipeline (quality floor → exact dedup →
+    // near-dup removal) — the end-to-end training-data story; rows-only
+    // (keep-policy depends on xxhash64 candidates), CorpusSpec pins the
+    // semantics on planted dups
+    Q("corpus_clean",
+      (s, dir) => graft.dedup.Corpus.clean(docs(s, dir))
+        .select(col("doc_id"), col("lang"), col("n_chars")),
       None)
   )
 }

@@ -1,0 +1,58 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.Text
+
+/**
+ * End-to-end training-corpus cleaning — the composition the individual
+ * operators exist for: quality floor → language filter → exact dedup →
+ * near-dup removal. Every stage is a DataFrame→DataFrame transform, so
+ * the whole pipeline is one lazy plan the optimizer sees at once.
+ *
+ * Dedup keep-policy is deterministic: the LOWEST doc id of an
+ * exact-duplicate group survives, and for each verified near-dup pair
+ * the higher id is dropped (greedy pairwise removal — linear and
+ * deterministic; a transitive-closure grouping would need iterative
+ * connected components, which the pair volume rarely justifies).
+ */
+object Corpus {
+
+  final case class CleanConfig(
+      minQuality: Double = 0.3,
+      langs: Option[Seq[String]] = None,
+      nearDupJaccard: Double = 0.6,
+      idCol: String = "doc_id",
+      textCol: String = "text")
+
+  /** Quality + language row filter (no shuffle). */
+  def baseFilter(cfg: CleanConfig): Column = {
+    val q = Text.qualityScore(col(cfg.textCol)) >= cfg.minQuality
+    cfg.langs match {
+      case Some(ls) => q && Text.langId(col(cfg.textCol)).isInCollection(ls)
+      case None => q
+    }
+  }
+
+  /**
+   * Clean the corpus. Output = surviving input rows (original columns),
+   * deterministic for a given input.
+   */
+  def clean(docs: DataFrame, cfg: CleanConfig = CleanConfig()): DataFrame = {
+    val id = col(cfg.idCol)
+    val kept = docs.where(baseFilter(cfg))
+    // exact dedup: keep the lowest id of each normalized-content group
+    val keepIds = kept
+      .groupBy(Dedup.contentKey(col(cfg.textCol)).as("fp"))
+      .agg(min(id).as(cfg.idCol))
+      .select(cfg.idCol)
+    val exactKept = kept.join(keepIds, cfg.idCol)
+    // near-dup removal: drop the higher id of each verified pair
+    val losers = Dedup
+      .jaccardVerified(exactKept, cfg.idCol, cfg.textCol,
+        minJaccard = cfg.nearDupJaccard)
+      .select(col("doc_b").as(cfg.idCol)).distinct()
+    exactKept.join(losers, Seq(cfg.idCol), "left_anti")
+  }
+}

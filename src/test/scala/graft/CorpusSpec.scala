@@ -1,0 +1,45 @@
+package graft
+
+import graft.dedup.Corpus
+import graft.dedup.Corpus.CleanConfig
+
+/** The composed corpus-cleaning pipeline. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the house was on the hill and it was a good day for a walk in the park with friends"),
+    (2L, "The house was  on the hill and it was a good day for a walk in the park with friends"), // exact dup of 1
+    (3L, "the house was on the hill and it was a good night for a walk in the park with friends"), // near dup of 1
+    (4L, "an entirely different document about spark catalyst plans and the shuffles they avoid today"),
+    (5L, "!!!;;;...???")                                                // garbage
+  ).toDF("doc_id", "text")
+
+  test("clean: quality floor, exact dedup keeps lowest id, near-dups dropped") {
+    val out = Corpus.clean(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 4L))
+  }
+
+  test("near-dup removal can be relaxed independently") {
+    val out = Corpus.clean(docs, CleanConfig(nearDupJaccard = 1.01))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L, 4L)) // only exact dup + garbage removed
+  }
+
+  test("language filter composes") {
+    val mixed = docs.union(Seq(
+      (6L, "le chat est dans la maison et il est la pour les amis et le jour est pour nous")
+    ).toDF("doc_id", "text"))
+    val out = Corpus.clean(mixed, CleanConfig(langs = Some(Seq("en"))))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!out.contains(6L) && out.contains(4L))
+  }
+
+  test("deterministic on the documents table and strictly smaller") {
+    val d = graft.sources.Sources.table(spark, sf001, "documents")
+    val a = Corpus.clean(d).count()
+    val b = Corpus.clean(d).count()
+    assert(a == b && a > 0 && a < d.count())
+  }
+}
