@@ -38,11 +38,18 @@ object GraftExtensions {
   private def quantizeExpr(c: Expression): Expression = {
     import org.apache.spark.sql.catalyst.expressions._
     val cd = Cast(c, org.apache.spark.sql.types.DoubleType)
+    val top = 1L << 62
+    val b = Cast(Pow(Literal(2.0), Floor(Log2(cd))),
+      org.apache.spark.sql.types.LongType)
+    // same overshoot correction + top-bucket clamp as
+    // graft.functions.quantize — the two surfaces must agree
     CaseWhen(Seq(
       (IsNull(c), Cast(Literal(null), org.apache.spark.sql.types.LongType)),
-      (LessThan(cd, Literal(1.0)), Literal(0L))),
-      Some(Cast(Pow(Literal(2.0), Floor(Log2(cd))),
-        org.apache.spark.sql.types.LongType)))
+      (LessThan(cd, Literal(1.0)), Literal(0L)),
+      (GreaterThanOrEqual(cd, Literal(top.toDouble)), Literal(top)),
+      (GreaterThan(Cast(b, org.apache.spark.sql.types.DoubleType), cd),
+        ShiftRight(b, Literal(1)))),
+      Some(b))
   }
 
   private def lquantizeExpr(c: Expression, step: Double): Expression = {

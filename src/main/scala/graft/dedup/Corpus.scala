@@ -40,14 +40,10 @@ object Corpus {
    * deterministic for a given input.
    */
   def clean(docs: DataFrame, cfg: CleanConfig = CleanConfig()): DataFrame = {
-    val id = col(cfg.idCol)
     val kept = docs.where(baseFilter(cfg))
     // exact dedup: keep the lowest id of each normalized-content group
-    val keepIds = kept
-      .groupBy(Dedup.contentKey(col(cfg.textCol)).as("fp"))
-      .agg(min(id).as(cfg.idCol))
-      .select(cfg.idCol)
-    val exactKept = kept.join(keepIds, cfg.idCol)
+    val exactKept = kept.join(
+      Dedup.exactKeepers(kept, cfg.idCol, cfg.textCol), cfg.idCol)
     // near-dup removal: drop the higher id of each verified pair
     val losers = Dedup
       .jaccardVerified(exactKept, cfg.idCol, cfg.textCol,

@@ -20,6 +20,15 @@ object Dedup {
   /** Exact-dup content key: md5 of whitespace-normalized lower text. */
   def contentKey(text: Column): Column = Text.fingerprint(text)
 
+  /** Ids surviving exact dedup: the LOWEST id of each normalized-content
+    * group — the single definition of the keep policy (Corpus.clean and
+    * the dedup_exact query both derive from it). */
+  def exactKeepers(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(contentKey(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+
   /**
    * Word n-gram shingles (as space-joined strings) of the token array.
    * Documents shorter than n tokens contribute their whole text as a

@@ -19,22 +19,30 @@ package object functions {
    * Exactly `pow(2, floor(log2(v)))` in double math so a DuckDB oracle using
    * the same formula hashes identically.
    */
+  /** 2^62 — the largest power-of-two bucket a signed long can hold; it is
+    * the true bucket for every v in [2^62, 2^63). */
+  private val TopBucket = 1L << 62
+
   def quantize(c: Column): Column = {
     // log2 in double math rounds UP for v just under a power of two once
     // v ≥ 2^48-1 (53-bit mantissa), which would put v in a bucket ABOVE
-    // it; the halving correction restores bucket ≤ v exactly. Same
-    // correction on the SQL side keeps the oracle bit-identical.
+    // it; the halving correction restores bucket ≤ v exactly. Values in
+    // [2^62, 2^63) take the top bucket directly — pow(2,63) would
+    // saturate the long cast. Same logic on the SQL side keeps the
+    // oracle bit-identical.
     val b = pow(lit(2.0), floor(log2(c))).cast("long")
     val fixed = when(b > c, shiftright(b, 1)).otherwise(b).cast("long")
     when(c.isNull, lit(null).cast("long"))
       .when(c < 1, lit(0L))
+      .when(c >= lit(TopBucket), lit(TopBucket))
       .otherwise(fixed)
   }
 
   /** SQL rendering of [[quantize]] for DuckDB oracles. */
   def quantizeSql(c: String): String = {
     val b = s"CAST(pow(2, floor(log2($c))) AS BIGINT)"
-    s"CASE WHEN $c < 1 THEN 0 WHEN $b > $c THEN $b // 2 ELSE $b END"
+    s"CASE WHEN $c < 1 THEN 0 WHEN $c >= ${TopBucket} THEN ${TopBucket} " +
+      s"WHEN $b > $c THEN $b // 2 ELSE $b END"
   }
 
   /** Linear bucketing (`aggr=lquantize,step=S`): floor(v/S)*S as BIGINT. */

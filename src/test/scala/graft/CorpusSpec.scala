@@ -28,9 +28,14 @@ class CorpusSpec extends SparkSpec {
   }
 
   test("language filter composes") {
-    val mixed = docs.union(Seq(
-      (6L, "le chat est dans la maison et il est la pour les amis et le jour est pour nous")
-    ).toDF("doc_id", "text"))
+    // long, punctuation-free French: passes the quality floor on its own
+    // (so the assertion below genuinely tests the langs branch)
+    val fr = Seq.fill(8)(
+      "le chat est dans la maison et il est la pour les amis du jour").mkString(" ")
+    val mixed = docs.union(Seq((6L, fr)).toDF("doc_id", "text"))
+    val without = Corpus.clean(mixed).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(without.contains(6L)) // survives when no language filter set
     val out = Corpus.clean(mixed, CleanConfig(langs = Some(Seq("en"))))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(!out.contains(6L) && out.contains(4L))

@@ -44,15 +44,16 @@ class PropertySpec extends SparkSpec {
 
   // ---- bucketizer invariants over a real Spark evaluation ----
 
-  // seeded: a failure reproduces on rerun
-  private val rng = new scala.util.Random(20260812L)
-
   test("quantize: v lands in [bucket, 2*bucket) for v >= 1; v < 1 in 0") {
+    // per-test seed: reproduces under testOnly -z as well as full runs
+    val rng = new scala.util.Random(20260812L)
     // uniform samples at several magnitudes PLUS every power-of-two
-    // boundary up to 2^62 — the 2^k-1 cases are where double log2
-    // rounding overshoots without the halving correction
+    // boundary up to 2^62 and the saturation window below 2^63 — the
+    // 2^k-1 cases are where double log2 rounding overshoots without the
+    // halving correction; near Long.MaxValue pow(2,63) saturates
     val vals = ((1 to 1000).map(_ => rng.nextLong(1L << 62)) ++
-      (0 to 62).flatMap(k => Seq((1L << k) - 1, 1L << k, (1L << k) + 1)))
+      (0 to 62).flatMap(k => Seq((1L << k) - 1, 1L << k, (1L << k) + 1)) ++
+      Seq(Long.MaxValue, Long.MaxValue - 511, (1L << 62) + 1))
       .filter(_ >= 0).toDF("v")
     val rows = vals.select(col("v"),
       graft.functions.quantize(col("v")).as("b")).collect()
@@ -66,6 +67,7 @@ class PropertySpec extends SparkSpec {
 
   test("lquantize: bucket <= v < bucket + step, bucket multiple of step") {
     val step = 250
+    val rng = new scala.util.Random(20260813L)
     val vals = (1 to 2000).map(_ => rng.nextLong(1L << 40)).toDF("v")
     val rows = vals.select(col("v"),
       graft.functions.lquantize(col("v"), step).as("b")).collect()
