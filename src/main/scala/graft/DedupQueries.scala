@@ -30,29 +30,31 @@ object DedupQueries {
         FROM documents GROUP BY 1""")),
 
     // #26 MinHash+LSH candidate pairs (8 bands × 2 rows over word
-    // 3-gram shingles — targets Jaccard ≳ 0.5)
+    // 3-gram shingles — targets Jaccard ≳ 0.5). Oracle replays the md5
+    // double-hash family + banding in DuckDB (DedupSql).
     Q("dedup_minhash",
       (s, dir) => Dedup.minhashCandidates(docs(s, dir)),
-      None),
+      Some(DedupSql.minhashCandidates())),
 
-    // #27 SimHash near-dups: byte-banded candidates, hamming ≤ 3 verify
-    // (the full-recall bound for 4-byte banding)
+    // #27 SimHash near-dups: 60-bit hash, 4×15-bit bands, hamming ≤ 3
+    // verify (the full-recall bound for 4-band banding)
     Q("dedup_simhash",
       (s, dir) => Dedup.simhashPairs(docs(s, dir)),
-      None),
+      Some(DedupSql.simhashPairs())),
 
     // #28 exact n-gram Jaccard verify pass over the MinHash candidates
     Q("dedup_jaccard",
       (s, dir) => Dedup.jaccardVerified(docs(s, dir)),
-      None),
+      Some(DedupSql.jaccardVerified())),
 
     // #25b the composed cleaning pipeline (quality floor → exact dedup →
-    // near-dup removal) — the end-to-end training-data story; rows-only
-    // (keep-policy depends on xxhash64 candidates), CorpusSpec pins the
+    // near-dup removal) — the end-to-end training-data story, oracle-
+    // checked as one CTE chain; CorpusSpec additionally pins the
     // semantics on planted dups
     Q("corpus_clean",
       (s, dir) => graft.dedup.Corpus.clean(docs(s, dir))
-        .select(col("doc_id"), col("lang"), col("n_chars")),
-      None)
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars")),
+      Some(DedupSql.corpusClean()))
   )
 }

@@ -1,0 +1,162 @@
+package graft
+
+import graft.functions.XHash
+
+/**
+ * DuckDB oracle SQL for the hash-family dedup operators — generated, not
+ * hand-written, so the banding geometry and hash constants stay locked
+ * to the Scala implementation ([[graft.dedup.Dedup]]). Every step is
+ * bit-identical across engines: tokens via the same regex split,
+ * shingles via the same 1-based slice, hashes via [[XHash]]'s md5
+ * construction, and Jaccard as exact integer counts divided in IEEE
+ * double.
+ */
+object DedupSql {
+
+  /** CTEs: base relation (doc_id, text) → toks → sh (one row per
+    * doc/shingle occurrence, duplicates preserved like shingleRows). */
+  private def shingleCtes(base: String, n: Int): String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM $base),
+       |idx AS (
+       |  SELECT doc_id, t,
+       |    unnest(range(0, greatest(len(t) - $n, 0) + 1)) AS i
+       |  FROM toks),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) < $n THEN array_to_string(t, ' ')
+       |         ELSE array_to_string(list_slice(t, i + 1, i + $n), ' ')
+       |    END AS s
+       |  FROM idx)""".stripMargin
+
+  /** CTEs: sh → sig (per-doc minhash columns m0..m{k-1}) → banded →
+    * cand (distinct candidate pairs, doc_a < doc_b). */
+  private def minhashCtes(n: Int, bands: Int, rowsPerBand: Int): String = {
+    val k = bands * rowsPerBand
+    val mins = (0 until k)
+      .map(i => s"min(${XHash.memberSql("h1", "h2", i)}) AS m$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val rowMins = (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}")
+      val key = rowMins.mkString("concat(", ", ',', ", ")")
+      s"SELECT doc_id, $b AS band, $key AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""hs AS (
+       |  SELECT doc_id, ${XHash.h60Sql("s")} AS h1, ${XHash.h56Sql("s")} AS h2
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM hs GROUP BY doc_id),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a,
+       |                  CAST(b.doc_id AS BIGINT) AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** dedup_minhash oracle: LSH candidate pairs over `base`. */
+  def minhashCandidates(base: String = "documents", n: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 2): String =
+    s"""WITH ${shingleCtes(base, n)},
+       |${minhashCtes(n, bands, rowsPerBand)}
+       |SELECT doc_a, doc_b FROM cand""".stripMargin
+
+  /** CTEs appended after minhashCtes: exact n-gram Jaccard per candidate
+    * pair (jac). |A∪B| = |A| + |B| - |A∩B| over DISTINCT shingles. */
+  private def jaccardCtes: String =
+    s"""shd AS (SELECT DISTINCT doc_id, s FROM sh),
+       |scnt AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN shd x ON x.doc_id = c.doc_a
+       |  JOIN shd y ON y.doc_id = c.doc_b AND y.s = x.s
+       |  GROUP BY c.doc_a, c.doc_b),
+       |jac AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(coalesce(i.i, 0) AS DOUBLE)
+       |      / CAST(greatest(ca.c + cb.c - coalesce(i.i, 0), 1) AS DOUBLE) AS jaccard
+       |  FROM cand c
+       |  JOIN scnt ca ON ca.doc_id = c.doc_a
+       |  JOIN scnt cb ON cb.doc_id = c.doc_b
+       |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b)""".stripMargin
+
+  /** dedup_jaccard oracle: verified near-dup pairs over `base`. */
+  def jaccardVerified(base: String = "documents", n: Int = 3,
+      minJaccard: Double = 0.6): String =
+    s"""WITH ${shingleCtes(base, n)},
+       |${minhashCtes(n, 8, 2)},
+       |$jaccardCtes
+       |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= $minJaccard""".stripMargin
+
+  /** dedup_simhash oracle: 60-bit simhash, 4×15-bit bands, hamming ≤ 3. */
+  def simhashPairs(base: String = "documents", maxHamming: Int = 3): String = {
+    val bits = 60
+    val sums = (0 until bits).map(j => s"sum((h >> $j) & 1) AS s$j")
+      .mkString(",\n    ")
+    val simExpr = (0 until bits)
+      .map(j => s"(CASE WHEN s$j * 2 > n THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+       |  FROM $base),
+       |th AS (SELECT doc_id, ${XHash.h60Sql("t")} AS h FROM tok),
+       |bs AS (
+       |  SELECT doc_id, count(*) AS n,
+       |    $sums
+       |  FROM th GROUP BY doc_id),
+       |sims AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS sim FROM bs),
+       |sb AS (SELECT doc_id, sim, unnest([0, 1, 2, 3]) AS band FROM sims),
+       |sbv AS (
+       |  SELECT doc_id, sim, band,
+       |    (sim >> (band * ${graft.dedup.Dedup.SimBandBits})) & ${(1L << graft.dedup.Dedup.SimBandBits) - 1} AS bv
+       |  FROM sb)
+       |SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a,
+       |  CAST(b.doc_id AS BIGINT) AS doc_b,
+       |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+       |FROM sbv a JOIN sbv b
+       |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= $maxHamming""".stripMargin
+  }
+
+  /** Quality-score expression over a `text` column — must mirror
+    * Text.qualityScore term for term (same associativity). */
+  def qualitySql(text: String): String =
+    s"""least(CAST(length($text) AS DOUBLE) / 500.0, 1.0) * 0.4
+       |    + least((CAST(len(list_filter(string_split_regex(trim(lower($text)), '\\s+'),
+       |        x -> list_contains(['the','a','an','and','of','to','in','is','that','it','was','for','on','with','as'], x))) AS DOUBLE)
+       |      / CAST(greatest(len(string_split_regex(trim(lower($text)), '\\s+')), 1) AS DOUBLE)) * 4.0, 1.0) * 0.4
+       |    + (1.0 - least((CAST(len(regexp_extract_all($text, '[.,;:!?]')) AS DOUBLE)
+       |      / CAST(greatest(length($text), 1) AS DOUBLE)) * 10.0, 1.0)) * 0.2""".stripMargin
+
+  /** corpus_clean oracle: quality floor → exact dedup (keep lowest id
+    * per normalized-content group) → near-dup removal (drop doc_b of
+    * each Jaccard-verified pair). Output survivors' (doc_id, lang,
+    * n_chars). */
+  def corpusClean(minQuality: Double = 0.3, nearDupJaccard: Double = 0.6,
+      n: Int = 3): String =
+    s"""WITH q AS (
+       |  SELECT doc_id, text, lang, n_chars FROM documents
+       |  WHERE ${qualitySql("text")} >= $minQuality),
+       |fp AS (
+       |  SELECT doc_id,
+       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+       |  FROM q),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+       |kept AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+       |${shingleCtes("kept", n)},
+       |${minhashCtes(n, 8, 2)},
+       |$jaccardCtes,
+       |losers AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM jac
+       |  WHERE jaccard >= $nearDupJaccard)
+       |SELECT CAST(k.doc_id AS BIGINT) AS doc_id, k.lang,
+       |  CAST(k.n_chars AS BIGINT) AS n_chars
+       |FROM kept k WHERE NOT EXISTS (
+       |  SELECT 1 FROM losers l WHERE l.doc_id = k.doc_id)""".stripMargin
+}

@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.XHash
 import graft.text.Text
 
 /**
@@ -14,6 +15,11 @@ import graft.text.Text
  * shuffle once on a band/bucket key and pairs are only formed inside a
  * bucket — never an O(n²) cross join. At 100 TB that means the cost is
  * driven by bucket sizes (bounded by banding width), not corpus size².
+ *
+ * All hashing uses [[XHash]] (md5-derived 60-bit family) rather than
+ * xxhash64: one md5 per shingle/token buys the whole k-member family via
+ * double hashing, and — unlike Spark-private xxhash64 — an external SQL
+ * oracle can replay every operator bit-for-bit (see [[graft.DedupSql]]).
  */
 object Dedup {
 
@@ -59,34 +65,37 @@ object Dedup {
           .as("s"))
 
   /**
-   * Per-doc MinHash signature columns m0..m{k-1}: each hash is a plain
-   * codegen'd column over the exploded shingle rows, min-aggregated per
-   * doc — NOT k `transform(...)` passes over a shingle array (HOF
-   * lambdas are interpreted). The min() combines map-side, so the
-   * shuffle carries one row per doc per partition, not one per shingle.
+   * Per-doc MinHash signature columns m0..m{k-1}: ONE md5 per exploded
+   * shingle row yields (h1, h2); member i = (h1 + i*h2) & mask60, each a
+   * plain codegen'd column min-aggregated per doc. The min() combines
+   * map-side, so the shuffle carries one row per doc per partition, not
+   * one per shingle.
    */
   def minhashSignature(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, k: Int = 16): DataFrame = {
     // Duplicate shingles need no dedup: min over a multiset == min over
     // its set.
-    val exploded = shingleRows(docs, idCol, textCol, n)
-      .select(col("id") +: (0 until k).map(i =>
-        xxhash64(lit(i), col("s")).as(s"h$i")): _*)
-    exploded.groupBy(col("id"))
+    val hashed = shingleRows(docs, idCol, textCol, n)
+      .select(col("id"), XHash.h60(col("s")).as("h1"), XHash.h56(col("s")).as("h2"))
+    val members = hashed.select(col("id") +: (0 until k).map(i =>
+      XHash.member(col("h1"), col("h2"), i).as(s"h$i")): _*)
+    members.groupBy(col("id"))
       .agg((0 until k).map(i => min(col(s"h$i")).as(s"m$i")).head,
            (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
   }
 
   /**
-   * MinHash+LSH candidate pairs: k=bands*rowsPerBand hash functions
-   * (xxhash64 seeded by index), banded so two docs collide iff some band
-   * of their signatures matches exactly. Probability of a pair with
-   * Jaccard j surfacing = 1-(1-j^rows)^bands — 8 bands × 2 rows targets
-   * j ≳ 0.5. One shuffle on the bucket key, then pairs are generated
-   * INSIDE each bucket (sorted id list → ordered combinations) — never a
-   * self-join (which would evaluate the signature pipeline per side) and
-   * never a cross join. Bucket width is bounded by the banding
-   * parameters, which bounds the quadratic pair expansion per bucket.
+   * MinHash+LSH candidate pairs: k=bands*rowsPerBand hash functions,
+   * banded so two docs collide iff some band of their signatures matches
+   * exactly. Probability of a pair with Jaccard j surfacing =
+   * 1-(1-j^rows)^bands — 8 bands × 2 rows targets j ≳ 0.5. The band
+   * bucket key is the concatenated row-min string (exact equality — no
+   * second-level hash needed, and an oracle reproduces it verbatim). One
+   * shuffle on the bucket key, then pairs are generated INSIDE each
+   * bucket (sorted id list → ordered combinations) — never a self-join
+   * (which would evaluate the signature pipeline per side) and never a
+   * cross join. Bucket width is bounded by the banding parameters, which
+   * bounds the quadratic pair expansion per bucket.
    */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3,
@@ -94,7 +103,7 @@ object Dedup {
     val sig = minhashSignature(docs, idCol, textCol, n, bands * rowsPerBand)
     val bandCols = (0 until bands).map { b =>
       val rowHashes = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(rowHashes: _*).as("bh"))
+      struct(lit(b).as("band"), concat_ws(",", rowHashes: _*).as("bh"))
     }
     val banded = sig
       .select(col("id"), explode(array(bandCols: _*)).as("b"))
@@ -110,14 +119,15 @@ object Dedup {
   }
 
   /**
-   * SimHash as a single Column: per-token xxhash64, majority vote per
+   * SimHash as a single Column: per-token 60-bit hash, majority vote per
    * bit — near-identical token multisets land within a few bits of each
    * other. NOTE: this form runs the lambda interpreter (HOFs don't
    * codegen); for corpus-scale use [[simhashTable]], which computes the
    * same value via explode + codegen'd bit aggregation.
    */
-  def simhash(text: Column, bits: Int = 32): Column = {
-    val hs = transform(Text.tokens(text), t => xxhash64(t))
+  def simhash(text: Column, bits: Int = 60): Column = {
+    require(bits <= 60, "simhash draws bits from a 60-bit token hash")
+    val hs = transform(Text.tokens(text), t => XHash.h60(t))
     val n = size(hs)
     (0 until bits).map { j =>
       when(size(filter(hs, h =>
@@ -132,11 +142,12 @@ object Dedup {
    * after the aggregate. Bit-identical to [[simhash]].
    */
   def simhashTable(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", bits: Int = 32): DataFrame = {
+      textCol: String = "text", bits: Int = 60): DataFrame = {
+    require(bits <= 60, "simhash draws bits from a 60-bit token hash")
     val tok = docs.repartition(col(idCol))
       .select(col(idCol).as("id"),
         explode(Text.tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
+      .select(col("id"), XHash.h60(col("t")).as("h"))
     val bitSums = (0 until bits).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"s$j"))
     tok.groupBy(col("id"))
@@ -147,27 +158,35 @@ object Dedup {
           .reduce(_ + _).as("sim"))
   }
 
+  /** SimHash banding geometry: 4 bands × 15 bits over the 60-bit hash.
+    * Pigeonhole: any pair within hamming ≤ 3 leaves at least one band
+    * untouched → full recall at the default maxHamming. */
+  val SimBands = 4
+  val SimBandBits = 15
+  private val SimBandMask = (1L << SimBandBits) - 1
+
   /**
-   * SimHash near-dup pairs: band the 32-bit hash into 4 bytes; a pair is
-   * a candidate if any byte matches; verify with exact hamming ≤
-   * maxHamming via bit_count(xor). Default maxHamming=3 is the largest
-   * distance with full recall under 4-byte banding (pigeonhole: ≤ 3
-   * flipped bits leave at least one byte untouched).
+   * SimHash near-dup pairs: band the 60-bit hash into 4 × 15-bit slices;
+   * a pair is a candidate if any slice matches; verify with exact
+   * hamming ≤ maxHamming via bit_count(xor). 15-bit bands keep buckets
+   * selective even when the corpus's token distribution biases the
+   * majority-vote bits (byte-wide bands over a 32-bit hash collapsed
+   * thousands of docs into shared buckets → quadratic pair blowup).
    */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3): DataFrame = {
     val withSim = simhashTable(docs, idCol, textCol)
-    val bandCols = (0 until 4).map { b =>
+    val bandCols = (0 until SimBands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("sim"), b * 8).bitwiseAND(lit(255L)).as("byte"))
+        shiftright(col("sim"), b * SimBandBits).bitwiseAND(lit(SimBandMask)).as("bv"))
     }
     // Same in-bucket pair generation as minhashCandidates: one shuffle,
-    // the 32-bit simhash computed once per doc. sort_array on
+    // the 60-bit simhash computed once per doc. sort_array on
     // struct(id, sim) orders by id, so doc_a < doc_b by construction.
     val banded = withSim
       .select(col("id"), col("sim"), explode(array(bandCols: _*)).as("b"))
-      .select(col("id"), col("sim"), col("b.band").as("band"), col("b.byte").as("byte"))
-    banded.groupBy(col("band"), col("byte"))
+      .select(col("id"), col("sim"), col("b.band").as("band"), col("b.bv").as("bv"))
+    banded.groupBy(col("band"), col("bv"))
       .agg(sort_array(collect_set(struct(col("id"), col("sim")))).as("xs"))
       .where(size(col("xs")) > 1)
       .select(explode(flatten(transform(col("xs"), (x, i) =>

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Cross-engine 60-bit hashing: the same value is computable in Spark
+ * (`conv(substring(md5(s),1,15),16,10)`) and in ANSI-ish SQL engines
+ * (DuckDB: `CAST(concat('0x', substring(md5(s),1,15)) AS BIGINT)`), so
+ * every hash-dependent operator (MinHash, LSH banding, SimHash) can be
+ * replayed by an external oracle — unlike xxhash64, whose seed/variant
+ * is Spark-private.
+ *
+ * One md5 per input yields TWO independent values (hex chars 1-15 and
+ * 17-30); a k-member hash family is derived by double hashing
+ * `(h1 + i*h2) & mask60` (Kirsch–Mitzenmacher): k minhash functions for
+ * the price of a single md5. h2 is 56-bit so `i*h2` stays far below
+ * Long overflow for i < 128 in both engines (DuckDB errors on BIGINT
+ * overflow; Spark would silently wrap — neither happens).
+ */
+object XHash {
+
+  /** 2^60 - 1: both member() and its SQL twin mask to 60 bits. */
+  val Mask60: Long = (1L << 60) - 1
+
+  /** Hex chars 1-15 of md5 → 60-bit non-negative Long. */
+  def h60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Hex chars 17-30 of md5 → 56-bit non-negative Long. */
+  def h56(s: Column): Column =
+    conv(substring(md5(s), 17, 14), 16, 10).cast("long")
+
+  /** i-th member of the double-hashing family over (h1, h2). */
+  def member(h1: Column, h2: Column, i: Int): Column = {
+    require(i >= 0 && i < 128, s"family index $i out of overflow-safe range")
+    if (i == 0) h1 // h1 < 2^60: mask is a no-op
+    else (h1 + h2 * lit(i.toLong)).bitwiseAND(lit(Mask60))
+  }
+
+  // ---- SQL twins (DuckDB dialect, bit-identical results) ----
+
+  def h60Sql(s: String): String =
+    s"CAST(concat('0x', substring(md5($s), 1, 15)) AS BIGINT)"
+
+  def h56Sql(s: String): String =
+    s"CAST(concat('0x', substring(md5($s), 17, 14)) AS BIGINT)"
+
+  def memberSql(h1: String, h2: String, i: Int): String =
+    if (i == 0) h1 else s"(($h1 + $h2 * $i) & ${Mask60})"
+}
