@@ -80,15 +80,39 @@ object AnnQueries {
         WHERE b IN (qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8))
         ORDER BY cos DESC, vec_id LIMIT 10""")),
 
-    // #31c IVF scale path: deterministic coarse cells, nprobe search —
-    // rows-only (the cell assignment is an internal detail; IndexSpec
-    // proves recall ≥ the single-bucket LSH path)
+    // #31c IVF scale path: deterministic coarse cells (XHash-sampled
+    // centroids), nprobe search. Oracle replays centroid sampling, cell
+    // assignment (argmax by (dot, cid)), and the nprobe scan.
     Q("ann_ivf",
       (s, dir) => {
         val e = emb(s, dir)
         Ann.ivfTopK(e, queryVec(e), 10)
       },
-      None),
+      Some(s"""
+        WITH n AS (
+          SELECT vec_id AS id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
+          FROM embeddings),
+        mm AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
+        cent AS (
+          SELECT id AS cid, vn AS cv FROM n, mm
+          WHERE CAST(concat('0x', substring(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % mm.m = 0),
+        dists AS (
+          SELECT n.id, n.vn, c.cid, ${dotSql("n.vn", "c.cv")} AS d
+          FROM n CROSS JOIN cent c),
+        asg AS (
+          SELECT id, vn, cid AS cell,
+            row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn
+          FROM dists),
+        qn AS (SELECT vn AS qn FROM n ORDER BY id LIMIT 1),
+        qc AS (
+          SELECT c.cid AS cell FROM cent c, qn
+          ORDER BY ${dotSql("qn.qn", "c.cv")} DESC, c.cid LIMIT 4)
+        SELECT a.id AS vec_id, ${dotSql("a.vn", "q.qn")} AS cos
+        FROM asg a JOIN qc ON a.cell = qc.cell CROSS JOIN qn q
+        WHERE a.rn = 1
+        ORDER BY cos DESC, vec_id LIMIT 10""")),
 
     // #29 embedding-cosine near-dup pairs (bucket join + exact verify)
     Q("dedup_embed",

@@ -9,24 +9,48 @@ import graft.sources.Sources
  * SURVEY.md §2 row 36: multimodal binary-column plumbing, exercised over
  * a real table by treating each document's UTF-8 bytes as an opaque
  * payload. Both decode paths run: the pure-Column stub and the batched
- * mapPartitions extractor (the vectorized-codec shape). Rows-only — the
- * decode is a stub; determinism is what the spec asserts.
+ * mapPartitions extractor (the vectorized-codec shape). Both stubs are
+ * md5-derived, so the oracle replays them: the payload is the document's
+ * UTF-8 bytes, and DuckDB's md5(text) hashes exactly those bytes.
  */
 object MultimodalQueries {
+
+  private val Dim = 8
 
   def all: Seq[Q] = Seq(
     Q("multimodal_decode",
       (s, dir) => {
         val payloads = Sources.table(s, dir, "documents")
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-        val batched = Multimodal.extractBatch(payloads, "payload", dim = 8)
+        val batched = Multimodal.extractBatch(payloads, "payload", dim = Dim)
         batched.select(col("doc_id"),
-          Multimodal.decodeStub(col("payload"), 8).as("stub_features"),
+          Multimodal.decodeStub(col("payload"), Dim).as("stub_features"),
           col("features").as("batch_features"))
           .select(col("doc_id"),
             aggregate(col("stub_features"), lit(0.0), (a, x) => a + x).as("stub_sum"),
             aggregate(col("batch_features"), lit(0.0), (a, x) => a + x).as("batch_sum"))
       },
-      None)
+      Some {
+        import graft.functions.XHash
+        // left-fold addition order mirrors aggregate()'s (((0+f0)+f1)+…)
+        val stubTerms = (0 until Dim).map(i =>
+          s"CAST(${XHash.memberSql("h1", "h2", i)} % 1000 AS DOUBLE) / 1000.0")
+          .mkString(" + ")
+        // fakeFeatures: byte i of md5 (hex pair 2i+1), xor (i*31)&255
+        val batchTerms = (0 until Dim).map { i =>
+          val bytePos = 2 * (i % 16) + 1
+          val mask = (i * 31) & 0xff
+          s"CAST(xor(CAST(concat('0x', substring(md, $bytePos, 2)) AS BIGINT), $mask) AS DOUBLE) / 255.0"
+        }.mkString(" + ")
+        s"""
+        WITH h AS (
+          SELECT doc_id, md5(text) AS md,
+            ${XHash.h60Sql("text")} AS h1, ${XHash.h56Sql("text")} AS h2
+          FROM documents)
+        SELECT doc_id,
+          0.0 + $stubTerms AS stub_sum,
+          0.0 + $batchTerms AS batch_sum
+        FROM h"""
+      })
   )
 }

@@ -132,10 +132,12 @@ object Ann {
     // deterministic hash sample of ~nlist centroids — no global sort, no
     // training job; ties in max_by break on cid via struct ordering. The
     // sampling modulus comes from a count over the RAW corpus (parquet
-    // footer metadata, not a normalization pass).
+    // footer metadata, not a normalization pass). Sampling hashes with
+    // the cross-engine XHash (not xxhash64) so an oracle can replay the
+    // centroid choice.
     val m = math.max(1L, corpus.count() / nlist)
     val centroids = broadcast(
-      n.where(pmod(xxhash64(col("id")), lit(m)) === 0)
+      n.where(pmod(graft.functions.XHash.h60(col("id").cast("string")), lit(m)) === 0)
         .select(col("id").as("cid"), col("vn").as("cv")))
     val assigned = n.crossJoin(centroids)
       .withColumn("d", dot(col("vn"), col("cv")))

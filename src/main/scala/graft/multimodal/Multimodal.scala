@@ -27,13 +27,19 @@ object Multimodal {
 
   /**
    * STUB decode → feature vector, as a pure Column expression:
-   * feature_i = (xxhash64(i, payload) mod 1000) / 1000. Deterministic in
-   * the payload bytes, codegen'd, shuffle-free. Swap this body for a real
-   * codec expression/UDF at deployment; the plan shape is unchanged.
+   * feature_i = (member_i(md5(payload)) mod 1000) / 1000 over the
+   * cross-engine [[graft.functions.XHash]] family — deterministic in the
+   * payload bytes, codegen'd, shuffle-free, and replayable by a SQL
+   * oracle. Swap this body for a real codec expression/UDF at
+   * deployment; the plan shape is unchanged.
    */
-  def decodeStub(payload: Column, dim: Int): Column =
-    transform(sequence(lit(0), lit(dim - 1)),
-      i => pmod(xxhash64(i, payload), lit(1000L)).cast("double") / lit(1000.0))
+  def decodeStub(payload: Column, dim: Int): Column = {
+    import graft.functions.XHash
+    val h1 = XHash.h60(payload)
+    val h2 = XHash.h56(payload)
+    array((0 until dim).map(i =>
+      pmod(XHash.member(h1, h2, i), lit(1000L)).cast("double") / lit(1000.0)): _*)
+  }
 
   /**
    * Frame sampling for video payloads: one output row per sampled frame
