@@ -1,5 +1,6 @@
 package graft
 
+import java.nio.file.Path
 import java.time.Instant
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -10,45 +11,79 @@ import graft.index.Index.Metric
 import graft.sources.Sources
 
 /**
- * CLI parity with the reference's `dn` tool (README.md:9-14): scan raw
- * data, build an index, query an index — same flags, library underneath.
+ * CLI parity with the reference's `dn` tool (bin/dn, share/usage.txt):
+ * the full subcommand surface — datasource / metric configuration CRUD
+ * persisted to [[DnConfig]] (`~/.graftrc`, the analog of `~/.dragnetrc`),
+ * index-config / index-read / index-scan, and the scan / build / query
+ * data commands, which accept either direct `--data=`/`--index=` paths
+ * or a configured DATASOURCE name as the positional argument.
  *
- *   dn scan  --data=PATH --breakdowns=SPECS [--filter=KRILL_JSON]
+ *   dn datasource-add    --path=P [--backend=B] [--index-path=P]
+ *                        [--filter=F] [--time-field=F] [--time-format=T]
+ *                        [--data-format=json|json-skinner|parquet] DS
+ *   dn datasource-update [same flags] DS
+ *   dn datasource-list   [-v]          dn datasource-show [-v] DS
+ *   dn datasource-remove DS
+ *   dn metric-add        [--breakdowns=B] [--filter=F] DS METRIC
+ *   dn metric-list       [-v] DS        dn metric-remove DS METRIC
+ *   dn index-config      DS
+ *   dn index-read        [--metric=M] [--interval=I] DS
+ *   dn index-scan        [--metric=M] [--interval=I] [--after/--before] DS
+ *   dn scan  [--data=PATH | DS] --breakdowns=SPECS [--filter=KRILL_JSON]
  *            [--time-field=F] [--after=ISO] [--before=ISO] [--points]
- *   dn build --data=PATH --index=PATH --breakdowns=SPECS
- *            [--filter=…] --time-field=F [--interval=day|hour|all]
- *   dn query --index=PATH --breakdowns=SPECS [--filter=…]
+ *            [--counters] [--raw] [--gnuplot]
+ *   dn build [--data=PATH --index=PATH | DS] [--breakdowns=SPECS]
+ *            [--filter=…] [--time-field=F] [--interval=day|hour|all]
+ *   dn query [--index=PATH | DS] --breakdowns=SPECS [--filter=…]
  *            [--time-field=F] [--after=ISO] [--before=ISO]
  *
  * `--data` reads parquet when the path ends in .parquet, a `%Y/%m-%d`
  * ndjson tree when the directory looks date-laid-out (file pruning by
  * --after/--before, like the reference), plain ndjson otherwise.
  * `run(...)` is the testable surface; `main` prints the result (with
- * dragnet-style histograms for trailing aggr columns via [[Format]]).
+ * dragnet-style histograms for trailing aggr columns via [[Format]],
+ * `--raw` JSON lines, or a `--gnuplot` script).
  */
 object Dn {
 
   final case class DnArgs(
       mode: String,
       flags: Map[String, String],
+      positional: Seq[String],
       points: Boolean,
-      counters: Boolean)
+      counters: Boolean,
+      verbose: Boolean,
+      raw: Boolean,
+      gnuplot: Boolean)
+
+  private val configModes = Set("datasource-add", "datasource-update",
+    "datasource-list", "datasource-remove", "datasource-show",
+    "metric-add", "metric-list", "metric-remove", "index-config")
+  private val dataModes = Set("scan", "build", "query", "index-read",
+    "index-scan")
 
   private val knownFlags = Set("data", "breakdowns", "filter", "time-field",
     "after", "before", "index", "interval", "metric-breakdowns",
-    "data-format")
+    "data-format", "backend", "path", "index-path", "time-format", "metric")
 
   def parseArgs(argv: Seq[String]): DnArgs = {
     if (argv.isEmpty)
-      throw new GraftException("usage: dn scan|build|query --flag=value …")
+      throw new GraftException("usage: dn SUBCOMMAND [OPTIONS] ARGS")
     val mode = argv.head
-    if (!Set("scan", "build", "query").contains(mode))
-      throw new GraftException(s"unknown command: $mode")
+    if (!configModes.contains(mode) && !dataModes.contains(mode))
+      throw new GraftException(s"no such command: \"$mode\"")
     var points = false
     var counters = false
+    var verbose = false
+    var raw = false
+    var gnuplot = false
+    val positional = Seq.newBuilder[String]
     val flags = argv.tail.flatMap {
       case "--points" => points = true; None
       case "--counters" | "--warnings" => counters = true; None
+      case "-v" | "--verbose" => verbose = true; None
+      case "--raw" => raw = true; None
+      case "--gnuplot" => gnuplot = true; None
       case f if f.startsWith("--") && f.contains("=") =>
         val i = f.indexOf('=')
         val key = f.substring(2, i)
@@ -56,13 +91,15 @@ object Dn {
         if (!knownFlags.contains(key))
           throw new GraftException(s"unknown flag: --$key")
         Some(key -> f.substring(i + 1))
+      case p if !p.startsWith("-") => positional += p; None
       case other => throw new GraftException(s"bad argument: $other")
     }.toMap
-    if (counters && mode != "scan")
+    if (counters && !Set("scan", "index-scan").contains(mode))
       throw new GraftException("--counters is only meaningful with scan")
     if (counters && points)
       throw new GraftException("--counters and --points are mutually exclusive")
-    DnArgs(mode, flags, points, counters)
+    DnArgs(mode, flags, positional.result(), points, counters, verbose, raw,
+      gnuplot)
   }
 
   private def cfgOf(a: DnArgs): QueryConfig = QueryConfig(
@@ -72,6 +109,150 @@ object Dn {
     after = a.flags.get("after").map(Instant.parse),
     before = a.flags.get("before").map(Instant.parse))
 
+  private def need(a: DnArgs, n: Int): Seq[String] = {
+    if (a.positional.length < n) throw new GraftException("missing arguments")
+    if (a.positional.length > n) throw new GraftException("extra arguments")
+    a.positional
+  }
+
+  // ---------------------------------------------------------------- config
+
+  /** Run a configuration subcommand against the config file; returns the
+    * text to print (possibly empty). Pure of Spark. */
+  def runConfig(argv: Seq[String],
+      path: Path = DnConfig.defaultPath): String = {
+    val a = parseArgs(argv)
+    require(configModes.contains(a.mode), s"${a.mode} is not a config command")
+    val cfg = DnConfig.load(path)
+
+    def dsFromFlags(name: String, base: Option[DnConfig.Datasource]) =
+      DnConfig.Datasource(
+        name,
+        a.flags.get("backend").orElse(base.map(_.backend)).getOrElse("file"),
+        a.flags.get("path").orElse(base.map(_.path)).getOrElse(""),
+        a.flags.get("index-path").orElse(base.flatMap(_.indexPath)),
+        a.flags.get("time-field").orElse(base.flatMap(_.timeField)),
+        a.flags.get("time-format").orElse(base.flatMap(_.timeFormat)),
+        a.flags.get("data-format").orElse(base.flatMap(_.dataFormat)),
+        a.flags.get("filter").orElse(base.flatMap(_.filter)))
+
+    def show(d: DnConfig.Datasource): String = {
+      val loc = s"${d.backend}:/${d.path}"
+      val head = f"${d.name}%-20s $loc"
+      if (!a.verbose) head
+      else head + d.filter.map(f => s"\n    filter:     $f").getOrElse("") +
+        d.dataFormat.map(f => s"\n    dataFormat: $f").getOrElse("") +
+        d.indexPath.map(p => s"\n    indexPath:  $p").getOrElse("") +
+        d.timeField.map(t => s"\n    timeField:  $t").getOrElse("") +
+        d.timeFormat.map(t => s"\n    timeFormat: $t").getOrElse("")
+    }
+
+    a.mode match {
+      case "datasource-add" =>
+        if (!a.flags.contains("path"))
+          throw new GraftException("\"path\" option is required")
+        val Seq(name) = need(a, 1)
+        DnConfig.save(cfg.datasourceAdd(dsFromFlags(name, None)), path)
+        ""
+      case "datasource-update" =>
+        val Seq(name) = need(a, 1)
+        DnConfig.save(
+          cfg.datasourceUpdate(name, old => dsFromFlags(name, Some(old))), path)
+        ""
+      case "datasource-remove" =>
+        val Seq(name) = need(a, 1)
+        DnConfig.save(cfg.datasourceRemove(name), path)
+        ""
+      case "datasource-list" =>
+        need(a, 0)
+        cfg.datasources.map(show).mkString("\n")
+      case "datasource-show" =>
+        val Seq(name) = need(a, 1)
+        show(cfg.datasource(name).getOrElse(
+          throw new GraftException(s"unknown datasource: \"$name\"")))
+      case "metric-add" =>
+        val Seq(ds, m) = need(a, 2)
+        DnConfig.save(cfg.metricAdd(DnConfig.Metric(m, ds,
+          a.flags.getOrElse("breakdowns", ""), a.flags.get("filter"))), path)
+        ""
+      case "metric-remove" =>
+        val Seq(ds, m) = need(a, 2)
+        DnConfig.save(cfg.metricRemove(ds, m), path)
+        ""
+      case "metric-list" =>
+        val Seq(ds) = need(a, 1)
+        cfg.metricsFor(ds).map { m =>
+          val head = f"${m.name}%-20s ${m.breakdowns}"
+          if (a.verbose && m.filter.isDefined)
+            head + s"\n    filter: ${m.filter.get}" else head
+        }.mkString("\n")
+      case "index-config" =>
+        val Seq(ds) = need(a, 1)
+        indexConfigJson(cfg, ds)
+    }
+  }
+
+  /** The index configuration (dn index-config): the metrics that builds
+    * of this datasource materialize, as JSON. */
+  def indexConfigJson(cfg: DnConfig.Config, ds: String): String = {
+    if (cfg.datasource(ds).isEmpty)
+      throw new GraftException(s"unknown datasource: \"$ds\"")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("metrics")
+    cfg.metricsFor(ds).foreach { m =>
+      val n = arr.addObject()
+      n.put("name", m.name)
+      val bs = n.putArray("breakdowns")
+      AttrParser.parse(m.breakdowns).foreach { fs =>
+        val b = bs.addObject()
+        b.put("name", fs.name)
+        b.put("field", fs.field)
+        fs.aggr.foreach(b.put("aggr", _))
+        fs.step.foreach(s => b.put("step", s))
+        if (fs.isDate) b.put("date", true)
+      }
+      m.filter.foreach(f => n.set("filter", mapper.readTree(f)))
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  // ------------------------------------------------------------------ data
+
+  /** Materialize a configured datasource into the flags `run` consumes:
+    * its path/format/time-field, with the datasource's standing filter
+    * AND-ed onto the query's. */
+  private def resolveDatasource(a: DnArgs, cfgPath: Path): DnArgs = {
+    if (a.positional.isEmpty) return a
+    val Seq(name) = need(a, 1)
+    val ds = DnConfig.load(cfgPath).datasource(name).getOrElse(
+      throw new GraftException(s"unknown datasource: \"$name\""))
+    var flags = a.flags
+    if (!flags.contains("data")) flags += "data" -> ds.path
+    ds.indexPath.foreach(p =>
+      if (!flags.contains("index")) flags += "index" -> p)
+    ds.timeField.foreach(t =>
+      if (!flags.contains("time-field")) flags += "time-field" -> t)
+    ds.dataFormat.foreach(f =>
+      if (!flags.contains("data-format")) flags += "data-format" -> f)
+    ds.filter.foreach { dsf =>
+      flags += "filter" -> (flags.get("filter") match {
+        case Some(qf) => s"""{"and": [$dsf, $qf]}"""
+        case None => dsf
+      })
+    }
+    a.copy(flags = flags, positional = Nil)
+  }
+
+  /** The configured metrics of the datasource named in argv (for build /
+    * query / index-read / index-scan), as index-layer Metrics. */
+  private def configuredMetrics(a: DnArgs, cfgPath: Path): Seq[Metric] =
+    a.positional.headOption.toSeq.flatMap { name =>
+      DnConfig.load(cfgPath).metricsFor(name).map(m =>
+        Metric(m.name, AttrParser.parse(m.breakdowns),
+          m.filter.map(Krill.parse)))
+    }
+
   /** Resolve --data to a DataFrame (parquet / json-skinner /
     * date-layout ndjson / ndjson). */
   def readData(spark: SparkSession, a: DnArgs): DataFrame = {
@@ -80,7 +261,9 @@ object Dn {
     val cfg = cfgOf(a)
     if (a.flags.get("data-format").contains("json-skinner"))
       Sources.skinnerPoints(spark, path)
-    else if (path.endsWith(".parquet")) spark.read.parquet(path)
+    else if (path.endsWith(".parquet") ||
+        a.flags.get("data-format").contains("parquet"))
+      spark.read.parquet(path)
     else if (Sources.dateLayoutDirs(spark, path, None, None).nonEmpty)
       Sources.dateLayout(spark, path, cfg.after, cfg.before)
     else Sources.ndjson(spark, path)
@@ -93,8 +276,14 @@ object Dn {
         !a.flags.get("data-format").contains("json-skinner") &&
         Sources.dateLayoutDirs(spark, p, None, None).nonEmpty)
 
-  def run(spark: SparkSession, argv: Seq[String]): DataFrame = {
-    val a = parseArgs(argv)
+  def run(spark: SparkSession, argv: Seq[String],
+      cfgPath: Path = DnConfig.defaultPath): DataFrame = {
+    val a0 = parseArgs(argv)
+    if (configModes.contains(a0.mode))
+      throw new GraftException(
+        s"${a0.mode} is a configuration command (use runConfig)")
+    val fromConfig = configuredMetrics(a0, cfgPath)
+    val a = resolveDatasource(a0, cfgPath)
     val cfg0 = cfgOf(a)
     // A date-laid-out tree without --time-field is still boundable: the
     // path enumeration prunes to day granularity (exactly the reference's
@@ -104,11 +293,26 @@ object Dn {
       if (cfg0.timeField.isEmpty && isDateTree(spark, a))
         cfg0.copy(after = None, before = None)
       else cfg0
+    val skinnerValue =
+      if (a.flags.get("data-format").contains("json-skinner")) Some("value")
+      else None
+
+    /** The metric this command operates on: --metric by name, else the
+      * single configured one, else a default built from --breakdowns. */
+    def oneMetric(): Metric = a.flags.get("metric") match {
+      case Some(name) => fromConfig.find(_.name == name).getOrElse(
+        throw new GraftException(s"unknown metric: \"$name\""))
+      case None => fromConfig match {
+        case Seq(only) => only
+        case Seq() => Metric("default", cfg.breakdowns, cfg.filter)
+        case _ => throw new GraftException(
+          "multiple metrics configured; pick one with --metric=NAME")
+      }
+    }
+
     a.mode match {
       case "scan" =>
-        val base = cfg.copy(valueField =
-          if (a.flags.get("data-format").contains("json-skinner"))
-            Some("value") else None)
+        val base = cfg.copy(valueField = skinnerValue)
         if (a.counters)
           return Scan.counters(readData(spark, a), base)
         val out = Scan.scan(readData(spark, a), base)
@@ -125,24 +329,52 @@ object Dn {
           throw new GraftException("--index is required"))
         val tf = a.flags.getOrElse("time-field",
           throw new GraftException("build needs --time-field"))
-        val metric = Metric("default", cfg.breakdowns, cfg.filter)
-        Index.build(readData(spark, a), Seq(metric), idx, tf,
-          a.flags.getOrElse("interval", "day"),
-          valueField =
-            if (a.flags.get("data-format").contains("json-skinner"))
-              Some("value") else None)
+        val metrics =
+          if (fromConfig.nonEmpty) fromConfig
+          else Seq(Metric("default", cfg.breakdowns, cfg.filter))
+        // the datasource's standing filter (and any --before/--after)
+        // constrains what gets indexed, like the reference's scan-side
+        // filtering during build; metric filters apply per metric inside
+        val input =
+          if (fromConfig.nonEmpty)
+            Scan.prefilter(readData(spark, a), cfg.copy(breakdowns = Nil))
+          else readData(spark, a)
+        Index.build(input, metrics, idx, tf,
+          a.flags.getOrElse("interval", "day"), valueField = skinnerValue)
         spark.emptyDataFrame
       case "query" =>
         val idx = a.flags.getOrElse("index",
           throw new GraftException("--index is required"))
-        val metric = Metric("default",
-          a.flags.get("metric-breakdowns").orElse(a.flags.get("breakdowns"))
-            .map(AttrParser.parse).getOrElse(Nil), None)
-        Index.query(spark, idx, Seq(metric), cfg)
+        val metrics =
+          if (fromConfig.nonEmpty) fromConfig
+          else Seq(Metric("default",
+            a.flags.get("metric-breakdowns").orElse(a.flags.get("breakdowns"))
+              .map(AttrParser.parse).getOrElse(Nil), None))
+        Index.query(spark, idx, metrics, cfg)
+      case "index-read" =>
+        val idx = a.flags.getOrElse("index",
+          throw new GraftException("index-read needs a datasource with " +
+            "an index path (or --index)"))
+        spark.read.parquet(s"$idx/${oneMetric().name}")
+      case "index-scan" =>
+        val tf = a.flags.getOrElse("time-field",
+          throw new GraftException("index-scan needs --time-field"))
+        val base = cfg.copy(valueField = skinnerValue)
+        if (a.counters)
+          return Scan.counters(readData(spark, a), base)
+        Index.scanRows(
+          Scan.prefilter(readData(spark, a), base), oneMetric(), tf,
+          a.flags.getOrElse("interval", "day"), valueField = skinnerValue)
     }
   }
 
   def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv.toSeq)
+    if (configModes.contains(a.mode)) {
+      val out = runConfig(argv.toSeq)
+      if (out.nonEmpty) println(out)
+      return
+    }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions",
@@ -152,11 +384,12 @@ object Dn {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = run(spark, argv.toSeq)
-    val a = parseArgs(argv.toSeq)
-    val lastAggr = a.flags.get("breakdowns").map(AttrParser.parse)
-      .getOrElse(Nil).lastOption.exists(_.aggr.isDefined)
+    val bds = a.flags.get("breakdowns").map(AttrParser.parse).getOrElse(Nil)
+    val lastAggr = bds.lastOption.exists(_.aggr.isDefined)
     if (df.schema.nonEmpty) {
-      if (lastAggr && !a.points && !a.counters) print(Format.histogram(df))
+      if (a.gnuplot) print(Format.gnuplot(df, bds))
+      else if (a.raw) df.toJSON.collect().foreach(println)
+      else if (lastAggr && !a.points && !a.counters) print(Format.histogram(df))
       else df.show(1000, truncate = false)
     }
     spark.stop()

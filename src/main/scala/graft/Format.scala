@@ -43,4 +43,28 @@ object Format {
     }
     sb.toString
   }
+
+  /**
+   * `--gnuplot` output (reference: bin/dn dnOutputGnuplot): a runnable
+   * gnuplot script with the (single-breakdown, value) rows inlined.
+   */
+  def gnuplot(df: DataFrame, breakdowns: Seq[FieldSpec]): String = {
+    if (breakdowns.length != 1)
+      throw new GraftException(
+        "--gnuplot can only be used with exactly one breakdown")
+    val x = breakdowns.head.name
+    val sb = new StringBuilder
+    sb.append("#\n# Run this through gnuplot(1):\n")
+    sb.append("#     gnuplot < this_file > graph.png\n#\n")
+    sb.append("set terminal png\n")
+    sb.append(s"""set xlabel "$x"\n""")
+    sb.append("set ylabel \"count\"\n")
+    sb.append("set nokey\n")
+    sb.append("plot '-' using 1:2 with linespoints\n")
+    df.collect().foreach { r =>
+      sb.append(s"${r.getAs[Any](x)} ${r.getAs[Any]("value")}\n")
+    }
+    sb.append("e\n")
+    sb.toString
+  }
 }

@@ -63,12 +63,19 @@ object Scan {
    * or an `aggr` field is non-numeric — matching dragnet
    * (README.md:700-712).
    */
-  def scan(df: DataFrame, cfg: QueryConfig,
-           resolve: String => Column = col): DataFrame = {
+  /** The row-level prefilters of a config (user filter + time bounds) —
+    * the pre-aggregation half of [[scan]], reused by `dn index-scan`. */
+  def prefilter(df: DataFrame, cfg: QueryConfig,
+      resolve: String => Column = col): DataFrame = {
     var cur = df
-
     cfg.filter.foreach(p => cur = cur.where(p.toColumn(resolve)))
     timeBoundCols(cfg, resolve).foreach(c => cur = cur.where(c))
+    cur
+  }
+
+  def scan(df: DataFrame, cfg: QueryConfig,
+           resolve: String => Column = col): DataFrame = {
+    var cur = prefilter(df, cfg, resolve)
 
     val cols = cfg.breakdowns.map(fs => breakdownCol(fs, resolve).as(fs.name))
     if (cols.isEmpty) {

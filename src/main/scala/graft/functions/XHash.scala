@@ -23,12 +23,24 @@ object XHash {
   /** 2^60 - 1: both member() and its SQL twin mask to 60 bits. */
   val Mask60: Long = (1L << 60) - 1
 
-  /** Hex chars 1-15 of md5 → 60-bit non-negative Long. */
-  def h60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+  private def pairCol(s: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      Md5Pair(org.apache.spark.sql.graft.bridge.expression(s)))
+
+  /** Hex chars 1-15 of md5 → 60-bit non-negative Long. Computed by the
+    * native [[Md5Pair]] (one digest, no hex round-trip); h60(s) and
+    * h56(s) in one projection share the digest via codegen
+    * subexpression elimination. */
+  def h60(s: Column): Column = element_at(pairCol(s), 1)
 
   /** Hex chars 17-30 of md5 → 56-bit non-negative Long. */
-  def h56(s: Column): Column =
+  def h56(s: Column): Column = element_at(pairCol(s), 2)
+
+  /** Reference (builtin-only) forms — the definition the SQL oracles
+    * mirror; XHashSpec pins h60/h56 to these bit-for-bit. */
+  def h60Ref(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+  def h56Ref(s: Column): Column =
     conv(substring(md5(s), 17, 14), 16, 10).cast("long")
 
   /** i-th member of the double-hashing family over (h1, h2). */

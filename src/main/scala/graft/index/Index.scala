@@ -40,32 +40,43 @@ object Index {
    * each input row (json-skinner points carry a `value` weight; raw
    * records weigh 1).
    */
+  /**
+   * The aggregated tuples one metric's index would contain (dragnet
+   * `dn index-scan` — compute without writing): filter → breakdown dims
+   * (+ day/hour partition columns) → pre-summed value.
+   */
+  def scanRows(df: DataFrame, m: Metric, timeField: String,
+               interval: String = "day", resolve: String => Column = col,
+               valueField: Option[String] = None): DataFrame = {
+    require(Intervals.contains(interval), s"bad interval: $interval")
+    var cur = df
+    m.filter.foreach(p => cur = cur.where(p.toColumn(resolve)))
+    val dims = m.breakdowns.map(fs => Scan.breakdownCol(fs, resolve).as(fs.name))
+    // accept TIMESTAMP, ISO strings, or epoch-seconds numerics as the
+    // time field (a date-parsed breakdown is epoch secs)
+    val ts = resolve(timeField).try_cast("timestamp")
+    val partCols = interval match {
+      case "day" => Seq(date_format(ts, "yyyy-MM-dd").as("dn_date"))
+      case "hour" => Seq(
+        date_format(ts, "yyyy-MM-dd").as("dn_date"),
+        hour(ts).as("dn_hour"))
+      case "all" => Nil
+    }
+    m.breakdowns.foreach { fs =>
+      cur = cur.where(Scan.baseCol(fs, resolve).isNotNull)
+    }
+    cur.groupBy(dims ++ partCols: _*)
+      .agg(sum(valueField.map(resolve).getOrElse(lit(1L)))
+        .cast("long").as("value"))
+  }
+
   def build(df: DataFrame, metrics: Seq[Metric], path: String,
             timeField: String, interval: String = "day",
             resolve: String => Column = col,
             valueField: Option[String] = None): Unit = {
     require(Intervals.contains(interval), s"bad interval: $interval")
     metrics.foreach { m =>
-      var cur = df
-      m.filter.foreach(p => cur = cur.where(p.toColumn(resolve)))
-      val dims = m.breakdowns.map(fs => Scan.breakdownCol(fs, resolve).as(fs.name))
-      // accept TIMESTAMP, ISO strings, or epoch-seconds numerics as the
-      // time field (a date-parsed breakdown is epoch secs)
-      val ts = resolve(timeField).try_cast("timestamp")
-      val partCols = interval match {
-        case "day" => Seq(date_format(ts, "yyyy-MM-dd").as("dn_date"))
-        case "hour" => Seq(
-          date_format(ts, "yyyy-MM-dd").as("dn_date"),
-          hour(ts).as("dn_hour"))
-        case "all" => Nil
-      }
-      m.breakdowns.foreach { fs =>
-        cur = cur.where(Scan.baseCol(fs, resolve).isNotNull)
-      }
-      val grouped = cur
-        .groupBy(dims ++ partCols: _*)
-        .agg(sum(valueField.map(resolve).getOrElse(lit(1L)))
-          .cast("long").as("value"))
+      val grouped = scanRows(df, m, timeField, interval, resolve, valueField)
       // Directory partitioning stops at the DAY even for hourly grain:
       // hour-level directories are a small-files/commit-storm anti-pattern
       // (24× the directories, tiny files). Instead dn_hour stays a data

@@ -100,12 +100,128 @@ class DnSpec extends SparkSpec {
   test("bad arguments throw GraftException") {
     assertThrows[GraftException](Dn.parseArgs(Nil))
     assertThrows[GraftException](Dn.parseArgs(Seq("frobnicate")))
-    assertThrows[GraftException](Dn.parseArgs(Seq("scan", "positional")))
+    // a positional is a datasource name — unknown ones fail at resolution
+    assertThrows[GraftException](
+      Dn.run(spark, Seq("scan", "nosuchds"),
+        Files.createTempDirectory("graft-noconf").resolve("rc")))
     assertThrows[GraftException](Dn.run(spark, Seq("scan")))
     assertThrows[GraftException](Dn.run(spark, Seq("build", s"--data=$events")))
     // a typo'd flag must error, not silently compute the unfiltered answer
     assertThrows[GraftException](
       Dn.parseArgs(Seq("scan", "--data=x", "--fitler={}")))
+  }
+
+  // ------------------------------------------------------ config-backed CLI
+
+  private def tmpConfig = Files.createTempDirectory("graft-rc").resolve("rc")
+
+  test("datasource CRUD round-trips through the config file") {
+    val rc = tmpConfig
+    Dn.runConfig(Seq("datasource-add", "--path=/data/a", "--time-field=ts",
+      """--filter={"eq": ["event_type", "click"]}""", "src_a"), rc)
+    Dn.runConfig(Seq("datasource-add", "--path=/data/b",
+      "--backend=hdfs", "src_b"), rc)
+    val listed = Dn.runConfig(Seq("datasource-list"), rc)
+    assert(listed.contains("src_a") && listed.contains("src_b"))
+    assert(listed.contains("hdfs:/"))
+    val shown = Dn.runConfig(Seq("datasource-show", "-v", "src_a"), rc)
+    assert(shown.contains("/data/a") && shown.contains("filter:"))
+    // update keeps unspecified fields
+    Dn.runConfig(Seq("datasource-update", "--path=/data/a2", "src_a"), rc)
+    val after = Dn.runConfig(Seq("datasource-show", "-v", "src_a"), rc)
+    assert(after.contains("/data/a2") && after.contains("timeField:  ts"))
+    Dn.runConfig(Seq("datasource-remove", "src_b"), rc)
+    assert(!Dn.runConfig(Seq("datasource-list"), rc).contains("src_b"))
+    // duplicates / unknowns error like the reference
+    assertThrows[GraftException](
+      Dn.runConfig(Seq("datasource-add", "--path=/x", "src_a"), rc))
+    assertThrows[GraftException](
+      Dn.runConfig(Seq("datasource-remove", "gone"), rc))
+    assertThrows[GraftException](
+      Dn.runConfig(Seq("datasource-show", "gone"), rc))
+  }
+
+  test("metric CRUD validates datasource and breakdown specs") {
+    val rc = tmpConfig
+    Dn.runConfig(Seq("datasource-add", s"--path=$events", "ev"), rc)
+    Dn.runConfig(Seq("metric-add", "--breakdowns=event_type,user_id",
+      "ev", "by_type"), rc)
+    assert(Dn.runConfig(Seq("metric-list", "ev"), rc).contains("by_type"))
+    // index-config emits the metric schema as JSON
+    val ic = Dn.runConfig(Seq("index-config", "ev"), rc)
+    assert(ic.contains("\"by_type\"") && ic.contains("\"event_type\""))
+    assertThrows[GraftException](Dn.runConfig(
+      Seq("metric-add", "--breakdowns=x", "nosuchds", "m"), rc))
+    assertThrows[GraftException](Dn.runConfig(
+      Seq("metric-add", "--breakdowns=bad[aggr=nope]", "ev", "m2"), rc))
+    Dn.runConfig(Seq("metric-remove", "ev", "by_type"), rc)
+    assert(!Dn.runConfig(Seq("metric-list", "ev"), rc).contains("by_type"))
+    // removing the datasource drops its metrics
+    Dn.runConfig(Seq("metric-add", "--breakdowns=event_type", "ev", "m3"), rc)
+    Dn.runConfig(Seq("datasource-remove", "ev"), rc)
+    assertThrows[GraftException](
+      Dn.runConfig(Seq("metric-remove", "ev", "m3"), rc))
+  }
+
+  test("named datasource: scan applies the standing filter; build/query " +
+      "use configured metrics; index-read/index-scan expose the tuples") {
+    val rc = tmpConfig
+    val idx = Files.createTempDirectory("graft-dn-dsidx").toString
+    Dn.runConfig(Seq("datasource-add", s"--path=$events",
+      s"--index-path=$idx", "--time-field=ts", "--data-format=parquet",
+      """--filter={"ne": ["event_type", "error"]}""", "ev"), rc)
+    Dn.runConfig(Seq("metric-add", "--breakdowns=event_type,user_id",
+      "ev", "by_type_user"), rc)
+
+    // scan by name == scan by path with the standing filter applied
+    val byName = Dn.run(spark, Seq("scan", "ev", "--breakdowns=event_type"),
+      rc).collect().map(_.toSeq).toSet
+    val byPath = Dn.run(spark, Seq("scan", s"--data=$events",
+      "--breakdowns=event_type",
+      """--filter={"ne": ["event_type", "error"]}""")).collect()
+      .map(_.toSeq).toSet
+    assert(byName == byPath && byName.nonEmpty)
+
+    // query filter ANDs onto the standing filter
+    val clicks = Dn.run(spark, Seq("scan", "ev", "--breakdowns=event_type",
+      """--filter={"eq": ["event_type", "click"]}"""), rc).collect()
+    assert(clicks.map(_.getString(0)).toSeq == Seq("click"))
+
+    // build via configured metric, query via index by name
+    Dn.run(spark, Seq("build", "ev"), rc)
+    val viaIndex = Dn.run(spark,
+      Seq("query", "ev", "--breakdowns=event_type"), rc)
+      .collect().map(_.toSeq).toSet
+    assert(viaIndex == byName)
+
+    // index-read returns the stored tuples (grain = metric dims × day)
+    val stored = Dn.run(spark, Seq("index-read", "ev"), rc)
+    assert(stored.columns.toSet ==
+      Set("event_type", "user_id", "value", "dn_date"))
+    assert(stored.count() > 0)
+
+    // index-scan computes the same tuples from raw data without writing
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      // dn_date is a partition column on read (DATE) but a computed
+      // string on index-scan; compare as strings
+      df.selectExpr("event_type", "user_id", "CAST(dn_date AS STRING)",
+        "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getLong(3))).toSet
+    val scanned = Dn.run(spark,
+      Seq("index-scan", "ev", "--time-field=ts"), rc)
+    assert(tuples(scanned) == tuples(stored) && scanned.count() > 0)
+  }
+
+  test("gnuplot output: runnable script for exactly one breakdown") {
+    val df = Dn.run(spark, Seq("scan", s"--data=$events",
+      "--breakdowns=event_type"))
+    val spec = AttrParser.parse("event_type")
+    val out = Format.gnuplot(df, spec)
+    assert(out.contains("gnuplot") && out.contains("plot '-'"))
+    assert(out.linesIterator.count(l => l.startsWith("click")) == 1)
+    assertThrows[GraftException](
+      Format.gnuplot(df, AttrParser.parse("a,b")))
   }
 
   test("skinner build weights points: index equals 3x the raw scan") {
