@@ -47,6 +47,13 @@ object DedupQueries {
       (s, dir) => Dedup.jaccardVerified(docs(s, dir)),
       Some(DedupSql.jaccardVerified())),
 
+    // #28b connected-component near-dup clusters over the verified pair
+    // graph (min-label propagation; oracle = recursive transitive
+    // closure in DuckDB)
+    Q("dedup_clusters",
+      (s, dir) => Dedup.clusters(docs(s, dir)),
+      Some(DedupSql.clusters())),
+
     // #25b the composed cleaning pipeline (quality floor → exact dedup →
     // near-dup removal) — the end-to-end training-data story, oracle-
     // checked as one CTE chain; CorpusSpec additionally pins the

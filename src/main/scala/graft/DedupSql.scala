@@ -124,6 +124,27 @@ object DedupSql {
        |WHERE bit_count(xor(a.sim, b.sim)) <= $maxHamming""".stripMargin
   }
 
+  /** dedup_clusters oracle: connected components of the verified-pair
+    * graph via a recursive transitive-closure CTE; cluster id = min doc
+    * id reachable (including self). */
+  def clusters(base: String = "documents", n: Int = 3,
+      minJaccard: Double = 0.6): String =
+    s"""WITH RECURSIVE ${shingleCtes(base, n)},
+       |${minhashCtes(n, 8, 2)},
+       |$jaccardCtes,
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM jac WHERE jaccard >= $minJaccard),
+       |und AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM edges
+       |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM edges),
+       |reach AS (
+       |  SELECT u, v FROM und
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
+       |SELECT CAST(u AS BIGINT) AS doc_id,
+       |  CAST(least(u, min(v)) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY u""".stripMargin
+
   /** Quality-score expression over a `text` column — must mirror
     * Text.qualityScore term for term (same associativity). */
   def qualitySql(text: String): String =

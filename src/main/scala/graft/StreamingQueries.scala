@@ -56,6 +56,27 @@ object StreamingQueries {
                CAST(COUNT(*) AS BIGINT) AS value
         FROM events GROUP BY 1, 2, 3""")),
 
+    // #25c streaming dedup: watermark-bounded dropDuplicates over a
+    // content key. Only the KEY columns are emitted, so the result is
+    // arrival-order-independent — exactly the distinct key set, which IS
+    // the oracle. (The horizon spans the whole dataset here; production
+    // sets it to the dup-arrival window so state stays bounded.)
+    Q("stream_dedup",
+      (s, dir) => {
+        implicit val session: org.apache.spark.sql.SparkSession = s
+        val stream = eventStream(s, dir)
+          .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+          .select(col("ts"), col("user_id"), col("event_type"))
+        val deduped = graft.streaming.StreamDedup.dedupByKey(stream,
+          struct(col("user_id"), col("event_type")), "ts", "365 days")
+        drain(deduped, "graft_stream_dedup",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+          .select(col("user_id"), col("event_type"))
+      },
+      Some("""
+        SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
+        FROM events""")),
+
     // #24d stateful streaming sessionization (mapGroupsWithState) run to
     // completion over the events stream — the final per-user session
     // counts must equal the batch lag-window computation, which IS the

@@ -201,6 +201,47 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * Near-dup CLUSTERS: connected components over the Jaccard-verified
+   * pair graph, via iterative min-label propagation — each node adopts
+   * the smallest label among itself and its neighbors until fixpoint.
+   * Iteration count = component diameter (tiny for dup clusters; capped
+   * defensively). Each round is one shuffle (groupBy id); lineage is cut
+   * with localCheckpoint per round so plans don't snowball — at cluster
+   * scale the same loop runs with reliable checkpointing. Returns
+   * (doc_id, cluster_id = min doc id in the component) for every doc in
+   * at least one pair.
+   */
+  def clusters(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, minJaccard: Double = 0.6,
+      maxIters: Int = 20): DataFrame = {
+    val edges = jaccardVerified(docs, idCol, textCol, n, minJaccard)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    var labels = edges
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // neighbors' labels flow both ways across each undirected edge
+      val msgs = edges.join(labels, col("doc_a") === col("id"))
+        .select(col("doc_b").as("id"), col("label"))
+        .union(edges.join(labels, col("doc_b") === col("id"))
+          .select(col("doc_a").as("id"), col("label")))
+      val next = labels.select(col("id"), col("label")).union(msgs)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .where(col("label") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIters iters")
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

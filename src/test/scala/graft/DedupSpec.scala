@@ -43,6 +43,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs.get((1L, 3L)).forall(_ <= 6))
   }
 
+  test("clusters: transitive near-dups land in one component, min id wins") {
+    // 1-2 exact, 3 near 1, and a 5-6 pair in a separate component;
+    // 4 is unrelated (no cluster row at all)
+    val six = docs.union(Seq(
+      (5L, "an entirely separate block of text about database indexes and storage"),
+      (6L, "an entirely separate block of text about database indexes and disk storage")
+    ).toDF("doc_id", "text"))
+    val cl = Dedup.clusters(six)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.get(1L).contains(1L) && cl.get(2L).contains(1L))
+    // 3 is a near-dup of 1 (one word changed) — same component
+    assert(cl.get(3L).contains(1L))
+    assert(cl.get(5L).contains(5L) && cl.get(6L).contains(5L))
+    assert(!cl.contains(4L))
+  }
+
   test("shingles of short docs fall back to whole text") {
     val sh = Seq((1L, "two words")).toDF("doc_id", "text")
       .select(Dedup.shingles(col("text")).as("sh"))
