@@ -41,9 +41,13 @@ object Corpus {
    */
   def clean(docs: DataFrame, cfg: CleanConfig = CleanConfig()): DataFrame = {
     val kept = docs.where(baseFilter(cfg))
-    // exact dedup: keep the lowest id of each normalized-content group
+    // exact dedup: keep the lowest id of each normalized-content group.
+    // Materialized once (localCheckpoint): the near-dup stage walks it
+    // through shingling AND the final anti-join reads it again — without
+    // the cut, the filter+self-join pipeline re-executes per consumer.
     val exactKept = kept.join(
       Dedup.exactKeepers(kept, cfg.idCol, cfg.textCol), cfg.idCol)
+      .localCheckpoint()
     // near-dup removal: drop the higher id of each verified pair
     val losers = Dedup
       .jaccardVerified(exactKept, cfg.idCol, cfg.textCol,

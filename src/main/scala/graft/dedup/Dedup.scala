@@ -64,18 +64,19 @@ object Dedup {
           .otherwise(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n))))
           .as("s"))
 
-  /**
-   * Per-doc MinHash signature columns m0..m{k-1}: ONE md5 per exploded
-   * shingle row yields (h1, h2); member i = (h1 + i*h2) & mask60, each a
-   * plain codegen'd column min-aggregated per doc. The min() combines
-   * map-side, so the shuffle carries one row per doc per partition, not
-   * one per shingle.
-   */
-  def minhashSignature(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", n: Int = 3, k: Int = 16): DataFrame = {
-    // Duplicate shingles need no dedup: min over a multiset == min over
-    // its set.
-    val hashed = shingleRows(docs, idCol, textCol, n)
+  /** Per-doc shingle SETS (one tokenize+shingle pass, collect_set per
+    * doc) — the shared input of the signature and verify stages. */
+  def shingleSets(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame =
+    shingleRows(docs, idCol, textCol, n)
+      .groupBy(col("id")).agg(collect_set(col("s")).as("sh"))
+
+  /** MinHash signature from (id, s) shingle rows: ONE md5 per row yields
+    * (h1, h2); member i = (h1 + i*h2) & mask60, each a plain codegen'd
+    * column min-aggregated per doc. The min() combines map-side, so the
+    * shuffle carries one row per doc per partition, not one per shingle. */
+  private def signatureOfRows(rows: DataFrame, k: Int): DataFrame = {
+    val hashed = rows
       .select(col("id"), XHash.h60(col("s")).as("h1"), XHash.h56(col("s")).as("h2"))
     val members = hashed.select(col("id") +: (0 until k).map(i =>
       XHash.member(col("h1"), col("h2"), i).as(s"h$i")): _*)
@@ -83,6 +84,14 @@ object Dedup {
       .agg((0 until k).map(i => min(col(s"h$i")).as(s"m$i")).head,
            (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
   }
+
+  /**
+   * Per-doc MinHash signature columns m0..m{k-1}. Duplicate shingles
+   * need no dedup: min over a multiset == min over its set.
+   */
+  def minhashSignature(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, k: Int = 16): DataFrame =
+    signatureOfRows(shingleRows(docs, idCol, textCol, n), k)
 
   /**
    * MinHash+LSH candidate pairs: k=bands*rowsPerBand hash functions,
@@ -99,8 +108,14 @@ object Dedup {
    */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3,
-      bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sig = minhashSignature(docs, idCol, textCol, n, bands * rowsPerBand)
+      bands: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    candidatesOfSignature(
+      minhashSignature(docs, idCol, textCol, n, bands * rowsPerBand),
+      bands, rowsPerBand)
+
+  /** LSH banding + in-bucket pair generation over a signature table. */
+  private def candidatesOfSignature(sig: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val rowHashes = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), concat_ws(",", rowHashes: _*).as("bh"))
@@ -254,12 +269,13 @@ object Dedup {
    */
   def jaccardVerified(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, minJaccard: Double = 0.6): DataFrame = {
-    // shingle SETS via the codegen'd row path + collect_set (the
-    // interpreted array build would be the slow path); array_intersect /
-    // array_union treat arrays as sets anyway.
-    val sh = shingleRows(docs, idCol, textCol, n)
-      .groupBy(col("id")).agg(collect_set(col("s")).as("sh"))
-    minhashCandidates(docs, idCol, textCol, n)
+    // ONE tokenize+shingle pass, materialized: both the signature stage
+    // (exploded back to rows — min over the distinct set == min over the
+    // multiset) and the verify joins read the same checkpointed sets
+    // instead of re-deriving shingles from raw text 2-3×.
+    val sh = shingleSets(docs, idCol, textCol, n).localCheckpoint()
+    val rows = sh.select(col("id"), explode(col("sh")).as("s"))
+    candidatesOfSignature(signatureOfRows(rows, 16), 8, 2)
       .join(sh.as("sa"), col("doc_a") === col("sa.id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.id"))
       .select(col("doc_a"), col("doc_b"),
