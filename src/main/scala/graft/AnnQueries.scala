@@ -114,6 +114,31 @@ object AnnQueries {
         WHERE a.rn = 1
         ORDER BY cos DESC, vec_id LIMIT 10""")),
 
+    // #31d k-NN JOIN: every vector retrieves its top-5 neighbors from
+    // the same table (bulk retrieval; bucket+probe join, never a cross
+    // join). Oracle replays buckets, probes, dots, and the ranking
+    // window.
+    Q("ann_knn_join",
+      (s, dir) => Ann.knnJoin(emb(s, dir), emb(s, dir), 5),
+      Some(s"""
+        WITH n AS (
+          SELECT vec_id, $bucketSql AS b,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
+          FROM embeddings),
+        probes AS (
+          SELECT vec_id AS lid, vn AS lv,
+            unnest([b, xor(b, 1), xor(b, 2), xor(b, 4), xor(b, 8)]) AS pb
+          FROM n),
+        cand AS (
+          SELECT p.lid, r.vec_id AS rid, ${dotSql("p.lv", "r.vn")} AS cos
+          FROM probes p JOIN n r ON r.b = p.pb AND r.vec_id <> p.lid),
+        ranked AS (
+          SELECT lid, rid, cos,
+            CAST(row_number() OVER (PARTITION BY lid ORDER BY cos DESC, rid)
+              AS INT) AS rank
+          FROM cand)
+        SELECT lid, rid, cos, rank FROM ranked WHERE rank <= 5""")),
+
     // #29 embedding-cosine near-dup pairs (bucket join + exact verify)
     Q("dedup_embed",
       (s, dir) => Ann.cosinePairs(emb(s, dir), minCos = 0.35),

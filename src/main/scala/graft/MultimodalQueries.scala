@@ -51,6 +51,27 @@ object MultimodalQueries {
           0.0 + $stubTerms AS stub_sum,
           0.0 + $batchTerms AS batch_sum
         FROM h"""
-      })
+      }),
+
+    // #36b frame sampling: one row per sampled frame index via a
+    // distributed generator (explode(sequence)), aggregated back per
+    // doc. n_frames is synthesized from doc length; the payload rides
+    // along exactly as a video buffer would. The oracle computes the
+    // arithmetic-series closed form.
+    Q("multimodal_frames",
+      (s, dir) => {
+        val df = Sources.table(s, dir, "documents").select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          (col("n_chars") % 40 + 1).cast("int").as("n_frames"))
+        Multimodal.frameSample(df, "n_frames", every = 4)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_sampled"),
+            max(col("frame_idx")).cast("long").as("last_frame"))
+      },
+      Some("""
+        SELECT doc_id,
+          CAST((((n_chars % 40 + 1) - 1) // 4) + 1 AS BIGINT) AS n_sampled,
+          CAST((((n_chars % 40 + 1) - 1) // 4) * 4 AS BIGINT) AS last_frame
+        FROM documents"""))
   )
 }

@@ -157,6 +157,37 @@ object Ann {
   }
 
   /**
+   * k-NN JOIN: every left row gets its k nearest right rows by cosine —
+   * the bulk-retrieval shape (one query vector per corpus row) as
+   * opposed to the single-query topK paths. Approximate: candidates
+   * come from the left row's sign bucket plus all hamming-1 probes
+   * (distinct buckets — no candidate dedup needed), ranked per left id
+   * with a window. Scale shape: both sides shuffle once on the bucket
+   * key, then once on the left id for the ranking window; never a cross
+   * join. Rows whose probed buckets hold fewer than k rivals return
+   * fewer than k neighbors (raise bits/probes, not k, to fix recall).
+   */
+  def knnJoin(left: DataFrame, right: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bits: Int = 4): DataFrame = {
+    val l = withNormalized(left.repartition(col(idCol)), vecCol, "lv")
+      .select(col(idCol).as("lid"), col("lv"),
+        signBucket(col(vecCol), bits).as("lb"))
+    val probeCols = col("lb") +:
+      (0 until bits).map(j => col("lb").bitwiseXOR(lit(1L << j)))
+    val probes = l.select(col("lid"), col("lv"),
+      explode(array(probeCols: _*)).as("pb"))
+    val r = withNormalized(right.repartition(col(idCol)), vecCol, "rv")
+      .select(col(idCol).as("rid"), col("rv"),
+        signBucket(col(vecCol), bits).as("rb"))
+    val cand = probes.join(r, col("pb") === col("rb") && col("lid") =!= col("rid"))
+      .select(col("lid"), col("rid"), dot(col("lv"), col("rv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lid")).orderBy(col("cos").desc, col("rid"))
+    cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /**
    * Embedding-cosine near-dup pairs: sign-bucket join (pairs only form
    * within a bucket), exact cosine verify ≥ minCos.
    */

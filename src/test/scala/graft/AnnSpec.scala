@@ -40,6 +40,22 @@ class AnnSpec extends SparkSpec {
     assert(!ids.contains(3L))
   }
 
+  test("knn join: per-id ranked neighbors, self excluded, at most k") {
+    val emb = graft.sources.Sources.table(spark, sf001, "embeddings")
+    val knn = Ann.knnJoin(emb, emb, 3).collect()
+    val byId = knn.groupBy(_.getLong(0))
+    byId.foreach { case (lid, rows) =>
+      assert(rows.length <= 3)
+      assert(!rows.exists(_.getLong(1) == lid), "self must be excluded")
+      val ranked = rows.sortBy(_.getInt(3))
+      assert(ranked.map(_.getInt(3)).toSeq == (1 to rows.length))
+      // cos non-increasing with rank
+      val cs = ranked.map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    assert(byId.nonEmpty)
+  }
+
   test("cosine near-dup pairs: only the close pair survives the threshold") {
     val pairs = Ann.cosinePairs(vecs, minCos = 0.9, bits = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
