@@ -36,6 +36,7 @@ sealed trait Pred {
       }
     case And(ps) => ps.map(_.toColumn(resolve)).reduce(_ && _)
     case Or(ps)  => ps.map(_.toColumn(resolve)).reduce(_ || _)
+    case True    => lit(true)
   }
 
   /** Render as an ANSI SQL boolean expression (for DuckDB oracles). */
@@ -60,6 +61,7 @@ sealed trait Pred {
       s"($c $sqlOp $v)"
     case And(ps) => ps.map(_.toSql(resolve)).mkString("(", " AND ", ")")
     case Or(ps)  => ps.map(_.toSql(resolve)).mkString("(", " OR ", ")")
+    case True    => "TRUE"
   }
 
   /** All field paths referenced by this predicate. */
@@ -67,6 +69,7 @@ sealed trait Pred {
     case Cmp(_, f, _) => Set(f)
     case And(ps)      => ps.flatMap(_.fields).toSet
     case Or(ps)       => ps.flatMap(_.fields).toSet
+    case True         => Set.empty
   }
 }
 
@@ -75,15 +78,25 @@ final case class Cmp(op: String, field: String, value: Any) extends Pred {
 }
 final case class And(ps: Seq[Pred]) extends Pred { require(ps.nonEmpty) }
 final case class Or(ps: Seq[Pred]) extends Pred { require(ps.nonEmpty) }
+/** The trivial predicate `{}` — always true, drops nothing (node-krill's
+  * empty filter, accepted by `dn datasource-update --filter={}`). */
+case object True extends Pred
 
 object Krill {
   val cmpOps: Set[String] = Set("eq", "ne", "lt", "le", "gt", "ge")
   private val mapper = new ObjectMapper()
 
   /** Parse a krill JSON predicate string. */
-  def parse(json: String): Pred = fromNode(mapper.readTree(json))
+  def parse(json: String): Pred = {
+    val root =
+      try mapper.readTree(json)
+      catch { case e: com.fasterxml.jackson.core.JacksonException =>
+        throw new GraftException(s"invalid filter JSON: ${e.getMessage}") }
+    fromNode(root)
+  }
 
   private def fromNode(n: JsonNode): Pred = {
+    if (n.isObject && n.size() == 0) return True // trivial predicate
     if (!n.isObject || n.size() != 1)
       throw new GraftException(s"expected single-key object: $n")
     val op = n.fieldNames().next()

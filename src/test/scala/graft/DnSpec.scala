@@ -152,6 +152,16 @@ class DnSpec extends SparkSpec {
     assert(ic.contains("\"by_type\"") && ic.contains("\"event_type\""))
     assertThrows[GraftException](Dn.runConfig(
       Seq("metric-add", "--breakdowns=x", "nosuchds", "m"), rc))
+    // reference: metric-add with no breakdowns = plain count metric;
+    // bad filter JSON errors cleanly (tst.config.sh shouldfail cases)
+    Dn.runConfig(Seq("metric-add", "ev", "plain_count"), rc)
+    assert(Dn.runConfig(Seq("metric-list", "ev"), rc).contains("plain_count"))
+    assertThrows[GraftException](Dn.runConfig(
+      Seq("metric-add", "--filter={", "ev", "badf"), rc))
+    assertThrows[GraftException](Dn.runConfig(
+      Seq("datasource-add", "--path=/x", "--filter={", "badds"), rc))
+    // trivial filter {} round-trips
+    Dn.runConfig(Seq("datasource-update", "--filter={}", "ev"), rc)
     assertThrows[GraftException](Dn.runConfig(
       Seq("metric-add", "--breakdowns=bad[aggr=nope]", "ev", "m2"), rc))
     Dn.runConfig(Seq("metric-remove", "ev", "by_type"), rc)

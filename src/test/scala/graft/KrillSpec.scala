@@ -15,6 +15,19 @@ class KrillSpec extends SparkSpec {
       Or(Seq(Cmp("ne", "m", "GET"), Cmp("le", "l", 1.5))))
   }
 
+  test("trivial predicate {} is always true; bad JSON throws GraftException") {
+    // node-krill's empty filter (reference: tst.config.sh updates a
+    // datasource with --filter={})
+    assert(Krill.parse("{}") == graft.filter.True)
+    assert(Krill.parse("{}").toSql(identity) == "TRUE")
+    assert(Krill.parse("{}").fields.isEmpty)
+    val df = spark.range(3).toDF("x")
+    assert(df.where(Krill.parse("{}").toColumn(
+      org.apache.spark.sql.functions.col)).count() == 3)
+    assertThrows[GraftException](Krill.parse("{"))
+    assertThrows[GraftException](Krill.parse("not json at all"))
+  }
+
   test("malformed predicates throw") {
     assertThrows[GraftException](Krill.parse("""{"between": ["a", 1]}"""))
     assertThrows[GraftException](Krill.parse("""{"eq": ["a"]}"""))
