@@ -75,6 +75,24 @@ object TextQueries {
             (acc, c) -> (acc * 131 + c) % 1000000007) AS rhash
         FROM t""")),
 
+    // #33b PII scrub: emails → <EMAIL>, long digit runs → <NUM>, with
+    // per-doc counts. RE2-safe patterns make the oracle byte-identical.
+    Q("text_scrub",
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        Text.scrubPii(col("text")).as("scrubbed"),
+        Text.emailCount(col("text")).cast("long").as("n_emails"),
+        Text.longNumberCount(col("text")).cast("long").as("n_longnums")),
+      Some(s"""
+        SELECT doc_id,
+          regexp_replace(regexp_replace(text, '${Text.EmailPattern}', '<EMAIL>', 'g'),
+            '${Text.LongNumberPattern}', '<NUM>', 'g') AS scrubbed,
+          CAST(len(regexp_extract_all(text, '${Text.EmailPattern}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(
+            regexp_replace(text, '${Text.EmailPattern}', '<EMAIL>', 'g'),
+            '${Text.LongNumberPattern}')) AS BIGINT) AS n_longnums
+        FROM documents""")),
+
     // #32 language ID (stopword-profile heuristic). The oracle replays
     // the same profiles in the same tie-break order (first profile with
     // the max nonzero score wins; CJK char ratio short-circuits to zh).

@@ -68,6 +68,31 @@ object Text {
       (acc, ch) => (acc * lit(131L) + ascii(ch)) % lit(1000000007L))
   }
 
+  /** Email pattern — RE2-safe (no lookaround/backrefs), so Java regex
+    * (Spark) and RE2 (DuckDB et al.) match identically. */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+  /** Long digit runs (phone/account/SSN-ish) — 7+ digits. */
+  val LongNumberPattern = "[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+"
+
+  /** Count of email-shaped substrings. */
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
+
+  /** Count of long digit runs (after email removal, so an address's
+    * numeric localpart isn't double-counted). */
+  def longNumberCount(text: Column): Column =
+    regexp_count(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      lit(LongNumberPattern))
+
+  /**
+   * PII scrub for corpus cleaning: replace email-shaped substrings with
+   * `<EMAIL>`, then 7+-digit runs with `<NUM>`. Order matters (emails
+   * first — their localparts may contain digit runs); patterns are
+   * RE2-safe so any SQL oracle replays the rewrite byte-for-byte.
+   */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      LongNumberPattern, "<NUM>")
+
   private val stopProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> enStops,
     "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un",

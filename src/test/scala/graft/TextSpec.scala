@@ -26,6 +26,21 @@ class TextSpec extends SparkSpec {
     assert(h1 >= 0 && h1 < 1000000007L)
   }
 
+  test("scrubPii replaces emails then long digit runs, counts match") {
+    val rows = Seq(
+      (1L, "mail bob.smith+x@example.org or call 5551234567 now"),
+      (2L, "no pii here, just 123 and 42"),
+      (3L, "two mails a@b.co c@d.io and 99999999")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.text.Text.scrubPii(col("text")).as("s"),
+        graft.text.Text.emailCount(col("text")).as("ne"),
+        graft.text.Text.longNumberCount(col("text")).as("nn"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(rows(1L) == (("mail <EMAIL> or call <NUM> now", 1, 1)))
+    assert(rows(2L) == (("no pii here, just 123 and 42", 0, 0)))
+    assert(rows(3L) == (("two mails <EMAIL> <EMAIL> and <NUM>", 2, 1)))
+  }
+
   test("quality score stays in [0,1] and ranks clean text above noise") {
     val clean = one[Double](Text.qualityScore(col("t")),
       "The house was on the hill and it was a good day for a walk in the park.")
