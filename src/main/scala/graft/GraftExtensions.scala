@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.bridge
 
-import graft.functions.{ArrayDotProduct, ArrayL2Norm}
+import graft.functions.{ArrayDotProduct, ArrayL2Norm, Md5Pair}
 
 /**
  * SparkSessionExtensions injector: exposes graft's native expressions and
@@ -20,6 +20,7 @@ import graft.functions.{ArrayDotProduct, ArrayL2Norm}
  *   graft_cosine(a, b)      dot / (|a|·|b|)
  *   graft_quantize(x)       power-of-two histogram bucket
  *   graft_lquantize(x, s)   linear bucket of width s (s a literal)
+ *   graft_md5_pair(s)       [h1, h2] cross-engine hash-family seeds
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit =
@@ -77,7 +78,11 @@ object GraftExtensions {
       args => quantizeExpr(args.head)),
     (FunctionIdentifier("graft_lquantize"),
       info("graft_lquantize", "graft_lquantize(x, step) - linear bucket"),
-      args => lquantizeExpr(args(0), args(1).eval(null).toString.toDouble))
+      args => lquantizeExpr(args(0), args(1).eval(null).toString.toDouble)),
+    (FunctionIdentifier("graft_md5_pair"),
+      info("graft_md5_pair",
+        "graft_md5_pair(s) - [h1, h2] md5-derived 60/56-bit hash seeds"),
+      args => Md5Pair(args.head))
   )
 
   /** Register the same functions into an already-built session. */

@@ -58,7 +58,10 @@ object Ann {
    */
   def signBucket(v: Column, bits: Int = 4, stride: Int = 1): Column =
     (0 until bits).map { j =>
-      when(element_at(v, j * stride + 1) > 0, lit(1L << j)).otherwise(lit(0L))
+      // get() is 0-based and null-safe: a vector shorter than `bits`
+      // contributes 0-bits (NULL > 0 is false), matching SQL oracles'
+      // out-of-bounds-is-NULL indexing instead of throwing
+      when(get(v, lit(j * stride)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /**

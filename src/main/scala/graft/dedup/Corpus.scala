@@ -24,7 +24,13 @@ object Corpus {
       langs: Option[Seq[String]] = None,
       nearDupJaccard: Double = 0.6,
       idCol: String = "doc_id",
-      textCol: String = "text")
+      textCol: String = "text",
+      /** false (default): greedy pairwise — drop doc_b of each verified
+        * pair. true: connected-component grouping — keep exactly one doc
+        * (the min id) per near-dup CLUSTER, so chains a~b~c keep only a
+        * even when (a,c) was never a direct pair. Costs the label-
+        * propagation iterations of [[Dedup.clusters]]. */
+      clusterDedup: Boolean = false)
 
   /** Quality + language row filter (no shuffle). */
   def baseFilter(cfg: CleanConfig): Column = {
@@ -48,11 +54,18 @@ object Corpus {
     val exactKept = kept.join(
       Dedup.exactKeepers(kept, cfg.idCol, cfg.textCol), cfg.idCol)
       .localCheckpoint()
-    // near-dup removal: drop the higher id of each verified pair
-    val losers = Dedup
-      .jaccardVerified(exactKept, cfg.idCol, cfg.textCol,
-        minJaccard = cfg.nearDupJaccard)
-      .select(col("doc_b").as(cfg.idCol)).distinct()
+    // near-dup removal: greedy (drop doc_b of each verified pair) or
+    // cluster-wide (keep only the min id of each connected component)
+    val losers =
+      if (cfg.clusterDedup)
+        Dedup.clusters(exactKept, cfg.idCol, cfg.textCol,
+          minJaccard = cfg.nearDupJaccard)
+          .where(col(cfg.idCol) =!= col("cluster_id"))
+          .select(cfg.idCol)
+      else Dedup
+        .jaccardVerified(exactKept, cfg.idCol, cfg.textCol,
+          minJaccard = cfg.nearDupJaccard)
+        .select(col("doc_b").as(cfg.idCol)).distinct()
     exactKept.join(losers, Seq(cfg.idCol), "left_anti")
   }
 }

@@ -27,6 +27,22 @@ class CorpusSpec extends SparkSpec {
     assert(out == Set(1L, 3L, 4L)) // only exact dup + garbage removed
   }
 
+  test("cluster keep-policy keeps one doc per component, incl. chains") {
+    // 6 is a near-dup of 3 but not of 1: greedy drops {2,3,6};
+    // clustering also resolves the whole chain 1~3~6 to keeper 1
+    val chained = docs.union(Seq(
+      (6L, "the house was on that hill and it was a good night for a walk in the park with friends")
+    ).toDF("doc_id", "text"))
+    val clustered = Corpus.clean(chained,
+      CleanConfig(clusterDedup = true)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(clustered == Set(1L, 4L))
+    // both policies agree here (every loser pairs directly with 1 or 3)
+    val greedy = Corpus.clean(chained).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(greedy == clustered)
+  }
+
   test("language filter composes") {
     // long, punctuation-free French: passes the quality floor on its own
     // (so the assertion below genuinely tests the langs branch)

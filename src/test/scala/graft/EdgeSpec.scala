@@ -57,6 +57,25 @@ class EdgeSpec extends SparkSpec {
     assert(out(0).getString(2) == out(1).getString(2))
   }
 
+  test("new ops survive degenerate inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.dedup.Dedup.clusters(empty).count() == 0)
+    assert(graft.dedup.Dedup.minhashCandidates(empty).count() == 0)
+    val single = Seq((1L, "only one document here")).toDF("doc_id", "text")
+    assert(graft.dedup.Dedup.clusters(single).count() == 0)
+    // knn join with k larger than the corpus: every row gets all others
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val knn = graft.ann.Ann.knnJoin(emb, emb, 10).collect()
+    assert(knn.groupBy(_.getLong(0)).forall(_._2.length <= 2))
+    // scrub on empty / null-free corner strings
+    val s = Seq("", "@", "123456", "1234567").toDF("text")
+      .select(graft.text.Text.scrubPii(org.apache.spark.sql.functions.col("text")))
+      .collect().map(_.getString(0)).toSeq
+    assert(s == Seq("", "@", "123456", "<NUM>"))
+  }
+
   test("filters never resurrect dropped rows via NOT semantics") {
     val withNull = Seq((Some("x"), 1), (None, 2)).toDF("k", "v")
     // ne: NULL row fails (dropped), not treated as "not equal"

@@ -53,6 +53,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getLong(4) == 130L)
   }
 
+  test("graft_md5_pair SQL function matches the XHash reference forms") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_md5_pair('abc')[0] AS h1, graft_md5_pair('abc')[1] AS h2,
+        |       CAST(conv(substring(md5('abc'), 1, 15), 16, 10) AS BIGINT) AS r1,
+        |       CAST(conv(substring(md5('abc'), 17, 14), 16, 10) AS BIGINT) AS r2
+        |""".stripMargin).collect().head
+    assert(r.getLong(0) == r.getLong(2))
+    assert(r.getLong(1) == r.getLong(3))
+  }
+
   test("native dot is bit-identical to the HOF formulation on real embeddings") {
     val e = graft.sources.Sources.table(spark, sf001, "embeddings").limit(50)
     val hof = e.select(col("vec_id"),
