@@ -363,12 +363,14 @@ object Dn {
           else Seq(Metric("default",
             a.flags.get("metric-breakdowns").orElse(a.flags.get("breakdowns"))
               .map(AttrParser.parse).getOrElse(Nil), None))
-        Index.query(spark, idx, metrics, cfg)
+        Index.query(spark, idx, metrics, cfg,
+          a.flags.getOrElse("interval", "day"))
       case "index-read" =>
         val idx = a.flags.getOrElse("index",
           throw new GraftException("index-read needs a datasource with " +
             "an index path (or --index)"))
-        spark.read.parquet(s"$idx/${oneMetric().name}")
+        spark.read.parquet(Index.metricPath(idx,
+          a.flags.getOrElse("interval", "day"), oneMetric().name))
       case "index-scan" =>
         val tf = a.flags.getOrElse("time-field",
           throw new GraftException("index-scan needs --time-field"))

@@ -35,7 +35,8 @@ object IndexQueries {
   private def ensureBuilt(spark: SparkSession, sfDir: String,
                           interval: String): String = synchronized {
     val path = indexPath(sfDir, interval)
-    val marker = new java.io.File(s"$path/${metrics.head.name}/_SUCCESS")
+    val marker = new java.io.File(
+      s"${Index.metricPath(path, interval, metrics.head.name)}/_SUCCESS")
     if (!marker.exists()) {
       Index.build(Sources.events(spark, sfDir), metrics, path,
         timeField = "ts", interval = interval)
@@ -45,7 +46,8 @@ object IndexQueries {
 
   private def serve(interval: String, cfg: QueryConfig)
       : (SparkSession, String) => DataFrame =
-    (s, dir) => Index.query(s, ensureBuilt(s, dir, interval), metrics, cfg)
+    (s, dir) => Index.query(s, ensureBuilt(s, dir, interval), metrics, cfg,
+      interval)
 
   private val rq: String => String = identity
 

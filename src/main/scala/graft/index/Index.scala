@@ -34,12 +34,13 @@ object Index {
 
   val Intervals = Set("day", "hour", "all")
 
-  /**
-   * Build the index for each metric. `timeField` provides the partition
-   * date/hour (reference: datasource --time-field). `valueField` weights
-   * each input row (json-skinner points carry a `value` weight; raw
-   * records weigh 1).
-   */
+  /** Storage layout: one tree per interval under the index root — the
+    * analog of dragnet's by_day/ by_hour/ all-time sqlite directories
+    * (lib/index-sink.js) — so day and hour indexes of the same metric
+    * coexist and `dn query --interval` selects one. */
+  def metricPath(path: String, interval: String, metric: String): String =
+    s"$path/by_$interval/$metric"
+
   /**
    * The aggregated tuples one metric's index would contain (dragnet
    * `dn index-scan` — compute without writing): filter → breakdown dims
@@ -70,6 +71,12 @@ object Index {
         .cast("long").as("value"))
   }
 
+  /**
+   * Build the index for each metric. `timeField` provides the partition
+   * date/hour (reference: datasource --time-field). `valueField` weights
+   * each input row (json-skinner points carry a `value` weight; raw
+   * records weigh 1).
+   */
   def build(df: DataFrame, metrics: Seq[Metric], path: String,
             timeField: String, interval: String = "day",
             resolve: String => Column = col,
@@ -91,7 +98,7 @@ object Index {
       }
       (if (interval == "all") clustered.write.mode("overwrite")
        else clustered.write.mode("overwrite").partitionBy("dn_date"))
-        .parquet(s"$path/${m.name}")
+        .parquet(metricPath(path, interval, m.name))
     }
   }
 
@@ -129,13 +136,19 @@ object Index {
    * timestamp column.
    */
   def query(spark: SparkSession, path: String, metrics: Seq[Metric],
-            cfg: QueryConfig): DataFrame = {
+            cfg: QueryConfig, interval: String = "day"): DataFrame = {
+    require(Intervals.contains(interval), s"bad interval: $interval")
     val needed = cfg.breakdowns.map(_.field).toSet ++
       cfg.filter.map(_.fields).getOrElse(Set.empty)
     val metric = metrics.find(m => needed.subsetOf(m.breakdowns.map(_.name).toSet))
       .getOrElse(throw new GraftException(
         s"no metrics available to serve query (need $needed)"))
-    var df = spark.read.parquet(s"$path/${metric.name}")
+    val mp = metricPath(path, interval, metric.name)
+    var df =
+      try spark.read.parquet(mp)
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new GraftException(
+          s"no index built at $mp (interval=$interval): ${e.getMessage}") }
 
     // Partition pruning on the day directory, the analog of dragnet's
     // by_day file pruning (lib/path-enum.js).

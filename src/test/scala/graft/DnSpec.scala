@@ -252,6 +252,33 @@ class DnSpec extends SparkSpec {
       "--path=/x", "--data-format=xml", "badfmt"), rc))
   }
 
+  test("day and hour indexes coexist under one root; --interval selects") {
+    val rc = tmpConfig
+    val idx = Files.createTempDirectory("graft-dn-iv").toString
+    Dn.runConfig(Seq("datasource-add", s"--path=$events",
+      s"--index-path=$idx", "--time-field=ts", "--data-format=parquet",
+      "ev2"), rc)
+    Dn.runConfig(Seq("metric-add", "--breakdowns=event_type", "ev2",
+      "by_type"), rc)
+    Dn.run(spark, Seq("build", "ev2"), rc) // day (default)
+    Dn.run(spark, Seq("build", "ev2", "--interval=hour"), rc)
+    val day = Dn.run(spark,
+      Seq("query", "ev2", "--breakdowns=event_type"), rc)
+      .collect().map(_.toSeq).toSet
+    val hour = Dn.run(spark,
+      Seq("query", "ev2", "--breakdowns=event_type", "--interval=hour"), rc)
+      .collect().map(_.toSeq).toSet
+    assert(day == hour && day.nonEmpty) // same rollup, different grain
+    // hourly tree carries dn_hour; day tree doesn't
+    assert(Dn.run(spark, Seq("index-read", "ev2", "--interval=hour"), rc)
+      .columns.contains("dn_hour"))
+    assert(!Dn.run(spark, Seq("index-read", "ev2"), rc)
+      .columns.contains("dn_hour"))
+    // querying an interval that was never built errors clearly
+    assertThrows[GraftException](Dn.run(spark,
+      Seq("query", "ev2", "--breakdowns=event_type", "--interval=all"), rc))
+  }
+
   test("gnuplot output: runnable script for exactly one breakdown") {
     val df = Dn.run(spark, Seq("scan", s"--data=$events",
       "--breakdowns=event_type"))

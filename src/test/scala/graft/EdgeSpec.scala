@@ -36,7 +36,7 @@ class EdgeSpec extends SparkSpec {
     val empty = df.where(col("host") === "nope")
       .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
     Index.build(empty, Seq(metric), path, timeField = "ts", interval = "all")
-    val out = Index.query(spark, path, Seq(metric), QueryConfig())
+    val out = Index.query(spark, path, Seq(metric), QueryConfig(), "all")
     assert(out.collect().toSeq == Seq(Row(0L)))
   }
 

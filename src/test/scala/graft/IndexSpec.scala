@@ -42,7 +42,8 @@ class IndexSpec extends SparkSpec {
       val path = tmp()
       Index.build(ev, Seq(metric), path, timeField = "ts", interval = interval)
       val cfg = QueryConfig(breakdowns = Seq(FieldSpec.plain("user_id")))
-      assert(Index.query(spark, path, Seq(metric), cfg).collect().map(_.toSeq).toSet ==
+      assert(Index.query(spark, path, Seq(metric), cfg, interval)
+        .collect().map(_.toSeq).toSet ==
         Scan.scan(ev, cfg).collect().map(_.toSeq).toSet, s"interval=$interval")
     }
   }
