@@ -54,7 +54,8 @@ object Dn {
       counters: Boolean,
       verbose: Boolean,
       raw: Boolean,
-      gnuplot: Boolean)
+      gnuplot: Boolean,
+      dryRun: Boolean)
 
   private val configModes = Set("datasource-add", "datasource-update",
     "datasource-list", "datasource-remove", "datasource-show",
@@ -77,6 +78,7 @@ object Dn {
     var verbose = false
     var raw = false
     var gnuplot = false
+    var dryRun = false
     val positional = Seq.newBuilder[String]
     val flags = argv.tail.flatMap {
       case "--points" => points = true; None
@@ -84,6 +86,7 @@ object Dn {
       case "-v" | "--verbose" => verbose = true; None
       case "--raw" => raw = true; None
       case "--gnuplot" => gnuplot = true; None
+      case "--dry-run" => dryRun = true; None
       case f if f.startsWith("--") && f.contains("=") =>
         val i = f.indexOf('=')
         val key = f.substring(2, i)
@@ -99,7 +102,7 @@ object Dn {
     if (counters && points)
       throw new GraftException("--counters and --points are mutually exclusive")
     DnArgs(mode, flags, positional.result(), points, counters, verbose, raw,
-      gnuplot)
+      gnuplot, dryRun)
   }
 
   private def cfgOf(a: DnArgs): QueryConfig = QueryConfig(
@@ -352,9 +355,16 @@ object Dn {
           if (fromConfig.nonEmpty)
             Scan.prefilter(readData(spark, a), cfg.copy(breakdowns = Nil))
           else readData(spark, a)
-        Index.build(input, metrics, idx, tf,
-          a.flags.getOrElse("interval", "day"), valueField = skinnerValue)
-        spark.emptyDataFrame
+        // --dry-run: the tuples the first metric WOULD write, unexecuted
+        // (main explains the plan) — nothing touches the index path
+        if (a.dryRun)
+          Index.scanRows(input, metrics.head, tf,
+            a.flags.getOrElse("interval", "day"), valueField = skinnerValue)
+        else {
+          Index.build(input, metrics, idx, tf,
+            a.flags.getOrElse("interval", "day"), valueField = skinnerValue)
+          spark.emptyDataFrame
+        }
       case "query" =>
         val idx = a.flags.getOrElse("index",
           throw new GraftException("--index is required"))
@@ -402,7 +412,8 @@ object Dn {
     val bds = a.flags.get("breakdowns").map(AttrParser.parse).getOrElse(Nil)
     val lastAggr = bds.lastOption.exists(_.aggr.isDefined)
     if (df.schema.nonEmpty) {
-      if (a.gnuplot) print(Format.gnuplot(df, bds))
+      if (a.dryRun) df.explain("formatted") // plan only, nothing executes
+      else if (a.gnuplot) print(Format.gnuplot(df, bds))
       else if (a.raw) df.toJSON.collect().foreach(println)
       else if (lastAggr && !a.points && !a.counters) print(Format.histogram(df))
       else df.show(1000, truncate = false)

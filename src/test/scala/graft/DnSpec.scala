@@ -252,6 +252,16 @@ class DnSpec extends SparkSpec {
       "--path=/x", "--data-format=xml", "badfmt"), rc))
   }
 
+  test("build --dry-run plans the index tuples without writing") {
+    val idx = Files.createTempDirectory("graft-dn-dry").toString + "/sub"
+    val planned = Dn.run(spark, Seq("build", s"--data=$events",
+      s"--index=$idx", "--breakdowns=event_type", "--time-field=ts",
+      "--dry-run"))
+    assert(planned.columns.toSet == Set("event_type", "dn_date", "value"))
+    assert(planned.count() > 0)
+    assert(!new java.io.File(idx).exists(), "dry-run must not write")
+  }
+
   test("day and hour indexes coexist under one root; --interval selects") {
     val rc = tmpConfig
     val idx = Files.createTempDirectory("graft-dn-iv").toString
