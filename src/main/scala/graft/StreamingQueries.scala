@@ -68,6 +68,44 @@ object StreamingQueries {
                CAST(COUNT(*) AS BIGINT) AS value
         FROM events GROUP BY 1, 2, 3""")),
 
+    // #18b the persistent streaming-index story end to end: stream →
+    // windowed counts → APPEND-mode parquet index sink (dn_date
+    // partitions) → batch read-back. Append emits a window exactly once,
+    // when the watermark passes its end — so the oracle is the batch
+    // day-window count restricted to windows whose end <= max event
+    // time (the final partial day stays in state, by design).
+    Q("stream_index_roundtrip",
+      (s, dir) => {
+        val stream = eventStream(s, dir)
+          .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        val agg = graft.streaming.StreamScan.scanStream(stream,
+          QueryConfig(breakdowns = Seq(FieldSpec.plain("event_type"))),
+          timeCol = "ts", windowDur = "1 day", watermarkDelay = "0 seconds")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-stream-idx").toString
+        val key = "spark.sql.shuffle.partitions"
+        val prev = s.conf.get(key)
+        s.conf.set(key, "8")
+        try {
+          val q = graft.streaming.StreamScan.indexSink(agg,
+            s"$tmp/idx", s"$tmp/ckpt",
+            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          q.awaitTermination()
+        } finally s.conf.set(key, prev)
+        s.read.parquet(s"$tmp/idx")
+          .select(col("window_start"), col("window_end"), col("event_type"),
+            col("value"))
+      },
+      Some("""
+        WITH mx AS (SELECT max(ts) AS m FROM events)
+        SELECT date_trunc('day', ts) AS window_start,
+               date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS value
+        FROM events, mx
+        WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= m
+        GROUP BY 1, 2, 3""")),
+
     // #25c streaming dedup: watermark-bounded dropDuplicates over a
     // content key. Only the KEY columns are emitted, so the result is
     // arrival-order-independent — exactly the distinct key set, which IS

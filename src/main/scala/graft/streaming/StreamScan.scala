@@ -56,10 +56,13 @@ object StreamScan {
    * once, when the watermark passes its end.
    */
   def indexSink(windowedAgg: DataFrame, path: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)): StreamingQuery =
     windowedAgg
       .withColumn("dn_date", date_format(col("window_start"), "yyyy-MM-dd"))
       .writeStream
+      .trigger(trigger)
       .format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
