@@ -109,7 +109,11 @@ object DnConfig {
 
   def load(path: Path = defaultPath): Config = {
     if (!Files.exists(path)) return Empty
-    val root = mapper.readTree(Files.readString(path))
+    val root =
+      try mapper.readTree(Files.readString(path))
+      catch { case e: com.fasterxml.jackson.core.JacksonException =>
+        throw new GraftException(
+          s"corrupt config file $path: ${e.getMessage}") }
     def strOpt(n: JsonNode, k: String): Option[String] =
       Option(n.get(k)).filterNot(_.isNull).map(_.asText)
     val dss = Option(root.get("datasources")).map(_.elements()).map { it =>

@@ -169,6 +169,9 @@ object Ann {
    * key, then once on the left id for the ranking window; never a cross
    * join. Rows whose probed buckets hold fewer than k rivals return
    * fewer than k neighbors (raise bits/probes, not k, to fix recall).
+   * Pairs with equal ids are excluded (self-match suppression for the
+   * common corpus⋈itself case); joining two tables whose id spaces
+   * overlap should disambiguate ids first.
    */
   def knnJoin(left: DataFrame, right: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",

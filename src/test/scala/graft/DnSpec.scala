@@ -162,6 +162,10 @@ class DnSpec extends SparkSpec {
       Seq("datasource-add", "--path=/x", "--filter={", "badds"), rc))
     // trivial filter {} round-trips
     Dn.runConfig(Seq("datasource-update", "--filter={}", "ev"), rc)
+    // a corrupt config file errors cleanly, not with a parser stack
+    val bad = Files.createTempDirectory("graft-badrc").resolve("rc")
+    Files.writeString(bad, "{ not json")
+    assertThrows[GraftException](Dn.runConfig(Seq("datasource-list"), bad))
     assertThrows[GraftException](Dn.runConfig(
       Seq("metric-add", "--breakdowns=bad[aggr=nope]", "ev", "m2"), rc))
     Dn.runConfig(Seq("metric-remove", "ev", "by_type"), rc)
