@@ -1,0 +1,37 @@
+package graft
+
+/**
+ * Plan-shape invariants over the ENTIRE registered query surface
+ * (SURVEY.md §4): the properties that decide whether a plan survives a
+ * 100× scale-up, asserted at sf0.001 so regressions surface in CI, not
+ * on the cluster.
+ */
+class PlanShapeSpec extends SparkSpec {
+
+  test("no registered query plans a CartesianProduct") {
+    // Single-row query-vector joins broadcast (BroadcastNestedLoopJoin
+    // over a 1-row side is fine); an unconstrained CartesianProduct of
+    // two corpus-sized sides is never acceptable.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf001).queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n${plan.take(1500)}")
+    }
+  }
+
+  test("filtered event scans push predicates into the parquet reader") {
+    for (q <- Seq("scan_filter_eq", "scan_filter_cmp", "scan_time_bounds")) {
+      val plan = SparkEntry.queries(q)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [") &&
+        !plan.contains("PushedFilters: []"),
+        s"$q lost its parquet pushdown:\n${plan.take(1200)}")
+    }
+  }
+
+  test("dimension joins broadcast the small side") {
+    val plan = SparkEntry.queries("q3_shipping")(spark, sf001)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
+}
