@@ -127,28 +127,46 @@ object Ann {
    * persist the cell column with the corpus and bucket-join on it, same
    * shape as the index layer.
    */
-  def ivfTopK(corpus: DataFrame, query: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val n = withNormalized(corpus, vecCol, "vn")
-      .select(col(idCol).as("id"), col("vn"))
+  /** The deterministic IVF coarse quantizer: XHash-sampled centroid rows
+    * (broadcastable — ~nlist rows). */
+  def ivfCentroids(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", nlist: Int = 16): DataFrame = {
     // deterministic hash sample of ~nlist centroids — no global sort, no
-    // training job; ties in max_by break on cid via struct ordering. The
-    // sampling modulus comes from a count over the RAW corpus (parquet
-    // footer metadata, not a normalization pass). Sampling hashes with
-    // the cross-engine XHash (not xxhash64) so an oracle can replay the
-    // centroid choice.
+    // training job. The sampling modulus comes from a count over the RAW
+    // corpus (parquet footer metadata, not a normalization pass).
+    // Sampling hashes with the cross-engine XHash (not xxhash64) so an
+    // oracle can replay the centroid choice.
     val m = math.max(1L, corpus.count() / nlist)
-    val centroids = broadcast(
-      n.where(pmod(graft.functions.XHash.h60(col("id").cast("string")), lit(m)) === 0)
-        .select(col("id").as("cid"), col("vn").as("cv")))
-    val assigned = n.crossJoin(centroids)
+    withNormalized(corpus, vecCol, "vn")
+      .select(col(idCol).as("id"), col("vn"))
+      .where(pmod(graft.functions.XHash.h60(col("id").cast("string")), lit(m)) === 0)
+      .select(col("id").as("cid"), col("vn").as("cv"))
+  }
+
+  /**
+   * Cell assignment (id, vn, cell): argmax dot over the broadcast
+   * centroids, ties broken on cid via struct ordering. At production
+   * scale this is the dataset you PERSIST alongside the corpus
+   * (partitioned/bucketed by `cell`), so repeated queries skip the
+   * assignment pass entirely — see [[ivfTopKAssigned]].
+   */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    withNormalized(corpus, vecCol, "vn")
+      .select(col(idCol).as("id"), col("vn"))
+      .crossJoin(broadcast(centroids))
       .withColumn("d", dot(col("vn"), col("cv")))
       .groupBy(col("id"))
       .agg(first(col("vn")).as("vn"),
         max_by(col("cid"), struct(col("d"), col("cid"))).as("cell"))
+
+  /** IVF search over a precomputed assignment (id, vn, cell): probe the
+    * nprobe nearest cells, score only their members. */
+  def ivfTopKAssigned(assigned: DataFrame, centroids: DataFrame,
+      query: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", nprobe: Int = 4): DataFrame = {
     val qn = withNormalized(query, vecCol, "qn").select(col("qn"))
-    val qCells = broadcast(qn.crossJoin(centroids)
+    val qCells = broadcast(qn.crossJoin(broadcast(centroids))
       .select(col("qn"), col("cid"), dot(col("qn"), col("cv")).as("d"))
       .orderBy(col("d").desc, col("cid"))
       .limit(nprobe)
@@ -157,6 +175,14 @@ object Ann {
       .select(col("id").as(idCol), dot(col("vn"), col("qn")).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
+
+  def ivfTopK(corpus: DataFrame, query: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nlist)
+    ivfTopKAssigned(ivfAssign(corpus, centroids, idCol, vecCol), centroids,
+      query, k, idCol, vecCol, nprobe)
   }
 
   /**

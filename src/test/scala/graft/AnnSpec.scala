@@ -40,6 +40,22 @@ class AnnSpec extends SparkSpec {
     assert(!ids.contains(3L))
   }
 
+  test("IVF over a persisted assignment equals the one-shot path") {
+    val emb = graft.sources.Sources.table(spark, sf001, "embeddings")
+    val q = emb.orderBy(org.apache.spark.sql.functions.col("vec_id")).limit(1)
+    val oneShot = Ann.ivfTopK(emb, q, 10).collect().map(_.toSeq).toSeq
+    // persist the cell assignment (what a production pipeline stores
+    // bucketed by cell), then search it
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val centroids = Ann.ivfCentroids(emb)
+    Ann.ivfAssign(emb, centroids).write.mode("overwrite")
+      .partitionBy("cell").parquet(dir)
+    val persisted = Ann.ivfTopKAssigned(
+      spark.read.parquet(dir), centroids, q, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(persisted == oneShot && oneShot.size == 10)
+  }
+
   test("knn join: per-id ranked neighbors, self excluded, at most k") {
     val emb = graft.sources.Sources.table(spark, sf001, "embeddings")
     val knn = Ann.knnJoin(emb, emb, 3).collect()

@@ -20,6 +20,9 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("filtered event scans push predicates into the parquet reader") {
+    // other suites may have cached the events table (IndexSpec does);
+    // cached plans serve InMemoryTableScan and hide the file pushdown
+    spark.catalog.clearCache()
     for (q <- Seq("scan_filter_eq", "scan_filter_cmp", "scan_time_bounds")) {
       val plan = SparkEntry.queries(q)(spark, sf001)
         .queryExecution.executedPlan.toString
