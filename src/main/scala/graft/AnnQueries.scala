@@ -139,6 +139,31 @@ object AnnQueries {
           FROM cand)
         SELECT lid, rid, cos, rank FROM ranked WHERE rank <= 5""")),
 
+    // #30b int8-quantized brute-force top-k: 4× smaller vectors, cosine
+    // is scale-invariant so no dequantization. The oracle replays the
+    // explicit floor(x·scale + 0.5) quantization and the integer-valued
+    // double arithmetic.
+    Q("ann_quantized",
+      (s, dir) => {
+        val e = emb(s, dir)
+        Ann.quantizedTopK(e, queryVec(e), 10)
+      },
+      Some(s"""
+        WITH qz AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> floor(CAST(x AS DOUBLE)
+              * (127.0 / greatest(list_aggregate(
+                   list_transform(embedding, y -> abs(CAST(y AS DOUBLE))),
+                   'max'), 1e-30)) + 0.5)) AS q
+          FROM embeddings),
+        qq AS (SELECT q AS query_q FROM qz ORDER BY vec_id LIMIT 1),
+        scored AS (
+          SELECT vec_id,
+            ${dotSql("q", "query_q")}
+              / (sqrt(${dotSql("q", "q")}) * sqrt(${dotSql("query_q", "query_q")})) AS cos
+          FROM qz, qq)
+        SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10""")),
+
     // #29 embedding-cosine near-dup pairs (bucket join + exact verify)
     Q("dedup_embed",
       (s, dir) => Ann.cosinePairs(emb(s, dir), minCos = 0.35),

@@ -220,6 +220,37 @@ object Ann {
   }
 
   /**
+   * Symmetric int8 quantization of an embedding column: per-vector scale
+   * 127/max|x|, q_i = floor(x_i·scale + 0.5) — EXPLICIT half-up rounding
+   * (floor(+0.5)) so any SQL engine reproduces it; round() would hit
+   * HALF_EVEN/HALF_UP disagreements. 4× smaller than float32 at rest —
+   * at a 100 TB embedding table that's the difference between fitting in
+   * cluster memory or not. COSINE is scale-invariant, so quantized
+   * cosine needs no dequantization: cos(q_a, q_b) ≈ cos(a, b).
+   */
+  def quantize8(v: Column): Column = {
+    val mx = greatest(array_max(transform(v, x => abs(x.cast("double")))),
+      lit(1e-30))
+    transform(v, x =>
+      floor(x.cast("double") * (lit(127.0) / mx) + lit(0.5)).cast("tinyint"))
+  }
+
+  /**
+   * Brute-force cosine top-k over int8-quantized vectors: the same plan
+   * shape as [[bruteForceTopK]] but each dot touches a quarter of the
+   * bytes (the native expressions widen integral elements per-element).
+   */
+  def quantizedTopK(corpus: DataFrame, query: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), quantize8(col(vecCol)).as("qv"))
+    val q = broadcast(query.select(quantize8(col(vecCol)).as("qq")))
+    c.join(q)
+      .select(col(idCol), cosine(col("qv"), col("qq")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
    * Embedding-cosine near-dup pairs: sign-bucket join (pairs only form
    * within a bucket), exact cosine verify ≥ minCos.
    */

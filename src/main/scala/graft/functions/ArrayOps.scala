@@ -17,32 +17,43 @@ import org.apache.spark.sql.types._
  * strict left-to-right double arithmetic, so results are bit-identical to
  * the HOF formulation.
  *
- * Accepts array<double> and array<float>; floats are widened per element
- * (exact in double). NULL array → NULL; NULL elements contribute 0.
+ * Accepts array<double>, array<float>, and integral element types
+ * (tinyint…bigint — quantized embeddings); every element is widened per
+ * element to double (exact for float and for integers below 2^53).
+ * NULL array → NULL; NULL elements contribute 0.
  */
 private[graft] object ArrayOps {
   def accepts(t: DataType): Boolean = t match {
-    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType | FloatType, _) => true
+    case ArrayType(ByteType | ShortType | IntegerType | LongType, _) => true
     case _ => false
   }
 
   def check(name: String, children: Seq[Expression]): TypeCheckResult =
     children.find(c => !accepts(c.dataType)) match {
       case Some(bad) => TypeCheckResult.TypeCheckFailure(
-        s"$name expects array<double> or array<float>, got ${bad.dataType.sql}")
+        s"$name expects an array of numeric elements, got ${bad.dataType.sql}")
       case None => TypeCheckResult.TypeCheckSuccess
     }
 
   def getter(et: DataType, arr: String, i: String): String = et match {
-    case DoubleType => s"$arr.getDouble($i)"
-    case FloatType  => s"((double) $arr.getFloat($i))"
-    case other      => throw new IllegalStateException(s"bad element: $other")
+    case DoubleType  => s"$arr.getDouble($i)"
+    case FloatType   => s"((double) $arr.getFloat($i))"
+    case ByteType    => s"((double) $arr.getByte($i))"
+    case ShortType   => s"((double) $arr.getShort($i))"
+    case IntegerType => s"((double) $arr.getInt($i))"
+    case LongType    => s"((double) $arr.getLong($i))"
+    case other       => throw new IllegalStateException(s"bad element: $other")
   }
 
   def get(et: DataType, arr: ArrayData, i: Int): Double = et match {
-    case DoubleType => arr.getDouble(i)
-    case FloatType  => arr.getFloat(i).toDouble
-    case other      => throw new IllegalStateException(s"bad element: $other")
+    case DoubleType  => arr.getDouble(i)
+    case FloatType   => arr.getFloat(i).toDouble
+    case ByteType    => arr.getByte(i).toDouble
+    case ShortType   => arr.getShort(i).toDouble
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType    => arr.getLong(i).toDouble
+    case other       => throw new IllegalStateException(s"bad element: $other")
   }
 
   def elementType(e: Expression): DataType =

@@ -56,6 +56,20 @@ class AnnSpec extends SparkSpec {
     assert(persisted == oneShot && oneShot.size == 10)
   }
 
+  test("int8 quantized top-k: values in range, high recall vs exact") {
+    val emb = graft.sources.Sources.table(spark, sf001, "embeddings")
+    val q = emb.orderBy(org.apache.spark.sql.functions.col("vec_id")).limit(1)
+    // quantized values stay in [-127, 127]
+    val qvals = emb.select(org.apache.spark.sql.functions.explode(
+      Ann.quantize8(org.apache.spark.sql.functions.col("embedding"))))
+      .collect().map(_.getByte(0).toInt)
+    assert(qvals.forall(v => v >= -127 && v <= 127))
+    assert(qvals.exists(v => math.abs(v) == 127), "scale should hit full range")
+    val exact = Ann.bruteForceTopK(emb, q, 10).collect().map(_.getLong(0)).toSet
+    val quant = Ann.quantizedTopK(emb, q, 10).collect().map(_.getLong(0)).toSet
+    assert((exact & quant).size >= 8, s"recall too low: $exact vs $quant")
+  }
+
   test("knn join: per-id ranked neighbors, self excluded, at most k") {
     val emb = graft.sources.Sources.table(spark, sf001, "embeddings")
     val knn = Ann.knnJoin(emb, emb, 3).collect()
