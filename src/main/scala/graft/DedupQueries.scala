@@ -54,6 +54,38 @@ object DedupQueries {
       (s, dir) => Dedup.clusters(docs(s, dir)),
       Some(DedupSql.clusters())),
 
+    // #25c boilerplate line removal (C4/RefinedWeb): lines whose
+    // normalized form appears in >= 3 distinct docs are stripped
+    // everywhere, order preserved. Oracle rebuilds each doc with the
+    // same normalization, threshold, and position sort.
+    Q("corpus_boilerplate",
+      (s, dir) => graft.dedup.Corpus.stripBoilerplate(docs(s, dir), minDocs = 3)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("text").as("clean_text")),
+      Some("""
+        WITH ls AS (
+          SELECT doc_id, string_split(text, chr(10)) AS parts FROM documents),
+        lines AS (
+          SELECT doc_id,
+            unnest(range(1, len(parts) + 1)) AS pos,
+            unnest(parts) AS ln
+          FROM ls),
+        hot AS (
+          SELECT trim(lower(ln)) AS n FROM lines
+          WHERE trim(lower(ln)) <> ''
+          GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+        kept AS (
+          SELECT doc_id, pos, ln FROM lines l
+          WHERE NOT EXISTS (
+            SELECT 1 FROM hot h WHERE h.n = trim(lower(l.ln)))),
+        re AS (
+          SELECT doc_id,
+            array_to_string(list(ln ORDER BY pos), chr(10)) AS clean_text
+          FROM kept GROUP BY doc_id)
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+          coalesce(re.clean_text, '') AS clean_text
+        FROM documents d LEFT JOIN re USING (doc_id)""")),
+
     // #25b the composed cleaning pipeline (quality floor → exact dedup →
     // near-dup removal) — the end-to-end training-data story, oracle-
     // checked as one CTE chain; CorpusSpec additionally pins the

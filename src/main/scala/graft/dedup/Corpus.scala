@@ -42,6 +42,36 @@ object Corpus {
   }
 
   /**
+   * Boilerplate line removal (the C4/RefinedWeb move): a line whose
+   * whitespace/case-normalized form appears in ≥ `minDocs` DISTINCT
+   * documents is navigation/footer/header noise and is stripped from
+   * every document; line order is preserved via position sort. Scale
+   * shape: one explode + one count-distinct aggregation over lines + an
+   * anti join — all shuffles keyed by line hash, never doc². Output:
+   * every input row with `textCol` rewritten (possibly to "" when a doc
+   * was pure boilerplate) — callers chain a quality floor after.
+   */
+  def stripBoilerplate(docs: DataFrame, minDocs: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "ln")))
+      .withColumn("n", trim(lower(col("ln"))))
+    val hot = lines.where(col("n") =!= "")
+      .groupBy(col("n"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("n"))
+    val rebuilt = lines.join(hot, Seq("n"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("ln")))),
+        s => s.getField("ln")), "\n").as("_clean"))
+    docs.join(rebuilt, col(idCol) === col("id"), "left")
+      .withColumn(textCol, coalesce(col("_clean"), lit("")))
+      .drop("id", "_clean")
+  }
+
+  /**
    * Clean the corpus. Output = surviving input rows (original columns),
    * deterministic for a given input.
    */

@@ -43,6 +43,29 @@ class CorpusSpec extends SparkSpec {
     assert(greedy == clustered)
   }
 
+  test("boilerplate lines strip everywhere, order and empties preserved") {
+    val withBp = Seq(
+      (1L, "COOKIE NOTICE\nreal content one\nfooter text"),
+      (2L, "cookie notice\nreal content two\nfooter text"),
+      (3L, "Cookie Notice\n\nreal content three\nfooter text"),
+      (4L, "unrelated document without any shared lines")
+    ).toDF("doc_id", "text")
+    val out = Corpus.stripBoilerplate(withBp, minDocs = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    // "cookie notice" (normalized) and "footer text" hit 3 docs → gone;
+    // case differences collapse; doc 3's empty line survives
+    assert(out(1L) == "real content one")
+    assert(out(2L) == "real content two")
+    assert(out(3L) == "\nreal content three")
+    assert(out(4L) == "unrelated document without any shared lines")
+    // a doc that is pure boilerplate rewrites to ""
+    val pure = withBp.union(Seq((5L, "footer text")).toDF("doc_id", "text"))
+    assert(Corpus.stripBoilerplate(pure, minDocs = 3)
+      .where(org.apache.spark.sql.functions.col("doc_id") === 5L)
+      .collect().head.getAs[String]("text") == "")
+  }
+
   test("language filter composes") {
     // long, punctuation-free French: passes the quality floor on its own
     // (so the assertion below genuinely tests the langs branch)
