@@ -98,7 +98,8 @@ object Dn {
       case other => throw new GraftException(s"bad argument: $other")
     }.toMap
     if (counters && !Set("scan", "index-scan").contains(mode))
-      throw new GraftException("--counters is only meaningful with scan")
+      throw new GraftException(
+        "--counters is only meaningful with scan or index-scan")
     if (counters && points)
       throw new GraftException("--counters and --points are mutually exclusive")
     DnArgs(mode, flags, positional.result(), points, counters, verbose, raw,
@@ -225,10 +226,10 @@ object Dn {
   /** Materialize a configured datasource into the flags `run` consumes:
     * its path/format/time-field, with the datasource's standing filter
     * AND-ed onto the query's. */
-  private def resolveDatasource(a: DnArgs, cfgPath: Path): DnArgs = {
+  private def resolveDatasource(a: DnArgs, dnCfg: DnConfig.Config): DnArgs = {
     if (a.positional.isEmpty) return a
     val Seq(name) = need(a, 1)
-    val ds = DnConfig.load(cfgPath).datasource(name).getOrElse(
+    val ds = dnCfg.datasource(name).getOrElse(
       throw new GraftException(s"unknown datasource: \"$name\""))
     var flags = a.flags
     if (!flags.contains("data")) flags += "data" -> ds.path
@@ -240,20 +241,26 @@ object Dn {
       if (!flags.contains("time-format")) flags += "time-format" -> t)
     ds.dataFormat.foreach(f =>
       if (!flags.contains("data-format")) flags += "data-format" -> f)
-    ds.filter.foreach { dsf =>
-      flags += "filter" -> (flags.get("filter") match {
-        case Some(qf) => s"""{"and": [$dsf, $qf]}"""
-        case None => dsf
-      })
-    }
+    // The standing filter constrains what's SCANNED (scan/index-scan)
+    // and what gets INDEXED (build). It must NOT be re-applied when
+    // querying the index: build already baked it in, and its fields are
+    // typically not indexed breakdowns — re-adding it would reject the
+    // query as unservable.
+    if (a.mode != "query" && a.mode != "index-read")
+      ds.filter.foreach { dsf =>
+        flags += "filter" -> (flags.get("filter") match {
+          case Some(qf) => s"""{"and": [$dsf, $qf]}"""
+          case None => dsf
+        })
+      }
     a.copy(flags = flags, positional = Nil)
   }
 
   /** The configured metrics of the datasource named in argv (for build /
     * query / index-read / index-scan), as index-layer Metrics. */
-  private def configuredMetrics(a: DnArgs, cfgPath: Path): Seq[Metric] =
+  private def configuredMetrics(a: DnArgs, dnCfg: DnConfig.Config): Seq[Metric] =
     a.positional.headOption.toSeq.flatMap { name =>
-      DnConfig.load(cfgPath).metricsFor(name).map(m =>
+      dnCfg.metricsFor(name).map(m =>
         Metric(m.name, AttrParser.parse(m.breakdowns),
           m.filter.map(Krill.parse)))
     }
@@ -298,8 +305,10 @@ object Dn {
     if (configModes.contains(a0.mode))
       throw new GraftException(
         s"${a0.mode} is a configuration command (use runConfig)")
-    val fromConfig = configuredMetrics(a0, cfgPath)
-    val a = resolveDatasource(a0, cfgPath)
+    // one config snapshot for the whole invocation
+    val dnCfg = DnConfig.load(cfgPath)
+    val fromConfig = configuredMetrics(a0, dnCfg)
+    val a = resolveDatasource(a0, dnCfg)
     val cfg0 = cfgOf(a)
     // A date-laid-out tree without --time-field is still boundable: the
     // path enumeration prunes to day granularity (exactly the reference's

@@ -116,17 +116,22 @@ object DnConfig {
           s"corrupt config file $path: ${e.getMessage}") }
     def strOpt(n: JsonNode, k: String): Option[String] =
       Option(n.get(k)).filterNot(_.isNull).map(_.asText)
+    // structurally invalid entries (valid JSON, missing required keys)
+    // must fail like corrupt JSON, not with a NullPointerException
+    def req(n: JsonNode, k: String): String = strOpt(n, k).getOrElse(
+      throw new GraftException(
+        s"corrupt config file $path: entry missing \"$k\": $n"))
     val dss = Option(root.get("datasources")).map(_.elements()).map { it =>
       Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).map { n =>
-        Datasource(n.get("name").asText, strOpt(n, "backend").getOrElse("file"),
-          n.get("path").asText, strOpt(n, "indexPath"), strOpt(n, "timeField"),
+        Datasource(req(n, "name"), strOpt(n, "backend").getOrElse("file"),
+          req(n, "path"), strOpt(n, "indexPath"), strOpt(n, "timeField"),
           strOpt(n, "timeFormat"), strOpt(n, "dataFormat"), strOpt(n, "filter"))
       }.toVector
     }.getOrElse(Vector.empty)
     val ms = Option(root.get("metrics")).map(_.elements()).map { it =>
       Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).map { n =>
-        Metric(n.get("name").asText, n.get("datasource").asText,
-          n.get("breakdowns").asText, strOpt(n, "filter"))
+        Metric(req(n, "name"), req(n, "datasource"),
+          req(n, "breakdowns"), strOpt(n, "filter"))
       }.toVector
     }.getOrElse(Vector.empty)
     Config(dss, ms)

@@ -61,7 +61,10 @@ object Format {
     sb.append("set ylabel \"count\"\n")
     sb.append("set nokey\n")
     sb.append("plot '-' using 1:2 with linespoints\n")
-    df.collect().foreach { r =>
+    // linespoints connects points in emission order — sort by the x
+    // column or the plot zigzags with whatever partition order collect
+    // happened to return
+    df.orderBy(org.apache.spark.sql.functions.col(x)).collect().foreach { r =>
       sb.append(s"${r.getAs[Any](x)} ${r.getAs[Any]("value")}\n")
     }
     sb.append("e\n")

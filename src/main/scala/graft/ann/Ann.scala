@@ -202,14 +202,17 @@ object Ann {
   def knnJoin(left: DataFrame, right: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       bits: Int = 4): DataFrame = {
-    val l = withNormalized(left.repartition(col(idCol)), vecCol, "lv")
+    // no pre-repartition: the bucket-key equi-join hash-partitions both
+    // sides anyway, and the ranking window re-shuffles on lid — an id
+    // repartition here would just add two whole-corpus shuffles
+    val l = withNormalized(left, vecCol, "lv")
       .select(col(idCol).as("lid"), col("lv"),
         signBucket(col(vecCol), bits).as("lb"))
     val probeCols = col("lb") +:
       (0 until bits).map(j => col("lb").bitwiseXOR(lit(1L << j)))
     val probes = l.select(col("lid"), col("lv"),
       explode(array(probeCols: _*)).as("pb"))
-    val r = withNormalized(right.repartition(col(idCol)), vecCol, "rv")
+    val r = withNormalized(right, vecCol, "rv")
       .select(col(idCol).as("rid"), col("rv"),
         signBucket(col(vecCol), bits).as("rb"))
     val cand = probes.join(r, col("pb") === col("rb") && col("lid") =!= col("rid"))

@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
  * One md5 per input yields TWO independent values (hex chars 1-15 and
  * 17-30); a k-member hash family is derived by double hashing
  * `(h1 + i*h2) & mask60` (Kirsch–Mitzenmacher): k minhash functions for
- * the price of a single md5. h2 is 56-bit so `i*h2` stays far below
- * Long overflow for i < 128 in both engines (DuckDB errors on BIGINT
- * overflow; Spark would silently wrap — neither happens).
+ * the price of a single md5. The family index is capped at i < 112 so
+ * `h1 + i*h2` provably fits in a signed 64-bit value in BOTH engines:
+ * h1 < 2^60 and i*h2 < 112·2^56 = 7·2^60, so the sum < 2^63 (DuckDB
+ * raises on BIGINT overflow; Spark would silently wrap — with the cap,
+ * neither happens).
  */
 object XHash {
 
@@ -43,9 +45,14 @@ object XHash {
   def h56Ref(s: Column): Column =
     conv(substring(md5(s), 17, 14), 16, 10).cast("long")
 
+  /** Largest overflow-safe family index (exclusive): h1 + i·h2 <
+    * 2^60 + 112·2^56 < 2^63. */
+  val MaxFamily = 112
+
   /** i-th member of the double-hashing family over (h1, h2). */
   def member(h1: Column, h2: Column, i: Int): Column = {
-    require(i >= 0 && i < 128, s"family index $i out of overflow-safe range")
+    require(i >= 0 && i < MaxFamily,
+      s"family index $i out of overflow-safe range [0, $MaxFamily)")
     if (i == 0) h1 // h1 < 2^60: mask is a no-op
     else (h1 + h2 * lit(i.toLong)).bitwiseAND(lit(Mask60))
   }
@@ -58,6 +65,9 @@ object XHash {
   def h56Sql(s: String): String =
     s"CAST(concat('0x', substring(md5($s), 17, 14)) AS BIGINT)"
 
-  def memberSql(h1: String, h2: String, i: Int): String =
+  def memberSql(h1: String, h2: String, i: Int): String = {
+    require(i >= 0 && i < MaxFamily,
+      s"family index $i out of overflow-safe range [0, $MaxFamily)")
     if (i == 0) h1 else s"(($h1 + $h2 * $i) & ${Mask60})"
+  }
 }

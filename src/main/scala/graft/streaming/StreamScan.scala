@@ -53,7 +53,11 @@ object StreamScan {
    * index partitioned by `dn_date` — the streaming analog of
    * `Index.build` (dragnet `dn build` re-run per day; reference:
    * lib/index-sink.js). Append mode: a window's row is emitted exactly
-   * once, when the watermark passes its end.
+   * once, when the watermark passes its end. `path` is the exact sink
+   * directory; to make the result addressable by batch
+   * [[graft.index.Index.query]], point it at
+   * `Index.metricPath(root, "day", metricName)` so it lands inside the
+   * per-interval tree the batch reader resolves.
    */
   def indexSink(windowedAgg: DataFrame, path: String,
       checkpoint: String,

@@ -256,6 +256,25 @@ class DnSpec extends SparkSpec {
       "--path=/x", "--data-format=xml", "badfmt"), rc))
   }
 
+  test("query by name works when the standing filter field is not indexed") {
+    // the standing filter is baked in at build time; query must not
+    // re-apply it (its field isn't an indexed breakdown)
+    val rc = tmpConfig
+    val idx = Files.createTempDirectory("graft-dn-nf").toString
+    Dn.runConfig(Seq("datasource-add", s"--path=$events",
+      s"--index-path=$idx", "--time-field=ts", "--data-format=parquet",
+      """--filter={"gt": ["value", 10]}""", "ev3"), rc)
+    Dn.runConfig(Seq("metric-add", "--breakdowns=event_type", "ev3", "m"), rc)
+    Dn.run(spark, Seq("build", "ev3"), rc)
+    val viaIndex = Dn.run(spark,
+      Seq("query", "ev3", "--breakdowns=event_type"), rc)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Dn.run(spark, Seq("scan", s"--data=$events",
+      "--breakdowns=event_type", """--filter={"gt": ["value", 10]}"""))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaIndex == direct && viaIndex.nonEmpty)
+  }
+
   test("build --dry-run plans the index tuples without writing") {
     val idx = Files.createTempDirectory("graft-dn-dry").toString + "/sub"
     val planned = Dn.run(spark, Seq("build", s"--data=$events",
