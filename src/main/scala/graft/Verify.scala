@@ -22,6 +22,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries are independent — free checkpoint blocks and streaming
+      // memory-sink tables so 50+ queries don't accumulate storage
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
