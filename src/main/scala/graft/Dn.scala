@@ -97,9 +97,9 @@ object Dn {
       case p if !p.startsWith("-") => positional += p; None
       case other => throw new GraftException(s"bad argument: $other")
     }.toMap
-    if (counters && !Set("scan", "index-scan").contains(mode))
+    if (counters && !Set("scan", "index-scan", "query").contains(mode))
       throw new GraftException(
-        "--counters is only meaningful with scan or index-scan")
+        "--counters is only meaningful with scan, query, or index-scan")
     if (counters && points)
       throw new GraftException("--counters and --points are mutually exclusive")
     DnArgs(mode, flags, positional.result(), points, counters, verbose, raw,
@@ -382,8 +382,17 @@ object Dn {
           else Seq(Metric("default",
             a.flags.get("metric-breakdowns").orElse(a.flags.get("breakdowns"))
               .map(AttrParser.parse).getOrElse(Nil), None))
-        Index.query(spark, idx, metrics, cfg,
-          a.flags.getOrElse("interval", "day"))
+        val interval = a.flags.getOrElse("interval", "day")
+        if (a.counters)
+          return Index.counters(spark, idx, metrics, cfg, interval)
+        val out = Index.query(spark, idx, metrics, cfg, interval)
+        // --points on query: same skinner point shape as scan
+        if (a.points && cfg.breakdowns.nonEmpty)
+          out.select(org.apache.spark.sql.functions.struct(
+            cfg.breakdowns.map(fs =>
+              org.apache.spark.sql.functions.col(fs.name)): _*).as("fields"),
+            org.apache.spark.sql.functions.col("value"))
+        else out
       case "index-read" =>
         val idx = a.flags.getOrElse("index",
           throw new GraftException("index-read needs a datasource with " +

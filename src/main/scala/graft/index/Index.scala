@@ -128,15 +128,11 @@ object Index {
     }
   }
 
-  /**
-   * Answer a query from the index, dragnet `dn query`: pick a metric whose
-   * gathered columns cover the query's breakdowns and filter fields, then
-   * re-aggregate its pre-summed tuples. Time bounds become partition-pruning
-   * predicates on `dn_date` plus the exact per-second bound on any indexed
-   * timestamp column.
-   */
-  def query(spark: SparkSession, path: String, metrics: Seq[Metric],
-            cfg: QueryConfig, interval: String = "day"): DataFrame = {
+  /** Shared front half of query/counters: metric selection, the pruned
+    * index read, and the effective config (value-weighted, time field
+    * remapped to the indexed column). */
+  private def pruned(spark: SparkSession, path: String, metrics: Seq[Metric],
+      cfg: QueryConfig, interval: String): (DataFrame, QueryConfig) = {
     require(Intervals.contains(interval), s"bad interval: $interval")
     val needed = cfg.breakdowns.map(_.field).toSet ++
       cfg.filter.map(_.fields).getOrElse(Set.empty)
@@ -173,6 +169,27 @@ object Index {
     if (hasBounds && indexedTime.isEmpty)
       throw new GraftException(
         "no metrics available to serve query (time bounds need an indexed time column)")
-    Scan.scan(df, cfg.copy(valueField = Some("value"), timeField = indexedTime))
+    (df, cfg.copy(valueField = Some("value"), timeField = indexedTime))
+  }
+
+  /**
+   * Answer a query from the index, dragnet `dn query`: pick a metric whose
+   * gathered columns cover the query's breakdowns and filter fields, then
+   * re-aggregate its pre-summed tuples. Time bounds become partition-pruning
+   * predicates on `dn_date` plus the exact per-second bound on any indexed
+   * timestamp column.
+   */
+  def query(spark: SparkSession, path: String, metrics: Seq[Metric],
+            cfg: QueryConfig, interval: String = "day"): DataFrame = {
+    val (df, effective) = pruned(spark, path, metrics, cfg, interval)
+    Scan.scan(df, effective)
+  }
+
+  /** `dn query --counters`: the same drop accounting as a scan, over the
+    * value-weighted index tuples (counts represent raw records). */
+  def counters(spark: SparkSession, path: String, metrics: Seq[Metric],
+               cfg: QueryConfig, interval: String = "day"): DataFrame = {
+    val (df, effective) = pruned(spark, path, metrics, cfg, interval)
+    Scan.counters(df, effective)
   }
 }

@@ -275,6 +275,31 @@ class DnSpec extends SparkSpec {
     assert(viaIndex == direct && viaIndex.nonEmpty)
   }
 
+  test("query --counters and --points mirror the scan-side modes") {
+    val idx = Files.createTempDirectory("graft-dn-qc").toString
+    Dn.run(spark, Seq("build", s"--data=$events", s"--index=$idx",
+      "--breakdowns=event_type,user_id", "--time-field=ts"))
+    // counters over the index: value-weighted, everything aggregates
+    val c = Dn.run(spark, Seq("query", s"--index=$idx",
+      "--breakdowns=event_type", "--metric-breakdowns=event_type,user_id",
+      "--counters")).collect().head
+    val total = Dn.run(spark, Seq("scan", s"--data=$events"))
+      .collect().head.getLong(0)
+    assert(c.getLong(0) == total && c.getLong(4) == total)
+    // a filter on an indexed column shows up as filter_dropped weight
+    val cf = Dn.run(spark, Seq("query", s"--index=$idx",
+      """--filter={"eq": ["event_type", "click"]}""",
+      "--breakdowns=event_type", "--metric-breakdowns=event_type,user_id",
+      "--counters")).collect().head
+    assert(cf.getLong(1) > 0 && cf.getLong(0) == total)
+    assert(cf.getLong(1) + cf.getLong(4) == total)
+    // --points emits skinner shape from the index
+    val pts = Dn.run(spark, Seq("query", s"--index=$idx",
+      "--breakdowns=event_type", "--metric-breakdowns=event_type,user_id",
+      "--points"))
+    assert(pts.columns.toSeq == Seq("fields", "value"))
+  }
+
   test("build --dry-run plans the index tuples without writing") {
     val idx = Files.createTempDirectory("graft-dn-dry").toString + "/sub"
     val planned = Dn.run(spark, Seq("build", s"--data=$events",
