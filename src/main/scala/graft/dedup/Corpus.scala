@@ -30,7 +30,13 @@ object Corpus {
         * (the min id) per near-dup CLUSTER, so chains a~b~c keep only a
         * even when (a,c) was never a direct pair. Costs the label-
         * propagation iterations of [[Dedup.clusters]]. */
-      clusterDedup: Boolean = false)
+      clusterDedup: Boolean = false,
+      /** Strip lines repeated across ≥ N docs before anything else
+        * ([[stripBoilerplate]]); None (default) skips the stage. */
+      boilerplateMinDocs: Option[Long] = None,
+      /** Rewrite emails / long digit runs to placeholder tokens
+        * (Text.scrubPii) before quality scoring. */
+      scrubPii: Boolean = false)
 
   /** Quality + language row filter (no shuffle). */
   def baseFilter(cfg: CleanConfig): Column = {
@@ -76,7 +82,14 @@ object Corpus {
    * deterministic for a given input.
    */
   def clean(docs: DataFrame, cfg: CleanConfig = CleanConfig()): DataFrame = {
-    val kept = docs.where(baseFilter(cfg))
+    // optional text-rewriting stages run FIRST: both change the text the
+    // quality floor and the dedup fingerprints see
+    var pre = docs
+    cfg.boilerplateMinDocs.foreach(n =>
+      pre = stripBoilerplate(pre, n, cfg.idCol, cfg.textCol))
+    if (cfg.scrubPii)
+      pre = pre.withColumn(cfg.textCol, Text.scrubPii(col(cfg.textCol)))
+    val kept = pre.where(baseFilter(cfg))
     // exact dedup: keep the lowest id of each normalized-content group.
     // Materialized once (localCheckpoint): the near-dup stage walks it
     // through shingling AND the final anti-join reads it again — without

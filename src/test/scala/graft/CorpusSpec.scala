@@ -66,6 +66,23 @@ class CorpusSpec extends SparkSpec {
       .collect().head.getAs[String]("text") == "")
   }
 
+  test("full pipeline: boilerplate + scrub stages compose into clean") {
+    val messy = Seq(
+      (1L, "SHARED FOOTER\nthe house was on the hill and it was a good day for a walk in the park with friends"),
+      (2L, "SHARED FOOTER\nThe house was  on the hill and it was a good day for a walk in the park with friends"),
+      (3L, "shared footer\ncontact me at bob@example.com for the real content about the hills and the walks we took"),
+      (4L, "shared footer\nan entirely different document about spark catalyst plans and the shuffles they avoid today")
+    ).toDF("doc_id", "text")
+    val out = Corpus.clean(messy, CleanConfig(
+      boilerplateMinDocs = Some(3), scrubPii = true))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    // footer stripped BEFORE dedup: docs 1/2 become exact dups -> keep 1
+    assert(out.keySet == Set(1L, 3L, 4L))
+    assert(!out.values.exists(_.toLowerCase.contains("shared footer")))
+    assert(out(3L).contains("<EMAIL>") && !out(3L).contains("bob@"))
+  }
+
   test("language filter composes") {
     // long, punctuation-free French: passes the quality floor on its own
     // (so the assertion below genuinely tests the langs branch)
