@@ -41,6 +41,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped from closed windows") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "event_type")
+    val agg = StreamScan.scanStream(df,
+      QueryConfig(breakdowns = Seq(FieldSpec.plain("event_type"))),
+      timeCol = "ts", windowDur = "1 hour", watermarkDelay = "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("t_stream_late")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01T00:10:00Z"), "click"))
+      q.processAllAvailable()
+      // watermark jumps past the first window -> it emits with count 1
+      input.addData((ts("2024-01-01T03:30:00Z"), "view"))
+      q.processAllAvailable()
+      // a LATE event for the already-closed 00:00 window: state is gone,
+      // append already emitted the final row — the event must be dropped
+      input.addData((ts("2024-01-01T00:50:00Z"), "click"))
+      q.processAllAvailable()
+      // one more watermark advance so anything wrongly buffered would
+      // surface as a duplicate/extra window row
+      input.addData((ts("2024-01-01T06:00:00Z"), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("t_stream_late")
+        .select(col("window_start").cast("string"), col("event_type"),
+          col("value"))
+        .collect().map(_.toSeq).toSeq
+      assert(rows.count(_ ==
+        Seq("2024-01-01 00:00:00", "click", 1L)) == 1,
+        s"closed window must emit exactly once with the on-time count: $rows")
+      assert(!rows.contains(Seq("2024-01-01 00:00:00", "click", 2L)),
+        s"late event leaked into a closed window: $rows")
+    } finally q.stop()
+  }
+
   test("filter + breakdown apply in the streaming plan too") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
