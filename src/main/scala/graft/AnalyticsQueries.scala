@@ -203,6 +203,56 @@ object AnalyticsQueries {
         SELECT user_id,
                CAST(SUM(CASE WHEN prev IS NULL OR sec - prev > 1800
                              THEN 1 ELSE 0 END) AS BIGINT) AS sessions
-        FROM d GROUP BY 1 ORDER BY 1"""))
+        FROM d GROUP BY 1 ORDER BY 1""")),
+
+    // #24b running revenue per customer over order dates (cumulative
+    // window — the time-series reporting shape; DECIMAL math so the
+    // running sum is order-independent-exact, then cast for output)
+    Q("q_running_total",
+      (s, dir) => {
+        val o = Sources.table(s, dir, "orders")
+          .where(col("o_custkey") <= 100)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice").cast("decimal(18,2)").as("p"))
+          .withColumn("running",
+            sum(col("p")).over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .select(col("o_custkey").cast("long").as("o_custkey"),
+            col("o_orderkey").cast("long").as("o_orderkey"),
+            col("running").cast("double").as("running"))
+      },
+      Some("""
+        SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+          CAST(o_orderkey AS BIGINT) AS o_orderkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS running
+        FROM orders WHERE o_custkey <= 100""")),
+
+    // #21b anti-join: customers with no big-ticket orders (TPC-H Q22
+    // flavor — the left_anti shape; at scale the orders side aggregates
+    // to distinct keys before the join, so the anti probe is key-sized)
+    Q("q_no_orders",
+      (s, dir) => {
+        val c = Sources.table(s, dir, "customer")
+        val o = Sources.table(s, dir, "orders")
+          .where(col("o_totalprice") > 300000.0)
+          .select(col("o_custkey"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey").cast("long").as("c_custkey"),
+            col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+        ORDER BY c_custkey"""))
   )
 }
