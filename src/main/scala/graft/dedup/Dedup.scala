@@ -108,24 +108,55 @@ object Dedup {
    */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3,
-      bands: Int = 8, rowsPerBand: Int = 2): DataFrame =
+      bands: Int = 8, rowsPerBand: Int = 2,
+      maxBucket: Option[Int] = None): DataFrame =
     candidatesOfSignature(
       minhashSignature(docs, idCol, textCol, n, bands * rowsPerBand),
-      bands, rowsPerBand)
+      bands, rowsPerBand, maxBucket)
 
-  /** LSH banding + in-bucket pair generation over a signature table. */
-  private def candidatesOfSignature(sig: DataFrame, bands: Int,
+  /**
+   * Per-bucket population histogram of the MinHash banding — run this
+   * BEFORE a corpus-scale near-dup job to pick banding parameters: the
+   * quadratic pair expansion is per bucket, so the largest bucket bounds
+   * the worst task. Output: (band, bucket_size, n_buckets).
+   */
+  def bucketStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sig = minhashSignature(docs, idCol, textCol, n, bands * rowsPerBand)
+    bandedKeys(sig, bands, rowsPerBand)
+      .groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("band"), col("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+  }
+
+  private def bandedKeys(sig: DataFrame, bands: Int,
       rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val rowHashes = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), concat_ws(",", rowHashes: _*).as("bh"))
     }
-    val banded = sig
-      .select(col("id"), explode(array(bandCols: _*)).as("b"))
+    sig.select(col("id"), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    banded.groupBy(col("band"), col("bh"))
+  }
+
+  /** LSH banding + in-bucket pair generation over a signature table.
+    * `maxBucket` (opt-in) SKIPS buckets larger than the cap — an
+    * explicit recall-for-boundedness trade for corpora whose banding
+    * produces degenerate buckets (size the cap with [[bucketStats]]);
+    * default None keeps exact LSH semantics. */
+  private def candidatesOfSignature(sig: DataFrame, bands: Int,
+      rowsPerBand: Int, maxBucket: Option[Int] = None): DataFrame = {
+    val grouped = bandedKeys(sig, bands, rowsPerBand)
+      .groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .where(size(col("ids")) > 1)
+    val bounded = maxBucket match {
+      case Some(cap) => grouped.where(size(col("ids")) <= cap)
+      case None => grouped
+    }
+    bounded
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
           y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))

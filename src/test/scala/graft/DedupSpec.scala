@@ -59,6 +59,24 @@ class DedupSpec extends SparkSpec {
     assert(!cl.contains(4L))
   }
 
+  test("bucketStats sizes the banding; maxBucket skips oversized buckets") {
+    val stats = Dedup.bucketStats(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // every doc lands in every band exactly once
+    stats.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(r => r._2 * r._3).sum == 4)
+    }
+    // docs 1/2 are exact dups → at least one bucket of size >= 2
+    assert(stats.exists(_._2 >= 2))
+    // cap of 1 forbids all pair generation (every pair bucket is >= 2)
+    assert(Dedup.minhashCandidates(docs, maxBucket = Some(1)).count() == 0)
+    // a generous cap changes nothing
+    assert(Dedup.minhashCandidates(docs, maxBucket = Some(1000))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Dedup.minhashCandidates(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("shingles of short docs fall back to whole text") {
     val sh = Seq((1L, "two words")).toDF("doc_id", "text")
       .select(Dedup.shingles(col("text")).as("sh"))
