@@ -47,6 +47,13 @@ object DedupQueries {
       (s, dir) => Dedup.jaccardVerified(docs(s, dir)),
       Some(DedupSql.jaccardVerified())),
 
+    // #26b banding observability: the bucket-population histogram that
+    // sizes LSH parameters before a corpus-scale run (largest bucket =
+    // worst quadratic task)
+    Q("dedup_bucket_stats",
+      (s, dir) => Dedup.bucketStats(docs(s, dir)),
+      Some(DedupSql.bucketStats())),
+
     // #28b connected-component near-dup clusters over the verified pair
     // graph (min-label propagation; oracle = recursive transitive
     // closure in DuckDB)

@@ -124,6 +124,19 @@ object DedupSql {
        |WHERE bit_count(xor(a.sim, b.sim)) <= $maxHamming""".stripMargin
   }
 
+  /** dedup_bucket_stats oracle: the banding's bucket-population
+    * histogram — same sig/banded CTEs, two grouped counts. */
+  def bucketStats(base: String = "documents", n: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 2): String =
+    s"""WITH ${shingleCtes(base, n)},
+       |${minhashCtes(n, bands, rowsPerBand)},
+       |sizes AS (
+       |  SELECT band, bh, CAST(count(*) AS BIGINT) AS bucket_size
+       |  FROM banded GROUP BY band, bh)
+       |SELECT CAST(band AS INT) AS band, bucket_size,
+       |  CAST(count(*) AS BIGINT) AS n_buckets
+       |FROM sizes GROUP BY band, bucket_size""".stripMargin
+
   /** dedup_clusters oracle: connected components of the verified-pair
     * graph via a recursive transitive-closure CTE; cluster id = min doc
     * id reachable (including self). */
