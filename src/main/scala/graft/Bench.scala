@@ -10,6 +10,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // 55 distinct query plans share scan/tokenize subtrees; the default
+      // 100-entry codegen class cache thrashes across them (measured ~8%
+      // of total bench time in recompiles)
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
