@@ -73,6 +73,27 @@ object IndexQueries {
               aggr = Some("lquantize"), step = Some(86400)),
             FieldSpec.plain("event_type"))), rq))),
 
+    // #13b incremental maintenance: build the first half of the month,
+    // Index.update the second half (dynamic partition overwrite replaces
+    // only the new dn_date partitions), query == a full raw scan
+    Q("index_update",
+      (s, dir) => {
+        val cutoff = java.time.Instant.parse("2024-01-16T00:00:00Z")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-idx-update").toString
+        val ev = Sources.events(s, dir)
+        val cutCol = graft.functions.epochSecs(
+          org.apache.spark.sql.functions.col("ts"))
+        Index.build(ev.where(cutCol < cutoff.getEpochSecond), metrics, path,
+          timeField = "ts", interval = "day")
+        Index.update(ev.where(cutCol >= cutoff.getEpochSecond), metrics, path,
+          timeField = "ts")
+        Index.query(s, path, metrics,
+          QueryConfig(breakdowns = AttrParser.parse("event_type")))
+      },
+      Some(Scan.scanSql("events",
+        QueryConfig(breakdowns = AttrParser.parse("event_type")), rq))),
+
     // #15 hourly interval + minute-aligned time bounds → partition pruning
     Q("index_hourly",
       serve("hour", QueryConfig(
