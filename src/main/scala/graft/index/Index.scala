@@ -82,7 +82,14 @@ object Index {
             resolve: String => Column = col,
             valueField: Option[String] = None): Unit = {
     require(Intervals.contains(interval), s"bad interval: $interval")
-    metrics.foreach { m =>
+    // Each metric aggregates at its own grain (separate shuffles are
+    // inherent), but the RAW SCAN must not repeat per metric — at 100 TB
+    // a 3-metric build would read the corpus three times. Persist
+    // (memory, spilling to disk) across the per-metric writes.
+    val multi = metrics.lengthCompare(1) > 0
+    if (multi)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try metrics.foreach { m =>
       val grouped = scanRows(df, m, timeField, interval, resolve, valueField)
       // Directory partitioning stops at the DAY even for hourly grain:
       // hour-level directories are a small-files/commit-storm anti-pattern
@@ -99,7 +106,7 @@ object Index {
       (if (interval == "all") clustered.write.mode("overwrite")
        else clustered.write.mode("overwrite").partitionBy("dn_date"))
         .parquet(metricPath(path, interval, m.name))
-    }
+    } finally if (multi) df.unpersist(false)
   }
 
   /**

@@ -48,6 +48,19 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("multi-metric build: one shared scan serves every metric's index") {
+    val path = tmp()
+    val m2 = Seq(
+      Metric("by_type", Seq(FieldSpec.plain("event_type"))),
+      Metric("by_user", Seq(FieldSpec.plain("user_id"))))
+    Index.build(ev, m2, path, timeField = "ts", interval = "day")
+    for ((m, bd) <- Seq(("by_type", "event_type"), ("by_user", "user_id"))) {
+      val cfg = QueryConfig(breakdowns = AttrParser.parse(bd))
+      assert(Index.query(spark, path, m2, cfg).collect().map(_.toSeq).toSet ==
+        Scan.scan(ev, cfg).collect().map(_.toSeq).toSet, m)
+    }
+  }
+
   test("query needing un-indexed columns is rejected") {
     val path = tmp()
     Index.build(ev, Seq(metric), path, timeField = "ts", interval = "day")
