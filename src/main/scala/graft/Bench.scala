@@ -14,6 +14,10 @@ object Bench {
       // 100-entry codegen class cache thrashes across them (measured ~8%
       // of total bench time in recompiles)
       .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // dn_date partitioning and date parsing are TZ-sensitive; pin UTC
+      // here too (build.sbt sets it for sbt-forked runs, but Bench must
+      // not depend on the launcher)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -265,6 +265,17 @@ object Dn {
           m.filter.map(Krill.parse)))
     }
 
+  /** Skinner-format points: (fields struct of the breakdown columns,
+    * value) — the reference's machine-readable output, shared by scan
+    * and query `--points`. */
+  private def pointsShape(out: DataFrame,
+      bds: Seq[FieldSpec]): DataFrame =
+    if (bds.isEmpty) out
+    else out.select(org.apache.spark.sql.functions.struct(
+      bds.map(fs => org.apache.spark.sql.functions.col(fs.name)): _*)
+        .as("fields"),
+      org.apache.spark.sql.functions.col("value"))
+
   /** Resolve --data to a DataFrame (parquet / json-skinner /
     * date-layout ndjson / ndjson). */
   def readData(spark: SparkSession, a: DnArgs): DataFrame = {
@@ -313,9 +324,12 @@ object Dn {
     // A date-laid-out tree without --time-field is still boundable: the
     // path enumeration prunes to day granularity (exactly the reference's
     // behavior when only the path carries time). Record-level bounds
-    // need --time-field.
+    // need --time-field. Only the modes that READ the data path qualify —
+    // query/index-read serve from the index, where nothing would replace
+    // the stripped bounds.
+    val readsData = Set("scan", "build", "index-scan").contains(a.mode)
     val cfg =
-      if (cfg0.timeField.isEmpty && isDateTree(spark, a))
+      if (readsData && cfg0.timeField.isEmpty && isDateTree(spark, a))
         cfg0.copy(after = None, before = None)
       else cfg0
     val skinnerValue =
@@ -343,12 +357,7 @@ object Dn {
         val out = Scan.scan(readData(spark, a), base)
         // --points: emit skinner-format points (fields struct + weight),
         // the reference's machine-readable output mode
-        if (a.points && base.breakdowns.nonEmpty)
-          out.select(org.apache.spark.sql.functions.struct(
-            base.breakdowns.map(fs =>
-              org.apache.spark.sql.functions.col(fs.name)): _*).as("fields"),
-            org.apache.spark.sql.functions.col("value"))
-        else out
+        if (a.points) pointsShape(out, base.breakdowns) else out
       case "build" =>
         val idx = a.flags.getOrElse("index",
           throw new GraftException("--index is required"))
@@ -387,12 +396,7 @@ object Dn {
           return Index.counters(spark, idx, metrics, cfg, interval)
         val out = Index.query(spark, idx, metrics, cfg, interval)
         // --points on query: same skinner point shape as scan
-        if (a.points && cfg.breakdowns.nonEmpty)
-          out.select(org.apache.spark.sql.functions.struct(
-            cfg.breakdowns.map(fs =>
-              org.apache.spark.sql.functions.col(fs.name)): _*).as("fields"),
-            org.apache.spark.sql.functions.col("value"))
-        else out
+        if (a.points) pointsShape(out, cfg.breakdowns) else out
       case "index-read" =>
         val idx = a.flags.getOrElse("index",
           throw new GraftException("index-read needs a datasource with " +

@@ -79,8 +79,9 @@ object IndexQueries {
     Q("index_update",
       (s, dir) => {
         val cutoff = java.time.Instant.parse("2024-01-16T00:00:00Z")
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-idx-update").toString
+        // fixed per-sf path, rebuilt in place (the POINT is to exercise
+        // build+update) — a fresh temp dir per run would litter /tmp
+        val path = indexPath(dir, "update")
         val ev = Sources.events(s, dir)
         val cutCol = graft.functions.epochSecs(
           org.apache.spark.sql.functions.col("ts"))

@@ -59,22 +59,26 @@ object Corpus {
    */
   def stripBoilerplate(docs: DataFrame, minDocs: Long,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val lines = docs.select(col(idCol).as("id"),
+    // collision-safe internal alias: idCol may itself be "id", or docs
+    // may carry an unrelated "id" column — a bare alias would make the
+    // re-join ambiguous
+    val k = "__bp_id"
+    val lines = docs.select(col(idCol).as(k),
         posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "ln")))
       .withColumn("n", trim(lower(col("ln"))))
     val hot = lines.where(col("n") =!= "")
       .groupBy(col("n"))
-      .agg(countDistinct(col("id")).as("nd"))
+      .agg(countDistinct(col(k)).as("nd"))
       .where(col("nd") >= minDocs)
       .select(col("n"))
     val rebuilt = lines.join(hot, Seq("n"), "left_anti")
-      .groupBy(col("id"))
+      .groupBy(col(k))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("ln")))),
         s => s.getField("ln")), "\n").as("_clean"))
-    docs.join(rebuilt, col(idCol) === col("id"), "left")
+    docs.join(rebuilt, col(idCol) === col(k), "left")
       .withColumn(textCol, coalesce(col("_clean"), lit("")))
-      .drop("id", "_clean")
+      .drop(k, "_clean")
   }
 
   /**

@@ -139,7 +139,8 @@ object Index {
     * index read, and the effective config (value-weighted, time field
     * remapped to the indexed column). */
   private def pruned(spark: SparkSession, path: String, metrics: Seq[Metric],
-      cfg: QueryConfig, interval: String): (DataFrame, QueryConfig) = {
+      cfg: QueryConfig, interval: String,
+      prune: Boolean = true): (DataFrame, QueryConfig) = {
     require(Intervals.contains(interval), s"bad interval: $interval")
     val needed = cfg.breakdowns.map(_.field).toSet ++
       cfg.filter.map(_.fields).getOrElse(Set.empty)
@@ -155,7 +156,7 @@ object Index {
 
     // Partition pruning on the day directory, the analog of dragnet's
     // by_day file pruning (lib/path-enum.js).
-    (cfg.after, cfg.before) match {
+    (if (prune) (cfg.after, cfg.before) else (None, None)) match {
       case (None, None) => ()
       case (a, b) =>
         a.foreach { t =>
@@ -193,10 +194,14 @@ object Index {
   }
 
   /** `dn query --counters`: the same drop accounting as a scan, over the
-    * value-weighted index tuples (counts represent raw records). */
+    * value-weighted index tuples (counts represent raw records). NO
+    * partition pruning here — pruning would remove out-of-range rows
+    * from `input` instead of counting them as time_dropped, diverging
+    * from the scan-side accounting. */
   def counters(spark: SparkSession, path: String, metrics: Seq[Metric],
                cfg: QueryConfig, interval: String = "day"): DataFrame = {
-    val (df, effective) = pruned(spark, path, metrics, cfg, interval)
+    val (df, effective) = pruned(spark, path, metrics, cfg, interval,
+      prune = false)
     Scan.counters(df, effective)
   }
 }
