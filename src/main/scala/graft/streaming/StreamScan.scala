@@ -65,6 +65,11 @@ object StreamScan {
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)): StreamingQuery =
     windowedAgg
       .withColumn("dn_date", date_format(col("window_start"), "yyyy-MM-dd"))
+      // cluster each day into one task before the partitioned write:
+      // otherwise every state partition writes its own file into every
+      // day directory it touches (shufflePartitions × days small files
+      // + commits per micro-batch)
+      .repartition(col("dn_date"))
       .writeStream
       .trigger(trigger)
       .format("parquet")
