@@ -288,15 +288,14 @@ object Dn {
         a.flags.get("data-format").contains("parquet"))
       spark.read.parquet(path)
     else if (a.flags.get("time-format").exists(_.nonEmpty)) {
-      // an explicit time-format (reference: datasource --time-format)
-      // asserts the %Y/%m-%d layout — fail loudly if the tree is absent
-      // rather than silently scanning nothing
+      // an explicit time-format (reference: datasource --time-format,
+      // any strftime pattern of %Y %m %d %H) asserts the layout — fail
+      // loudly if the tree is absent rather than silently scanning
+      // nothing
       val f = a.flags("time-format")
-      if (f != "%Y/%m-%d")
-        throw new GraftException(s"unsupported time-format: $f")
-      if (Sources.dateLayoutDirs(spark, path, None, None).isEmpty)
+      if (Sources.timeFormatDirs(spark, path, f, None, None).isEmpty)
         throw new GraftException(s"no $f tree under $path")
-      Sources.dateLayout(spark, path, cfg.after, cfg.before)
+      Sources.timeFormatLayout(spark, path, f, cfg.after, cfg.before)
     }
     else if (Sources.dateLayoutDirs(spark, path, None, None).nonEmpty)
       Sources.dateLayout(spark, path, cfg.after, cfg.before)
@@ -328,8 +327,10 @@ object Dn {
     // query/index-read serve from the index, where nothing would replace
     // the stripped bounds.
     val readsData = Set("scan", "build", "index-scan").contains(a.mode)
+    val pathCarriesTime = a.flags.get("time-format").exists(_.nonEmpty) ||
+      isDateTree(spark, a)
     val cfg =
-      if (readsData && cfg0.timeField.isEmpty && isDateTree(spark, a))
+      if (readsData && cfg0.timeField.isEmpty && pathCarriesTime)
         cfg0.copy(after = None, before = None)
       else cfg0
     val skinnerValue =

@@ -55,41 +55,108 @@ object Sources {
     raw.select(col("fields.*"), col("value"))
   }
 
-  private val dayDirRe = "(\\d{2})-(\\d{2})".r
-  private val yearRe = "\\d{4}".r
-
   /**
-   * Enumerate the day directories of a dragnet-style `%Y/%m-%d` layout
-   * that can contain records in [after, before) — the Spark analog of the
-   * reference's path pruning (lib/path-enum.js, lib/fs-find.js): a
-   * metadata-only listing through the Hadoop FS API (works on any
-   * scheme), conservative to the day like the reference, with exact
-   * record-level bounds still applied by the scan.
+   * General strftime path layout (reference: lib/path-enum.js supports
+   * any pattern built from %Y %m %d %H, e.g. `%Y/%m/%d/%H` or
+   * `%Y/%m-%d`): walk the FS tree level by level matching each pattern
+   * segment, parse the time of every matched leaf directory, and keep
+   * those whose [start, start+granularity) interval overlaps
+   * [after, before). Metadata-only (Hadoop FS listings — works on any
+   * scheme), conservative to the pattern's finest unit like the
+   * reference; exact record-level bounds still apply in the scan.
+   * Returns (interval start, path) sorted by time.
    */
-  def dateLayoutDirs(spark: SparkSession, root: String,
+  def timeFormatDirs(spark: SparkSession, root: String, pattern: String,
       after: Option[java.time.Instant], before: Option[java.time.Instant])
-      : Seq[(java.time.LocalDate, String)] = {
+      : Seq[(java.time.Instant, String)] = {
     import org.apache.hadoop.fs.Path
+    val segSpecs: Seq[(scala.util.matching.Regex, Seq[Char])] =
+      pattern.split("/").toSeq.map { seg =>
+        val sb = new StringBuilder
+        val specs = Seq.newBuilder[Char]
+        var i = 0
+        while (i < seg.length) {
+          if (seg.charAt(i) == '%' && i + 1 < seg.length) {
+            seg.charAt(i + 1) match {
+              case 'Y' => sb.append("(\\d{4})"); specs += 'Y'
+              case c @ ('m' | 'd' | 'H') => sb.append("(\\d{2})"); specs += c
+              case other => throw new graft.GraftException(
+                s"unsupported time-format specifier %$other in $pattern")
+            }
+            i += 2
+          } else {
+            sb.append(java.util.regex.Pattern.quote(seg.charAt(i).toString))
+            i += 1
+          }
+        }
+        (sb.toString.r, specs.result())
+      }
+    val allSpecs = segSpecs.flatMap(_._2)
+    if (!allSpecs.contains('Y'))
+      throw new graft.GraftException(s"time-format needs %Y: $pattern")
+    val granularity: java.time.temporal.TemporalAmount =
+      if (allSpecs.contains('H')) java.time.Duration.ofHours(1)
+      else if (allSpecs.contains('d')) java.time.Duration.ofDays(1)
+      else if (allSpecs.contains('m')) java.time.Period.ofMonths(1)
+      else java.time.Period.ofYears(1)
+
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val days = for {
-      y <- fs.listStatus(rootPath).toSeq
-      if y.isDirectory && yearRe.matches(y.getPath.getName)
-      d <- fs.listStatus(y.getPath).toSeq
-      if d.isDirectory
-      date <- d.getPath.getName match {
-        case dayDirRe(m, dd) =>
-          try Some(java.time.LocalDate.of(y.getPath.getName.toInt, m.toInt, dd.toInt))
-          catch { case _: java.time.DateTimeException => None }
-        case _ => None
+    var frontier: Seq[(Path, Map[Char, Int])] = Seq((rootPath, Map.empty))
+    for ((re, specs) <- segSpecs) {
+      frontier = frontier.flatMap { case (p, vals) =>
+        fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+          re.unapplySeq(st.getPath.getName) match {
+            case Some(groups) =>
+              Some((st.getPath, vals ++ specs.zip(groups.map(_.toInt))))
+            case None => None
+          }
+        }
       }
-    } yield (date, d.getPath.toString)
-    days.filter { case (date, _) =>
-      val start = date.atStartOfDay(java.time.ZoneOffset.UTC).toInstant
-      val end = start.plus(java.time.Duration.ofDays(1))
+    }
+    val dirs = frontier.flatMap { case (p, v) =>
+      try {
+        val start = java.time.LocalDateTime.of(
+          v('Y'), v.getOrElse('m', 1), v.getOrElse('d', 1),
+          v.getOrElse('H', 0), 0)
+          .toInstant(java.time.ZoneOffset.UTC)
+        Some((start, p.toString))
+      } catch { case _: java.time.DateTimeException => None } // e.g. month 13
+    }
+    dirs.filter { case (start, _) =>
+      val end = start.atZone(java.time.ZoneOffset.UTC).plus(granularity)
+        .toInstant
       after.forall(a => end.isAfter(a)) && before.forall(b => start.isBefore(b))
     }.sortBy(_._1)
   }
+
+  /**
+   * Read any strftime-pattern ndjson layout, scanning ONLY directories
+   * overlapping [after, before); schema-preserving empty frame when all
+   * are pruned (like [[dateLayout]]).
+   */
+  def timeFormatLayout(spark: SparkSession, root: String, pattern: String,
+      after: Option[java.time.Instant] = None,
+      before: Option[java.time.Instant] = None): DataFrame = {
+    val dirs = timeFormatDirs(spark, root, pattern, after, before).map(_._2)
+    if (dirs.nonEmpty) spark.read.json(dirs: _*)
+    else timeFormatDirs(spark, root, pattern, None, None).map(_._2) match {
+      case all if all.nonEmpty => spark.read.json(all.head).limit(0)
+      case _ => spark.emptyDataFrame
+    }
+  }
+
+  /**
+   * Enumerate the day directories of a dragnet-style `%Y/%m-%d` layout
+   * that can contain records in [after, before) — the default layout's
+   * autodetect path, expressed through the general [[timeFormatDirs]].
+   */
+  def dateLayoutDirs(spark: SparkSession, root: String,
+      after: Option[java.time.Instant], before: Option[java.time.Instant])
+      : Seq[(java.time.LocalDate, String)] =
+    timeFormatDirs(spark, root, "%Y/%m-%d", after, before).map { case (t, p) =>
+      (t.atZone(java.time.ZoneOffset.UTC).toLocalDate, p)
+    }
 
   /**
    * Read a `%Y/%m-%d` ndjson dataset, scanning ONLY day directories that

@@ -337,6 +337,37 @@ class DnSpec extends SparkSpec {
       Seq("query", "ev2", "--breakdowns=event_type", "--interval=all"), rc))
   }
 
+  test("arbitrary strftime layouts: %Y/%m/%d/%H prunes to the hour") {
+    val rc = tmpConfig
+    val root = Files.createTempDirectory("graft-dn-hourly")
+    def put(dir: String, lines: Seq[String]): Unit = {
+      val d = root.resolve(dir)
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("data.ndjson"), lines.mkString("\n") + "\n")
+    }
+    put("2014/06/26/20",
+      Seq("""{"req":{"method":"GET"}}""", """{"req":{"method":"PUT"}}"""))
+    put("2014/06/26/21", Seq("""{"req":{"method":"GET"}}"""))
+    put("2014/06/27/03", Seq("""{"req":{"method":"GET"}}"""))
+    Dn.runConfig(Seq("datasource-add", s"--path=$root",
+      "--time-format=%Y/%m/%d/%H", "hourly"), rc)
+    val all = Dn.run(spark, Seq("scan", "hourly"), rc)
+      .collect().head.getLong(0)
+    assert(all == 4)
+    // bounds prune at hour granularity via the path alone
+    val firstTwoHours = Dn.run(spark, Seq("scan", "hourly",
+      "--after=2014-06-26T20:00:00Z", "--before=2014-06-26T22:00:00Z"), rc)
+      .collect().head.getLong(0)
+    assert(firstTwoHours == 3)
+    val lastDay = Dn.run(spark, Seq("scan", "hourly",
+      "--after=2014-06-27T00:00:00Z"), rc).collect().head.getLong(0)
+    assert(lastDay == 1)
+    // unsupported specifiers are rejected
+    assertThrows[GraftException](
+      graft.sources.Sources.timeFormatDirs(spark, root.toString,
+        "%Y/%q", None, None))
+  }
+
   test("gnuplot output: runnable script for exactly one breakdown") {
     val df = Dn.run(spark, Seq("scan", s"--data=$events",
       "--breakdowns=event_type"))
