@@ -101,6 +101,16 @@ object DedupQueries {
       (s, dir) => graft.dedup.Corpus.clean(docs(s, dir))
         .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
           col("n_chars").cast("long").as("n_chars")),
-      Some(DedupSql.corpusClean()))
+      Some(DedupSql.corpusClean())),
+
+    // #25d the same pipeline under the connected-component keep-policy:
+    // one survivor per near-dup CLUSTER (chains resolve fully) — oracle
+    // extends the CTE chain with the recursive closure
+    Q("corpus_clean_cc",
+      (s, dir) => graft.dedup.Corpus.clean(docs(s, dir),
+          graft.dedup.Corpus.CleanConfig(clusterDedup = true))
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars")),
+      Some(DedupSql.corpusCleanClusters()))
   )
 }

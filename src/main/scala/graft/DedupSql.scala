@@ -168,6 +168,41 @@ object DedupSql {
        |    + (1.0 - least((CAST(len(regexp_extract_all($text, '[.,;:!?]')) AS DOUBLE)
        |      / CAST(greatest(length($text), 1) AS DOUBLE)) * 10.0, 1.0)) * 0.2""".stripMargin
 
+  /** corpus_clean_cc oracle: same pipeline as [[corpusClean]] but the
+    * near-dup keep-policy is connected-component based — one survivor
+    * (the min id) per CLUSTER of the verified-pair graph, computed with
+    * the recursive transitive closure. */
+  def corpusCleanClusters(minQuality: Double = 0.3,
+      nearDupJaccard: Double = 0.6, n: Int = 3): String =
+    s"""WITH RECURSIVE q AS (
+       |  SELECT doc_id, text, lang, n_chars FROM documents
+       |  WHERE ${qualitySql("text")} >= $minQuality),
+       |fp AS (
+       |  SELECT doc_id,
+       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+       |  FROM q),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+       |kept AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+       |${shingleCtes("kept", n)},
+       |${minhashCtes(n, 8, 2)},
+       |$jaccardCtes,
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM jac WHERE jaccard >= $nearDupJaccard),
+       |und AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM edges
+       |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM edges),
+       |reach AS (
+       |  SELECT u, v FROM und
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+       |losers AS (
+       |  SELECT u AS doc_id FROM reach
+       |  GROUP BY u HAVING u <> least(u, min(v)))
+       |SELECT CAST(k.doc_id AS BIGINT) AS doc_id, k.lang,
+       |  CAST(k.n_chars AS BIGINT) AS n_chars
+       |FROM kept k WHERE NOT EXISTS (
+       |  SELECT 1 FROM losers l WHERE l.doc_id = k.doc_id)""".stripMargin
+
   /** corpus_clean oracle: quality floor → exact dedup (keep lowest id
     * per normalized-content group) → near-dup removal (drop doc_b of
     * each Jaccard-verified pair). Output survivors' (doc_id, lang,
