@@ -67,9 +67,12 @@ object Dn {
     "after", "before", "index", "interval", "metric-breakdowns",
     "data-format", "backend", "path", "index-path", "time-format", "metric")
 
-  def parseArgs(argv: Seq[String]): DnArgs = {
+  def parseArgs(argv0: Seq[String]): DnArgs = {
+    // leading -t (reference: bin/dn dnTrackTime) = print wall time to
+    // stderr; consumed before the subcommand
+    val argv = if (argv0.headOption.contains("-t")) argv0.tail else argv0
     if (argv.isEmpty)
-      throw new GraftException("usage: dn SUBCOMMAND [OPTIONS] ARGS")
+      throw new GraftException("usage: dn [-t] SUBCOMMAND [OPTIONS] ARGS")
     val mode = argv.head
     if (!configModes.contains(mode) && !dataModes.contains(mode))
       throw new GraftException(s"no such command: \"$mode\"")
@@ -416,7 +419,10 @@ object Dn {
     }
   }
 
-  def main(argv: Array[String]): Unit = {
+  def main(argv0: Array[String]): Unit = {
+    val trackTime = argv0.headOption.contains("-t")
+    val t0 = System.nanoTime()
+    val argv = if (trackTime) argv0.tail else argv0
     val a = parseArgs(argv.toSeq)
     if (configModes.contains(a.mode)) {
       val out = runConfig(argv.toSeq)
@@ -441,6 +447,8 @@ object Dn {
       else if (lastAggr && !a.points && !a.counters) print(Format.histogram(df))
       else df.show(1000, truncate = false)
     }
+    if (trackTime)
+      System.err.println(f"time: ${(System.nanoTime() - t0) / 1e9}%.3fs")
     spark.stop()
   }
 }
