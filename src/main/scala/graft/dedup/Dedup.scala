@@ -252,38 +252,64 @@ object Dedup {
    * pair graph, via iterative min-label propagation — each node adopts
    * the smallest label among itself and its neighbors until fixpoint.
    * Iteration count = component diameter (tiny for dup clusters; capped
-   * defensively). Each round is one shuffle (groupBy id); lineage is cut
-   * with localCheckpoint per round so plans don't snowball — at cluster
-   * scale the same loop runs with reliable checkpointing. Returns
-   * (doc_id, cluster_id = min doc id in the component) for every doc in
-   * at least one pair.
+   * defensively).
+   *
+   * Shuffle budget: the edge list is symmetrized ONCE into a
+   * both-directions (src, dst) table, hash-partitioned on src and
+   * cached — each round's message join then reuses that exchange (and
+   * the label table arrives pre-partitioned on id from the previous
+   * round's aggregation), so a round costs exactly one shuffle: the
+   * groupBy(id) over messages. The convergence check rides the same
+   * aggregation — each node's self-row carries its previous label, so
+   * "any label changed?" is a scan of the just-materialized round
+   * output, not a separate join job.
+   *
+   * Lineage is cut per round; `reliable = true` uses fault-tolerant
+   * `checkpoint()` (requires `spark.sparkContext.setCheckpointDir`) so a
+   * lost executor mid-propagation can recompute — the right mode on a
+   * real cluster; the default `localCheckpoint()` is faster for
+   * single-node/interactive use. Returns (doc_id, cluster_id = min doc
+   * id in the component) for every doc in at least one pair.
    */
   def clusters(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, minJaccard: Double = 0.6,
-      maxIters: Int = 20): DataFrame = {
-    val edges = jaccardVerified(docs, idCol, textCol, n, minJaccard)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
-    var labels = edges
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
-      .distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+      maxIters: Int = 20, reliable: Boolean = false): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val edges = cut(jaccardVerified(docs, idCol, textCol, n, minJaccard)
+      .select(col("doc_a"), col("doc_b")))
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("src"))
+      .persist()
+    var labels = cut(sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = false
     var i = 0
+    val debug = sys.env.contains("GRAFT_CLUSTERS_DEBUG")
     while (!converged && i < maxIters) {
-      // neighbors' labels flow both ways across each undirected edge
-      val msgs = edges.join(labels, col("doc_a") === col("id"))
-        .select(col("doc_b").as("id"), col("label"))
-        .union(edges.join(labels, col("doc_b") === col("id"))
-          .select(col("doc_a").as("id"), col("label")))
-      val next = labels.select(col("id"), col("label")).union(msgs)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .where(col("label") =!= col("prev")).isEmpty
-      labels = next
+      val t0 = System.nanoTime()
+      // self-rows re-inject each node's current label (so an isolated
+      // minimum survives) AND carry it as `prev` for the convergence
+      // test; neighbor messages flow the label across each directed copy
+      // of the undirected edge.
+      val self = labels.select(col("id"), col("label"),
+        col("label").as("prev"))
+      val msgs = sym.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"),
+          lit(null).cast(labels.schema("label").dataType).as("prev"))
+      val next = cut(self.union(msgs).groupBy(col("id"))
+        .agg(min(col("label")).as("label"), min(col("prev")).as("prev")))
+      // next is already materialized by the checkpoint; min-propagation
+      // is monotone decreasing, so "changed" == label < prev, and the
+      // check is a cached-block scan, not a join.
+      converged = next.where(col("label") < col("prev")).isEmpty
+      labels = next.select(col("id"), col("label"))
       i += 1
+      if (debug) System.err.println(
+        f"[clusters] round $i: ${(System.nanoTime() - t0) / 1e9}%.2fs converged=$converged")
     }
+    sym.unpersist(false)
     require(converged, s"label propagation did not converge in $maxIters iters")
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
