@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.XHash
@@ -109,10 +110,11 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3,
       bands: Int = 8, rowsPerBand: Int = 2,
-      maxBucket: Option[Int] = None): DataFrame =
+      maxBucket: Option[Int] = None,
+      heavyBucket: Int = HeavyBucket): DataFrame =
     candidatesOfSignature(
       minhashSignature(docs, idCol, textCol, n, bands * rowsPerBand),
-      bands, rowsPerBand, maxBucket)
+      bands, rowsPerBand, maxBucket, heavyBucket)
 
   /**
    * Per-bucket population histogram of the MinHash banding — run this
@@ -141,28 +143,59 @@ object Dedup {
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
   }
 
-  /** LSH banding + in-bucket pair generation over a signature table.
-    * `maxBucket` (opt-in) SKIPS buckets larger than the cap — an
-    * explicit recall-for-boundedness trade for corpora whose banding
-    * produces degenerate buckets (size the cap with [[bucketStats]]);
-    * default None keeps exact LSH semantics. */
-  private def candidatesOfSignature(sig: DataFrame, bands: Int,
-      rowsPerBand: Int, maxBucket: Option[Int] = None): DataFrame = {
-    val grouped = bandedKeys(sig, bands, rowsPerBand)
-      .groupBy(col("band"), col("bh"))
-      .agg(sort_array(collect_set(col("id"))).as("ids"))
-      .where(size(col("ids")) > 1)
-    val bounded = maxBucket match {
-      case Some(cap) => grouped.where(size(col("ids")) <= cap)
-      case None => grouped
-    }
-    bounded
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
+  /** Buckets at or below this population expand to pairs via the sorted
+    * collect_set array (one aggregation row per bucket — cheapest when
+    * buckets are small, the normal LSH regime); buckets above it stream
+    * their pairs through a sort-merge self-join instead, so a degenerate
+    * bucket never materializes as a single in-memory array and its
+    * quadratic pair output is produced incrementally by the join. */
+  val HeavyBucket = 512
+
+  /**
+   * In-bucket ordered pair generation, memory-bounded. `keyed` must have
+   * the bucket key columns plus an orderable `item` column (the doc id,
+   * or a struct whose first field is the id). Bucket populations are
+   * counted with a window over one shuffle; the materialized (band,
+   * item, cnt) table then feeds both regimes — small buckets through the
+   * array expansion, heavy ones through the self-join, which reuses the
+   * cached partitioning on both sides. `maxBucket` (opt-in) still SKIPS
+   * buckets larger than the cap — an explicit recall-for-boundedness
+   * trade (size it with [[bucketStats]]); default None keeps exact LSH
+   * semantics, now safe even for degenerate buckets.
+   */
+  private def bucketPairs(keyed: DataFrame, keyCols: Seq[String],
+      heavy: Int, maxBucket: Option[Int]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val counted = keyed.withColumn("cnt", count(lit(1)).over(w))
+    val bounded = maxBucket
+      .map(cap => counted.where(col("cnt") <= cap)).getOrElse(counted)
+      .where(col("cnt") > 1)
+      .localCheckpoint()
+    val small = bounded.where(col("cnt") <= heavy)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_set(col("item"))).as("xs"))
+      .select(explode(flatten(transform(col("xs"), (x, i) =>
+        transform(slice(col("xs"), i + lit(2), size(col("xs"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val hv = bounded.where(col("cnt") > heavy)
+    val heavyPairs = hv.as("l").join(hv.as("r"),
+      keyCols.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
+        col("l.item") < col("r.item"))
+      .select(col("l.item").as("a"), col("r.item").as("b"))
+    small.union(heavyPairs)
   }
+
+  /** LSH banding + in-bucket pair generation over a signature table
+    * (see [[bucketPairs]] for the small/heavy bucket regimes). */
+  private def candidatesOfSignature(sig: DataFrame, bands: Int,
+      rowsPerBand: Int, maxBucket: Option[Int] = None,
+      heavy: Int = HeavyBucket): DataFrame =
+    bucketPairs(
+      bandedKeys(sig, bands, rowsPerBand).withColumnRenamed("id", "item"),
+      Seq("band", "bh"), heavy, maxBucket)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+      .distinct()
 
   /**
    * SimHash as a single Column: per-token 60-bit hash, majority vote per
@@ -220,29 +253,23 @@ object Dedup {
    * thousands of docs into shared buckets → quadratic pair blowup).
    */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+      textCol: String = "text", maxHamming: Int = 3,
+      heavyBucket: Int = HeavyBucket): DataFrame = {
     val withSim = simhashTable(docs, idCol, textCol)
     val bandCols = (0 until SimBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sim"), b * SimBandBits).bitwiseAND(lit(SimBandMask)).as("bv"))
     }
     // Same in-bucket pair generation as minhashCandidates: one shuffle,
-    // the 60-bit simhash computed once per doc. sort_array on
-    // struct(id, sim) orders by id, so doc_a < doc_b by construction.
+    // the 60-bit simhash computed once per doc. The item struct leads
+    // with id, so both regimes order pairs doc_a < doc_b by construction.
     val banded = withSim
-      .select(col("id"), col("sim"), explode(array(bandCols: _*)).as("b"))
-      .select(col("id"), col("sim"), col("b.band").as("band"), col("b.bv").as("bv"))
-    banded.groupBy(col("band"), col("bv"))
-      .agg(sort_array(collect_set(struct(col("id"), col("sim")))).as("xs"))
-      .where(size(col("xs")) > 1)
-      .select(explode(flatten(transform(col("xs"), (x, i) =>
-        transform(slice(col("xs"), i + lit(2), size(col("xs"))),
-          y => struct(x.getField("id").as("doc_a"),
-            y.getField("id").as("doc_b"),
-            bit_count(x.getField("sim").bitwiseXOR(y.getField("sim")))
-              .as("hamming")))))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.hamming").as("hamming"))
+      .select(struct(col("id"), col("sim")).as("item"),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col("item"), col("b.band").as("band"), col("b.bv").as("bv"))
+    bucketPairs(banded, Seq("band", "bv"), heavyBucket, None)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }

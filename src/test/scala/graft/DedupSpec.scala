@@ -77,6 +77,33 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("degenerate bucket: heavy self-join path == array path, full recall") {
+    // 60 identical docs + 1 unrelated: every band collapses the dups into
+    // one bucket of 60. With heavyBucket below that, pairs stream through
+    // the sort-merge self-join; with it above, through the collect_set
+    // array. Both must produce exactly C(60,2) ordered pairs — the heavy
+    // path bounds memory without discarding recall (unlike maxBucket).
+    val many = (1L to 60L).map(i =>
+      (i, "same exact duplicated text repeated across every single document here"))
+    val degenerate = (many :+
+      (99L, "totally unrelated filler about compilers and garbage collection"))
+      .toDF("doc_id", "text")
+    val expected = (for {
+      a <- 1L to 60L; b <- (a + 1) to 60L
+    } yield (a, b)).toSet
+    val viaJoin = Dedup.minhashCandidates(degenerate, heavyBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaArray = Dedup.minhashCandidates(degenerate, heavyBucket = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaJoin == expected)
+    assert(viaArray == expected)
+    // simhash shares the helper: identical docs pair at hamming 0
+    val sim = Dedup.simhashPairs(degenerate, heavyBucket = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(sim.keySet == expected)
+    assert(sim.values.forall(_ == 0))
+  }
+
   test("shingles of short docs fall back to whole text") {
     val sh = Seq((1L, "two words")).toDF("doc_id", "text")
       .select(Dedup.shingles(col("text")).as("sh"))
