@@ -119,7 +119,9 @@ object AnnQueries {
     // join). Oracle replays buckets, probes, dots, and the ranking
     // window.
     Q("ann_knn_join",
-      (s, dir) => Ann.knnJoin(emb(s, dir), emb(s, dir), 5),
+      // bits pinned to 4: the static oracle SQL replays that geometry
+      // (the scale default derives bits from the corpus count)
+      (s, dir) => Ann.knnJoin(emb(s, dir), emb(s, dir), 5, bits = 4),
       Some(s"""
         WITH n AS (
           SELECT vec_id, $bucketSql AS b,
@@ -166,7 +168,8 @@ object AnnQueries {
 
     // #29 embedding-cosine near-dup pairs (bucket join + exact verify)
     Q("dedup_embed",
-      (s, dir) => Ann.cosinePairs(emb(s, dir), minCos = 0.35),
+      // bits pinned to 4 to match the static oracle, as in ann_knn_join
+      (s, dir) => Ann.cosinePairs(emb(s, dir), minCos = 0.35, bits = 4),
       Some(s"""
         WITH n AS (
           SELECT vec_id, $bucketSql AS b,

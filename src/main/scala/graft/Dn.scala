@@ -438,17 +438,27 @@ object Dn {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = run(spark, argv.toSeq)
+    display(df, a)
+    if (trackTime)
+      System.err.println(f"time: ${(System.nanoTime() - t0) / 1e9}%.3fs")
+    spark.stop()
+  }
+
+  /** Render a result the way `main` would (factored out for tests). */
+  private[graft] def display(df: org.apache.spark.sql.DataFrame,
+      a: DnArgs): Unit = {
     val bds = a.flags.get("breakdowns").map(AttrParser.parse).getOrElse(Nil)
     val lastAggr = bds.lastOption.exists(_.aggr.isDefined)
     if (df.schema.nonEmpty) {
       if (a.dryRun) df.explain("formatted") // plan only, nothing executes
       else if (a.gnuplot) print(Format.gnuplot(df, bds))
-      else if (a.raw) df.toJSON.collect().foreach(println)
+      // --raw is the machine-readable mode users pipe LARGE results
+      // through: stream partitions to stdout one at a time instead of
+      // materializing the whole result on the driver (toLocalIterator
+      // holds at most one partition in memory)
+      else if (a.raw) df.toJSON.toLocalIterator().forEachRemaining(println(_))
       else if (lastAggr && !a.points && !a.counters) print(Format.histogram(df))
       else df.show(1000, truncate = false)
     }
-    if (trackTime)
-      System.err.println(f"time: ${(System.nanoTime() - t0) / 1e9}%.3fs")
-    spark.stop()
   }
 }

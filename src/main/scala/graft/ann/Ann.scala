@@ -65,6 +65,30 @@ object Ann {
     }.reduce(_ + _)
 
   /**
+   * Bucket-bit count sized to the corpus: enough sign bits that an
+   * evenly-split corpus lands ~targetBucket rows per bucket —
+   * ceil(log2(n / targetBucket)), clamped to [minBits, maxBits]. A fixed
+   * small default (16 buckets) is a parallelism ceiling at cluster
+   * scale: 10⁹ vectors over 16 buckets is 60M-row reducers, while
+   * bucketBitsFor(1e9) = 16 bits → 65k buckets of ~15k rows. Sign splits
+   * are rarely perfectly even, so treat targetBucket as an order of
+   * magnitude, and cap maxBits at the embedding dimension (bits beyond
+   * it read past the vector and stop discriminating).
+   */
+  def bucketBitsFor(n: Long, targetBucket: Long = 4096,
+      minBits: Int = 4, maxBits: Int = 16): Int = {
+    val buckets = math.max(1L, n / math.max(1L, targetBucket))
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(0L, buckets - 1))
+    math.min(maxBits, math.max(minBits, bits))
+  }
+
+  /** Sentinel for "derive bits from the corpus count" in the bulk
+    * two-sided paths ([[knnJoin]], [[cosinePairs]]) — the single-query
+    * paths keep an explicit small default since their cost is one scan
+    * regardless of bucket count. */
+  val DeriveBits = 0
+
+  /**
    * Brute-force cosine top-k against one query vector (a 1-row DF —
    * broadcast, never collected). The global plan is scan → broadcast
    * join → TakeOrderedAndProject: no corpus shuffle at any scale.
@@ -201,20 +225,24 @@ object Ann {
    */
   def knnJoin(left: DataFrame, right: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      bits: Int = 4): DataFrame = {
+      bits: Int = DeriveBits): DataFrame = {
+    // Default bucket width scales with the corpus (one count against the
+    // right side — parquet footer metadata, not a data pass); pass bits
+    // explicitly to pin the geometry.
+    val bb = if (bits == DeriveBits) bucketBitsFor(right.count()) else bits
     // no pre-repartition: the bucket-key equi-join hash-partitions both
     // sides anyway, and the ranking window re-shuffles on lid — an id
     // repartition here would just add two whole-corpus shuffles
     val l = withNormalized(left, vecCol, "lv")
       .select(col(idCol).as("lid"), col("lv"),
-        signBucket(col(vecCol), bits).as("lb"))
+        signBucket(col(vecCol), bb).as("lb"))
     val probeCols = col("lb") +:
-      (0 until bits).map(j => col("lb").bitwiseXOR(lit(1L << j)))
+      (0 until bb).map(j => col("lb").bitwiseXOR(lit(1L << j)))
     val probes = l.select(col("lid"), col("lv"),
       explode(array(probeCols: _*)).as("pb"))
     val r = withNormalized(right, vecCol, "rv")
       .select(col(idCol).as("rid"), col("rv"),
-        signBucket(col(vecCol), bits).as("rb"))
+        signBucket(col(vecCol), bb).as("rb"))
     val cand = probes.join(r, col("pb") === col("rb") && col("lid") =!= col("rid"))
       .select(col("lid"), col("rid"), dot(col("lv"), col("rv")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
@@ -259,13 +287,16 @@ object Ann {
    */
   def cosinePairs(corpus: DataFrame, minCos: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      bits: Int = 4): DataFrame = {
+      bits: Int = DeriveBits): DataFrame = {
+    // Default bucket width scales with the corpus; pass bits explicitly
+    // to pin the geometry.
+    val bb = if (bits == DeriveBits) bucketBitsFor(corpus.count()) else bits
     // Rebalance on id first (input may be a single split), pre-normalize
     // each vector ONCE, then shuffle both sides on the bucket key; the
     // quadratic in-bucket stage pays one dot pass per pair.
     val b = withNormalized(corpus.repartition(col(idCol)), vecCol, "vn")
       .select(col(idCol).as("id"), col("vn").as("v"),
-        signBucket(col(vecCol), bits).as("b"))
+        signBucket(col(vecCol), bb).as("b"))
       .repartition(col("b"))
     b.as("a").join(b.as("c"),
         col("a.b") === col("c.b") && col("a.id") < col("c.id"))

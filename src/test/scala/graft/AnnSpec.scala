@@ -86,6 +86,28 @@ class AnnSpec extends SparkSpec {
     assert(byId.nonEmpty)
   }
 
+  test("bucketBitsFor scales bits with corpus size, clamped") {
+    // tiny corpora stay at the floor
+    assert(Ann.bucketBitsFor(0) == 4)
+    assert(Ann.bucketBitsFor(10000) == 4)
+    // ceil(log2(n/4096)): 1M rows → 256 buckets of ~4k
+    assert(Ann.bucketBitsFor(1L << 20) == 8)
+    assert(Ann.bucketBitsFor(1000000000L) == 16)
+    // never past the ceiling (and a custom ceiling caps at the dim)
+    assert(Ann.bucketBitsFor(Long.MaxValue) == 16)
+    assert(Ann.bucketBitsFor(1L << 40, maxBits = 8) == 8)
+    // exact powers don't over-allocate: 2^k buckets need exactly k bits
+    assert(Ann.bucketBitsFor(4096 * 32) == 5)
+    // derived default == explicit bits at the derived value
+    val emb = graft.sources.Sources.table(spark, sf001, "embeddings")
+    val derivedBits = Ann.bucketBitsFor(emb.count())
+    val viaDefault = Ann.knnJoin(emb, emb, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val viaExplicit = Ann.knnJoin(emb, emb, 3, bits = derivedBits)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(viaDefault == viaExplicit)
+  }
+
   test("cosine near-dup pairs: only the close pair survives the threshold") {
     val pairs = Ann.cosinePairs(vecs, minCos = 0.9, bits = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -399,6 +399,25 @@ class DnSpec extends SparkSpec {
     assert(viaIndex == raw.map { case (k, v) => k -> 3 * v })
   }
 
+  test("--raw streams multi-partition results identical to a collect") {
+    // points over two breakdowns at 8 shuffle partitions: a genuinely
+    // multi-partition result; the streamed toLocalIterator path must
+    // print exactly what a driver-side collect would have
+    val df = Dn.run(spark, Seq("scan", s"--data=$events",
+      "--breakdowns=event_type,user_id", "--points"))
+      .repartition(4) // AQE coalesces the small result; force >1 partition
+    assert(df.rdd.getNumPartitions > 1, "result must be multi-partition")
+    val args = Dn.parseArgs(Seq("scan", s"--data=$events",
+      "--breakdowns=event_type,user_id", "--points", "--raw"))
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Dn.display(df, args)
+    }
+    val streamed = buf.toString("UTF-8").linesIterator.toSeq
+    assert(streamed == df.toJSON.collect().toSeq)
+    assert(streamed.nonEmpty && streamed.forall(_.startsWith("{")))
+  }
+
   test("histogram rendering shows scaled bars per bucket") {
     val df = Dn.run(spark, Seq("scan", s"--data=$events",
       "--breakdowns=v[field=value,aggr=quantize]"))
