@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Path
+import java.nio.file.{Files, Path, Paths}
 import java.time.Instant
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -65,7 +65,8 @@ object Dn {
 
   private val knownFlags = Set("data", "breakdowns", "filter", "time-field",
     "after", "before", "index", "interval", "metric-breakdowns",
-    "data-format", "backend", "path", "index-path", "time-format", "metric")
+    "data-format", "backend", "path", "index-path", "time-format", "metric",
+    "index-config")
 
   def parseArgs(argv0: Seq[String]): DnArgs = {
     // leading -t (reference: bin/dn dnTrackTime) = print wall time to
@@ -105,6 +106,12 @@ object Dn {
         "--counters is only meaningful with scan, query, or index-scan")
     if (counters && points)
       throw new GraftException("--counters and --points are mutually exclusive")
+    // reference parity: only the index-building/reading commands accept a
+    // metric-config file (bin/dn option tables for build/index-read/index-scan)
+    if (flags.contains("index-config") &&
+        !Set("build", "index-read", "index-scan").contains(mode))
+      throw new GraftException(
+        "--index-config applies to build, index-read, and index-scan only")
     DnArgs(mode, flags, positional.result(), points, counters, verbose, raw,
       gnuplot, dryRun)
   }
@@ -219,9 +226,54 @@ object Dn {
         fs.step.foreach(s => b.put("step", s))
         if (fs.isDate) b.put("date", true)
       }
-      m.filter.foreach(f => n.set("filter", mapper.readTree(f)))
+      // explicit type arg: jackson's set() infers scala Nothing otherwise
+      m.filter.foreach(f =>
+        n.set[com.fasterxml.jackson.databind.JsonNode](
+          "filter", mapper.readTree(f)))
     }
     mapper.writeValueAsString(root)
+  }
+
+  /**
+   * Parse a `--index-config=CONFIG_FILE` metric config — the JSON that
+   * `dn index-config DS` emits (reference: bin/dn dnReadIndexConfig +
+   * lib/dragnet.js metricsForIndex — a file of serialized metrics that
+   * OVERRIDES the metrics stored in the configuration for build /
+   * index-read / index-scan).
+   */
+  def indexConfigMetrics(file: String): Seq[Metric] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root =
+      try mapper.readTree(Files.readString(Paths.get(file)))
+      catch {
+        case e: java.io.IOException =>
+          throw new GraftException(s"read \"$file\": ${e.getMessage}")
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new GraftException(s"parse \"$file\": ${e.getMessage}")
+      }
+    val metricsNode = root.get("metrics")
+    if (metricsNode == null || !metricsNode.isArray)
+      throw new GraftException(s"parse \"$file\": no \"metrics\" array")
+    import scala.jdk.CollectionConverters._
+    metricsNode.elements().asScala.map { m =>
+      val name = Option(m.get("name")).map(_.asText()).getOrElse(
+        throw new GraftException(s"parse \"$file\": metric without a name"))
+      val breakdowns = Option(m.get("breakdowns")).toSeq
+        .flatMap(_.elements().asScala)
+        .map { b =>
+          val bname = Option(b.get("name")).map(_.asText()).getOrElse(
+            throw new GraftException(
+              s"parse \"$file\": breakdown without a name in metric $name"))
+          FieldSpec(
+            name = bname,
+            field = Option(b.get("field")).map(_.asText()).getOrElse(bname),
+            isDate = Option(b.get("date")).exists(_.asBoolean(false)),
+            aggr = Option(b.get("aggr")).map(_.asText()),
+            step = Option(b.get("step")).map(_.asDouble()))
+        }
+      Metric(name, breakdowns,
+        Option(m.get("filter")).map(f => Krill.parse(f.toString)))
+    }.toSeq
   }
 
   // ------------------------------------------------------------------ data
@@ -318,9 +370,12 @@ object Dn {
     if (configModes.contains(a0.mode))
       throw new GraftException(
         s"${a0.mode} is a configuration command (use runConfig)")
-    // one config snapshot for the whole invocation
+    // one config snapshot for the whole invocation; an --index-config
+    // file overrides the configured metrics (reference: metricsForIndex)
     val dnCfg = DnConfig.load(cfgPath)
-    val fromConfig = configuredMetrics(a0, dnCfg)
+    val fromConfig = a0.flags.get("index-config")
+      .map(indexConfigMetrics)
+      .getOrElse(configuredMetrics(a0, dnCfg))
     val a = resolveDatasource(a0, dnCfg)
     val cfg0 = cfgOf(a)
     // A date-laid-out tree without --time-field is still boundable: the

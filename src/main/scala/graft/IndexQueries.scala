@@ -95,6 +95,22 @@ object IndexQueries {
       Some(Scan.scanSql("events",
         QueryConfig(breakdowns = AttrParser.parse("event_type")), rq))),
 
+    // #11b day-aligned bounds served by dn_date pruning ALONE — no
+    // timeField in the query, so the per-second refine is unavailable and
+    // the partition prune must answer exactly (before is exclusive: the
+    // 2024-01-05 partition stays out). Oracle = the bounded raw scan.
+    Q("index_bounds_day",
+      serve("day", QueryConfig(
+        breakdowns = AttrParser.parse("event_type"),
+        after = Some(Instant.parse("2024-01-02T00:00:00Z")),
+        before = Some(Instant.parse("2024-01-05T00:00:00Z")))),
+      Some(Scan.scanSql("events",
+        QueryConfig(
+          breakdowns = AttrParser.parse("event_type"),
+          timeField = Some("ts"),
+          after = Some(Instant.parse("2024-01-02T00:00:00Z")),
+          before = Some(Instant.parse("2024-01-05T00:00:00Z"))), rq))),
+
     // #15 hourly interval + minute-aligned time bounds → partition pruning
     Q("index_hourly",
       serve("hour", QueryConfig(

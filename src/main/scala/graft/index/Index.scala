@@ -154,8 +154,29 @@ object Index {
         throw new GraftException(
           s"no index built at $mp (interval=$interval): ${e.getMessage}") }
 
+    val hasBounds = cfg.after.isDefined || cfg.before.isDefined
+    val indexedTime = cfg.timeField.filter(tf =>
+      metric.breakdowns.exists(_.name == tf))
+    // Day-aligned bounds are exactly servable by dn_date pruning ALONE —
+    // the reference serves bounded queries from the per-day index via
+    // file pruning (lib/index-query.js + lib/path-enum.js) regardless of
+    // what's indexed. We accept only the cases pruning answers EXACTLY
+    // (bounds on a UTC midnight after dragnet's ceil-secs rounding),
+    // keeping the error for sub-day bounds the index cannot answer
+    // instead of inheriting the reference's over-inclusive whole-day
+    // reads.
+    val dayAligned = (cfg.after.toSeq ++ cfg.before.toSeq).forall(t =>
+      Math.floorMod(math.ceil(t.toEpochMilli / 1000.0).toLong, 86400L) == 0L)
+    val dayServed = hasBounds && indexedTime.isEmpty && prune && dayAligned
+    if (hasBounds && indexedTime.isEmpty && !dayServed)
+      throw new GraftException(
+        "no metrics available to serve query (time bounds need an indexed time column)")
+
     // Partition pruning on the day directory, the analog of dragnet's
-    // by_day file pruning (lib/path-enum.js).
+    // by_day file pruning (lib/path-enum.js). `before` is EXCLUSIVE: when
+    // pruning is the only enforcement (dayServed) a midnight bound must
+    // cut strictly below its day; when an indexed timestamp refines it,
+    // <= keeps the boundary day and the per-second bound trims it.
     (if (prune) (cfg.after, cfg.before) else (None, None)) match {
       case (None, None) => ()
       case (a, b) =>
@@ -164,20 +185,18 @@ object Index {
             lit(t.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString))
         }
         b.foreach { t =>
-          df = df.where(col("dn_date") <=
-            lit(t.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString))
+          val d = lit(t.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString)
+          df = df.where(if (dayServed) col("dn_date") < d else col("dn_date") <= d)
         }
     }
-    // Then the precise per-second bounds via the indexed timestamp column
-    // when the query carries one (cfg.timeField must name an indexed,
-    // epoch-seconds breakdown for sub-day precision).
-    val hasBounds = cfg.after.isDefined || cfg.before.isDefined
-    val indexedTime = cfg.timeField.filter(tf =>
-      metric.breakdowns.exists(_.name == tf))
-    if (hasBounds && indexedTime.isEmpty)
-      throw new GraftException(
-        "no metrics available to serve query (time bounds need an indexed time column)")
-    (df, cfg.copy(valueField = Some("value"), timeField = indexedTime))
+    // Bounds fully enforced by pruning are stripped from the effective
+    // config (Scan would otherwise demand a time column for them);
+    // otherwise the precise per-second bounds ride the indexed timestamp.
+    val effective =
+      if (dayServed) cfg.copy(valueField = Some("value"), timeField = None,
+        after = None, before = None)
+      else cfg.copy(valueField = Some("value"), timeField = indexedTime)
+    (df, effective)
   }
 
   /**

@@ -399,6 +399,47 @@ class DnSpec extends SparkSpec {
     assert(viaIndex == raw.map { case (k, v) => k -> 3 * v })
   }
 
+  test("--index-config=FILE drives a build without configured metrics") {
+    // mirror of the reference flow (tests/dn/local/tst.index_file.sh +
+    // dnReadIndexConfig): emit the metric config of one datasource as
+    // JSON, then feed that FILE to a build against an EMPTY config — the
+    // file's metrics must drive the build, and a query of the result
+    // must match a plain scan.
+    val rc = tmpConfig
+    val idx = Files.createTempDirectory("graft-dn-icidx").toString
+    Dn.runConfig(Seq("datasource-add", s"--path=$events",
+      s"--index-path=$idx", "ev"), rc)
+    Dn.runConfig(Seq("metric-add", "--breakdowns=event_type,user_id",
+      """--filter={"ne": ["event_type", "error"]}""", "ev", "by_tu"), rc)
+    val cfgFile = Files.createTempDirectory("graft-ixcfg").resolve("ic.json")
+    Files.writeString(cfgFile, Dn.runConfig(Seq("index-config", "ev"), rc))
+    // parsed metrics round-trip name, breakdowns, and filter
+    val ms = Dn.indexConfigMetrics(cfgFile.toString)
+    assert(ms.map(_.name) == Seq("by_tu"))
+    assert(ms.head.breakdowns.map(_.field) == Seq("event_type", "user_id"))
+    assert(ms.head.filter.isDefined)
+    val emptyRc = tmpConfig // never written: no datasources, no metrics
+    Dn.run(spark, Seq("build", s"--data=$events", s"--index=$idx",
+      "--time-field=ts", s"--index-config=$cfgFile"), emptyRc)
+    // the file's metric (name, breakdowns, filter) drove the build: a
+    // config-backed query of that index matches a filtered scan
+    val viaIndex = Dn.run(spark, Seq("query", "ev",
+      "--breakdowns=event_type"), rc).collect().map(_.toSeq).toSet
+    val viaScan = Dn.run(spark, Seq("scan", s"--data=$events",
+      """--filter={"ne": ["event_type", "error"]}""",
+      "--breakdowns=event_type"), emptyRc).collect().map(_.toSeq).toSet
+    assert(viaIndex == viaScan && viaIndex.nonEmpty)
+    // flag is rejected outside build/index-read/index-scan, like the
+    // reference option tables
+    assertThrows[GraftException](
+      Dn.parseArgs(Seq("scan", "--data=x", s"--index-config=$cfgFile")))
+    // unreadable / malformed files error cleanly
+    assertThrows[GraftException](Dn.indexConfigMetrics("/nonexistent.json"))
+    val bad = Files.createTempDirectory("graft-ixcfg-bad").resolve("bad.json")
+    Files.writeString(bad, "{ not json")
+    assertThrows[GraftException](Dn.indexConfigMetrics(bad.toString))
+  }
+
   test("--raw streams multi-partition results identical to a collect") {
     // points over two breakdowns at 8 shuffle partitions: a genuinely
     // multi-partition result; the streamed toLocalIterator path must

@@ -68,6 +68,31 @@ class IndexSpec extends SparkSpec {
     assertThrows[GraftException](Index.query(spark, path, Seq(metric), cfg))
   }
 
+  test("day-aligned bounds served by dn_date pruning; sub-day still rejected") {
+    import java.time.Instant
+    val path = tmp()
+    // the metric indexes NO timestamp column at all
+    Index.build(ev, Seq(metric), path, timeField = "ts", interval = "day")
+    val base = QueryConfig(breakdowns = Seq(FieldSpec.plain("event_type")))
+    val bounded = base.copy(
+      after = Some(Instant.parse("2024-01-02T00:00:00Z")),
+      before = Some(Instant.parse("2024-01-05T00:00:00Z")))
+    val viaIndex = Index.query(spark, path, Seq(metric), bounded)
+      .collect().map(_.toSeq).toSet
+    val viaScan = Scan.scan(ev, bounded.copy(timeField = Some("ts")))
+      .collect().map(_.toSeq).toSet
+    assert(viaIndex == viaScan && viaIndex.nonEmpty)
+    // strictly fewer rows than unbounded — the prune really cut days,
+    // and exclusively: the 2024-01-05 partition is out
+    val unbounded = Index.query(spark, path, Seq(metric), base)
+      .collect().map(_.toSeq).toSet
+    assert(viaIndex != unbounded)
+    // sub-day bounds cannot be answered exactly without an indexed
+    // timestamp: still an error, not an over-inclusive day read
+    assertThrows[GraftException](Index.query(spark, path, Seq(metric),
+      base.copy(after = Some(Instant.parse("2024-01-02T06:30:00Z")))))
+  }
+
   test("incremental update replaces only the touched day partitions") {
     val path = tmp()
     Index.build(ev, Seq(metric), path, timeField = "ts", interval = "day")
