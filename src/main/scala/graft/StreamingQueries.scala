@@ -36,13 +36,21 @@ object StreamingQueries {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, math.min(statePartitions, prev.toInt).toString)
+    // every stateful query here runs under the RECOMMENDED production
+    // state config — RocksDB + changelog checkpointing (README
+    // "Streaming state") — so the gate exercises the configuration a
+    // billion-key stream actually deploys with
+    val prevState = StreamScan.useRocksDbState(s)
     try {
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set(key, prev)
+    } finally {
+      s.conf.set(key, prev)
+      StreamScan.restoreState(s, prevState)
+    }
     s.table(name)
   }
 
@@ -86,12 +94,16 @@ object StreamingQueries {
         val key = "spark.sql.shuffle.partitions"
         val prev = s.conf.get(key)
         s.conf.set(key, "8")
+        val prevState = StreamScan.useRocksDbState(s)
         try {
           val q = graft.streaming.StreamScan.indexSink(agg,
             s"$tmp/idx", s"$tmp/ckpt",
             org.apache.spark.sql.streaming.Trigger.AvailableNow())
           q.awaitTermination()
-        } finally s.conf.set(key, prev)
+        } finally {
+          s.conf.set(key, prev)
+          StreamScan.restoreState(s, prevState)
+        }
         s.read.parquet(s"$tmp/idx")
           .select(col("window_start"), col("window_end"), col("event_type"),
             col("value"))

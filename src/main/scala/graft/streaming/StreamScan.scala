@@ -24,6 +24,38 @@ import graft.{QueryConfig, Scan}
 object StreamScan {
 
   /**
+   * Switch the session to the RECOMMENDED stateful-streaming config:
+   * RocksDB state stores with changelog checkpointing. The default
+   * HDFS-backed provider keeps every key of every partition's state
+   * on-heap — fine for thousands of keys, fatal for the billions a
+   * 100 TB corpus-dedup or per-user sessionization stream carries;
+   * RocksDB spills state to local disk with bounded memory, and
+   * changelog checkpointing uploads per-batch deltas instead of
+   * snapshotting the whole store. Session-level conf: applies to
+   * streams STARTED afterwards (a running query keeps the provider its
+   * first checkpoint recorded). Returns the previous settings so
+   * callers can restore them.
+   */
+  def useRocksDbState(spark: org.apache.spark.sql.SparkSession): Map[String, Option[String]] = {
+    val settings = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")
+    val prev = settings.map { case (k, _) => k -> spark.conf.getOption(k) }
+    settings.foreach { case (k, v) => spark.conf.set(k, v) }
+    prev
+  }
+
+  /** Restore conf captured by [[useRocksDbState]]. */
+  def restoreState(spark: org.apache.spark.sql.SparkSession,
+      prev: Map[String, Option[String]]): Unit =
+    prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+
+  /**
    * Windowed streaming scan. Output columns: `window_start`, `window_end`
    * (event-time window bounds), one column per breakdown, BIGINT `value`.
    */

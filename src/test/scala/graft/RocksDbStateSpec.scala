@@ -22,16 +22,12 @@ class RocksDbStateSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.from(java.time.Instant.parse(s))
 
+  // the engine's own recommended-config switch (also exercised by every
+  // StreamingQueries drain in the correctness gate)
   private def withRocksDb[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val prev = StreamScan.useRocksDbState(spark)
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    finally StreamScan.restoreState(spark, prev)
   }
 
   test("windowed counts and dedup behave identically on RocksDB state") {
