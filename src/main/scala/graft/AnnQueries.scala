@@ -166,6 +166,54 @@ object AnnQueries {
           FROM qz, qq)
         SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10""")),
 
+    // #30c product quantization: deterministic per-subspace codebooks
+    // (XHash-sampled like IVF), L2-nearest encoding, ADC search. The
+    // oracle replays sampling, sub-vector split, argmin encoding (ties
+    // on cid), the query lookup table, and the score sum.
+    Q("ann_pq",
+      (s, dir) => {
+        val e = emb(s, dir)
+        Ann.pqTopK(e, queryVec(e), 10)
+      },
+      Some(s"""
+        WITH n AS (
+          SELECT vec_id AS id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
+          FROM embeddings),
+        mm AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
+        cent AS (
+          SELECT id AS cid, vn AS cv FROM n, mm
+          WHERE CAST(concat('0x', substring(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % mm.m = 0),
+        subIdx AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+        subs AS (
+          SELECT id, sub, list_slice(vn, sub*16 + 1, sub*16 + 16) AS sv
+          FROM n, subIdx),
+        csubs AS (
+          SELECT cid, sub, list_slice(cv, sub*16 + 1, sub*16 + 16) AS cv
+          FROM cent, subIdx),
+        dists AS (
+          SELECT s.id, s.sub, c.cid,
+            (${dotSql("s.sv", "s.sv")}) + (${dotSql("c.cv", "c.cv")})
+              - 2.0 * (${dotSql("s.sv", "c.cv")}) AS dist
+          FROM subs s JOIN csubs c ON s.sub = c.sub),
+        codes AS (
+          SELECT id, sub, cid AS code,
+            row_number() OVER (PARTITION BY id, sub ORDER BY dist, cid) AS rn
+          FROM dists),
+        qn AS (SELECT vn FROM n ORDER BY id LIMIT 1),
+        qsubs AS (
+          SELECT sub, list_slice(qn.vn, sub*16 + 1, sub*16 + 16) AS qv
+          FROM qn, subIdx),
+        lut AS (
+          SELECT c.sub, c.cid, ${dotSql("c.cv", "q.qv")} AS pd
+          FROM csubs c JOIN qsubs q ON c.sub = q.sub)
+        SELECT codes.id AS vec_id, SUM(lut.pd) AS score
+        FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.cid
+        WHERE codes.rn = 1
+        GROUP BY 1
+        ORDER BY score DESC, vec_id LIMIT 10""")),
+
     // #29 embedding-cosine near-dup pairs (bucket join + exact verify)
     Q("dedup_embed",
       // bits pinned to 4 to match the static oracle, as in ann_knn_join

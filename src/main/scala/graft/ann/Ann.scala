@@ -251,6 +251,88 @@ object Ann {
   }
 
   /**
+   * Product-quantization codebooks — the next compression step after
+   * [[quantize8]]: each normalized vector splits into `m` sub-vectors,
+   * and each subspace gets ~`k` centroids chosen DETERMINISTICALLY (the
+   * XHash-sampled rows' sub-vectors — the same reproducible, training-
+   * free sampling as [[ivfCentroids]], replayable by a SQL oracle).
+   * Output (sub, cid, cv): m×k rows — broadcastable at any corpus size.
+   */
+  def pqCodebooks(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", m: Int = 4, k: Int = 16): DataFrame = {
+    val n = corpus.count()
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val mod = math.max(1L, n / k)
+    val sampled = withNormalized(corpus, vecCol, "vn")
+      .where(pmod(graft.functions.XHash.h60(col(idCol).cast("string")),
+        lit(mod)) === 0)
+      .select(col(idCol).as("cid"), col("vn"))
+    val subCols = (0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(col("vn"), s * dsub + 1, dsub).as("cv")))
+    sampled.select(col("cid"), explode(array(subCols: _*)).as("b"))
+      .select(col("b.sub").as("sub"), col("cid"), col("b.cv").as("cv"))
+  }
+
+  /**
+   * PQ encoding (id, sub, code): per subspace, the L2-nearest codebook
+   * centroid (ties → lowest cid). mk bytes replace the whole vector —
+   * with m=4, k=16 that is 4 nibbles for a 64-dim float vector (64×
+   * smaller). One map pass joined against the BROADCAST codebook, argmin
+   * folded into a map-side-combined min_by per (id, sub) — a single
+   * shuffle of m rows per vector, never a corpus×corpus stage.
+   */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      m: Int = 4): DataFrame = {
+    val dsub = codebooks.select(size(col("cv"))).head.getInt(0)
+    val subCols = (0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(col("vn"), s * dsub + 1, dsub).as("sv")))
+    val subs = withNormalized(corpus, vecCol, "vn")
+      .select(col(idCol).as("id"), col("vn"))
+      .select(col("id"), explode(array(subCols: _*)).as("b"))
+      .select(col("id"), col("b.sub").as("sub"), col("b.sv").as("sv"))
+    subs.join(broadcast(codebooks), "sub")
+      .withColumn("dist",
+        dot(col("sv"), col("sv")) + dot(col("cv"), col("cv"))
+          - lit(2.0) * dot(col("sv"), col("cv")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("code"))
+  }
+
+  /**
+   * PQ top-k via asymmetric distance computation: the query stays
+   * full-precision; each (sub, centroid) partial dot against the query's
+   * sub-vector forms an m×k lookup table (broadcast), and a vector's
+   * score is the sum of its codes' partials — approximates cosine
+   * without touching the original vectors. Scale shape: encode once and
+   * persist (like the IVF assignment); a search then reads mk-byte codes
+   * instead of the 100 TB float corpus.
+   */
+  def pqTopK(corpus: DataFrame, query: DataFrame, topK: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      m: Int = 4, k: Int = 16): DataFrame = {
+    val cb = pqCodebooks(corpus, idCol, vecCol, m, k)
+    val enc = pqEncode(corpus, cb, idCol, vecCol, m)
+    val dsub = cb.select(size(col("cv"))).head.getInt(0)
+    val qsubCols = (0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(col("qn"), s * dsub + 1, dsub).as("qv")))
+    val qsubs = withNormalized(query, vecCol, "qn")
+      .select(explode(array(qsubCols: _*)).as("b"))
+      .select(col("b.sub").as("lsub"), col("b.qv").as("qv"))
+    val lut = cb.join(broadcast(qsubs), col("sub") === col("lsub"))
+      .select(col("lsub"), col("cid"), dot(col("cv"), col("qv")).as("pd"))
+    enc.join(broadcast(lut),
+        col("sub") === col("lsub") && col("code") === col("cid"))
+      .groupBy(col("id"))
+      .agg(sum(col("pd")).as("score"))
+      .select(col("id").as(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /**
    * Symmetric int8 quantization of an embedding column: per-vector scale
    * 127/max|x|, q_i = floor(x_i·scale + 0.5) — EXPLICIT half-up rounding
    * (floor(+0.5)) so any SQL engine reproduces it; round() would hit

@@ -86,6 +86,33 @@ class AnnSpec extends SparkSpec {
     assert(byId.nonEmpty)
   }
 
+  test("product quantization: tiny codes, deterministic, useful recall") {
+    val emb = graft.sources.Sources.table(spark, sf001, "embeddings")
+    val q = emb.orderBy(org.apache.spark.sql.functions.col("vec_id")).limit(1)
+    val cb = Ann.pqCodebooks(emb)
+    // m×~k broadcastable codebook rows, 16-dim sub-vectors over dim 64
+    val cbRows = cb.collect()
+    assert(cbRows.map(_.getInt(0)).toSet == Set(0, 1, 2, 3))
+    assert(cbRows.forall(_.getSeq[Double](2).length == 16))
+    // every vector encodes to one code per subspace, codes ∈ codebook
+    val enc = Ann.pqEncode(emb, cb)
+    val n = emb.count()
+    assert(enc.count() == n * 4)
+    val cids = cbRows.map(_.getLong(1)).toSet
+    assert(enc.collect().forall(r => cids.contains(r.getLong(2))))
+    // deterministic end to end
+    val run1 = Ann.pqTopK(emb, q, 10).collect().map(_.getLong(0)).toSeq
+    val run2 = Ann.pqTopK(emb, q, 10).collect().map(_.getLong(0)).toSeq
+    assert(run1 == run2 && run1.size == 10)
+    // ADC is a coarse approximation with untrained sampled codebooks
+    // (exactness of the computation itself is the ann_pq oracle's job):
+    // the query vector must still surface and some exact top-10 overlap
+    // must survive the compression
+    val exact = Ann.bruteForceTopK(emb, q, 10).collect().map(_.getLong(0)).toSet
+    assert(run1.contains(0L))
+    assert((run1.toSet & exact).size >= 1, s"pq recall: $run1 vs $exact")
+  }
+
   test("bucketBitsFor scales bits with corpus size, clamped") {
     // tiny corpora stay at the floor
     assert(Ann.bucketBitsFor(0) == 4)
