@@ -111,6 +111,38 @@ object DedupQueries {
           graft.dedup.Corpus.CleanConfig(clusterDedup = true))
         .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
           col("n_chars").cast("long").as("n_chars")),
-      Some(DedupSql.corpusCleanClusters()))
+      Some(DedupSql.corpusCleanClusters())),
+
+    // #25e benchmark decontamination: corpus docs sharing any word
+    // 3-gram with the "eval set" (doc_id % 97 == 0 plays the benchmark
+    // split). Eval shingles broadcast; the corpus side is one map pass +
+    // semi-join + distinct — no corpus shuffle before the final distinct.
+    Q("corpus_decontam",
+      (s, dir) => {
+        val d = docs(s, dir)
+        Dedup.contaminatedIds(
+          d.where(col("doc_id") % 97 =!= 0),
+          d.where(col("doc_id") % 97 === 0))
+      },
+      Some(DedupSql.decontam())),
+
+    // #25f source-weighted mixture sampling (domain reweighting):
+    // per-source deterministic hash keep-rates, power-of-two rates so
+    // rate×10⁶ is integer-exact in both engines. Output = per-source
+    // survivor counts.
+    Q("corpus_mix",
+      (s, dir) => graft.dedup.Corpus.mixBySource(docs(s, dir),
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          default = 0.125)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n")),
+      Some(s"""
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents
+        WHERE ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 1000000
+          < CAST((CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                              WHEN 'src2' THEN 0.25 ELSE 0.125 END)
+                 * 1000000.0 AS BIGINT)
+        GROUP BY 1"""))
   )
 }

@@ -13,22 +13,37 @@ import graft.functions.XHash
  */
 object DedupSql {
 
-  /** CTEs: base relation (doc_id, text) → toks → sh (one row per
-    * doc/shingle occurrence, duplicates preserved like shingleRows). */
-  private def shingleCtes(base: String, n: Int): String =
-    s"""toks AS (
+  /** CTEs: base relation (doc_id, text) → {p}toks → {p}sh (one row per
+    * doc/shingle occurrence, duplicates preserved like shingleRows).
+    * `p` prefixes the CTE names so two shingled relations can coexist
+    * in one query (e.g. decontamination's corpus + eval set). */
+  private def shingleCtes(base: String, n: Int, p: String = ""): String =
+    s"""${p}toks AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
        |  FROM $base),
-       |idx AS (
+       |${p}idx AS (
        |  SELECT doc_id, t,
        |    unnest(range(0, greatest(len(t) - $n, 0) + 1)) AS i
-       |  FROM toks),
-       |sh AS (
+       |  FROM ${p}toks),
+       |${p}sh AS (
        |  SELECT doc_id,
        |    CASE WHEN len(t) < $n THEN array_to_string(t, ' ')
        |         ELSE array_to_string(list_slice(t, i + 1, i + $n), ' ')
        |    END AS s
-       |  FROM idx)""".stripMargin
+       |  FROM ${p}idx)""".stripMargin
+
+  /** corpus_decontam oracle: corpus docs sharing any word n-gram with
+    * the eval split (doc_id % evalMod == 0 plays the benchmark set). */
+  def decontam(base: String = "documents", n: Int = 3,
+      evalMod: Int = 97): String =
+    s"""WITH ev AS (
+       |  SELECT doc_id, text FROM $base WHERE doc_id % $evalMod = 0),
+       |corpus AS (
+       |  SELECT doc_id, text FROM $base WHERE doc_id % $evalMod <> 0),
+       |${shingleCtes("ev", n, "e")},
+       |${shingleCtes("corpus", n, "c")}
+       |SELECT DISTINCT CAST(c.doc_id AS BIGINT) AS doc_id
+       |FROM csh c JOIN (SELECT DISTINCT s FROM esh) e USING (s)""".stripMargin
 
   /** CTEs: sh → sig (per-doc minhash columns m0..m{k-1}) → banded →
     * cand (distinct candidate pairs, doc_a < doc_b). */

@@ -138,6 +138,36 @@ object TextQueries {
           $tieBreak
           ELSE 'und' END AS lang_pred
         FROM b"""
-      })
+      }),
+
+    // #33b Gopher-style repetition signals: duplicate-word fraction and
+    // top-bigram fraction — the stuffing/boilerplate-loop filters a
+    // per-char quality score misses. Oracle replays tokenization, the
+    // bigram slots, and the fractions.
+    Q("text_repetition",
+      (s, dir) => Text.repetitionTable(docs(s, dir)),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        wagg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+            COUNT(DISTINCT w) AS n_distinct
+          FROM words GROUP BY 1),
+        bg AS (
+          SELECT doc_id, array_to_string(list_slice(t, i + 1, i + 2), ' ') AS b
+          FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i
+                FROM toks WHERE len(t) >= 2)),
+        bcnt AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        bagg AS (
+          SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram
+          FROM bcnt GROUP BY 1)
+        SELECT w.doc_id, w.n_tokens,
+          1.0 - CAST(w.n_distinct AS DOUBLE) / CAST(w.n_tokens AS DOUBLE)
+            AS dup_word_frac,
+          coalesce(CAST(b.top_bigram AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE),
+            0.0) AS top_bigram_frac
+        FROM wagg w LEFT JOIN bagg b USING (doc_id)"""))
   )
 }

@@ -115,4 +115,47 @@ object Corpus {
         .select(col("doc_b").as(cfg.idCol)).distinct()
     exactKept.join(losers, Seq(cfg.idCol), "left_anti")
   }
+
+  /** Sampling modulus: rates are expressed in millionths for exact
+    * integer comparison (no float-boundary ambiguity across engines). */
+  private val SampleMod = 1000000L
+
+  /**
+   * DETERMINISTIC hash sampling: keep a ~`rate` fraction of rows, chosen
+   * by the doc id's [[graft.functions.XHash]] residue — reproducible
+   * across runs, engines, and partitionings (unlike `df.sample`, whose
+   * output depends on the partition layout), stable under re-runs of an
+   * incremental pipeline (a doc's fate never changes), and replayable by
+   * a SQL oracle. One codegen'd filter, no shuffle.
+   */
+  def sampleByHash(docs: DataFrame, rate: Double,
+      idCol: String = "doc_id"): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1]: $rate")
+    docs.where(
+      pmod(graft.functions.XHash.h60(col(idCol).cast("string")),
+        lit(SampleMod)) < lit((rate * SampleMod).toLong))
+  }
+
+  /**
+   * Source-weighted MIXTURE sampling (domain reweighting — the
+   * "3 epochs of wikipedia, 0.5 of common crawl" knob of a pretraining
+   * data recipe, for the down-weighting case): each source keeps its own
+   * deterministic hash fraction. Unlisted sources keep `default`. The
+   * rate table is a tiny when-chain (codegen'd), not a join — the pass
+   * stays shuffle-free at any corpus size.
+   */
+  def mixBySource(docs: DataFrame, rates: Map[String, Double],
+      default: Double = 0.0, sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    (default +: rates.values.toSeq).foreach(r =>
+      require(r >= 0 && r <= 1, s"rate must be in [0,1]: $r"))
+    // sorted for a deterministic plan (Map iteration order is not)
+    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(default)) {
+      case (acc, (s, r)) => when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    docs.where(
+      pmod(graft.functions.XHash.h60(col(idCol).cast("string")),
+        lit(SampleMod)) <
+        (rateCol * lit(SampleMod.toDouble)).cast("long"))
+  }
 }

@@ -55,8 +55,9 @@ object Dedup {
    * slower). May contain duplicate shingles.
    */
   def shingleRows(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", n: Int = 3): DataFrame =
-    docs.repartition(col(idCol))
+      textCol: String = "text", n: Int = 3,
+      rebalance: Boolean = true): DataFrame =
+    (if (rebalance) docs.repartition(col(idCol)) else docs)
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .select(col("id"), col("toks"),
         explode(sequence(lit(0), greatest(size(col("toks")) - n, lit(0)))).as("i"))
@@ -339,6 +340,28 @@ object Dedup {
     sym.unpersist(false)
     require(converged, s"label propagation did not converge in $maxIters iters")
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /**
+   * Benchmark DECONTAMINATION: ids of corpus docs sharing ANY word
+   * n-gram with an evaluation corpus — the standard pre-training hygiene
+   * pass (a doc containing a benchmark's prompt/answer n-grams leaks the
+   * benchmark). Eval sets are small (thousands of rows), so their
+   * distinct shingles BROADCAST: the corpus side is one map pass + a
+   * broadcast semi-join + a distinct on ids — no corpus shuffle besides
+   * the final distinct, at any corpus size. Drop the returned ids with
+   * an anti-join to clean.
+   */
+  def contaminatedIds(docs: DataFrame, evalDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    val evalShingles = shingleRows(evalDocs, idCol, textCol, n)
+      .select(col("s")).distinct()
+    // no rebalance: the corpus side never shuffles before the broadcast
+    // semi-join — its only shuffle is the final distinct on ids
+    shingleRows(docs, idCol, textCol, n, rebalance = false)
+      .join(broadcast(evalShingles), Seq("s"), "leftsemi")
+      .select(col("id").as(idCol)).distinct()
   }
 
   /** Exact Jaccard similarity of two shingle-set columns. */

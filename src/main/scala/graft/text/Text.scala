@@ -123,4 +123,46 @@ object Text {
     }
     when(cjk > 0.3, lit("zh")).otherwise(coalesce(byLang, lit("und")))
   }
+
+  /**
+   * Gopher-style REPETITION signals, per doc: `n_tokens`,
+   * `dup_word_frac` (1 - distinct/total tokens) and `top_bigram_frac`
+   * (occurrences of the most frequent bigram over all bigram slots) —
+   * the filters that catch boilerplate loops and keyword stuffing that
+   * per-char quality scores miss. Explode-based like
+   * [[graft.dedup.Dedup.simhashTable]]: token and bigram rows aggregate
+   * with map-side combine (two narrow shuffles on doc id, joined on the
+   * partitioning they share), all expressions codegen'd — no HOF
+   * interpreter in the per-token path. Docs with fewer than 2 tokens get
+   * top_bigram_frac 0.
+   */
+  def repetitionTable(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      tokens(col(textCol)).as("toks"))
+    val words = base
+      .select(col("id"), explode(col("toks")).as("t"))
+      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"))
+    val bigrams = base
+      .where(size(col("toks")) >= 2)
+      .select(col("id"),
+        explode(sequence(lit(0), size(col("toks")) - 2)).as("i"),
+        col("toks"))
+      .select(col("id"),
+        concat_ws(" ", slice(col("toks"), col("i") + 1, lit(2))).as("bg"))
+      .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram"))
+    words.join(bigrams, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("n_tokens").cast("long").as("n_tokens"),
+        (lit(1.0) - col("n_distinct").cast("double") /
+          col("n_tokens").cast("double")).as("dup_word_frac"),
+        coalesce(col("top_bigram").cast("double") /
+          col("n_bigrams").cast("double"), lit(0.0)).as("top_bigram_frac"))
+  }
 }

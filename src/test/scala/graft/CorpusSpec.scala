@@ -97,6 +97,32 @@ class CorpusSpec extends SparkSpec {
     assert(!out.contains(6L) && out.contains(4L))
   }
 
+  test("hash sampling is deterministic, rate-proportional, and nested") {
+    val docs = graft.sources.Sources.table(spark, sf001, "documents")
+    val n = docs.count()
+    val half = Corpus.sampleByHash(docs, 0.5)
+    val c1 = half.collect().map(_.getLong(0)).toSet
+    val c2 = Corpus.sampleByHash(docs, 0.5).collect().map(_.getLong(0)).toSet
+    assert(c1 == c2, "same rate must select the same rows")
+    assert(math.abs(c1.size - n / 2.0) < n * 0.15, s"${c1.size} of $n at 0.5")
+    // rates nest: a 0.25 sample is a subset of the 0.5 sample (the
+    // incremental-pipeline property: lowering the rate never swaps docs)
+    val quarter = Corpus.sampleByHash(docs, 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(quarter.subsetOf(c1))
+    assert(Corpus.sampleByHash(docs, 1.0).count() == n)
+    assert(Corpus.sampleByHash(docs, 0.0).count() == 0)
+    // mixture: per-source rates apply independently, unlisted get default
+    val mixed = Corpus.mixBySource(docs,
+      Map("src0" -> 1.0, "src1" -> 0.0), default = 0.5)
+    val bySrc = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val src0Total = docs.where(
+      org.apache.spark.sql.functions.col("source") === "src0").count()
+    assert(bySrc.get("src0").contains(src0Total))
+    assert(!bySrc.contains("src1"))
+  }
+
   test("deterministic on the documents table and strictly smaller") {
     val d = graft.sources.Sources.table(spark, sf001, "documents")
     val a = Corpus.clean(d).count()

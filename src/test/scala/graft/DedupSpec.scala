@@ -104,6 +104,22 @@ class DedupSpec extends SparkSpec {
     assert(sim.values.forall(_ == 0))
   }
 
+  test("decontamination flags exactly the docs sharing an eval n-gram") {
+    val eval = Seq(
+      (100L, "the capital of france is paris obviously")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the eval 3-gram "capital of france"
+      (1L, "quiz answer the capital of france is paris end"),
+      // shares words but no 3-gram
+      (2L, "france has a capital city with museums"),
+      (3L, "completely unrelated text about compilers")
+    ).toDF("doc_id", "text")
+    val hit = Dedup.contaminatedIds(corpus, eval)
+      .collect().map(_.getLong(0)).toSet
+    assert(hit == Set(1L))
+  }
+
   test("shingles of short docs fall back to whole text") {
     val sh = Seq((1L, "two words")).toDF("doc_id", "text")
       .select(Dedup.shingles(col("text")).as("sh"))

@@ -56,4 +56,29 @@ class TextSpec extends SparkSpec {
       "der hund ist ein freund und das ist gut") == "de")
     assert(one[String](Text.langId(col("t")), "zzz qqq") == "und")
   }
+
+  test("repetition signals: loops score high, varied text scores low") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "buy now buy now buy now buy now"),
+      (3L, "a genuinely varied sentence with distinct interesting words"),
+      (4L, "single")
+    ).toDF("doc_id", "text")
+    val r = Text.repetitionTable(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2), x.getDouble(3)))
+      .toMap
+    // 6 "spam" tokens: dup 5/6, every bigram identical
+    assert(r(1L)._1 == 6L)
+    assert(math.abs(r(1L)._2 - 5.0 / 6.0) < 1e-12)
+    assert(r(1L)._3 == 1.0)
+    // "buy now" ×4: dup 6/8; top bigram "buy now" fills 4 of 7 slots
+    assert(math.abs(r(2L)._2 - 6.0 / 8.0) < 1e-12)
+    assert(math.abs(r(2L)._3 - 4.0 / 7.0) < 1e-12)
+    // all-distinct text: zero dup fraction, every bigram unique
+    assert(r(3L)._2 == 0.0)
+    assert(math.abs(r(3L)._3 - 1.0 / 7.0) < 1e-12)
+    // single-token doc: no bigram slots → 0 by convention
+    assert(r(4L) == ((1L, 0.0, 0.0)))
+  }
 }
