@@ -17,10 +17,10 @@ import graft.sources.Sources
 object CoreScanQueries {
 
   /** Spark-side field resolution (props is a struct after Sources.events). */
-  private val rs: String => Column = col
+  private[graft] val rs: String => Column = col
 
   /** DuckDB-side field resolution over the raw events parquet. */
-  private val rq: String => String = {
+  private[graft] val rq: String => String = {
     case "props.k" => "CAST(props->>'k' AS INTEGER)"
     case f         => f
   }
@@ -34,8 +34,9 @@ object CoreScanQueries {
     FieldSpec("day", "ts", isDate = true,
       aggr = Some("lquantize"), step = Some(86400))
 
-  /** A config exercising all three drop stages for scan_counters. */
-  private val countersCfg = QueryConfig(
+  /** A config exercising all three drop stages for scan_counters (also
+    * reused by stream_counters — same accounting, streaming engine). */
+  private[graft] val countersCfg = QueryConfig(
     filter = Some(Cmp("ne", "event_type", "error")),
     breakdowns = Seq(
       FieldSpec("k_nz", "props.k", aggr = Some("quantize"))),

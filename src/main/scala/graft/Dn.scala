@@ -46,6 +46,59 @@ import graft.sources.Sources
  */
 object Dn {
 
+  /** `dn` usage block (reference: share/usage.txt, printed by bin/dn's
+    * usage() on a missing/unknown subcommand) — adapted to graft's flag
+    * surface: `--data`/`--index` direct paths coexist with configured
+    * DATASOURCE names, `parquet` joins the data formats, and the manta
+    * backend / assetroot options have no analog here (Hadoop FS is the
+    * pluggable backend). */
+  val usageText: String =
+    """usage: dn [-t] SUBCOMMAND [OPTIONS] ARGS
+      |
+      |dn datasource-add    [--backend=NAME] --path=DATA_PATH
+      |                     [--index-path=INDEX_PATH] [--filter=FILTER]
+      |                     [--time-field=FIELD] [--time-format=TIME_FORMAT]
+      |                     [--data-format=json|json-skinner|parquet] DATASOURCE
+      |dn datasource-update [--backend=NAME] [--path=DATA_PATH]
+      |                     [--index-path=INDEX_PATH] [--filter=FILTER]
+      |                     [--time-field=FIELD] [--time-format=TIME_FORMAT]
+      |                     [--data-format=json|json-skinner|parquet] DATASOURCE
+      |dn datasource-list   [-v]
+      |dn datasource-remove DATASOURCE
+      |dn datasource-show   [-v] DATASOURCE
+      |
+      |dn metric-add        [--breakdowns=BREAKDOWN[,...]] [--filter=FILTER]
+      |                     DATASOURCE METRIC
+      |dn metric-list       [-v] DATASOURCE
+      |dn metric-remove     DATASOURCE METRIC
+      |
+      |dn build             [--after=START_TIME] [--before=END_TIME]
+      |                     [--interval=hour|day|all] [--index-config=CONFIG_FILE]
+      |                     [--breakdowns=BREAKDOWN[,...]] [--filter=FILTER]
+      |                     [--time-field=FIELD] [--dry-run] [--counters]
+      |                     DATASOURCE | --data=PATH --index=PATH
+      |
+      |dn query             [--after=START_TIME] [--before=END_TIME] [--filter=FILTER]
+      |                     [--breakdowns=BREAKDOWN[,...]] [--interval=hour|day|all]
+      |                     [--metric=NAME] [--metric-breakdowns=BREAKDOWN[,...]]
+      |                     [--raw] [--points] [--counters] [--gnuplot] [--dry-run]
+      |                     DATASOURCE | --index=PATH
+      |
+      |dn scan              [--after=START_TIME] [--before=END_TIME] [--filter=FILTER]
+      |                     [--breakdowns=BREAKDOWN[,...]] [--time-field=FIELD]
+      |                     [--time-format=TIME_FORMAT] [--data-format=FORMAT]
+      |                     [--raw] [--points] [--counters] [--warnings] [--gnuplot]
+      |                     [--dry-run] DATASOURCE | --data=PATH
+      |
+      |dn index-config      DATASOURCE
+      |dn index-read        [--index-config=INDEX_CONFIG_FILE] [--metric=NAME]
+      |                     [--interval=hour|day|all] DATASOURCE
+      |dn index-scan        [--index-config=INDEX_CONFIG_FILE] [--metric=NAME]
+      |                     [--interval=hour|day|all]
+      |                     [--after=START_TIME] [--before=END_TIME] [--filter=FILTER]
+      |                     [--breakdowns=BREAKDOWN[,...]] [--counters] DATASOURCE
+      |""".stripMargin
+
   final case class DnArgs(
       mode: String,
       flags: Map[String, String],
@@ -72,11 +125,13 @@ object Dn {
     // leading -t (reference: bin/dn dnTrackTime) = print wall time to
     // stderr; consumed before the subcommand
     val argv = if (argv0.headOption.contains("-t")) argv0.tail else argv0
+    // reference parity (bin/dn usage()): a missing or unknown subcommand
+    // prints the error followed by the full usage block
     if (argv.isEmpty)
-      throw new GraftException("usage: dn [-t] SUBCOMMAND [OPTIONS] ARGS")
+      throw new GraftException(s"no command specified\n$usageText")
     val mode = argv.head
     if (!configModes.contains(mode) && !dataModes.contains(mode))
-      throw new GraftException(s"no such command: \"$mode\"")
+      throw new GraftException(s"no such command: \"$mode\"\n$usageText")
     var points = false
     var counters = false
     var verbose = false

@@ -139,6 +139,30 @@ object StreamingQueries {
         SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
         FROM events""")),
 
+    // #16c streaming --counters parity: the SAME conditional-aggregation
+    // pass as the batch counters (Scan.counters is one global agg, so it
+    // runs unchanged on a streaming frame under Complete mode) — per-
+    // stage drop accounting for a live pipeline, final drained row ==
+    // the batch accounting, which IS the oracle.
+    Q("stream_counters",
+      (s, dir) => {
+        implicit val session: org.apache.spark.sql.SparkSession = s
+        val stream = eventStream(s, dir)
+          .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+          // streaming source keeps props as its raw JSON string; parse it
+          // to the same struct shape Sources.events gives the batch side
+          .select(col("*"), json_tuple(col("props"), "k").as("k_json"))
+          .withColumn("props",
+            struct(col("k_json").try_cast("int").as("k")))
+          .drop("k_json")
+        drain(Scan.counters(stream, CoreScanQueries.countersCfg,
+            CoreScanQueries.rs),
+          "graft_stream_counters",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+      },
+      Some(Scan.countersSql("events", CoreScanQueries.countersCfg,
+        CoreScanQueries.rq))),
+
     // #24d stateful streaming sessionization (mapGroupsWithState) run to
     // completion over the events stream — the final per-user session
     // counts must equal the batch lag-window computation, which IS the

@@ -111,6 +111,31 @@ class DnSpec extends SparkSpec {
       Dn.parseArgs(Seq("scan", "--data=x", "--fitler={}")))
   }
 
+  test("missing/unknown subcommand errors carry the full usage block") {
+    // reference bin/dn usage(): error line + share/usage.txt
+    val noCmd = intercept[GraftException](Dn.parseArgs(Seq()))
+    assert(noCmd.getMessage.startsWith("no command specified"))
+    assert(noCmd.getMessage.contains("usage: dn"))
+    val badCmd = intercept[GraftException](Dn.parseArgs(Seq("scna")))
+    assert(badCmd.getMessage.contains("no such command: \"scna\""))
+    assert(badCmd.getMessage.contains("usage: dn"))
+    // the usage block names every subcommand the parser accepts, and
+    // every advertised flag is one the parser knows (no phantom docs)
+    Seq("datasource-add", "datasource-update", "datasource-list",
+      "datasource-remove", "datasource-show", "metric-add", "metric-list",
+      "metric-remove", "build", "query", "scan", "index-config",
+      "index-read", "index-scan").foreach(m =>
+      assert(Dn.usageText.contains(s"dn $m"), s"usage missing $m"))
+    val flagPat = "--([a-z-]+)=".r
+    flagPat.findAllMatchIn(Dn.usageText).map(_.group(1)).toSet.foreach {
+      f: String =>
+        val err = try { Dn.parseArgs(Seq("build", s"--$f=x")); None }
+        catch { case g: GraftException => Some(g.getMessage) }
+        assert(!err.exists(_.contains("unknown flag")),
+          s"usage advertises unknown flag --$f")
+    }
+  }
+
   // ------------------------------------------------------ config-backed CLI
 
   private def tmpConfig = Files.createTempDirectory("graft-rc").resolve("rc")
