@@ -114,6 +114,64 @@ object AnnQueries {
         WHERE a.rn = 1
         ORDER BY cos DESC, vec_id LIMIT 10""")),
 
+    // #31c2 IVF with one deterministic Lloyd refinement: sampled
+    // centroids → assign → per-dimension cell means → reassign → nprobe
+    // search. Fixed iteration count keeps the training replayable: the
+    // oracle recomputes the assignment, the means (empty cells keep the
+    // sampled centroid), and the refined search end to end.
+    Q("ann_ivf_lloyd",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val refined = Ann.ivfRefine(e, Ann.ivfCentroids(e))
+        Ann.ivfTopKAssigned(Ann.ivfAssign(e, refined), refined,
+          queryVec(e), 10)
+      },
+      Some(s"""
+        WITH n AS (
+          SELECT vec_id AS id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
+          FROM embeddings),
+        mm AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
+        cent0 AS (
+          SELECT id AS cid, vn AS cv FROM n, mm
+          WHERE CAST(concat('0x', substring(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % mm.m = 0),
+        d0 AS (
+          SELECT n.id, n.vn, c.cid, ${dotSql("n.vn", "c.cv")} AS d
+          FROM n CROSS JOIN cent0 c),
+        a0 AS (
+          SELECT id, vn, cid AS cell,
+            row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn
+          FROM d0),
+        dims AS (
+          SELECT cell, generate_subscripts(vn, 1) AS pos, unnest(vn) AS x
+          FROM a0 WHERE rn = 1),
+        means AS (
+          SELECT cell, pos, round(AVG(x), 6) AS m FROM dims GROUP BY 1, 2),
+        refined AS (
+          SELECT cell AS cid, list(m ORDER BY pos) AS cv
+          FROM means GROUP BY 1),
+        cent AS (
+          SELECT cid, cv FROM refined
+          UNION ALL
+          SELECT c0.cid, c0.cv FROM cent0 c0
+          WHERE c0.cid NOT IN (SELECT cid FROM refined)),
+        d1 AS (
+          SELECT n.id, n.vn, c.cid, ${dotSql("n.vn", "c.cv")} AS d
+          FROM n CROSS JOIN cent c),
+        asg AS (
+          SELECT id, vn, cid AS cell,
+            row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn
+          FROM d1),
+        qn AS (SELECT vn AS qn FROM n ORDER BY id LIMIT 1),
+        qc AS (
+          SELECT c.cid AS cell FROM cent c, qn
+          ORDER BY ${dotSql("qn.qn", "c.cv")} DESC, c.cid LIMIT 4)
+        SELECT a.id AS vec_id, ${dotSql("a.vn", "q.qn")} AS cos
+        FROM asg a JOIN qc ON a.cell = qc.cell CROSS JOIN qn q
+        WHERE a.rn = 1
+        ORDER BY cos DESC, vec_id LIMIT 10""")),
+
     // #31d k-NN JOIN: every vector retrieves its top-5 neighbors from
     // the same table (bulk retrieval; bucket+probe join, never a cross
     // join). Oracle replays buckets, probes, dots, and the ranking
@@ -208,7 +266,11 @@ object AnnQueries {
         lut AS (
           SELECT c.sub, c.cid, ${dotSql("c.cv", "q.qv")} AS pd
           FROM csubs c JOIN qsubs q ON c.sub = q.sub)
-        SELECT codes.id AS vec_id, SUM(lut.pd) AS score
+        SELECT codes.id AS vec_id,
+          (SUM(CASE WHEN codes.sub = 0 THEN lut.pd END)
+           + SUM(CASE WHEN codes.sub = 1 THEN lut.pd END)
+           + SUM(CASE WHEN codes.sub = 2 THEN lut.pd END)
+           + SUM(CASE WHEN codes.sub = 3 THEN lut.pd END)) AS score
         FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.cid
         WHERE codes.rn = 1
         GROUP BY 1

@@ -184,6 +184,37 @@ object Ann {
       .agg(first(col("vn")).as("vn"),
         max_by(col("cid"), struct(col("d"), col("cid"))).as("cell"))
 
+  /**
+   * One deterministic Lloyd refinement of IVF centroids: assign every
+   * vector to its argmax-dot centroid, then replace each centroid with
+   * its cell's per-dimension MEAN; a cell that captured nothing keeps
+   * its old centroid. A FIXED iteration count (callers chain calls for
+   * more) keeps the whole training replayable by a SQL oracle — the
+   * recall upgrade over raw sampled centroids without a nondeterministic
+   * k-means fit. Scale shape: one broadcast-assign pass + a groupBy on
+   * (cell, dim) — both linear, no corpus² stage; the mean reassembly
+   * runs on k×dim rows (tiny).
+   */
+  def ivfRefine(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // means round to a 1e-6 grid: a distributed avg() sums in partition-
+    // arrival order, so its last bits differ run to run and engine to
+    // engine — enough to flip cell assignments for boundary vectors.
+    // Rounding leaves ~1e-13 reassociation noise twelve orders of
+    // magnitude inside the grid, making the refined centroids exactly
+    // reproducible (a mean landing within 1e-13 of a grid edge is the
+    // only residual risk).
+    val means = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col("cell"), posexplode(col("vn")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos")).agg(round(avg(col("x")), 6).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("refined"))
+      .select(col("cell").as("cid"), col("refined"))
+    centroids.join(means, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("refined"), col("cv")).as("cv"))
+  }
+
   /** IVF search over a precomputed assignment (id, vn, cell): probe the
     * nprobe nearest cells, score only their members. */
   def ivfTopKAssigned(assigned: DataFrame, centroids: DataFrame,
@@ -323,11 +354,20 @@ object Ann {
       .select(col("b.sub").as("lsub"), col("b.qv").as("qv"))
     val lut = cb.join(broadcast(qsubs), col("sub") === col("lsub"))
       .select(col("lsub"), col("cid"), dot(col("cv"), col("qv")).as("pd"))
+    // The score must be a FIXED-ORDER sum: a plain sum() aggregates the m
+    // partials in partition-arrival order, and that reassociation noise
+    // is enough to flip near-tied rows across the top-k boundary (and
+    // across engines). Pivot each subspace's partial into its own column
+    // (each a sum over exactly one row — exact) and add left-to-right:
+    // bit-identical every run and replayable verbatim in SQL.
+    val partials = (0 until m).map(s =>
+      sum(when(col("sub") === s, col("pd"))).as(s"p$s"))
     enc.join(broadcast(lut),
         col("sub") === col("lsub") && col("code") === col("cid"))
       .groupBy(col("id"))
-      .agg(sum(col("pd")).as("score"))
-      .select(col("id").as(idCol), col("score"))
+      .agg(partials.head, partials.tail: _*)
+      .select(col("id").as(idCol),
+        (0 until m).map(s => col(s"p$s")).reduce(_ + _).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(topK)
   }

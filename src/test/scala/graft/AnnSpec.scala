@@ -86,6 +86,28 @@ class AnnSpec extends SparkSpec {
     assert(byId.nonEmpty)
   }
 
+  test("lloyd refinement: deterministic, means move centroids, recall holds") {
+    val emb = graft.sources.Sources.table(spark, sf001, "embeddings")
+    val q = emb.orderBy(org.apache.spark.sql.functions.col("vec_id")).limit(1)
+    val c0 = Ann.ivfCentroids(emb)
+    val c1 = Ann.ivfRefine(emb, c0)
+    // same cells, same count — only the positions move
+    assert(c1.count() == c0.count())
+    assert(c1.select("cid").collect().map(_.getLong(0)).toSet ==
+      c0.select("cid").collect().map(_.getLong(0)).toSet)
+    // deterministic across runs
+    val again = Ann.ivfRefine(emb, c0).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val once = c1.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(once.keySet == again.keySet &&
+      once.forall { case (k, v) =>
+        v.zip(again(k)).forall { case (a, b) => math.abs(a - b) < 1e-12 } })
+    // refined search still returns k results with the query on top
+    val ids = Ann.ivfTopKAssigned(Ann.ivfAssign(emb, c1), c1, q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.size == 10 && ids.head == 0L)
+  }
+
   test("product quantization: tiny codes, deterministic, useful recall") {
     val emb = graft.sources.Sources.table(spark, sf001, "embeddings")
     val q = emb.orderBy(org.apache.spark.sql.functions.col("vec_id")).limit(1)
