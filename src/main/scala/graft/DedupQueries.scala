@@ -126,6 +126,13 @@ object DedupQueries {
       },
       Some(DedupSql.decontam())),
 
+    // #25g substring-level dedup signal: per-doc fraction of word
+    // 5-gram slots covered by spans that exist in >= 2 docs — catches
+    // span-level copying that whole-document MinHash misses
+    Q("dedup_spans",
+      (s, dir) => Dedup.sharedSpanFrac(docs(s, dir), n = 5),
+      Some(DedupSql.sharedSpanFrac(n = 5))),
+
     // #25f source-weighted mixture sampling (domain reweighting):
     // per-source deterministic hash keep-rates, power-of-two rates so
     // rate×10⁶ is integer-exact in both engines. Output = per-source

@@ -32,6 +32,23 @@ object DedupSql {
        |    END AS s
        |  FROM ${p}idx)""".stripMargin
 
+  /** dedup_spans oracle: per-doc fraction of n-gram slots covered by
+    * n-grams appearing in >= minDocs distinct docs. */
+  def sharedSpanFrac(base: String = "documents", n: Int = 8,
+      minDocs: Int = 2): String =
+    s"""WITH ${shingleCtes(base, n)},
+       |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+       |hot AS (SELECT s FROM dsh GROUP BY s HAVING COUNT(*) >= $minDocs),
+       |agg AS (
+       |  SELECT sh.doc_id, COUNT(*) AS n_slots,
+       |    SUM(CASE WHEN hot.s IS NOT NULL THEN 1 ELSE 0 END) AS shared
+       |  FROM sh LEFT JOIN hot ON sh.s = hot.s
+       |  GROUP BY 1)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(n_slots AS BIGINT) AS n_slots,
+       |  CAST(shared AS DOUBLE) / CAST(n_slots AS DOUBLE) AS shared_frac
+       |FROM agg""".stripMargin
+
   /** corpus_decontam oracle: corpus docs sharing any word n-gram with
     * the eval split (doc_id % evalMod == 0 plays the benchmark set). */
   def decontam(base: String = "documents", n: Int = 3,

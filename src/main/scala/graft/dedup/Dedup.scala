@@ -364,6 +364,35 @@ object Dedup {
       .select(col("id").as(idCol)).distinct()
   }
 
+  /**
+   * Substring-level dedup signal (the exact-substring-dedup
+   * approximation): per doc, the fraction of its word n-gram SLOTS
+   * covered by n-grams that also appear in ≥ `minDocs` distinct
+   * documents. A doc whose text is largely assembled from spans that
+   * exist elsewhere scores near 1 even when no whole-document near-dup
+   * pair exists — the case MinHash misses by design. Long n (default 8)
+   * keeps common phrases out. Scale shape: the shared-n-gram table is
+   * intra-corpus (NOT broadcastable), so both sides shuffle once on the
+   * n-gram key, then one aggregation per doc — all linear, no doc²
+   * stage. Output: (doc_id, n_slots, shared_frac).
+   */
+  def sharedSpanFrac(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val rows = shingleRows(docs, idCol, textCol, n, rebalance = false)
+    val hot = rows.distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("s"), lit(true).as("hot"))
+    rows.join(hot, Seq("s"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_slots"),
+        sum(when(col("hot"), lit(1L)).otherwise(lit(0L))).as("shared"))
+      .select(col("id").as(idCol),
+        col("n_slots").cast("long").as("n_slots"),
+        (col("shared").cast("double") / col("n_slots").cast("double"))
+          .as("shared_frac"))
+  }
+
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

@@ -120,6 +120,29 @@ class DedupSpec extends SparkSpec {
     assert(hit == Set(1L))
   }
 
+  test("shared-span fraction: copied spans score, fresh text scores 0") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (1L, s"intro words here $span closing words"),       // 13 tokens
+      (2L, s"totally different head $span and another tail"), // 13 tokens
+      (3L, "no shared content in this sentence at all today truly")
+    ).toDF("doc_id", "text")
+    val r = Dedup.sharedSpanFrac(d, n = 8)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2)))
+      .toMap
+    // doc1: 13 tokens → 6 slots; doc2: 14 → 7. The 8-token span yields
+    // exactly one shared slot per doc (its surroundings differ)
+    assert(r(1L)._1 == 6L && math.abs(r(1L)._2 - 1.0 / 6.0) < 1e-12)
+    assert(r(2L)._1 == 7L && math.abs(r(2L)._2 - 1.0 / 7.0) < 1e-12)
+    assert(r(3L)._2 == 0.0)
+    // full-copy docs saturate to 1.0
+    val copies = Seq(
+      (1L, span + " " + span), (2L, span + " " + span)
+    ).toDF("doc_id", "text")
+    Dedup.sharedSpanFrac(copies, n = 8).collect()
+      .foreach(x => assert(x.getDouble(2) == 1.0))
+  }
+
   test("shingles of short docs fall back to whole text") {
     val sh = Seq((1L, "two words")).toDF("doc_id", "text")
       .select(Dedup.shingles(col("text")).as("sh"))
