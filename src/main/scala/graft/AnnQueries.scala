@@ -227,54 +227,23 @@ object AnnQueries {
     // #30c product quantization: deterministic per-subspace codebooks
     // (XHash-sampled like IVF), L2-nearest encoding, ADC search. The
     // oracle replays sampling, sub-vector split, argmin encoding (ties
-    // on cid), the query lookup table, and the score sum.
+    // on cid), the query lookup table, and the fixed-order score sum.
     Q("ann_pq",
       (s, dir) => {
         val e = emb(s, dir)
         Ann.pqTopK(e, queryVec(e), 10)
       },
-      Some(s"""
-        WITH n AS (
-          SELECT vec_id AS id,
-            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),
-        mm AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
-        cent AS (
-          SELECT id AS cid, vn AS cv FROM n, mm
-          WHERE CAST(concat('0x', substring(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)
-            % mm.m = 0),
-        subIdx AS (SELECT unnest([0, 1, 2, 3]) AS sub),
-        subs AS (
-          SELECT id, sub, list_slice(vn, sub*16 + 1, sub*16 + 16) AS sv
-          FROM n, subIdx),
-        csubs AS (
-          SELECT cid, sub, list_slice(cv, sub*16 + 1, sub*16 + 16) AS cv
-          FROM cent, subIdx),
-        dists AS (
-          SELECT s.id, s.sub, c.cid,
-            (${dotSql("s.sv", "s.sv")}) + (${dotSql("c.cv", "c.cv")})
-              - 2.0 * (${dotSql("s.sv", "c.cv")}) AS dist
-          FROM subs s JOIN csubs c ON s.sub = c.sub),
-        codes AS (
-          SELECT id, sub, cid AS code,
-            row_number() OVER (PARTITION BY id, sub ORDER BY dist, cid) AS rn
-          FROM dists),
-        qn AS (SELECT vn FROM n ORDER BY id LIMIT 1),
-        qsubs AS (
-          SELECT sub, list_slice(qn.vn, sub*16 + 1, sub*16 + 16) AS qv
-          FROM qn, subIdx),
-        lut AS (
-          SELECT c.sub, c.cid, ${dotSql("c.cv", "q.qv")} AS pd
-          FROM csubs c JOIN qsubs q ON c.sub = q.sub)
-        SELECT codes.id AS vec_id,
-          (SUM(CASE WHEN codes.sub = 0 THEN lut.pd END)
-           + SUM(CASE WHEN codes.sub = 1 THEN lut.pd END)
-           + SUM(CASE WHEN codes.sub = 2 THEN lut.pd END)
-           + SUM(CASE WHEN codes.sub = 3 THEN lut.pd END)) AS score
-        FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.cid
-        WHERE codes.rn = 1
-        GROUP BY 1
-        ORDER BY score DESC, vec_id LIMIT 10""")),
+      Some(pqSql(lloyd = false))),
+
+    // #30d PQ + one deterministic Lloyd refinement of the codebooks
+    // (per-subspace analog of ann_ivf_lloyd); the oracle additionally
+    // replays assignment → rounded per-dimension means → re-encode.
+    Q("ann_pq_lloyd",
+      (s, dir) => {
+        val e = emb(s, dir)
+        Ann.pqTopK(e, queryVec(e), 10, lloyd = 1)
+      },
+      Some(pqSql(lloyd = true))),
 
     // #29 embedding-cosine near-dup pairs (bucket join + exact verify)
     Q("dedup_embed",
@@ -291,6 +260,86 @@ object AnnQueries {
           FROM n a JOIN n c ON a.b = c.b AND a.vec_id < c.vec_id)
         SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.35"""))
   )
+
+  /**
+   * The PQ oracle, with or without one Lloyd refinement of the
+   * codebooks — one builder so the two queries cannot drift. Stages:
+   * normalize → sample centroids (XHash mod) → sub-vector split →
+   * [refine: argmin-assign, per-dim rounded means, empty codes keep
+   * their sampled position] → argmin encode → query LUT → fixed-order
+   * score sum (each subspace partial in its own SUM, added
+   * left-to-right — bit-identical to the Spark plan).
+   */
+  private def pqSql(lloyd: Boolean): String = {
+    val refineCtes = s"""
+        rdists AS (
+          SELECT s.id, s.sub, s.sv, c.cid,
+            (${dotSql("s.sv", "s.sv")}) + (${dotSql("c.cv", "c.cv")})
+              - 2.0 * (${dotSql("s.sv", "c.cv")}) AS dist
+          FROM subs s JOIN csubs c ON s.sub = c.sub),
+        rcodes AS (
+          SELECT sub, cid AS code, sv,
+            row_number() OVER (PARTITION BY id, sub ORDER BY dist, cid) AS rn
+          FROM rdists),
+        rdims AS (
+          SELECT sub, code, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x
+          FROM rcodes WHERE rn = 1),
+        rmeans AS (
+          SELECT sub, code, pos, round(AVG(x), 6) AS mn
+          FROM rdims GROUP BY 1, 2, 3),
+        refined AS (
+          SELECT sub, code AS cid, list(mn ORDER BY pos) AS cv
+          FROM rmeans GROUP BY 1, 2),
+        cb AS (
+          SELECT sub, cid, cv FROM refined
+          UNION ALL
+          SELECT c.sub, c.cid, c.cv FROM csubs c
+          WHERE NOT EXISTS (SELECT 1 FROM refined r
+                            WHERE r.sub = c.sub AND r.cid = c.cid)),"""
+    val cbRel = if (lloyd) "cb" else "csubs"
+    s"""
+        WITH n AS (
+          SELECT vec_id AS id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
+          FROM embeddings),
+        mm AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
+        cent AS (
+          SELECT id AS cid, vn AS cv FROM n, mm
+          WHERE CAST(concat('0x', substring(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % mm.m = 0),
+        subIdx AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+        subs AS (
+          SELECT id, sub, list_slice(vn, sub*16 + 1, sub*16 + 16) AS sv
+          FROM n, subIdx),
+        csubs AS (
+          SELECT cid, sub, list_slice(cv, sub*16 + 1, sub*16 + 16) AS cv
+          FROM cent, subIdx),${if (lloyd) refineCtes else ""}
+        dists AS (
+          SELECT s.id, s.sub, c.cid,
+            (${dotSql("s.sv", "s.sv")}) + (${dotSql("c.cv", "c.cv")})
+              - 2.0 * (${dotSql("s.sv", "c.cv")}) AS dist
+          FROM subs s JOIN $cbRel c ON s.sub = c.sub),
+        codes AS (
+          SELECT id, sub, cid AS code,
+            row_number() OVER (PARTITION BY id, sub ORDER BY dist, cid) AS rn
+          FROM dists),
+        qn AS (SELECT vn FROM n ORDER BY id LIMIT 1),
+        qsubs AS (
+          SELECT sub, list_slice(qn.vn, sub*16 + 1, sub*16 + 16) AS qv
+          FROM qn, subIdx),
+        lut AS (
+          SELECT c.sub, c.cid, ${dotSql("c.cv", "q.qv")} AS pd
+          FROM $cbRel c JOIN qsubs q ON c.sub = q.sub)
+        SELECT codes.id AS vec_id,
+          (SUM(CASE WHEN codes.sub = 0 THEN lut.pd END)
+           + SUM(CASE WHEN codes.sub = 1 THEN lut.pd END)
+           + SUM(CASE WHEN codes.sub = 2 THEN lut.pd END)
+           + SUM(CASE WHEN codes.sub = 3 THEN lut.pd END)) AS score
+        FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.cid
+        WHERE codes.rn = 1
+        GROUP BY 1
+        ORDER BY score DESC, vec_id LIMIT 10"""
+  }
 
   /** Sign bucket over dims 1-4 — mirrors Ann.signBucket(bits=4). */
   private def bucketSql: String =

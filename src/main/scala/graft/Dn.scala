@@ -301,10 +301,11 @@ object Dn {
     val root =
       try mapper.readTree(Files.readString(Paths.get(file)))
       catch {
-        case e: java.io.IOException =>
-          throw new GraftException(s"read \"$file\": ${e.getMessage}")
+        // JacksonException extends IOException — match it first
         case e: com.fasterxml.jackson.core.JacksonException =>
           throw new GraftException(s"parse \"$file\": ${e.getMessage}")
+        case e: java.io.IOException =>
+          throw new GraftException(s"read \"$file\": ${e.getMessage}")
       }
     val metricsNode = root.get("metrics")
     if (metricsNode == null || !metricsNode.isArray)

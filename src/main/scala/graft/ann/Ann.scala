@@ -307,6 +307,48 @@ object Ann {
   }
 
   /**
+   * One deterministic Lloyd refinement of PQ codebooks, the
+   * per-subspace analog of [[ivfRefine]]: every (vector, subspace)
+   * assigns to its L2-nearest centroid, each centroid moves to its
+   * cluster's per-dimension mean (rounded to the 1e-6 grid so
+   * distributed-sum reassociation noise cannot flip assignments);
+   * centroids that captured nothing keep their sampled position. Same
+   * scale shape as encoding — broadcast codebooks, one (sub, code,
+   * dim)-keyed aggregation, no corpus² stage.
+   */
+  def pqRefine(corpus: DataFrame, codebooks: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      m: Int = 4): DataFrame = {
+    val dsub = codebooks.select(size(col("cv"))).head.getInt(0)
+    val subCols = (0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(col("vn"), s * dsub + 1, dsub).as("sv")))
+    val subs = withNormalized(corpus, vecCol, "vn")
+      .select(col(idCol).as("id"), col("vn"))
+      .select(col("id"), explode(array(subCols: _*)).as("b"))
+      .select(col("id"), col("b.sub").as("sub"), col("b.sv").as("sv"))
+    val assigned = subs.join(broadcast(codebooks), "sub")
+      .withColumn("dist",
+        dot(col("sv"), col("sv")) + dot(col("cv"), col("cv"))
+          - lit(2.0) * dot(col("sv"), col("cv")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(struct(col("cid"), col("sv")),
+        struct(col("dist"), col("cid"))).as("w"))
+      .select(col("sub"), col("w.cid").as("code"), col("w.sv").as("sv"))
+    val means = assigned
+      .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("sub"), col("code"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("mn"))
+      .groupBy(col("sub"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+        s => s.getField("mn")).as("refined"))
+    codebooks.join(means,
+        codebooks("sub") === means("sub") && col("cid") === col("code"),
+        "left")
+      .select(codebooks("sub").as("sub"), col("cid"),
+        coalesce(col("refined"), col("cv")).as("cv"))
+  }
+
+  /**
    * PQ encoding (id, sub, code): per subspace, the L2-nearest codebook
    * centroid (ties → lowest cid). mk bytes replace the whole vector —
    * with m=4, k=16 that is 4 nibbles for a 64-dim float vector (64×
@@ -343,8 +385,9 @@ object Ann {
    */
   def pqTopK(corpus: DataFrame, query: DataFrame, topK: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      m: Int = 4, k: Int = 16): DataFrame = {
-    val cb = pqCodebooks(corpus, idCol, vecCol, m, k)
+      m: Int = 4, k: Int = 16, lloyd: Int = 0): DataFrame = {
+    var cb = pqCodebooks(corpus, idCol, vecCol, m, k)
+    (0 until lloyd).foreach(_ => cb = pqRefine(corpus, cb, idCol, vecCol, m))
     val enc = pqEncode(corpus, cb, idCol, vecCol, m)
     val dsub = cb.select(size(col("cv"))).head.getInt(0)
     val qsubCols = (0 until m).map(s =>

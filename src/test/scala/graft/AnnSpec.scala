@@ -135,6 +135,45 @@ class AnnSpec extends SparkSpec {
     assert((run1.toSet & exact).size >= 1, s"pq recall: $run1 vs $exact")
   }
 
+  test("pq lloyd: refined codebooks keep shape, tighten quantization error") {
+    val emb = graft.sources.Sources.table(spark, sf001, "embeddings")
+    val cb0 = Ann.pqCodebooks(emb)
+    val cb1 = Ann.pqRefine(emb, cb0)
+    // same (sub, cid) key set, same sub-vector width
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(keys(cb1) == keys(cb0))
+    assert(cb1.collect().forall(_.getSeq[Double](2).length == 16))
+    // refinement tightens (never worsens) the mean quantization error:
+    // Lloyd's monotonicity — each point's distance to its NEW centroid
+    // is <= its distance to the old one
+    def meanDist(cb: org.apache.spark.sql.DataFrame): Double = {
+      import org.apache.spark.sql.functions._
+      val enc = Ann.pqEncode(emb, cb)
+      val dsub = 16
+      val subs = Ann.withNormalized(emb, "embedding", "vn")
+        .select(col("vec_id").as("id"), col("vn"))
+        .select(col("id"), explode(array((0 until 4).map(s =>
+          struct(lit(s).as("sub"), slice(col("vn"), s * dsub + 1, dsub)
+            .as("sv"))): _*)).as("b"))
+        .select(col("id"), col("b.sub").as("sub"), col("b.sv").as("sv"))
+      subs.join(enc, Seq("id", "sub"))
+        .join(cb.withColumnRenamed("sub", "csub"),
+          col("sub") === col("csub") && col("code") === col("cid"))
+        .select(avg(Ann.dot(col("sv"), col("sv"))
+          + Ann.dot(col("cv"), col("cv"))
+          - lit(2.0) * Ann.dot(col("sv"), col("cv"))).as("d"))
+        .head.getDouble(0)
+    }
+    val d0 = meanDist(cb0)
+    val d1 = meanDist(cb1)
+    assert(d1 <= d0 + 1e-9, s"refinement worsened quantization: $d0 -> $d1")
+    // end-to-end lloyd search stays deterministic and returns k rows
+    val q = emb.orderBy(org.apache.spark.sql.functions.col("vec_id")).limit(1)
+    val ids = Ann.pqTopK(emb, q, 10, lloyd = 1).collect().map(_.getLong(0))
+    assert(ids.length == 10 && ids.toSet.size == 10)
+  }
+
   test("bucketBitsFor scales bits with corpus size, clamped") {
     // tiny corpora stay at the floor
     assert(Ann.bucketBitsFor(0) == 4)

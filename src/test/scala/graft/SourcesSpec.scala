@@ -76,4 +76,24 @@ class SourcesSpec extends SparkSpec {
     assert(Scan.scan(df, cfg).count() == 0)
     assert(Scan.scan(df, QueryConfig()).collect().toSeq == Seq(Row(0L)))
   }
+
+  test("gzipped ndjson reads transparently (manta-parity: compressed objects)") {
+    // the reference's manta datasource gunzips objects in flight
+    // (datasource-manta.js); here the Hadoop codec layer does it — same
+    // records whether the file is plain or .gz
+    val dir = Files.createTempDirectory("graft-gz")
+    val lines = Seq(
+      """{"time":"2014-05-01T10:00:00Z","req":{"method":"GET"},"latency":3}""",
+      """{"time":"2014-05-01T11:00:00Z","req":{"method":"PUT"},"latency":9}""")
+    val gz = dir.resolve("data.ndjson.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(gz))
+    out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    out.close()
+    val df = Sources.ndjson(spark, gz.toString)
+    val cfg = QueryConfig(breakdowns = Seq(FieldSpec.plain("req.method")))
+    assert(Scan.scan(df, cfg).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("GET" -> 1L, "PUT" -> 1L))
+  }
 }
