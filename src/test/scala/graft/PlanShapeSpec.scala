@@ -37,4 +37,19 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.sparkPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
   }
+
+  test("decontamination semi-joins against BROADCAST eval shingles") {
+    // the eval set must never force a corpus shuffle: the corpus side
+    // reads, shingles, and semi-joins map-side at any corpus size
+    val plan = SparkEntry.queries("corpus_decontam")(spark, sf001)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(1500))
+  }
+
+  test("PQ scoring joins the codebook LUT broadcast, never shuffled") {
+    val plan = SparkEntry.queries("ann_pq")(spark, sf001)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
 }
