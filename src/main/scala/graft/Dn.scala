@@ -3,7 +3,8 @@ package graft
 import java.nio.file.{Files, Path, Paths}
 import java.time.Instant
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.filter.Krill
 import graft.index.Index
@@ -389,9 +390,37 @@ object Dn {
 
   /** Resolve --data to a DataFrame (parquet / json-skinner /
     * date-layout ndjson / ndjson). */
+  private val knownDataFormats = Set("json", "ndjson", "json-skinner", "parquet")
+
+  /**
+   * Field resolution against a CONCRETE frame: a dotted path absent from
+   * the schema resolves to NULL instead of failing analysis — the
+   * reference's semantics, where a record without the field is simply
+   * dropped (tst.empty.sh scans/builds breakdowns over /dev/null; a
+   * breakdown on a never-seen field yields an empty result, not an
+   * error). Filters on a missing field compare against NULL → false →
+   * row dropped; aggr breakdowns hit the base-null drop.
+   */
+  private def resolverFor(df: DataFrame): String => Column = {
+    def exists(dt: org.apache.spark.sql.types.DataType,
+        parts: List[String]): Boolean = (dt, parts) match {
+      case (_, Nil) => true
+      case (st: org.apache.spark.sql.types.StructType, p :: rest) =>
+        st.fields.find(_.name == p).exists(f => exists(f.dataType, rest))
+      case _ => false
+    }
+    f => if (exists(df.schema, f.split("\\.").toList)) col(f)
+         else lit(null)
+  }
+
   def readData(spark: SparkSession, a: DnArgs): DataFrame = {
     val path = a.flags.getOrElse("data",
       throw new GraftException("--data is required"))
+    // reference parity (tst.badargs.sh): an unknown data-format is an
+    // error at read time, not a silent fall-through to json
+    a.flags.get("data-format").foreach(f =>
+      if (!knownDataFormats.contains(f))
+        throw new GraftException(s"unsupported data format: \"$f\""))
     val cfg = cfgOf(a)
     if (a.flags.get("data-format").contains("json-skinner"))
       Sources.skinnerPoints(spark, path)
@@ -467,9 +496,11 @@ object Dn {
     a.mode match {
       case "scan" =>
         val base = cfg.copy(valueField = skinnerValue)
+        val df = readData(spark, a)
+        val rs = resolverFor(df)
         if (a.counters)
-          return Scan.counters(readData(spark, a), base)
-        val out = Scan.scan(readData(spark, a), base)
+          return Scan.counters(df, base, rs)
+        val out = Scan.scan(df, base, rs)
         // --points: emit skinner-format points (fields struct + weight),
         // the reference's machine-readable output mode
         if (a.points) pointsShape(out, base.breakdowns) else out
@@ -484,18 +515,22 @@ object Dn {
         // the datasource's standing filter (and any --before/--after)
         // constrains what gets indexed, like the reference's scan-side
         // filtering during build; metric filters apply per metric inside
+        val raw = readData(spark, a)
+        val rs = resolverFor(raw)
         val input =
           if (fromConfig.nonEmpty)
-            Scan.prefilter(readData(spark, a), cfg.copy(breakdowns = Nil))
-          else readData(spark, a)
+            Scan.prefilter(raw, cfg.copy(breakdowns = Nil), rs)
+          else raw
         // --dry-run: the tuples the first metric WOULD write, unexecuted
         // (main explains the plan) — nothing touches the index path
         if (a.dryRun)
           Index.scanRows(input, metrics.head, tf,
-            a.flags.getOrElse("interval", "day"), valueField = skinnerValue)
+            a.flags.getOrElse("interval", "day"), rs,
+            valueField = skinnerValue)
         else {
           Index.build(input, metrics, idx, tf,
-            a.flags.getOrElse("interval", "day"), valueField = skinnerValue)
+            a.flags.getOrElse("interval", "day"), rs,
+            valueField = skinnerValue)
           spark.emptyDataFrame
         }
       case "query" =>
@@ -522,11 +557,14 @@ object Dn {
         val tf = a.flags.getOrElse("time-field",
           throw new GraftException("index-scan needs --time-field"))
         val base = cfg.copy(valueField = skinnerValue)
+        val df = readData(spark, a)
+        val rs = resolverFor(df)
         if (a.counters)
-          return Scan.counters(readData(spark, a), base)
+          return Scan.counters(df, base, rs)
         Index.scanRows(
-          Scan.prefilter(readData(spark, a), base), oneMetric(), tf,
-          a.flags.getOrElse("interval", "day"), valueField = skinnerValue)
+          Scan.prefilter(df, base, rs), oneMetric(), tf,
+          a.flags.getOrElse("interval", "day"), rs,
+          valueField = skinnerValue)
     }
   }
 

@@ -86,7 +86,10 @@ object Scan {
       cfg.breakdowns.foreach { fs =>
         cur = cur.where(baseCol(fs, resolve).isNotNull)
       }
-      val names = cfg.breakdowns.map(_.name)
+      // backtick-quote the OUTPUT aliases: a dotted breakdown name
+      // (`req.method`) is a flat column here, and a bare col() would
+      // re-parse it as a nested path
+      val names = cfg.breakdowns.map(fs => s"`${fs.name}`")
       cur.groupBy(cols: _*)
         .agg(sum(weight(cfg)).cast("long").as("value"))
         .orderBy(names.map(col): _*)

@@ -103,9 +103,20 @@ object Index {
         case "day"  => grouped.repartition(col("dn_date"))
         case "all"  => grouped
       }
+      val mp = metricPath(path, interval, m.name)
       (if (interval == "all") clustered.write.mode("overwrite")
        else clustered.write.mode("overwrite").partitionBy("dn_date"))
-        .parquet(metricPath(path, interval, m.name))
+        .parquet(mp)
+      // A partitioned write of ZERO rows leaves only _SUCCESS — no
+      // parquet footer, so a later read cannot infer the schema and the
+      // "built" index is unqueryable. The reference's empty build is
+      // queryable (tst.empty.sh: query over a /dev/null build returns 0).
+      // Lay down one footer-only file carrying the full schema (dn_date
+      // as a data column — pruning predicates still apply to it).
+      if (interval != "all" &&
+          !Option(new java.io.File(mp).list()).exists(_.exists(n =>
+            n.startsWith("dn_date="))))
+        clustered.limit(0).write.mode("overwrite").parquet(mp)
     } finally if (multi) df.unpersist(false)
   }
 
@@ -206,10 +217,16 @@ object Index {
    * predicates on `dn_date` plus the exact per-second bound on any indexed
    * timestamp column.
    */
+  /** Resolve against the index's FLAT columns: an indexed breakdown name
+    * may contain dots (`req.method`), which a bare col() would re-parse
+    * as a nested struct path. */
+  private def flatResolve(df: DataFrame): String => Column =
+    f => if (df.columns.contains(f)) col(s"`$f`") else col(f)
+
   def query(spark: SparkSession, path: String, metrics: Seq[Metric],
             cfg: QueryConfig, interval: String = "day"): DataFrame = {
     val (df, effective) = pruned(spark, path, metrics, cfg, interval)
-    Scan.scan(df, effective)
+    Scan.scan(df, effective, flatResolve(df))
   }
 
   /** `dn query --counters`: the same drop accounting as a scan, over the
@@ -221,6 +238,6 @@ object Index {
                cfg: QueryConfig, interval: String = "day"): DataFrame = {
     val (df, effective) = pruned(spark, path, metrics, cfg, interval,
       prune = false)
-    Scan.counters(df, effective)
+    Scan.counters(df, effective, flatResolve(df))
   }
 }

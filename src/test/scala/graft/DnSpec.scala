@@ -111,6 +111,53 @@ class DnSpec extends SparkSpec {
       Dn.parseArgs(Seq("scan", "--data=x", "--fitler={}")))
   }
 
+  test("empty data: scans, builds, and index queries return 0, never error") {
+    // reference tests/dn/local/tst.empty.sh: every operation over
+    // /dev/null yields 0 / empty output — including breakdowns on
+    // fields no record ever carried, and a query over an empty build
+    val empty = Files.createTempDirectory("graft-dn-empty")
+      .resolve("e.ndjson")
+    Files.writeString(empty, "")
+    assert(Dn.run(spark, Seq("scan", s"--data=$empty")).collect()
+      .head.getLong(0) == 0L)
+    assert(Dn.run(spark, Seq("scan", s"--data=$empty",
+      "--breakdowns=req.method,latency[aggr=quantize]")).count() == 0)
+    assert(Dn.run(spark, Seq("scan", s"--data=$empty", "--counters",
+      """--filter={"eq": ["audit", true]}""")).collect()
+      .head.toSeq == Seq(0L, 0L, 0L, 0L, 0L))
+    val idx = Files.createTempDirectory("graft-dn-emptyidx").toString
+    Dn.run(spark, Seq("build", s"--data=$empty", s"--index=$idx",
+      "--time-field=time", "--breakdowns=req.method"))
+    assert(Dn.run(spark, Seq("query", s"--index=$idx",
+      "--metric-breakdowns=req.method", "--breakdowns=req.method"))
+      .count() == 0)
+    assert(Dn.run(spark, Seq("query", s"--index=$idx",
+      "--metric-breakdowns=req.method")).collect().head.getLong(0) == 0L)
+  }
+
+  test("breakdowns on never-seen fields drop rows instead of failing") {
+    // missing-field semantics on NON-empty data: the reference drops
+    // records lacking the field, so a breakdown on a field no record
+    // carries is empty and a filter on it drops everything
+    assert(Dn.run(spark, Seq("scan", s"--data=$events",
+      "--breakdowns=no.such.field")).count() == 0)
+    assert(Dn.run(spark, Seq("scan", s"--data=$events",
+      """--filter={"eq": ["ghost", 1]}""")).collect().head.getLong(0) == 0L)
+  }
+
+  test("bad arguments reject cleanly, like tst.badargs.sh") {
+    val f = events
+    def bad(args: String*): Unit =
+      assertThrows[GraftException](Dn.run(spark, Seq("scan",
+        s"--data=$f") ++ args))
+    bad("--breakdowns=host,req.method,x[=bar]")
+    bad("--breakdowns=host,req.method,[]")
+    bad("--breakdowns=host,req.method,foo[")
+    bad("--filter={")
+    bad("""--filter={"junk": ["foo", "bar"]}""")
+    bad("--data-format=junk")
+  }
+
   test("missing/unknown subcommand errors carry the full usage block") {
     // reference bin/dn usage(): error line + share/usage.txt
     val noCmd = intercept[GraftException](Dn.parseArgs(Seq()))
