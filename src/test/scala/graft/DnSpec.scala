@@ -145,6 +145,21 @@ class DnSpec extends SparkSpec {
       """--filter={"eq": ["ghost", 1]}""")).collect().head.getLong(0) == 0L)
   }
 
+  test("dotted-path metric round-trips through build + query") {
+    // reference tst.index_file.sh indexes req.caller/req.method — the
+    // breakdown NAME keeps its dots and becomes a flat index column;
+    // query-side resolution must quote it, not re-parse it as a path
+    val idx = Files.createTempDirectory("graft-dn-dotidx").toString
+    Dn.run(spark, Seq("build", s"--data=$events", s"--index=$idx",
+      "--breakdowns=props.k,event_type", "--time-field=ts"))
+    val viaIndex = Dn.run(spark, Seq("query", s"--index=$idx",
+      "--metric-breakdowns=props.k,event_type", "--breakdowns=props.k"))
+      .collect().map(_.toSeq).toSet
+    val viaScan = Dn.run(spark, Seq("scan", s"--data=$events",
+      "--breakdowns=props.k")).collect().map(_.toSeq).toSet
+    assert(viaIndex == viaScan && viaIndex.nonEmpty)
+  }
+
   test("bad arguments reject cleanly, like tst.badargs.sh") {
     val f = events
     def bad(args: String*): Unit =
