@@ -161,10 +161,13 @@ object Ann {
     // Sampling hashes with the cross-engine XHash (not xxhash64) so an
     // oracle can replay the centroid choice.
     val m = math.max(1L, corpus.count() / nlist)
+    // materialize the ~nlist rows: assignment, probe selection, and
+    // refinement all consume them and would each replay the sampling scan
     withNormalized(corpus, vecCol, "vn")
       .select(col(idCol).as("id"), col("vn"))
       .where(pmod(graft.functions.XHash.h60(col("id").cast("string")), lit(m)) === 0)
       .select(col("id").as("cid"), col("vn").as("cv"))
+      .localCheckpoint()
   }
 
   /**
@@ -211,8 +214,12 @@ object Ann {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("refined"))
       .select(col("cell").as("cid"), col("refined"))
+    // materialize: the refined centroids embed a whole-corpus assignment
+    // pass that both the re-assignment and the probe selection would
+    // otherwise replay
     centroids.join(means, Seq("cid"), "left")
       .select(col("cid"), coalesce(col("refined"), col("cv")).as("cv"))
+      .localCheckpoint()
   }
 
   /** IVF search over a precomputed assignment (id, vn, cell): probe the
@@ -302,8 +309,11 @@ object Ann {
       .select(col(idCol).as("cid"), col("vn"))
     val subCols = (0 until m).map(s =>
       struct(lit(s).as("sub"), slice(col("vn"), s * dsub + 1, dsub).as("cv")))
+    // materialize the m×k rows: every consumer (encode, refine, LUT, and
+    // their dsub lookups) would otherwise replay the sampling scan
     sampled.select(col("cid"), explode(array(subCols: _*)).as("b"))
       .select(col("b.sub").as("sub"), col("cid"), col("b.cv").as("cv"))
+      .localCheckpoint()
   }
 
   /**
@@ -341,11 +351,15 @@ object Ann {
       .groupBy(col("sub"), col("code"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
         s => s.getField("mn")).as("refined"))
+    // materialize: the refined table embeds a whole-corpus assignment
+    // pass in its lineage, and downstream consumers (encode + LUT +
+    // dsub lookups) would each replay it
     codebooks.join(means,
         codebooks("sub") === means("sub") && col("cid") === col("code"),
         "left")
       .select(codebooks("sub").as("sub"), col("cid"),
         coalesce(col("refined"), col("cv")).as("cv"))
+      .localCheckpoint()
   }
 
   /**
