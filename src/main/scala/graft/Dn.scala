@@ -384,9 +384,10 @@ object Dn {
       bds: Seq[FieldSpec]): DataFrame =
     if (bds.isEmpty) out
     else out.select(org.apache.spark.sql.functions.struct(
-      bds.map(fs => org.apache.spark.sql.functions.col(fs.name)): _*)
+      // backtick-quoted: a dotted breakdown name is a FLAT output column
+      bds.map(fs => col(s"`${fs.name}`").as(fs.name)): _*)
         .as("fields"),
-      org.apache.spark.sql.functions.col("value"))
+      col("value"))
 
   /** Resolve --data to a DataFrame (parquet / json-skinner /
     * date-layout ndjson / ndjson). */

@@ -160,6 +160,16 @@ class DnSpec extends SparkSpec {
     assert(viaIndex == viaScan && viaIndex.nonEmpty)
   }
 
+  test("--points keeps dotted breakdown names as flat struct fields") {
+    val pts = Dn.run(spark, Seq("scan", s"--data=$events",
+      "--breakdowns=props.k,event_type", "--points"))
+    val row = pts.where(org.apache.spark.sql.functions.col("value") > 0)
+      .head
+    val fields = row.getStruct(0)
+    assert(fields.schema.fieldNames.toSeq == Seq("props.k", "event_type"))
+    assert(row.getLong(1) > 0)
+  }
+
   test("bad arguments reject cleanly, like tst.badargs.sh") {
     val f = events
     def bad(args: String*): Unit =
