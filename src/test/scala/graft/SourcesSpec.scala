@@ -77,6 +77,20 @@ class SourcesSpec extends SparkSpec {
     assert(Scan.scan(df, QueryConfig()).collect().toSeq == Seq(Row(0L)))
   }
 
+  test("a flat directory of many ndjson files scans as one dataset") {
+    // reference tst.scan_fileset.sh: --path pointing at a directory
+    // reads every file in it
+    val dir = Files.createTempDirectory("graft-fileset")
+    Files.writeString(dir.resolve("a.ndjson"),
+      """{"req":{"method":"GET"},"latency":3}""" + "\n")
+    Files.writeString(dir.resolve("b.ndjson"),
+      """{"req":{"method":"PUT"},"latency":9}""" + "\n")
+    val cfg = QueryConfig(breakdowns = Seq(FieldSpec.plain("req.method")))
+    assert(Scan.scan(Sources.ndjson(spark, dir.toString), cfg).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("GET" -> 1L, "PUT" -> 1L))
+  }
+
   test("gzipped ndjson reads transparently (manta-parity: compressed objects)") {
     // the reference's manta datasource gunzips objects in flight
     // (datasource-manta.js); here the Hadoop codec layer does it — same
