@@ -64,7 +64,9 @@ object Format {
     // linespoints connects points in emission order — sort by the x
     // column or the plot zigzags with whatever partition order collect
     // happened to return
-    df.orderBy(org.apache.spark.sql.functions.col(x)).collect().foreach { r =>
+    // backtick-quoted: a dotted breakdown name is a flat output column
+    df.orderBy(org.apache.spark.sql.functions.col(s"`$x`"))
+      .collect().foreach { r =>
       sb.append(s"${r.getAs[Any](x)} ${r.getAs[Any]("value")}\n")
     }
     sb.append("e\n")

@@ -181,6 +181,18 @@ class DnSpec extends SparkSpec {
     bad("--filter={")
     bad("""--filter={"junk": ["foo", "bar"]}""")
     bad("--data-format=junk")
+    // --gnuplot needs exactly one breakdown (reference: try --gnuplot /
+    // try -b a,b --gnuplot both fail); with one dotted breakdown it
+    // renders, sorted by the flat x column
+    def plot(args: String*): String = {
+      val a = Dn.parseArgs(Seq("scan", s"--data=$f") ++ args :+ "--gnuplot")
+      Format.gnuplot(Dn.run(spark, (Seq("scan", s"--data=$f") ++ args)),
+        a.flags.get("breakdowns").map(AttrParser.parse).getOrElse(Nil))
+    }
+    assertThrows[GraftException](plot())
+    assertThrows[GraftException](plot("--breakdowns=event_type,user_id"))
+    val g = plot("--breakdowns=props.k")
+    assert(g.contains("set xlabel \"props.k\"") && g.contains("plot '-'"))
   }
 
   test("missing/unknown subcommand errors carry the full usage block") {
