@@ -77,7 +77,9 @@ object StreamScan {
       .agg(sum(weight).cast("long").as("value"))
       .select(Seq(col("window.start").as("window_start"),
         col("window.end").as("window_end")) ++
-        cfg.breakdowns.map(fs => col(fs.name)) :+ col("value"): _*)
+        // backtick-quoted: dotted breakdown names are flat columns here
+        cfg.breakdowns.map(fs => col(s"`${fs.name}`").as(fs.name)) :+
+        col("value"): _*)
   }
 
   /**
