@@ -96,7 +96,7 @@ object AnnQueries {
         mm AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
         cent AS (
           SELECT id AS cid, vn AS cv FROM n, mm
-          WHERE CAST(concat('0x', substring(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)
+          WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
             % mm.m = 0),
         dists AS (
           SELECT n.id, n.vn, c.cid, ${dotSql("n.vn", "c.cv")} AS d
@@ -134,7 +134,7 @@ object AnnQueries {
         mm AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
         cent0 AS (
           SELECT id AS cid, vn AS cv FROM n, mm
-          WHERE CAST(concat('0x', substring(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)
+          WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
             % mm.m = 0),
         d0 AS (
           SELECT n.id, n.vn, c.cid, ${dotSql("n.vn", "c.cv")} AS d
@@ -305,7 +305,7 @@ object AnnQueries {
         mm AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
         cent AS (
           SELECT id AS cid, vn AS cv FROM n, mm
-          WHERE CAST(concat('0x', substring(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)
+          WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
             % mm.m = 0),
         subIdx AS (SELECT unnest([0, 1, 2, 3]) AS sub),
         subs AS (

@@ -61,14 +61,22 @@ object Bench {
     // should reflect steady-state execution, not JVM warmup. Same
     // schemas at sf0.001 → byte-identical generated code → the measured
     // pass hits the codegen cache and pre-JIT'd paths.
-    val warmDir = "/root/testdata/sf0.001"
+    // Warm dir = the sf0.001 sibling of the measured dataset (override:
+    // SPARK_GRAFT_WARM_DIR); canonical-path compare so a trailing slash
+    // or relative sfDir can't defeat the don't-warm-on-the-measured-set
+    // guard.
+    val sfCanon = new java.io.File(sfDir).getCanonicalFile
+    val warmF = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      new java.io.File(sfCanon.getParentFile, "sf0.001").getPath)).getCanonicalFile
     if (!sys.env.contains("SPARK_GRAFT_NOWARM") &&
-        new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+        warmF.isDirectory && warmF != sfCanon) {
       selected.foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, warmF.getPath).count() } catch { case _: Throwable => () }
         cleanup()
       }
-    }
+    } else if (!sys.env.contains("SPARK_GRAFT_NOWARM") && warmF != sfCanon)
+      System.err.println(s"[bench] warmup dir $warmF missing — first-use " +
+        "JIT/codegen cost will land on the measured pass")
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -133,6 +133,14 @@ object DedupQueries {
       (s, dir) => Dedup.sharedSpanFrac(docs(s, dir), n = 5),
       Some(DedupSql.sharedSpanFrac(n = 5))),
 
+    // #25h the duplicated spans THEMSELVES: maximal contiguous runs of
+    // hot 5-gram slots per doc (inclusive token ranges) — the
+    // suffix-array-free stand-in for exact-substring dedup's byte
+    // ranges, all-integer output so the oracle compare is exact
+    Q("dedup_span_ranges",
+      (s, dir) => Dedup.sharedSpans(docs(s, dir), n = 5),
+      Some(DedupSql.sharedSpans(n = 5))),
+
     // #25f source-weighted mixture sampling (domain reweighting):
     // per-source deterministic hash keep-rates, power-of-two rates so
     // rate×10⁶ is integer-exact in both engines. Output = per-source

@@ -26,7 +26,7 @@ object DedupSql {
        |    unnest(range(0, greatest(len(t) - $n, 0) + 1)) AS i
        |  FROM ${p}toks),
        |${p}sh AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id, i,
        |    CASE WHEN len(t) < $n THEN array_to_string(t, ' ')
        |         ELSE array_to_string(list_slice(t, i + 1, i + $n), ' ')
        |    END AS s
@@ -48,6 +48,25 @@ object DedupSql {
        |  CAST(n_slots AS BIGINT) AS n_slots,
        |  CAST(shared AS DOUBLE) / CAST(n_slots AS DOUBLE) AS shared_frac
        |FROM agg""".stripMargin
+
+  /** dedup_span_ranges oracle: maximal contiguous runs of hot n-gram
+    * slots per doc — gaps-and-islands (covered slot index minus its
+    * per-doc rank is constant within a run). Integer output only. */
+  def sharedSpans(base: String = "documents", n: Int = 8,
+      minDocs: Int = 2): String =
+    s"""WITH ${shingleCtes(base, n)},
+       |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+       |hot AS (SELECT s FROM dsh GROUP BY s HAVING COUNT(*) >= $minDocs),
+       |cov AS (SELECT sh.doc_id, sh.i FROM sh JOIN hot ON sh.s = hot.s),
+       |grp AS (
+       |  SELECT doc_id, i,
+       |    i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS g
+       |  FROM cov)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(MIN(i) AS BIGINT) AS span_start,
+       |  CAST(MAX(i) + $n - 1 AS BIGINT) AS span_end,
+       |  CAST(COUNT(*) AS BIGINT) AS n_slots
+       |FROM grp GROUP BY doc_id, g""".stripMargin
 
   /** corpus_decontam oracle: corpus docs sharing any word n-gram with
     * the eval split (doc_id % evalMod == 0 plays the benchmark set). */

@@ -402,17 +402,23 @@ object Dn {
    * error). Filters on a missing field compare against NULL → false →
    * row dropped; aggr breakdowns hit the base-null drop.
    */
-  private def resolverFor(df: DataFrame): String => Column = {
+  private def hasField(df: DataFrame, f: String): Boolean = {
     def exists(dt: org.apache.spark.sql.types.DataType,
         parts: List[String]): Boolean = (dt, parts) match {
       case (_, Nil) => true
       case (st: org.apache.spark.sql.types.StructType, p :: rest) =>
-        st.fields.find(_.name == p).exists(f => exists(f.dataType, rest))
+        // case-insensitive, like Spark's default resolution
+        // (spark.sql.caseSensitive=false, never overridden here) — an
+        // exact-case check would NULL out fields Spark itself resolves
+        st.fields.find(_.name.equalsIgnoreCase(p))
+          .exists(f => exists(f.dataType, rest))
       case _ => false
     }
-    f => if (exists(df.schema, f.split("\\.").toList)) col(f)
-         else lit(null)
+    exists(df.schema, f.split("\\.").toList)
   }
+
+  private def resolverFor(df: DataFrame): String => Column =
+    f => if (hasField(df, f)) col(f) else lit(null)
 
   def readData(spark: SparkSession, a: DnArgs): DataFrame = {
     val path = a.flags.getOrElse("data",
@@ -517,6 +523,14 @@ object Dn {
         // constrains what gets indexed, like the reference's scan-side
         // filtering during build; metric filters apply per metric inside
         val raw = readData(spark, a)
+        // missing-field tolerance is for breakdowns/filters (record
+        // without the field → row dropped); the TIME field is the
+        // index's partitioning axis — a typo here would silently build
+        // everything into the null partition. Stay loud. (Empty data
+        // has no schema at all — the reference's /dev/null build must
+        // still succeed, so only a NON-empty schema is checked.)
+        if (raw.schema.nonEmpty && !hasField(raw, tf))
+          throw new GraftException(s"--time-field $tf not found in data")
         val rs = resolverFor(raw)
         val input =
           if (fromConfig.nonEmpty)
@@ -559,6 +573,8 @@ object Dn {
           throw new GraftException("index-scan needs --time-field"))
         val base = cfg.copy(valueField = skinnerValue)
         val df = readData(spark, a)
+        if (df.schema.nonEmpty && !hasField(df, tf))
+          throw new GraftException(s"--time-field $tf not found in data")
         val rs = resolverFor(df)
         if (a.counters)
           return Scan.counters(df, base, rs)

@@ -88,6 +88,30 @@ object Ann {
     * regardless of bucket count. */
   val DeriveBits = 0
 
+  /** Assumed on-disk bytes per embedding row when sizing buckets from
+    * plan statistics. Only the order of magnitude matters: a 2× width
+    * error moves the derived bit count by one, the same tolerance
+    * [[bucketBitsFor]] already claims for uneven sign splits. */
+  private val BytesPerVectorRow = 512L
+
+  /** Row-count estimate for bucket sizing WITHOUT an extra data pass:
+    * Catalyst plan stats (exact rowCount when available, else
+    * sizeInBytes / [[BytesPerVectorRow]]). A filtered or derived frame
+    * at 100 TB must not be executed twice just to pick a bucket width —
+    * `count()` runs the full upstream lineage. Only a leaf Spark cannot
+    * size at all (sizeInBytes pinned at the defaultSizeInBytes sentinel,
+    * which would peg bits at the cap) falls back to one real count. */
+  private[ann] def estimatedRows(df: DataFrame): Long = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount match {
+      case Some(rc) => math.max(1L, rc.toLong)
+      case None =>
+        val sz = stats.sizeInBytes
+        if (sz >= BigInt(Long.MaxValue) / 4) df.count()
+        else math.max(1L, (sz / BytesPerVectorRow).toLong)
+    }
+  }
+
   /**
    * Brute-force cosine top-k against one query vector (a 1-row DF —
    * broadcast, never collected). The global plan is scan → broadcast
@@ -264,10 +288,10 @@ object Ann {
   def knnJoin(left: DataFrame, right: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       bits: Int = DeriveBits): DataFrame = {
-    // Default bucket width scales with the corpus (one count against the
-    // right side — parquet footer metadata, not a data pass); pass bits
-    // explicitly to pin the geometry.
-    val bb = if (bits == DeriveBits) bucketBitsFor(right.count()) else bits
+    // Default bucket width scales with the corpus, sized from plan
+    // statistics (no extra data pass); pass bits explicitly to pin the
+    // geometry.
+    val bb = if (bits == DeriveBits) bucketBitsFor(estimatedRows(right)) else bits
     // no pre-repartition: the bucket-key equi-join hash-partitions both
     // sides anyway, and the ranking window re-shuffles on lid — an id
     // repartition here would just add two whole-corpus shuffles
@@ -467,9 +491,10 @@ object Ann {
   def cosinePairs(corpus: DataFrame, minCos: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       bits: Int = DeriveBits): DataFrame = {
-    // Default bucket width scales with the corpus; pass bits explicitly
-    // to pin the geometry.
-    val bb = if (bits == DeriveBits) bucketBitsFor(corpus.count()) else bits
+    // Default bucket width scales with the corpus, sized from plan
+    // statistics (no extra data pass); pass bits explicitly to pin the
+    // geometry.
+    val bb = if (bits == DeriveBits) bucketBitsFor(estimatedRows(corpus)) else bits
     // Rebalance on id first (input may be a single split), pre-normalize
     // each vector ONCE, then shuffle both sides on the bucket key; the
     // quadratic in-bucket stage pays one dot pass per pair.

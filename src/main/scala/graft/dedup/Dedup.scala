@@ -49,10 +49,11 @@ object Dedup {
   }
 
   /**
-   * One row per (doc id, shingle): shingle INDICES are exploded and each
-   * shingle built with a codegen'd slice+concat_ws per row — building the
-   * shingle array via transform() would run the lambda interpreter (~7×
-   * slower). May contain duplicate shingles.
+   * One row per (doc id, slot index, shingle): shingle INDICES are
+   * exploded and each shingle built with a codegen'd slice+concat_ws per
+   * row — building the shingle array via transform() would run the
+   * lambda interpreter (~7× slower). May contain duplicate shingles
+   * (at distinct slots).
    */
   def shingleRows(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3,
@@ -61,7 +62,7 @@ object Dedup {
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .select(col("id"), col("toks"),
         explode(sequence(lit(0), greatest(size(col("toks")) - n, lit(0)))).as("i"))
-      .select(col("id"),
+      .select(col("id"), col("i"),
         when(size(col("toks")) < n, concat_ws(" ", col("toks")))
           .otherwise(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n))))
           .as("s"))
@@ -112,10 +113,11 @@ object Dedup {
       textCol: String = "text", n: Int = 3,
       bands: Int = 8, rowsPerBand: Int = 2,
       maxBucket: Option[Int] = None,
-      heavyBucket: Int = HeavyBucket): DataFrame =
+      heavyBucket: Int = HeavyBucket,
+      reliable: Boolean = false): DataFrame =
     candidatesOfSignature(
       minhashSignature(docs, idCol, textCol, n, bands * rowsPerBand),
-      bands, rowsPerBand, maxBucket, heavyBucket)
+      bands, rowsPerBand, maxBucket, heavyBucket, reliable)
 
   /**
    * Per-bucket population histogram of the MinHash banding — run this
@@ -164,14 +166,21 @@ object Dedup {
    * trade (size it with [[bucketStats]]); default None keeps exact LSH
    * semantics, now safe even for degenerate buckets.
    */
+  /** Lineage cut shared by the dedup pipeline stages: `reliable = true`
+    * uses fault-tolerant `checkpoint()` (recomputable after executor
+    * loss — requires `sparkContext.setCheckpointDir`); the default
+    * `localCheckpoint()` is faster but executor-pinned. */
+  private def cut(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint() else df.localCheckpoint()
+
   private def bucketPairs(keyed: DataFrame, keyCols: Seq[String],
-      heavy: Int, maxBucket: Option[Int]): DataFrame = {
+      heavy: Int, maxBucket: Option[Int],
+      reliable: Boolean = false): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
     val counted = keyed.withColumn("cnt", count(lit(1)).over(w))
-    val bounded = maxBucket
+    val bounded = cut(maxBucket
       .map(cap => counted.where(col("cnt") <= cap)).getOrElse(counted)
-      .where(col("cnt") > 1)
-      .localCheckpoint()
+      .where(col("cnt") > 1), reliable)
     val small = bounded.where(col("cnt") <= heavy)
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_set(col("item"))).as("xs"))
@@ -191,10 +200,10 @@ object Dedup {
     * (see [[bucketPairs]] for the small/heavy bucket regimes). */
   private def candidatesOfSignature(sig: DataFrame, bands: Int,
       rowsPerBand: Int, maxBucket: Option[Int] = None,
-      heavy: Int = HeavyBucket): DataFrame =
+      heavy: Int = HeavyBucket, reliable: Boolean = false): DataFrame =
     bucketPairs(
       bandedKeys(sig, bands, rowsPerBand).withColumnRenamed("id", "item"),
-      Seq("band", "bh"), heavy, maxBucket)
+      Seq("band", "bh"), heavy, maxBucket, reliable)
       .select(col("a").as("doc_a"), col("b").as("doc_b"))
       .distinct()
 
@@ -255,7 +264,8 @@ object Dedup {
    */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3,
-      heavyBucket: Int = HeavyBucket): DataFrame = {
+      heavyBucket: Int = HeavyBucket,
+      reliable: Boolean = false): DataFrame = {
     val withSim = simhashTable(docs, idCol, textCol)
     val bandCols = (0 until SimBands).map { b =>
       struct(lit(b).as("band"),
@@ -268,7 +278,7 @@ object Dedup {
       .select(struct(col("id"), col("sim")).as("item"),
         explode(array(bandCols: _*)).as("b"))
       .select(col("item"), col("b.band").as("band"), col("b.bv").as("bv"))
-    bucketPairs(banded, Seq("band", "bv"), heavyBucket, None)
+    bucketPairs(banded, Seq("band", "bv"), heavyBucket, None, reliable)
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
@@ -302,10 +312,10 @@ object Dedup {
   def clusters(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, minJaccard: Double = 0.6,
       maxIters: Int = 20, reliable: Boolean = false): DataFrame = {
-    def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
-    val edges = cut(jaccardVerified(docs, idCol, textCol, n, minJaccard)
-      .select(col("doc_a"), col("doc_b")))
+    def cut(df: DataFrame): DataFrame = Dedup.cut(df, reliable)
+    val edges = cut(
+      jaccardVerified(docs, idCol, textCol, n, minJaccard, reliable)
+        .select(col("doc_a"), col("doc_b")))
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .repartition(col("src"))
@@ -379,6 +389,7 @@ object Dedup {
   def sharedSpanFrac(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 8, minDocs: Int = 2): DataFrame = {
     val rows = shingleRows(docs, idCol, textCol, n, rebalance = false)
+      .select(col("id"), col("s"))
     val hot = rows.distinct()
       .groupBy(col("s")).agg(count(lit(1)).as("nd"))
       .where(col("nd") >= minDocs)
@@ -393,6 +404,37 @@ object Dedup {
           .as("shared_frac"))
   }
 
+  /**
+   * The duplicated SPANS themselves (what [[sharedSpanFrac]] only
+   * scores): per doc, each MAXIMAL run of contiguous n-gram slots whose
+   * n-gram appears in ≥ `minDocs` distinct documents — the
+   * suffix-array-free approximation of exact-substring dedup's byte
+   * ranges, at n-token resolution. Classic gaps-and-islands: covered
+   * slot indices minus their per-doc rank are constant within a run.
+   * Scale shape: one shuffle on the n-gram key (hot table + semi-join —
+   * the hot table is intra-corpus, NOT broadcastable), one on the doc id
+   * for the ranking window; all linear, no doc² stage. Output
+   * (doc_id, span_start, span_end, n_slots): inclusive TOKEN indices,
+   * span_end = last covered slot + n - 1.
+   */
+  def sharedSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val rows = shingleRows(docs, idCol, textCol, n, rebalance = false)
+    val hot = rows.select(col("id"), col("s")).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs).select(col("s"))
+    val covered = rows.join(hot, Seq("s"), "leftsemi")
+    val w = Window.partitionBy(col("id")).orderBy(col("i"))
+    covered.withColumn("g", col("i") - row_number().over(w))
+      .groupBy(col("id"), col("g"))
+      .agg(min(col("i")).as("lo"), max(col("i")).as("hi"),
+        count(lit(1)).as("n_slots"))
+      .select(col("id").as(idCol),
+        col("lo").cast("long").as("span_start"),
+        (col("hi") + n - 1).cast("long").as("span_end"),
+        col("n_slots").cast("long").as("n_slots"))
+  }
+
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
@@ -404,14 +446,16 @@ object Dedup {
    * sets — still linear in |candidates|, never corpus².
    */
   def jaccardVerified(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", n: Int = 3, minJaccard: Double = 0.6): DataFrame = {
+      textCol: String = "text", n: Int = 3, minJaccard: Double = 0.6,
+      reliable: Boolean = false): DataFrame = {
     // ONE tokenize+shingle pass, materialized: both the signature stage
     // (exploded back to rows — min over the distinct set == min over the
     // multiset) and the verify joins read the same checkpointed sets
     // instead of re-deriving shingles from raw text 2-3×.
-    val sh = shingleSets(docs, idCol, textCol, n).localCheckpoint()
+    val sh = cut(shingleSets(docs, idCol, textCol, n), reliable)
     val rows = sh.select(col("id"), explode(col("sh")).as("s"))
-    candidatesOfSignature(signatureOfRows(rows, 16), 8, 2)
+    candidatesOfSignature(signatureOfRows(rows, 16), 8, 2,
+      reliable = reliable)
       .join(sh.as("sa"), col("doc_a") === col("sa.id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.id"))
       .select(col("doc_a"), col("doc_b"),

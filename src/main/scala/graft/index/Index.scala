@@ -113,10 +113,23 @@ object Index {
       // queryable (tst.empty.sh: query over a /dev/null build returns 0).
       // Lay down one footer-only file carrying the full schema (dn_date
       // as a data column — pruning predicates still apply to it).
-      if (interval != "all" &&
-          !Option(new java.io.File(mp).list()).exists(_.exists(n =>
-            n.startsWith("dn_date="))))
-        clustered.limit(0).write.mode("overwrite").parquet(mp)
+      // Hadoop FileSystem, not java.io.File: the index path may be
+      // hdfs://, s3a://, or a file: URI where File.list() returns null
+      // and the check would wrongly truncate a freshly built index.
+      if (interval != "all") {
+        val p = new org.apache.hadoop.fs.Path(mp)
+        val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+        val entries = fs.listStatus(p)
+        if (!entries.exists(s =>
+            s.isDirectory && s.getPath.getName.startsWith("dn_date=")))
+          clustered.limit(0).write.mode("overwrite").parquet(mp)
+        else
+          // A dynamic-partition update over a previously EMPTY build adds
+          // dn_date= dirs without clearing the root-level footer file; a
+          // mixed-depth layout breaks partition discovery. Remove it.
+          entries.filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+            .foreach(s => fs.delete(s.getPath, false))
+      }
     } finally if (multi) df.unpersist(false)
   }
 

@@ -143,6 +143,23 @@ class DedupSpec extends SparkSpec {
       .foreach(x => assert(x.getDouble(2) == 1.0))
   }
 
+  test("shared spans: maximal hot runs with token ranges, gaps split") {
+    val d = Seq(
+      // docs 1 and 2 share the 4-token phrase "x y z w" → hot 3-grams
+      // "x y z" and "y z w"; everything else is unique
+      (1L, "a b c x y z w q"),       // covered slots {3,4}
+      (2L, "m n x y z w o p"),       // covered slots {2,3}
+      (3L, "x y z w 1 2 3 4 5 x y z w") // two runs: {0,1} and {9,10}
+    ).toDF("doc_id", "text")
+    val spans = Dedup.sharedSpans(d, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(spans == Set(
+      (1L, 3L, 6L, 2L),
+      (2L, 2L, 5L, 2L),
+      (3L, 0L, 3L, 2L), (3L, 9L, 12L, 2L)))
+  }
+
   test("shingles of short docs fall back to whole text") {
     val sh = Seq((1L, "two words")).toDF("doc_id", "text")
       .select(Dedup.shingles(col("text")).as("sh"))

@@ -568,6 +568,26 @@ class DnSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.forall(_.startsWith("{")))
   }
 
+  test("typo'd --time-field on real data fails loudly, not a null index") {
+    // breakdowns/filters tolerate missing fields (row-drop semantics),
+    // but a mistyped time field would silently build the whole index
+    // into the null partition — that must be an error
+    val idx = Files.createTempDirectory("graft-dn-tftypo").toString
+    val e = intercept[GraftException] {
+      Dn.run(spark, Seq("build", s"--data=$events", s"--index=$idx",
+        "--breakdowns=event_type", "--time-field=tz"))
+    }
+    assert(e.getMessage.contains("tz"))
+  }
+
+  test("field resolution is case-insensitive, like Spark's") {
+    // spark.sql.caseSensitive defaults to false; the missing-field check
+    // must not be stricter than the resolver it guards
+    val by = Dn.run(spark, Seq("scan", s"--data=$events",
+      "--breakdowns=EVENT_TYPE"))
+    assert(by.count() > 0)
+  }
+
   test("histogram rendering shows scaled bars per bucket") {
     val df = Dn.run(spark, Seq("scan", s"--data=$events",
       "--breakdowns=v[field=value,aggr=quantize]"))

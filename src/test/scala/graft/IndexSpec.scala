@@ -113,6 +113,23 @@ class IndexSpec extends SparkSpec {
     assert(updated == full + dayCount)
   }
 
+  test("empty build then incremental update stays queryable") {
+    // an empty build writes one footer-only file at the metric root so
+    // the index is readable; a later dynamic-partition update adds
+    // dn_date= dirs and must CLEAR that root file, or partition
+    // discovery sees leaf files at two depths and rejects the index
+    val path = tmp()
+    Index.build(ev.where(org.apache.spark.sql.functions.lit(false)),
+      Seq(metric), path, timeField = "ts", interval = "day")
+    assert(Index.query(spark, path, Seq(metric), QueryConfig())
+      .collect().head.getLong(0) == 0L)
+    Index.update(ev, Seq(metric), path, timeField = "ts", interval = "day")
+    val updated = Index.query(spark, path, Seq(metric), QueryConfig())
+      .collect().head.getLong(0)
+    val scanned = Scan.scan(ev, QueryConfig()).collect().head.getLong(0)
+    assert(updated == scanned)
+  }
+
   test("multi-probe lsh recall ≥ single-bucket recall vs brute force") {
     val e = graft.sources.Sources.table(spark, sf001, "embeddings")
     val q = e.orderBy(org.apache.spark.sql.functions.col("vec_id")).limit(1)
