@@ -141,6 +141,31 @@ object DedupQueries {
       (s, dir) => Dedup.sharedSpans(docs(s, dir), n = 5),
       Some(DedupSql.sharedSpans(n = 5))),
 
+    // #25i sequence packing (concat-and-chunk): per doc, the context
+    // windows it lands in when each shard's token stream is split at a
+    // fixed length. Hash-sharded, id-ordered → deterministic layout;
+    // all-integer output so the oracle compare is exact.
+    Q("corpus_pack",
+      (s, dir) => graft.dedup.Corpus.packChunks(docs(s, dir),
+        seqLen = 256, shards = 8),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+            ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+            CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, shard, n_toks,
+            COALESCE(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+          FROM t)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CAST(shard AS BIGINT) AS shard,
+          CAST(tok_offset AS BIGINT) AS tok_offset,
+          CAST(tok_offset // 256 AS BIGINT) AS chunk_first,
+          CAST((tok_offset + n_toks - 1) // 256 AS BIGINT) AS chunk_last
+        FROM c""")),
+
     // #25f source-weighted mixture sampling (domain reweighting):
     // per-source deterministic hash keep-rates, power-of-two rates so
     // rate×10⁶ is integer-exact in both engines. Output = per-source

@@ -137,6 +137,38 @@ object Corpus {
   }
 
   /**
+   * Sequence PACKING for training (the concat-and-chunk pipeline): lay
+   * each document's tokens end-to-end within a shard and split the
+   * stream at fixed `seqLen` boundaries — each doc maps to the context
+   * windows [chunk_first, chunk_last] it lands in, starting at token
+   * offset `tok_offset` of its shard's stream. Docs shard by id hash
+   * and order by id within a shard, so the layout is reproducible
+   * run-to-run and engine-to-engine. Scale shape: one shuffle on the
+   * shard key, then a per-shard running sum — `shards` bounds the
+   * window parallelism, so size it to the cluster (real pipelines shard
+   * the token stream anyway; each shard packs independently). The
+   * running sum is integer and the chunk math integer division —
+   * all-integer output, bit-exact in any engine.
+   */
+  def packChunks(docs: DataFrame, seqLen: Int = 2048, shards: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(seqLen > 0 && shards > 0, "seqLen and shards must be positive")
+    val t = docs.select(col(idCol).as("id"),
+      pmod(graft.functions.XHash.h60(col(idCol).cast("string")),
+        lit(shards.toLong)).as("shard"),
+      Text.tokenCount(col(textCol)).cast("long").as("n_toks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    t.withColumn("tok_offset", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .select(col("id").as(idCol),
+        col("shard").cast("long").as("shard"),
+        col("tok_offset"),
+        expr(s"tok_offset div $seqLen").as("chunk_first"),
+        expr(s"(tok_offset + n_toks - 1) div $seqLen").as("chunk_last"))
+  }
+
+  /**
    * Source-weighted MIXTURE sampling (domain reweighting — the
    * "3 epochs of wikipedia, 0.5 of common crawl" knob of a pretraining
    * data recipe, for the down-weighting case): each source keeps its own

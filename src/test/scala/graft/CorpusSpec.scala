@@ -123,6 +123,23 @@ class CorpusSpec extends SparkSpec {
     assert(!bySrc.contains("src1"))
   }
 
+  test("packChunks: offsets accumulate in id order, chunks split at seqLen") {
+    // one shard so the whole stream is a single hand-checkable sequence:
+    // token counts 3,2,4,1 → offsets 0,3,5,9; seqLen=4 boundaries at 4,8
+    val d = Seq(
+      (1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (4L, "j")
+    ).toDF("doc_id", "text")
+    val r = graft.dedup.Corpus.packChunks(d, seqLen = 4, shards = 1)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toSet
+    assert(r == Set(
+      (1L, 0L, 0L, 0L),  // tokens 0-2, inside chunk 0
+      (2L, 3L, 0L, 1L),  // tokens 3-4, crosses the 4-boundary
+      (3L, 5L, 1L, 2L),  // tokens 5-8, crosses the 8-boundary
+      (4L, 9L, 2L, 2L)))
+  }
+
   test("deterministic on the documents table and strictly smaller") {
     val d = graft.sources.Sources.table(spark, sf001, "documents")
     val a = Corpus.clean(d).count()
