@@ -148,9 +148,15 @@ object AnnQueries {
           FROM a0 WHERE rn = 1),
         means AS (
           SELECT cell, pos, round(AVG(x), 6) AS m FROM dims GROUP BY 1, 2),
-        refined AS (
-          SELECT cell AS cid, list(m ORDER BY pos) AS cv
+        refined0 AS (
+          SELECT cell AS cid, list(m ORDER BY pos) AS cv0
           FROM means GROUP BY 1),
+        refined AS (
+          SELECT cid,
+            CASE WHEN ${normSqlOf("cv0")} > 0
+              THEN list_transform(cv0, x -> x / ${normSqlOf("cv0")})
+              ELSE cv0 END AS cv
+          FROM refined0),
         cent AS (
           SELECT cid, cv FROM refined
           UNION ALL
@@ -348,10 +354,14 @@ object AnnQueries {
       .mkString("(", " + ", ")")
 
   /** Sequential-double L2 norm — mirrors ArrayL2Norm. */
-  private def normSql: String =
-    """sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-      |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-      |      (a, b) -> a + b))""".stripMargin
+  /** Sequential-double L2 norm of a list expression — mirrors
+    * ArrayL2Norm's left fold. */
+  private def normSqlOf(v: String): String =
+    s"""sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (a, b) -> a + b))""".stripMargin
+
+  private def normSql: String = normSqlOf("embedding")
 
   /** Sequential-double dot product — mirrors ArrayDotProduct. */
   private def dotSql(a: String, b: String): String =

@@ -238,10 +238,21 @@ object Ann {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("refined"))
       .select(col("cell").as("cid"), col("refined"))
+    // SPHERICAL k-means: renormalize each mean to unit length — the
+    // argmax-DOT assignment otherwise scales with ||mean|| (tight cells
+    // out-shout diffuse ones) and cohesion DEGRADES instead of improving
+    // (measured: 0.25 → 0.10 on the test embeddings without this).
+    // Deterministic cross-engine: the norm/divide runs on grid-rounded
+    // means, and ArrayL2Norm mirrors the oracle's sequential fold.
+    // A zero mean (perfectly balanced cell) stays unnormalized.
+    val refinedN = means.withColumn("_n", norm(col("refined")))
+      .select(col("cid"),
+        when(col("_n") > 0, transform(col("refined"), x => x / col("_n")))
+          .otherwise(col("refined")).as("refined"))
     // materialize: the refined centroids embed a whole-corpus assignment
     // pass that both the re-assignment and the probe selection would
     // otherwise replay
-    centroids.join(means, Seq("cid"), "left")
+    centroids.join(refinedN, Seq("cid"), "left")
       .select(col("cid"), coalesce(col("refined"), col("cv")).as("cv"))
       .localCheckpoint()
   }

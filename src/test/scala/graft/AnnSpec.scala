@@ -196,6 +196,32 @@ class AnnSpec extends SparkSpec {
     assert(viaDefault == viaExplicit)
   }
 
+  test("chained Lloyd refinement: deterministic, cohesion improves") {
+    // the API supports chaining refinements (each call = one Lloyd
+    // iteration); measure what iterations buy on the fixed test data
+    val emb = graft.sources.Sources.table(spark, sf001, "embeddings")
+    import org.apache.spark.sql.functions.{avg, col}
+    val c0 = Ann.ivfCentroids(emb)
+    val c1 = Ann.ivfRefine(emb, c0)
+    val c2 = Ann.ivfRefine(emb, c1)
+    // replaying the whole chain reproduces it bit-for-bit (rounded-grid
+    // means — the determinism the SQL oracle relies on)
+    val c2b = Ann.ivfRefine(emb, Ann.ivfRefine(emb, Ann.ivfCentroids(emb)))
+    assert(c2.orderBy("cid").collect().toSeq ==
+      c2b.orderBy("cid").collect().toSeq)
+    // cohesion = mean dot(vector, its assigned centroid): the k-means
+    // objective each Lloyd step locally optimizes
+    def cohesion(c: org.apache.spark.sql.DataFrame): Double =
+      Ann.ivfAssign(emb, c)
+        .join(c.withColumnRenamed("cid", "cell"), "cell")
+        .select(avg(Ann.dot(col("vn"), col("cv"))))
+        .collect().head.getDouble(0)
+    val (k0, k1, k2) = (cohesion(c0), cohesion(c1), cohesion(c2))
+    info(f"cohesion: sampled=$k0%.4f 1-iter=$k1%.4f 2-iter=$k2%.4f")
+    assert(k1 > k0, s"one Lloyd step should improve cohesion: $k0 -> $k1")
+    assert(k2 >= k1 - 1e-6, s"second step should not regress: $k1 -> $k2")
+  }
+
   test("cosine near-dup pairs: only the close pair survives the threshold") {
     val pairs = Ann.cosinePairs(vecs, minCos = 0.9, bits = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
