@@ -222,6 +222,38 @@ class AnnSpec extends SparkSpec {
     assert(k2 >= k1 - 1e-6, s"second step should not regress: $k1 -> $k2")
   }
 
+  test("chained PQ refinement: quantization error non-increasing") {
+    // L2 subspaces: plain means ARE the Lloyd update (no normalization,
+    // unlike the spherical IVF case) — each chained pqRefine must not
+    // increase the mean squared sub-vector quantization error
+    val emb = graft.sources.Sources.table(spark, sf001, "embeddings")
+    import org.apache.spark.sql.functions.{array, avg, broadcast, explode, lit, min, size, slice, struct}
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val dsub = dim / 4
+    val subs = Ann.withNormalized(emb, "embedding", "vn")
+      .select(col("vec_id").as("id"), col("vn"))
+      .select(col("id"), explode(array((0 until 4).map(s =>
+        struct(lit(s).as("sub"),
+          slice(col("vn"), s * dsub + 1, dsub).as("sv"))): _*)).as("b"))
+      .select(col("id"), col("b.sub").as("sub"), col("b.sv").as("sv"))
+    def err(cb: org.apache.spark.sql.DataFrame): Double =
+      subs.join(broadcast(cb), "sub")
+        .withColumn("dist",
+          Ann.dot(col("sv"), col("sv")) + Ann.dot(col("cv"), col("cv"))
+            - lit(2.0) * Ann.dot(col("sv"), col("cv")))
+        .groupBy(col("id"), col("sub")).agg(min(col("dist")).as("d"))
+        .agg(avg(col("d"))).collect().head.getDouble(0)
+    val cb0 = Ann.pqCodebooks(emb)
+    val cb1 = Ann.pqRefine(emb, cb0)
+    val cb2 = Ann.pqRefine(emb, cb1)
+    val (e0, e1, e2) = (err(cb0), err(cb1), err(cb2))
+    info(f"pq sq-error: sampled=$e0%.6f 1-iter=$e1%.6f 2-iter=$e2%.6f")
+    // 1e-5 slack: means round to a 1e-6 grid, which can perturb the
+    // exact-Lloyd monotonicity by O(grid)
+    assert(e1 <= e0 + 1e-5, s"first refinement regressed: $e0 -> $e1")
+    assert(e2 <= e1 + 1e-5, s"second refinement regressed: $e1 -> $e2")
+  }
+
   test("cosine near-dup pairs: only the close pair survives the threshold") {
     val pairs = Ann.cosinePairs(vecs, minCos = 0.9, bits = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
