@@ -262,13 +262,28 @@ object Dn {
     }
   }
 
-  /** The index configuration (dn index-config): the metrics that builds
-    * of this datasource materialize, as JSON. */
+  /** The index configuration (dn index-config): the datasource and the
+    * metrics that builds of it materialize, as JSON (reference:
+    * dragnet-impl.js indexConfig — the datasource rides along so
+    * `index-scan --index-config=FILE` can replay its standing filter on
+    * another machine; provenance fields user/mtime are omitted, the
+    * engine never reads them). */
   def indexConfigJson(cfg: DnConfig.Config, ds: String): String = {
-    if (cfg.datasource(ds).isEmpty)
-      throw new GraftException(s"unknown datasource: \"$ds\"")
+    val d = cfg.datasource(ds).getOrElse(
+      throw new GraftException(s"unknown datasource: \"$ds\""))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
+    val dn = root.putObject("datasource")
+    dn.put("name", d.name)
+    dn.put("backend", d.backend)
+    dn.put("path", d.path)
+    d.indexPath.foreach(dn.put("indexPath", _))
+    d.timeField.foreach(dn.put("timeField", _))
+    d.timeFormat.foreach(dn.put("timeFormat", _))
+    d.dataFormat.foreach(dn.put("dataFormat", _))
+    d.filter.foreach(f =>
+      dn.set[com.fasterxml.jackson.databind.JsonNode](
+        "filter", mapper.readTree(f)))
     val arr = root.putArray("metrics")
     cfg.metricsFor(ds).foreach { m =>
       val n = arr.addObject()
@@ -297,17 +312,28 @@ object Dn {
    * OVERRIDES the metrics stored in the configuration for build /
    * index-read / index-scan).
    */
+  private def readIndexConfig(file: String): com.fasterxml.jackson.databind.JsonNode =
+    try new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(Paths.get(file)))
+    catch {
+      // JacksonException extends IOException — match it first
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        throw new GraftException(s"parse \"$file\": ${e.getMessage}")
+      case e: java.io.IOException =>
+        throw new GraftException(s"read \"$file\": ${e.getMessage}")
+    }
+
+  /** The config file's datasource standing filter, if it carries one —
+    * on index-scan it REPLACES the locally configured datasource's
+    * filter (reference: dragnet.js indexScan passes
+    * `indexConfig.datasource.filter || null`, never the local one). */
+  def indexConfigDsFilter(file: String): Option[String] =
+    Option(readIndexConfig(file).get("datasource"))
+      .flatMap(d => Option(d.get("filter")))
+      .map(_.toString)
+
   def indexConfigMetrics(file: String): Seq[Metric] = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root =
-      try mapper.readTree(Files.readString(Paths.get(file)))
-      catch {
-        // JacksonException extends IOException — match it first
-        case e: com.fasterxml.jackson.core.JacksonException =>
-          throw new GraftException(s"parse \"$file\": ${e.getMessage}")
-        case e: java.io.IOException =>
-          throw new GraftException(s"read \"$file\": ${e.getMessage}")
-      }
+    val root = readIndexConfig(file)
     val metricsNode = root.get("metrics")
     if (metricsNode == null || !metricsNode.isArray)
       throw new GraftException(s"parse \"$file\": no \"metrics\" array")
@@ -335,11 +361,34 @@ object Dn {
 
   // ------------------------------------------------------------------ data
 
+  /** AND a datasource standing filter onto the query's filter flag. */
+  private def mergeFilter(flags: Map[String, String],
+      dsf: String): Map[String, String] =
+    flags + ("filter" -> (flags.get("filter") match {
+      case Some(qf) => s"""{"and": [$dsf, $qf]}"""
+      case None => dsf
+    }))
+
   /** Materialize a configured datasource into the flags `run` consumes:
     * its path/format/time-field, with the datasource's standing filter
-    * AND-ed onto the query's. */
-  private def resolveDatasource(a: DnArgs, dnCfg: DnConfig.Config): DnArgs = {
-    if (a.positional.isEmpty) return a
+    * AND-ed onto the query's. `dsFilterOverride` (index-scan with
+    * `--index-config`) REPLACES the configured standing filter with the
+    * config file's: Some(None) means the file carries none, so no
+    * standing filter applies at all (reference: dragnet.js indexScan
+    * passes `indexConfig.datasource.filter || null`, never the local
+    * one). */
+  private def resolveDatasource(a: DnArgs, dnCfg: DnConfig.Config,
+      dsFilterOverride: Option[Option[String]] = None): DnArgs = {
+    if (a.positional.isEmpty) {
+      // no configured datasource (direct --data): an index-config file's
+      // standing filter still constrains the scan — the file IS the
+      // datasource description in that invocation
+      return dsFilterOverride.flatten match {
+        case Some(f) if a.mode != "query" && a.mode != "index-read" =>
+          a.copy(flags = mergeFilter(a.flags, f))
+        case _ => a
+      }
+    }
     val Seq(name) = need(a, 1)
     val ds = dnCfg.datasource(name).getOrElse(
       throw new GraftException(s"unknown datasource: \"$name\""))
@@ -359,11 +408,8 @@ object Dn {
     // typically not indexed breakdowns — re-adding it would reject the
     // query as unservable.
     if (a.mode != "query" && a.mode != "index-read")
-      ds.filter.foreach { dsf =>
-        flags += "filter" -> (flags.get("filter") match {
-          case Some(qf) => s"""{"and": [$dsf, $qf]}"""
-          case None => dsf
-        })
+      dsFilterOverride.getOrElse(ds.filter).foreach { dsf =>
+        flags = mergeFilter(flags, dsf)
       }
     a.copy(flags = flags, positional = Nil)
   }
@@ -468,7 +514,13 @@ object Dn {
     val fromConfig = a0.flags.get("index-config")
       .map(indexConfigMetrics)
       .getOrElse(configuredMetrics(a0, dnCfg))
-    val a = resolveDatasource(a0, dnCfg)
+    // the reference overrides the datasource filter from the config file
+    // on index-scan ONLY (build/index-read take just the metrics)
+    val dsFilterOverride =
+      if (a0.mode == "index-scan") a0.flags.get("index-config")
+        .map(indexConfigDsFilter)
+      else None
+    val a = resolveDatasource(a0, dnCfg, dsFilterOverride)
     val cfg0 = cfgOf(a)
     // A date-laid-out tree without --time-field is still boundable: the
     // path enumeration prunes to day granularity (exactly the reference's

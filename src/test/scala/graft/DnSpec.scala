@@ -549,6 +549,43 @@ class DnSpec extends SparkSpec {
     assertThrows[GraftException](Dn.indexConfigMetrics(bad.toString))
   }
 
+  test("index-scan --index-config replaces the configured standing filter") {
+    // reference dragnet.js indexScan: when an index-config file is
+    // given, the scan filter is the FILE's datasource.filter (or none),
+    // never the locally configured datasource's
+    val rc = tmpConfig
+    Dn.runConfig(Seq("datasource-add", s"--path=$events",
+      "--time-field=ts",
+      """--filter={"eq": ["event_type", "click"]}""", "ev"), rc)
+    Dn.runConfig(Seq("metric-add", "--breakdowns=event_type",
+      "ev", "by_t"), rc)
+    val cfgFile = Files.createTempDirectory("graft-ixsc").resolve("ic.json")
+    Files.writeString(cfgFile, Dn.runConfig(Seq("index-config", "ev"), rc))
+    // the emitted config carries the datasource and its filter
+    assert(Dn.indexConfigDsFilter(cfgFile.toString)
+      .exists(_.contains("click")))
+    // same config file drives the same rows as the configured datasource
+    val viaConfigDs = Dn.run(spark, Seq("index-scan", "--time-field=ts",
+      "ev"), rc).collect().length
+    val viaFile = Dn.run(spark, Seq("index-scan", s"--data=$events",
+      "--time-field=ts", "--breakdowns=event_type",
+      s"--index-config=$cfgFile"), tmpConfig).collect().length
+    assert(viaFile == viaConfigDs && viaFile > 0)
+    // a file WITHOUT a datasource filter clears the standing filter even
+    // when the local config has one: more rows survive
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(Files.readString(cfgFile))
+    node.get("datasource")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .remove("filter")
+    val noFilter = Files.createTempDirectory("graft-ixsc2").resolve("nf.json")
+    Files.writeString(noFilter, mapper.writeValueAsString(node))
+    assert(Dn.indexConfigDsFilter(noFilter.toString).isEmpty)
+    val unfiltered = Dn.run(spark, Seq("index-scan", s"--time-field=ts",
+      s"--index-config=$noFilter", "ev"), rc).collect().length
+    assert(unfiltered > viaConfigDs)
+  }
+
   test("--raw streams multi-partition results identical to a collect") {
     // points over two breakdowns at 8 shuffle partitions: a genuinely
     // multi-partition result; the streamed toLocalIterator path must
