@@ -40,6 +40,19 @@ class ScanSpec extends SparkSpec {
       Row(16L, 1L), Row(64L, 1L)))
   }
 
+  test("aggr breakdown works in non-terminal position too") {
+    // reference scan_testcases.sh: "Quantization followed by normal
+    // fields: no histogram" — only the DISPLAY treats a trailing aggr
+    // specially; the grouping is position-independent
+    val lead = Scan.scan(df, QueryConfig(breakdowns =
+      AttrParser.parse("latency[aggr=quantize],host")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val trail = Scan.scan(df, QueryConfig(breakdowns =
+      AttrParser.parse("host,latency[aggr=quantize]")))
+      .collect().map(r => (r.getLong(1), r.getString(0), r.getLong(2))).toSet
+    assert(lead == trail && lead.nonEmpty)
+  }
+
   test("lquantize buckets are linear") {
     val cfg = QueryConfig(breakdowns =
       AttrParser.parse("latency[aggr=lquantize,step=10]"))
