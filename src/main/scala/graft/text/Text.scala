@@ -33,10 +33,18 @@ object Text {
   private val enStops = Seq("the", "a", "an", "and", "of", "to", "in", "is",
     "that", "it", "was", "for", "on", "with", "as")
 
+  /** Count of tokens contained in a fixed vocabulary — the native
+    * [[graft.functions.ArrayCountInSet]] (a filter() HOF here runs the
+    * expression interpreter per TOKEN; §6.5). */
+  private def countInSet(arr: Column, words: Seq[String]): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.ArrayCountInSet(
+        org.apache.spark.sql.graft.bridge.expression(arr), words))
+
   /** Fraction of tokens that are (English) stopwords. */
   def stopwordRatio(text: Column): Column = {
     val t = tokens(text)
-    size(filter(t, c => c.isInCollection(enStops))).cast("double") /
+    countInSet(t, enStops).cast("double") /
       greatest(size(t), lit(1)).cast("double")
   }
 
@@ -61,11 +69,16 @@ object Text {
    * Order-sensitive, unlike [[fingerprint]] — reordered documents hash
    * differently. Mod-prime (not wrapping int64) so the same formula is
    * computable in any SQL engine without overflow semantics differences.
+   * Computed by the native [[graft.functions.RollingHash]] — the
+   * aggregate()-over-split("") HOF formulation it replaces ran the
+   * expression interpreter per CHARACTER (§6.5), a ~10× constant-factor
+   * tax on the scan at corpus scale.
    */
   def rollingHash(text: Column): Column = {
     val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
-    aggregate(split(norm, ""), lit(0L),
-      (acc, ch) => (acc * lit(131L) + ascii(ch)) % lit(1000000007L))
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.RollingHash(
+        org.apache.spark.sql.graft.bridge.expression(norm)))
   }
 
   /** Email pattern — RE2-safe (no lookaround/backrefs), so Java regex
@@ -115,7 +128,7 @@ object Text {
     val cjk = regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")).cast("double") /
       greatest(length(text), lit(1)).cast("double")
     val scores = stopProfiles.map { case (lang, stops) =>
-      lang -> (size(filter(t, c => c.isInCollection(stops))).cast("double") / n)
+      lang -> (countInSet(t, stops).cast("double") / n)
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     val byLang = scores.foldLeft(when(lit(false), lit("und"))) {

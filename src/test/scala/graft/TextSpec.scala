@@ -57,6 +57,80 @@ class TextSpec extends SparkSpec {
     assert(one[String](Text.langId(col("t")), "zzz qqq") == "und")
   }
 
+  // The HOF formulations the native expressions replaced (§6.5) — kept
+  // here as the semantic reference the fast path must match bit-for-bit.
+  private def rollingHashHof(text: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions._
+    val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
+    aggregate(split(norm, ""), lit(0L),
+      (acc, ch) => (acc * lit(131L) + ascii(ch)) % lit(1000000007L))
+  }
+
+  test("native rollingHash matches the aggregate() HOF formulation") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq("", " ", "a", "Hello   World", "alpha beta gamma",
+      "punct!.,;:?-and 0123456789", "x" * 5000,
+      ("word " * 200).trim)
+    val df = texts.toDF("t").select(
+      Text.rollingHash(col("t")).as("fast"), rollingHashHof(col("t")).as("hof"))
+    df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+  }
+
+  test("native rollingHash unicode fallback iterates code points") {
+    // mixed ASCII/multi-byte forces the non-ASCII path; expected value is
+    // the plain codepoint fold
+    val s = "héllo wörld 漢字"
+    val norm = s.toLowerCase.trim.replaceAll("\\s+", " ")
+    var acc = 0L
+    norm.codePoints().forEach(cp => acc = (acc * 131L + cp) % 1000000007L)
+    assert(one[Long](Text.rollingHash(col("t")), s) == acc)
+  }
+
+  test("native stopword counting matches the filter() HOF formulation") {
+    import org.apache.spark.sql.functions._
+    def hofRatio(text: org.apache.spark.sql.Column) = {
+      val stops = Seq("the", "a", "an", "and", "of", "to", "in", "is",
+        "that", "it", "was", "for", "on", "with", "as")
+      val t = split(trim(lower(text)), "\\s+")
+      size(filter(t, c => c.isInCollection(stops))).cast("double") /
+        greatest(size(t), lit(1)).cast("double")
+    }
+    val texts = Seq("", "the and of", "no stops here at all",
+      "The quick brown fox is on the hill and it was a good day")
+    texts.toDF("t")
+      .select(Text.stopwordRatio(col("t")).as("fast"), hofRatio(col("t")).as("hof"))
+      .collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1), r))
+  }
+
+  test("native fingerprint path beats the HOF interpreter ≥2× on long docs") {
+    import org.apache.spark.sql.functions._
+    // Pre-normalized docs in the checkpoint: both sides then measure the
+    // hash fold alone (the normalization regex is shared by both paths
+    // and would otherwise mask the per-character interpreter cost).
+    val docs = spark.range(1500).select(
+      concat_ws(" ", (0 until 200).map(i =>
+        concat(lit(s"tok$i"), (col("id") * (i + 1)) % 997)): _*).as("t"))
+      .localCheckpoint()
+    def timeIt(c: org.apache.spark.sql.Column): Long = {
+      def once(): Long = {
+        val t0 = System.nanoTime()
+        docs.select(c.as("h")).agg(sum("h")).collect()
+        System.nanoTime() - t0
+      }
+      once(); math.min(once(), once()) // warm, then best of 2
+    }
+    val hofExpr = aggregate(split(col("t"), ""), lit(0L),
+      (acc, ch) => (acc * lit(131L) + ascii(ch)) % lit(1000000007L))
+    val fastExpr = org.apache.spark.sql.graft.bridge.column(
+      graft.functions.RollingHash(
+        org.apache.spark.sql.graft.bridge.expression(col("t"))))
+    val hof = timeIt(hofExpr)
+    val fast = timeIt(fastExpr)
+    info(f"hof=${hof / 1e6}%.1f ms fast=${fast / 1e6}%.1f ms ratio=${hof.toDouble / fast}%.1f×")
+    assert(fast * 2 <= hof,
+      f"expected ≥2× speedup, got ${hof.toDouble / fast}%.2f×")
+  }
+
   test("repetition signals: loops score high, varied text scores low") {
     import spark.implicits._
     val docs = Seq(
