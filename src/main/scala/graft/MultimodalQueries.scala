@@ -8,10 +8,11 @@ import graft.sources.Sources
 /**
  * SURVEY.md §2 row 36: multimodal binary-column plumbing, exercised over
  * a real table by treating each document's UTF-8 bytes as an opaque
- * payload. Both decode paths run: the pure-Column stub and the batched
- * mapPartitions extractor (the vectorized-codec shape). Both stubs are
- * md5-derived, so the oracle replays them: the payload is the document's
- * UTF-8 bytes, and DuckDB's md5(text) hashes exactly those bytes.
+ * payload. Three decode paths run: the pure-Column stub, the batched
+ * mapPartitions extractor (the vectorized-codec shape), and the REAL
+ * ImageIO decode (multimodal_image_meta). The stubs are md5-derived, so
+ * their oracle replays them; the real decode's oracle is the closed-form
+ * pixel statistics of a synthetically-drawn PNG.
  */
 object MultimodalQueries {
 
@@ -52,6 +53,43 @@ object MultimodalQueries {
           0.0 + $batchTerms AS batch_sum
         FROM h"""
       }),
+
+    // #36 REAL image decode: every doc_id is rendered to a two-band PNG
+    // whose geometry and colors are pure functions of the id
+    // (Multimodal.bandedPng), then decoded back through JDK ImageIO.
+    // Decoded width/height and exact per-channel pixel means must match
+    // the closed-form oracle — proving the decode is real, not replayed
+    // hashing: the oracle never sees the PNG bytes, only the formula the
+    // image was drawn from.
+    Q("multimodal_image_meta",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Sources.table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+        val pngs = ids.map(id => (id, Multimodal.bandedPng(id)))
+          .toDF("doc_id", "payload")
+        Multimodal.imageMeta(pngs, "payload")
+          .select(col("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("mean_r"), col("mean_g"), col("mean_b"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+            doc_id % 17 + 4 AS w,
+            (doc_id % 17 + 4) // 2 AS wa
+          FROM documents)
+        SELECT doc_id,
+          CAST(w AS BIGINT) AS width,
+          CAST(doc_id % 13 + 4 AS BIGINT) AS height,
+          (wa * (doc_id % 256) + (w - wa) * (doc_id * 3 % 256))
+            / CAST(w AS DOUBLE) AS mean_r,
+          (wa * (doc_id * 7 % 256) + (w - wa) * (doc_id * 5 % 256))
+            / CAST(w AS DOUBLE) AS mean_g,
+          (wa * (doc_id * 13 % 256) + (w - wa) * (doc_id * 11 % 256))
+            / CAST(w AS DOUBLE) AS mean_b
+        FROM p""")),
 
     // #36b frame sampling: one row per sampled frame index via a
     // distributed generator (explode(sequence)), aggregated back per

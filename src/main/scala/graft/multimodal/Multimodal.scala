@@ -8,14 +8,21 @@ import org.apache.spark.sql.types._
  * Multimodal column plumbing (SURVEY.md §2 row 36): image/audio/video
  * payloads as opaque `binary` columns with a typed metadata struct.
  *
- * The actual codecs (JPEG/PNG decode, audio resample, video frame
- * extraction) are NOT in this container, so the decode step is a
- * clearly-marked deterministic STUB — a pure function of the payload
- * bytes. Everything around it — schema, batch shape, partition-preserving
- * explode, output encoders — is the real distributed plumbing a decoder
- * plugs into.
+ * IMAGE decode is REAL: PNG/JPEG payloads go through JDK
+ * `javax.imageio` ([[imageMeta]] / the image branch of
+ * [[extractBatch]]) — true width/height from the bitstream, exact
+ * per-channel pixel means. Audio/video codecs are NOT in this
+ * container, so those payloads still take a clearly-marked
+ * deterministic STUB — a pure function of the payload bytes. Everything
+ * around both — schema, batch shape, partition-preserving explode,
+ * output encoders — is the same distributed plumbing either way.
  */
 object Multimodal {
+
+  // ImageIO defaults to a file-backed stream cache (one temp file per
+  // read); executor tasks decoding millions of small in-memory payloads
+  // must not touch disk per image.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Typed metadata carried alongside the opaque payload. */
   val metaSchema: StructType = StructType(Seq(
@@ -55,6 +62,11 @@ object Multimodal {
    * mapInPandas: rows stream through in fixed-size batches (the shape a
    * vectorized decoder wants: amortized model/codec setup per batch, not
    * per row), output schema = input schema + `features array<double>`.
+   *
+   * Payloads that sniff as PNG/JPEG are REALLY decoded (JDK ImageIO):
+   * features = [width, height, mean_r/255, mean_g/255, mean_b/255,
+   * luma/255, 0-padded] truncated to `dim`. Anything else (audio/video —
+   * no codecs in this container) takes the labeled md5 stub.
    */
   def extractBatch(df: DataFrame, payloadCol: String, dim: Int,
       batchSize: Int = 64): DataFrame = {
@@ -63,20 +75,136 @@ object Multimodal {
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // A real implementation would hand `batch` to the codec as one
-        // vectorized call; the stub maps rows to deterministic features.
+        // A vectorized codec would take `batch` as one call; ImageIO is
+        // per-image, so the batching here amortizes nothing but keeps
+        // the call shape a vectorized decoder slots into.
         batch.map { r =>
           val bytes = r.getAs[Array[Byte]](idx)
-          Row.fromSeq(r.toSeq :+ fakeFeatures(bytes, dim))
+          // magic bytes can lie (truncated/corrupt payload) — fall back
+          // to the stub rather than fail the task
+          val feats =
+            if (looksLikeImage(bytes)) imageFeatures(bytes, dim)
+              .getOrElse(fakeFeatures(bytes, dim))
+            else fakeFeatures(bytes, dim)
+          Row.fromSeq(r.toSeq :+ feats)
         }
       }
     }(Encoders.row(outSchema))
   }
 
-  /** STUB: deterministic fake features from payload bytes (md5-derived). */
+  /** Output schema of [[imageMeta]]'s appended columns. */
+  private val imageMetaFields = Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType))
+
+  /**
+   * REAL image decode over a binary column: appends `width`, `height`
+   * and exact per-channel pixel means (0-255 scale), all NULL when the
+   * payload is not a decodable image. JDK `javax.imageio` handles
+   * PNG/JPEG/GIF/BMP with zero external dependencies; channel sums are
+   * exact integer arithmetic, so the single closing division is
+   * bit-reproducible by any engine that can state the expected means in
+   * closed form.
+   */
+  def imageMeta(df: DataFrame, payloadCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema ++ imageMetaFields)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val nulls = Seq[Any](null, null, null, null, null)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          // Seq[Any], NOT Seq(w, …): Scala would widen the Int dims to
+          // Double to unify with the means, breaking the INT fields
+          val stats = decodeImageStats(r.getAs[Array[Byte]](idx))
+            .map { case (w, h, mr, mg, mb) => Seq[Any](w, h, mr, mg, mb) }
+            .getOrElse(nulls)
+          Row.fromSeq(r.toSeq ++ stats)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** PNG / JPEG magic-byte sniff. */
+  private[graft] def looksLikeImage(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 &&
+      ((b(0) == 0x89.toByte && b(1) == 'P'.toByte && b(2) == 'N'.toByte &&
+        b(3) == 'G'.toByte) ||
+       (b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte))
+
+  /** Decode via JDK ImageIO → (width, height, mean_r, mean_g, mean_b);
+    * None when the bytes aren't a decodable image. Sums are exact longs;
+    * one double division per channel at the end. */
+  private[graft] def decodeImageStats(
+      bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double)] = {
+    if (bytes == null) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        sr += (p >> 16) & 0xff
+        sg += (p >> 8) & 0xff
+        sb += p & 0xff
+        i += 1
+      }
+      val n = w.toLong * h
+      Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+    }
+  }
+
+  /** Real features for a decodable image: dimensions, channel means and
+    * Rec.601 luma, 0-padded to `dim`; None when decode fails. */
+  private[graft] def imageFeatures(bytes: Array[Byte], dim: Int): Option[Seq[Double]] =
+    decodeImageStats(bytes).map { case (w, h, mr, mg, mb) =>
+      val luma = (0.299 * mr + 0.587 * mg + 0.114 * mb) / 255.0
+      val full = Seq(w.toDouble, h.toDouble, mr / 255.0, mg / 255.0, mb / 255.0, luma)
+      (full ++ Seq.fill(math.max(0, dim - full.length))(0.0)).take(dim)
+    }
+
+  /** STUB (audio/video only — those codecs aren't in this container):
+    * deterministic fake features from payload bytes (md5-derived). */
   private[graft] def fakeFeatures(bytes: Array[Byte], dim: Int): Seq[Double] = {
     val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     (0 until dim).map(i =>
       ((md(i % md.length) & 0xff) ^ ((i * 31) & 0xff)).toDouble / 255.0)
+  }
+
+  /**
+   * Deterministic synthetic PNG for tests/oracles: two vertical bands —
+   * the left floor(w/2) columns in color A, the rest in color B — with
+   * every parameter a pure function of `id`:
+   * w = id%17+4, h = id%13+4, A = (id, 7id, 13id) mod 256,
+   * B = (3id, 5id, 11id) mod 256. Channel means therefore have the
+   * closed form (wA·cA + wB·cB)/w, statable in ANSI SQL — which is what
+   * makes the REAL decode oracle-checkable end to end.
+   */
+  def bandedPng(id: Long): Array[Byte] = {
+    val w = (id % 17).toInt + 4
+    val h = (id % 13).toInt + 4
+    val wA = w / 2
+    val a = (((id % 256) << 16) | ((id * 7 % 256) << 8) | (id * 13 % 256)).toInt
+    val b = (((id * 3 % 256) << 16) | ((id * 5 % 256) << 8) | (id * 11 % 256)).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, if (x < wA) a else b); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 }

@@ -47,6 +47,51 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) == Seq(0))
   }
 
+  test("bandedPng → decodeImageStats: exact closed-form round trip") {
+    val id = 123L
+    val bytes = Multimodal.bandedPng(id)
+    assert(Multimodal.looksLikeImage(bytes))
+    val Some((w, h, mr, mg, mb)) = Multimodal.decodeImageStats(bytes)
+    val ew = (id % 17 + 4).toInt; val eh = (id % 13 + 4).toInt
+    val wa = ew / 2; val wb = ew - wa
+    assert(w == ew && h == eh)
+    assert(mr == (wa * (id % 256) + wb * (id * 3 % 256)).toDouble / ew)
+    assert(mg == (wa * (id * 7 % 256) + wb * (id * 5 % 256)).toDouble / ew)
+    assert(mb == (wa * (id * 13 % 256) + wb * (id * 11 % 256)).toDouble / ew)
+  }
+
+  test("decodeImageStats: non-image bytes and nulls → None, no throw") {
+    assert(Multimodal.decodeImageStats("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImageStats(null).isEmpty)
+    // PNG magic with garbage body: sniff says image, decode says no
+    val liar = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3)
+    assert(Multimodal.looksLikeImage(liar))
+    assert(Multimodal.decodeImageStats(liar).isEmpty)
+    // and extractBatch's image branch falls back to the stub for it
+    assert(Multimodal.imageFeatures(liar, 8).isEmpty)
+  }
+
+  test("imageMeta: decodes real PNGs distributively, NULLs for non-images") {
+    val df = Seq(7L, 42L).toDF("id")
+      .select(col("id"), udf((i: Long) => Multimodal.bandedPng(i)).apply(col("id")).as("payload"))
+      .union(Seq((999L, "plain text".getBytes("UTF-8"))).toDF("id", "payload"))
+    val out = Multimodal.imageMeta(df, "payload")
+      .select("id", "width", "height", "mean_r").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(7L).getInt(1) == (7 % 17 + 4) && out(7L).getInt(2) == (7 % 13 + 4))
+    assert(out(42L).getInt(1) == (42 % 17 + 4))
+    assert(out(999L).isNullAt(1) && out(999L).isNullAt(3))
+  }
+
+  test("extractBatch routes PNG payloads through the real decoder") {
+    val png = Multimodal.bandedPng(5L)
+    val df = Seq((1L, png)).toDF("id", "payload")
+    val f = Multimodal.extractBatch(df, "payload", dim = 8)
+      .select("features").collect().head.getSeq[Double](0)
+    assert(f == Multimodal.imageFeatures(png, 8).get)
+    assert(f(0) == (5 % 17 + 4).toDouble && f(1) == (5 % 13 + 4).toDouble)
+  }
+
   test("metadata struct round-trips through the schema") {
     val df = payloads.withColumn("meta", struct(
       col("kind"), lit(640).as("width"), lit(480).as("height"),
