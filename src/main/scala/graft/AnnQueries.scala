@@ -180,8 +180,9 @@ object AnnQueries {
 
     // #31d k-NN JOIN: every vector retrieves its top-5 neighbors from
     // the same table (bulk retrieval; bucket+probe join, never a cross
-    // join). Oracle replays buckets, probes, dots, and the ranking
-    // window.
+    // join). Oracle replays buckets, the ADAPTIVE probe (hamming-1
+    // probes only for left rows whose home bucket underfills k), dots,
+    // and the ranking window.
     Q("ann_knn_join",
       // bits pinned to 4: the static oracle SQL replays that geometry
       // (the scale default derives bits from the corpus count)
@@ -191,13 +192,21 @@ object AnnQueries {
           SELECT vec_id, $bucketSql AS b,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
           FROM embeddings),
+        home AS (
+          SELECT p.vec_id AS lid, r.vec_id AS rid,
+            ${dotSql("p.vn", "r.vn")} AS cos
+          FROM n p JOIN n r ON r.b = p.b AND r.vec_id <> p.vec_id),
+        filled AS (SELECT lid FROM home GROUP BY lid HAVING count(*) >= 5),
         probes AS (
           SELECT vec_id AS lid, vn AS lv,
-            unnest([b, xor(b, 1), xor(b, 2), xor(b, 4), xor(b, 8)]) AS pb
-          FROM n),
-        cand AS (
+            unnest([xor(b, 1), xor(b, 2), xor(b, 4), xor(b, 8)]) AS pb
+          FROM n WHERE vec_id NOT IN (SELECT lid FROM filled)),
+        pcand AS (
           SELECT p.lid, r.vec_id AS rid, ${dotSql("p.lv", "r.vn")} AS cos
           FROM probes p JOIN n r ON r.b = p.pb AND r.vec_id <> p.lid),
+        cand AS (
+          SELECT lid, rid, cos FROM home
+          UNION ALL SELECT lid, rid, cos FROM pcand),
         ranked AS (
           SELECT lid, rid, cos,
             CAST(row_number() OVER (PARTITION BY lid ORDER BY cos DESC, rid)

@@ -96,19 +96,21 @@ object Ann {
 
   /** Row-count estimate for bucket sizing WITHOUT an extra data pass:
     * Catalyst plan stats (exact rowCount when available, else
-    * sizeInBytes / [[BytesPerVectorRow]]). A filtered or derived frame
+    * sizeInBytes / `bytesPerRow`). A filtered or derived frame
     * at 100 TB must not be executed twice just to pick a bucket width —
     * `count()` runs the full upstream lineage. Only a leaf Spark cannot
     * size at all (sizeInBytes pinned at the defaultSizeInBytes sentinel,
-    * which would peg bits at the cap) falls back to one real count. */
-  private[ann] def estimatedRows(df: DataFrame): Long = {
+    * which would peg bits at the cap) falls back to one real count.
+    * Shared with [[graft.dedup.Corpus.packChunks]]'s shard sizing. */
+  private[graft] def estimatedRows(df: DataFrame,
+      bytesPerRow: Long = BytesPerVectorRow): Long = {
     val stats = df.queryExecution.optimizedPlan.stats
     stats.rowCount match {
       case Some(rc) => math.max(1L, rc.toLong)
       case None =>
         val sz = stats.sizeInBytes
         if (sz >= BigInt(Long.MaxValue) / 4) df.count()
-        else math.max(1L, (sz / BytesPerVectorRow).toLong)
+        else math.max(1L, (sz / bytesPerRow).toLong)
     }
   }
 
@@ -286,19 +288,37 @@ object Ann {
    * k-NN JOIN: every left row gets its k nearest right rows by cosine —
    * the bulk-retrieval shape (one query vector per corpus row) as
    * opposed to the single-query topK paths. Approximate: candidates
-   * come from the left row's sign bucket plus all hamming-1 probes
+   * come from the left row's sign bucket, widened by hamming-1 probes
    * (distinct buckets — no candidate dedup needed), ranked per left id
-   * with a window. Scale shape: both sides shuffle once on the bucket
-   * key, then once on the left id for the ranking window; never a cross
-   * join. Rows whose probed buckets hold fewer than k rivals return
-   * fewer than k neighbors (raise bits/probes, not k, to fix recall).
-   * Pairs with equal ids are excluded (self-match suppression for the
-   * common corpus⋈itself case); joining two tables whose id spaces
-   * overlap should disambiguate ids first.
+   * with a window. By default probing is ADAPTIVE: only left rows whose
+   * home bucket holds fewer than k rivals explode into the `bits`
+   * hamming-1 probes — unconditional probing duplicates the WHOLE left
+   * side ×(bits+1) into the join (at derived bits=16 that is 17× the
+   * corpus), when for most rows the home bucket already fills k.
+   * `fullProbe = true` restores unconditional probing (higher recall for
+   * rows whose true neighbors sit across a bucket boundary even though
+   * the home bucket is full). Scale shape: both sides shuffle once on
+   * the bucket key (twice when any row underfills), then once on the
+   * left id for the ranking window; never a cross join. Rows whose
+   * probed buckets hold fewer than k rivals return fewer than k
+   * neighbors (raise bits/probes, not k, to fix recall). Pairs with
+   * equal ids are excluded (self-match suppression for the common
+   * corpus⋈itself case); joining two tables whose id spaces overlap
+   * should disambiguate ids first.
    */
   def knnJoin(left: DataFrame, right: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      bits: Int = DeriveBits): DataFrame = {
+      bits: Int = DeriveBits, fullProbe: Boolean = false): DataFrame = {
+    val cand = knnCandidates(left, right, k, idCol, vecCol, bits, fullProbe)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lid")).orderBy(col("cos").desc, col("rid"))
+    cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Candidate set of [[knnJoin]], exposed for volume assertions:
+    * (lid, rid, cos) rows that enter the ranking window. */
+  private[graft] def knnCandidates(left: DataFrame, right: DataFrame, k: Int,
+      idCol: String, vecCol: String, bits: Int, fullProbe: Boolean): DataFrame = {
     // Default bucket width scales with the corpus, sized from plan
     // statistics (no extra data pass); pass bits explicitly to pin the
     // geometry.
@@ -309,18 +329,32 @@ object Ann {
     val l = withNormalized(left, vecCol, "lv")
       .select(col(idCol).as("lid"), col("lv"),
         signBucket(col(vecCol), bb).as("lb"))
-    val probeCols = col("lb") +:
-      (0 until bb).map(j => col("lb").bitwiseXOR(lit(1L << j)))
-    val probes = l.select(col("lid"), col("lv"),
-      explode(array(probeCols: _*)).as("pb"))
     val r = withNormalized(right, vecCol, "rv")
       .select(col(idCol).as("rid"), col("rv"),
         signBucket(col(vecCol), bb).as("rb"))
-    val cand = probes.join(r, col("pb") === col("rb") && col("lid") =!= col("rid"))
-      .select(col("lid"), col("rid"), dot(col("lv"), col("rv")).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lid")).orderBy(col("cos").desc, col("rid"))
-    cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    def hamming1Probes(src: DataFrame): DataFrame = src.select(
+      col("lid"), col("lv"),
+      explode(array((0 until bb).map(j =>
+        col("lb").bitwiseXOR(lit(1L << j))): _*)).as("pb"))
+    def cands(probes: DataFrame, probeCol: String): DataFrame =
+      probes.join(r, col(probeCol) === col("rb") && col("lid") =!= col("rid"))
+        .select(col("lid"), col("rid"), dot(col("lv"), col("rv")).as("cos"))
+    if (fullProbe)
+      cands(hamming1Probes(l).unionByName(
+        l.select(col("lid"), col("lv"), col("lb").as("pb"))), "pb")
+    else {
+      // materialize the home candidates once: they feed BOTH the
+      // underfill test and the final union — recomputing would run the
+      // bucket join twice
+      val home = cands(l.withColumnRenamed("lb", "pb"), "pb").localCheckpoint()
+      val filled = home.groupBy(col("lid")).agg(count(lit(1)).as("c"))
+        .where(col("c") >= k).select(col("lid"))
+      // left rows with < k home rivals — including those with none
+      val needy = l.join(filled, Seq("lid"), "left_anti")
+      // hamming-1 buckets are disjoint from the home bucket, so the
+      // union has no duplicate (lid, rid) pairs to dedup
+      home.unionByName(cands(hamming1Probes(needy), "pb"))
+    }
   }
 
   /**

@@ -86,6 +86,28 @@ class AnnSpec extends SparkSpec {
     assert(byId.nonEmpty)
   }
 
+  test("adaptive knn probing: full home buckets skip the hamming-1 explode") {
+    import spark.implicits._
+    // two 10-row groups in buckets 3 and 1 (hamming distance 1): every
+    // row's home bucket holds 9 ≥ k rivals, so the adaptive path never
+    // probes — candidates are exactly the in-bucket pairs — while the
+    // unconditional path adds all 200 cross-bucket probe pairs
+    val emb = ((1 to 10).map(i => (i.toLong, Array(1.0f, 1.0f + 0.01f * i))) ++
+      (11 to 20).map(i => (i.toLong, Array(1.0f, -1.0f - 0.01f * i))))
+      .toDF("vec_id", "embedding")
+    val adaptive = Ann.knnCandidates(emb, emb, 3,
+      "vec_id", "embedding", bits = 4, fullProbe = false).count()
+    val full = Ann.knnCandidates(emb, emb, 3,
+      "vec_id", "embedding", bits = 4, fullProbe = true).count()
+    assert(adaptive == 2 * 10 * 9, s"expected home pairs only, got $adaptive")
+    assert(full == adaptive + 2 * 10 * 10)
+    // and underfilled rows DO probe: k above the group size pulls the
+    // cross-bucket neighbors in
+    val knn = Ann.knnJoin(emb, emb, 12, bits = 4).collect()
+    assert(knn.groupBy(_.getLong(0)).forall(_._2.length == 12),
+      "underfilled homes must fill from hamming-1 buckets")
+  }
+
   test("lloyd refinement: deterministic, means move centroids, recall holds") {
     val emb = graft.sources.Sources.table(spark, sf001, "embeddings")
     val q = emb.orderBy(org.apache.spark.sql.functions.col("vec_id")).limit(1)
