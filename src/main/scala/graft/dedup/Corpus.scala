@@ -136,6 +136,30 @@ object Corpus {
         lit(SampleMod)) < lit((rate * SampleMod).toLong))
   }
 
+  /** Sentinel for "derive `shards` from the corpus size" in
+    * [[packChunks]] — the [[graft.ann.Ann.DeriveBits]] convention. */
+  val DeriveShards = 0
+
+  /** Assumed on-disk bytes per document row when sizing shards from plan
+    * statistics (order of magnitude only — a 2× error halves/doubles the
+    * docs-per-shard target, which [[shardsFor]] already tolerates). */
+  private val BytesPerDocRow = 4096L
+
+  /**
+   * Shard count sized to the corpus: each shard is ONE window-sort task
+   * (the running token sum), so `shards` caps both parallelism and
+   * per-task volume. ceil(n / targetDocs), floored at `minShards` (a
+   * fixed 32 was a 32-task ceiling at cluster scale: 10⁹ docs over 32
+   * shards is 30M-doc sort chains; derived, it's ~15k shards of 64k
+   * docs), capped at 2²⁰ (beyond that the shard key itself is cheap but
+   * per-shard chunk streams get too short to pack).
+   */
+  private[graft] def shardsFor(n: Long, targetDocs: Long = 65536L,
+      minShards: Int = 32): Int = {
+    val s = (math.max(0L, n) + targetDocs - 1) / math.max(1L, targetDocs)
+    math.min(1L << 20, math.max(minShards.toLong, s)).toInt
+  }
+
   /**
    * Sequence PACKING for training (the concat-and-chunk pipeline): lay
    * each document's tokens end-to-end within a shard and split the
@@ -145,17 +169,23 @@ object Corpus {
    * and order by id within a shard, so the layout is reproducible
    * run-to-run and engine-to-engine. Scale shape: one shuffle on the
    * shard key, then a per-shard running sum — `shards` bounds the
-   * window parallelism, so size it to the cluster (real pipelines shard
-   * the token stream anyway; each shard packs independently). The
-   * running sum is integer and the chunk math integer division —
-   * all-integer output, bit-exact in any engine.
+   * window parallelism, so the default derives it from plan-stats size
+   * ([[shardsFor]]; pass an explicit count when the layout must be
+   * pinned, e.g. for a cross-engine oracle). The running sum is integer
+   * and the chunk math integer division — all-integer output, bit-exact
+   * in any engine.
    */
-  def packChunks(docs: DataFrame, seqLen: Int = 2048, shards: Int = 32,
+  def packChunks(docs: DataFrame, seqLen: Int = 2048,
+      shards: Int = DeriveShards,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(seqLen > 0 && shards > 0, "seqLen and shards must be positive")
+    require(seqLen > 0 && shards >= 0, "seqLen and shards must be positive")
+    val nShards =
+      if (shards == DeriveShards)
+        shardsFor(graft.ann.Ann.estimatedRows(docs, BytesPerDocRow))
+      else shards
     val t = docs.select(col(idCol).as("id"),
       pmod(graft.functions.XHash.h60(col(idCol).cast("string")),
-        lit(shards.toLong)).as("shard"),
+        lit(nShards.toLong)).as("shard"),
       Text.tokenCount(col(textCol)).cast("long").as("n_toks"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("id"))

@@ -140,6 +140,26 @@ class CorpusSpec extends SparkSpec {
       (4L, 9L, 2L, 2L)))
   }
 
+  test("shardsFor: derived shard count scales with corpus, floored and capped") {
+    import graft.dedup.Corpus.shardsFor
+    // small corpora keep the 32-shard floor (local parity with the old
+    // fixed default); big ones derive ~64k docs per shard
+    assert(shardsFor(0L) == 32)
+    assert(shardsFor(500L) == 32)
+    assert(shardsFor(32L * 65536) == 32)
+    assert(shardsFor(32L * 65536 + 1) == 33)
+    assert(shardsFor(1000000000L) == 15259) // 1B docs → ~15k one-task sorts
+    assert(shardsFor(Long.MaxValue / 2) == (1 << 20)) // hard cap
+  }
+
+  test("packChunks: derived default equals the explicit floor on small input") {
+    val d = Seq((1L, "a b"), (2L, "c"), (3L, "d e f")).toDF("doc_id", "text")
+    val derived = graft.dedup.Corpus.packChunks(d, seqLen = 4).collect().toSet
+    val explicit = graft.dedup.Corpus.packChunks(d, seqLen = 4, shards = 32)
+      .collect().toSet
+    assert(derived == explicit)
+  }
+
   test("deterministic on the documents table and strictly smaller") {
     val d = graft.sources.Sources.table(spark, sf001, "documents")
     val a = Corpus.clean(d).count()
