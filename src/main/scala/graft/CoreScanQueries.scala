@@ -43,6 +43,12 @@ object CoreScanQueries {
     timeField = Some("ts"),
     after = Some(Instant.parse("2024-01-02T00:00:00Z")))
 
+  /** Config for scan_warnings: a filter whose field can be NULL (eval
+    * failure → warning) and an aggr breakdown with non-numeric values. */
+  private val warningsCfg = QueryConfig(
+    filter = Some(Cmp("ge", "k_nz", 0L)),
+    breakdowns = Seq(FieldSpec("m_q", "mix", aggr = Some("quantize"))))
+
   def all: Seq[Q] = Seq(
     // #1 count all records
     q("scan_count", QueryConfig()),
@@ -153,6 +159,35 @@ object CoreScanQueries {
         Scan.counters(Sources.events(s, dir), cfg, rs)
       },
       Some(Scan.countersSql("events", countersCfg, rq))),
+
+    // #16c --warnings: per-record drop diagnostics (reference-shaped
+    // `field "F" is undefined` / non-numeric messages, first failing
+    // stage per record), aggregated by message so the oracle check is
+    // order-free. Derived columns force both warning shapes: k_nz is
+    // NULL where k=0 (filter EVAL failure — the only filter drop that
+    // warns) and `mix` is non-numeric for every third user (aggr cast
+    // failure). The bad-date shape needs a string time field, which the
+    // DuckDB epoch() twin can't replay — DnSpec covers it.
+    Q("scan_warnings",
+      (s, dir) => {
+        val df = Sources.events(s, dir)
+          .withColumn("k_nz", when(col("props.k") =!= 0, col("props.k")))
+          .withColumn("mix", when(col("user_id") % 3 === 0, lit("xx"))
+            .otherwise(col("user_id").cast("string")))
+        Scan.warnings(df, warningsCfg, rs)
+          .groupBy(col("warning"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .orderBy(col("warning"))
+      },
+      Some(s"""
+        SELECT warning, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (${Scan.warningsSql("events", warningsCfg, {
+          case "k_nz" => "NULLIF(CAST(props->>'k' AS INTEGER), 0)"
+          case "mix" =>
+            "CASE WHEN user_id % 3 = 0 THEN 'xx' ELSE CAST(user_id AS VARCHAR) END"
+          case f => f
+        })})
+        GROUP BY 1 ORDER BY 1""")),
 
     // #17 skinner-points round trip: aggregate to points, re-aggregate
     // weighting by `value` (dragnet --points / --data-format=json-skinner).

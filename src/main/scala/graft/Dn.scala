@@ -97,7 +97,8 @@ object Dn {
       |dn index-scan        [--index-config=INDEX_CONFIG_FILE] [--metric=NAME]
       |                     [--interval=hour|day|all]
       |                     [--after=START_TIME] [--before=END_TIME] [--filter=FILTER]
-      |                     [--breakdowns=BREAKDOWN[,...]] [--counters] DATASOURCE
+      |                     [--breakdowns=BREAKDOWN[,...]] [--counters] [--warnings]
+      |                     DATASOURCE
       |""".stripMargin
 
   final case class DnArgs(
@@ -106,6 +107,7 @@ object Dn {
       positional: Seq[String],
       points: Boolean,
       counters: Boolean,
+      warnings: Boolean,
       verbose: Boolean,
       raw: Boolean,
       gnuplot: Boolean,
@@ -135,6 +137,7 @@ object Dn {
       throw new GraftException(s"no such command: \"$mode\"\n$usageText")
     var points = false
     var counters = false
+    var warnings = false
     var verbose = false
     var raw = false
     var gnuplot = false
@@ -142,7 +145,10 @@ object Dn {
     val positional = Seq.newBuilder[String]
     val flags = argv.tail.flatMap {
       case "--points" => points = true; None
-      case "--counters" | "--warnings" => counters = true; None
+      case "--counters" => counters = true; None
+      // NOT an alias for --counters: normal output plus per-record drop
+      // diagnostics on stderr (reference: bin/dn:899-907 warn listeners)
+      case "--warnings" => warnings = true; None
       case "-v" | "--verbose" => verbose = true; None
       case "--raw" => raw = true; None
       case "--gnuplot" => gnuplot = true; None
@@ -162,14 +168,17 @@ object Dn {
         "--counters is only meaningful with scan, query, or index-scan")
     if (counters && points)
       throw new GraftException("--counters and --points are mutually exclusive")
+    if (warnings && !Set("scan", "index-scan").contains(mode))
+      throw new GraftException(
+        "--warnings is only meaningful with scan or index-scan")
     // reference parity: only the index-building/reading commands accept a
     // metric-config file (bin/dn option tables for build/index-read/index-scan)
     if (flags.contains("index-config") &&
         !Set("build", "index-read", "index-scan").contains(mode))
       throw new GraftException(
         "--index-config applies to build, index-read, and index-scan only")
-    DnArgs(mode, flags, positional.result(), points, counters, verbose, raw,
-      gnuplot, dryRun)
+    DnArgs(mode, flags, positional.result(), points, counters, warnings,
+      verbose, raw, gnuplot, dryRun)
   }
 
   private def cfgOf(a: DnArgs): QueryConfig = QueryConfig(
@@ -502,8 +511,16 @@ object Dn {
         !a.flags.get("data-format").contains("json-skinner") &&
         Sources.dateLayoutDirs(spark, p, None, None).nonEmpty)
 
+  /** Set by [[run]] when `--warnings`: the per-record diagnostics frame
+    * for the scan it just planned (same data, resolver, and RESOLVED
+    * config — datasource standing filter and time-bound stripping
+    * included). `main` prints it after the results; tests read it
+    * directly. One invocation per process, like the CLI it mirrors. */
+  private[graft] var lastWarnings: Option[DataFrame] = None
+
   def run(spark: SparkSession, argv: Seq[String],
       cfgPath: Path = DnConfig.defaultPath): DataFrame = {
+    lastWarnings = None
     val a0 = parseArgs(argv)
     if (configModes.contains(a0.mode))
       throw new GraftException(
@@ -557,6 +574,7 @@ object Dn {
         val base = cfg.copy(valueField = skinnerValue)
         val df = readData(spark, a)
         val rs = resolverFor(df)
+        if (a.warnings) lastWarnings = Some(Scan.warnings(df, base, rs))
         if (a.counters)
           return Scan.counters(df, base, rs)
         val out = Scan.scan(df, base, rs)
@@ -628,6 +646,7 @@ object Dn {
         if (df.schema.nonEmpty && !hasField(df, tf))
           throw new GraftException(s"--time-field $tf not found in data")
         val rs = resolverFor(df)
+        if (a.warnings) lastWarnings = Some(Scan.warnings(df, base, rs))
         if (a.counters)
           return Scan.counters(df, base, rs)
         Index.scanRows(
@@ -657,9 +676,23 @@ object Dn {
     spark.sparkContext.setLogLevel("WARN")
     val df = run(spark, argv.toSeq)
     display(df, a)
+    lastWarnings.foreach(printWarnings(_))
     if (trackTime)
       System.err.println(f"time: ${(System.nanoTime() - t0) / 1e9}%.3fs")
     spark.stop()
+  }
+
+  /** `warn:`-prefixed stderr lines, reference-shaped (bin/dn:139-142
+    * prints `warn: <message>` per record). CAPPED: the reference streams
+    * every warning past the console, which at cluster scale is a
+    * driver-melting firehose — we print the first `cap` and say how to
+    * get exact totals. */
+  private[graft] def printWarnings(wdf: DataFrame, cap: Int = 20): Unit = {
+    val head = wdf.limit(cap + 1).collect()
+    head.take(cap).foreach(r => Console.err.println(s"warn: ${r.getString(0)}"))
+    if (head.length > cap)
+      Console.err.println(
+        "warn: (more warnings suppressed; --counters has exact drop totals)")
   }
 
   /** Render a result the way `main` would (factored out for tests). */

@@ -212,6 +212,90 @@ object Scan {
       n(filterPass && timePass && validPass).as("aggregated"))
   }
 
+  private def undefMsg(f: String) = s"""field "$f" is undefined"""
+  private def badDateMsg(f: String) = s"""field "$f" is not a valid date"""
+  private def nonNumMsg(f: String) = s"""field "$f" has a non-numeric value"""
+
+  /**
+   * Per-record drop DIAGNOSTICS — the reference's `--warnings` stream
+   * (bin/dn:899-907 walks the pipeline attaching "warn" listeners;
+   * message shapes from stream-synthetic.js:50-77 — `field "F" is
+   * undefined` / `is not a valid date` — and krill-skinner-stream.js:
+   * 40-48, which warns on EVAL FAILURE only: a record the filter drops
+   * with all referenced fields present is a counter bump, not a
+   * warning). One output row per dropped record carrying its FIRST
+   * failing stage's message (the reference's `nerrors === 0` gating),
+   * classified by the same predicates as [[counters]] — a warned record
+   * lands in exactly the counter its stage names. A distributed filter
+   * at any scale; callers cap for display.
+   */
+  def warnings(df: DataFrame, cfg: QueryConfig,
+      resolve: String => Column = col): DataFrame = {
+    val filterPass = cfg.filter
+      .map(p => coalesce(p.toColumn(resolve), lit(false))).getOrElse(lit(true))
+    val timeConds = timeBoundCols(cfg, resolve)
+    val timePass: Column = timeConds match {
+      case Nil   => lit(true)
+      case conds => coalesce(conds.reduce(_ && _), lit(false))
+    }
+    val noMsg = when(lit(false), lit("")) // CASE with no arms = NULL
+    val filterMsg = cfg.filter.map(_.fields.toSeq.sorted).getOrElse(Nil)
+      .foldLeft(noMsg)((acc, f) => acc.when(resolve(f).isNull, lit(undefMsg(f))))
+    val timeMsg = cfg.timeField match {
+      case Some(tf) if timeConds.nonEmpty =>
+        when(resolve(tf).isNull, lit(undefMsg(tf)))
+          .when(epochSecs(resolve(tf)).isNull, lit(badDateMsg(tf)))
+      case _ => noMsg
+    }
+    val invalidMsg = cfg.breakdowns.foldLeft(noMsg) { (acc, fs) =>
+      val msg = if (fs.isDate) badDateMsg(fs.field) else nonNumMsg(fs.field)
+      acc.when(resolve(fs.field).isNull, lit(undefMsg(fs.field)))
+        .when(baseCol(fs, resolve).isNull, lit(msg))
+    }
+    df.select(
+        when(!filterPass, filterMsg)
+          .when(!timePass, timeMsg)
+          .otherwise(invalidMsg).as("warning"))
+      .where(col("warning").isNotNull)
+  }
+
+  /** DuckDB oracle SQL for [[warnings]], built from the same QueryConfig
+    * (same stage order, same messages). */
+  def warningsSql(table: String, cfg: QueryConfig,
+      resolve: String => String = identity): String = {
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val filterPass = cfg.filter
+      .map(p => s"COALESCE(${p.toSql(resolve)}, FALSE)").getOrElse("TRUE")
+    val timeConds = timeBoundSqls(cfg, resolve)
+    val timePass = timeConds match {
+      case Nil   => "TRUE"
+      case conds => s"COALESCE(${conds.mkString("(", " AND ", ")")}, FALSE)"
+    }
+    def arms(ws: Seq[(String, String)]): String =
+      if (ws.isEmpty) "NULL"
+      else ws.map { case (c, m) => s"WHEN $c THEN ${lit(m)}" }
+        .mkString("CASE ", " ", " END")
+    val filterMsg = arms(cfg.filter.map(_.fields.toSeq.sorted).getOrElse(Nil)
+      .map(f => s"${resolve(f)} IS NULL" -> undefMsg(f)))
+    val timeMsg = cfg.timeField match {
+      case Some(tf) if timeConds.nonEmpty => arms(Seq(
+        s"${resolve(tf)} IS NULL" -> undefMsg(tf),
+        s"${epochSecsSql(resolve(tf))} IS NULL" -> badDateMsg(tf)))
+      case _ => "NULL"
+    }
+    val invalidMsg = arms(cfg.breakdowns.flatMap { fs =>
+      val msg = if (fs.isDate) badDateMsg(fs.field) else nonNumMsg(fs.field)
+      Seq(s"${resolve(fs.field)} IS NULL" -> undefMsg(fs.field),
+        s"${baseSql(fs, resolve)} IS NULL" -> msg)
+    })
+    s"""SELECT warning FROM (
+       |  SELECT CASE WHEN NOT $filterPass THEN $filterMsg
+       |    WHEN NOT $timePass THEN $timeMsg
+       |    ELSE $invalidMsg END AS warning
+       |  FROM $table)
+       |WHERE warning IS NOT NULL""".stripMargin
+  }
+
   /** DuckDB oracle SQL for [[counters]], built from the same QueryConfig. */
   def countersSql(table: String, cfg: QueryConfig,
                   resolve: String => String = identity,

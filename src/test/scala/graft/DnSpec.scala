@@ -97,6 +97,49 @@ class DnSpec extends SparkSpec {
     assert(agg == scanned)
   }
 
+  test("--warnings: per-record drop diagnostics, distinct from --counters") {
+    // one record per drop shape, plus a clean one and a NORMAL filter
+    // miss (present field, predicate false) which must NOT warn —
+    // reference: krill-skinner-stream.js warns on eval failure only
+    val data = Files.createTempDirectory("graft-dn-warn").resolve("w.ndjson")
+    Files.writeString(data, Seq(
+      """{"lvl":"debug","time":"2024-01-05T00:00:00Z","latency":"5"}""",
+      """{"time":"2024-01-05T00:00:00Z","latency":"5"}""",
+      """{"lvl":"info","time":"garbage","latency":"5"}""",
+      """{"lvl":"info","latency":"5"}""",
+      """{"lvl":"info","time":"2024-01-05T00:00:00Z","latency":"fast"}""",
+      """{"lvl":"info","time":"2024-01-05T00:00:00Z","latency":"7"}"""
+    ).mkString("", "\n", "\n"))
+    val args = Seq("scan", s"--data=$data",
+      """--filter={"ne": ["lvl", "debug"]}""",
+      "--breakdowns=latency[aggr=quantize]", "--time-field=time",
+      "--after=2024-01-01T00:00:00Z", "--warnings")
+    // normal scan output is unchanged: the clean + filter-miss rows
+    // aggregate as usual (warnings ride alongside, not instead)
+    val out = Dn.run(spark, args).collect()
+    assert(out.map(_.getLong(1)).sum == 1L)
+    val warnings = Dn.lastWarnings.get.collect().map(_.getString(0)).sorted
+    assert(warnings.toSeq == Seq(
+      """field "latency" has a non-numeric value""",
+      """field "lvl" is undefined""",
+      """field "time" is not a valid date""",
+      """field "time" is undefined"""))
+    // capped stderr rendering: cap lines + one suppression notice
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withErr(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Dn.printWarnings(Dn.lastWarnings.get, cap = 2)
+    }
+    val lines = buf.toString("UTF-8").linesIterator.toSeq
+    assert(lines.length == 3 && lines.forall(_.startsWith("warn: ")))
+    assert(lines.last.contains("suppressed"))
+    // --warnings is not --counters: counters still returns the summary
+    val c = Dn.run(spark, args.init :+ "--counters").collect().head
+    assert(c.toSeq == Seq(6L, 2L, 2L, 1L, 1L))
+    // and not valid outside scan/index-scan
+    assertThrows[GraftException](
+      Dn.parseArgs(Seq("query", "--index=x", "--warnings")))
+  }
+
   test("bad arguments throw GraftException") {
     assertThrows[GraftException](Dn.parseArgs(Nil))
     assertThrows[GraftException](Dn.parseArgs(Seq("frobnicate")))
