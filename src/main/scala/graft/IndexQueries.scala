@@ -111,6 +111,22 @@ object IndexQueries {
           after = Some(Instant.parse("2024-01-02T00:00:00Z")),
           before = Some(Instant.parse("2024-01-05T00:00:00Z"))), rq))),
 
+    // #15b hour-aligned bounds served WITHOUT an indexed time column:
+    // interior days by dn_date pruning, boundary days trimmed by the
+    // dn_hour row-group predicate (Index.pruned hourServed) — the sub-day
+    // analog of index_bounds_day. Oracle = the bounded raw scan.
+    Q("index_bounds_hour",
+      serve("hour", QueryConfig(
+        breakdowns = AttrParser.parse("event_type"),
+        after = Some(Instant.parse("2024-01-02T06:00:00Z")),
+        before = Some(Instant.parse("2024-01-04T18:00:00Z")))),
+      Some(Scan.scanSql("events",
+        QueryConfig(
+          breakdowns = AttrParser.parse("event_type"),
+          timeField = Some("ts"),
+          after = Some(Instant.parse("2024-01-02T06:00:00Z")),
+          before = Some(Instant.parse("2024-01-04T18:00:00Z"))), rq))),
+
     // #15 hourly interval + minute-aligned time bounds → partition pruning
     Q("index_hourly",
       serve("hour", QueryConfig(

@@ -159,6 +159,98 @@ object Index {
     }
   }
 
+  /**
+   * Compact a metric's day partitions back to one file per day.
+   *
+   * Why it exists: a long-running [[graft.streaming.StreamScan.indexSink]]
+   * appends one file per day per micro-batch — an always-on stream turns
+   * each day's directory into thousands of small files, and every batch
+   * query then pays a footer read + short scan per file (reference:
+   * dragnet rewrites a whole day's sqlite file per `dn build` run, so its
+   * layout never fragments; the streaming sink needs the equivalent
+   * maintenance pass). Batch `Index.update` keeps one file per day by
+   * construction, so compaction is a no-op there unless many small
+   * update batches targeted the same day.
+   *
+   * Two layouts, two moves:
+   *
+   *  - **Streaming sink dir** (`_spark_metadata` present): the sink's
+   *    commit log PINS the file list — batch reads list files from the
+   *    log, so overwriting only some days would strand the log (it would
+   *    reference deleted files) and deleting the log alone would expose
+   *    any uncommitted orphan files a failed micro-batch left behind.
+   *    The only safe compaction reads THROUGH the log (exactly the
+   *    committed rows), rewrites the whole metric clustered one file per
+   *    day into a staging dir, then swaps it in and drops the log.
+   *    Finalize semantics: stop the stream first; afterwards the index
+   *    is a plain batch-managed dataset (maintain with [[update]]; a new
+   *    stream needs a fresh path + checkpoint).
+   *
+   *  - **Plain batch dir**: only the days holding more than
+   *    `maxFilesPerDay` files are rewritten, with the same
+   *    dynamic-partition-overwrite move as [[update]] — untouched days
+   *    keep their files byte-identical. Staged through a temp dir first:
+   *    a dynamic overwrite deletes each target partition before writing,
+   *    and Spark reads are lazy, so writing over the directory a plan is
+   *    still reading corrupts the read.
+   *
+   * Returns the compacted day strings (empty = nothing to do).
+   */
+  def compact(spark: SparkSession, path: String, metric: String,
+      interval: String = "day", maxFilesPerDay: Int = 1): Seq[String] = {
+    require(Intervals.contains(interval), s"bad interval: $interval")
+    val mp = metricPath(path, interval, metric)
+    val root = new org.apache.hadoop.fs.Path(mp)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Nil
+    val streamed = fs.exists(new org.apache.hadoop.fs.Path(root, "_spark_metadata"))
+    def dayDirs = fs.listStatus(root).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("dn_date="))
+    val fragmented = dayDirs.filter(d => fs.listStatus(d.getPath).count(f =>
+        f.isFile && f.getPath.getName.startsWith("part-")) > maxFilesPerDay)
+      .map(_.getPath.getName.stripPrefix("dn_date=")).toSeq.sorted
+    if (fragmented.isEmpty && !streamed) return Nil
+
+    // cluster one file per day; hourly indexes keep the within-day
+    // dn_hour sort their row-group-stats pruning relies on
+    def clustered(df: DataFrame): DataFrame = {
+      val byDay = df.repartition(col("dn_date"))
+      if (interval == "hour") byDay.sortWithinPartitions(col("dn_hour")) else byDay
+    }
+    val staging = new org.apache.hadoop.fs.Path(mp + ".compact-staging")
+    if (streamed) {
+      // log-aware read → full rewrite → swap (see scaladoc)
+      clustered(spark.read.parquet(mp))
+        .write.mode("overwrite").partitionBy("dn_date").parquet(staging.toString)
+      fs.delete(root, true)
+      if (!fs.rename(staging, root))
+        throw new GraftException(s"compact: rename $staging -> $root failed " +
+          "(compacted data is intact in the staging dir)")
+      // whole metric rewritten — report every day it now holds
+      dayDirs.map(_.getPath.getName.stripPrefix("dn_date=")).toSeq.sorted
+    } else {
+      val days = fragmented
+      clustered(spark.read.parquet(mp).where(col("dn_date").isin(days: _*)))
+        .write.mode("overwrite").partitionBy("dn_date").parquet(staging.toString)
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // re-cluster: a staged day larger than one split would otherwise
+      // fan back out across read tasks and re-fragment on write
+      try clustered(spark.read.parquet(staging.toString))
+        .write.mode("overwrite").partitionBy("dn_date").parquet(mp)
+      finally {
+        prev match {
+          case Some(v) =>
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None =>
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        fs.delete(staging, true)
+      }
+      days
+    }
+  }
+
   /** Shared front half of query/counters: metric selection, the pruned
     * index read, and the effective config (value-weighted, time field
     * remapped to the indexed column). */
@@ -181,44 +273,70 @@ object Index {
     val hasBounds = cfg.after.isDefined || cfg.before.isDefined
     val indexedTime = cfg.timeField.filter(tf =>
       metric.breakdowns.exists(_.name == tf))
+    // Bounds rounded the way dragnet rounds them (ceil to whole seconds,
+    // Scan.ceilSecs parity), split into the partition day and the
+    // hour-of-day for the alignment checks and predicates below.
+    def ceiled(t: java.time.Instant): Long =
+      math.ceil(t.toEpochMilli / 1000.0).toLong
+    def dayOf(t: java.time.Instant): String =
+      java.time.LocalDate.ofEpochDay(Math.floorDiv(ceiled(t), 86400L)).toString
+    def hourOf(t: java.time.Instant): Int =
+      (Math.floorMod(ceiled(t), 86400L) / 3600L).toInt
+    def aligned(unit: Long): Boolean =
+      (cfg.after.toSeq ++ cfg.before.toSeq)
+        .forall(t => Math.floorMod(ceiled(t), unit) == 0L)
     // Day-aligned bounds are exactly servable by dn_date pruning ALONE —
     // the reference serves bounded queries from the per-day index via
     // file pruning (lib/index-query.js + lib/path-enum.js) regardless of
     // what's indexed. We accept only the cases pruning answers EXACTLY
     // (bounds on a UTC midnight after dragnet's ceil-secs rounding),
-    // keeping the error for sub-day bounds the index cannot answer
+    // keeping the error for finer bounds the index cannot answer
     // instead of inheriting the reference's over-inclusive whole-day
-    // reads.
-    val dayAligned = (cfg.after.toSeq ++ cfg.before.toSeq).forall(t =>
-      Math.floorMod(math.ceil(t.toEpochMilli / 1000.0).toLong, 86400L) == 0L)
-    val dayServed = hasBounds && indexedTime.isEmpty && prune && dayAligned
-    if (hasBounds && indexedTime.isEmpty && !dayServed)
+    // reads. The hourly tree extends this one level down: hour-aligned
+    // bounds are served by dn_date pruning for the interior days plus a
+    // dn_hour predicate trimming the boundary days — dn_hour is sorted
+    // within each day's file, so the trim is a parquet row-group stats
+    // skip, the sub-day analog of dragnet's by_hour file pruning.
+    val dayServed = hasBounds && indexedTime.isEmpty && prune && aligned(86400L)
+    val hourServed = !dayServed && hasBounds && indexedTime.isEmpty && prune &&
+      interval == "hour" && aligned(3600L)
+    if (hasBounds && indexedTime.isEmpty && !dayServed && !hourServed)
       throw new GraftException(
         "no metrics available to serve query (time bounds need an indexed time column)")
 
     // Partition pruning on the day directory, the analog of dragnet's
     // by_day file pruning (lib/path-enum.js). `before` is EXCLUSIVE: when
     // pruning is the only enforcement (dayServed) a midnight bound must
-    // cut strictly below its day; when an indexed timestamp refines it,
-    // <= keeps the boundary day and the per-second bound trims it.
+    // cut strictly below its day; when dn_hour or an indexed timestamp
+    // refines it, <= keeps the boundary day and the finer bound trims it.
     (if (prune) (cfg.after, cfg.before) else (None, None)) match {
       case (None, None) => ()
       case (a, b) =>
         a.foreach { t =>
-          df = df.where(col("dn_date") >=
-            lit(t.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString))
+          df = df.where(col("dn_date") >= lit(dayOf(t)))
+          if (hourServed && hourOf(t) != 0)
+            df = df.where(col("dn_date") > lit(dayOf(t)) ||
+              col("dn_hour") >= lit(hourOf(t)))
         }
         b.foreach { t =>
-          val d = lit(t.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString)
+          val d = lit(dayOf(t))
           df = df.where(if (dayServed) col("dn_date") < d else col("dn_date") <= d)
+          if (hourServed && hourOf(t) != 0)
+            df = df.where(col("dn_date") < d || col("dn_hour") < lit(hourOf(t)))
+          else if (hourServed)
+            // midnight `before` under hourServed (the other bound was the
+            // sub-day one): exclusive cut strictly below the day, same as
+            // the dayServed branch
+            df = df.where(col("dn_date") < d)
         }
     }
-    // Bounds fully enforced by pruning are stripped from the effective
-    // config (Scan would otherwise demand a time column for them);
-    // otherwise the precise per-second bounds ride the indexed timestamp.
+    // Bounds fully enforced by pruning (+ dn_hour trim) are stripped from
+    // the effective config (Scan would otherwise demand a time column for
+    // them); otherwise the precise per-second bounds ride the indexed
+    // timestamp.
     val effective =
-      if (dayServed) cfg.copy(valueField = Some("value"), timeField = None,
-        after = None, before = None)
+      if (dayServed || hourServed) cfg.copy(valueField = Some("value"),
+        timeField = None, after = None, before = None)
       else cfg.copy(valueField = Some("value"), timeField = indexedTime)
     (df, effective)
   }

@@ -93,6 +93,39 @@ class IndexSpec extends SparkSpec {
       base.copy(after = Some(Instant.parse("2024-01-02T06:30:00Z")))))
   }
 
+  test("hour-aligned bounds served by the hourly tree; sub-hour rejected") {
+    import java.time.Instant
+    val path = tmp()
+    // no timestamp column indexed — serving relies on dn_date pruning
+    // plus the dn_hour trim on the boundary days
+    Index.build(ev, Seq(metric), path, timeField = "ts", interval = "hour")
+    val base = QueryConfig(breakdowns = Seq(FieldSpec.plain("event_type")))
+    val bounded = base.copy(
+      after = Some(Instant.parse("2024-01-02T06:00:00Z")),
+      before = Some(Instant.parse("2024-01-04T18:00:00Z")))
+    val viaIndex = Index.query(spark, path, Seq(metric), bounded, "hour")
+      .collect().map(_.toSeq).toSet
+    val viaScan = Scan.scan(ev, bounded.copy(timeField = Some("ts")))
+      .collect().map(_.toSeq).toSet
+    assert(viaIndex == viaScan && viaIndex.nonEmpty)
+    // mixed alignment: hour-aligned after + midnight before (exclusive —
+    // the 2024-01-05 partition must stay out)
+    val mixed = bounded.copy(before = Some(Instant.parse("2024-01-05T00:00:00Z")))
+    assert(Index.query(spark, path, Seq(metric), mixed, "hour")
+      .collect().map(_.toSeq).toSet ==
+      Scan.scan(ev, mixed.copy(timeField = Some("ts")))
+        .collect().map(_.toSeq).toSet)
+    // sub-hour bounds still cannot be answered exactly: error, not an
+    // over-inclusive hour read
+    assertThrows[GraftException](Index.query(spark, path, Seq(metric),
+      base.copy(after = Some(Instant.parse("2024-01-02T06:30:00Z"))), "hour"))
+    // and the DAY tree still rejects hour-aligned bounds (no dn_hour there)
+    val dayPath = tmp()
+    Index.build(ev, Seq(metric), dayPath, timeField = "ts", interval = "day")
+    assertThrows[GraftException](
+      Index.query(spark, dayPath, Seq(metric), bounded))
+  }
+
   test("incremental update replaces only the touched day partitions") {
     val path = tmp()
     Index.build(ev, Seq(metric), path, timeField = "ts", interval = "day")
@@ -128,6 +161,48 @@ class IndexSpec extends SparkSpec {
       .collect().head.getLong(0)
     val scanned = Scan.scan(ev, QueryConfig()).collect().head.getLong(0)
     assert(updated == scanned)
+  }
+
+  test("compact rewrites only fragmented days; untouched days keep their files") {
+    val path = tmp()
+    Index.build(ev, Seq(metric), path, timeField = "ts", interval = "day")
+    val mp = Index.metricPath(path, "day", metric.name)
+    def files(day: String) = new java.io.File(s"$mp/dn_date=$day")
+      .listFiles().filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified).toSet
+    val days = new java.io.File(mp).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dn_date="))
+      .map(_.getName.stripPrefix("dn_date=")).sorted
+    assert(days.length >= 2)
+    val (fragDay, quietDay) = (days.head, days.last)
+    // fragment one day: append a second file with MORE rows for it (so
+    // the rows-unchanged check below is against the fragmented state)
+    val extra = Index.scanRows(
+      ev.where(org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col("ts"), "yyyy-MM-dd") === fragDay),
+      metric, "ts")
+    extra.write.mode("append").partitionBy("dn_date").parquet(mp)
+    assert(files(fragDay).size > 1, "precondition: day fragmented")
+    val quietBefore = files(quietDay)
+    val before = spark.read.parquet(mp)
+      .select(org.apache.spark.sql.functions.col("dn_date").cast("string"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(Index.compact(spark, path, metric.name) == Seq(fragDay))
+    // fragmented day now one file; quiet day's files byte-identical
+    assert(files(fragDay).size == 1)
+    assert(files(quietDay) == quietBefore)
+    val after = spark.read.parquet(mp)
+      .select(org.apache.spark.sql.functions.col("dn_date").cast("string"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(after == before)
+    // idempotent: nothing left to compact
+    assert(Index.compact(spark, path, metric.name).isEmpty)
   }
 
   test("multi-probe lsh recall ≥ single-bucket recall vs brute force") {

@@ -121,4 +121,57 @@ class StreamingSpec extends SparkSpec {
       assert(idx.where(col("dn_date") === "2024-01-01").count() >= 1)
     } finally q.stop()
   }
+
+  test("compact finalizes a streaming index sink: one file per day, rows unchanged") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "event_type")
+    val agg = StreamScan.scanStream(df,
+      QueryConfig(breakdowns = Seq(FieldSpec.plain("event_type"))),
+      timeCol = "ts", windowDur = "1 hour", watermarkDelay = "0 seconds")
+    val dir = Files.createTempDirectory("graft-stream-compact")
+    // sink straight into the by_day tree so batch Index.query serves it
+    val root = s"$dir/idx"
+    val metric = graft.index.Index.Metric("m",
+      Seq(FieldSpec.plain("event_type")))
+    val mp = graft.index.Index.metricPath(root, "day", "m")
+    val q = StreamScan.indexSink(agg, mp, s"$dir/ckpt")
+    try {
+      // three micro-batches emitting windows of the SAME day → that
+      // day's directory accumulates one file per emitting batch
+      input.addData((ts("2024-01-01T00:10:00Z"), "click"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01T05:00:00Z"), "view"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01T09:00:00Z"), "view"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-02T09:00:00Z"), "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def partFiles(day: String) = new java.io.File(s"$mp/dn_date=$day")
+      .listFiles().count(f => f.isFile && f.getName.startsWith("part-"))
+    assert(partFiles("2024-01-01") > 1, "precondition: day fragmented")
+    assert(new java.io.File(s"$mp/_spark_metadata").exists())
+    // window_start kept: distinct hourly windows of the same type must
+    // not collapse in the set compare
+    def rows() = spark.read.parquet(mp)
+      .select(col("window_start"), col("dn_date").cast("string"),
+        col("event_type"), col("value"))
+      .collect().map(_.toSeq).toSet
+    val before = rows()
+    val days = graft.index.Index.compact(spark, root, "m")
+    assert(days.contains("2024-01-01"))
+    // one file per day, sink log gone (plain batch dataset now)
+    assert(partFiles("2024-01-01") == 1)
+    assert(!new java.io.File(s"$mp/_spark_metadata").exists())
+    val after = rows()
+    assert(after == before && after.nonEmpty)
+    // and the finalized index answers a batch Index.query
+    val viaIndex = graft.index.Index.query(spark, root, Seq(metric),
+      QueryConfig(breakdowns = Seq(FieldSpec.plain("event_type"))))
+      .collect().map(_.toSeq).toSet
+    assert(viaIndex ==
+      before.groupBy(r => r(2)).map { case (k, rs) =>
+        Seq(k, rs.toSeq.map(_(3).asInstanceOf[Long]).sum) }.toSet)
+  }
 }
