@@ -91,6 +91,9 @@ object Dn {
       |                     [--raw] [--points] [--counters] [--warnings] [--gnuplot]
       |                     [--dry-run] DATASOURCE | --data=PATH
       |
+      |dn compact           [--interval=hour|day] [--metric=NAME]
+      |                     DATASOURCE | --index=PATH
+      |
       |dn index-config      DATASOURCE
       |dn index-read        [--index-config=INDEX_CONFIG_FILE] [--metric=NAME]
       |                     [--interval=hour|day|all] DATASOURCE
@@ -117,7 +120,7 @@ object Dn {
     "datasource-list", "datasource-remove", "datasource-show",
     "metric-add", "metric-list", "metric-remove", "index-config")
   private val dataModes = Set("scan", "build", "query", "index-read",
-    "index-scan")
+    "index-scan", "compact")
 
   private val knownFlags = Set("data", "breakdowns", "filter", "time-field",
     "after", "before", "index", "interval", "metric-breakdowns",
@@ -632,6 +635,29 @@ object Dn {
         val out = Index.query(spark, idx, metrics, cfg, interval)
         // --points on query: same skinner point shape as scan
         if (a.points) pointsShape(out, cfg.breakdowns) else out
+      case "compact" =>
+        // index maintenance (no reference analog: dragnet rewrites a whole
+        // day's sqlite per build, so its layout never fragments; the
+        // streaming sink's does — see Index.compact)
+        val idx = a.flags.getOrElse("index",
+          throw new GraftException("--index is required"))
+        val interval = a.flags.getOrElse("interval", "day")
+        // --metric / configured metrics when present; else every metric
+        // tree that exists under the interval dir — maintenance shouldn't
+        // require the original metric definitions
+        val names = a.flags.get("metric").map(Seq(_)).getOrElse {
+          if (fromConfig.nonEmpty) fromConfig.map(_.name)
+          else {
+            val p = new org.apache.hadoop.fs.Path(s"$idx/by_$interval")
+            val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+            if (fs.exists(p)) fs.listStatus(p).filter(_.isDirectory)
+              .map(_.getPath.getName).toSeq.sorted
+            else Nil
+          }
+        }
+        import spark.implicits._
+        names.flatMap(m => Index.compact(spark, idx, m, interval)
+          .map(d => (m, d))).toDF("metric", "dn_date")
       case "index-read" =>
         val idx = a.flags.getOrElse("index",
           throw new GraftException("index-read needs a datasource with " +

@@ -23,13 +23,20 @@ object Sources {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark 4 rejects;
     // read it as raw nanos and rebuild a (microsecond) TimestampType column.
+    // Tables from other producers (e.g. a MakeScale derivation) may carry
+    // ts as a plain long of nanos or an ordinary timestamp already — only
+    // the long form needs the rebuild.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // json_tuple, not from_json: a Generator is a predicate-pushdown
     // barrier, so each record's JSON is parsed exactly once no matter how
     // many filters/breakdowns reference props.* — from_json gets inlined
     // into every pushed predicate (one parse per reference per row).
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val raw = table(spark, sfDir, "events")
+    val tsIsNanos =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    raw
+      .withColumn("ts", if (tsIsNanos)
+        timestamp_micros((col("ts") / 1000L).cast("long")) else col("ts"))
       .select(col("*"), json_tuple(col("props"), "k").as("k_json"))
       .withColumn("props", struct(col("k_json").try_cast("int").as("k")))
       .drop("k_json")

@@ -48,6 +48,9 @@ object MakeScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // events.ts is TIMESTAMP(NANOS) — read as raw nanos and write it back
+    // as a plain long; Sources.events rebuilds the timestamp either way
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def scaled(table: String)(remap: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Unit = {
       val df = spark.read.parquet(s"$base/$table.parquet")

@@ -45,6 +45,34 @@ class DnSpec extends SparkSpec {
     assert(viaIndex == viaScan)
   }
 
+  test("compact rewrites fragmented metric trees and query is unchanged") {
+    val idx = Files.createTempDirectory("graft-dn-compact").toString
+    Dn.run(spark, Seq("build", s"--data=$events", s"--index=$idx",
+      "--breakdowns=event_type,user_id", "--time-field=ts"))
+    // fragment one day: append a duplicate file into its directory
+    val mp = graft.index.Index.metricPath(idx, "day", "default")
+    val day = new java.io.File(mp).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dn_date="))
+      .map(_.getName.stripPrefix("dn_date=")).min
+    val one = spark.read.parquet(mp)
+      .where(org.apache.spark.sql.functions.col("dn_date") === day)
+      .withColumn("dn_date", org.apache.spark.sql.functions.lit(day))
+    one.write.mode("append").partitionBy("dn_date").parquet(mp)
+    val before = Dn.run(spark, Seq("query", s"--index=$idx",
+      "--breakdowns=event_type", "--metric-breakdowns=event_type,user_id"))
+      .collect().map(_.toSeq).toSet
+    // no --metric: compact discovers the metric trees under by_day/
+    val compacted = Dn.run(spark, Seq("compact", s"--index=$idx"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(compacted == Seq(("default", day)))
+    assert(new java.io.File(s"$mp/dn_date=$day").listFiles()
+      .count(f => f.isFile && f.getName.startsWith("part-")) == 1)
+    val after = Dn.run(spark, Seq("query", s"--index=$idx",
+      "--breakdowns=event_type", "--metric-breakdowns=event_type,user_id"))
+      .collect().map(_.toSeq).toSet
+    assert(after == before)
+  }
+
   test("time bounds prune and filter through the CLI") {
     val all = Dn.run(spark, Seq("scan", s"--data=$events")).collect()
       .head.getLong(0)
