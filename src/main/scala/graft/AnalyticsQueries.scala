@@ -233,6 +233,38 @@ object AnalyticsQueries {
             AS running
         FROM orders WHERE o_custkey <= 100""")),
 
+    // #24c backward as-of join (kdb aj / pandas merge_asof): each error
+    // event annotated with the same user's most recent click at-or-before
+    // it. ScaleJoins.asofJoin is union-tag + one window pass — one
+    // shuffle on user_id, linear in |errors|+|clicks|; the naive
+    // formulations (theta-join on c.ts <= e.ts, or a per-row max
+    // subquery) plan as a cartesian / repeated rescans and melt at
+    // scale. The oracle states the SEMANTICS as the correlated subquery
+    // (fine at oracle scale); the Spark side is the scalable plan.
+    Q("q_asof_join",
+      (s, dir) => {
+        val e = Sources.events(s, dir).select(col("event_id"),
+          col("user_id"), graft.functions.epochSecs(col("ts")).as("sec"),
+          col("event_type"))
+        val errors = e.where(col("event_type") === "error")
+          .select("event_id", "user_id", "sec")
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("user_id"), col("sec"))
+        graft.plans.ScaleJoins.asofJoin(errors, clicks, "user_id", "sec",
+            rightCols = Seq("sec"), prefix = "click_")
+          .select(col("event_id").cast("long").as("event_id"),
+            col("user_id").cast("long").as("user_id"),
+            col("sec"), col("click_sec"))
+      },
+      Some("""
+        SELECT CAST(e.event_id AS BIGINT) AS event_id,
+          CAST(e.user_id AS BIGINT) AS user_id,
+          CAST(floor(epoch(e.ts)) AS BIGINT) AS sec,
+          (SELECT max(CAST(floor(epoch(c.ts)) AS BIGINT)) FROM events c
+           WHERE c.user_id = e.user_id AND c.event_type = 'click'
+             AND floor(epoch(c.ts)) <= floor(epoch(e.ts))) AS click_sec
+        FROM events e WHERE e.event_type = 'error'""")),
+
     // #21b anti-join: customers with no big-ticket orders (TPC-H Q22
     // flavor — the left_anti shape; at scale the orders side aggregates
     // to distinct keys before the join, so the anti probe is key-sized)

@@ -140,6 +140,24 @@ object TextQueries {
         FROM b"""
       }),
 
+    // #33c CCNet-style unigram log-prob: mean -ln p(token) under the
+    // corpus unigram distribution — the corpus-relative quality signal
+    // (perplexity-bucketing stand-in). Vocabulary joins back broadcast;
+    // the corpus never shuffles. Oracle replays both passes.
+    Q("text_logprob",
+      (s, dir) => Text.unigramLogProb(docs(s, dir)),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+          FROM documents),
+        vocab AS (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab)
+        SELECT doc_id,
+          round(AVG(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS logprob
+        FROM toks JOIN vocab USING (t), tot
+        GROUP BY doc_id""")),
+
     // #33b Gopher-style repetition signals: duplicate-word fraction and
     // top-bigram fraction — the stuffing/boilerplate-loop filters a
     // per-char quality score misses. Oracle replays tokenization, the

@@ -49,4 +49,53 @@ object ScaleJoins {
   /** Read back a bucketed table (bucket metadata comes from the catalog). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /**
+   * Backward as-of join (kdb `aj` / pandas `merge_asof` semantics): every
+   * left row, annotated with columns from the LATEST right row of the
+   * same key whose time is <= the left row's time (nulls when no right
+   * row precedes it).
+   *
+   * Spark has no built-in as-of join, and the naive formulations melt at
+   * scale: a theta-join on `r.t <= l.t` plans as a broadcast
+   * nested-loop / cartesian, and a per-row max-subquery rescans the
+   * right side per left row. The scalable shape is union-tag + one
+   * window pass: tag both sides, union, and carry the right side's
+   * columns forward with `last(..., ignoreNulls) OVER (PARTITION BY key
+   * ORDER BY time, side ROWS UNBOUNDED PRECEDING)` — ONE shuffle on key,
+   * one sort, linear in |L|+|R|, AQE-splittable like any window. Right
+   * rows sort before left rows at equal time (side 0 < 1), so a
+   * same-timestamp right row IS visible to the left row (<=, not <).
+   *
+   * Ties among right rows at identical (key, time): the carried row is
+   * the last in (`tieBreak`) order — pass it to make results
+   * deterministic when right keys can collide at a timestamp.
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      time: String, rightCols: Seq[String], prefix: String = "asof_",
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rTypes = rightCols.map(c => c -> right.schema(c).dataType)
+    val l = left.select(
+      Seq(col(key).as("_k"), col(time).as("_t"), lit(1).as("_side"),
+        struct(left.columns.map(col): _*).as("_lrow")) ++
+        rTypes.map { case (c, t) => lit(null).cast(t).as(s"_r_$c") } ++
+        tieBreak.map(c => lit(null).cast(right.schema(c).dataType)
+          .as(s"_tb_$c")): _*)
+    val r = right.select(
+      Seq(col(key).as("_k"), col(time).as("_t"), lit(0).as("_side"),
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          left.schema.fields)).as("_lrow")) ++
+        rightCols.map(c => col(c).as(s"_r_$c")) ++
+        tieBreak.map(c => col(c).as(s"_tb_$c")): _*)
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t") +: col("_side") +: tieBreak.map(c => col(s"_tb_$c")): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .select(col("_side") +: col("_lrow") +:
+        rightCols.map(c =>
+          last(col(s"_r_$c"), ignoreNulls = true).over(w).as(s"$prefix$c")): _*)
+      .where(col("_side") === 1)
+      .select(col("_lrow.*") +: rightCols.map(c => col(s"$prefix$c")): _*)
+  }
 }

@@ -138,6 +138,36 @@ object Text {
   }
 
   /**
+   * CCNet-style unigram log-probability signal, per doc (Wenzek et al.
+   * 2019 bucket by LM perplexity; the dependency-free analog scores each
+   * doc by the mean -ln p(token) under the CORPUS unigram distribution).
+   * Fluent text built from common tokens scores low; rare/garbled text
+   * scores high — the usual head/middle/tail bucketing cut points apply
+   * downstream.
+   *
+   * Two passes over the tokens are inherent to any corpus-relative
+   * statistic: one builds the vocabulary, one scores the docs. The
+   * vocabulary is tiny next to the corpus (Heaps' law), so it joins back
+   * as a BROADCAST hash join — the corpus never shuffles; the only wide
+   * exchange is the per-doc mean on the doc id (map-side combined).
+   * Rounded to the 1e-6 grid (the ANN-means convention) so an external
+   * oracle's different double-summation order still matches.
+   */
+  def unigramLogProb(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("t"))
+    val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast("double").as("total"))
+    toks.join(broadcast(vocab), "t")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(round(avg(-log(col("cnt").cast("double") / col("total"))), 6)
+        .as("logprob"))
+  }
+
+  /**
    * Gopher-style REPETITION signals, per doc: `n_tokens`,
    * `dup_word_frac` (1 - distinct/total tokens) and `top_bigram_frac`
    * (occurrences of the most frequent bigram over all bigram slots) —

@@ -24,6 +24,28 @@ class ScaleJoinsSpec extends SparkSpec {
       col("k") === 30).count().toInt)
   }
 
+  test("asofJoin: latest right row at-or-before each left row, per key") {
+    // key 1: rights at t=10,20,20,30 — tie at 20 resolved by tieBreak v
+    val left = Seq((1L, 5L, "a"), (1L, 20L, "b"), (1L, 25L, "c"),
+      (1L, 40L, "d"), (2L, 10L, "e")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, "r10"), (1L, 20L, "r20a"), (1L, 20L, "r20b"),
+      (1L, 30L, "r30"), (3L, 1L, "zzz")).toDF("k", "t", "v")
+    val out = ScaleJoins.asofJoin(left, right, "k", "t",
+        rightCols = Seq("t", "v"), tieBreak = Seq("v"))
+      .select("tag", "asof_t", "asof_v")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out("a") == (None, None))          // nothing precedes t=5
+    assert(out("b") == (Some(20L), Some("r20b"))) // same-t visible; max tieBreak
+    assert(out("c") == (Some(20L), Some("r20b")))
+    assert(out("d") == (Some(30L), Some("r30")))
+    assert(out("e") == (None, None))          // key 2 has no right rows
+    // no cartesian anywhere in the plan (the naive theta-join shape)
+    val plan = ScaleJoins.asofJoin(left, right, "k", "t", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"))
+  }
+
   test("bucketed tables join without a shuffle") {
     // a previous JVM's managed-table locations are invisible to this
     // session's fresh in-memory catalog — clear them

@@ -155,4 +155,23 @@ class TextSpec extends SparkSpec {
     // single-token doc: no bigram slots → 0 by convention
     assert(r(4L) == ((1L, 0.0, 0.0)))
   }
+
+  test("unigram logprob: rare-token docs score higher than common-token docs") {
+    import spark.implicits._
+    // corpus: "the" x7, "of" x2, "qux" x1 → total 10
+    val docs = Seq(
+      (1L, "the the the of"),      // common tokens
+      (2L, "the of qux"),          // carries the rare token
+      (3L, "the the the")
+    ).toDF("doc_id", "text")
+    val r = Text.unigramLogProb(docs).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    def lp(cnt: Int) = -math.log(cnt / 10.0)
+    // Spark round() is HALF_UP (values here are positive)
+    def grid(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(math.abs(r(1L) - grid((3 * lp(7) + lp(2)) / 4)) < 1e-9)
+    assert(math.abs(r(2L) - grid((lp(7) + lp(2) + lp(1)) / 3)) < 1e-9)
+    assert(math.abs(r(3L) - grid(lp(7))) < 1e-9)
+    assert(r(2L) > r(1L) && r(1L) > r(3L))
+  }
 }
