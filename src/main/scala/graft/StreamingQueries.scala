@@ -139,6 +139,40 @@ object StreamingQueries {
         SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
         FROM events""")),
 
+    // #18c stream-stream interval join: each error joined to the same
+    // user's clicks in the PRECEDING HOUR, both sides watermarked so the
+    // range condition bounds join state and event time expires it — the
+    // production stream-enrichment shape (inner rows emit as soon as
+    // both sides have arrived; the watermark only governs state GC).
+    // Timestamps go through exact integral `ts div 1000` (a double round
+    // of nanos ~1.7e18 is off by ~256 and could flip a boundary-equal
+    // BETWEEN), so the batch self-join oracle on integer micros is exact.
+    Q("stream_join",
+      (s, dir) => {
+        implicit val session: org.apache.spark.sql.SparkSession = s
+        def side(tpe: String, pre: String) = eventStream(s, dir)
+          .where(col("event_type") === tpe)
+          .select(col("event_id").cast("long").as(s"${pre}_id"),
+            col("user_id").as(s"${pre}_user"),
+            timestamp_micros(expr("ts div 1000")).as(s"${pre}_ts"))
+          .withWatermark(s"${pre}_ts", "0 seconds")
+        val joined = side("error", "err").join(side("click", "clk"),
+          expr("clk_user = err_user AND " +
+            "clk_ts BETWEEN err_ts - INTERVAL 1 HOUR AND err_ts"))
+        drain(joined.select(col("err_id"), col("clk_id")),
+          "graft_stream_join",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      },
+      Some("""
+        SELECT CAST(e.event_id AS BIGINT) AS err_id,
+               CAST(c.event_id AS BIGINT) AS clk_id
+        FROM events e JOIN events c
+          ON c.user_id = e.user_id
+         AND e.event_type = 'error' AND c.event_type = 'click'
+         AND epoch_ns(c.ts) // 1000
+             BETWEEN epoch_ns(e.ts) // 1000 - 3600000000
+                 AND epoch_ns(e.ts) // 1000""")),
+
     // #16c streaming --counters parity: the SAME conditional-aggregation
     // pass as the batch counters (Scan.counters is one global agg, so it
     // runs unchanged on a streaming frame under Complete mode) — per-

@@ -47,6 +47,18 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(1500))
   }
 
+  test("unigram logprob joins the vocabulary broadcast, never shuffling the corpus") {
+    val plan = SparkEntry.queries("text_logprob")(spark, sf001)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("as-of join plans as union + window — no join operator at all") {
+    val plan = SparkEntry.queries("q_asof_join")(spark, sf001)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("Window") && !plan.contains("Join"), plan.take(1500))
+  }
+
   test("PQ scoring joins the codebook LUT broadcast, never shuffled") {
     val plan = SparkEntry.queries("ann_pq")(spark, sf001)
       .queryExecution.sparkPlan.toString
