@@ -20,6 +20,14 @@ object AnnQueries {
   private def queryVec(e: org.apache.spark.sql.DataFrame) =
     e.orderBy(col("vec_id")).limit(1)
 
+  /** The IVF/PQ sampling modulus PIN for the oracle-gated queries: the
+    * static oracle SQL derives it as `count(*) // 16`, so the Spark side
+    * must use the exact same integer (the operators' scale default —
+    * plan-stats estimation, no extra pass — is approximate). On these
+    * raw parquet reads count() is footer metadata, not a data pass. */
+  private def sampleMod(e: org.apache.spark.sql.DataFrame) =
+    Some(math.max(1L, e.count() / 16))
+
   def all: Seq[Q] = Seq(
 
     // #30 brute-force cosine top-k — exact baseline, oracle-checked
@@ -86,7 +94,10 @@ object AnnQueries {
     Q("ann_ivf",
       (s, dir) => {
         val e = emb(s, dir)
-        Ann.ivfTopK(e, queryVec(e), 10)
+        // modulus pinned to the oracle's count(*)//16 (a parquet
+        // footer-metadata count on this raw read); the operator's scale
+        // default derives it from plan stats with no extra pass
+        Ann.ivfTopK(e, queryVec(e), 10, modulus = sampleMod(e))
       },
       Some(s"""
         WITH n AS (
@@ -122,7 +133,8 @@ object AnnQueries {
     Q("ann_ivf_lloyd",
       (s, dir) => {
         val e = emb(s, dir)
-        val refined = Ann.ivfRefine(e, Ann.ivfCentroids(e))
+        val refined = Ann.ivfRefine(e,
+          Ann.ivfCentroids(e, modulus = sampleMod(e)))
         Ann.ivfTopKAssigned(Ann.ivfAssign(e, refined), refined,
           queryVec(e), 10)
       },
@@ -246,7 +258,7 @@ object AnnQueries {
     Q("ann_pq",
       (s, dir) => {
         val e = emb(s, dir)
-        Ann.pqTopK(e, queryVec(e), 10)
+        Ann.pqTopK(e, queryVec(e), 10, modulus = sampleMod(e))
       },
       Some(pqSql(lloyd = false))),
 
@@ -256,7 +268,7 @@ object AnnQueries {
     Q("ann_pq_lloyd",
       (s, dir) => {
         val e = emb(s, dir)
-        Ann.pqTopK(e, queryVec(e), 10, lloyd = 1)
+        Ann.pqTopK(e, queryVec(e), 10, lloyd = 1, modulus = sampleMod(e))
       },
       Some(pqSql(lloyd = true))),
 

@@ -641,7 +641,32 @@ object Dn {
         // streaming sink's does — see Index.compact)
         val idx = a.flags.getOrElse("index",
           throw new GraftException("--index is required"))
-        val interval = a.flags.getOrElse("interval", "day")
+        val fsRoot = new org.apache.hadoop.fs.Path(idx)
+        val fs = fsRoot.getFileSystem(spark.sessionState.newHadoopConf())
+        def trees: Seq[String] =
+          if (!fs.exists(fsRoot)) Nil
+          else fs.listStatus(fsRoot).filter(_.isDirectory)
+            .map(_.getPath.getName).filter(_.startsWith("by_"))
+            .map(_.stripPrefix("by_")).toSeq.sorted
+        // --interval names a tree explicitly; without it, auto-detect
+        // from the trees actually present (an hourly-only index under
+        // the default "day" would otherwise be a silent no-op). An
+        // explicit interval whose tree is absent fails loudly, naming
+        // what IS there.
+        val interval = a.flags.get("interval") match {
+          case Some(iv) =>
+            if (trees.nonEmpty && !trees.contains(iv))
+              throw new GraftException(s"compact: no by_$iv tree under " +
+                s"$idx (found: ${trees.map("by_" + _).mkString(", ")})")
+            iv
+          case None => trees match {
+            case Seq(only) => only
+            case ts if ts.contains("day") || ts.isEmpty => "day"
+            case ts => throw new GraftException("compact: multiple index " +
+              s"trees under $idx (${ts.map("by_" + _).mkString(", ")}) — " +
+              "pick one with --interval")
+          }
+        }
         // --metric / configured metrics when present; else every metric
         // tree that exists under the interval dir — maintenance shouldn't
         // require the original metric definitions
@@ -649,7 +674,6 @@ object Dn {
           if (fromConfig.nonEmpty) fromConfig.map(_.name)
           else {
             val p = new org.apache.hadoop.fs.Path(s"$idx/by_$interval")
-            val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
             if (fs.exists(p)) fs.listStatus(p).filter(_.isDirectory)
               .map(_.getPath.getName).toSeq.sorted
             else Nil

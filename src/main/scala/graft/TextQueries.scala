@@ -142,20 +142,26 @@ object TextQueries {
 
     // #33c CCNet-style unigram log-prob: mean -ln p(token) under the
     // corpus unigram distribution — the corpus-relative quality signal
-    // (perplexity-bucketing stand-in). Vocabulary joins back broadcast;
-    // the corpus never shuffles. Oracle replays both passes.
+    // (perplexity-bucketing stand-in). The vocabulary is CAPPED (top-N
+    // by count, token tie-break) and out-of-vocabulary tokens score at
+    // the count-1 floor; the capped vocab joins back broadcast and the
+    // corpus never shuffles. The cap here (16, vs the sf0.01 corpus's
+    // 31 types) is deliberately small so the gate exercises the OOV
+    // floor path; the oracle replays the cut and the floor exactly.
     Q("text_logprob",
-      (s, dir) => Text.unigramLogProb(docs(s, dir)),
+      (s, dir) => Text.unigramLogProb(docs(s, dir), maxVocab = 16),
       Some("""
         WITH toks AS (
           SELECT doc_id,
             unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
           FROM documents),
         vocab AS (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY 1),
-        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab)
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
+        kept AS (SELECT t, cnt FROM vocab ORDER BY cnt DESC, t LIMIT 16)
         SELECT doc_id,
-          round(AVG(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS logprob
-        FROM toks JOIN vocab USING (t), tot
+          round(AVG(-ln(CAST(COALESCE(k.cnt, 1) AS DOUBLE) / total)), 6)
+            AS logprob
+        FROM toks LEFT JOIN kept k USING (t), tot
         GROUP BY doc_id""")),
 
     // #33b Gopher-style repetition signals: duplicate-word fraction and

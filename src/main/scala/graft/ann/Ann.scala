@@ -178,15 +178,21 @@ object Ann {
    * shape as the index layer.
    */
   /** The deterministic IVF coarse quantizer: XHash-sampled centroid rows
-    * (broadcastable — ~nlist rows). */
+    * (broadcastable — ~nlist rows). The sampling modulus defaults to
+    * plan statistics ([[estimatedRows]] — no extra pass even over a
+    * FILTERED corpus, whose count() would run the whole lineage); a
+    * coarse quantizer only needs ~nlist centroids to an order of
+    * magnitude, so stats precision is plenty. Pass `modulus` to pin the
+    * sampling exactly — e.g. to replay it in an external SQL engine,
+    * where `count(*) / nlist` is the natural pin. */
   def ivfCentroids(corpus: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", nlist: Int = 16): DataFrame = {
+      vecCol: String = "embedding", nlist: Int = 16,
+      modulus: Option[Long] = None): DataFrame = {
     // deterministic hash sample of ~nlist centroids — no global sort, no
-    // training job. The sampling modulus comes from a count over the RAW
-    // corpus (parquet footer metadata, not a normalization pass).
-    // Sampling hashes with the cross-engine XHash (not xxhash64) so an
-    // oracle can replay the centroid choice.
-    val m = math.max(1L, corpus.count() / nlist)
+    // training job. Sampling hashes with the cross-engine XHash (not
+    // xxhash64) so an oracle can replay the centroid choice.
+    val m = modulus.getOrElse(
+      math.max(1L, estimatedRows(corpus) / nlist))
     // materialize the ~nlist rows: assignment, probe selection, and
     // refinement all consume them and would each replay the sampling scan
     withNormalized(corpus, vecCol, "vn")
@@ -278,8 +284,9 @@ object Ann {
 
   def ivfTopK(corpus: DataFrame, query: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids = ivfCentroids(corpus, idCol, vecCol, nlist)
+      nlist: Int = 16, nprobe: Int = 4,
+      modulus: Option[Long] = None): DataFrame = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nlist, modulus)
     ivfTopKAssigned(ivfAssign(corpus, centroids, idCol, vecCol), centroids,
       query, k, idCol, vecCol, nprobe)
   }
@@ -366,12 +373,14 @@ object Ann {
    * Output (sub, cid, cv): m×k rows — broadcastable at any corpus size.
    */
   def pqCodebooks(corpus: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", m: Int = 4, k: Int = 16): DataFrame = {
-    val n = corpus.count()
+      vecCol: String = "embedding", m: Int = 4, k: Int = 16,
+      modulus: Option[Long] = None): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
-    val mod = math.max(1L, n / k)
+    // like [[ivfCentroids]]: plan-stats modulus by default (no count()
+    // pass over the lineage), explicit pin for oracle replay
+    val mod = modulus.getOrElse(math.max(1L, estimatedRows(corpus) / k))
     val sampled = withNormalized(corpus, vecCol, "vn")
       .where(pmod(graft.functions.XHash.h60(col(idCol).cast("string")),
         lit(mod)) === 0)
@@ -468,8 +477,9 @@ object Ann {
    */
   def pqTopK(corpus: DataFrame, query: DataFrame, topK: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      m: Int = 4, k: Int = 16, lloyd: Int = 0): DataFrame = {
-    var cb = pqCodebooks(corpus, idCol, vecCol, m, k)
+      m: Int = 4, k: Int = 16, lloyd: Int = 0,
+      modulus: Option[Long] = None): DataFrame = {
+    var cb = pqCodebooks(corpus, idCol, vecCol, m, k, modulus)
     (0 until lloyd).foreach(_ => cb = pqRefine(corpus, cb, idCol, vecCol, m))
     val enc = pqEncode(corpus, cb, idCol, vecCol, m)
     val dsub = cb.select(size(col("cv"))).head.getInt(0)
@@ -532,25 +542,52 @@ object Ann {
   /**
    * Embedding-cosine near-dup pairs: sign-bucket join (pairs only form
    * within a bucket), exact cosine verify ≥ minCos.
+   *
+   * In-bucket pair generation goes through the SAME two-regime machinery
+   * as the text near-dup paths ([[graft.dedup.Dedup.bucketPairs]]):
+   * normal buckets expand pairs from one sorted per-bucket array; any
+   * bucket past `heavyBucket` streams its pairs through a sort-merge
+   * self-join instead. That regime split is what survives skew at corpus
+   * scale — embeddings with a dominant direction (common: normalized
+   * text embeddings cluster on the hypersphere) pile into ONE sign
+   * bucket, and a plain self-join would hand that bucket's quadratic
+   * blow-up to a single task. `maxBucket` remains the explicit opt-in
+   * recall-for-boundedness cap; size it with [[embedBucketStats]].
    */
   def cosinePairs(corpus: DataFrame, minCos: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      bits: Int = DeriveBits): DataFrame = {
+      bits: Int = DeriveBits,
+      heavyBucket: Int = graft.dedup.Dedup.HeavyBucket,
+      maxBucket: Option[Int] = None): DataFrame = {
     // Default bucket width scales with the corpus, sized from plan
     // statistics (no extra data pass); pass bits explicitly to pin the
     // geometry.
     val bb = if (bits == DeriveBits) bucketBitsFor(estimatedRows(corpus)) else bits
-    // Rebalance on id first (input may be a single split), pre-normalize
-    // each vector ONCE, then shuffle both sides on the bucket key; the
-    // quadratic in-bucket stage pays one dot pass per pair.
-    val b = withNormalized(corpus.repartition(col(idCol)), vecCol, "vn")
-      .select(col(idCol).as("id"), col("vn").as("v"),
-        signBucket(col(vecCol), bb).as("b"))
-      .repartition(col("b"))
-    b.as("a").join(b.as("c"),
-        col("a.b") === col("c.b") && col("a.id") < col("c.id"))
-      .select(col("a.id").as("vec_a"), col("c.id").as("vec_b"),
-        dot(col("a.v"), col("c.v")).as("cos"))
+    // Rebalance on id first (input may be a single split) so the one
+    // normalization pass parallelizes; the item struct leads with the id,
+    // so struct ordering == id ordering (ids are unique) and the emitted
+    // pairs keep the vec_a < vec_b convention.
+    val keyed = withNormalized(corpus.repartition(col(idCol)), vecCol, "vn")
+      .select(signBucket(col(vecCol), bb).as("b"),
+        struct(col(idCol).as("id"), col("vn").as("v")).as("item"))
+    graft.dedup.Dedup.bucketPairs(keyed, Seq("b"), heavyBucket, maxBucket)
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        dot(col("a.v"), col("b.v")).as("cos"))
       .where(col("cos") >= minCos)
+  }
+
+  /**
+   * Per-bucket population histogram of the sign-bucket geometry — the
+   * [[graft.dedup.Dedup.bucketStats]] analog for embeddings. Run BEFORE
+   * a corpus-scale [[cosinePairs]] job: the largest bucket bounds the
+   * worst pair-expansion task, so this is how `bits`, `heavyBucket`, and
+   * any `maxBucket` cap get sized. Output: (bucket_size, n_buckets).
+   */
+  def embedBucketStats(corpus: DataFrame, vecCol: String = "embedding",
+      bits: Int = DeriveBits): DataFrame = {
+    val bb = if (bits == DeriveBits) bucketBitsFor(estimatedRows(corpus)) else bits
+    corpus.select(signBucket(col(vecCol), bb).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("bucket_size")).agg(count(lit(1)).as("n_buckets"))
   }
 }

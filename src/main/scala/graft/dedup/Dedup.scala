@@ -173,7 +173,7 @@ object Dedup {
   private def cut(df: DataFrame, reliable: Boolean): DataFrame =
     if (reliable) df.checkpoint() else df.localCheckpoint()
 
-  private def bucketPairs(keyed: DataFrame, keyCols: Seq[String],
+  private[graft] def bucketPairs(keyed: DataFrame, keyCols: Seq[String],
       heavy: Int, maxBucket: Option[Int],
       reliable: Boolean = false): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)

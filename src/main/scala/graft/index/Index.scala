@@ -219,9 +219,28 @@ object Index {
     }
     val staging = new org.apache.hadoop.fs.Path(mp + ".compact-staging")
     if (streamed) {
-      // log-aware read → full rewrite → swap (see scaladoc)
+      // log-aware read → full rewrite → swap (see scaladoc). Finalize
+      // REQUIRES the stream stopped; that contract can't be enforced
+      // from here (the writer may be another driver), so best-effort
+      // guard: snapshot the sink log before the read and re-check it
+      // just before the swap — a still-running stream advances the log
+      // and must abort the finalize, not race the delete/rename. The
+      // swap itself is still two FS ops, not atomic: readers can observe
+      // a missing metric dir for that window (documented trade — parquet
+      // has no atomic dir replace on generic Hadoop FS).
+      val metaDir = new org.apache.hadoop.fs.Path(root, "_spark_metadata")
+      def sinkLogState: Seq[(String, Long)] = fs.listStatus(metaDir)
+        .map(s => (s.getPath.getName, s.getModificationTime))
+        .sortBy(_._1).toSeq
+      val logBefore = sinkLogState
       clustered(spark.read.parquet(mp))
         .write.mode("overwrite").partitionBy("dn_date").parquet(staging.toString)
+      if (sinkLogState != logBefore) {
+        fs.delete(staging, true)
+        throw new GraftException("compact: the streaming sink advanced " +
+          s"while compacting $mp — the stream is still running; stop it " +
+          "and re-run (the live index is untouched)")
+      }
       fs.delete(root, true)
       if (!fs.rename(staging, root))
         throw new GraftException(s"compact: rename $staging -> $root failed " +
@@ -238,15 +257,23 @@ object Index {
       // fan back out across read tasks and re-fragment on write
       try clustered(spark.read.parquet(staging.toString))
         .write.mode("overwrite").partitionBy("dn_date").parquet(mp)
-      finally {
+      catch { case e: Throwable =>
+        // the dynamic overwrite may have already cleared target day
+        // partitions, making the staging copy the only intact one —
+        // NEVER delete it on failure (mirrors the streamed branch)
+        throw new GraftException(s"compact: overwrite into $mp failed; " +
+          s"the compacted days are intact in $staging — restore them " +
+          "there before re-running", e)
+      } finally {
         prev match {
           case Some(v) =>
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
           case None =>
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         }
-        fs.delete(staging, true)
       }
+      // only a fully-committed overwrite releases the staging copy
+      fs.delete(staging, true)
       days
     }
   }

@@ -62,4 +62,5 @@ final case class QueryConfig(
     before: Option[java.time.Instant] = None,
     valueField: Option[String] = None)
 
-class GraftException(msg: String) extends RuntimeException(msg)
+class GraftException(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)

@@ -70,32 +70,41 @@ object ScaleJoins {
    * Ties among right rows at identical (key, time): the carried row is
    * the last in (`tieBreak`) order — pass it to make results
    * deterministic when right keys can collide at a timestamp.
+   *
+   * All annotated columns are carried as ONE struct through a single
+   * `last(ignoreNulls)` — per-column carries would resurrect an OLDER
+   * right row's value wherever the matching row holds a genuine NULL,
+   * tearing the annotation across right rows. The struct itself is
+   * non-null for every right row (its FIELDS may be null), so the
+   * matched row's nulls survive and every `asof_*` column comes from
+   * the same right row.
    */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       time: String, rightCols: Seq[String], prefix: String = "asof_",
       tieBreak: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rTypes = rightCols.map(c => c -> right.schema(c).dataType)
+    val rType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)))
     val l = left.select(
       Seq(col(key).as("_k"), col(time).as("_t"), lit(1).as("_side"),
-        struct(left.columns.map(col): _*).as("_lrow")) ++
-        rTypes.map { case (c, t) => lit(null).cast(t).as(s"_r_$c") } ++
+        struct(left.columns.map(col): _*).as("_lrow"),
+        lit(null).cast(rType).as("_r")) ++
         tieBreak.map(c => lit(null).cast(right.schema(c).dataType)
           .as(s"_tb_$c")): _*)
     val r = right.select(
       Seq(col(key).as("_k"), col(time).as("_t"), lit(0).as("_side"),
         lit(null).cast(org.apache.spark.sql.types.StructType(
-          left.schema.fields)).as("_lrow")) ++
-        rightCols.map(c => col(c).as(s"_r_$c")) ++
+          left.schema.fields)).as("_lrow"),
+        struct(rightCols.map(col): _*).as("_r")) ++
         tieBreak.map(c => col(c).as(s"_tb_$c")): _*)
     val w = Window.partitionBy("_k")
       .orderBy(col("_t") +: col("_side") +: tieBreak.map(c => col(s"_tb_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .select(col("_side") +: col("_lrow") +:
-        rightCols.map(c =>
-          last(col(s"_r_$c"), ignoreNulls = true).over(w).as(s"$prefix$c")): _*)
+      .select(col("_side"), col("_lrow"),
+        last(col("_r"), ignoreNulls = true).over(w).as("_asof"))
       .where(col("_side") === 1)
-      .select(col("_lrow.*") +: rightCols.map(c => col(s"$prefix$c")): _*)
+      .select(col("_lrow.*") +:
+        rightCols.map(c => col(s"_asof.`$c`").as(s"$prefix$c")): _*)
   }
 }

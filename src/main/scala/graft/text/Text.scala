@@ -147,23 +147,41 @@ object Text {
    *
    * Two passes over the tokens are inherent to any corpus-relative
    * statistic: one builds the vocabulary, one scores the docs. The
-   * vocabulary is tiny next to the corpus (Heaps' law), so it joins back
-   * as a BROADCAST hash join — the corpus never shuffles; the only wide
-   * exchange is the per-doc mean on the doc id (map-side combined).
-   * Rounded to the 1e-6 grid (the ANN-means convention) so an external
-   * oracle's different double-summation order still matches.
+   * vocabulary broadcast is HARD-BOUNDED by `maxVocab`: only the top-N
+   * types by count survive (ties broken on the token itself, so the cut
+   * is deterministic and replayable in any SQL engine); every
+   * out-of-vocabulary token scores at the count-1 floor, -ln(1/total) —
+   * the "seen once" probability, which is also what makes the statistic
+   * well-defined for tokens unseen at scoring time. An UNCAPPED
+   * vocabulary is not broadcastable at corpus scale: 100 TB of web text
+   * holds hundreds of millions of unigram types (Heaps' law bounds the
+   * growth rate, not the count, and garbled text inflates it further) —
+   * past the 8 GB broadcast limit. CCNet itself scores against a capped
+   * LM vocabulary, and 2^16 types (a few MB broadcast) is that shape.
+   * The top-N select is a TakeOrderedAndProject: per-partition partial
+   * top-N, one single-partition merge of executors×N short rows — no
+   * full vocab sort anywhere. The corpus side still never shuffles: the
+   * capped vocab joins back as a BROADCAST hash join (left, for OOV);
+   * the only wide exchange is the per-doc mean on the doc id (map-side
+   * combined). Rounded to the 1e-6 grid (the ANN-means convention) so an
+   * external oracle's different double-summation order still matches.
    */
   def unigramLogProb(docs: org.apache.spark.sql.DataFrame,
-      idCol: String = "doc_id", textCol: String = "text")
+      idCol: String = "doc_id", textCol: String = "text",
+      maxVocab: Int = 1 << 16)
       : org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col(idCol),
       explode(tokens(col(textCol))).as("t"))
     val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    // total token count over the FULL corpus (pre-cap): OOV probability
+    // mass stays consistent with the in-vocab probabilities
     val total = vocab.agg(sum(col("cnt")).cast("double").as("total"))
-    toks.join(broadcast(vocab), "t")
+    val kept = vocab.orderBy(col("cnt").desc, col("t")).limit(maxVocab)
+    toks.join(broadcast(kept), Seq("t"), "left")
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
-      .agg(round(avg(-log(col("cnt").cast("double") / col("total"))), 6)
+      .agg(round(avg(-log(
+        coalesce(col("cnt").cast("double"), lit(1.0)) / col("total"))), 6)
         .as("logprob"))
   }
 

@@ -48,8 +48,8 @@ object MakeScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // events.ts is TIMESTAMP(NANOS) — read as raw nanos and write it back
-    // as a plain long; Sources.events rebuilds the timestamp either way
+    // events.ts is TIMESTAMP(NANOS) — read as raw nanos; the events remap
+    // below rebuilds it as a proper micros TIMESTAMP on write
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def scaled(table: String)(remap: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Unit = {
@@ -74,7 +74,17 @@ object MakeScale {
     scaled("part")(addKeys("p_partkey"))
     scaled("orders")(addKeys("o_orderkey", "o_custkey"))
     scaled("lineitem")(addKeys("l_orderkey", "l_partkey", "l_suppkey"))
-    scaled("events")(addKeys("event_id", "user_id"))
+    scaled("events") { (df, off) =>
+      addKeys("event_id", "user_id")(df, off)
+        // rebuild ts as a real TIMESTAMP column (microseconds — the
+        // engine-side semantics Sources.events normalizes to; exact
+        // integral div, not /1000.0, so no double-rounding at nanos
+        // magnitude). Writing the raw nanos long back made scaled dirs
+        // bench-only: the DuckDB oracle SQL reads epoch_ns(ts) off a
+        // TIMESTAMP column and failed loudly on an INT64. A scaled dir
+        // now passes the correctness gate too.
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
     scaled("documents") { (df, off) =>
       addKeys("doc_id")(df, off)
         .withColumn("text", when(col("dn_copy") === 0, col("text"))

@@ -281,4 +281,39 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("cosine pairs: a skewed sign bucket takes the heavy regime, same answer") {
+    // 60 vectors sharing a dominant direction pile into ONE sign bucket —
+    // the skew shape that melts a single task under a plain self-join.
+    // With heavyBucket below the pile the pair stage must route through
+    // the sort-merge regime and still produce the identical pair set.
+    val n = 60
+    val skewed = (0 until n).map { i =>
+      (i.toLong, Array(1.0f, 0.001f * i, 0.5f, 0.25f))
+    }.toDF("vec_id", "embedding")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9) / 1e9)).toSet
+    val small = collect(
+      Ann.cosinePairs(skewed, minCos = 0.999, bits = 2, heavyBucket = 10000))
+    val heavy = collect(
+      Ann.cosinePairs(skewed, minCos = 0.999, bits = 2, heavyBucket = 8))
+    assert(heavy == small && small.nonEmpty)
+    // and the heavy plan really is the join regime (incremental pair
+    // stream), not one giant collect_set array per bucket — at corpus
+    // scale the sides exceed the broadcast threshold and this joins
+    // sort-merge; at test scale Catalyst may broadcast, which is still
+    // the join regime
+    val planned = Ann.cosinePairs(skewed, minCos = 0.999, bits = 2,
+      heavyBucket = 8).queryExecution.sparkPlan.toString
+    assert(planned.contains("Join"), planned.take(1500))
+    assert(!planned.contains("collect_set") ||
+      planned.contains("Join"), planned.take(1500))
+  }
+
+  test("embedBucketStats: histogram sums to the corpus size") {
+    val stats = Ann.embedBucketStats(vecs, bits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(stats.map { case (sz, cnt) => sz * cnt }.sum == 4L)
+  }
 }

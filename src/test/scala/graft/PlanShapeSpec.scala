@@ -51,6 +51,11 @@ class PlanShapeSpec extends SparkSpec {
     val plan = SparkEntry.queries("text_logprob")(spark, sf001)
       .queryExecution.sparkPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    // the vocabulary CAP must plan as a distributed partial top-N
+    // (TakeOrderedAndProject), not a global Sort of the vocab — and the
+    // OOV semantics make it an outer (left) broadcast join
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(plan.contains("LeftOuter"), plan.take(1500))
   }
 
   test("as-of join plans as union + window — no join operator at all") {

@@ -46,6 +46,21 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"))
   }
 
+  test("asofJoin: a genuine NULL in the matched right row survives (no torn rows)") {
+    // right at t=20 has v NULL but w set; a per-column carry would
+    // resurrect v="r10" from the OLDER t=10 row while w comes from t=20 —
+    // mixing two right rows. The struct carry must keep the t=20 row
+    // whole: v null, w "w20".
+    val left = Seq((1L, 25L, "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, Some("r10"), "w10"),
+      (1L, 20L, None: Option[String], "w20")).toDF("k", "t", "v", "w")
+    val row = ScaleJoins.asofJoin(left, right, "k", "t", Seq("t", "v", "w"))
+      .select("asof_t", "asof_v", "asof_w").collect().head
+    assert(row.getLong(0) == 20L)
+    assert(row.isNullAt(1), "genuine NULL must survive, not resurrect r10")
+    assert(row.getString(2) == "w20")
+  }
+
   test("bucketed tables join without a shuffle") {
     // a previous JVM's managed-table locations are invisible to this
     // session's fresh in-memory catalog — clear them
