@@ -88,6 +88,19 @@ object Ann {
     * regardless of bucket count. */
   val DeriveBits = 0
 
+  /** Target bucket population for the QUADRATIC two-sided paths
+    * ([[knnJoin]], [[cosinePairs]]) — deliberately tighter than
+    * [[bucketBitsFor]]'s 4096 default. In those paths candidate volume
+    * is rows × bucket population AND each bucket key is one join task,
+    * so bucket population is both the cost multiplier and the
+    * parallelism ceiling. Measured at the 10× gate (20k vectors,
+    * MeasureKnn): stepping 16 → 32 buckets cut first-run knnJoin from
+    * 19.1 s to 2.0 s (candidate rows 25.1M → 12.6M, the hottest task
+    * halved) with ZERO left rows short of k after adaptive probing —
+    * even at 128 buckets probing kept every row filled, so the tighter
+    * target costs no recall the probe can't recover. */
+  val QuadraticTargetBucket = 1024L
+
   /** Assumed on-disk bytes per embedding row when sizing buckets from
     * plan statistics. Only the order of magnitude matters: a 2× width
     * error moves the derived bit count by one, the same tolerance
@@ -327,9 +340,10 @@ object Ann {
   private[graft] def knnCandidates(left: DataFrame, right: DataFrame, k: Int,
       idCol: String, vecCol: String, bits: Int, fullProbe: Boolean): DataFrame = {
     // Default bucket width scales with the corpus, sized from plan
-    // statistics (no extra data pass); pass bits explicitly to pin the
-    // geometry.
-    val bb = if (bits == DeriveBits) bucketBitsFor(estimatedRows(right)) else bits
+    // statistics (no extra data pass) at the quadratic-path target;
+    // pass bits explicitly to pin the geometry.
+    val bb = if (bits == DeriveBits)
+      bucketBitsFor(estimatedRows(right), QuadraticTargetBucket) else bits
     // no pre-repartition: the bucket-key equi-join hash-partitions both
     // sides anyway, and the ranking window re-shuffles on lid — an id
     // repartition here would just add two whole-corpus shuffles
@@ -560,9 +574,10 @@ object Ann {
       heavyBucket: Int = graft.dedup.Dedup.HeavyBucket,
       maxBucket: Option[Int] = None): DataFrame = {
     // Default bucket width scales with the corpus, sized from plan
-    // statistics (no extra data pass); pass bits explicitly to pin the
-    // geometry.
-    val bb = if (bits == DeriveBits) bucketBitsFor(estimatedRows(corpus)) else bits
+    // statistics (no extra data pass) at the quadratic-path target;
+    // pass bits explicitly to pin the geometry.
+    val bb = if (bits == DeriveBits)
+      bucketBitsFor(estimatedRows(corpus), QuadraticTargetBucket) else bits
     // Rebalance on id first (input may be a single split) so the one
     // normalization pass parallelizes; the item struct leads with the id,
     // so struct ordering == id ordering (ids are unique) and the emitted
@@ -585,7 +600,8 @@ object Ann {
    */
   def embedBucketStats(corpus: DataFrame, vecCol: String = "embedding",
       bits: Int = DeriveBits): DataFrame = {
-    val bb = if (bits == DeriveBits) bucketBitsFor(estimatedRows(corpus)) else bits
+    val bb = if (bits == DeriveBits)
+      bucketBitsFor(estimatedRows(corpus), QuadraticTargetBucket) else bits
     corpus.select(signBucket(col(vecCol), bb).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("bucket_size"))
       .groupBy(col("bucket_size")).agg(count(lit(1)).as("n_buckets"))

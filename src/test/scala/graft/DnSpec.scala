@@ -73,6 +73,33 @@ class DnSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("compact auto-detects an hourly-only tree; explicit wrong interval fails loudly") {
+    // hourly-only index: the old --interval default ("day") listed
+    // by_day/, found nothing, and silently no-opped
+    val idx = Files.createTempDirectory("graft-dn-compact-hr").toString
+    Dn.run(spark, Seq("build", s"--data=$events", s"--index=$idx",
+      "--breakdowns=event_type", "--time-field=ts", "--interval=hour"))
+    // fragment one day of the HOURLY tree; compact with NO --interval
+    // must find and rewrite it (the old behavior listed by_day/ and
+    // silently no-opped)
+    val mp = graft.index.Index.metricPath(idx, "hour", "default")
+    val day = new java.io.File(mp).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dn_date="))
+      .map(_.getName.stripPrefix("dn_date=")).min
+    val one = spark.read.parquet(mp)
+      .where(org.apache.spark.sql.functions.col("dn_date") === day)
+      .withColumn("dn_date", org.apache.spark.sql.functions.lit(day))
+    one.write.mode("append").partitionBy("dn_date").parquet(mp)
+    val compacted = Dn.run(spark, Seq("compact", s"--index=$idx"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(compacted == Seq(("default", day)))
+    // … and an explicit interval whose tree is absent names what exists
+    val e = intercept[GraftException] {
+      Dn.run(spark, Seq("compact", s"--index=$idx", "--interval=day"))
+    }
+    assert(e.getMessage.contains("by_hour"), e.getMessage)
+  }
+
   test("time bounds prune and filter through the CLI") {
     val all = Dn.run(spark, Seq("scan", s"--data=$events")).collect()
       .head.getLong(0)

@@ -12,8 +12,14 @@ TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
 con = duckdb.connect()
+import os
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    # driver testdata ships single files; Spark-derived dirs (MakeScale)
+    # are directories of part files — glob those
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.isdir(p):
+        p = f"{p}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fail = 0
