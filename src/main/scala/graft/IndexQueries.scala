@@ -127,29 +127,29 @@ object IndexQueries {
           after = Some(Instant.parse("2024-01-02T06:00:00Z")),
           before = Some(Instant.parse("2024-01-04T18:00:00Z"))), rq))),
 
-    // #48 dn compact round trip: fragment a day tree (three appended
-    // partial-aggregate batches per day — the state many small update
-    // batches or an external writer leave behind; index rows are
-    // additive, so partial sums per slice are a VALID fragmented index),
-    // compact back to one file per day, then query == the raw scan. The
-    // file-count invariant is asserted INSIDE the query (fragmented
-    // before, exactly one part file per day after), so the gate enforces
-    // both the layout and the losslessness.
+    // #48 dn compact round trip: fragment a day tree with ONE
+    // partitioned write that skips Index.build's repartition(dn_date) —
+    // every shuffle partition drops its own part file into every day
+    // directory it touches, exactly the layout a naive writer (or many
+    // small update batches) leaves behind — compact back to one file
+    // per day, then query == the raw scan. The file-count invariant is
+    // asserted INSIDE the query (fragmented before, exactly one part
+    // file per day after), so the gate enforces both the layout and the
+    // losslessness.
     Q("compact_roundtrip",
       (s, dir) => {
-        import org.apache.spark.sql.functions.{col, lit, pmod}
         // fresh dir per run: compaction mutates the tree in place (the
         // fixed per-sf paths above are reused read-only across queries)
         val tmp = java.nio.file.Files
           .createTempDirectory("graft-compact-rt").toString
         val mp = Index.metricPath(tmp, "day", metrics.head.name)
-        val ev = Sources.events(s, dir)
-        (0 until 3).foreach { k =>
-          Index.scanRows(ev.where(pmod(col("event_id"), lit(3)) === k),
-              metrics.head, "ts", "day")
-            .repartition(col("dn_date"))
-            .write.mode("append").partitionBy("dn_date").parquet(mp)
-        }
+        Index.scanRows(Sources.events(s, dir), metrics.head, "ts", "day")
+          // round-robin, deliberately NOT by dn_date: each of the 8
+          // write tasks holds rows of every day (AQE would otherwise
+          // coalesce this small aggregate to one task and defeat the
+          // fragmentation setup)
+          .repartition(8)
+          .write.partitionBy("dn_date").parquet(mp)
         def filesPerDay: Seq[Int] = {
           val root = new org.apache.hadoop.fs.Path(mp)
           val fs = root.getFileSystem(s.sessionState.newHadoopConf())
@@ -158,7 +158,7 @@ object IndexQueries {
             .map(d => fs.listStatus(d.getPath).count(f =>
               f.isFile && f.getPath.getName.startsWith("part-"))).toSeq
         }
-        require(filesPerDay.nonEmpty && filesPerDay.forall(_ == 3),
+        require(filesPerDay.nonEmpty && filesPerDay.exists(_ > 1),
           s"precondition: fragmented layout expected, got $filesPerDay")
         val compacted = Index.compact(s, tmp, metrics.head.name, "day")
         require(compacted.nonEmpty && filesPerDay.forall(_ == 1),
