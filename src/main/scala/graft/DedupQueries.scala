@@ -183,6 +183,23 @@ object DedupQueries {
           < CAST((CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                               WHEN 'src2' THEN 0.25 ELSE 0.125 END)
                  * 1000000.0 AS BIGINT)
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // #40c per-source CAP (stratified sampling): at most N docs per
+    // source, picked by smallest deterministic hash — the "cap any one
+    // domain's share" mixture step. The oracle replays the hash ranking
+    // and the cut exactly (sf0.01 has 20 sources × 25 docs; per=10
+    // binds on every source).
+    Q("corpus_stratified",
+      (s, dir) => graft.dedup.Corpus.stratifiedSample(docs(s, dir), per = 10)
+        .select(col("doc_id"), col("source")),
+      Some(s"""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+            row_number() OVER (PARTITION BY source
+              ORDER BY ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")},
+                       doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 10"""))
   )
 }

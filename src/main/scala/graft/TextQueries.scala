@@ -31,6 +31,25 @@ object TextQueries {
           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
         FROM documents""")),
 
+    // #34b dragnet's quantize aggregation pointed at a pipeline signal:
+    // power-of-two histogram of per-doc BPE-ish token counts — the
+    // length-distribution view a data recipe cuts on (and proof the
+    // dragnet breakdown machinery composes over the documents table,
+    // not just events). Same oracle rendering as scan_quantize.
+    Q("text_token_hist",
+      (s, dir) => docs(s, dir)
+        .groupBy(graft.functions.quantize(
+          Text.bpeCount(col("text")).cast("long")).as("bucket"))
+        .agg(count(lit(1)).cast("long").as("value")),
+      Some {
+        val bpe = "CAST(len(regexp_extract_all(lower(text), " +
+          "'[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT)"
+        s"""
+        SELECT ${graft.functions.quantizeSql(bpe)} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS value
+        FROM documents GROUP BY 1"""
+      }),
+
     // #33 quality scoring: length/punctuation/stopword signals + composite
     Q("text_quality",
       (s, dir) => docs(s, dir).select(

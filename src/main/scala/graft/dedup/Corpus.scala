@@ -220,4 +220,29 @@ object Corpus {
         lit(SampleMod)) <
         (rateCol * lit(SampleMod.toDouble)).cast("long"))
   }
+
+  /**
+   * Per-source document CAP (stratified sampling) — the "at most N docs
+   * per domain" mixture step that bounds any one domain's share of the
+   * corpus, the complement of [[mixBySource]]'s rate-based reweighting
+   * (a rate can't cap a domain whose size you don't know in advance).
+   * Keeps the `per` docs with the SMALLEST deterministic hash within
+   * each source: a uniform pick, stable across runs and engines, and
+   * replayable in SQL as row_number() over (hash, id) order. One shuffle
+   * on the source key; each source ranks independently. A pathologically
+   * hot source concentrates its rank in one window partition — the sort
+   * is external (spills, no OOM) and O(n log n) in that source's
+   * population; for a known whale domain, pre-thin with [[sampleByHash]]
+   * to cut the sorted volume before the exact cap.
+   */
+  def stratifiedSample(docs: DataFrame, per: Int,
+      sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(per > 0, "per must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(graft.functions.XHash.h60(col(idCol).cast("string")),
+        col(idCol))
+    docs.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= per).drop("_rn")
+  }
 }

@@ -309,6 +309,11 @@ class AnnSpec extends SparkSpec {
     assert(planned.contains("Join"), planned.take(1500))
     assert(!planned.contains("collect_set") ||
       planned.contains("Join"), planned.take(1500))
+    // maxBucket is the explicit recall-for-boundedness cap: the whole
+    // pile sits in one bucket, so capping below it drops every pair
+    val capped = Ann.cosinePairs(skewed, minCos = 0.999, bits = 2,
+      maxBucket = Some(10)).count()
+    assert(capped == 0L)
   }
 
   test("embedBucketStats: histogram sums to the corpus size") {

@@ -166,4 +166,19 @@ class CorpusSpec extends SparkSpec {
     val b = Corpus.clean(d).count()
     assert(a == b && a > 0 && a < d.count())
   }
+
+  test("stratifiedSample caps each source at N, uniform-by-hash, deterministic") {
+    import org.apache.spark.sql.functions.{col, count}
+    val skewed = ((1L to 100L).map(i => (i, s"doc $i", "whale")) ++
+      (101L to 103L).map(i => (i, s"doc $i", "minnow")))
+      .toDF("doc_id", "text", "source")
+    val capped = Corpus.stratifiedSample(skewed, per = 10)
+    val bySrc = capped.groupBy("source").agg(count(col("*")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the cap binds on the whale; the minnow keeps everything it has
+    assert(bySrc == Map("whale" -> 10L, "minnow" -> 3L))
+    val again = Corpus.stratifiedSample(skewed, per = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == capped.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
 }
