@@ -69,4 +69,20 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.sparkPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
+
+  test("document and embedding scans prune to the referenced columns") {
+    // a corpus scan that reads all columns for a two-column projection
+    // is a 100 TB mistake hidden at test scale — pin the parquet
+    // ReadSchema, not just the logical projection
+    spark.catalog.clearCache()
+    val t = SparkEntry.queries("text_tokens")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(t.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      t.take(1000))
+    val a = SparkEntry.queries("ann_topk")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // label is the one column no ANN query needs — it must not be read
+    assert(a.contains("vec_id") && a.contains("embedding:array<float>") &&
+      !a.contains("label"), a.take(1000))
+  }
 }
