@@ -192,18 +192,21 @@ object AnnQueries {
 
     // #31d k-NN JOIN: every vector retrieves its top-5 neighbors from
     // the same table (bulk retrieval; bucket+probe join, never a cross
-    // join). Oracle replays buckets, the ADAPTIVE probe (hamming-1
-    // probes only for left rows whose home bucket underfills k), dots,
-    // and the ranking window.
+    // join). The bit width is DERIVED from the corpus size — the same
+    // clamped ceil(log2(n/1024)) on both sides (Spark from the footer
+    // count, the oracle from count(*) in SQL), so the gate exercises
+    // the geometry that actually scales: 4 bits at sf0.01 (clamp), 5 at
+    // the 10× gate's 20k vectors. Oracle replays the derived buckets,
+    // the ADAPTIVE probe (hamming-1 probes only for left rows whose
+    // home bucket underfills k), dots, and the ranking window.
     Q("ann_knn_join",
-      // bits pinned to 4: the static oracle SQL replays that geometry
-      // (the scale default derives bits from the corpus count)
-      (s, dir) => Ann.knnJoin(emb(s, dir), emb(s, dir), 5, bits = 4),
+      (s, dir) => {
+        val e = emb(s, dir)
+        Ann.knnJoin(e, e, 5,
+          bits = Ann.bucketBitsFor(e.count(), Ann.QuadraticTargetBucket))
+      },
       Some(s"""
-        WITH n AS (
-          SELECT vec_id, $bucketSql AS b,
-            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),
+        $derivedBitsCtes
         home AS (
           SELECT p.vec_id AS lid, r.vec_id AS rid,
             ${dotSql("p.vn", "r.vn")} AS cos
@@ -211,8 +214,8 @@ object AnnQueries {
         filled AS (SELECT lid FROM home GROUP BY lid HAVING count(*) >= 5),
         probes AS (
           SELECT vec_id AS lid, vn AS lv,
-            unnest([xor(b, 1), xor(b, 2), xor(b, 4), xor(b, 8)]) AS pb
-          FROM n WHERE vec_id NOT IN (SELECT lid FROM filled)),
+            unnest(list_transform(range(bits), j -> xor(b, 1::BIGINT << j))) AS pb
+          FROM n, bb WHERE vec_id NOT IN (SELECT lid FROM filled)),
         pcand AS (
           SELECT p.lid, r.vec_id AS rid, ${dotSql("p.lv", "r.vn")} AS cos
           FROM probes p JOIN n r ON r.b = p.pb AND r.vec_id <> p.lid),
@@ -272,21 +275,46 @@ object AnnQueries {
       },
       Some(pqSql(lloyd = true))),
 
-    // #29 embedding-cosine near-dup pairs (bucket join + exact verify)
+    // #29 embedding-cosine near-dup pairs (bucket join + exact verify);
+    // bit width derived from the corpus size on both sides, as in
+    // ann_knn_join
     Q("dedup_embed",
-      // bits pinned to 4 to match the static oracle, as in ann_knn_join
-      (s, dir) => Ann.cosinePairs(emb(s, dir), minCos = 0.35, bits = 4),
+      (s, dir) => {
+        val e = emb(s, dir)
+        Ann.cosinePairs(e, minCos = 0.35,
+          bits = Ann.bucketBitsFor(e.count(), Ann.QuadraticTargetBucket))
+      },
       Some(s"""
-        WITH n AS (
-          SELECT vec_id, $bucketSql AS b,
-            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),
+        $derivedBitsCtes
         p AS (
           SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
             ${dotSql("a.vn", "c.vn")} AS cos
           FROM n a JOIN n c ON a.b = c.b AND a.vec_id < c.vec_id)
         SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.35"""))
   )
+
+  /**
+   * Shared oracle CTEs for the derived-geometry two-sided queries: the
+   * bit width from count(*) — the exact SQL analog of
+   * `Ann.bucketBitsFor(n, QuadraticTargetBucket)` (64-nlz(buckets-1) ==
+   * ceil(log2(buckets)); powers of two are exact in double log2, so the
+   * two forms agree for every n) — then per-vector derived sign bucket
+   * and normalized vector.
+   */
+  private def derivedBitsCtes: String = s"""
+        WITH nn AS (
+          SELECT greatest(1, count(*) // ${Ann.QuadraticTargetBucket})
+            AS buckets FROM embeddings),
+        bb AS (
+          SELECT greatest(4, least(16,
+            CAST(ceil(log2(buckets)) AS INT))) AS bits FROM nn),
+        n AS (
+          SELECT vec_id,
+            CAST(list_sum(list_transform(range(bits), j ->
+              CASE WHEN embedding[CAST(j AS INT) + 1] > 0
+                   THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS b,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
+          FROM embeddings, bb),"""
 
   /**
    * The PQ oracle, with or without one Lloyd refinement of the
