@@ -101,7 +101,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","queries":$qs}""")
+    // sf as the basename, not the full path: every byte of this line
+    // competes with the bounded tail capture (see above)
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfName","queries":$qs}""")
     spark.stop()
   }
 }
