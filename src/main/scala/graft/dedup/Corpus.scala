@@ -228,21 +228,58 @@ object Corpus {
    * (a rate can't cap a domain whose size you don't know in advance).
    * Keeps the `per` docs with the SMALLEST deterministic hash within
    * each source: a uniform pick, stable across runs and engines, and
-   * replayable in SQL as row_number() over (hash, id) order. One shuffle
-   * on the source key; each source ranks independently. A pathologically
-   * hot source concentrates its rank in one window partition — the sort
-   * is external (spills, no OOM) and O(n log n) in that source's
-   * population; for a known whale domain, pre-thin with [[sampleByHash]]
-   * to cut the sorted volume before the exact cap.
+   * replayable in SQL as a plain row_number() over (hash, id) window —
+   * which is exactly the result this computes, by a cheaper route.
+   *
+   * Scale shape: a naive window ranks every row of every source — a
+   * whale domain (hundreds of millions of rows behind one key) pays an
+   * O(n log n) single-partition external sort to keep `per` of them.
+   * Because the selector is a UNIFORM hash, the winners concentrate in
+   * the lowest `per/n` of the hash space, so the rank only needs the
+   * rows under a `safety`× threshold: one sort-free shuffle-join
+   * against the per-source populations (map-side-combined aggregate,
+   * no sort), a hash-threshold filter that keeps ~safety×per rows per
+   * source, and the window over the survivors. Sources at or below
+   * safety×per skip thinning entirely (threshold = MAX). The result is
+   * UNCONDITIONALLY exact, not probabilistic: a source whose survivors
+   * fall short of min(per, n) (probability ~exp(-per) per source, only
+   * possible for thinned whales) is detected by a count over the capped
+   * output and re-ranked without the threshold — one tiny follow-up
+   * job that is empty in every non-pathological run.
    */
   def stratifiedSample(docs: DataFrame, per: Int,
-      sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+      sourceCol: String = "source", idCol: String = "doc_id",
+      safety: Double = 4.0): DataFrame = {
     require(per > 0, "per must be positive")
+    require(safety > 0, "safety must be positive")
+    val h = graft.functions.XHash.h60(col(idCol).cast("string"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(sourceCol))
-      .orderBy(graft.functions.XHash.h60(col(idCol).cast("string")),
-        col(idCol))
-    docs.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") <= per).drop("_rn")
+      .partitionBy(col(sourceCol)).orderBy(h, col(idCol))
+    def rank(df: DataFrame): DataFrame =
+      df.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= per).drop("_rn")
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+    // h60 is uniform on [0, 2^60)
+    val space = math.pow(2.0, 60)
+    val thresh = when(col("_n") <= lit(safety * per), lit(Long.MaxValue))
+      .otherwise((lit(safety * per) / col("_n") * lit(space)).cast("long"))
+    // materialize the capped survivors once: the exactness guard and the
+    // final output would otherwise each replay the thin+rank lineage
+    val kept = rank(docs.join(counts, sourceCol).where(h <= thresh))
+      .localCheckpoint()
+    // shortfall detection must start from the FULL source list (counts):
+    // a source whose survivors are zero is absent from `kept` entirely
+    // and a guard built on kept alone would never see it
+    val keptCounts = kept.groupBy(col(sourceCol)).agg(count(lit(1)).as("_k"))
+    val short = counts.join(keptCounts, Seq(sourceCol), "left")
+      .where(coalesce(col("_k"), lit(0L)) < least(lit(per.toLong), col("_n")))
+      .select(col(sourceCol))
+    val out = if (short.isEmpty) kept else {
+      // the failed sources are by construction a handful — broadcast
+      val redo = rank(docs.join(broadcast(short), sourceCol))
+      kept.join(broadcast(short),
+        Seq(sourceCol), "left_anti").unionByName(redo, allowMissingColumns = true)
+    }
+    out.drop("_n")
   }
 }

@@ -181,4 +181,25 @@ class CorpusSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == capped.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("stratifiedSample: thinning and its exactness fallback match the plain rank") {
+    import org.apache.spark.sql.functions.col
+    val skewed = ((1L to 200L).map(i => (i, s"doc $i", "whale")) ++
+      (201L to 205L).map(i => (i, s"doc $i", "minnow")))
+      .toDF("doc_id", "text", "source")
+    // the reference semantics: plain rank over everything (huge safety
+    // disables thinning so no row is ever cut)
+    val plain = Corpus.stratifiedSample(skewed, per = 8, safety = 1e9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // normal thinning (whale 200 > 4×8 → threshold active)
+    val thinned = Corpus.stratifiedSample(skewed, per = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(thinned == plain)
+    // pathological safety: the threshold keeps ~2 of the whale's rows,
+    // fewer than per — the guard must detect the shortfall and redo the
+    // whale unthinned, still returning the exact plain-rank answer
+    val fallback = Corpus.stratifiedSample(skewed, per = 8, safety = 0.01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fallback == plain)
+  }
 }
