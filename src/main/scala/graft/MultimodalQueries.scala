@@ -91,6 +91,43 @@ object MultimodalQueries {
             / CAST(w AS DOUBLE) AS mean_b
         FROM p""")),
 
+    // #36c REAL audio decode: every doc_id is rendered to a 16-bit mono
+    // PCM WAV whose rate and samples are pure functions of the id
+    // (Multimodal.tonePcmWav), then parsed back through the RIFF/PCM
+    // byte walker. Decoded rate and exact sample statistics must match
+    // the generator-replaying oracle — the oracle computes the samples
+    // with a range() lambda and never sees the WAV bytes, proving the
+    // decode reads the real bitstream (same proof shape as
+    // multimodal_image_meta).
+    Q("multimodal_audio_meta",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Sources.table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+        val wavs = ids.map(id => (id, Multimodal.tonePcmWav(id)))
+          .toDF("doc_id", "payload")
+        Multimodal.audioMeta(wavs, "payload")
+          .select(col("doc_id"), col("sample_rate").cast("long").as("sample_rate"),
+            col("n_samples"), col("mean_amp"), col("peak_amp"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+            8000 * (1 + doc_id % 3) AS sample_rate,
+            doc_id % 50 + 10 AS n
+          FROM documents),
+        s AS (
+          SELECT doc_id, sample_rate, n,
+            list_transform(range(n), k ->
+              (doc_id * 31 + k * 7) % 2001 - 1000) AS xs
+          FROM p)
+        SELECT doc_id,
+          CAST(sample_rate AS BIGINT) AS sample_rate,
+          CAST(n AS BIGINT) AS n_samples,
+          round(CAST(list_sum(xs) AS DOUBLE) / n, 6) AS mean_amp,
+          CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak_amp
+        FROM s""")),
+
     // #36b frame sampling: one row per sampled frame index via a
     // distributed generator (explode(sequence)), aggregated back per
     // doc. n_frames is synthesized from doc length; the payload rides

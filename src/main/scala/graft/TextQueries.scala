@@ -183,6 +183,50 @@ object TextQueries {
         FROM toks LEFT JOIN kept k USING (t), tot
         GROUP BY doc_id""")),
 
+    // #44b CCNet's actual BUCKETING step on top of the logprob signal:
+    // head/middle/tail by tercile cutoffs of the corpus distribution.
+    // The cutoffs are ONE exact-percentile row broadcast back over the
+    // scored docs — no global sort and no single-partition ntile window
+    // (which would be exactly the scale mistake this avoids). Cutoffs
+    // round to the same 1e-6 grid as the scores, so the boundary
+    // comparisons are engine-stable; no score can sit strictly between
+    // a raw cutoff and its rounding.
+    Q("text_ppl_buckets",
+      (s, dir) => {
+        val lp = Text.unigramLogProb(docs(s, dir), maxVocab = 16)
+        val cuts = lp.agg(
+          round(expr("percentile(logprob, 1.0/3)"), 6).as("c1"),
+          round(expr("percentile(logprob, 2.0/3)"), 6).as("c2"))
+        lp.crossJoin(broadcast(cuts))
+          .select(col("doc_id"), col("logprob"),
+            when(col("logprob") <= col("c1"), lit("head"))
+              .when(col("logprob") <= col("c2"), lit("middle"))
+              .otherwise(lit("tail")).as("bucket"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+          FROM documents),
+        vocab AS (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
+        kept AS (SELECT t, cnt FROM vocab ORDER BY cnt DESC, t LIMIT 16),
+        lp AS (
+          SELECT doc_id,
+            round(AVG(-ln(CAST(COALESCE(k.cnt, 1) AS DOUBLE) / total)), 6)
+              AS logprob
+          FROM toks LEFT JOIN kept k USING (t), tot
+          GROUP BY doc_id),
+        c AS (
+          SELECT round(quantile_cont(logprob, 1.0/3), 6) AS c1,
+                 round(quantile_cont(logprob, 2.0/3), 6) AS c2
+          FROM lp)
+        SELECT doc_id, logprob,
+          CASE WHEN logprob <= c1 THEN 'head'
+               WHEN logprob <= c2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+        FROM lp, c""")),
+
     // #33b Gopher-style repetition signals: duplicate-word fraction and
     // top-bigram fraction — the stuffing/boilerplate-loop filters a
     // per-char quality score misses. Oracle replays tokenization, the

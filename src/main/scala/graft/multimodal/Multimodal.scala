@@ -11,10 +11,14 @@ import org.apache.spark.sql.types._
  * IMAGE decode is REAL: PNG/JPEG payloads go through JDK
  * `javax.imageio` ([[imageMeta]] / the image branch of
  * [[extractBatch]]) — true width/height from the bitstream, exact
- * per-channel pixel means. Audio/video codecs are NOT in this
+ * per-channel pixel means. AUDIO decode is REAL for WAV/PCM
+ * ([[audioMeta]]): RIFF is a trivial chunked container and 16-bit PCM
+ * needs no codec, so the parser is ~40 lines of JDK-only byte walking —
+ * true sample rate and exact sample statistics from the bitstream.
+ * Compressed audio (mp3/aac) and video codecs are NOT in this
  * container, so those payloads still take a clearly-marked
  * deterministic STUB — a pure function of the payload bytes. Everything
- * around both — schema, batch shape, partition-preserving explode,
+ * around all paths — schema, batch shape, partition-preserving explode,
  * output encoders — is the same distributed plumbing either way.
  */
 object Multimodal {
@@ -126,6 +130,116 @@ object Multimodal {
         }
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** Output schema of [[audioMeta]]'s appended columns. */
+  private val audioMetaFields = Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("mean_amp", DoubleType),
+    StructField("peak_amp", LongType))
+
+  /**
+   * REAL audio decode over a binary column (WAV, 16-bit mono PCM):
+   * appends `sample_rate`, `n_samples`, `mean_amp` (exact integer
+   * sample sum / n, rounded to the 1e-6 grid) and `peak_amp`
+   * (max |sample|), all NULL when the payload is not such a WAV. RIFF
+   * chunk walking + little-endian int16 reads — zero dependencies, same
+   * move as [[imageMeta]]'s ImageIO: the statistics come from the real
+   * bitstream, so a generator-replaying oracle proves the decode.
+   */
+  def audioMeta(df: DataFrame, payloadCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema ++ audioMetaFields)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val nulls = Seq[Any](null, null, null, null)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val stats = decodeWavStats(r.getAs[Array[Byte]](idx))
+            .map { case (rate, n, mean, peak) =>
+              Seq[Any](rate, n, math.rint(mean * 1e6) / 1e6, peak) }
+            .getOrElse(nulls)
+          Row.fromSeq(r.toSeq ++ stats)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Parse a WAV (RIFF) payload: walk the chunk list, require canonical
+    * 16-bit mono PCM, and return (sample_rate, n_samples, mean, peak)
+    * from the data chunk's samples. None for anything else. */
+  private[graft] def decodeWavStats(
+      bytes: Array[Byte]): Option[(Int, Long, Double, Long)] = {
+    if (bytes == null || bytes.length < 44) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int): Long = u16(i).toLong | (u16(i + 2).toLong << 16)
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+          bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+          bytes(10) == 'V' && bytes(11) == 'E')) return None
+    var pos = 12
+    var fmt = -1; var channels = -1; var rate = -1; var bits = -1
+    var dataOff = -1; var dataLen = 0L
+    while (pos + 8 <= bytes.length) {
+      val sz = u32(pos + 4)
+      val cid = new String(bytes, pos, 4, "US-ASCII")
+      if (cid == "fmt " && pos + 24 <= bytes.length) {
+        fmt = u16(pos + 8); channels = u16(pos + 10)
+        rate = u32(pos + 12).toInt; bits = u16(pos + 22)
+      } else if (cid == "data") {
+        dataOff = pos + 8
+        dataLen = math.min(sz, (bytes.length - dataOff).toLong)
+      }
+      // chunks are word-aligned: odd sizes carry one pad byte
+      pos += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    if (fmt != 1 || channels != 1 || bits != 16 || rate <= 0 ||
+        dataOff < 0) return None
+    val n = dataLen / 2
+    if (n <= 0) return None
+    var sum = 0L; var peak = 0L
+    var i = 0
+    while (i < n) {
+      // int16 LE: sign comes from the high byte
+      val s = (bytes(dataOff + 2 * i.toInt + 1) << 8) |
+        (bytes(dataOff + 2 * i.toInt) & 0xff)
+      sum += s
+      val a = math.abs(s.toLong)
+      if (a > peak) peak = a
+      i += 1
+    }
+    Some((rate, n, sum.toDouble / n, peak))
+  }
+
+  /**
+   * Deterministic synthetic WAV for tests/oracles (the audio analog of
+   * [[bandedPng]]): canonical 44-byte header, 16-bit mono PCM,
+   * sample_rate = 8000·(1 + id mod 3), n = id mod 50 + 10 samples,
+   * sample_k = (31·id + 7·k) mod 2001 − 1000 — every statistic a pure
+   * function of `id` that an external SQL engine replays with a
+   * range() lambda, never seeing the bytes.
+   */
+  def tonePcmWav(id: Long): Array[Byte] = {
+    require(id >= 0, "synthetic WAV ids are non-negative")
+    val rate = 8000 * (1 + (id % 3).toInt)
+    val n = (id % 50 + 10).toInt
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)                 // PCM, mono
+    bb.putInt(rate); bb.putInt(rate * 2)           // byte rate
+    bb.putShort(2); bb.putShort(16)                // block align, bits
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    var k = 0
+    while (k < n) {
+      bb.putShort((((id * 31 + k * 7) % 2001) - 1000).toShort)
+      k += 1
+    }
+    bb.array()
   }
 
   /** PNG / JPEG magic-byte sniff. */

@@ -92,6 +92,29 @@ class MultimodalSpec extends SparkSpec {
     assert(f(0) == (5 % 17 + 4).toDouble && f(1) == (5 % 13 + 4).toDouble)
   }
 
+  test("wav decode: synthetic PCM round-trips, garbage and non-PCM are null") {
+    val wav = Multimodal.tonePcmWav(7L)
+    // closed-form expectations from the generator
+    val n = (7L % 50 + 10).toInt
+    val xs = (0 until n).map(k => (7L * 31 + k * 7) % 2001 - 1000)
+    val stats = Multimodal.decodeWavStats(wav).get
+    assert(stats._1 == 8000 * (1 + 7 % 3))
+    assert(stats._2 == n.toLong)
+    assert(math.abs(stats._3 - xs.sum.toDouble / n) < 1e-12)
+    assert(stats._4 == xs.map(math.abs).max)
+    // corrupt / non-WAV payloads must decode to None, not throw
+    assert(Multimodal.decodeWavStats("not a wav".getBytes).isEmpty)
+    assert(Multimodal.decodeWavStats(wav.take(20)).isEmpty)
+    // a stereo (2-channel) header is rejected — parser demands mono PCM
+    val stereo = wav.clone(); stereo(22) = 2
+    assert(Multimodal.decodeWavStats(stereo).isEmpty)
+    // audioMeta appends NULLs for the undecodable row
+    val df = Seq((1L, wav), (2L, "junk".getBytes)).toDF("id", "payload")
+    val rows = Multimodal.audioMeta(df, "payload")
+      .orderBy(col("id")).collect()
+    assert(rows(0).getInt(2) == stats._1 && rows(1).isNullAt(2))
+  }
+
   test("metadata struct round-trips through the schema") {
     val df = payloads.withColumn("meta", struct(
       col("kind"), lit(640).as("width"), lit(480).as("height"),
