@@ -128,6 +128,36 @@ object MultimodalQueries {
           CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak_amp
         FROM s""")),
 
+    // #36d REAL video CONTAINER decode: every doc_id is rendered to a
+    // minimal ISO-BMFF file whose mvhd/tkhd fields are pure functions
+    // of the id (Multimodal.minimalMp4), then walked back through the
+    // box parser. Same proof shape as image/audio: the oracle computes
+    // the expected metadata from the id formulas and never sees the
+    // bytes. (Frame pixels stay stubbed — codecs aren't in this
+    // environment; the container walk is the real part.)
+    Q("multimodal_video_meta",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Sources.table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+        val mp4s = ids.map(id => (id, Multimodal.minimalMp4(id)))
+          .toDF("doc_id", "payload")
+        Multimodal.videoMeta(mp4s, "payload")
+          .select(col("doc_id"), col("duration_ticks"),
+            col("timescale").cast("long").as("timescale"),
+            col("n_tracks").cast("long").as("n_tracks"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"))
+      },
+      Some("""
+        SELECT doc_id,
+          CAST(doc_id % 3000 + 100 AS BIGINT) AS duration_ticks,
+          CAST(1000 * (1 + doc_id % 5) AS BIGINT) AS timescale,
+          CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
+          CAST(doc_id % 640 + 16 AS BIGINT) AS width,
+          CAST(doc_id % 360 + 16 AS BIGINT) AS height
+        FROM documents""")),
+
     // #36b frame sampling: one row per sampled frame index via a
     // distributed generator (explode(sequence)), aggregated back per
     // doc. n_frames is synthesized from doc length; the payload rides

@@ -115,6 +115,22 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(0).getInt(2) == stats._1 && rows(1).isNullAt(2))
   }
 
+  test("mp4 container decode: minimal ISO-BMFF round-trips, garbage is null") {
+    val mp4 = Multimodal.minimalMp4(11L)
+    val (d, ts, nt, w, h) = Multimodal.decodeMp4Meta(mp4).get
+    assert(d == 11 % 3000 + 100)
+    assert(ts == 1000 * (1 + 11 % 5))
+    assert(nt == 1 + 11 % 3)
+    assert(w == 11 % 640 + 16 && h == 11 % 360 + 16)
+    assert(Multimodal.decodeMp4Meta("RIFFnope".getBytes).isEmpty)
+    assert(Multimodal.decodeMp4Meta(mp4.take(30)).isEmpty)
+    // version-1 mvhd (64-bit times) is rejected, not mis-read
+    val v1 = mp4.clone()
+    val moovOff = 20 // ftyp is 20 bytes; mvhd payload starts at moov+16
+    v1(moovOff + 16) = 1
+    assert(Multimodal.decodeMp4Meta(v1).isEmpty)
+  }
+
   test("metadata struct round-trips through the schema") {
     val df = payloads.withColumn("meta", struct(
       col("kind"), lit(640).as("width"), lit(480).as("height"),
