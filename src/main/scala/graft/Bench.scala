@@ -92,12 +92,13 @@ object Bench {
       }
       name -> times.min
     }
-    // ONE complete JSON line, totals first, times on the millisecond
-    // grid: the full suite must fit in a bounded log tail (the round
-    // artifact keeps the last ~2000 chars), so nanosecond-precision
-    // doubles that pushed the line past it are just noise — no query
-    // here is measurable below a millisecond anyway.
-    def ms(v: Double) = math.rint(v * 1000) / 1000
+    // ONE complete JSON line, totals first, times on a 10 ms grid: the
+    // full suite must fit in a bounded log tail (the round artifact
+    // keeps the last ~2000 chars), and run-to-run noise on these
+    // queries is ±20-50 ms — finer precision is false precision that
+    // costs line budget (at 80 queries the 1 ms grid left <60 chars of
+    // headroom).
+    def ms(v: Double) = math.rint(v * 100) / 100
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
