@@ -185,6 +185,34 @@ object DedupQueries {
                  * 1000000.0 AS BIGINT)
         GROUP BY 1""")),
 
+    // #40b2 source-weighted RESAMPLING with rates above 1 — the full
+    // "epochs" mixture knob (2 epochs of src0 plus a hash-chosen half,
+    // a quarter of src2, everything else 1.25×), each copy tagged with
+    // its dn_epoch index. The oracle replays the copy-count arithmetic
+    // and the repetition with a range() lambda.
+    Q("corpus_resample",
+      (s, dir) => graft.dedup.Corpus.resampleBySource(docs(s, dir),
+          Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25),
+          default = 1.25)
+        .select(col("doc_id"), col("source"), col("dn_epoch")),
+      Some(s"""
+        WITH r AS (
+          SELECT doc_id, source,
+            CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+                        WHEN 'src2' THEN 0.25 ELSE 1.25 END AS rate,
+            ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")}
+              % 1000000 AS h
+          FROM documents),
+        c AS (
+          SELECT doc_id, source,
+            CAST(floor(rate) AS BIGINT) +
+              (CASE WHEN h < CAST((rate - floor(rate)) * 1000000.0 AS BIGINT)
+                    THEN 1 ELSE 0 END) AS copies
+          FROM r)
+        SELECT doc_id, source, unnest(range(copies)) AS dn_epoch
+        FROM c WHERE copies > 0"""))
+
+    ,
     // #40c per-source CAP (stratified sampling): at most N docs per
     // source, picked by smallest deterministic hash — the "cap any one
     // domain's share" mixture step. The oracle replays the hash ranking

@@ -222,6 +222,40 @@ object Corpus {
   }
 
   /**
+   * Source-weighted RESAMPLING, the full "epochs" knob: where
+   * [[mixBySource]] only down-weights (a rate is a keep-probability,
+   * capped at 1), this realizes rates ABOVE 1 as deterministic
+   * repetition — rate 2.5 keeps two full copies of every doc and a
+   * hash-chosen half of the docs gets a third, which is exactly the
+   * "2.5 epochs of this source" a pretraining recipe means. Each kept
+   * copy carries a 0-based `dn_epoch` index so downstream stages (and
+   * the SQL oracle) can tell repeats apart. Shuffle-free: the copy
+   * count is a per-row expression and the repetition is a generator
+   * (explode), so the pass stays embarrassingly parallel at any corpus
+   * size — no join, no shuffle, output size = sum of rates × source
+   * sizes.
+   */
+  def resampleBySource(docs: DataFrame, rates: Map[String, Double],
+      default: Double = 1.0, sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    (default +: rates.values.toSeq).foreach(r =>
+      require(r >= 0, s"rate must be non-negative: $r"))
+    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(default)) {
+      case (acc, (s, r)) => when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    val h = pmod(graft.functions.XHash.h60(col(idCol).cast("string")),
+      lit(SampleMod))
+    val copies = floor(rateCol).cast("long") +
+      when(h < ((rateCol - floor(rateCol)) * lit(SampleMod.toDouble))
+        .cast("long"), lit(1L)).otherwise(lit(0L))
+    // guard the empty case explicitly: sequence(0, -1) would COUNT DOWN
+    // ([0, -1] — two rows) instead of yielding nothing
+    docs.withColumn("dn_epoch",
+      explode(when(copies > 0, sequence(lit(0L), copies - 1))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
+  /**
    * Per-source document CAP (stratified sampling) — the "at most N docs
    * per domain" mixture step that bounds any one domain's share of the
    * corpus, the complement of [[mixBySource]]'s rate-based reweighting

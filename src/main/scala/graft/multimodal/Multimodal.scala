@@ -69,8 +69,11 @@ object Multimodal {
    *
    * Payloads that sniff as PNG/JPEG are REALLY decoded (JDK ImageIO):
    * features = [width, height, mean_r/255, mean_g/255, mean_b/255,
-   * luma/255, 0-padded] truncated to `dim`. Anything else (audio/video —
-   * no codecs in this container) takes the labeled md5 stub.
+   * luma/255, 0-padded] truncated to `dim`. WAV/PCM payloads are
+   * REALLY decoded too (the RIFF walker): features = [rate/48000,
+   * n_samples, mean/32768, peak/32768, 0-padded]. Anything else
+   * (compressed audio, video sample data — no codecs in this
+   * container) takes the labeled md5 stub.
    */
   def extractBatch(df: DataFrame, payloadCol: String, dim: Int,
       batchSize: Int = 64): DataFrame = {
@@ -89,12 +92,22 @@ object Multimodal {
           val feats =
             if (looksLikeImage(bytes)) imageFeatures(bytes, dim)
               .getOrElse(fakeFeatures(bytes, dim))
-            else fakeFeatures(bytes, dim)
+            else audioFeatures(bytes, dim)
+              .getOrElse(fakeFeatures(bytes, dim))
           Row.fromSeq(r.toSeq :+ feats)
         }
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Real features for a decodable WAV/PCM payload: rate, sample count
+    * and normalized amplitude stats, 0-padded to `dim`; None when the
+    * payload isn't such a WAV. */
+  private[graft] def audioFeatures(bytes: Array[Byte], dim: Int): Option[Seq[Double]] =
+    decodeWavStats(bytes).map { case (rate, n, mean, peak) =>
+      val full = Seq(rate / 48000.0, n.toDouble, mean / 32768.0, peak / 32768.0)
+      (full ++ Seq.fill(math.max(0, dim - full.length))(0.0)).take(dim)
+    }
 
   /** Output schema of [[imageMeta]]'s appended columns. */
   private val imageMetaFields = Seq(

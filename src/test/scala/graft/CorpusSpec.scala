@@ -167,6 +167,36 @@ class CorpusSpec extends SparkSpec {
     assert(a == b && a > 0 && a < d.count())
   }
 
+  test("resampleBySource: epochs above 1 repeat deterministically, 0 drops") {
+    import org.apache.spark.sql.functions.col
+    val d = ((1L to 40L).map(i => (i, s"doc $i", "up")) ++
+      (41L to 60L).map(i => (i, s"doc $i", "gone")) ++
+      (61L to 80L).map(i => (i, s"doc $i", "keep")))
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.resampleBySource(d,
+      Map("up" -> 2.5, "gone" -> 0.0, "keep" -> 1.0))
+    val byDoc = out.groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rate 0: no rows at all
+    assert((41L to 60L).forall(i => !byDoc.contains(i)))
+    // rate 1: exactly one copy each
+    assert((61L to 80L).forall(i => byDoc(i) == 1L))
+    // rate 2.5: every doc 2 or 3 copies; roughly half get the third
+    val ups = (1L to 40L).map(byDoc)
+    assert(ups.forall(c => c == 2L || c == 3L))
+    assert(ups.count(_ == 3L) > 5 && ups.count(_ == 3L) < 35)
+    // epoch indices are exactly 0..copies-1
+    val epochs = out.where(col("doc_id") === ups.indexOf(3L) + 1L)
+      .select("dn_epoch").collect().map(_.getLong(0)).toSet
+    assert(epochs == (0L until byDoc(ups.indexOf(3L) + 1L)).toSet)
+    // deterministic
+    val again = Corpus.resampleBySource(d,
+      Map("up" -> 2.5, "gone" -> 0.0, "keep" -> 1.0))
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == byDoc)
+  }
+
   test("stratifiedSample caps each source at N, uniform-by-hash, deterministic") {
     import org.apache.spark.sql.functions.{col, count}
     val skewed = ((1L to 100L).map(i => (i, s"doc $i", "whale")) ++

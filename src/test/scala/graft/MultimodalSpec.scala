@@ -83,6 +83,15 @@ class MultimodalSpec extends SparkSpec {
     assert(out(999L).isNullAt(1) && out(999L).isNullAt(3))
   }
 
+  test("extractBatch routes WAV payloads through the real decoder") {
+    val wav = Multimodal.tonePcmWav(3L)
+    val df = Seq((1L, wav)).toDF("id", "payload")
+    val f = Multimodal.extractBatch(df, "payload", dim = 6)
+      .select("features").collect().head.getSeq[Double](0)
+    assert(f == Multimodal.audioFeatures(wav, 6).get)
+    assert(f(0) == 8000 * (1 + 3 % 3) / 48000.0 && f(1) == (3 % 50 + 10).toDouble)
+  }
+
   test("extractBatch routes PNG payloads through the real decoder") {
     val png = Multimodal.bandedPng(5L)
     val df = Seq((1L, png)).toDF("id", "payload")
