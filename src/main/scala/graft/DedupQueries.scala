@@ -180,9 +180,9 @@ object DedupQueries {
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n
         FROM documents
         WHERE ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 1000000
-          < CAST((CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
-                              WHEN 'src2' THEN 0.25 ELSE 0.125 END)
-                 * 1000000.0 AS BIGINT)
+          < CAST(floor((CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                                    WHEN 'src2' THEN 0.25 ELSE 0.125 END)
+                 * 1000000.0) AS BIGINT)
         GROUP BY 1""")),
 
     // #40b2 source-weighted RESAMPLING with rates above 1 — the full
@@ -206,7 +206,7 @@ object DedupQueries {
         c AS (
           SELECT doc_id, source,
             CAST(floor(rate) AS BIGINT) +
-              (CASE WHEN h < CAST((rate - floor(rate)) * 1000000.0 AS BIGINT)
+              (CASE WHEN h < CAST(floor((rate - floor(rate)) * 1000000.0) AS BIGINT)
                     THEN 1 ELSE 0 END) AS copies
           FROM r)
         SELECT doc_id, source, unnest(range(copies)) AS dn_epoch

@@ -31,6 +31,25 @@ object IndexQueries {
   private def indexPath(sfDir: String, interval: String): String =
     s"/tmp/graft-index/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$interval"
 
+  /** Recursive delete for the compact-roundtrip scratch tree. */
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
+  /** One scratch root per JVM for compact_roundtrip, wiped at each
+    * invocation and again at exit — Bench runs the query twice and
+    * Verify once more, so per-call createTempDirectory would leak a
+    * written-out index tree per run. */
+  private lazy val compactRoot: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-compact-rt-${ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(p)))
+    p
+  }
+
   /** Build once per (sfDir, interval); parquet _SUCCESS is the marker. */
   private def ensureBuilt(spark: SparkSession, sfDir: String,
                           interval: String): String = synchronized {
@@ -138,10 +157,13 @@ object IndexQueries {
     // losslessness.
     Q("compact_roundtrip",
       (s, dir) => {
-        // fresh dir per run: compaction mutates the tree in place (the
-        // fixed per-sf paths above are reused read-only across queries)
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-compact-rt").toString
+        // fresh tree per run (compaction mutates in place), but under
+        // ONE per-process root wiped here and at exit — no /tmp leak.
+        // Safe to wipe eagerly: any prior run's returned DataFrame was
+        // fully materialized before this query runs again.
+        deleteRec(compactRoot)
+        java.nio.file.Files.createDirectories(compactRoot)
+        val tmp = compactRoot.toString
         val mp = Index.metricPath(tmp, "day", metrics.head.name)
         Index.scanRows(Sources.events(s, dir), metrics.head, "ts", "day")
           // round-robin, deliberately NOT by dn_date: each of the 8

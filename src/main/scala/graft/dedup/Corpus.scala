@@ -218,7 +218,11 @@ object Corpus {
     docs.where(
       pmod(graft.functions.XHash.h60(col(idCol).cast("string")),
         lit(SampleMod)) <
-        (rateCol * lit(SampleMod.toDouble)).cast("long"))
+        // floor, not a bare cast: Spark's double→long cast truncates
+        // while DuckDB's CAST rounds — an explicit floor on BOTH sides
+        // (see the oracle SQL) agrees for arbitrary rates, not just
+        // those landing exactly on the 1e-6 grid
+        floor(rateCol * lit(SampleMod.toDouble)))
   }
 
   /**
@@ -245,9 +249,12 @@ object Corpus {
     }
     val h = pmod(graft.functions.XHash.h60(col(idCol).cast("string")),
       lit(SampleMod))
+    // floor, not a bare cast, for the fractional threshold: Spark's
+    // double→long cast truncates, DuckDB's CAST rounds — explicit floor
+    // on both sides agrees for arbitrary rates (1e-6 grid or not)
     val copies = floor(rateCol).cast("long") +
-      when(h < ((rateCol - floor(rateCol)) * lit(SampleMod.toDouble))
-        .cast("long"), lit(1L)).otherwise(lit(0L))
+      when(h < floor((rateCol - floor(rateCol)) * lit(SampleMod.toDouble)),
+        lit(1L)).otherwise(lit(0L))
     // guard the empty case explicitly: sequence(0, -1) would COUNT DOWN
     // ([0, -1] — two rows) instead of yielding nothing
     docs.withColumn("dn_epoch",

@@ -104,10 +104,13 @@ object Multimodal {
     * and normalized amplitude stats, 0-padded to `dim`; None when the
     * payload isn't such a WAV. */
   private[graft] def audioFeatures(bytes: Array[Byte], dim: Int): Option[Seq[Double]] =
-    decodeWavStats(bytes).map { case (rate, n, mean, peak) =>
-      val full = Seq(rate / 48000.0, n.toDouble, mean / 32768.0, peak / 32768.0)
-      (full ++ Seq.fill(math.max(0, dim - full.length))(0.0)).take(dim)
-    }
+    // Try: extractBatch's contract is "malformed payload → stub, never a
+    // failed task", and this parser sees every non-image payload
+    scala.util.Try(decodeWavStats(bytes)).toOption.flatten
+      .map { case (rate, n, mean, peak) =>
+        val full = Seq(rate / 48000.0, n.toDouble, mean / 32768.0, peak / 32768.0)
+        (full ++ Seq.fill(math.max(0, dim - full.length))(0.0)).take(dim)
+      }
 
   /** Output schema of [[imageMeta]]'s appended columns. */
   private val imageMetaFields = Seq(
@@ -204,8 +207,11 @@ object Multimodal {
         dataOff = pos + 8
         dataLen = math.min(sz, (bytes.length - dataOff).toLong)
       }
-      // chunks are word-aligned: odd sizes carry one pad byte
-      pos += 8 + sz.toInt + (sz.toInt & 1)
+      // chunks are word-aligned: odd sizes carry one pad byte. sz is an
+      // unvalidated u32 from the payload — advance in Long arithmetic
+      // clamped to the buffer end so a corrupt size can neither stall
+      // the walk (zero advance) nor drive pos negative.
+      pos = math.min(bytes.length.toLong, pos + 8L + sz + (sz & 1L)).toInt
     }
     if (fmt != 1 || channels != 1 || bits != 16 || rate <= 0 ||
         dataOff < 0) return None

@@ -38,10 +38,16 @@ object MeasureKnn {
       val cand = Ann.knnCandidates(emb, emb, k, "vec_id", "embedding",
         bits, fullProbe = false)
       val byLeft = cand.groupBy("lid").count()
-      val stats = byLeft.agg(
-        count(lit(1)).as("lids"),
-        sum(when(col("count") < k, 1L).otherwise(0L)).as("underfilled"),
-        sum(col("count")).as("cands")).collect().head
+      // LEFT join from the full id set: a left row with ZERO candidates
+      // after probing is absent from byLeft and is exactly the worst
+      // recall case — it must count as short, not vanish
+      val stats = emb.select(col("vec_id").as("lid")).distinct()
+        .join(byLeft, Seq("lid"), "left")
+        .agg(
+          count(lit(1)).as("lids"),
+          sum(when(coalesce(col("count"), lit(0L)) < k, 1L).otherwise(0L))
+            .as("underfilled"),
+          sum(coalesce(col("count"), lit(0L))).as("cands")).collect().head
       val t0 = System.nanoTime()
       Ann.knnJoin(emb, emb, k, bits = bits).count()
       val t = (System.nanoTime() - t0) / 1e9

@@ -124,6 +124,33 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(0).getInt(2) == stats._1 && rows(1).isNullAt(2))
   }
 
+  test("wav decode: adversarial chunk sizes terminate and decode to None") {
+    // chunk size u32 = 0xFFFFFFF8 (sz.toInt == -8): naive Int advance is
+    // zero → infinite loop; the Long-clamped walk must terminate
+    def corrupt(sz: Long): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(56)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("junk".getBytes("US-ASCII")); bb.putInt(sz.toInt)
+      bb.array()
+    }
+    for (sz <- Seq(0xFFFFFFF8L, 0xFFFFFFF7L, 0xFFFFFFF0L, 0L, 0xFFFFFFFFL)) {
+      assert(Multimodal.decodeWavStats(corrupt(sz)).isEmpty)
+      // and the extractBatch path falls through to the stub, no throw
+      assert(Multimodal.audioFeatures(corrupt(sz), 4).isEmpty)
+    }
+    // a valid fmt chunk followed by a data chunk whose size lies huge:
+    // dataLen clamps to the buffer, stats still come out
+    val wav = Multimodal.tonePcmWav(5L)
+    val lying = wav.clone()
+    val bb = java.nio.ByteBuffer.wrap(lying)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(40, Int.MaxValue) // data chunk size field
+    val st = Multimodal.decodeWavStats(lying)
+    assert(st.nonEmpty && st.get._2 == (5L % 50 + 10))
+  }
+
   test("mp4 container decode: minimal ISO-BMFF round-trips, garbage is null") {
     val mp4 = Multimodal.minimalMp4(11L)
     val (d, ts, nt, w, h) = Multimodal.decodeMp4Meta(mp4).get
