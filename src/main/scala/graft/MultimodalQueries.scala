@@ -64,8 +64,13 @@ object MultimodalQueries {
     Q("multimodal_image_meta",
       (s, dir) => {
         import s.implicits._
+        // rebalance the (tiny) id column BEFORE the render+encode map:
+        // documents is one small file → one partition, and generating
+        // PNGs is CPU-bound — without this the whole query runs on one
+        // of 32 cores (SURVEY §6.5: rebalance before heavy per-row work)
         val ids = Sources.table(s, dir, "documents")
           .select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
         val pngs = ids.map(id => (id, Multimodal.bandedPng(id)))
           .toDF("doc_id", "payload")
         Multimodal.imageMeta(pngs, "payload")
@@ -102,8 +107,10 @@ object MultimodalQueries {
     Q("multimodal_audio_meta",
       (s, dir) => {
         import s.implicits._
+        // rebalance before the generate+decode (see multimodal_image_meta)
         val ids = Sources.table(s, dir, "documents")
           .select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
         val wavs = ids.map(id => (id, Multimodal.tonePcmWav(id)))
           .toDF("doc_id", "payload")
         Multimodal.audioMeta(wavs, "payload")
@@ -138,8 +145,10 @@ object MultimodalQueries {
     Q("multimodal_video_meta",
       (s, dir) => {
         import s.implicits._
+        // rebalance before the generate+decode (see multimodal_image_meta)
         val ids = Sources.table(s, dir, "documents")
           .select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
         val mp4s = ids.map(id => (id, Multimodal.minimalMp4(id)))
           .toDF("doc_id", "payload")
         Multimodal.videoMeta(mp4s, "payload")

@@ -28,6 +28,23 @@ object Multimodal {
   // must not touch disk per image.
   javax.imageio.ImageIO.setUseCache(false)
 
+  /**
+   * Rebalance a few-split input across all cores before CPU-bound
+   * per-row decode. Decode is the one genuinely compute-heavy stage in
+   * this module: a narrow input (one small parquet file → one
+   * partition; a pre-aggregated upstream → a handful) would otherwise
+   * run it on a fraction of the cluster while the rest idles — the
+   * costliest possible place to be partition-capped. Only shuffles
+   * when the input has FEWER partitions than cores (an already
+   * well-split 100 TB scan passes through untouched), and uses an
+   * explicit partition count so AQE cannot coalesce the exchange back
+   * down on small byte sizes.
+   */
+  private def rebalanced(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Typed metadata carried alongside the opaque payload. */
   val metaSchema: StructType = StructType(Seq(
     StructField("kind", StringType),         // image | audio | video
@@ -76,11 +93,12 @@ object Multimodal {
    * container) takes the labeled md5 stub.
    */
   def extractBatch(df: DataFrame, payloadCol: String, dim: Int,
-      batchSize: Int = 64): DataFrame = {
+      batchSize: Int = 64, rebalance: Boolean = true): DataFrame = {
     val outSchema = StructType(
       df.schema :+ StructField("features", ArrayType(DoubleType)))
     val idx = df.schema.fieldIndex(payloadCol)
-    df.mapPartitions { it =>
+    val in = if (rebalance) rebalanced(df) else df
+    in.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // A vectorized codec would take `batch` as one call; ImageIO is
         // per-image, so the batching here amortizes nothing but keeps
@@ -130,11 +148,12 @@ object Multimodal {
    * closed form.
    */
   def imageMeta(df: DataFrame, payloadCol: String,
-      batchSize: Int = 64): DataFrame = {
+      batchSize: Int = 64, rebalance: Boolean = true): DataFrame = {
     val outSchema = StructType(df.schema ++ imageMetaFields)
     val idx = df.schema.fieldIndex(payloadCol)
     val nulls = Seq[Any](null, null, null, null, null)
-    df.mapPartitions { it =>
+    val in = if (rebalance) rebalanced(df) else df
+    in.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           // Seq[Any], NOT Seq(w, …): Scala would widen the Int dims to
@@ -165,11 +184,12 @@ object Multimodal {
    * bitstream, so a generator-replaying oracle proves the decode.
    */
   def audioMeta(df: DataFrame, payloadCol: String,
-      batchSize: Int = 64): DataFrame = {
+      batchSize: Int = 64, rebalance: Boolean = true): DataFrame = {
     val outSchema = StructType(df.schema ++ audioMetaFields)
     val idx = df.schema.fieldIndex(payloadCol)
     val nulls = Seq[Any](null, null, null, null)
-    df.mapPartitions { it =>
+    val in = if (rebalance) rebalanced(df) else df
+    in.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val stats = decodeWavStats(r.getAs[Array[Byte]](idx))
@@ -280,11 +300,12 @@ object Multimodal {
    * split is real container metadata, stubbed sample data.
    */
   def videoMeta(df: DataFrame, payloadCol: String,
-      batchSize: Int = 64): DataFrame = {
+      batchSize: Int = 64, rebalance: Boolean = true): DataFrame = {
     val outSchema = StructType(df.schema ++ videoMetaFields)
     val idx = df.schema.fieldIndex(payloadCol)
     val nulls = Seq[Any](null, null, null, null, null)
-    df.mapPartitions { it =>
+    val in = if (rebalance) rebalanced(df) else df
+    in.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val stats = decodeMp4Meta(r.getAs[Array[Byte]](idx))

@@ -32,6 +32,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("multimodal meta queries rebalance before the CPU-bound decode") {
+    // documents at test scale is one small parquet file → one input
+    // partition; generating + decoding payloads is the one genuinely
+    // CPU-bound stage, so the plan must show a round-robin exchange
+    // ahead of the decode mapPartitions or all but one core idles
+    for (q <- Seq("multimodal_image_meta", "multimodal_audio_meta",
+                  "multimodal_video_meta")) {
+      val plan = SparkEntry.queries(q)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange RoundRobinPartitioning"),
+        s"$q is partition-capped — no rebalance exchange:\n${plan.take(1200)}")
+    }
+  }
+
   test("dimension joins broadcast the small side") {
     val plan = SparkEntry.queries("q3_shipping")(spark, sf001)
       .queryExecution.sparkPlan.toString
