@@ -163,19 +163,24 @@ object AnalyticsQueries {
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""")),
 
-    // #24c exact percentiles of order totals: both engines sort and
-    // linearly interpolate, so the doubles agree
+    // #24c bucket-bounded percentiles of order totals: an lquantize
+    // histogram (step 100 on a ~[900, 560k] price axis → a few thousand
+    // occupied buckets) + a cumulative walk, NOT Spark's exact
+    // `percentile` — whose merged state is a map of every distinct
+    // value and whose final-merge task is the one place a 100 TB run
+    // would concentrate hundreds of MB. The histogram groupBy is
+    // map-side combined and the walk's state is bounded by the bucket
+    // count; each percentile resolves to its bucket's lower edge.
     Q("q_percentiles",
-      (s, dir) => Sources.table(s, dir, "orders")
-        .agg(
-          expr("percentile(o_totalprice, 0.5)").as("p50"),
-          expr("percentile(o_totalprice, 0.9)").as("p90"),
-          expr("percentile(o_totalprice, 0.99)").as("p99")),
-      Some("""
-        SELECT quantile_cont(o_totalprice, 0.5) AS p50,
-               quantile_cont(o_totalprice, 0.9) AS p90,
-               quantile_cont(o_totalprice, 0.99) AS p99
-        FROM orders""")),
+      (s, dir) => graft.plans.Quantiles.histQuantiles(
+        Sources.table(s, dir, "orders"), col("o_totalprice"), 100.0,
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)),
+      Some(s"""
+        SELECT CAST(p50 * 100.0 AS DOUBLE) AS p50,
+               CAST(p90 * 100.0 AS DOUBLE) AS p90,
+               CAST(p99 * 100.0 AS DOUBLE) AS p99
+        FROM ${graft.plans.Quantiles.bucketsSql("orders", "o_totalprice",
+          100.0, Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))}""")),
 
     // #24 window function: sessionize per user with a 30-minute gap rule —
     // one shuffle on user_id, window runs within partitions.

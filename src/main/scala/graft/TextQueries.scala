@@ -185,28 +185,32 @@ object TextQueries {
 
     // #44b CCNet's actual BUCKETING step on top of the logprob signal:
     // head/middle/tail by tercile cutoffs of the corpus distribution.
-    // The cutoffs are ONE exact-percentile row broadcast back over the
-    // scored docs — no global sort and no single-partition ntile window
-    // (which would be exactly the scale mistake this avoids). Cutoffs
-    // round to the same 1e-6 grid as the scores, so the boundary
-    // comparisons are engine-stable; no score can sit strictly between
-    // a raw cutoff and its rounding.
+    // The cutoffs come from a bucket-bounded lquantize histogram
+    // (plans.Quantiles: scores are on a 1e-6 grid, step 1e-3 → at most
+    // a few thousand occupied buckets) walked cumulatively — NOT an
+    // exact single-group percentile whose merged state is a map of
+    // every distinct score. The ONE cutoff row broadcasts back over
+    // the scored docs; assignment compares integer bucket indices
+    // (floor(logprob/step), the same IEEE division on both engines),
+    // so boundary docs land identically everywhere.
     Q("text_ppl_buckets",
       (s, dir) => {
+        val step = 0.001
         val lp = Text.unigramLogProb(docs(s, dir), maxVocab = 16)
-        val cuts = lp.agg(
-          round(expr("percentile(logprob, 1.0/3)"), 6).as("c1"),
-          round(expr("percentile(logprob, 2.0/3)"), 6).as("c2"))
+        val cuts = graft.plans.Quantiles.histQuantileBuckets(
+          lp, col("logprob"), step, Seq("b1" -> (1.0 / 3), "b2" -> (2.0 / 3)))
         lp.crossJoin(broadcast(cuts))
           .select(col("doc_id"), col("logprob"),
-            when(col("logprob") <= col("c1"), lit("head"))
-              .when(col("logprob") <= col("c2"), lit("middle"))
+            when(graft.plans.Quantiles.bucket(col("logprob"), step) <= col("b1"),
+              lit("head"))
+              .when(graft.plans.Quantiles.bucket(col("logprob"), step) <= col("b2"),
+                lit("middle"))
               .otherwise(lit("tail")).as("bucket"))
       },
-      Some("""
+      Some(s"""
         WITH toks AS (
           SELECT doc_id,
-            unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
           FROM documents),
         vocab AS (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY 1),
         tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
@@ -217,13 +221,13 @@ object TextQueries {
               AS logprob
           FROM toks LEFT JOIN kept k USING (t), tot
           GROUP BY doc_id),
-        c AS (
-          SELECT round(quantile_cont(logprob, 1.0/3), 6) AS c1,
-                 round(quantile_cont(logprob, 2.0/3), 6) AS c2
-          FROM lp)
+        c AS ${graft.plans.Quantiles.bucketsSql("lp", "logprob", 0.001,
+          Seq("b1" -> (1.0 / 3), "b2" -> (2.0 / 3)))}
         SELECT doc_id, logprob,
-          CASE WHEN logprob <= c1 THEN 'head'
-               WHEN logprob <= c2 THEN 'middle'
+          CASE WHEN ${graft.plans.Quantiles.bucketSql("logprob", 0.001)} <= b1
+                 THEN 'head'
+               WHEN ${graft.plans.Quantiles.bucketSql("logprob", 0.001)} <= b2
+                 THEN 'middle'
                ELSE 'tail' END AS bucket
         FROM lp, c""")),
 

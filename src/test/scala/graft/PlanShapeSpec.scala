@@ -46,6 +46,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("quantile queries aggregate a bounded histogram, not exact percentile state") {
+    // exact `percentile` merges a map of every distinct value into one
+    // final task — unbounded at scale; the bucket-bounded lquantize
+    // walk (plans.Quantiles) must be what actually plans
+    for (q <- Seq("q_percentiles", "text_ppl_buckets")) {
+      val plan = SparkEntry.queries(q)(spark, sf001)
+        .queryExecution.sparkPlan.toString
+      assert(!plan.toLowerCase.contains("percentile"),
+        s"$q still plans an exact percentile aggregate:\n${plan.take(1200)}")
+    }
+  }
+
   test("dimension joins broadcast the small side") {
     val plan = SparkEntry.queries("q3_shipping")(spark, sf001)
       .queryExecution.sparkPlan.toString
