@@ -16,6 +16,24 @@ object DedupQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Sources.table(s, dir, "documents")
 
+  /** Old-snapshot/new-batch split for the incremental-dedup gate: a
+    * deterministic id partition, so the oracle can replay both sides. */
+  private val OldWhere = "doc_id % 3 <> 0"
+  private val NewWhere = "doc_id % 3 = 0"
+
+  /** Build the OLD snapshot's signature store once per sfDir (parquet
+    * _SUCCESS as the marker) — the persisted artifact the incremental
+    * query dedups against; the old documents are never read again. */
+  private def ensureStore(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    val path = s"/tmp/graft-sigstore/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      Dedup.signatureStore(docs(s, dir).where(expr(OldWhere)))
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
   def all: Seq[Q] = Seq(
 
     // #25 exact dedup: group by normalized content hash, keep min doc_id
@@ -60,6 +78,24 @@ object DedupQueries {
     Q("dedup_clusters",
       (s, dir) => Dedup.clusters(docs(s, dir)),
       Some(DedupSql.clusters())),
+
+    // #25d incremental CROSS-SNAPSHOT dedup — the operation a real
+    // pipeline runs per crawl: dedup a NEW batch (doc_id % 3 = 0)
+    // against the persisted signature store of the OLD snapshot
+    // (doc_id % 3 <> 0) without re-reading or re-signing the old
+    // corpus. The store (fp + minhash columns) is built once per sfDir
+    // by ensureStore; the query's plan touches old data only through
+    // that parquet. The oracle replays BOTH snapshots and all four
+    // filters (within-batch exact, cross exact, cross band-collision,
+    // within-batch candidate drop).
+    Q("dedup_incremental",
+      (s, dir) => {
+        val store = s.read.parquet(ensureStore(s, dir))
+        Dedup.incrementalKeepers(
+          docs(s, dir).where(expr(NewWhere)), store)
+          .select(col("doc_id").cast("long").as("doc_id"))
+      },
+      Some(DedupSql.incrementalKeepers(OldWhere, NewWhere))),
 
     // #25c boilerplate line removal (C4/RefinedWeb): lines whose
     // normalized form appears in >= 3 distinct docs are stripped

@@ -81,9 +81,13 @@ object DedupSql {
        |SELECT DISTINCT CAST(c.doc_id AS BIGINT) AS doc_id
        |FROM csh c JOIN (SELECT DISTINCT s FROM esh) e USING (s)""".stripMargin
 
-  /** CTEs: sh → sig (per-doc minhash columns m0..m{k-1}) → banded →
-    * cand (distinct candidate pairs, doc_a < doc_b). */
-  private def minhashCtes(n: Int, bands: Int, rowsPerBand: Int): String = {
+  /** CTEs: {p}sh → {p}sig (per-doc minhash columns m0..m{k-1}) →
+    * {p}banded → {p}cand (distinct candidate pairs, doc_a < doc_b).
+    * `p` prefixes the CTE names (matching [[shingleCtes]]) so two
+    * signed relations can coexist in one query — the incremental-dedup
+    * oracle signs both snapshots. */
+  private def minhashCtes(n: Int, bands: Int, rowsPerBand: Int,
+      p: String = ""): String = {
     val k = bands * rowsPerBand
     val mins = (0 until k)
       .map(i => s"min(${XHash.memberSql("h1", "h2", i)}) AS m$i")
@@ -91,21 +95,21 @@ object DedupSql {
     val bandSelects = (0 until bands).map { b =>
       val rowMins = (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}")
       val key = rowMins.mkString("concat(", ", ',', ", ")")
-      s"SELECT doc_id, $b AS band, $key AS bh FROM sig"
+      s"SELECT doc_id, $b AS band, $key AS bh FROM ${p}sig"
     }.mkString("\n  UNION ALL ")
-    s"""hs AS (
+    s"""${p}hs AS (
        |  SELECT doc_id, ${XHash.h60Sql("s")} AS h1, ${XHash.h56Sql("s")} AS h2
-       |  FROM sh),
-       |sig AS (
+       |  FROM ${p}sh),
+       |${p}sig AS (
        |  SELECT doc_id,
        |    $mins
-       |  FROM hs GROUP BY doc_id),
-       |banded AS (
+       |  FROM ${p}hs GROUP BY doc_id),
+       |${p}banded AS (
        |  $bandSelects),
-       |cand AS (
+       |${p}cand AS (
        |  SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a,
        |                  CAST(b.doc_id AS BIGINT) AS doc_b
-       |  FROM banded a JOIN banded b
+       |  FROM ${p}banded a JOIN ${p}banded b
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
   }
 
@@ -143,6 +147,44 @@ object DedupSql {
        |${minhashCtes(n, 8, 2)},
        |$jaccardCtes
        |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= $minJaccard""".stripMargin
+
+  /** Exact-dup content fingerprint — mirrors Dedup.contentKey
+    * (md5 of whitespace-normalized lower text). */
+  private def fpSql(text: String): String =
+    s"md5(regexp_replace(trim(lower($text)), '\\s+', ' ', 'g'))"
+
+  /**
+   * dedup_incremental oracle: replays BOTH snapshots — signs old and
+   * new (prefixes o/w), then applies the four incrementalKeepers
+   * filters: within-batch exact keep-min-id, cross-snapshot exact
+   * anti-join, cross-snapshot band-bucket collision, within-batch
+   * candidate-pair higher-id drop.
+   */
+  def incrementalKeepers(oldWhere: String, newWhere: String,
+      base: String = "documents", n: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 2): String =
+    s"""WITH od AS (SELECT * FROM $base WHERE $oldWhere),
+       |nd AS (SELECT * FROM $base WHERE $newWhere),
+       |${shingleCtes("od", n, "o")},
+       |${minhashCtes(n, bands, rowsPerBand, "o")},
+       |${shingleCtes("nd", n, "w")},
+       |${minhashCtes(n, bands, rowsPerBand, "w")},
+       |nfp AS (SELECT doc_id, ${fpSql("text")} AS fp FROM nd),
+       |ofp AS (SELECT DISTINCT ${fpSql("text")} AS fp FROM od),
+       |keepers AS (SELECT MIN(doc_id) AS doc_id FROM nfp GROUP BY fp),
+       |crossx AS (
+       |  SELECT nfp.doc_id FROM nfp LEFT JOIN ofp USING (fp)
+       |  WHERE ofp.fp IS NULL),
+       |crossnear AS (
+       |  SELECT DISTINCT w.doc_id FROM wbanded w
+       |  JOIN obanded o ON w.band = o.band AND w.bh = o.bh),
+       |neardrop AS (SELECT DISTINCT doc_b AS doc_id FROM wcand)
+       |SELECT CAST(k.doc_id AS BIGINT) AS doc_id
+       |FROM keepers k
+       |JOIN crossx bx ON bx.doc_id = k.doc_id
+       |LEFT JOIN crossnear cx ON cx.doc_id = k.doc_id
+       |LEFT JOIN neardrop dx ON dx.doc_id = k.doc_id
+       |WHERE cx.doc_id IS NULL AND dx.doc_id IS NULL""".stripMargin
 
   /** dedup_simhash oracle: 60-bit simhash, 4×15-bit bands, hamming ≤ 3. */
   def simhashPairs(base: String = "documents", maxHamming: Int = 3): String = {

@@ -208,6 +208,76 @@ object Dedup {
       .distinct()
 
   /**
+   * Per-doc SIGNATURE STORE row for cross-snapshot (incremental) dedup:
+   * the content fingerprint plus the k MinHash signature columns
+   * m0..m{k-1}. Persist this once per snapshot; each subsequent crawl
+   * batch dedups against the store WITHOUT re-reading or re-signing the
+   * old corpus — the Spark analog of dragnet's incremental index update
+   * (`dragnet build` onto an existing index, lib/index-sink.js:
+   * the derived artifact, not the raw data, absorbs the next batch).
+   * At 100 TB the store is ~1e-4 of the corpus bytes (one row of
+   * hashes per document), so keeping it hot is cheap and re-signing
+   * petabytes per crawl is the thing this exists to avoid.
+   */
+  def signatureStore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    docs.select(col(idCol).as("id"), contentKey(col(textCol)).as("fp"))
+      .join(minhashSignature(docs, idCol, textCol, n, bands * rowsPerBand),
+        Seq("id"))
+
+  /**
+   * Incremental dedup: the ids of NEW-batch docs kept after deduping
+   * against a persisted [[signatureStore]] — the old corpus is touched
+   * ONLY through the store. Four independent deterministic filters,
+   * each a single key/bucket join:
+   *
+   *  (a) within-batch exact — keep the lowest id per content group;
+   *  (b) cross-snapshot exact — drop fingerprints present in the store;
+   *  (c) cross-snapshot near — drop docs sharing ANY LSH band bucket
+   *      with a stored signature. Candidate-level by design: verifying
+   *      with Jaccard would need the old TEXT, defeating the point —
+   *      banding is tuned so a collision IS the near-dup call;
+   *  (d) within-batch near — drop the higher id of each candidate pair
+   *      (conservative: the pair drops even if its lower id itself lost
+   *      to an earlier filter).
+   *
+   * The filters compose as semi/anti joins on the id column; nothing
+   * rescans old data, and the store side of (b)/(c) shuffles only
+   * fingerprints and band keys.
+   */
+  def incrementalKeepers(newDocs: DataFrame, store: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 2,
+      heavyBucket: Int = HeavyBucket): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = minhashSignature(newDocs, idCol, textCol, n, k)
+    val fps = newDocs.select(col(idCol).as("id"),
+      contentKey(col(textCol)).as("fp"))
+    // (a) lowest id of each within-batch content group
+    val exactKeep = fps.groupBy(col("fp")).agg(min(col("id")).as("id"))
+      .select(col("id"))
+    // (b) fps absent from the store
+    val crossExact = fps
+      .join(store.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      .select(col("id"))
+    // (c) any band bucket shared with a stored signature
+    val crossNearHits = bandedKeys(sig, bands, rowsPerBand)
+      .join(bandedKeys(store, bands, rowsPerBand).select(col("band"), col("bh")),
+        Seq("band", "bh"), "left_semi")
+      .select(col("id")).distinct()
+    // (d) higher id of each within-batch candidate pair
+    val nearDrops = candidatesOfSignature(sig, bands, rowsPerBand,
+      heavy = heavyBucket)
+      .select(col("doc_b").as("id")).distinct()
+    exactKeep
+      .join(crossExact, Seq("id"), "left_semi")
+      .join(crossNearHits, Seq("id"), "left_anti")
+      .join(nearDrops, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+  }
+
+  /**
    * SimHash as a single Column: per-token 60-bit hash, majority vote per
    * bit — near-identical token multisets land within a few bits of each
    * other. NOTE: this form runs the lambda interpreter (HOFs don't

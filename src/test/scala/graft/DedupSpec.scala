@@ -21,6 +21,43 @@ class DedupSpec extends SparkSpec {
     assert(groups == Seq(1L, 1L, 2L))
   }
 
+  test("incremental keepers: each of the four filters fires") {
+    def rep(s: String) = (s + " ") * 20
+    val old = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, rep("p q r"))
+    ).toDF("doc_id", "text")
+    // rotations share the exact distinct 3-gram shingle SET (the token
+    // stream is periodic), hence the exact minhash signature — near-dup
+    // by every band, but a different fingerprint: isolates the
+    // band-collision filters from the exact ones
+    val batch = Seq(
+      (3L, "alpha beta gamma delta epsilon zeta"), // (b) exact dup of old 1
+      (6L, rep("q r p")),                          // (c) near-dup of old 2
+      (9L, rep("u v w")),                          // kept
+      (12L, rep("u v w")),                         // (a) exact dup of 9
+      (15L, rep("v w u")),                         // (d) near-dup of 9, higher id
+      (18L, "completely unrelated new content about engines")
+    ).toDF("doc_id", "text")
+    val store = Dedup.signatureStore(old)
+    val kept = Dedup.incrementalKeepers(batch, store)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(9L, 18L))
+    // the store is self-contained: round-tripping it through parquet
+    // changes nothing
+    val p = java.nio.file.Files.createTempDirectory("graft-store-spec")
+    try {
+      store.write.mode("overwrite").parquet(p.toString)
+      val kept2 = Dedup.incrementalKeepers(batch, spark.read.parquet(p.toString))
+        .collect().map(_.getLong(0)).toSet
+      assert(kept2 == kept)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("minhash candidates include both dup pairs, not the unrelated doc") {
     val pairs = Dedup.minhashCandidates(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -58,6 +58,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup touches the old corpus only via its signature store") {
+    val plan = SparkEntry.queries("dedup_incremental")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft-sigstore"),
+      s"dedup_incremental does not read the signature store:\n${plan.take(1200)}")
+    // every documents scan carries the NEW-batch filter; the old
+    // snapshot's rows are never re-read or re-signed
+    assert(!plan.contains("% 3) <> 0") && plan.contains("% 3) = 0"),
+      s"dedup_incremental rescans the old snapshot:\n${plan.take(1200)}")
+  }
+
   test("dimension joins broadcast the small side") {
     val plan = SparkEntry.queries("q3_shipping")(spark, sf001)
       .queryExecution.sparkPlan.toString
