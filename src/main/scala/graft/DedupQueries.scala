@@ -17,19 +17,70 @@ object DedupQueries {
     Sources.table(s, dir, "documents")
 
   /** Old-snapshot/new-batch split for the incremental-dedup gate: a
-    * deterministic id partition, so the oracle can replay both sides. */
+    * deterministic id partition, so the oracle can replay both sides.
+    * The chained (two-crawl) gate splits the new space further into
+    * batch A (even thirds) and batch B (odd thirds). */
   private val OldWhere = "doc_id % 3 <> 0"
   private val NewWhere = "doc_id % 3 = 0"
+  private val BatchAWhere = "doc_id % 6 = 0"
+  private val BatchBWhere = "doc_id % 6 = 3"
 
-  /** Build the OLD snapshot's signature store once per sfDir (parquet
-    * _SUCCESS as the marker) — the persisted artifact the incremental
-    * query dedups against; the old documents are never read again. */
+  /** Content fingerprint of the source documents table (length ⊕ mtime
+    * over the parquet file/directory): a regenerated dataset changes the
+    * fingerprint, so the store REBUILDS instead of silently deduping
+    * against stale signatures while the oracle recomputes from live
+    * data; it also disambiguates two dirs whose sanitized names
+    * collide. */
+  private def srcFingerprint(dir: String): String = {
+    val f = new java.io.File(s"$dir/documents.parquet")
+    def stamp(x: java.io.File): Long = 31L * x.length() + x.lastModified()
+    val s =
+      if (f.isDirectory)
+        f.listFiles().map(stamp).foldLeft(stamp(f))(_ ^ _)
+      else stamp(f)
+    java.lang.Long.toHexString(s)
+  }
+
+  /** Recursive delete for stale/partial store trees. */
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
+  /** Build the OLD snapshot's signature store once per source dataset
+    * (parquet _SUCCESS as the marker) — the persisted artifact the
+    * incremental query dedups against; the old documents are never read
+    * again. */
   private def ensureStore(s: org.apache.spark.sql.SparkSession,
       dir: String): String = synchronized {
-    val path = s"/tmp/graft-sigstore/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val path = s"/tmp/graft-sigstore/" +
+      s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}-${srcFingerprint(dir)}"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       Dedup.signatureStore(docs(s, dir).where(expr(OldWhere)))
         .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** The UPDATED store for the chained gate: old snapshot ∪ batch A's
+    * keeper signatures, produced by copying the base store and running
+    * [[Dedup.appendKeepersToStore]] on batch A — the update step itself
+    * touches old data only through the store parquet. Marked by its own
+    * file AFTER the append so an interrupted build rebuilds cleanly
+    * (parquet's _SUCCESS lands before the append finishes). */
+  private def ensureChainedStore(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    val base = ensureStore(s, dir)
+    val path = s"$base-chain"
+    val marker = new java.io.File(s"$path/_GRAFT_CHAINED")
+    if (!marker.exists()) {
+      deleteRec(java.nio.file.Paths.get(path))
+      s.read.parquet(base).write.mode("overwrite").parquet(path)
+      Dedup.appendKeepersToStore(s,
+        docs(s, dir).where(expr(BatchAWhere)), path)
+      marker.createNewFile()
     }
     path
   }
@@ -96,6 +147,23 @@ object DedupQueries {
           .select(col("doc_id").cast("long").as("doc_id"))
       },
       Some(DedupSql.incrementalKeepers(OldWhere, NewWhere))),
+
+    // #25d2 the CLOSED incremental loop — two crawls chained through one
+    // evolving store: batch A dedups against the old-snapshot store and
+    // its keepers' signatures are APPENDED back (Dedup
+    // .appendKeepersToStore); batch B then dedups against the updated
+    // store, so an A-duplicate in B drops exactly as an old-duplicate
+    // does. The oracle replays the whole chain (A's four filters, the
+    // store union, B's four filters) from the raw documents; the Spark
+    // plan reads old data and batch A only through the store parquet.
+    Q("dedup_incremental2",
+      (s, dir) => {
+        val store = s.read.parquet(ensureChainedStore(s, dir))
+        Dedup.incrementalKeepers(
+          docs(s, dir).where(expr(BatchBWhere)), store)
+          .select(col("doc_id").cast("long").as("doc_id"))
+      },
+      Some(DedupSql.incrementalChained(OldWhere, BatchAWhere, BatchBWhere))),
 
     // #25c boilerplate line removal (C4/RefinedWeb): lines whose
     // normalized form appears in >= 3 distinct docs are stripped

@@ -186,6 +186,68 @@ object DedupSql {
        |LEFT JOIN neardrop dx ON dx.doc_id = k.doc_id
        |WHERE cx.doc_id IS NULL AND dx.doc_id IS NULL""".stripMargin
 
+  /**
+   * dedup_incremental2 oracle: the CLOSED incremental loop. Replays the
+   * whole two-crawl chain from raw documents — batch A's four filters
+   * against the old snapshot, the store union (old ∪ A-keepers'
+   * signatures), then batch B's four filters against the updated store.
+   * Every step reuses the same generated CTE families as
+   * [[incrementalKeepers]], so the hash geometry stays locked to the
+   * Scala implementation.
+   */
+  def incrementalChained(oldWhere: String, aWhere: String, bWhere: String,
+      base: String = "documents", n: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 2): String =
+    s"""WITH od AS (SELECT * FROM $base WHERE $oldWhere),
+       |ad AS (SELECT * FROM $base WHERE $aWhere),
+       |bd AS (SELECT * FROM $base WHERE $bWhere),
+       |${shingleCtes("od", n, "o")},
+       |${minhashCtes(n, bands, rowsPerBand, "o")},
+       |${shingleCtes("ad", n, "a")},
+       |${minhashCtes(n, bands, rowsPerBand, "a")},
+       |${shingleCtes("bd", n, "b")},
+       |${minhashCtes(n, bands, rowsPerBand, "b")},
+       |ofp AS (SELECT DISTINCT ${fpSql("text")} AS fp FROM od),
+       |afp AS (SELECT doc_id, ${fpSql("text")} AS fp FROM ad),
+       |akeepers AS (SELECT MIN(doc_id) AS doc_id FROM afp GROUP BY fp),
+       |acrossx AS (
+       |  SELECT afp.doc_id FROM afp LEFT JOIN ofp USING (fp)
+       |  WHERE ofp.fp IS NULL),
+       |acrossnear AS (
+       |  SELECT DISTINCT a.doc_id FROM abanded a
+       |  JOIN obanded o ON a.band = o.band AND a.bh = o.bh),
+       |aneardrop AS (SELECT DISTINCT doc_b AS doc_id FROM acand),
+       |akeep AS (
+       |  SELECT k.doc_id FROM akeepers k
+       |  JOIN acrossx ax ON ax.doc_id = k.doc_id
+       |  LEFT JOIN acrossnear cx ON cx.doc_id = k.doc_id
+       |  LEFT JOIN aneardrop dx ON dx.doc_id = k.doc_id
+       |  WHERE cx.doc_id IS NULL AND dx.doc_id IS NULL),
+       |s2fp AS (
+       |  SELECT fp FROM ofp
+       |  UNION
+       |  SELECT fp FROM afp JOIN akeep USING (doc_id)),
+       |s2band AS (
+       |  SELECT band, bh FROM obanded
+       |  UNION ALL
+       |  SELECT a.band, a.bh FROM abanded a JOIN akeep USING (doc_id)),
+       |bfp AS (SELECT doc_id, ${fpSql("text")} AS fp FROM bd),
+       |bkeepers AS (SELECT MIN(doc_id) AS doc_id FROM bfp GROUP BY fp),
+       |bcrossx AS (
+       |  SELECT bfp.doc_id FROM bfp
+       |  LEFT JOIN (SELECT DISTINCT fp FROM s2fp) s USING (fp)
+       |  WHERE s.fp IS NULL),
+       |bcrossnear AS (
+       |  SELECT DISTINCT b.doc_id FROM bbanded b
+       |  JOIN s2band s ON b.band = s.band AND b.bh = s.bh),
+       |bneardrop AS (SELECT DISTINCT doc_b AS doc_id FROM bcand)
+       |SELECT CAST(k.doc_id AS BIGINT) AS doc_id
+       |FROM bkeepers k
+       |JOIN bcrossx bx ON bx.doc_id = k.doc_id
+       |LEFT JOIN bcrossnear cx ON cx.doc_id = k.doc_id
+       |LEFT JOIN bneardrop dx ON dx.doc_id = k.doc_id
+       |WHERE cx.doc_id IS NULL AND dx.doc_id IS NULL""".stripMargin
+
   /** dedup_simhash oracle: 60-bit simhash, 4×15-bit bands, hamming ≤ 3. */
   def simhashPairs(base: String = "documents", maxHamming: Int = 3): String = {
     val bits = 60

@@ -227,6 +227,32 @@ object Dedup {
         Seq("id"))
 
   /**
+   * The store UPDATE step that closes the incremental loop: dedup a new
+   * batch against the persisted store at `storePath`, then APPEND the
+   * keepers' signature rows back to it — so crawl N+1 dedups against
+   * old ∪ N without anything ever re-reading old documents. The Spark
+   * analog of repeated `dragnet build -u` onto one index
+   * (lib/index-sink.js): the derived artifact absorbs each batch.
+   * Append-mode parquet is safe against the concurrent read of the same
+   * path because the store's file listing is pinned when `read.parquet`
+   * plans the scan — the appended part files have fresh names and are
+   * invisible to the in-flight job. Returns the kept ids (already
+   * computed for the append, so callers chain without a re-plan).
+   */
+  def appendKeepersToStore(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, storePath: String,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val store = spark.read.parquet(storePath)
+    val kept = incrementalKeepers(newDocs, store, idCol, textCol, n,
+      bands, rowsPerBand).localCheckpoint()
+    val keptDocs = newDocs.join(kept, Seq(idCol), "left_semi")
+    signatureStore(keptDocs, idCol, textCol, n, bands, rowsPerBand)
+      .write.mode("append").parquet(storePath)
+    kept
+  }
+
+  /**
    * Incremental dedup: the ids of NEW-batch docs kept after deduping
    * against a persisted [[signatureStore]] — the old corpus is touched
    * ONLY through the store. Four independent deterministic filters,

@@ -69,6 +69,19 @@ class PlanShapeSpec extends SparkSpec {
       s"dedup_incremental rescans the old snapshot:\n${plan.take(1200)}")
   }
 
+  test("chained incremental dedup reads old data AND batch A only via the updated store") {
+    val plan = SparkEntry.queries("dedup_incremental2")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft-sigstore"),
+      s"dedup_incremental2 does not read the signature store:\n${plan.take(1200)}")
+    // the query plans only batch B's documents scan: the old snapshot
+    // (% 3 <> 0) and batch A (% 6 = 0) both arrive pre-signed through
+    // the chained store parquet
+    assert(!plan.contains("% 3) <> 0") && !plan.contains("% 6) = 0") &&
+      plan.contains("% 6) = 3"),
+      s"dedup_incremental2 rescans a prior snapshot/batch:\n${plan.take(1200)}")
+  }
+
   test("dimension joins broadcast the small side") {
     val plan = SparkEntry.queries("q3_shipping")(spark, sf001)
       .queryExecution.sparkPlan.toString
