@@ -39,16 +39,20 @@ object IndexQueries {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
 
-  /** One scratch root per JVM for compact_roundtrip, wiped at each
-    * invocation and again at exit — Bench runs the query twice and
-    * Verify once more, so per-call createTempDirectory would leak a
-    * written-out index tree per run. */
+  /** One scratch root per JVM for compact_roundtrip, wiped at exit —
+    * Bench runs the query twice and Verify once more, so a plain
+    * createTempDirectory would leak a written-out index tree per run.
+    * Each invocation gets a fresh NUMBERED subdirectory instead of
+    * wiping the shared root eagerly: a harness that re-evaluates a
+    * previously returned DataFrame (or runs queries concurrently) must
+    * not find its files deleted mid-flight by a newer invocation. */
   private lazy val compactRoot: java.nio.file.Path = {
     val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-compact-rt-${ProcessHandle.current().pid()}")
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(p)))
     p
   }
+  private val compactSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Build once per (sfDir, interval); parquet _SUCCESS is the marker. */
   private def ensureBuilt(spark: SparkSession, sfDir: String,
@@ -157,13 +161,13 @@ object IndexQueries {
     // losslessness.
     Q("compact_roundtrip",
       (s, dir) => {
-        // fresh tree per run (compaction mutates in place), but under
-        // ONE per-process root wiped here and at exit — no /tmp leak.
-        // Safe to wipe eagerly: any prior run's returned DataFrame was
-        // fully materialized before this query runs again.
-        deleteRec(compactRoot)
-        java.nio.file.Files.createDirectories(compactRoot)
-        val tmp = compactRoot.toString
+        // fresh numbered tree per run (compaction mutates in place),
+        // all under ONE per-process root wiped at exit — no /tmp leak,
+        // and no eager wipe that could yank a prior invocation's files
+        // out from under a still-held DataFrame.
+        val sub = compactRoot.resolve(s"run-${compactSeq.incrementAndGet()}")
+        java.nio.file.Files.createDirectories(sub)
+        val tmp = sub.toString
         val mp = Index.metricPath(tmp, "day", metrics.head.name)
         Index.scanRows(Sources.events(s, dir), metrics.head, "ts", "day")
           // round-robin, deliberately NOT by dn_date: each of the 8

@@ -41,13 +41,23 @@ object Quantiles {
     require(ps.nonEmpty, "at least one quantile fraction required")
     ps.foreach { case (n, p) =>
       require(p > 0 && p <= 1, s"quantile fraction out of (0,1]: $n=$p") }
-    val hist = df.groupBy(bucket(value, step).as("b"))
+    // NULLs are excluded on BOTH engines: Spark's Window.orderBy sorts a
+    // NULL bucket first while DuckDB's SUM OVER (ORDER BY b) sorts NULLs
+    // last, so an un-filtered NULL bucket would shift cumulative ranks
+    // differently per engine (and a NULL value holds no quantile anyway).
+    val hist = df.filter(value.isNotNull)
+      .groupBy(bucket(value, step).as("b"))
       .agg(count(lit(1)).as("c"))
     // the walk runs in one task, but over bucket COUNTS, not rows:
-    // its state is bounded by the bucket count, never the corpus
+    // its state is bounded by the bucket count, never the corpus.
+    // n comes from an unbounded frame over the SAME ordering, so both
+    // running and total sums resolve in one Window pass — the histogram
+    // aggregation executes once, not once per consumer.
+    val ord = Window.orderBy(col("b"))
     val walked = hist
-      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("b"))))
-      .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+      .withColumn("cum", sum(col("c")).over(ord))
+      .withColumn("n", sum(col("c")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     walked.agg(
       ps.head match { case (name, p) => rankPick(p).as(name) },
       ps.tail.map { case (name, p) => rankPick(p).as(name) }: _*)
@@ -93,7 +103,7 @@ object Quantiles {
     s"""(
           WITH qh AS (
             SELECT ${bucketSql(valueExpr, step)} AS b, COUNT(*) AS c
-            FROM $fromSql GROUP BY 1),
+            FROM $fromSql WHERE ($valueExpr) IS NOT NULL GROUP BY 1),
           qw AS (
             SELECT b, SUM(c) OVER (ORDER BY b) AS cum,
                    SUM(c) OVER () AS n FROM qh)
