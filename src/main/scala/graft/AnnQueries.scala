@@ -275,6 +275,19 @@ object AnnQueries {
       },
       Some(pqSql(lloyd = true))),
 
+    // #30e composed IVF+PQ — the standard large-scale serving shape:
+    // the coarse quantizer prunes the corpus to the query's 4 nearest
+    // cells, then PQ asymmetric-distance scoring ranks only those
+    // cells' members from their codes. nlist == k == 16 with one pinned
+    // modulus, so a single sampled-row set trains both halves and the
+    // oracle replays cells → pruning → encoding → LUT → fixed-order sum.
+    Q("ann_ivfpq",
+      (s, dir) => {
+        val e = emb(s, dir)
+        Ann.ivfpqTopK(e, queryVec(e), 10, modulus = sampleMod(e))
+      },
+      Some(ivfpqSql)),
+
     // #29 embedding-cosine near-dup pairs (bucket join + exact verify);
     // bit width derived from the corpus size on both sides, as in
     // ann_knn_join
@@ -395,6 +408,70 @@ object AnnQueries {
         GROUP BY 1
         ORDER BY score DESC, vec_id LIMIT 10"""
   }
+
+  /**
+   * The composed IVF+PQ oracle: the ann_ivf CTE family (normalize →
+   * sampled centroids → argmax-dot assignment → nprobe cells) feeds the
+   * ann_pq family restricted to the pruned rows (sub-vector split →
+   * argmin encode → query LUT → fixed-order score sum). One `cent` CTE
+   * serves both halves, exactly as one sampled-row set does in
+   * [[Ann.ivfpqTopK]].
+   */
+  private def ivfpqSql: String = s"""
+        WITH n AS (
+          SELECT vec_id AS id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
+          FROM embeddings),
+        mm AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
+        cent AS (
+          SELECT id AS cid, vn AS cv FROM n, mm
+          WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
+            % mm.m = 0),
+        dists AS (
+          SELECT n.id, n.vn, c.cid, ${dotSql("n.vn", "c.cv")} AS d
+          FROM n CROSS JOIN cent c),
+        asg AS (
+          SELECT id, vn, cid AS cell,
+            row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn
+          FROM dists),
+        qn AS (SELECT vn AS qn FROM n ORDER BY id LIMIT 1),
+        qc AS (
+          SELECT c.cid AS cell FROM cent c, qn
+          ORDER BY ${dotSql("qn.qn", "c.cv")} DESC, c.cid LIMIT 4),
+        pruned AS (
+          SELECT a.id, a.vn FROM asg a JOIN qc ON a.cell = qc.cell
+          WHERE a.rn = 1),
+        subIdx AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+        csubs AS (
+          SELECT cid, sub, list_slice(cv, sub*16 + 1, sub*16 + 16) AS cv
+          FROM cent, subIdx),
+        subs AS (
+          SELECT id, sub, list_slice(vn, sub*16 + 1, sub*16 + 16) AS sv
+          FROM pruned, subIdx),
+        sdist AS (
+          SELECT s.id, s.sub, c.cid,
+            (${dotSql("s.sv", "s.sv")}) + (${dotSql("c.cv", "c.cv")})
+              - 2.0 * (${dotSql("s.sv", "c.cv")}) AS dist
+          FROM subs s JOIN csubs c ON s.sub = c.sub),
+        codes AS (
+          SELECT id, sub, cid AS code,
+            row_number() OVER (PARTITION BY id, sub ORDER BY dist, cid) AS rn
+          FROM sdist),
+        qsubs AS (
+          SELECT sub, list_slice(qn.qn, sub*16 + 1, sub*16 + 16) AS qv
+          FROM qn, subIdx),
+        lut AS (
+          SELECT c.sub, c.cid, ${dotSql("c.cv", "q.qv")} AS pd
+          FROM csubs c JOIN qsubs q ON c.sub = q.sub)
+        SELECT codes.id AS vec_id,
+          (SUM(CASE WHEN codes.sub = 0 THEN lut.pd END)
+           + SUM(CASE WHEN codes.sub = 1 THEN lut.pd END)
+           + SUM(CASE WHEN codes.sub = 2 THEN lut.pd END)
+           + SUM(CASE WHEN codes.sub = 3 THEN lut.pd END)) AS score
+        FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.cid
+        WHERE codes.rn = 1
+        GROUP BY 1
+        ORDER BY score DESC, vec_id LIMIT 10"""
 
   /** Sign bucket over dims 1-4 — mirrors Ann.signBucket(bits=4). */
   private def bucketSql: String =

@@ -523,6 +523,78 @@ object Ann {
   }
 
   /**
+   * Composed IVF + PQ search — the standard large-scale ANN serving
+   * shape: the IVF coarse quantizer prunes the corpus to the query's
+   * `nprobe` nearest cells, and PQ asymmetric-distance scoring ranks
+   * ONLY those cells' members from their mk-byte codes. Scale shape:
+   * persist the cell assignment partitioned by `cell` and the codes
+   * alongside it; a query then broadcasts the nlist centroids, the
+   * query's cell list, the m×k codebooks, and the m×k LUT — the only
+   * non-broadcast data touched is the probed cells' rows, and nothing
+   * larger than that candidate set ever shuffles. Training reuses the
+   * deterministic XHash-sampled rows of the two halves
+   * ([[ivfCentroids]], [[pqCodebooks]] — with nlist == k one sample
+   * serves both), so a SQL oracle replays the whole pipeline: cells,
+   * pruning, encoding, LUT, fixed-order score sum.
+   */
+  def ivfpqTopK(corpus: DataFrame, query: DataFrame, topK: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 4, k: Int = 16,
+      lloyd: Int = 0, modulus: Option[Long] = None): DataFrame = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nlist, modulus)
+    // (id, vn, cell): the persisted artifact at production scale — vn is
+    // bit-identical to the normalization pqEncode would compute, so
+    // encoding from it replays exactly
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+    var cb = pqCodebooks(corpus, idCol, vecCol, m, k, modulus)
+    (0 until lloyd).foreach(_ => cb = pqRefine(corpus, cb, idCol, vecCol, m))
+    val dsub = cb.select(size(col("cv"))).head.getInt(0)
+    val qCells = broadcast(
+      withNormalized(query, vecCol, "qn").select(col("qn"))
+        .crossJoin(broadcast(centroids))
+        .select(col("cid"), dot(col("qn"), col("cv")).as("d"))
+        .orderBy(col("d").desc, col("cid"))
+        .limit(nprobe)
+        .select(col("cid").as("cell")))
+    // cell pruning: with `assigned` persisted partitioned by cell this is
+    // partition pruning; here it is a broadcast join — either way the
+    // corpus never shuffles
+    val pruned = assigned.join(qCells, Seq("cell"))
+    val subCols = (0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(col("vn"), s * dsub + 1, dsub).as("sv")))
+    val subs = pruned.select(col("id"), explode(array(subCols: _*)).as("b"))
+      .select(col("id"), col("b.sub").as("sub"), col("b.sv").as("sv"))
+    // encode ONLY the pruned rows against the broadcast codebooks (at
+    // scale the codes are precomputed; encoding the candidates inline
+    // keeps this self-contained without a whole-corpus encode pass)
+    val enc = subs.join(broadcast(cb), "sub")
+      .withColumn("dist",
+        dot(col("sv"), col("sv")) + dot(col("cv"), col("cv"))
+          - lit(2.0) * dot(col("sv"), col("cv")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("code"))
+    val qsubCols = (0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(col("qn"), s * dsub + 1, dsub).as("qv")))
+    val qsubs = withNormalized(query, vecCol, "qn")
+      .select(explode(array(qsubCols: _*)).as("b"))
+      .select(col("b.sub").as("lsub"), col("b.qv").as("qv"))
+    val lut = cb.join(broadcast(qsubs), col("sub") === col("lsub"))
+      .select(col("lsub"), col("cid"), dot(col("cv"), col("qv")).as("pd"))
+    // fixed-order score sum, as in [[pqTopK]]: one exact single-row SUM
+    // per subspace, added left-to-right — bit-identical across engines
+    val partials = (0 until m).map(s =>
+      sum(when(col("sub") === s, col("pd"))).as(s"p$s"))
+    enc.join(broadcast(lut),
+        col("sub") === col("lsub") && col("code") === col("cid"))
+      .groupBy(col("id"))
+      .agg(partials.head, partials.tail: _*)
+      .select(col("id").as(idCol),
+        (0 until m).map(s => col(s"p$s")).reduce(_ + _).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /**
    * Symmetric int8 quantization of an embedding column: per-vector scale
    * 127/max|x|, q_i = floor(x_i·scale + 0.5) — EXPLICIT half-up rounding
    * (floor(+0.5)) so any SQL engine reproduces it; round() would hit

@@ -56,6 +56,22 @@ class AnnSpec extends SparkSpec {
     assert(persisted == oneShot && oneShot.size == 10)
   }
 
+  test("composed IVF+PQ: k results, candidates within probed cells, useful recall") {
+    val emb = graft.sources.Sources.table(spark, sf001, "embeddings")
+    val q = emb.orderBy(org.apache.spark.sql.functions.col("vec_id")).limit(1)
+    val got = Ann.ivfpqTopK(emb, q, 10).collect()
+    assert(got.length == 10)
+    // deterministic: a second run returns the identical rows
+    val again = Ann.ivfpqTopK(emb, q, 10).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // the composed path should agree with IVF-exact (same probed cells,
+    // PQ-approximated scores) on most of the top-10 — PQ with m=4
+    // subspaces is lossy, so require overlap, not equality
+    val ivf = Ann.ivfTopK(emb, q, 10).collect().map(_.getLong(0)).toSet
+    val ids = got.map(_.getLong(0)).toSet
+    assert((ivf & ids).size >= 5, s"recall too low vs IVF-exact: $ivf vs $ids")
+  }
+
   test("int8 quantized top-k: values in range, high recall vs exact") {
     val emb = graft.sources.Sources.table(spark, sf001, "embeddings")
     val q = emb.orderBy(org.apache.spark.sql.functions.col("vec_id")).limit(1)

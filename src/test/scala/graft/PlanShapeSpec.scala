@@ -120,6 +120,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
 
+  test("composed IVF+PQ: cell pruning and codebooks broadcast, corpus never sort-merge-joined") {
+    val plan = SparkEntry.queries("ann_ivfpq")(spark, sf001)
+      .queryExecution.sparkPlan.toString
+    // the cell-list join, the codebook encode join, and the LUT score
+    // join must all broadcast their small side; a SortMergeJoin anywhere
+    // means corpus-sized data shuffled on a join key
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"),
+      s"ann_ivfpq shuffles a join side:\n${plan.take(1500)}")
+  }
+
   test("document and embedding scans prune to the referenced columns") {
     // a corpus scan that reads all columns for a two-column projection
     // is a 100 TB mistake hidden at test scale — pin the parquet
