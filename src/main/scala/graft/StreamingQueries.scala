@@ -13,12 +13,20 @@ import graft.streaming.StreamScan
  */
 object StreamingQueries {
 
-  /** readStream over the events parquet (nanos ts kept as a raw long;
-    * the file stream source wants a glob, not a bare file path). */
+  /** readStream over the events parquet, `ts` normalized to a micros
+    * TIMESTAMP whatever the dir stores: the base testdata carries
+    * TIMESTAMP(NANOS) (readable only as a raw long), while MakeScale
+    * dirs rebuild ts as a real micros TIMESTAMP. The nanos→micros
+    * conversion is exact integral `div` — a double round of nanos
+    * ~1.7e18 is off by ~256 and could flip a boundary-equal comparison.
+    * (The file stream source wants a glob, not a bare file path.) */
   private def eventStream(s: org.apache.spark.sql.SparkSession, dir: String) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
-    s.readStream.schema(raw.schema).parquet(s"$dir/{events}.parquet")
+    val stream = s.readStream.schema(raw.schema).parquet(s"$dir/{events}.parquet")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else stream
   }
 
   /** Drain a streaming frame to completion (AvailableNow → memory sink)
@@ -59,7 +67,6 @@ object StreamingQueries {
       (s, dir) => {
         implicit val session: org.apache.spark.sql.SparkSession = s
         val stream = eventStream(s, dir)
-          .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
         val agg = StreamScan.scanStream(stream,
           QueryConfig(breakdowns = Seq(FieldSpec.plain("event_type"))),
           timeCol = "ts", windowDur = "1 day", watermarkDelay = "0 seconds")
@@ -85,7 +92,6 @@ object StreamingQueries {
     Q("stream_index_roundtrip",
       (s, dir) => {
         val stream = eventStream(s, dir)
-          .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
         val agg = graft.streaming.StreamScan.scanStream(stream,
           QueryConfig(breakdowns = Seq(FieldSpec.plain("event_type"))),
           timeCol = "ts", windowDur = "1 day", watermarkDelay = "0 seconds")
@@ -127,7 +133,6 @@ object StreamingQueries {
       (s, dir) => {
         implicit val session: org.apache.spark.sql.SparkSession = s
         val stream = eventStream(s, dir)
-          .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
           .select(col("ts"), col("user_id"), col("event_type"))
         val deduped = graft.streaming.StreamDedup.dedupByKey(stream,
           struct(col("user_id"), col("event_type")), "ts", "365 days")
@@ -144,9 +149,9 @@ object StreamingQueries {
     // range condition bounds join state and event time expires it — the
     // production stream-enrichment shape (inner rows emit as soon as
     // both sides have arrived; the watermark only governs state GC).
-    // Timestamps go through exact integral `ts div 1000` (a double round
-    // of nanos ~1.7e18 is off by ~256 and could flip a boundary-equal
-    // BETWEEN), so the batch self-join oracle on integer micros is exact.
+    // Timestamps come from eventStream's exact integral conversion, so
+    // the batch self-join oracle on integer micros is exact (a double
+    // round of nanos could flip a boundary-equal BETWEEN).
     Q("stream_join",
       (s, dir) => {
         implicit val session: org.apache.spark.sql.SparkSession = s
@@ -154,7 +159,7 @@ object StreamingQueries {
           .where(col("event_type") === tpe)
           .select(col("event_id").cast("long").as(s"${pre}_id"),
             col("user_id").as(s"${pre}_user"),
-            timestamp_micros(expr("ts div 1000")).as(s"${pre}_ts"))
+            col("ts").as(s"${pre}_ts"))
           .withWatermark(s"${pre}_ts", "0 seconds")
         val joined = side("error", "err").join(side("click", "clk"),
           expr("clk_user = err_user AND " +
@@ -182,7 +187,6 @@ object StreamingQueries {
       (s, dir) => {
         implicit val session: org.apache.spark.sql.SparkSession = s
         val stream = eventStream(s, dir)
-          .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
           // streaming source keeps props as its raw JSON string; parse it
           // to the same struct shape Sources.events gives the batch side
           .select(col("*"), json_tuple(col("props"), "k").as("k_json"))
@@ -206,9 +210,9 @@ object StreamingQueries {
         import s.implicits._
         implicit val session: org.apache.spark.sql.SparkSession = s
         val stream = eventStream(s, dir)
-          // integral div: ts/1e9 through double would lose precision at
-          // nanosecond magnitudes (> 2^53)
-          .select(col("user_id"), expr("ts div 1000000000").as("sec"))
+          // floor seconds from exact integer micros (never through a
+          // double — nanos-era magnitudes exceed 2^53)
+          .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("sec"))
           .as[(Long, Long)]
         val out = graft.streaming.StreamSessionize.sessionize(stream, 1800L)
         drain(out.toDF(), "graft_stream_sessions",
