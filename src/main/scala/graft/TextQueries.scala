@@ -17,6 +17,24 @@ object TextQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Sources.table(s, dir, "documents")
 
+  /** The text_tokens_bpe oracle, generated from [[Text.BpeMerges]] —
+    * the same pinned table, same pass count, same fence (chr(1)), so
+    * the two engines run the identical merge cascade. */
+  private def bpeOracleSql: String = {
+    val init = "(' ' || array_to_string(list_transform(" +
+      "regexp_extract_all(lower(text), '[a-z]+'), " +
+      "w -> regexp_replace(w, '(.)', '\\1 ', 'g')), chr(1) || ' '))"
+    val merged = Text.BpeMerges.foldLeft(init) { case (acc, (a, b)) =>
+      (1 to Text.BpePasses).foldLeft(acc)((cur, _) =>
+        s"replace($cur, ' $a $b ', ' $a$b ')")
+    }
+    s"""
+        SELECT doc_id,
+          CAST(len(list_filter(string_split(trim($merged), ' '),
+            t -> t <> chr(1) AND t <> '')) AS BIGINT) AS bpe_tokens
+        FROM documents"""
+  }
+
   def all: Seq[Q] = Seq(
 
     // #34 token counting: whitespace tokens + BPE-ish pre-tokenizer runs
@@ -30,6 +48,16 @@ object TextQueries {
           CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,
           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
         FROM documents""")),
+
+    // #34c REAL BPE tokenization: the pinned merge table (Text.BpeMerges)
+    // applied in rank order via exact-string replaces — both sides of
+    // the gate are GENERATED from the same table, so the merge cascade
+    // cannot drift between the Spark plan and the DuckDB replay.
+    Q("text_tokens_bpe",
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        Text.bpeTokenCount(col("text")).cast("long").as("bpe_tokens")),
+      Some(bpeOracleSql)),
 
     // #34b dragnet's quantize aggregation pointed at a pipeline signal:
     // power-of-two histogram of per-doc BPE-ish token counts — the

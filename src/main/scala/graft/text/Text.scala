@@ -25,6 +25,63 @@ object Text {
   def bpeCount(text: Column): Column =
     regexp_count(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"))
 
+  /**
+   * Pinned BPE merge table, applied in rank order. Modeled on the
+   * opening ranks of GPT-2's public merges list (word-internal pairs
+   * only — graft pre-tokenizes per word, so the byte-level
+   * word-boundary markers don't apply). The TABLE is the spec: real
+   * deployments swap in their tokenizer's full learned list; the gate
+   * needs a fixed one both engines replay verbatim. Later ranks
+   * compose over earlier merges ("th"+"e", "in"+"g", "an"+"d").
+   */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "i" -> "n", "a" -> "n", "r" -> "e", "o" -> "n",
+    "e" -> "r", "th" -> "e", "in" -> "g", "a" -> "t", "s" -> "t",
+    "e" -> "n", "o" -> "r", "e" -> "s", "a" -> "l", "o" -> "u",
+    "i" -> "s", "i" -> "t", "e" -> "d", "a" -> "r", "an" -> "d",
+    "h" -> "e", "t" -> "o", "o" -> "f", "c" -> "o")
+
+  /**
+   * Replace passes per merge rank. One pattern occurrence consumes the
+   * delimiter space the NEXT occurrence needs, so a single left-to-right
+   * all-occurrence replace merges only every other pair of an
+   * alternating chain; pass 2 merges the pairs pass 1 isolated (any
+   * alternating chain resolves in two), and the third is headroom. A
+   * FIXED count — not replace-to-fixpoint — so both engines run the
+   * exact same expression and stay bit-identical.
+   */
+  val BpePasses = 3
+
+  /** Word fence: U+0001 between words — no merge pair contains it, so
+    * no merge can cross a word boundary. */
+  private val BpeFence = "\u0001"
+
+  /**
+   * Real BPE tokenization against [[BpeMerges]]: lower-cased [a-z]+
+   * words split to characters (space-delimited, words fenced by a
+   * U+0001 sentinel no merge pair can cross), then each rank's pair
+   * " a b " collapses to " ab " via [[BpePasses]] exact-string replaces
+   * — all-occurrence, left-to-right, identical semantics in Spark's
+   * `replace` and DuckDB's `replace`, so a SQL oracle replays the whole
+   * merge cascade byte for byte. Pure codegen'd expressions: one linear
+   * pass, no shuffle, no UDF — the 100 TB shape.
+   */
+  def bpeTokens(text: Column): Column = {
+    val words = regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+    val spaced = transform(words,
+      w => regexp_replace(w, lit("(.)"), lit("$1 ")))
+    val init = concat(lit(" "), array_join(spaced, BpeFence + " "))
+    val merged = BpeMerges.foldLeft(init) { case (s, (a, b)) =>
+      (1 to BpePasses).foldLeft(s)((cur, _) =>
+        replace(cur, lit(s" $a $b "), lit(s" $a$b ")))
+    }
+    filter(split(trim(merged), " "),
+      t => t =!= BpeFence && t =!= "")
+  }
+
+  /** BPE token count per document (see [[bpeTokens]]). */
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Punctuation chars per character. */
   def punctRatio(text: Column): Column =
     regexp_count(text, lit("[.,;:!?]")).cast("double") /

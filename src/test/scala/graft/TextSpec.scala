@@ -174,4 +174,27 @@ class TextSpec extends SparkSpec {
     assert(math.abs(r(3L) - grid(lp(7))) < 1e-9)
     assert(r(2L) > r(1L) && r(1L) > r(3L))
   }
+
+  test("bpe tokenization: merge cascade, chains, and word fencing") {
+    import spark.implicits._
+    val docs = Seq(
+      // the: t h e -> th e -> the (1); thing: th in g -> th ing (2);
+      // and: an d -> and (1); a (1); thin: th in (2)  => 7
+      (1L, "The thing and a thin"),
+      // chain of one pair: a n a n a n -> an an an (3) — pass 2 catches
+      // the pair pass 1's consumed delimiter skipped
+      (2L, "ananan"),
+      // fence: merges never cross words — "i n" as two words stays 2
+      (3L, "i n"),
+      (4L, ""),
+      (5L, "123 !!")                 // no [a-z] words at all
+    ).toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"), Text.bpeTokenCount(col("text")))
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r == Map(1L -> 7, 2L -> 3, 3L -> 2, 4L -> 0, 5L -> 0), r.toString)
+    // tokens themselves: the merge results, not characters
+    val toks = docs.where(col("doc_id") === 1L)
+      .select(Text.bpeTokens(col("text"))).head.getSeq[String](0)
+    assert(toks == Seq("the", "th", "ing", "and", "a", "th", "in"), toks)
+  }
 }
