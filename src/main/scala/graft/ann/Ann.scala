@@ -603,7 +603,16 @@ object Ann {
    * cluster memory or not. COSINE is scale-invariant, so quantized
    * cosine needs no dequantization: cos(q_a, q_b) ≈ cos(a, b).
    */
-  def quantize8(v: Column): Column = {
+  def quantize8(v: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.ArrayQuantize8(
+        org.apache.spark.sql.graft.bridge.expression(v)))
+
+  /** The HOF formulation [[quantize8]]'s native expression replaces —
+    * identical arithmetic, but the interpreter runs per ELEMENT (twice:
+    * the max pass and the emit pass), which made int8 brute force
+    * slower than full precision. Kept for the equivalence spec. */
+  private[graft] def quantize8Hof(v: Column): Column = {
     val mx = greatest(array_max(transform(v, x => abs(x.cast("double")))),
       lit(1e-30))
     transform(v, x =>

@@ -146,3 +146,79 @@ case class ArrayL2Norm(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): ArrayL2Norm =
     copy(child = newChild)
 }
+
+/**
+ * Symmetric int8 quantization of a numeric array in ONE fused codegen'd
+ * pass: mx = max |a_i|, scale = 127.0 / max(mx, 1e-30), q_i =
+ * (byte) floor(a_i * scale + 0.5) — the exact arithmetic (and
+ * association: scale is computed once, then multiplied) of the
+ * array_max/transform HOF formulation it replaces, which ran the
+ * expression interpreter per ELEMENT twice per vector (§6.5) and made
+ * int8 brute-force search slower than full-precision. NULL array →
+ * NULL; NULL elements stay NULL in the output (as with transform()).
+ */
+case class ArrayQuantize8(child: Expression) extends UnaryExpression {
+  import ArrayOps._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    check(prettyName, children)
+  override def dataType: DataType = ArrayType(ByteType, containsNull = true)
+  override def prettyName: String = "graft_quantize8"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val et = elementType(child)
+    val n = x.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) {
+        val v = math.abs(get(et, x, i)); if (v > mx) mx = v
+      }
+      i += 1
+    }
+    val sc = 127.0 / math.max(mx, 1e-30)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      if (!x.isNullAt(i))
+        out(i) = math.floor(get(et, x, i) * sc + 0.5).toByte
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val et = elementType(child)
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val mx = ctx.freshName("mx")
+      val sc = ctx.freshName("sc")
+      val v = ctx.freshName("v")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double $mx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    double $v = java.lang.Math.abs(${getter(et, a, i)});
+         |    if ($v > $mx) $mx = $v;
+         |  }
+         |}
+         |double $sc = 127.0 / java.lang.Math.max($mx, 1e-30);
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    $out[$i] = java.lang.Byte.valueOf(
+         |      (byte) java.lang.Math.floor(${getter(et, a, i)} * $sc + 0.5));
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ArrayQuantize8 = copy(child = newChild)
+}

@@ -86,6 +86,17 @@ class AnnSpec extends SparkSpec {
     assert((exact & quant).size >= 8, s"recall too low: $exact vs $quant")
   }
 
+  test("native quantize8 matches the HOF formulation element for element") {
+    val emb = graft.sources.Sources.table(spark, sf001, "embeddings")
+    val diff = emb.select(
+        Ann.quantize8(org.apache.spark.sql.functions.col("embedding")).as("a"),
+        Ann.quantize8Hof(org.apache.spark.sql.functions.col("embedding")).as("b"))
+      .where(org.apache.spark.sql.functions.col("a") =!=
+        org.apache.spark.sql.functions.col("b"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("knn join: per-id ranked neighbors, self excluded, at most k") {
     val emb = graft.sources.Sources.table(spark, sf001, "embeddings")
     val knn = Ann.knnJoin(emb, emb, 3).collect()
