@@ -253,6 +253,35 @@ object Dedup {
   }
 
   /**
+   * Compact a fragmented signature store: every
+   * [[appendKeepersToStore]] crawl adds its own set of part files, so
+   * after many crawls the store's file count — and every subsequent
+   * dedup's listing + small-read overhead — grows with CRAWL COUNT,
+   * not data size. Rewrite to `targetFiles` files via a staging dir +
+   * swap, the same trade as index compaction (generic Hadoop FS has no
+   * atomic dir replace: readers can observe a missing store for the
+   * two-FS-op swap window, and the staging copy is PRESERVED if the
+   * final swap fails — it may be the only intact copy). Run it between
+   * crawls, like `dragnet compact` between index updates. Returns the
+   * compacted data file count.
+   */
+  def compactStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, targetFiles: Int = 1): Int = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1: $targetFiles")
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return 0
+    val staging = new org.apache.hadoop.fs.Path(storePath + ".compact-staging")
+    spark.read.parquet(storePath).repartition(targetFiles)
+      .write.mode("overwrite").parquet(staging.toString)
+    if (!fs.delete(root, true) || !fs.rename(staging, root))
+      throw new graft.GraftException(s"compactStore: swap failed for " +
+        s"$storePath — the compacted copy is preserved at $staging")
+    fs.listStatus(root).count(f =>
+      f.isFile && f.getPath.getName.startsWith("part-"))
+  }
+
+  /**
    * Incremental dedup: the ids of NEW-batch docs kept after deduping
    * against a persisted [[signatureStore]] — the old corpus is touched
    * ONLY through the store. Four independent deterministic filters,

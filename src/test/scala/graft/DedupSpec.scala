@@ -58,6 +58,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("store append + compact: chained crawls dedup, file count resets, results unchanged") {
+    def rep(s: String) = (s + " ") * 20
+    val old = Seq((1L, rep("a b c")), (2L, rep("d e f"))).toDF("doc_id", "text")
+    val crawlA = Seq(
+      (10L, rep("g h i")),                 // kept, enters the store
+      (11L, rep("b c a"))                  // near-dup of old 1 → dropped
+    ).toDF("doc_id", "text")
+    val crawlB = Seq(
+      (20L, rep("h i g")),                 // near-dup of A's keeper 10 → dropped
+      (21L, rep("e f d")),                 // near-dup of old 2 → dropped
+      (22L, rep("x y z"))                  // kept
+    ).toDF("doc_id", "text")
+    val p = java.nio.file.Files.createTempDirectory("graft-store-compact")
+    try {
+      Dedup.signatureStore(old).write.mode("overwrite").parquet(p.toString)
+      def partFiles = new java.io.File(p.toString).listFiles()
+        .count(f => f.isFile && f.getName.startsWith("part-"))
+      val afterBase = partFiles
+      val keptA = Dedup.appendKeepersToStore(spark, crawlA, p.toString)
+        .collect().map(_.getLong(0)).toSet
+      assert(keptA == Set(10L))
+      // the append fragments the store: each crawl adds its own files
+      assert(partFiles > afterBase, s"append added no files ($partFiles)")
+      val fragKept = Dedup.incrementalKeepers(crawlB,
+        spark.read.parquet(p.toString)).collect().map(_.getLong(0)).toSet
+      assert(fragKept == Set(22L),
+        s"crawl B must see old AND crawl A through the store: $fragKept")
+      // compact: one data file, identical dedup results
+      val files = Dedup.compactStore(spark, p.toString)
+      assert(files == 1 && partFiles == 1, s"compacted to $files/$partFiles")
+      val compKept = Dedup.incrementalKeepers(crawlB,
+        spark.read.parquet(p.toString)).collect().map(_.getLong(0)).toSet
+      assert(compKept == fragKept)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("minhash candidates include both dup pairs, not the unrelated doc") {
     val pairs = Dedup.minhashCandidates(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

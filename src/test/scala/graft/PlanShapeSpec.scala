@@ -136,10 +136,12 @@ class PlanShapeSpec extends SparkSpec {
     // is a 100 TB mistake hidden at test scale — pin the parquet
     // ReadSchema, not just the logical projection
     spark.catalog.clearCache()
-    val t = SparkEntry.queries("text_tokens")(spark, sf001)
-      .queryExecution.executedPlan.toString
-    assert(t.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
-      t.take(1000))
+    for (q <- Seq("text_tokens", "text_tokens_bpe")) {
+      val t = SparkEntry.queries(q)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      assert(t.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$q reads more than (doc_id, text):\n${t.take(1000)}")
+    }
     val a = SparkEntry.queries("ann_topk")(spark, sf001)
       .queryExecution.executedPlan.toString
     // label is the one column no ANN query needs — it must not be read
