@@ -82,4 +82,25 @@ class EdgeSpec extends SparkSpec {
     val ne = withNull.where(Cmp("ne", "k", "x").toColumn(withNull.col))
     assert(ne.count() == 0)
   }
+
+  test("quantize8 edges: empty, all-zero, null elements — native == HOF") {
+    import org.apache.spark.sql.functions.col
+    val vecs = Seq(
+      (1L, Array[java.lang.Float]()),                       // empty
+      (2L, Array[java.lang.Float](0f, 0f, 0f)),             // all zero
+      (3L, Array[java.lang.Float](1f, null, -2f)),          // null element
+      (4L, Array[java.lang.Float](-0.5f, 0.25f, 0.5f))      // fractional
+    ).toDF("id", "v")
+    val rows = vecs.select(col("id"), graft.ann.Ann.quantize8(col("v")).as("a"),
+        graft.ann.Ann.quantize8Hof(col("v")).as("b")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Any](1) == r.getSeq[Any](2),
+        s"id=${r.getLong(0)}: ${r.getSeq[Any](1)} != ${r.getSeq[Any](2)}")
+    }
+    val byId = rows.map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(byId(1L).isEmpty)
+    assert(byId(2L) == Seq(0.toByte, 0.toByte, 0.toByte))
+    assert(byId(3L) == Seq(64.toByte, null, -127.toByte))
+    assert(byId(4L) == Seq(-127.toByte, 64.toByte, 127.toByte))
+  }
 }
