@@ -286,7 +286,18 @@ object AnnQueries {
         val e = emb(s, dir)
         Ann.ivfpqTopK(e, queryVec(e), 10, modulus = sampleMod(e))
       },
-      Some(ivfpqSql)),
+      Some(ivfpqSql(lloyd = false))),
+
+    // #30f the composed shape with one Lloyd refinement of BOTH halves
+    // from the shared sample — centroids by cell means, codebooks by
+    // (sub, code) means — the full train-then-serve pipeline in one
+    // oracle-replayable query.
+    Q("ann_ivfpq_lloyd",
+      (s, dir) => {
+        val e = emb(s, dir)
+        Ann.ivfpqTopK(e, queryVec(e), 10, lloyd = 1, modulus = sampleMod(e))
+      },
+      Some(ivfpqSql(lloyd = true))),
 
     // #29 embedding-cosine near-dup pairs (bucket join + exact verify);
     // bit width derived from the corpus size on both sides, as in
@@ -413,20 +424,80 @@ object AnnQueries {
    * The composed IVF+PQ oracle: the ann_ivf CTE family (normalize →
    * sampled centroids → argmax-dot assignment → nprobe cells) feeds the
    * ann_pq family restricted to the pruned rows (sub-vector split →
-   * argmin encode → query LUT → fixed-order score sum). One `cent` CTE
-   * serves both halves, exactly as one sampled-row set does in
-   * [[Ann.ivfpqTopK]].
+   * argmin encode → query LUT → fixed-order score sum). One `cent0`
+   * sample CTE serves both halves, exactly as one sampled-row set does
+   * in [[Ann.ivfpqTopK]]. With `lloyd`, BOTH halves refine from that
+   * sample — the centroids by cell means (the ann_ivf_lloyd family),
+   * the codebooks by (sub, code) means over the WHOLE corpus (the
+   * ann_pq_lloyd family) — before assignment/pruning/encoding.
    */
-  private def ivfpqSql: String = s"""
+  private def ivfpqSql(lloyd: Boolean): String = {
+    val ivfRefineCtes = s"""
+        d0 AS (
+          SELECT n.id, n.vn, c.cid, ${dotSql("n.vn", "c.cv")} AS d
+          FROM n CROSS JOIN cent0 c),
+        a0 AS (
+          SELECT id, vn, cid AS cell,
+            row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn
+          FROM d0),
+        dims AS (
+          SELECT cell, generate_subscripts(vn, 1) AS pos, unnest(vn) AS x
+          FROM a0 WHERE rn = 1),
+        cmeans AS (
+          SELECT cell, pos, round(AVG(x), 6) AS m FROM dims GROUP BY 1, 2),
+        refined0 AS (
+          SELECT cell AS cid, list(m ORDER BY pos) AS cv0
+          FROM cmeans GROUP BY 1),
+        refined AS (
+          SELECT cid,
+            CASE WHEN ${normSqlOf("cv0")} > 0
+              THEN list_transform(cv0, x -> x / ${normSqlOf("cv0")})
+              ELSE cv0 END AS cv
+          FROM refined0),
+        cent AS (
+          SELECT cid, cv FROM refined
+          UNION ALL
+          SELECT c0.cid, c0.cv FROM cent0 c0
+          WHERE c0.cid NOT IN (SELECT cid FROM refined)),"""
+    val pqRefineCtes = s"""
+        allsubs AS (
+          SELECT id, sub, list_slice(vn, sub*16 + 1, sub*16 + 16) AS sv
+          FROM n, subIdx),
+        rdists AS (
+          SELECT s.id, s.sub, s.sv, c.cid,
+            (${dotSql("s.sv", "s.sv")}) + (${dotSql("c.cv", "c.cv")})
+              - 2.0 * (${dotSql("s.sv", "c.cv")}) AS dist
+          FROM allsubs s JOIN csubs c ON s.sub = c.sub),
+        rcodes AS (
+          SELECT sub, cid AS code, sv,
+            row_number() OVER (PARTITION BY id, sub ORDER BY dist, cid) AS rn
+          FROM rdists),
+        rdims AS (
+          SELECT sub, code, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x
+          FROM rcodes WHERE rn = 1),
+        rmeans AS (
+          SELECT sub, code, pos, round(AVG(x), 6) AS mn
+          FROM rdims GROUP BY 1, 2, 3),
+        pqref AS (
+          SELECT sub, code AS cid, list(mn ORDER BY pos) AS cv
+          FROM rmeans GROUP BY 1, 2),
+        cb AS (
+          SELECT sub, cid, cv FROM pqref
+          UNION ALL
+          SELECT c.sub, c.cid, c.cv FROM csubs c
+          WHERE NOT EXISTS (SELECT 1 FROM pqref r
+                            WHERE r.sub = c.sub AND r.cid = c.cid)),"""
+    s"""
         WITH n AS (
           SELECT vec_id AS id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
           FROM embeddings),
         mm AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
-        cent AS (
+        cent0 AS (
           SELECT id AS cid, vn AS cv FROM n, mm
           WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
-            % mm.m = 0),
+            % mm.m = 0),${
+      if (lloyd) ivfRefineCtes else "\n        cent AS (SELECT * FROM cent0),"}
         dists AS (
           SELECT n.id, n.vn, c.cid, ${dotSql("n.vn", "c.cv")} AS d
           FROM n CROSS JOIN cent c),
@@ -444,7 +515,8 @@ object AnnQueries {
         subIdx AS (SELECT unnest([0, 1, 2, 3]) AS sub),
         csubs AS (
           SELECT cid, sub, list_slice(cv, sub*16 + 1, sub*16 + 16) AS cv
-          FROM cent, subIdx),
+          FROM cent0, subIdx),${
+      if (lloyd) pqRefineCtes else "\n        cb AS (SELECT * FROM csubs),"}
         subs AS (
           SELECT id, sub, list_slice(vn, sub*16 + 1, sub*16 + 16) AS sv
           FROM pruned, subIdx),
@@ -452,7 +524,7 @@ object AnnQueries {
           SELECT s.id, s.sub, c.cid,
             (${dotSql("s.sv", "s.sv")}) + (${dotSql("c.cv", "c.cv")})
               - 2.0 * (${dotSql("s.sv", "c.cv")}) AS dist
-          FROM subs s JOIN csubs c ON s.sub = c.sub),
+          FROM subs s JOIN cb c ON s.sub = c.sub),
         codes AS (
           SELECT id, sub, cid AS code,
             row_number() OVER (PARTITION BY id, sub ORDER BY dist, cid) AS rn
@@ -462,7 +534,7 @@ object AnnQueries {
           FROM qn, subIdx),
         lut AS (
           SELECT c.sub, c.cid, ${dotSql("c.cv", "q.qv")} AS pd
-          FROM csubs c JOIN qsubs q ON c.sub = q.sub)
+          FROM cb c JOIN qsubs q ON c.sub = q.sub)
         SELECT codes.id AS vec_id,
           (SUM(CASE WHEN codes.sub = 0 THEN lut.pd END)
            + SUM(CASE WHEN codes.sub = 1 THEN lut.pd END)
@@ -472,6 +544,7 @@ object AnnQueries {
         WHERE codes.rn = 1
         GROUP BY 1
         ORDER BY score DESC, vec_id LIMIT 10"""
+  }
 
   /** Sign bucket over dims 1-4 — mirrors Ann.signBucket(bits=4). */
   private def bucketSql: String =

@@ -541,7 +541,12 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding",
       nlist: Int = 16, nprobe: Int = 4, m: Int = 4, k: Int = 16,
       lloyd: Int = 0, modulus: Option[Long] = None): DataFrame = {
-    val centroids = ivfCentroids(corpus, idCol, vecCol, nlist, modulus)
+    // `lloyd` refines BOTH halves: the coarse centroids via [[ivfRefine]]
+    // (cell means) and the codebooks via [[pqRefine]] ((sub, code) means)
+    // — each from the same deterministic sample, diverging by training
+    var centroids = ivfCentroids(corpus, idCol, vecCol, nlist, modulus)
+    (0 until lloyd).foreach(_ =>
+      centroids = ivfRefine(corpus, centroids, idCol, vecCol))
     // (id, vn, cell): the persisted artifact at production scale — vn is
     // bit-identical to the normalization pqEncode would compute, so
     // encoding from it replays exactly
