@@ -496,20 +496,33 @@ object Ann {
     var cb = pqCodebooks(corpus, idCol, vecCol, m, k, modulus)
     (0 until lloyd).foreach(_ => cb = pqRefine(corpus, cb, idCol, vecCol, m))
     val enc = pqEncode(corpus, cb, idCol, vecCol, m)
+    adcTopK(enc, pqLut(cb, query, vecCol, m), m, idCol, topK)
+  }
+
+  /** The query-side m×k ADC lookup table (lsub, cid, pd): each codebook
+    * centroid's partial dot against the query's matching sub-vector.
+    * Tiny (m×k rows) — always broadcast by consumers. */
+  private def pqLut(cb: DataFrame, query: DataFrame, vecCol: String,
+      m: Int): DataFrame = {
     val dsub = cb.select(size(col("cv"))).head.getInt(0)
     val qsubCols = (0 until m).map(s =>
       struct(lit(s).as("sub"), slice(col("qn"), s * dsub + 1, dsub).as("qv")))
     val qsubs = withNormalized(query, vecCol, "qn")
       .select(explode(array(qsubCols: _*)).as("b"))
       .select(col("b.sub").as("lsub"), col("b.qv").as("qv"))
-    val lut = cb.join(broadcast(qsubs), col("sub") === col("lsub"))
+    cb.join(broadcast(qsubs), col("sub") === col("lsub"))
       .select(col("lsub"), col("cid"), dot(col("cv"), col("qv")).as("pd"))
-    // The score must be a FIXED-ORDER sum: a plain sum() aggregates the m
-    // partials in partition-arrival order, and that reassociation noise
-    // is enough to flip near-tied rows across the top-k boundary (and
-    // across engines). Pivot each subspace's partial into its own column
-    // (each a sum over exactly one row — exact) and add left-to-right:
-    // bit-identical every run and replayable verbatim in SQL.
+  }
+
+  /** ADC scoring of (id, sub, code) rows against a broadcast [[pqLut]].
+    * The score must be a FIXED-ORDER sum: a plain sum() aggregates the m
+    * partials in partition-arrival order, and that reassociation noise
+    * is enough to flip near-tied rows across the top-k boundary (and
+    * across engines). Pivot each subspace's partial into its own column
+    * (each a sum over exactly one row — exact) and add left-to-right:
+    * bit-identical every run and replayable verbatim in SQL. */
+  private def adcTopK(enc: DataFrame, lut: DataFrame, m: Int,
+      idCol: String, topK: Int): DataFrame = {
     val partials = (0 until m).map(s =>
       sum(when(col("sub") === s, col("pd"))).as(s"p$s"))
     enc.join(broadcast(lut),
@@ -570,33 +583,70 @@ object Ann {
     val subs = pruned.select(col("id"), explode(array(subCols: _*)).as("b"))
       .select(col("id"), col("b.sub").as("sub"), col("b.sv").as("sv"))
     // encode ONLY the pruned rows against the broadcast codebooks (at
-    // scale the codes are precomputed; encoding the candidates inline
-    // keeps this self-contained without a whole-corpus encode pass)
+    // scale the codes are precomputed — [[ivfpqEncode]] — and the search
+    // reads them partition-pruned; encoding the candidates inline keeps
+    // this self-contained without a whole-corpus encode pass)
     val enc = subs.join(broadcast(cb), "sub")
       .withColumn("dist",
         dot(col("sv"), col("sv")) + dot(col("cv"), col("cv"))
           - lit(2.0) * dot(col("sv"), col("cv")))
       .groupBy(col("id"), col("sub"))
       .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("code"))
-    val qsubCols = (0 until m).map(s =>
-      struct(lit(s).as("sub"), slice(col("qn"), s * dsub + 1, dsub).as("qv")))
-    val qsubs = withNormalized(query, vecCol, "qn")
-      .select(explode(array(qsubCols: _*)).as("b"))
-      .select(col("b.sub").as("lsub"), col("b.qv").as("qv"))
-    val lut = cb.join(broadcast(qsubs), col("sub") === col("lsub"))
-      .select(col("lsub"), col("cid"), dot(col("cv"), col("qv")).as("pd"))
-    // fixed-order score sum, as in [[pqTopK]]: one exact single-row SUM
-    // per subspace, added left-to-right — bit-identical across engines
-    val partials = (0 until m).map(s =>
-      sum(when(col("sub") === s, col("pd"))).as(s"p$s"))
-    enc.join(broadcast(lut),
-        col("sub") === col("lsub") && col("code") === col("cid"))
-      .groupBy(col("id"))
-      .agg(partials.head, partials.tail: _*)
-      .select(col("id").as(idCol),
-        (0 until m).map(s => col(s"p$s")).reduce(_ + _).as("score"))
-      .orderBy(col("score").desc, col(idCol))
-      .limit(topK)
+    adcTopK(enc, pqLut(cb, query, vecCol, m), m, idCol, topK)
+  }
+
+  /**
+   * Build the PERSISTABLE IVF+PQ serving artifact: one row per
+   * (vector, subspace) carrying the cell and the code — write it
+   * `partitionBy("cell")` and every [[ivfpqTopKEncoded]] search becomes
+   * a partition-pruned read of mk-byte codes; the float corpus is never
+   * opened again. The per-crawl build step of the serving story, like
+   * the index build or the dedup signature store.
+   */
+  def ivfpqEncode(corpus: DataFrame, centroids: DataFrame, cb: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      m: Int = 4): DataFrame = {
+    val dsub = cb.select(size(col("cv"))).head.getInt(0)
+    val subCols = (0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(col("vn"), s * dsub + 1, dsub).as("sv")))
+    val subs = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col("id"), col("cell"), explode(array(subCols: _*)).as("b"))
+      .select(col("id"), col("cell"), col("b.sub").as("sub"),
+        col("b.sv").as("sv"))
+    subs.join(broadcast(cb), "sub")
+      .withColumn("dist",
+        dot(col("sv"), col("sv")) + dot(col("cv"), col("cv"))
+          - lit(2.0) * dot(col("sv"), col("cv")))
+      .groupBy(col("id"), col("cell"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("code"))
+  }
+
+  /**
+   * Search the persisted [[ivfpqEncode]] artifact: the broadcast
+   * centroids pick the query's nprobe cells, a LITERAL IN over the
+   * cell column prunes the code table — on a `partitionBy("cell")`
+   * layout that is STATIC partition pruning: the planner never lists,
+   * let alone reads, the other cells' files — and the broadcast
+   * [[pqLut]] scores what remains. The cell list is a deliberate
+   * driver-side collect of ≤ nprobe values (one tiny job over the
+   * broadcast centroids — nlist rows), chosen over a join so pruning
+   * doesn't depend on dynamic-partition-pruning heuristics firing. No
+   * corpus access, no shuffle wider than the probed cells' code rows.
+   */
+  def ivfpqTopKEncoded(encoded: DataFrame, centroids: DataFrame,
+      cb: DataFrame, query: DataFrame, topK: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      m: Int = 4, nprobe: Int = 4): DataFrame = {
+    val cells = withNormalized(query, vecCol, "qn").select(col("qn"))
+      .crossJoin(broadcast(centroids))
+      .select(col("cid"), dot(col("qn"), col("cv")).as("d"))
+      .orderBy(col("d").desc, col("cid"))
+      .limit(nprobe)
+      .select(col("cid"))
+      .collect().map(_.get(0)).toSeq
+    val enc = encoded.filter(col("cell").isin(cells: _*))
+      .select(col("id"), col("sub"), col("code"))
+    adcTopK(enc, pqLut(cb, query, vecCol, m), m, idCol, topK)
   }
 
   /**

@@ -72,6 +72,26 @@ class AnnSpec extends SparkSpec {
     assert((ivf & ids).size >= 5, s"recall too low vs IVF-exact: $ivf vs $ids")
   }
 
+  test("IVF+PQ over a persisted cell-partitioned code table: equal results, partitions pruned") {
+    val emb = graft.sources.Sources.table(spark, sf001, "embeddings")
+    val q = emb.orderBy(org.apache.spark.sql.functions.col("vec_id")).limit(1)
+    val centroids = Ann.ivfCentroids(emb)
+    val cb = Ann.pqCodebooks(emb)
+    val inline = Ann.ivfpqTopK(emb, q, 10).collect().map(_.toSeq).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    // the production layout: codes partitioned by cell, corpus retired
+    Ann.ivfpqEncode(emb, centroids, cb).write.mode("overwrite")
+      .partitionBy("cell").parquet(dir)
+    val search = Ann.ivfpqTopKEncoded(
+      spark.read.parquet(dir), centroids, cb, q, 10)
+    assert(search.collect().map(_.toSeq).toSeq == inline && inline.size == 10)
+    // the literal cell list must reach the partitioned scan as a static
+    // partition filter — un-probed cells' files are never opened
+    val plan = search.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("partitionfilters: [cell") && plan.contains(" in ("),
+      s"no static partition pruning on the code table:\n${plan.take(1500)}")
+  }
+
   test("int8 quantized top-k: values in range, high recall vs exact") {
     val emb = graft.sources.Sources.table(spark, sf001, "embeddings")
     val q = emb.orderBy(org.apache.spark.sql.functions.col("vec_id")).limit(1)
