@@ -114,7 +114,12 @@ object Bench {
     // the 10 slowest queries (the ones a grader acts on); BENCH_DETAIL
     // .json carries the complete min-per-query map plus each sweep's
     // raw times for transient-stall diagnosis.
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
+    // subset runs (local iteration) keep their hands off the repo-root
+    // artifact: a 1-query detail file overwriting the committed
+    // full-suite map would record misleading totals
+    val detailDefault =
+      if (only.isDefined) "/tmp/BENCH_DETAIL_subset.json" else "BENCH_DETAIL.json"
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", detailDefault)
     val detail =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfName","n":${best.size},
          |"queries":${jmap(best)},

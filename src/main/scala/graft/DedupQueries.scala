@@ -41,13 +41,8 @@ object DedupQueries {
     java.lang.Long.toHexString(s)
   }
 
-  /** Recursive delete for stale/partial store trees. */
   private def deleteRec(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.tools.LocalFs.deleteRec(p)
 
   /** Build the OLD snapshot's signature store once per source dataset
     * (parquet _SUCCESS as the marker) — the persisted artifact the
@@ -55,9 +50,18 @@ object DedupQueries {
     * again. */
   private def ensureStore(s: org.apache.spark.sql.SparkSession,
       dir: String): String = synchronized {
-    val path = s"/tmp/graft-sigstore/" +
-      s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}-${srcFingerprint(dir)}"
+    val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"/tmp/graft-sigstore/$dirKey-${srcFingerprint(dir)}"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      // a regenerated dataset mints a new fingerprint: drop the
+      // superseded stores (and their -chain copies) so /tmp holds at
+      // most one store per dataset, not one per regeneration
+      Option(new java.io.File("/tmp/graft-sigstore").listFiles()).toSeq
+        .flatten
+        .filter(f => f.getName.startsWith(s"$dirKey-") &&
+          f.getName != new java.io.File(path).getName &&
+          !f.getName.startsWith(new java.io.File(path).getName + "-"))
+        .foreach(f => deleteRec(f.toPath))
       Dedup.signatureStore(docs(s, dir).where(expr(OldWhere)))
         .write.mode("overwrite").parquet(path)
     }

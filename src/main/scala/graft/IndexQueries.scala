@@ -33,11 +33,7 @@ object IndexQueries {
 
   /** Recursive delete for the compact-roundtrip scratch tree. */
   private def deleteRec(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.tools.LocalFs.deleteRec(p)
 
   /** One scratch root per JVM for compact_roundtrip, wiped at exit —
     * Bench runs the query twice and Verify once more, so a plain

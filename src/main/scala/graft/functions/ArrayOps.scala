@@ -155,7 +155,9 @@ case class ArrayL2Norm(child: Expression)
  * array_max/transform HOF formulation it replaces, which ran the
  * expression interpreter per ELEMENT twice per vector (§6.5) and made
  * int8 brute-force search slower than full-precision. NULL array →
- * NULL; NULL elements stay NULL in the output (as with transform()).
+ * NULL; NULL elements stay NULL in the output (as with transform()),
+ * and a NaN element poisons the whole vector to zeros exactly as the
+ * HOF's NaN-propagating array_max does.
  */
 case class ArrayQuantize8(child: Expression) extends UnaryExpression {
   import ArrayOps._
@@ -173,7 +175,11 @@ case class ArrayQuantize8(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < n) {
       if (!x.isNullAt(i)) {
-        val v = math.abs(get(et, x, i)); if (v > mx) mx = v
+        // NaN propagates as the max, matching array_max's ordering (NaN
+        // sorts greatest) — sc and every output then follow the HOF path
+        // (NaN arithmetic → cast to 0)
+        val v = math.abs(get(et, x, i))
+        if (v > mx || v.isNaN) mx = v
       }
       i += 1
     }
@@ -203,7 +209,7 @@ case class ArrayQuantize8(child: Expression) extends UnaryExpression {
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i)) {
          |    double $v = java.lang.Math.abs(${getter(et, a, i)});
-         |    if ($v > $mx) $mx = $v;
+         |    if ($v > $mx || java.lang.Double.isNaN($v)) $mx = $v;
          |  }
          |}
          |double $sc = 127.0 / java.lang.Math.max($mx, 1e-30);

@@ -51,11 +51,7 @@ class DedupSpec extends SparkSpec {
       val kept2 = Dedup.incrementalKeepers(batch, spark.read.parquet(p.toString))
         .collect().map(_.getLong(0)).toSet
       assert(kept2 == kept)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    } finally graft.tools.LocalFs.deleteRec(p)
   }
 
   test("store append + compact: chained crawls dedup, file count resets, results unchanged") {
@@ -91,11 +87,7 @@ class DedupSpec extends SparkSpec {
       val compKept = Dedup.incrementalKeepers(crawlB,
         spark.read.parquet(p.toString)).collect().map(_.getLong(0)).toSet
       assert(compKept == fragKept)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    } finally graft.tools.LocalFs.deleteRec(p)
   }
 
   test("minhash candidates include both dup pairs, not the unrelated doc") {

@@ -89,7 +89,8 @@ class EdgeSpec extends SparkSpec {
       (1L, Array[java.lang.Float]()),                       // empty
       (2L, Array[java.lang.Float](0f, 0f, 0f)),             // all zero
       (3L, Array[java.lang.Float](1f, null, -2f)),          // null element
-      (4L, Array[java.lang.Float](-0.5f, 0.25f, 0.5f))      // fractional
+      (4L, Array[java.lang.Float](-0.5f, 0.25f, 0.5f)),     // fractional
+      (5L, Array[java.lang.Float](Float.NaN, 1f))           // NaN poisons
     ).toDF("id", "v")
     val rows = vecs.select(col("id"), graft.ann.Ann.quantize8(col("v")).as("a"),
         graft.ann.Ann.quantize8Hof(col("v")).as("b")).collect()
@@ -102,5 +103,8 @@ class EdgeSpec extends SparkSpec {
     assert(byId(2L) == Seq(0.toByte, 0.toByte, 0.toByte))
     assert(byId(3L) == Seq(64.toByte, null, -127.toByte))
     assert(byId(4L) == Seq(-127.toByte, 64.toByte, 127.toByte))
+    // NaN is the max under array_max's ordering: scale and every output
+    // go NaN, and NaN casts to 0 — the whole vector zeroes on BOTH paths
+    assert(byId(5L) == Seq(0.toByte, 0.toByte))
   }
 }

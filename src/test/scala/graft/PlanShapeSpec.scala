@@ -64,8 +64,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("graft-sigstore"),
       s"dedup_incremental does not read the signature store:\n${plan.take(1200)}")
     // every documents scan carries the NEW-batch filter; the old
-    // snapshot's rows are never re-read or re-signed
-    assert(!plan.contains("% 3) <> 0") && plan.contains("% 3) = 0"),
+    // snapshot's rows are never re-read or re-signed. Spark renders the
+    // old-side `% 3 <> 0` as `NOT ((doc_id#… % 3) = 0)` — assert THAT
+    // form's absence (the `<> 0` spelling never appears in a plan, so
+    // checking it would be vacuous).
+    assert(plan.contains("% 3) = 0") && !plan.contains("NOT ((doc_id"),
       s"dedup_incremental rescans the old snapshot:\n${plan.take(1200)}")
   }
 
@@ -75,10 +78,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("graft-sigstore"),
       s"dedup_incremental2 does not read the signature store:\n${plan.take(1200)}")
     // the query plans only batch B's documents scan: the old snapshot
-    // (% 3 <> 0) and batch A (% 6 = 0) both arrive pre-signed through
-    // the chained store parquet
-    assert(!plan.contains("% 3) <> 0") && !plan.contains("% 6) = 0") &&
-      plan.contains("% 6) = 3"),
+    // (% 3 <> 0, rendered NOT (… % 3) = 0) and batch A (% 6 = 0) both
+    // arrive pre-signed through the chained store parquet — so NO % 3
+    // filter of either polarity may appear at all
+    assert(plan.contains("% 6) = 3") && !plan.contains("% 3)") &&
+      !plan.contains("% 6) = 0"),
       s"dedup_incremental2 rescans a prior snapshot/batch:\n${plan.take(1200)}")
   }
 
