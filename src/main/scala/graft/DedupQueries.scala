@@ -31,15 +31,8 @@ object DedupQueries {
     * against stale signatures while the oracle recomputes from live
     * data; it also disambiguates two dirs whose sanitized names
     * collide. */
-  private def srcFingerprint(dir: String): String = {
-    val f = new java.io.File(s"$dir/documents.parquet")
-    def stamp(x: java.io.File): Long = 31L * x.length() + x.lastModified()
-    val s =
-      if (f.isDirectory)
-        f.listFiles().map(stamp).foldLeft(stamp(f))(_ ^ _)
-      else stamp(f)
-    java.lang.Long.toHexString(s)
-  }
+  private def srcFingerprint(dir: String): String =
+    graft.tools.LocalFs.fingerprint(new java.io.File(s"$dir/documents.parquet"))
 
   private def deleteRec(p: java.nio.file.Path): Unit =
     graft.tools.LocalFs.deleteRec(p)
@@ -56,12 +49,8 @@ object DedupQueries {
       // a regenerated dataset mints a new fingerprint: drop the
       // superseded stores (and their -chain copies) so /tmp holds at
       // most one store per dataset, not one per regeneration
-      Option(new java.io.File("/tmp/graft-sigstore").listFiles()).toSeq
-        .flatten
-        .filter(f => f.getName.startsWith(s"$dirKey-") &&
-          f.getName != new java.io.File(path).getName &&
-          !f.getName.startsWith(new java.io.File(path).getName + "-"))
-        .foreach(f => deleteRec(f.toPath))
+      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-sigstore",
+        s"$dirKey-", new java.io.File(path).getName)
       Dedup.signatureStore(docs(s, dir).where(expr(OldWhere)))
         .write.mode("overwrite").parquet(path)
     }

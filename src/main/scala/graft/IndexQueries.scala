@@ -28,8 +28,16 @@ object IndexQueries {
       FieldSpec.plain("event_type"),
       FieldSpec.plain("user_id"))))
 
+  /** Cache path keyed by dir name AND a content fingerprint of the
+    * events table: a regenerated dataset rebuilds its indexes instead
+    * of silently serving rollups of dead data against a live-data
+    * oracle (same contract as the dedup signature store). */
+  private def indexKey(sfDir: String): String =
+    s"${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}-${graft.tools.LocalFs
+      .fingerprint(new java.io.File(s"$sfDir/events.parquet"))}"
+
   private def indexPath(sfDir: String, interval: String): String =
-    s"/tmp/graft-index/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$interval"
+    s"/tmp/graft-index/${indexKey(sfDir)}/$interval"
 
   /** Recursive delete for the compact-roundtrip scratch tree. */
   private def deleteRec(p: java.nio.file.Path): Unit =
@@ -57,6 +65,8 @@ object IndexQueries {
     val marker = new java.io.File(
       s"${Index.metricPath(path, interval, metrics.head.name)}/_SUCCESS")
     if (!marker.exists()) {
+      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-index",
+        s"${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}-", indexKey(sfDir))
       Index.build(Sources.events(spark, sfDir), metrics, path,
         timeField = "ts", interval = interval)
     }

@@ -4,6 +4,28 @@ package graft.tools
   * index trees) — NOT used by distributed operators, which go through
   * the Hadoop FS API. */
 object LocalFs {
+  /** Content fingerprint of a parquet file-or-directory (length ⊕ mtime
+    * over the file / its children): regenerating the dataset changes the
+    * fingerprint, so caches keyed on it REBUILD instead of silently
+    * serving artifacts derived from dead data; it also disambiguates
+    * distinct dirs whose sanitized names collide. */
+  def fingerprint(f: java.io.File): String = {
+    def stamp(x: java.io.File): Long = 31L * x.length() + x.lastModified()
+    val s =
+      if (f.isDirectory) f.listFiles().map(stamp).foldLeft(stamp(f))(_ ^ _)
+      else stamp(f)
+    java.lang.Long.toHexString(s)
+  }
+
+  /** Drop cache trees under `root` whose name starts with `keyPrefix`
+    * but is not (a sub-tree of) `keep` — the superseded-fingerprint
+    * sweep that bounds /tmp to one cache per dataset. */
+  def dropStaleSiblings(root: String, keyPrefix: String, keep: String): Unit =
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith(keyPrefix) &&
+        f.getName != keep && !f.getName.startsWith(keep + "-"))
+      .foreach(f => deleteRec(f.toPath))
+
   /** Recursive delete; missing path is a no-op. */
   def deleteRec(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
