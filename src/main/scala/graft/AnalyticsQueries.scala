@@ -136,17 +136,28 @@ object AnalyticsQueries {
 
     // #23b approximate distinct (HyperLogLog++): single-pass mergeable
     // sketch — THE distinct-count at 100 TB (exact needs a key shuffle;
-    // the sketch merges map-side in fixed memory). Rows-only: DuckDB's
-    // HLL is a different implementation, so the exact column anchors the
-    // check and the spec bounds the approximation error instead.
+    // the sketch merges map-side in fixed memory). DuckDB's HLL is a
+    // different implementation, so the sketch VALUE can't hash-match an
+    // oracle — but the sketch's CONTRACT can: the output carries the
+    // exact count plus a per-group `approx_ok` = |approx − exact| ≤ 5%
+    // of exact, and the oracle asserts TRUE for every group. A
+    // hyperparameter change (or an HLL regression) that pushed the
+    // sketch past its advertised error now turns the gate red instead
+    // of hiding behind a rows-only check.
     Q("q_user_counts_approx",
       (s, dir) => Sources.events(s, dir)
         .groupBy(col("event_type"))
         .agg(
           countDistinct(col("user_id")).as("exact_users"),
-          approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+          approx_count_distinct(col("user_id"), 0.02).as("approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")) <=
+            lit(0.05) * col("exact_users")).as("approx_ok"))
         .orderBy(col("event_type")),
-      None),
+      Some("""
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+          AS exact_users, TRUE AS approx_ok
+        FROM events GROUP BY 1 ORDER BY 1""")),
 
     // #24b hierarchical rollup: subtotals at every grouping level in one
     // pass (partial aggregation handles all levels map-side)

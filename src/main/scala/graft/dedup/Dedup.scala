@@ -258,25 +258,54 @@ object Dedup {
    * after many crawls the store's file count — and every subsequent
    * dedup's listing + small-read overhead — grows with CRAWL COUNT,
    * not data size. Rewrite to `targetFiles` files via a staging dir +
-   * swap, the same trade as index compaction (generic Hadoop FS has no
-   * atomic dir replace: readers can observe a missing store for the
-   * two-FS-op swap window, and the staging copy is PRESERVED if the
-   * final swap fails — it may be the only intact copy). Run it between
-   * crawls, like `dragnet compact` between index updates. Returns the
+   * RENAME-ASIDE swap (root → root.compact-old, staging → root, delete
+   * old): generic Hadoop FS has no atomic dir replace, but this order
+   * shrinks the root-absent window to two pure metadata renames (the
+   * old delete-then-rename held a recursive multi-file delete inside
+   * it) and, crucially, every failure mode leaves an intact store —
+   * a failed move-aside leaves root untouched; a failed final rename
+   * RESTORES the aside copy to root before throwing; the compacted
+   * staging copy is preserved in both cases. Run it between crawls,
+   * like `dragnet compact` between index updates. Returns the
    * compacted data file count.
    */
   def compactStore(spark: org.apache.spark.sql.SparkSession,
-      storePath: String, targetFiles: Int = 1): Int = {
+      storePath: String, targetFiles: Int = 1): Int =
+    compactStoreImpl(spark, storePath, targetFiles, (fs, a, b) => fs.rename(a, b))
+
+  /** [[compactStore]] with the rename injectable, so the spec can drive
+    * the failed-swap path deterministically (a real FS rename cannot be
+    * made to fail on demand) and assert the restore leaves the store
+    * intact. */
+  private[graft] def compactStoreImpl(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, targetFiles: Int,
+      rename: (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path,
+        org.apache.hadoop.fs.Path) => Boolean): Int = {
     require(targetFiles >= 1, s"targetFiles must be >= 1: $targetFiles")
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return 0
     val staging = new org.apache.hadoop.fs.Path(storePath + ".compact-staging")
+    val old = new org.apache.hadoop.fs.Path(storePath + ".compact-old")
     spark.read.parquet(storePath).repartition(targetFiles)
       .write.mode("overwrite").parquet(staging.toString)
-    if (!fs.delete(root, true) || !fs.rename(staging, root))
+    // a leftover aside dir from a crashed prior run would fail the
+    // move-aside rename; the live store is root, so the leftover is dead
+    fs.delete(old, true)
+    if (!rename(fs, root, old))
+      throw new graft.GraftException(s"compactStore: could not move " +
+        s"$storePath aside — store untouched; compacted copy preserved " +
+        s"at $staging")
+    if (!rename(fs, staging, root)) {
+      if (!rename(fs, old, root))
+        throw new graft.GraftException(s"compactStore: swap AND restore " +
+          s"failed for $storePath — intact store at $old, compacted copy " +
+          s"at $staging; restore manually")
       throw new graft.GraftException(s"compactStore: swap failed for " +
-        s"$storePath — the compacted copy is preserved at $staging")
+        s"$storePath — store restored intact; compacted copy preserved " +
+        s"at $staging")
+    }
+    fs.delete(old, true)
     fs.listStatus(root).count(f =>
       f.isFile && f.getPath.getName.startsWith("part-"))
   }

@@ -90,6 +90,36 @@ class DedupSpec extends SparkSpec {
     } finally graft.tools.LocalFs.deleteRec(p)
   }
 
+  test("compactStore failed swap restores the store intact") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val p = java.nio.file.Files.createTempDirectory("graft-store-swapfail")
+      .resolve("store")
+    try {
+      Dedup.signatureStore(docs).write.mode("overwrite").parquet(p.toString)
+      val before = spark.read.parquet(p.toString).orderBy("id", "fp")
+        .collect().toSeq
+      // fail the staging → root rename (the second rename of the swap);
+      // the move-aside (root → root.compact-old) runs for real
+      val ex = intercept[graft.GraftException] {
+        Dedup.compactStoreImpl(spark, p.toString, 1,
+          (fs, a, b) =>
+            if (a.getName.endsWith(".compact-staging")) false
+            else fs.rename(a, b))
+      }
+      assert(ex.getMessage.contains("restored intact"), ex.getMessage)
+      // the store survived at its path with identical content...
+      assert(spark.read.parquet(p.toString).orderBy("id", "fp")
+        .collect().toSeq == before)
+      // ...and a subsequent healthy compaction succeeds (the preserved
+      // staging dir and the cleared aside dir don't wedge it)
+      assert(Dedup.compactStore(spark, p.toString) == 1)
+      assert(spark.read.parquet(p.toString).orderBy("id", "fp")
+        .collect().toSeq == before)
+    } finally graft.tools.LocalFs.deleteRec(p.getParent)
+  }
+
   test("minhash candidates include both dup pairs, not the unrelated doc") {
     val pairs = Dedup.minhashCandidates(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
