@@ -29,12 +29,16 @@ object AnnQueries {
     val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val fp = graft.tools.LocalFs.fingerprint(
       new java.io.File(s"$dir/embeddings.parquet"))
-    val path = s"/tmp/graft-ivfpq/$dirKey-$fp"
+    val e = emb(s, dir)
+    val (nl, _, mod) = ivfGeom(e)
+    // the geometry is part of the artifact's identity: same data under a
+    // changed nlist derivation must rebuild, not serve the old layout
+    val key = s"$dirKey-$fp-nl$nl"
+    val path = s"/tmp/graft-ivfpq/$key"
     if (!new java.io.File(s"$path/codes/_SUCCESS").exists()) {
       graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-ivfpq",
-        s"$dirKey-", s"$dirKey-$fp")
-      val e = emb(s, dir)
-      val centroids = Ann.ivfCentroids(e, modulus = sampleMod(e))
+        s"$dirKey-", key)
+      val centroids = Ann.ivfCentroids(e, nlist = nl, modulus = mod)
       val cb = Ann.pqCodebooks(e, modulus = sampleMod(e))
       centroids.write.mode("overwrite").parquet(s"$path/centroids")
       cb.write.mode("overwrite").parquet(s"$path/codebooks")
@@ -44,13 +48,28 @@ object AnnQueries {
     path
   }
 
-  /** The IVF/PQ sampling modulus PIN for the oracle-gated queries: the
-    * static oracle SQL derives it as `count(*) // 16`, so the Spark side
-    * must use the exact same integer (the operators' scale default —
-    * plan-stats estimation, no extra pass — is approximate). On these
-    * raw parquet reads count() is footer metadata, not a data pass. */
+  /** The PQ codebook sampling modulus PIN for the oracle-gated queries:
+    * the static oracle SQL derives it as `count(*) // 16` (k = 16 codes
+    * per subspace — the code alphabet is fixed, not corpus-sized), so
+    * the Spark side must use the exact same integer (the operators'
+    * scale default — plan-stats estimation, no extra pass — is
+    * approximate). On these raw parquet reads count() is footer
+    * metadata, not a data pass. */
   private def sampleMod(e: org.apache.spark.sql.DataFrame) =
     Some(math.max(1L, e.count() / 16))
+
+  /** The DERIVED IVF geometry pins for the oracle-gated queries:
+    * (nlist, nprobe, centroid sampling modulus), each computed by the
+    * exact integer formula the oracle's [[ivfGeomCtes]] replays from
+    * count(*) — the same both-sides derivation move the r5 bucket-bits
+    * gates made, so the gates exercise the geometry that actually
+    * scales (16 cells at the 500-vector gate by the min clamp, 32 at
+    * the 20k-vector sf1 gate, ~√n/4 beyond). */
+  private def ivfGeom(e: org.apache.spark.sql.DataFrame): (Int, Int, Some[Long]) = {
+    val n = e.count()
+    val nl = Ann.nlistFor(n)
+    (nl, Ann.nprobeFor(nl), Some(math.max(1L, n / nl)))
+  }
 
   def all: Seq[Q] = Seq(
 
@@ -118,17 +137,19 @@ object AnnQueries {
     Q("ann_ivf",
       (s, dir) => {
         val e = emb(s, dir)
-        // modulus pinned to the oracle's count(*)//16 (a parquet
-        // footer-metadata count on this raw read); the operator's scale
-        // default derives it from plan stats with no extra pass
-        Ann.ivfTopK(e, queryVec(e), 10, modulus = sampleMod(e))
+        // geometry + sampling modulus pinned to the oracle's integer
+        // derivation from count(*) (a parquet footer-metadata count on
+        // this raw read); the operator's scale default derives the same
+        // formula from plan stats with no extra pass
+        val (nl, np, mod) = ivfGeom(e)
+        Ann.ivfTopK(e, queryVec(e), 10, nlist = nl, nprobe = np,
+          modulus = mod)
       },
       Some(s"""
         WITH n AS (
           SELECT vec_id AS id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),
-        mm AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
+          FROM embeddings),$ivfGeomCtes
         cent AS (
           SELECT id AS cid, vn AS cv FROM n, mm
           WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
@@ -140,10 +161,7 @@ object AnnQueries {
           SELECT id, vn, cid AS cell,
             row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn
           FROM dists),
-        qn AS (SELECT vn AS qn FROM n ORDER BY id LIMIT 1),
-        qc AS (
-          SELECT c.cid AS cell FROM cent c, qn
-          ORDER BY ${dotSql("qn.qn", "c.cv")} DESC, c.cid LIMIT 4)
+        qn AS (SELECT vn AS qn FROM n ORDER BY id LIMIT 1),$qcCte
         SELECT a.id AS vec_id, ${dotSql("a.vn", "q.qn")} AS cos
         FROM asg a JOIN qc ON a.cell = qc.cell CROSS JOIN qn q
         WHERE a.rn = 1
@@ -157,17 +175,17 @@ object AnnQueries {
     Q("ann_ivf_lloyd",
       (s, dir) => {
         val e = emb(s, dir)
+        val (nl, np, mod) = ivfGeom(e)
         val refined = Ann.ivfRefine(e,
-          Ann.ivfCentroids(e, modulus = sampleMod(e)))
+          Ann.ivfCentroids(e, nlist = nl, modulus = mod))
         Ann.ivfTopKAssigned(Ann.ivfAssign(e, refined), refined,
-          queryVec(e), 10)
+          queryVec(e), 10, nprobe = np)
       },
       Some(s"""
         WITH n AS (
           SELECT vec_id AS id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),
-        mm AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
+          FROM embeddings),$ivfGeomCtes
         cent0 AS (
           SELECT id AS cid, vn AS cv FROM n, mm
           WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
@@ -205,10 +223,7 @@ object AnnQueries {
           SELECT id, vn, cid AS cell,
             row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn
           FROM d1),
-        qn AS (SELECT vn AS qn FROM n ORDER BY id LIMIT 1),
-        qc AS (
-          SELECT c.cid AS cell FROM cent c, qn
-          ORDER BY ${dotSql("qn.qn", "c.cv")} DESC, c.cid LIMIT 4)
+        qn AS (SELECT vn AS qn FROM n ORDER BY id LIMIT 1),$qcCte
         SELECT a.id AS vec_id, ${dotSql("a.vn", "q.qn")} AS cos
         FROM asg a JOIN qc ON a.cell = qc.cell CROSS JOIN qn q
         WHERE a.rn = 1
@@ -300,22 +315,28 @@ object AnnQueries {
       Some(pqSql(lloyd = true))),
 
     // #30e composed IVF+PQ — the standard large-scale serving shape:
-    // the coarse quantizer prunes the corpus to the query's 4 nearest
-    // cells, then PQ asymmetric-distance scoring ranks only those
-    // cells' members from their codes. nlist == k == 16 with one pinned
-    // modulus, so a single sampled-row set trains both halves and the
-    // oracle replays cells → pruning → encoding → LUT → fixed-order sum.
+    // the coarse quantizer prunes the corpus to the query's nprobe
+    // nearest cells, then PQ asymmetric-distance scoring ranks only
+    // those cells' members from their codes. The cell geometry DERIVES
+    // from count(*) on both sides (nlist ~ √n/4, min-clamped to 16 at
+    // this corpus); the codebook sample stays at the fixed k=16 code
+    // alphabet — the oracle replays both samplings, cells → pruning →
+    // encoding → LUT → fixed-order sum.
     Q("ann_ivfpq",
       (s, dir) => {
         val e = emb(s, dir)
-        Ann.ivfpqTopK(e, queryVec(e), 10, modulus = sampleMod(e))
+        val (nl, np, mod) = ivfGeom(e)
+        Ann.ivfpqTopK(e, queryVec(e), 10, nlist = nl, nprobe = np,
+          modulus = mod, cbModulus = sampleMod(e))
       },
       Some(ivfpqSql(lloyd = false))),
 
     // #30e2 the PRODUCTION read path of the composed shape: search the
     // persisted fingerprint-cached artifact (centroids + codebooks +
-    // cell-partitioned codes) — the query opens mk-byte code files for
-    // the probed cells only, never the float corpus. Results are
+    // cell-partitioned codes) — the CODE table access is pruned to the
+    // probed cells' mk-byte files; the float corpus is touched only for
+    // the one query-vector row (sourcing queries from the corpus is the
+    // gate's determinism anchor, not a serving requirement). Results are
     // identical to the inline build, so it shares ann_ivfpq's oracle;
     // what this gate adds is the serving path itself (artifact
     // round-trip, literal-IN partition pruning) under the DuckDB check
@@ -323,11 +344,13 @@ object AnnQueries {
     Q("ann_ivfpq_persisted",
       (s, dir) => {
         val p = ensureIvfpqArtifact(s, dir)
+        val e = emb(s, dir)
+        val (_, np, _) = ivfGeom(e)
         Ann.ivfpqTopKEncoded(
           s.read.parquet(s"$p/codes"),
           s.read.parquet(s"$p/centroids"),
           s.read.parquet(s"$p/codebooks"),
-          queryVec(emb(s, dir)), 10)
+          queryVec(e), 10, nprobe = np)
       },
       Some(ivfpqSql(lloyd = false))),
 
@@ -338,7 +361,9 @@ object AnnQueries {
     Q("ann_ivfpq_lloyd",
       (s, dir) => {
         val e = emb(s, dir)
-        Ann.ivfpqTopK(e, queryVec(e), 10, lloyd = 1, modulus = sampleMod(e))
+        val (nl, np, mod) = ivfGeom(e)
+        Ann.ivfpqTopK(e, queryVec(e), 10, lloyd = 1, nlist = nl,
+          nprobe = np, modulus = mod, cbModulus = sampleMod(e))
       },
       Some(ivfpqSql(lloyd = true))),
 
@@ -359,6 +384,37 @@ object AnnQueries {
           FROM n a JOIN n c ON a.b = c.b AND a.vec_id < c.vec_id)
         SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.35"""))
   )
+
+  /**
+   * Shared oracle CTEs deriving the IVF geometry from count(*) — the
+   * exact SQL analog of [[Ann.nlistFor]]/[[Ann.nprobeFor]] plus the
+   * centroid sampling modulus: b = ceil(log2(n)) (exact at powers of
+   * two, where Scala's 64−nlz(n−1) and double log2 could otherwise
+   * disagree), nlist = 2^(b//2 − 2) clamped to [16, 65536], nprobe =
+   * nlist//16 clamped to [4, 32], m = n // nlist. Assumes a CTE `n`
+   * is already defined (these reference only `embeddings`).
+   */
+  private def ivfGeomCtes: String = s"""
+        nlc AS (
+          SELECT least(65536, greatest(16,
+            1::BIGINT << greatest(0,
+              CAST(ceil(log2(greatest(count(*), 2))) AS INT) // 2 - 2)))
+            AS nl FROM embeddings),
+        npc AS (SELECT least(32, greatest(4, nl // 16)) AS np FROM nlc),
+        mm AS (
+          SELECT greatest(1, (SELECT count(*) FROM embeddings) // nl) AS m
+          FROM nlc),"""
+
+  /** The probed-cell CTE over derived nprobe: row_number instead of
+    * LIMIT so the bound can come from the [[ivfGeomCtes]] scalar. */
+  private def qcCte: String = s"""
+        qc AS (
+          SELECT cell FROM (
+            SELECT c.cid AS cell,
+              row_number() OVER (ORDER BY ${dotSql("qn.qn", "c.cv")} DESC,
+                c.cid) AS rn
+            FROM cent c, qn)
+          WHERE rn <= (SELECT np FROM npc))"""
 
   /**
    * Shared oracle CTEs for the derived-geometry two-sided queries: the
@@ -467,12 +523,15 @@ object AnnQueries {
    * The composed IVF+PQ oracle: the ann_ivf CTE family (normalize →
    * sampled centroids → argmax-dot assignment → nprobe cells) feeds the
    * ann_pq family restricted to the pruned rows (sub-vector split →
-   * argmin encode → query LUT → fixed-order score sum). One `cent0`
-   * sample CTE serves both halves, exactly as one sampled-row set does
-   * in [[Ann.ivfpqTopK]]. With `lloyd`, BOTH halves refine from that
-   * sample — the centroids by cell means (the ann_ivf_lloyd family),
-   * the codebooks by (sub, code) means over the WHOLE corpus (the
-   * ann_pq_lloyd family) — before assignment/pruning/encoding.
+   * argmin encode → query LUT → fixed-order score sum). The two halves
+   * sample independently, as [[Ann.ivfpqTopK]] does: `cent0` at the
+   * DERIVED n/nlist modulus (the coarse geometry scales with the
+   * corpus), `pqs` at the fixed n/16 code-alphabet modulus — the sets
+   * coincide at corpora small enough for the nlist=16 min clamp. With
+   * `lloyd`, BOTH halves refine from their samples — the centroids by
+   * cell means (the ann_ivf_lloyd family), the codebooks by (sub,
+   * code) means over the WHOLE corpus (the ann_pq_lloyd family) —
+   * before assignment/pruning/encoding.
    */
   private def ivfpqSql(lloyd: Boolean): String = {
     val ivfRefineCtes = s"""
@@ -534,8 +593,7 @@ object AnnQueries {
         WITH n AS (
           SELECT vec_id AS id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),
-        mm AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
+          FROM embeddings),$ivfGeomCtes
         cent0 AS (
           SELECT id AS cid, vn AS cv FROM n, mm
           WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
@@ -548,17 +606,19 @@ object AnnQueries {
           SELECT id, vn, cid AS cell,
             row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn
           FROM dists),
-        qn AS (SELECT vn AS qn FROM n ORDER BY id LIMIT 1),
-        qc AS (
-          SELECT c.cid AS cell FROM cent c, qn
-          ORDER BY ${dotSql("qn.qn", "c.cv")} DESC, c.cid LIMIT 4),
+        qn AS (SELECT vn AS qn FROM n ORDER BY id LIMIT 1),$qcCte,
         pruned AS (
           SELECT a.id, a.vn FROM asg a JOIN qc ON a.cell = qc.cell
           WHERE a.rn = 1),
         subIdx AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+        mk AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
+        pqs AS (
+          SELECT id AS cid, vn AS cv FROM n, mk
+          WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
+            % mk.m = 0),
         csubs AS (
           SELECT cid, sub, list_slice(cv, sub*16 + 1, sub*16 + 16) AS cv
-          FROM cent0, subIdx),${
+          FROM pqs, subIdx),${
       if (lloyd) pqRefineCtes else "\n        cb AS (SELECT * FROM csubs),"}
         subs AS (
           SELECT id, sub, list_slice(vn, sub*16 + 1, sub*16 + 16) AS sv

@@ -88,6 +88,40 @@ object Ann {
     * regardless of bucket count. */
   val DeriveBits = 0
 
+  /** Sentinels for "derive the IVF geometry from the corpus count" —
+    * see [[nlistFor]] / [[nprobeFor]]. */
+  val DeriveNlist = 0
+  val DeriveNprobe = 0
+
+  /**
+   * IVF cell count sized to the corpus — the [[bucketBitsFor]] move for
+   * the coarse quantizer: a FIXED nlist is a scan-fraction time bomb
+   * (nlist=16 at 10⁹ vectors means each probed cell holds 6×10⁷ rows,
+   * so nprobe=4 ADC-scans a quarter of the corpus per query). Target
+   * ~√n/4 cells rounded to a power of two — per-query scanned rows then
+   * grow as √n instead of linearly — via pure INTEGER arithmetic both
+   * engines reproduce exactly: b = ceil(log2(n)) (64 − nlz(n−1) here;
+   * `ceil(log2(count))` in SQL — powers of two are exact in double
+   * log2, so the forms agree for every n), nlist = 2^(b/2 − 2),
+   * clamped to [16, 65536]. The cap bounds the broadcast centroid
+   * table (65536 × 64 dims ≈ 33 MB) — past it, raise nprobe instead.
+   */
+  def nlistFor(n: Long, minNlist: Int = 16, maxNlist: Int = 65536): Int = {
+    val b = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    val raw = 1L << math.max(0, b / 2 - 2)
+    math.min(maxNlist.toLong, math.max(minNlist.toLong, raw)).toInt
+  }
+
+  /**
+   * Probe count sized to the cell count: nlist/16 clamped to [4, 32].
+   * More cells spread a query's true neighbors over more cells, so
+   * nprobe must grow with nlist to hold recall — but sublinearly, or
+   * the scan fraction (nprobe/nlist) stops shrinking. At the caps:
+   * 16 cells probe 4 (a quarter of the corpus — fine when n is small),
+   * 8192 cells probe 32 (0.4% of the corpus at 10⁹ rows).
+   */
+  def nprobeFor(nlist: Int): Int = math.min(32, math.max(4, nlist / 16))
+
   /** Target bucket population for the QUADRATIC two-sided paths
     * ([[knnJoin]], [[cosinePairs]]) — deliberately tighter than
     * [[bucketBitsFor]]'s 4096 default. In those paths candidate volume
@@ -199,13 +233,18 @@ object Ann {
     * sampling exactly — e.g. to replay it in an external SQL engine,
     * where `count(*) / nlist` is the natural pin. */
   def ivfCentroids(corpus: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", nlist: Int = 16,
+      vecCol: String = "embedding", nlist: Int = DeriveNlist,
       modulus: Option[Long] = None): DataFrame = {
+    // cell count scales with the corpus by default ([[nlistFor]], sized
+    // from plan statistics — no extra data pass); pass nlist explicitly
+    // to pin the geometry
+    val nl = if (nlist == DeriveNlist) nlistFor(estimatedRows(corpus))
+      else nlist
     // deterministic hash sample of ~nlist centroids — no global sort, no
     // training job. Sampling hashes with the cross-engine XHash (not
     // xxhash64) so an oracle can replay the centroid choice.
     val m = modulus.getOrElse(
-      math.max(1L, estimatedRows(corpus) / nlist))
+      math.max(1L, estimatedRows(corpus) / nl))
     // materialize the ~nlist rows: assignment, probe selection, and
     // refinement all consume them and would each replay the sampling scan
     withNormalized(corpus, vecCol, "vn")
@@ -282,12 +321,18 @@ object Ann {
     * nprobe nearest cells, score only their members. */
   def ivfTopKAssigned(assigned: DataFrame, centroids: DataFrame,
       query: DataFrame, k: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding", nprobe: Int = 4): DataFrame = {
+      vecCol: String = "embedding", nprobe: Int = DeriveNprobe): DataFrame = {
+    // derive nprobe from the materialized centroid table when not pinned
+    // (a count over ~nlist localCheckpointed rows — no corpus access);
+    // callers holding the intended nlist should pass nprobeFor(nlist)
+    // so a sampling shortfall can't move the probe count
+    val np = if (nprobe == DeriveNprobe) nprobeFor(centroids.count().toInt)
+      else nprobe
     val qn = withNormalized(query, vecCol, "qn").select(col("qn"))
     val qCells = broadcast(qn.crossJoin(broadcast(centroids))
       .select(col("qn"), col("cid"), dot(col("qn"), col("cv")).as("d"))
       .orderBy(col("d").desc, col("cid"))
-      .limit(nprobe)
+      .limit(np)
       .select(col("qn"), col("cid").as("cell")))
     assigned.join(qCells, Seq("cell"))
       .select(col("id").as(idCol), dot(col("vn"), col("qn")).as("cos"))
@@ -297,11 +342,14 @@ object Ann {
 
   def ivfTopK(corpus: DataFrame, query: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      nlist: Int = 16, nprobe: Int = 4,
+      nlist: Int = DeriveNlist, nprobe: Int = DeriveNprobe,
       modulus: Option[Long] = None): DataFrame = {
-    val centroids = ivfCentroids(corpus, idCol, vecCol, nlist, modulus)
+    val nl = if (nlist == DeriveNlist) nlistFor(estimatedRows(corpus))
+      else nlist
+    val np = if (nprobe == DeriveNprobe) nprobeFor(nl) else nprobe
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nl, modulus)
     ivfTopKAssigned(ivfAssign(corpus, centroids, idCol, vecCol), centroids,
-      query, k, idCol, vecCol, nprobe)
+      query, k, idCol, vecCol, np)
   }
 
   /**
@@ -544,27 +592,35 @@ object Ann {
    * alongside it; a query then broadcasts the nlist centroids, the
    * query's cell list, the m×k codebooks, and the m×k LUT — the only
    * non-broadcast data touched is the probed cells' rows, and nothing
-   * larger than that candidate set ever shuffles. Training reuses the
-   * deterministic XHash-sampled rows of the two halves
-   * ([[ivfCentroids]], [[pqCodebooks]] — with nlist == k one sample
-   * serves both), so a SQL oracle replays the whole pipeline: cells,
-   * pruning, encoding, LUT, fixed-order score sum.
+   * larger than that candidate set ever shuffles. The geometry scales
+   * with the corpus by default ([[nlistFor]]/[[nprobeFor]] — a fixed
+   * nlist would make each probed cell a constant FRACTION of the
+   * corpus); the codebook size `k` stays fixed (it is the code
+   * alphabet — 4-bit nibbles — not a partitioning). Training uses
+   * deterministic XHash-sampled rows for both halves ([[ivfCentroids]]
+   * at n/nlist, [[pqCodebooks]] at n/k), so a SQL oracle replays the
+   * whole pipeline: cells, pruning, encoding, LUT, fixed-order sum.
    */
   def ivfpqTopK(corpus: DataFrame, query: DataFrame, topK: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      nlist: Int = 16, nprobe: Int = 4, m: Int = 4, k: Int = 16,
-      lloyd: Int = 0, modulus: Option[Long] = None): DataFrame = {
+      nlist: Int = DeriveNlist, nprobe: Int = DeriveNprobe,
+      m: Int = 4, k: Int = 16, lloyd: Int = 0,
+      modulus: Option[Long] = None,
+      cbModulus: Option[Long] = None): DataFrame = {
+    val nl = if (nlist == DeriveNlist) nlistFor(estimatedRows(corpus))
+      else nlist
+    val np = if (nprobe == DeriveNprobe) nprobeFor(nl) else nprobe
     // `lloyd` refines BOTH halves: the coarse centroids via [[ivfRefine]]
     // (cell means) and the codebooks via [[pqRefine]] ((sub, code) means)
-    // — each from the same deterministic sample, diverging by training
-    var centroids = ivfCentroids(corpus, idCol, vecCol, nlist, modulus)
+    // — each from its deterministic sample, diverging by training
+    var centroids = ivfCentroids(corpus, idCol, vecCol, nl, modulus)
     (0 until lloyd).foreach(_ =>
       centroids = ivfRefine(corpus, centroids, idCol, vecCol))
     // (id, vn, cell): the persisted artifact at production scale — vn is
     // bit-identical to the normalization pqEncode would compute, so
     // encoding from it replays exactly
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
-    var cb = pqCodebooks(corpus, idCol, vecCol, m, k, modulus)
+    var cb = pqCodebooks(corpus, idCol, vecCol, m, k, cbModulus)
     (0 until lloyd).foreach(_ => cb = pqRefine(corpus, cb, idCol, vecCol, m))
     val dsub = cb.select(size(col("cv"))).head.getInt(0)
     val qCells = broadcast(
@@ -572,7 +628,7 @@ object Ann {
         .crossJoin(broadcast(centroids))
         .select(col("cid"), dot(col("qn"), col("cv")).as("d"))
         .orderBy(col("d").desc, col("cid"))
-        .limit(nprobe)
+        .limit(np)
         .select(col("cid").as("cell")))
     // cell pruning: with `assigned` persisted partitioned by cell this is
     // partition pruning; here it is a broadcast join — either way the
@@ -636,12 +692,17 @@ object Ann {
   def ivfpqTopKEncoded(encoded: DataFrame, centroids: DataFrame,
       cb: DataFrame, query: DataFrame, topK: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      m: Int = 4, nprobe: Int = 4): DataFrame = {
+      m: Int = 4, nprobe: Int = DeriveNprobe): DataFrame = {
+    // derive nprobe from the persisted centroid table when not pinned
+    // (~nlist rows — tiny read); callers holding the intended nlist
+    // should pass nprobeFor(nlist)
+    val np = if (nprobe == DeriveNprobe) nprobeFor(centroids.count().toInt)
+      else nprobe
     val cells = withNormalized(query, vecCol, "qn").select(col("qn"))
       .crossJoin(broadcast(centroids))
       .select(col("cid"), dot(col("qn"), col("cv")).as("d"))
       .orderBy(col("d").desc, col("cid"))
-      .limit(nprobe)
+      .limit(np)
       .select(col("cid"))
       .collect().map(_.get(0)).toSeq
     val enc = encoded.filter(col("cell").isin(cells: _*))
