@@ -20,6 +20,12 @@ object AnnQueries {
   private def queryVec(e: org.apache.spark.sql.DataFrame) =
     e.orderBy(col("vec_id")).limit(1)
 
+  /** A deterministic query BATCH for the batch-serving gates: the nq
+    * lowest-id vectors, qid = vec_id. */
+  private def queryBatch(e: org.apache.spark.sql.DataFrame, nq: Int) =
+    e.orderBy(col("vec_id")).limit(nq)
+      .select(col("vec_id").as("qid"), col("embedding"))
+
   /** Build the IVF+PQ serving artifact once per dataset (fingerprint-
     * keyed like the index and signature-store caches): centroids,
     * codebooks, and the cell-partitioned code table — what a production
@@ -113,6 +119,30 @@ object AnnQueries {
         q AS (SELECT b AS qb, vn AS qn FROM n ORDER BY vec_id LIMIT 1)
         SELECT vec_id, ${dotSql("vn", "qn")} AS cos
         FROM n, q WHERE b = qb ORDER BY cos DESC, vec_id LIMIT 10""")),
+
+    // #30-batch exact top-k for a query TABLE: one corpus pass against
+    // the broadcast batch, per-query ranking window — the ground-truth
+    // side of the recall gate, oracle-checked end to end.
+    Q("ann_topk_batch",
+      (s, dir) => {
+        val e = emb(s, dir)
+        Ann.bruteForceTopKBatch(e, queryBatch(e, 4), 10)
+      },
+      Some(s"""
+        WITH n AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
+          FROM embeddings),
+        qs AS (SELECT vec_id AS qid, vn AS qn FROM n ORDER BY vec_id LIMIT 4),
+        sc AS (
+          SELECT qs.qid, n.vec_id, ${dotSql("n.vn", "qs.qn")} AS cos
+          FROM n CROSS JOIN qs)
+        SELECT qid, vec_id, cos FROM (
+          SELECT qid, vec_id, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+              AS rn
+          FROM sc)
+        WHERE rn <= 10""")),
 
     // #31b multi-probe LSH: also scan hamming-1 sign buckets
     Q("ann_multiprobe",
@@ -353,6 +383,25 @@ object AnnQueries {
           queryVec(e), 10, nprobe = np)
       },
       Some(ivfpqSql(lloyd = false))),
+
+    // #30e3 BATCH serving over the same persisted artifact: a query
+    // TABLE (4 lowest-id vectors) gets per-query cell choices via one
+    // ranking window over the broadcast centroids, the probed-cell
+    // union prunes the code table (literal IN — static pruning), and a
+    // per-query broadcast LUT + ranking window returns every query's
+    // top-10 in ONE plan — no per-query job loop, no corpus shuffle.
+    Q("ann_ivfpq_batch",
+      (s, dir) => {
+        val p = ensureIvfpqArtifact(s, dir)
+        val e = emb(s, dir)
+        val (_, np, _) = ivfGeom(e)
+        Ann.ivfpqTopKEncodedBatch(
+          s.read.parquet(s"$p/codes"),
+          s.read.parquet(s"$p/centroids"),
+          s.read.parquet(s"$p/codebooks"),
+          queryBatch(e, 4), 10, nprobe = np)
+      },
+      Some(ivfpqBatchSql)),
 
     // #30f the composed shape with one Lloyd refinement of BOTH halves
     // from the shared sample — centroids by cell means, codebooks by

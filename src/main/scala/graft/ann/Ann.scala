@@ -174,6 +174,31 @@ object Ann {
       .limit(k)
 
   /**
+   * Brute-force cosine top-k for a BATCH of query vectors — the exact
+   * bulk shape: one corpus pass joined against the broadcast query
+   * table, ranked per query with a window. Output (qid, id, cos) for
+   * each query's k nearest. Scale shape: the corpus never shuffles on
+   * its own key — the only shuffle is the ranking window's
+   * hash-partition of candidate rows (|corpus| × |queries|, so this is
+   * the GROUND-TRUTH path, linear in queries; the pruned serving path
+   * is [[ivfpqTopKEncodedBatch]]).
+   */
+  def bruteForceTopKBatch(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", qidCol: String = "qid",
+      vecCol: String = "embedding"): DataFrame = {
+    val qn = withNormalized(queries, vecCol, "qn")
+      .select(col(qidCol).as("_qid"), col("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid")).orderBy(col("cos").desc, col(idCol))
+    withNormalized(corpus, vecCol, "vn")
+      .select(col(idCol), col("vn"))
+      .join(broadcast(qn))
+      .select(col("_qid"), col(idCol), dot(col("vn"), col("qn")).as("cos"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("_qid").as(qidCol), col(idCol), col("cos"))
+  }
+
+  /**
    * LSH-bucketed top-k: restrict the scan to the query's sign bucket
    * before scoring — the 1/2^bits-of-the-corpus scale path, trading
    * recall at bucket boundaries.
@@ -213,6 +238,32 @@ object Ann {
       .select(col(idCol), dot(col("vn"), col("qn")).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
+
+  /**
+   * LSH-bucketed top-k for a BATCH of queries: bucket-equi-join the
+   * corpus to the broadcast query table, rank per query. Per-query
+   * results are IDENTICAL to [[lshTopK]] at the same bits (same bucket,
+   * same normalized dot, same ordering) — the recall gate relies on
+   * that equivalence to measure the single-query gate's quality over
+   * many queries in one plan. Scale shape: one corpus pass, broadcast
+   * join on the bucket key, window shuffle of same-bucket candidates
+   * only.
+   */
+  def lshTopKBatch(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", qidCol: String = "qid",
+      vecCol: String = "embedding", bits: Int = 4): DataFrame = {
+    val q = broadcast(withNormalized(queries, vecCol, "qn")
+      .select(col(qidCol).as("_qid"), col("qn"),
+        signBucket(col(vecCol), bits).as("qb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid")).orderBy(col("cos").desc, col(idCol))
+    withNormalized(corpus, vecCol, "vn")
+      .withColumn("b", signBucket(col(vecCol), bits))
+      .join(q, col("b") === col("qb"))
+      .select(col("_qid"), col(idCol), dot(col("vn"), col("qn")).as("cos"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("_qid").as(qidCol), col(idCol), col("cos"))
   }
 
   /**
@@ -708,6 +759,86 @@ object Ann {
     val enc = encoded.filter(col("cell").isin(cells: _*))
       .select(col("id"), col("sub"), col("code"))
     adcTopK(enc, pqLut(cb, query, vecCol, m), m, idCol, topK)
+  }
+
+  /**
+   * BATCH search of the persisted [[ivfpqEncode]] artifact — the
+   * production serving shape for a query TABLE instead of a per-query
+   * job loop. Per query: the broadcast centroids pick its nprobe cells
+   * (ranking window instead of LIMIT); the UNION of all probed cells,
+   * collected as ≤ |queries|×nprobe literal values (a tiny job over
+   * queries×centroids — deliberate, so static partition pruning never
+   * depends on DPP heuristics firing), prunes the code table exactly as
+   * in the single-query path. Candidates then form by broadcast-joining
+   * the codes to the per-query cell map, score against a broadcast
+   * per-query ADC LUT (|queries|×m×k rows), and rank per query with a
+   * window. Scale shape: the code table never shuffles — the only
+   * shuffles are the (qid, id) partial-sum aggregation and the ranking
+   * window, both over probed-candidate rows only. Query batches are
+   * assumed serving-sized (≤ ~10⁵ rows — the qCells and LUT broadcasts
+   * are |queries|×nprobe and |queries|×m×k rows); for corpus-sized
+   * query sets use [[knnJoin]], the bulk all-pairs shape.
+   *
+   * Per-query results are IDENTICAL to [[ivfpqTopKEncoded]] at the same
+   * geometry: same cell choice (dot-desc, cid tiebreak), same codes,
+   * same fixed-order score sum, same (score desc, id) ranking.
+   */
+  def ivfpqTopKEncodedBatch(encoded: DataFrame, centroids: DataFrame,
+      cb: DataFrame, queries: DataFrame, topK: Int,
+      idCol: String = "vec_id", qidCol: String = "qid",
+      vecCol: String = "embedding", m: Int = 4,
+      nprobe: Int = DeriveNprobe): DataFrame = {
+    val np = if (nprobe == DeriveNprobe) nprobeFor(centroids.count().toInt)
+      else nprobe
+    val qn = withNormalized(queries, vecCol, "qn")
+      .select(col(qidCol).as("_qid"), col("qn"))
+    // per-query probed cells: the single-query orderBy/limit becomes a
+    // per-qid ranking window over the same (dot desc, cid) order
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid")).orderBy(col("d").desc, col("cid"))
+    val qCells = qn.crossJoin(broadcast(centroids))
+      .select(col("_qid"), col("qn"), col("cid"),
+        dot(col("qn"), col("cv")).as("d"))
+      .withColumn("rn", row_number().over(cw)).where(col("rn") <= np)
+      .select(col("_qid"), col("qn"), col("cid").as("cell"))
+      // materialize: the cell map feeds the literal-IN collect, the
+      // candidate join, and (via qn) the LUT — three consumers that
+      // would each replay the queries×centroids ranking
+      .localCheckpoint()
+    val cells = qCells.select(col("cell")).distinct()
+      .collect().map(_.get(0)).toSeq
+    // per-query ADC LUT: (qid, sub, code) → partial dot. |queries|×m×k
+    // rows — broadcast-sized for serving batches
+    val dsub = cb.select(size(col("cv"))).head.getInt(0)
+    val qsubCols = (0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(col("qn"), s * dsub + 1, dsub).as("qv")))
+    val qsubs = qCells.select(col("_qid"), col("qn")).distinct()
+      .select(col("_qid"), explode(array(qsubCols: _*)).as("b"))
+      .select(col("_qid").as("lqid"), col("b.sub").as("lsub"),
+        col("b.qv").as("qv"))
+    val lut = qsubs.join(broadcast(cb), col("lsub") === col("sub"))
+      .select(col("lqid"), col("lsub"), col("cid"),
+        dot(col("cv"), col("qv")).as("pd"))
+    // candidates: statically pruned codes × the broadcast cell map —
+    // each corpus id lives in exactly one cell, so (qid, id) is unique
+    val cand = encoded.filter(col("cell").isin(cells: _*))
+      .join(broadcast(qCells.select(col("_qid"), col("cell"))), Seq("cell"))
+      .select(col("_qid"), col("id"), col("sub"), col("code"))
+    // fixed-order score sum per (qid, id) — the [[adcTopK]] pivot with
+    // the qid key added, then the per-query ranking window
+    val partials = (0 until m).map(s =>
+      sum(when(col("sub") === s, col("pd"))).as(s"p$s"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid")).orderBy(col("score").desc, col(idCol))
+    cand.join(broadcast(lut),
+        col("_qid") === col("lqid") && col("sub") === col("lsub") &&
+          col("code") === col("cid"))
+      .groupBy(col("_qid"), col("id"))
+      .agg(partials.head, partials.tail: _*)
+      .select(col("_qid"), col("id").as(idCol),
+        (0 until m).map(s => col(s"p$s")).reduce(_ + _).as("score"))
+      .withColumn("rank", row_number().over(rw)).where(col("rank") <= topK)
+      .select(col("_qid").as(qidCol), col(idCol), col("score"))
   }
 
   /**
