@@ -698,6 +698,91 @@ object AnnQueries {
         ORDER BY score DESC, vec_id LIMIT 10"""
   }
 
+  /**
+   * The BATCH analog of [[ivfpqSql]] (lloyd = false): the 4 lowest-id
+   * vectors form the query table (qid = vec_id), cell choice becomes a
+   * per-qid ranking window over the same (dot desc, cid) order with the
+   * derived-nprobe bound, encoding runs ONCE over the union of every
+   * query's pruned ids (codes are query-independent, exactly as the
+   * persisted artifact is encoded once), the LUT gains the qid key, and
+   * the final sum ranks per qid with rn <= 10 — mirroring
+   * [[Ann.ivfpqTopKEncodedBatch]] stage for stage.
+   */
+  private def ivfpqBatchSql: String = s"""
+        WITH n AS (
+          SELECT vec_id AS id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
+          FROM embeddings),$ivfGeomCtes
+        cent AS (
+          SELECT id AS cid, vn AS cv FROM n, mm
+          WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
+            % mm.m = 0),
+        dists AS (
+          SELECT n.id, n.vn, c.cid, ${dotSql("n.vn", "c.cv")} AS d
+          FROM n CROSS JOIN cent c),
+        asg AS (
+          SELECT id, vn, cid AS cell,
+            row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn
+          FROM dists),
+        qs AS (SELECT id AS qid, vn AS qn FROM n ORDER BY id LIMIT 4),
+        qc AS (
+          SELECT qid, cell FROM (
+            SELECT q.qid, c.cid AS cell,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY ${dotSql("q.qn", "c.cv")} DESC, c.cid) AS rn
+            FROM qs q CROSS JOIN cent c)
+          WHERE rn <= (SELECT np FROM npc)),
+        pruned AS (
+          SELECT qc.qid, a.id FROM asg a JOIN qc ON a.cell = qc.cell
+          WHERE a.rn = 1),
+        pids AS (
+          SELECT DISTINCT a.id, a.vn FROM asg a
+          WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM qc)),
+        subIdx AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+        mk AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
+        pqs AS (
+          SELECT id AS cid, vn AS cv FROM n, mk
+          WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
+            % mk.m = 0),
+        cb AS (
+          SELECT cid, sub, list_slice(cv, sub*16 + 1, sub*16 + 16) AS cv
+          FROM pqs, subIdx),
+        subs AS (
+          SELECT id, sub, list_slice(vn, sub*16 + 1, sub*16 + 16) AS sv
+          FROM pids, subIdx),
+        sdist AS (
+          SELECT s.id, s.sub, c.cid,
+            (${dotSql("s.sv", "s.sv")}) + (${dotSql("c.cv", "c.cv")})
+              - 2.0 * (${dotSql("s.sv", "c.cv")}) AS dist
+          FROM subs s JOIN cb c ON s.sub = c.sub),
+        codes AS (
+          SELECT id, sub, cid AS code,
+            row_number() OVER (PARTITION BY id, sub ORDER BY dist, cid) AS rn
+          FROM sdist),
+        qsubs AS (
+          SELECT qid, sub, list_slice(qn, sub*16 + 1, sub*16 + 16) AS qv
+          FROM qs, subIdx),
+        lut AS (
+          SELECT q.qid, c.sub, c.cid, ${dotSql("c.cv", "q.qv")} AS pd
+          FROM cb c JOIN qsubs q ON c.sub = q.sub),
+        scored AS (
+          SELECT p.qid, codes.id,
+            (SUM(CASE WHEN codes.sub = 0 THEN lut.pd END)
+             + SUM(CASE WHEN codes.sub = 1 THEN lut.pd END)
+             + SUM(CASE WHEN codes.sub = 2 THEN lut.pd END)
+             + SUM(CASE WHEN codes.sub = 3 THEN lut.pd END)) AS score
+          FROM pruned p
+          JOIN codes ON codes.id = p.id AND codes.rn = 1
+          JOIN lut ON lut.qid = p.qid AND lut.sub = codes.sub
+            AND lut.cid = codes.code
+          GROUP BY 1, 2)
+        SELECT qid, vec_id, score FROM (
+          SELECT qid, id AS vec_id, score,
+            row_number() OVER (PARTITION BY qid ORDER BY score DESC, id)
+              AS rn
+          FROM scored)
+        WHERE rn <= 10"""
+
   /** Sign bucket over dims 1-4 — mirrors Ann.signBucket(bits=4). */
   private def bucketSql: String =
     (0 until 4).map(j =>
