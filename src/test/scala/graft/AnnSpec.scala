@@ -368,4 +368,56 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(stats.map { case (sz, cnt) => sz * cnt }.sum == 4L)
   }
+
+  test("batch IVF+PQ serving: per-query identity with the single-query path") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Sources.table(spark, sf001, "embeddings")
+    val n = emb.count()
+    val nl = Ann.nlistFor(n)
+    val np = Ann.nprobeFor(nl)
+    val mod = Some(math.max(1L, n / nl))
+    val centroids = Ann.ivfCentroids(emb, nlist = nl, modulus = mod)
+    val cb = Ann.pqCodebooks(emb, modulus = Some(math.max(1L, n / 16)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-b").toString
+    Ann.ivfpqEncode(emb, centroids, cb).write.mode("overwrite")
+      .partitionBy("cell").parquet(dir)
+    val codes = spark.read.parquet(dir)
+    val queries = emb.orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val batch = Ann.ivfpqTopKEncodedBatch(codes, centroids, cb, queries, 10,
+        nprobe = np)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(r => (-r.getDouble(2),
+        r.getLong(1))).map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+    assert(batch.keySet.size == 4)
+    // Ann.scala's contract: per-query results IDENTICAL to the
+    // single-query serving path at the same geometry — same cells, same
+    // codes, same fixed-order sums, same ranking, bit for bit
+    for (qid <- batch.keySet) {
+      val single = Ann.ivfpqTopKEncoded(codes, centroids, cb,
+          emb.where(col("vec_id") === qid), 10, nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single,
+        s"qid=$qid batch ${batch(qid)} != single $single")
+      assert(single.size == 10)
+    }
+  }
+
+  test("batch LSH: per-query identity with the single-query path") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Sources.table(spark, sf001, "embeddings")
+    val queries = emb.orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val batch = Ann.lshTopKBatch(emb, queries, 10)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(r => (-r.getDouble(2),
+        r.getLong(1))).map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+    assert(batch.keySet.size == 4)
+    for (qid <- batch.keySet) {
+      val single = Ann.lshTopK(emb, emb.where(col("vec_id") === qid), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single,
+        s"qid=$qid batch ${batch(qid)} != single $single")
+    }
+  }
 }

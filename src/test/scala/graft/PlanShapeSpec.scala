@@ -135,6 +135,23 @@ class PlanShapeSpec extends SparkSpec {
       s"ann_ivfpq shuffles a join side:\n${plan.take(1500)}")
   }
 
+  test("batch IVF+PQ serving: codes statically pruned, never shuffled on a join key") {
+    // the production batch path must keep the single-query path's scale
+    // shape: the probed-cell literals reach the cell-partitioned code
+    // scan as static partition filters, and every join (cell map, LUT)
+    // broadcasts its small side — a SortMergeJoin anywhere means the
+    // code table shuffled on a join key. The only exchanges allowed are
+    // the (qid, id) partial-sum agg and the per-qid ranking window,
+    // both over probed-candidate rows.
+    val plan = SparkEntry.queries("ann_ivfpq_batch")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("partitionfilters: [cell") &&
+      plan.toLowerCase.contains(" in ("),
+      s"no static partition pruning on the code table:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"ann_ivfpq_batch shuffles a join side:\n${plan.take(1500)}")
+  }
+
   test("document and embedding scans prune to the referenced columns") {
     // a corpus scan that reads all columns for a two-column projection
     // is a 100 TB mistake hidden at test scale — pin the parquet
