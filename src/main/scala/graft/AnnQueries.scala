@@ -122,27 +122,49 @@ object AnnQueries {
 
     // #30-batch exact top-k for a query TABLE: one corpus pass against
     // the broadcast batch, per-query ranking window — the ground-truth
-    // side of the recall gate, oracle-checked end to end.
+    // side of the recall gates, oracle-checked end to end.
     Q("ann_topk_batch",
       (s, dir) => {
         val e = emb(s, dir)
         Ann.bruteForceTopKBatch(e, queryBatch(e, 4), 10)
       },
-      Some(s"""
-        WITH n AS (
-          SELECT vec_id,
-            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),
-        qs AS (SELECT vec_id AS qid, vn AS qn FROM n ORDER BY vec_id LIMIT 4),
-        sc AS (
-          SELECT qs.qid, n.vec_id, ${dotSql("n.vn", "qs.qn")} AS cos
-          FROM n CROSS JOIN qs)
-        SELECT qid, vec_id, cos FROM (
-          SELECT qid, vec_id, cos,
-            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
-              AS rn
-          FROM sc)
-        WHERE rn <= 10""")),
+      Some(exactBatchSql)),
+
+    // #31e RECALL GATE, LSH: per-query recall@10 of the bucketed batch
+    // path against the exact batch ground truth. `hits`/`recall` are
+    // deterministic (both sides fully replayed in SQL), pinning the
+    // approximate path's RESULTS; `recall_ok` is the quality contract —
+    // the oracle asserts literal TRUE, so a hyperparameter or impl
+    // change that tanks retrieval turns the gate red even if it is
+    // applied consistently to both engines (the HLL approx_ok move).
+    // Single-probe LSH trades recall at bucket boundaries by design;
+    // the floor is its honest contract, not a target.
+    Q("ann_recall_lsh",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = queryBatch(e, 4)
+        recallGate(Ann.bruteForceTopKBatch(e, q, 10),
+          Ann.lshTopKBatch(e, q, 10), MinLshHits)
+      },
+      Some(recallSql(lshBatchSql, MinLshHits))),
+
+    // #31f RECALL GATE, IVF+PQ: the composed serving path (persisted
+    // artifact, batch search) against the same exact ground truth —
+    // the end-to-end quality contract for the production read path.
+    Q("ann_recall_ivfpq",
+      (s, dir) => {
+        val p = ensureIvfpqArtifact(s, dir)
+        val e = emb(s, dir)
+        val (_, np, _) = ivfGeom(e)
+        val q = queryBatch(e, 4)
+        recallGate(Ann.bruteForceTopKBatch(e, q, 10),
+          Ann.ivfpqTopKEncodedBatch(
+            s.read.parquet(s"$p/codes"),
+            s.read.parquet(s"$p/centroids"),
+            s.read.parquet(s"$p/codebooks"),
+            q, 10, nprobe = np), MinIvfpqHits)
+      },
+      Some(recallSql(ivfpqBatchSql, MinIvfpqHits))),
 
     // #31b multi-probe LSH: also scan hamming-1 sign buckets
     Q("ann_multiprobe",
@@ -433,6 +455,87 @@ object AnnQueries {
           FROM n a JOIN n c ON a.b = c.b AND a.vec_id < c.vec_id)
         SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.35"""))
   )
+
+  /** Batch-total recall floors for the quality gates, in hits out of
+    * 40 (4 queries × 10). Measured: 9/9 (sf0.001), 9/9 (sf0.01), 39/39
+    * (10× scaled — recall climbs with corpus density, so the tiny gate
+    * corpora are the binding case). Each query always recovers itself,
+    * so a degenerate path still scores 4 — the floor of 6 sits between
+    * "only self" and the measured minimum with headroom for a data
+    * regen, per-qid noise, and the nlist clamp edge. */
+  private val MinLshHits = 6
+  private val MinIvfpqHits = 6
+
+  /** The exact batch ground truth (ann_topk_batch's oracle), shared
+    * with the recall gates' SQL. */
+  private def exactBatchSql: String = s"""
+        WITH n AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
+          FROM embeddings),
+        qs AS (SELECT vec_id AS qid, vn AS qn FROM n ORDER BY vec_id LIMIT 4),
+        sc AS (
+          SELECT qs.qid, n.vec_id, ${dotSql("n.vn", "qs.qn")} AS cos
+          FROM n CROSS JOIN qs)
+        SELECT qid, vec_id, cos FROM (
+          SELECT qid, vec_id, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+              AS rn
+          FROM sc)
+        WHERE rn <= 10"""
+
+  /** The batch analog of ann_lsh's oracle — per-qid sign-bucket scan
+    * and ranking window, mirroring [[Ann.lshTopKBatch]]. */
+  private def lshBatchSql: String = s"""
+        WITH n AS (
+          SELECT vec_id, $bucketSql AS b,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
+          FROM embeddings),
+        qs AS (
+          SELECT vec_id AS qid, b AS qb, vn AS qn
+          FROM n ORDER BY vec_id LIMIT 4),
+        sc AS (
+          SELECT qs.qid, n.vec_id, ${dotSql("n.vn", "qs.qn")} AS cos
+          FROM n JOIN qs ON n.b = qs.qb)
+        SELECT qid, vec_id, cos FROM (
+          SELECT qid, vec_id, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+              AS rn
+          FROM sc)
+        WHERE rn <= 10"""
+
+  /** Spark side of a recall gate: per-qid intersection of the approx
+    * path with the exact ground truth — `hits`/`recall` deterministic,
+    * `recall_ok` = BATCH-TOTAL hits ≥ floor computed from the REAL
+    * results (the oracle asserts literal TRUE, so quality holds even
+    * under two-sided edits). The total is the gated statistic because
+    * per-qid hits are small-sample noisy at gate corpora sizes; the
+    * window is over 4 rows — a driver-side triviality. */
+  private def recallGate(exact: org.apache.spark.sql.DataFrame,
+      approx: org.apache.spark.sql.DataFrame,
+      minHits: Int): org.apache.spark.sql.DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    exact.as("e").join(approx.as("a"),
+        col("e.qid") === col("a.qid") && col("e.vec_id") === col("a.vec_id"),
+        "left")
+      .groupBy(col("e.qid"))
+      .agg(count(col("a.vec_id")).as("hits"))
+      .select(col("qid"), col("hits"),
+        (col("hits") / lit(10.0)).as("recall"),
+        (sum(col("hits")).over(all) >= minHits).as("recall_ok"))
+      .orderBy(col("qid"))
+  }
+
+  /** The recall gates' oracle: replay BOTH paths, count the per-qid
+    * intersection, assert the quality contract as literal TRUE. */
+  private def recallSql(approxSql: String, minHits: Int): String = s"""
+        SELECT ex.qid, count(ap.vec_id) AS hits,
+          count(ap.vec_id) / 10.0 AS recall, TRUE AS recall_ok
+        FROM ($exactBatchSql) ex
+        LEFT JOIN ($approxSql) ap
+          ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id
+        GROUP BY 1 ORDER BY 1"""
 
   /**
    * Shared oracle CTEs deriving the IVF geometry from count(*) — the
