@@ -122,6 +122,27 @@ object Ann {
    */
   def nprobeFor(nlist: Int): Int = math.min(32, math.max(4, nlist / 16))
 
+  /** Recover the INTENDED nlist from a materialized centroid table's
+    * row count: the hash sampling delivers only approximately nlist
+    * centroids, and near an nlist/16 boundary `nprobeFor(count)` could
+    * silently diverge from `nprobeFor(nlist)` — but every derived nlist
+    * is a power of two, so rounding the count to the nearest power of
+    * two (geometric midpoint, ties up) reconstructs it exactly for any
+    * sampling shortfall or overshoot under ±√2×. Clamped like
+    * [[nlistFor]] so a tiny-corpus table still lands on the floor. */
+  def nlistFromCount(c: Long, minNlist: Int = 16,
+      maxNlist: Int = 65536): Int = {
+    val cc = math.max(1L, c)
+    val h = 63 - java.lang.Long.numberOfLeadingZeros(cc)
+    val lo = 1L << h
+    // compare c to the geometric midpoint lo·√2 without floats:
+    // c ≥ lo·√2  ⟺  c² ≥ 2·lo²  (exact in Long for lo ≤ 2³⁰)
+    val rounded = if (cc <= (1L << 30) && cc * cc >= (lo << 1) * lo) lo << 1
+      else if (cc > (1L << 30)) lo // far past any real nlist; clamp wins
+      else lo
+    math.min(maxNlist.toLong, math.max(minNlist.toLong, rounded)).toInt
+  }
+
   /** Target bucket population for the QUADRATIC two-sided paths
     * ([[knnJoin]], [[cosinePairs]]) — deliberately tighter than
     * [[bucketBitsFor]]'s 4096 default. In those paths candidate volume
@@ -377,7 +398,7 @@ object Ann {
     // (a count over ~nlist localCheckpointed rows — no corpus access);
     // callers holding the intended nlist should pass nprobeFor(nlist)
     // so a sampling shortfall can't move the probe count
-    val np = if (nprobe == DeriveNprobe) nprobeFor(centroids.count().toInt)
+    val np = if (nprobe == DeriveNprobe) nprobeFor(nlistFromCount(centroids.count()))
       else nprobe
     val qn = withNormalized(query, vecCol, "qn").select(col("qn"))
     val qCells = broadcast(qn.crossJoin(broadcast(centroids))
@@ -747,7 +768,7 @@ object Ann {
     // derive nprobe from the persisted centroid table when not pinned
     // (~nlist rows — tiny read); callers holding the intended nlist
     // should pass nprobeFor(nlist)
-    val np = if (nprobe == DeriveNprobe) nprobeFor(centroids.count().toInt)
+    val np = if (nprobe == DeriveNprobe) nprobeFor(nlistFromCount(centroids.count()))
       else nprobe
     val cells = withNormalized(query, vecCol, "qn").select(col("qn"))
       .crossJoin(broadcast(centroids))
@@ -788,7 +809,7 @@ object Ann {
       idCol: String = "vec_id", qidCol: String = "qid",
       vecCol: String = "embedding", m: Int = 4,
       nprobe: Int = DeriveNprobe): DataFrame = {
-    val np = if (nprobe == DeriveNprobe) nprobeFor(centroids.count().toInt)
+    val np = if (nprobe == DeriveNprobe) nprobeFor(nlistFromCount(centroids.count()))
       else nprobe
     val qn = withNormalized(queries, vecCol, "qn")
       .select(col(qidCol).as("_qid"), col("qn"))

@@ -369,6 +369,23 @@ class AnnSpec extends SparkSpec {
     assert(stats.map { case (sz, cnt) => sz * cnt }.sum == 4L)
   }
 
+  test("nlistFromCount recovers the intended power-of-two nlist from a sampled count") {
+    // exact at every real nlist
+    for (k <- 4 to 16) assert(Ann.nlistFromCount(1L << k) == (1 << k))
+    // sampling wobble within ±√2× rounds home — the boundary case the
+    // derived-nprobe sites hit (a 31-centroid table must mean nlist=32)
+    assert(Ann.nlistFromCount(31) == 32)
+    assert(Ann.nlistFromCount(33) == 32)
+    assert(Ann.nlistFromCount(1400) == 1024)  // 1024·√2 ≈ 1448 splits
+    assert(Ann.nlistFromCount(1449) == 2048)
+    // clamps
+    assert(Ann.nlistFromCount(3) == 16)
+    assert(Ann.nlistFromCount(1L << 40) == 65536)
+    // derived nprobe is now boundary-stable: counts just under a
+    // power of two give the same nprobe as the intended nlist
+    assert(Ann.nprobeFor(Ann.nlistFromCount(511)) == Ann.nprobeFor(512))
+  }
+
   test("batch IVF+PQ serving: per-query identity with the single-query path") {
     import org.apache.spark.sql.functions._
     val emb = graft.sources.Sources.table(spark, sf001, "embeddings")
