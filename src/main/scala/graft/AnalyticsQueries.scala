@@ -17,6 +17,10 @@ import graft.sources.Sources
  */
 object AnalyticsQueries {
 
+  /** Target relative standard deviation for the HLL sketch — the
+    * single source for both the sketch precision and its gate bound. */
+  private val HllRsd = 0.02
+
   /** Exact money term: l_extendedprice * (1 - l_discount) as DECIMAL. */
   private def revExpr = (col("l_extendedprice").cast("decimal(18,2)") *
     (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
@@ -139,20 +143,21 @@ object AnalyticsQueries {
     // the sketch merges map-side in fixed memory). DuckDB's HLL is a
     // different implementation, so the sketch VALUE can't hash-match an
     // oracle — but the sketch's CONTRACT can: the output carries the
-    // exact count plus a per-group `approx_ok` = |approx − exact| ≤ 5%
-    // of exact, and the oracle asserts TRUE for every group. A
-    // hyperparameter change (or an HLL regression) that pushed the
-    // sketch past its advertised error now turns the gate red instead
-    // of hiding behind a rows-only check.
+    // exact count plus a per-group `approx_ok` = |approx − exact| ≤
+    // 3.5·rsd of exact (~3.5σ of the sketch's advertised error — wide
+    // enough that a data regen or new scale factor can't legitimately
+    // trip it, tight enough that a real HLL regression lands red), and
+    // the oracle asserts TRUE for every group. The bound DERIVES from
+    // the rsd parameter so the contract and the gate cannot drift.
     Q("q_user_counts_approx",
       (s, dir) => Sources.events(s, dir)
         .groupBy(col("event_type"))
         .agg(
           countDistinct(col("user_id")).as("exact_users"),
-          approx_count_distinct(col("user_id"), 0.02).as("approx"))
+          approx_count_distinct(col("user_id"), HllRsd).as("approx"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx") - col("exact_users")) <=
-            lit(0.05) * col("exact_users")).as("approx_ok"))
+            lit(3.5 * HllRsd) * col("exact_users")).as("approx_ok"))
         .orderBy(col("event_type")),
       Some("""
         SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
