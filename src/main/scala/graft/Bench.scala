@@ -85,12 +85,20 @@ object Bench {
     } else if (!sys.env.contains("SPARK_GRAFT_NOWARM") && warmF != sfCanon)
       System.err.println(s"[bench] warmup dir $warmF missing — first-use " +
         "JIT/codegen cost will land on the measured pass")
+    // Sub-query phases (graft.tools.Phases — e.g. index_update's eager
+    // build/update writes) are drained per run and reported as the min
+    // across sweeps, same as the per-query score. Warmup drains discard.
+    graft.tools.Phases.drain()
+    val phaseAcc = scala.collection.mutable.Map[String, Double]()
     val sweeps: Seq[Seq[(String, Double)]] =
       (1 to math.max(1, runs)).map { s =>
         selected.map { case (name, fn) =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
           val t = (System.nanoTime() - t0) / 1e9
+          graft.tools.Phases.drain().foreach { case (k, v) =>
+            phaseAcc(k) = math.min(v, phaseAcc.getOrElse(k, Double.MaxValue))
+          }
           cleanup()
           if (s > 1) System.err.println(f"[bench] $name sweep $s: $t%.3fs")
           name -> t
@@ -123,6 +131,7 @@ object Bench {
     val detail =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfName","n":${best.size},
          |"queries":${jmap(best)},
+         |"phases":${jmap(phaseAcc.toSeq.sortBy(_._1))},
          |"sweeps":[${bySweep.indices.map(i => jmap(selected.map { case (n, _) => n -> bySweep(i)(n) })).mkString(",\n")}]}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes("UTF-8"))

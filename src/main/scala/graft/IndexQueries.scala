@@ -114,10 +114,18 @@ object IndexQueries {
         val ev = Sources.events(s, dir)
         val cutCol = graft.functions.epochSecs(
           org.apache.spark.sql.functions.col("ts"))
-        Index.build(ev.where(cutCol < cutoff.getEpochSecond), metrics, path,
-          timeField = "ts", interval = "day")
-        Index.update(ev.where(cutCol >= cutoff.getEpochSecond), metrics, path,
-          timeField = "ts")
+        // build/update run EAGERLY here; the served read executes at the
+        // caller's action — phase-timed so the bench detail can
+        // attribute a regression to the build half vs the serve half
+        // (serve = the query's total minus these phases)
+        graft.tools.Phases.time("index_update.build") {
+          Index.build(ev.where(cutCol < cutoff.getEpochSecond), metrics, path,
+            timeField = "ts", interval = "day")
+        }
+        graft.tools.Phases.time("index_update.update") {
+          Index.update(ev.where(cutCol >= cutoff.getEpochSecond), metrics, path,
+            timeField = "ts")
+        }
         Index.query(s, path, metrics,
           QueryConfig(breakdowns = AttrParser.parse("event_type")))
       },
