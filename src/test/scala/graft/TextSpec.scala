@@ -197,4 +197,51 @@ class TextSpec extends SparkSpec {
       .select(Text.bpeTokens(col("text"))).head.getSeq[String](0)
     assert(toks == Seq("the", "th", "ing", "and", "a", "th", "in"), toks)
   }
+
+  test("bpe pass cap: 3 passes reach the fixpoint on adversarial chains") {
+    import spark.implicits._
+    // Reference replay of bpeTokens in plain Java string ops —
+    // String.replace IS the all-occurrence left-to-right replace the
+    // Spark expression compiles to, so this is an independent engine
+    // running the identical semantics with a VARIABLE pass count.
+    def reference(text: String, passes: Int): Seq[String] = {
+      val words = "[a-z]+".r.findAllIn(text.toLowerCase).toSeq
+      val init = " " + words.map(_.flatMap(c => s"$c ")).mkString(" ")
+      val merged = Text.BpeMerges.foldLeft(init) { case (s, (a, b)) =>
+        (1 to passes).foldLeft(s)((cur, _) =>
+          cur.replace(s" $a $b ", s" $a$b "))
+      }
+      merged.trim.split(" ").toSeq.filter(t => t != "" && t != "")
+    }
+    // Adversarial inputs: maximal alternating chains for every merge
+    // pair (the delimiter-consumption worst case), rank-competition
+    // words where later merges feed on earlier ones, and a pseudo-
+    // random soup over the merge alphabet (fixed seed — deterministic).
+    val rnd = new scala.util.Random(42)
+    val soup = (1 to 30).map(_ =>
+      (1 to rnd.between(3, 40)).map(_ => "thineagorsdflcu".charAt(
+        rnd.nextInt(15))).mkString).mkString(" ")
+    val inputs = Text.BpeMerges.map { case (a, b) => (a + b) * 30 } ++
+      Text.BpeMerges.map { case (a, b) => (b + a) * 30 } ++
+      Seq("thethethethethe", "inginginging", "andandandand",
+        "ananananananan", "nananananana", "thinthethinthe",
+        "ererererererer", "rerererererere", "ononononononon",
+        "tothetothe", "ofofofofof", "hehehehehe", "attattatt",
+        soup)
+    val df = inputs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Text.bpeTokens(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    inputs.zipWithIndex.foreach { case (t, i) =>
+      // engine agreement at the pinned cap
+      assert(got(i.toLong) == reference(t, Text.BpePasses),
+        s"spark != reference at ${Text.BpePasses} passes for '$t'")
+      // the cap is headroom, not a binding truncation: more passes
+      // change nothing, so DuckDB's replay at exactly BpePasses is a
+      // fixpoint, not a coincidence of the gate corpus
+      assert(reference(t, Text.BpePasses) == reference(t, 10),
+        s"pass cap binds for '$t' — ${Text.BpePasses} passes is not " +
+          "the fixpoint")
+    }
+  }
 }
