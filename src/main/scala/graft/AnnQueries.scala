@@ -48,7 +48,10 @@ object AnnQueries {
       val cb = Ann.pqCodebooks(e, modulus = sampleMod(e))
       centroids.write.mode("overwrite").parquet(s"$path/centroids")
       cb.write.mode("overwrite").parquet(s"$path/codebooks")
-      Ann.ivfpqEncode(e, centroids, cb).write.mode("overwrite")
+      // skew-guarded layout: bounded rows per file within each cell
+      // dir, one file for balanced cells (Ann.boundedCellLayout)
+      Ann.boundedCellLayout(Ann.ivfpqEncode(e, centroids, cb))
+        .write.mode("overwrite")
         .partitionBy("cell").parquet(s"$path/codes")
     }
     path

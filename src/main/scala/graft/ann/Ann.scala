@@ -750,6 +750,40 @@ object Ann {
   }
 
   /**
+   * Skew guard for the `partitionBy("cell")` code-table write. A bare
+   * `partitionBy` spray-writes one file per (task × cell) — at 10⁹
+   * vectors with nlist=16384 that is ~half a million files — while the
+   * obvious fix, `repartition(col("cell"))`, hands each whole cell to
+   * one task: a skewed cell (duplicate-heavy corpora collapse many
+   * vectors onto one centroid) becomes a straggler that single-handedly
+   * writes a corpus-fraction-sized file. This bounds both failure
+   * modes: a per-cell row count (an nlist-row agg, collected like the
+   * probe-cell literals) derives `splits = ceil(rows / targetRows)` per
+   * cell, and the shuffle keys on (cell, xxhash64(id) % splits) with an
+   * EXPLICIT partition count of Σ splits — explicit so AQE cannot
+   * coalesce the fan-out away (its byte heuristics would undo exactly
+   * the skew split this exists to force). A balanced cell still lands
+   * in one task/file, an oversized cell fans out across the task count
+   * its row count requires, and total file count stays ~nlist +
+   * Σ extra-splits-for-fat-cells. Row content is untouched: searches
+   * over a guarded layout are identical to the bare one.
+   */
+  def boundedCellLayout(enc: DataFrame,
+      targetRows: Long = 4L << 20): DataFrame = {
+    val spark = enc.sparkSession
+    import spark.implicits._
+    val counts = enc.groupBy(col("cell")).count().collect()
+      .map(r => (r.getLong(0),
+        math.max(1L, (r.getLong(1) + targetRows - 1) / targetRows)))
+    val total = math.max(1L, counts.map(_._2).sum).min(1L << 18).toInt
+    val splits = counts.toSeq.toDF("cell", "splits")
+    enc.join(broadcast(splits), "cell")
+      .repartition(total, col("cell"),
+        pmod(xxhash64(col("id")), col("splits")))
+      .drop("splits")
+  }
+
+  /**
    * Search the persisted [[ivfpqEncode]] artifact: the broadcast
    * centroids pick the query's nprobe cells, a LITERAL IN over the
    * cell column prunes the code table — on a `partitionBy("cell")`

@@ -437,4 +437,45 @@ class AnnSpec extends SparkSpec {
         s"qid=$qid batch ${batch(qid)} != single $single")
     }
   }
+
+  test("boundedCellLayout: fat cell splits, balanced cells one file, search identical") {
+    import org.apache.spark.sql.functions._
+    // 4 orthogonal centroids; one cell gets 900 duplicate vectors (the
+    // skew a duplicate-heavy corpus produces), three get 50 each
+    val corpus = ((1000L until 1900L).map(i => (i, Array(1f, 0f, 0f, 0f)))
+      ++ (0L until 50L).map(i => (i, Array(0f, 1f, 0f, 0f)))
+      ++ (100L until 150L).map(i => (i, Array(0f, 0f, 1f, 0f)))
+      ++ (200L until 250L).map(i => (i, Array(0f, 0f, 0f, 1f)))
+      ).toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f)), (3L, Array(0f, 0f, 0f, 1f))
+    ).toDF("cid", "cv")
+    val cb = Ann.pqCodebooks(corpus, modulus = Some(64))
+    val enc = Ann.ivfpqEncode(corpus, centroids, cb).localCheckpoint()
+    val base = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    enc.write.mode("overwrite").partitionBy("cell").parquet(s"$base/bare")
+    // fat cell holds 900×m=3600 code rows; targetRows=512 → splits=8
+    Ann.boundedCellLayout(enc, targetRows = 512)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$base/guarded")
+    def files(cell: Long) = {
+      val d = new java.io.File(s"$base/guarded/cell=$cell")
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(files(0L) >= 2 && files(0L) <= 8,
+      s"fat cell should fan out into 2..8 files, got ${files(0L)}")
+    for (c <- 1L to 3L)
+      assert(files(c) == 1, s"balanced cell $c should be one file, got ${files(c)}")
+    // layout is invisible to the search: identical rows, identical top-k
+    val g = spark.read.parquet(s"$base/guarded")
+    val b = spark.read.parquet(s"$base/bare")
+    assert(g.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      == b.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    val q = corpus.where(col("vec_id") === 0L)
+    val got = Ann.ivfpqTopKEncoded(g, centroids, cb, q, 5, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    val want = Ann.ivfpqTopKEncoded(b, centroids, cb, q, 5, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want && got.size == 5)
+  }
 }
