@@ -456,8 +456,51 @@ object AnnQueries {
           SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
             ${dotSql("a.vn", "c.vn")} AS cos
           FROM n a JOIN n c ON a.b = c.b AND a.vec_id < c.vec_id)
-        SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.35"""))
+        SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.35""")),
+
+    // #25b SEMANTIC dedup (SemDeDup): cluster with the derived-geometry
+    // IVF assignment, then within each cluster drop every vector with a
+    // lower-id neighbor at cos >= threshold — the keep-set the
+    // paraphrase-level stage of a training pipeline emits. The oracle
+    // replays the full pipeline: centroid sample, argmax-dot assignment
+    // (d DESC, cid DESC tie-break), in-cell pairs, greedy lowest-id
+    // survivors.
+    Q("dedup_semantic",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val (nl, _, mod) = ivfGeom(e)
+        Ann.semanticDedup(e, minCos = SemDedupMinCos, nlist = nl,
+          modulus = mod)
+      },
+      Some(s"""
+        WITH n AS (
+          SELECT vec_id AS id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
+          FROM embeddings),$ivfGeomCtes
+        cent AS (
+          SELECT id AS cid, vn AS cv FROM n, mm
+          WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
+            % mm.m = 0),
+        dists AS (
+          SELECT n.id, n.vn, c.cid, ${dotSql("n.vn", "c.cv")} AS d
+          FROM n CROSS JOIN cent c),
+        asg AS (
+          SELECT id, vn, cid AS cell,
+            row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn
+          FROM dists),
+        a1 AS (SELECT id, vn, cell FROM asg WHERE rn = 1),
+        dup AS (
+          SELECT DISTINCT b.id AS id
+          FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.id < b.id
+          WHERE ${dotSql("a.vn", "b.vn")} >= $SemDedupMinCos)
+        SELECT a.id AS vec_id FROM a1 a
+        WHERE a.id NOT IN (SELECT id FROM dup)"""))
   )
+
+  /** The semantic-dedup cosine threshold, shared by the Spark query and
+    * its oracle so the two sides cannot drift. 0.35 matches
+    * dedup_embed's near-dup bar on this synthetic embedding corpus. */
+  private val SemDedupMinCos = 0.35
 
   /** Batch-total recall floors for the quality gates, in hits out of
     * 40 (4 queries × 10). Measured: 9/9 (sf0.001), 9/9 (sf0.01), 39/39

@@ -975,6 +975,37 @@ object Ann {
   }
 
   /**
+   * SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+   * cluster the corpus with the derived-geometry IVF assignment, then
+   * within each cluster drop every vector that has a lower-id neighbor
+   * at cosine >= minCos. Exact dedup catches byte-identical docs and
+   * MinHash catches lexical overlap; this catches paraphrase-level
+   * redundancy an embedding sees but n-grams miss. Cluster-scoped by
+   * design (the paper's move): pairs are scored only within a cell, so
+   * the pair join costs Σ cell² over ~√n/4 derived cells (~linear
+   * overall) instead of n². The in-cell join reuses
+   * [[graft.dedup.Dedup.bucketPairs]]'s small/heavy-bucket regimes —
+   * a duplicate-collapsed fat cell takes the distributed sort-merge
+   * path instead of exploding one task's collect_set. Returns the KEPT
+   * ids (lowest id of every near-dup group survives, greedily).
+   */
+  def semanticDedup(corpus: DataFrame, minCos: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nlist: Int = DeriveNlist, modulus: Option[Long] = None): DataFrame = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nlist, modulus)
+    val asg = ivfAssign(corpus, centroids, idCol, vecCol)
+    // item struct leads with the id, so bucketPairs' struct ordering
+    // emits pairs with a.id < b.id (ids are unique)
+    val keyed = asg.select(col("cell"),
+      struct(col("id"), col("vn").as("v")).as("item"))
+    val dups = graft.dedup.Dedup.bucketPairs(keyed, Seq("cell"),
+        graft.dedup.Dedup.HeavyBucket, None)
+      .where(dot(col("a.v"), col("b.v")) >= minCos)
+      .select(col("b.id").as("id")).distinct()
+    asg.join(dups, Seq("id"), "left_anti").select(col("id").as(idCol))
+  }
+
+  /**
    * Per-bucket population histogram of the sign-bucket geometry — the
    * [[graft.dedup.Dedup.bucketStats]] analog for embeddings. Run BEFORE
    * a corpus-scale [[cosinePairs]] job: the largest bucket bounds the

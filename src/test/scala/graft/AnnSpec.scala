@@ -438,6 +438,21 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup keeps the lowest id of every identical group") {
+    import org.apache.spark.sql.functions._
+    // 4 orthogonal directions x 3 identical copies (ids interleaved):
+    // copies always share a cell (identical vectors assign identically)
+    // at cos=1, cross-group cos=0 — so exactly the lowest id of each
+    // group survives, independent of which rows the centroid sample picks
+    val dirs = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f))
+    val corpus = (0L until 12L).map(i => (i, dirs((i % 4).toInt)))
+      .toDF("vec_id", "embedding")
+    val kept = Ann.semanticDedup(corpus, minCos = 0.35,
+        modulus = Some(1)).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L, 3L))
+  }
+
   test("boundedCellLayout: fat cell splits, balanced cells one file, search identical") {
     import org.apache.spark.sql.functions._
     // 4 orthogonal centroids; one cell gets 900 duplicate vectors (the
