@@ -325,6 +325,55 @@ object DedupQueries {
               ORDER BY ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")},
                        doc_id) AS rn
           FROM documents)
-        WHERE rn <= 10"""))
+        WHERE rn <= 10""")),
+
+    // #40d DSIR importance-weighted selection: score each doc by the
+    // log-likelihood ratio of its hashed unigram+bigram bag under the
+    // target slice (source='src0') vs the whole corpus, perturb with
+    // replayable per-doc Gumbel noise, keep above the 75th-percentile
+    // histogram cutoff. The oracle replays the full pipeline: feature
+    // hashing, both Laplace-smoothed models, the log-weight sums, the
+    // Gumbel draw, and the bucket-walk cutoff.
+    Q("corpus_dsir",
+      (s, dir) => graft.dedup.Corpus.dsirSelect(docs(s, dir),
+        col("source") === "src0"),
+      Some(s"""
+        WITH tl AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents),
+        uni AS (SELECT doc_id, unnest(t) AS f FROM tl),
+        bi AS (
+          SELECT doc_id, array_to_string(list_slice(t, i + 1, i + 2), ' ') AS f
+          FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i
+                FROM tl WHERE len(t) >= 2)),
+        feats AS (
+          SELECT doc_id, ${graft.functions.XHash.h60Sql("f")} % 1024 AS bkt
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        tgt AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+        ct AS (
+          SELECT bkt, COUNT(*) AS tc FROM feats JOIN tgt USING (doc_id)
+          GROUP BY 1),
+        cr AS (SELECT bkt, COUNT(*) AS rc FROM feats GROUP BY 1),
+        nt AS (SELECT CAST(COALESCE(SUM(tc), 0) AS DOUBLE) AS nt FROM ct),
+        nr AS (SELECT CAST(SUM(rc) AS DOUBLE) AS nr FROM cr),
+        model AS (
+          SELECT cr.bkt,
+            ln((CAST(COALESCE(ct.tc, 0) AS DOUBLE) + 1.0) / (nt.nt + 1024))
+              - ln((CAST(cr.rc AS DOUBLE) + 1.0) / (nr.nr + 1024)) AS lw
+          FROM cr LEFT JOIN ct ON cr.bkt = ct.bkt, nt, nr),
+        docw AS (
+          SELECT doc_id, round(SUM(lw), 6) AS logw
+          FROM feats JOIN model USING (bkt) GROUP BY 1),
+        keyed AS (
+          SELECT doc_id, logw,
+            round(logw - ln(-ln(
+              ((${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")}
+                % 1000000) + 0.5) / 1000000.0)), 6) AS gkey
+          FROM docw),
+        c AS ${graft.plans.Quantiles.bucketsSql("keyed", "gkey", 0.001,
+          Seq("cut" -> 0.75))}
+        SELECT doc_id, logw,
+          ${graft.plans.Quantiles.bucketSql("gkey", 0.001)} > cut AS selected
+        FROM keyed, c"""))
   )
 }

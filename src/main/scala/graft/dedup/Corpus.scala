@@ -323,4 +323,69 @@ object Corpus {
     }
     out.drop("_n")
   }
+
+  /**
+   * DSIR-style importance-weighted data selection (Xie et al. 2023,
+   * arXiv:2302.03169): score every doc by how much more likely its
+   * hashed-n-gram bag is under the TARGET slice's feature distribution
+   * than under the whole corpus's, then keep the docs above the
+   * corpus-quantile cutoff of a Gumbel-perturbed score — importance
+   * resampling without replacement via deterministic Gumbel top-k,
+   * with the Gumbel noise derived from the doc id's XHash so an
+   * oracle can replay the draw.
+   *
+   * Features are word unigrams + bigrams hashed into `buckets` bins
+   * (the paper's hashed n-gram model). Per-bin Laplace-smoothed log
+   * ratio ln((ct+1)/(Nt+B)) − ln((cr+1)/(Nr+B)) lives in a ≤B-row
+   * broadcast; a doc's `logw` is the sum over its feature occurrences.
+   * Scale shape: two narrow aggs over feature rows (map-side combine),
+   * the model broadcast back, and the keep cutoff from the
+   * bucket-bounded [[graft.plans.Quantiles]] histogram — no global
+   * sort, no corpus-sized shuffle beyond the per-doc agg.
+   */
+  def dsirSelect(docs: DataFrame, isTarget: Column, buckets: Int = 1024,
+      keepQuantile: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      Text.tokens(col(textCol)).as("toks"))
+    val uni = base.select(col("id"), explode(col("toks")).as("f"))
+    val bi = base.where(size(col("toks")) >= 2)
+      .select(col("id"),
+        explode(sequence(lit(0), size(col("toks")) - 2)).as("i"),
+        col("toks"))
+      .select(col("id"),
+        concat_ws(" ", slice(col("toks"), col("i") + 1, lit(2))).as("f"))
+    val feats = uni.union(bi).select(col("id"),
+      pmod(graft.functions.XHash.h60(col("f")), lit(buckets.toLong)).as("bkt"))
+    val tgtIds = docs.where(isTarget).select(col(idCol).as("id"))
+    val ct = feats.join(broadcast(tgtIds), Seq("id"))
+      .groupBy(col("bkt")).agg(count(lit(1)).as("tc"))
+    val cr = feats.groupBy(col("bkt")).agg(count(lit(1)).as("rc"))
+    val nt = ct.agg(coalesce(sum(col("tc")), lit(0L)).cast("double").as("nt"))
+    val nr = cr.agg(sum(col("rc")).cast("double").as("nr"))
+    // every feature bucket appears in cr (raw spans all docs), so the
+    // model rows are cr left-joined with the target counts
+    val model = cr.join(ct, Seq("bkt"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("bkt"),
+        (log((coalesce(col("tc"), lit(0L)).cast("double") + 1.0)
+            / (col("nt") + buckets))
+          - log((col("rc").cast("double") + 1.0) / (col("nr") + buckets)))
+          .as("lw"))
+    val docw = feats.join(broadcast(model), Seq("bkt"))
+      .groupBy(col("id"))
+      .agg(round(sum(col("lw")), 6).as("logw"))
+    // Gumbel(0,1) from the id's replayable hash: u in (0,1), g=-ln(-ln u)
+    val u = (pmod(graft.functions.XHash.h60(col("id").cast("string")),
+      lit(1000000L)).cast("double") + 0.5) / 1000000.0
+    val keyed = docw.select(col("id").as(idCol), col("logw"),
+      round(col("logw") - log(-log(u)), 6).as("gkey"))
+    val step = 0.001
+    val cut = graft.plans.Quantiles.histQuantileBuckets(
+      keyed, col("gkey"), step, Seq("cut" -> keepQuantile))
+    keyed.crossJoin(broadcast(cut))
+      .select(col(idCol), col("logw"),
+        (graft.plans.Quantiles.bucket(col("gkey"), step) > col("cut"))
+          .as("selected"))
+  }
 }

@@ -232,4 +232,23 @@ class CorpusSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(fallback == plain)
   }
+
+  test("dsirSelect: target-like docs outweigh off-target docs") {
+    import org.apache.spark.sql.functions.col
+    // target slice speaks "alpha beta"; raw background speaks "gamma
+    // delta" — a raw doc written in the target's vocabulary must score
+    // a strictly higher importance weight than the background docs
+    val d = ((0L until 4L).map(i => (i, "alpha beta alpha beta", "tgt"))
+      ++ (10L until 18L).map(i => (i, "gamma delta gamma delta", "web"))
+      ++ Seq((20L, "alpha beta alpha beta", "web"))
+      ).toDF("doc_id", "text", "source")
+    val out = Corpus.dsirSelect(d, col("source") === "tgt", buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size == 13)
+    val onTarget = out(20L)
+    for (i <- 10L until 18L)
+      assert(onTarget > out(i),
+        s"doc 20 ($onTarget) should outweigh off-target doc $i (${out(i)})")
+    assert(out(20L) == out(0L), "identical text must get identical logw")
+  }
 }
