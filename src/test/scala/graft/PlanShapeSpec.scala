@@ -19,6 +19,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup broadcasts centroids; DSIR cutoff avoids a global sort") {
+    // dedup_semantic's cell assignment is an argmax-dot over the
+    // broadcast centroid sample — the corpus must meet it in a
+    // broadcast nested loop, never a shuffle join
+    val sem = SparkEntry.queries("dedup_semantic")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(sem.contains("BroadcastNestedLoopJoin"),
+      s"dedup_semantic lost its broadcast assignment:\n${sem.take(1200)}")
+    // corpus_dsir's keep cutoff comes from the bounded histogram walk;
+    // a RangePartitioning exchange would mean a global sort snuck in
+    val dsir = SparkEntry.queries("corpus_dsir")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(dsir.contains("BroadcastExchange"),
+      s"corpus_dsir lost its model broadcast:\n${dsir.take(1200)}")
+    assert(!dsir.toLowerCase.contains("rangepartitioning"),
+      s"corpus_dsir selection must not globally sort:\n${dsir.take(1200)}")
+  }
+
   test("filtered event scans push predicates into the parquet reader") {
     // other suites may have cached the events table (IndexSpec does);
     // cached plans serve InMemoryTableScan and hide the file pushdown
