@@ -346,14 +346,16 @@ object DedupQueries {
           SELECT doc_id, array_to_string(list_slice(t, i + 1, i + 2), ' ') AS f
           FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i
                 FROM tl WHERE len(t) >= 2)),
-        feats AS (
-          SELECT doc_id, ${graft.functions.XHash.h60Sql("f")} % 1024 AS bkt
-          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        fcnt AS (
+          SELECT doc_id, ${graft.functions.XHash.h60Sql("f")} % 1024 AS bkt,
+            COUNT(*) AS n
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+          GROUP BY 1, 2),
         tgt AS (SELECT doc_id FROM documents WHERE source = 'src0'),
         ct AS (
-          SELECT bkt, COUNT(*) AS tc FROM feats JOIN tgt USING (doc_id)
+          SELECT bkt, SUM(n) AS tc FROM fcnt JOIN tgt USING (doc_id)
           GROUP BY 1),
-        cr AS (SELECT bkt, COUNT(*) AS rc FROM feats GROUP BY 1),
+        cr AS (SELECT bkt, SUM(n) AS rc FROM fcnt GROUP BY 1),
         nt AS (SELECT CAST(COALESCE(SUM(tc), 0) AS DOUBLE) AS nt FROM ct),
         nr AS (SELECT CAST(SUM(rc) AS DOUBLE) AS nr FROM cr),
         model AS (
@@ -362,8 +364,8 @@ object DedupQueries {
               - ln((CAST(cr.rc AS DOUBLE) + 1.0) / (nr.nr + 1024)) AS lw
           FROM cr LEFT JOIN ct ON cr.bkt = ct.bkt, nt, nr),
         docw AS (
-          SELECT doc_id, round(SUM(lw), 6) AS logw
-          FROM feats JOIN model USING (bkt) GROUP BY 1),
+          SELECT doc_id, round(SUM(lw * n), 6) AS logw
+          FROM fcnt JOIN model USING (bkt) GROUP BY 1),
         keyed AS (
           SELECT doc_id, logw,
             round(logw - ln(-ln(

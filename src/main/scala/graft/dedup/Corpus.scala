@@ -338,29 +338,37 @@ object Corpus {
    * (the paper's hashed n-gram model). Per-bin Laplace-smoothed log
    * ratio ln((ct+1)/(Nt+B)) − ln((cr+1)/(Nr+B)) lives in a ≤B-row
    * broadcast; a doc's `logw` is the sum over its feature occurrences.
-   * Scale shape: two narrow aggs over feature rows (map-side combine),
-   * the model broadcast back, and the keep cutoff from the
-   * bucket-bounded [[graft.plans.Quantiles]] histogram — no global
-   * sort, no corpus-sized shuffle beyond the per-doc agg.
+   * Scale shape: tokenization runs ONCE — the exploded features
+   * aggregate straight to per-(doc, bucket) counts (map-side combine,
+   * ≤ buckets rows per doc) and that bounded table is materialized via
+   * localCheckpoint before its three consumers, so neither model count
+   * nor the weight sum re-reads the raw text. The target slice rides
+   * along as a flag from the first select — no join against a
+   * target-id set that might itself be corpus-sized. The keep cutoff
+   * comes from the bucket-bounded [[graft.plans.Quantiles]] histogram
+   * — no global sort, no corpus-sized shuffle beyond the per-doc agg.
    */
   def dsirSelect(docs: DataFrame, isTarget: Column, buckets: Int = 1024,
       keepQuantile: Double = 0.75, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val base = docs.select(col(idCol).as("id"),
+    val base = docs.select(col(idCol).as("id"), isTarget.as("tgt"),
       Text.tokens(col(textCol)).as("toks"))
-    val uni = base.select(col("id"), explode(col("toks")).as("f"))
+    val uni = base.select(col("id"), col("tgt"), explode(col("toks")).as("f"))
     val bi = base.where(size(col("toks")) >= 2)
-      .select(col("id"),
+      .select(col("id"), col("tgt"),
         explode(sequence(lit(0), size(col("toks")) - 2)).as("i"),
         col("toks"))
-      .select(col("id"),
+      .select(col("id"), col("tgt"),
         concat_ws(" ", slice(col("toks"), col("i") + 1, lit(2))).as("f"))
-    val feats = uni.union(bi).select(col("id"),
-      pmod(graft.functions.XHash.h60(col("f")), lit(buckets.toLong)).as("bkt"))
-    val tgtIds = docs.where(isTarget).select(col(idCol).as("id"))
-    val ct = feats.join(broadcast(tgtIds), Seq("id"))
-      .groupBy(col("bkt")).agg(count(lit(1)).as("tc"))
-    val cr = feats.groupBy(col("bkt")).agg(count(lit(1)).as("rc"))
+    val fcnt = uni.union(bi)
+      .select(col("id"), col("tgt"),
+        pmod(graft.functions.XHash.h60(col("f")), lit(buckets.toLong)).as("bkt"))
+      .groupBy(col("id"), col("tgt"), col("bkt"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val ct = fcnt.where(col("tgt"))
+      .groupBy(col("bkt")).agg(sum(col("n")).as("tc"))
+    val cr = fcnt.groupBy(col("bkt")).agg(sum(col("n")).as("rc"))
     val nt = ct.agg(coalesce(sum(col("tc")), lit(0L)).cast("double").as("nt"))
     val nr = cr.agg(sum(col("rc")).cast("double").as("nr"))
     // every feature bucket appears in cr (raw spans all docs), so the
@@ -372,9 +380,9 @@ object Corpus {
             / (col("nt") + buckets))
           - log((col("rc").cast("double") + 1.0) / (col("nr") + buckets)))
           .as("lw"))
-    val docw = feats.join(broadcast(model), Seq("bkt"))
+    val docw = fcnt.join(broadcast(model), Seq("bkt"))
       .groupBy(col("id"))
-      .agg(round(sum(col("lw")), 6).as("logw"))
+      .agg(round(sum(col("lw") * col("n")), 6).as("logw"))
     // Gumbel(0,1) from the id's replayable hash: u in (0,1), g=-ln(-ln u)
     val u = (pmod(graft.functions.XHash.h60(col("id").cast("string")),
       lit(1000000L)).cast("double") + 0.5) / 1000000.0
