@@ -287,6 +287,37 @@ object TextQueries {
             AS dup_word_frac,
           coalesce(CAST(b.top_bigram AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE),
             0.0) AS top_bigram_frac
-        FROM wagg w LEFT JOIN bagg b USING (doc_id)"""))
+        FROM wagg w LEFT JOIN bagg b USING (doc_id)""")),
+
+    // #34d Count-Min Sketch heavy hitters: the mergeable-frequency
+    // sketch (d=4 salted hash rows × w=1024 counters, map-side combined
+    // partial sketches) estimating the true top-20 tokens' counts. The
+    // oracle replays every counter from the salted cross-engine hash;
+    // lower_bounded (est >= exact) is the CMS invariant and holds
+    // deterministically, overcount shows the d×w-vs-vocab-state cost.
+    Q("text_heavy_hitters",
+      (s, dir) => graft.text.Text.cmsHeavyHitters(docs(s, dir)),
+      Some(s"""
+        WITH toks AS (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+          FROM documents),
+        ex AS (SELECT t, COUNT(*) AS exact FROM toks GROUP BY 1),
+        top AS (SELECT t, exact FROM ex ORDER BY exact DESC, t LIMIT 20),
+        occ AS (
+          SELECT rr.r AS r,
+            ${graft.functions.XHash.h60Sql("'cms' || rr.r || ':' || t")}
+              % 1024 AS c
+          FROM toks CROSS JOIN range(4) rr(r)),
+        counters AS (SELECT r, c, COUNT(*) AS n FROM occ GROUP BY 1, 2),
+        probes AS (
+          SELECT top.t, top.exact, rr.r AS r,
+            ${graft.functions.XHash.h60Sql("'cms' || rr.r || ':' || top.t")}
+              % 1024 AS c
+          FROM top CROSS JOIN range(4) rr(r))
+        SELECT p.t, p.exact, MIN(ct.n) AS est,
+          MIN(ct.n) - p.exact AS overcount,
+          MIN(ct.n) >= p.exact AS lower_bounded
+        FROM probes p JOIN counters ct ON p.r = ct.r AND p.c = ct.c
+        GROUP BY 1, 2"""))
   )
 }

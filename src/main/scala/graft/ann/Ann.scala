@@ -1001,8 +1001,11 @@ object Ann {
     val dups = graft.dedup.Dedup.bucketPairs(keyed, Seq("cell"),
         graft.dedup.Dedup.HeavyBucket, None)
       .where(dot(col("a.v"), col("b.v")) >= minCos)
-      .select(col("b.id").as("id")).distinct()
-    asg.join(dups, Seq("id"), "left_anti").select(col("id").as(idCol))
+      .select(col("b.id").as(idCol)).distinct()
+    // survivors = all ids minus the dropped set: read the id column off
+    // the RAW corpus (a column-pruned scan) rather than replaying the
+    // corpus × centroids assignment a second time just for its ids
+    corpus.select(col(idCol)).join(dups, Seq(idCol), "left_anti")
   }
 
   /**

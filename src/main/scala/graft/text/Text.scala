@@ -283,4 +283,48 @@ object Text {
         coalesce(col("top_bigram").cast("double") /
           col("n_bigrams").cast("double"), lit(0.0)).as("top_bigram_frac"))
   }
+
+  /**
+   * Count-Min Sketch token-frequency estimation (Cormode & Muthukrishnan
+   * 2005) — the mergeable-frequency counterpart of the HLL cardinality
+   * gate. The sketch is the d×w counter table: each token occurrence
+   * increments one counter per salted hash row, built by ONE
+   * `groupBy(row, counter)` whose map-side combine makes every
+   * partition's contribution a partial sketch — the same
+   * merge-anywhere property the streaming/multi-day story needs, with
+   * d×w total rows regardless of corpus size. Estimates take the MIN
+   * across rows of each token's counters (never below the true count —
+   * the CMS invariant the gate asserts); hashing is the cross-engine
+   * XHash with per-row salts so an oracle replays every counter
+   * exactly. Returns the true top-k tokens with exact count, estimate,
+   * and the estimate's overcount — the visible cost of sketching at
+   * d×w instead of vocab-sized state.
+   */
+  def cmsHeavyHitters(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      d: Int = 4, w: Int = 1024, topK: Int = 20)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(explode(tokens(col(textCol))).as("t"))
+    val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("exact"))
+    val top = exact.orderBy(col("exact").desc, col("t")).limit(topK)
+    def bucket(r: Int, t: Column): Column =
+      pmod(graft.functions.XHash.h60(concat(lit(s"cms$r:"), t)),
+        lit(w.toLong))
+    val counters = toks
+      .select(explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), bucket(r, col("t")).as("c"))): _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("n"))
+    val probes = top.select(col("t"), col("exact"),
+        explode(array((0 until d).map(r =>
+          struct(lit(r).as("r"), bucket(r, col("t")).as("c"))): _*)).as("rc"))
+      .select(col("t"), col("exact"),
+        col("rc.r").as("r"), col("rc.c").as("c"))
+    probes.join(broadcast(counters), Seq("r", "c"))
+      .groupBy(col("t"), col("exact"))
+      .agg(min(col("n")).as("est"))
+      .select(col("t"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overcount"),
+        (col("est") >= col("exact")).as("lower_bounded"))
+  }
 }

@@ -244,4 +244,24 @@ class TextSpec extends SparkSpec {
           "the fixpoint")
     }
   }
+
+  test("CMS heavy hitters: never undercounts, exact when unaliased, ranked truthfully") {
+    import org.apache.spark.sql.functions.col
+    // 60 'alpha', 30 'beta', 10 'gamma' across three docs
+    val docs = Seq(
+      (1L, Array.fill(40)("alpha").mkString(" ")),
+      (2L, (Array.fill(20)("alpha") ++ Array.fill(30)("beta")).mkString(" ")),
+      (3L, Array.fill(10)("gamma").mkString(" "))
+    ).toDF("doc_id", "text")
+    val rows = Text.cmsHeavyHitters(docs, topK = 3).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(rows.keySet == Set("alpha", "beta", "gamma"))
+    assert(rows("alpha")._1 == 60L && rows("beta")._1 == 30L
+      && rows("gamma")._1 == 10L)
+    // CMS invariant: the min-of-rows estimate never undercounts
+    assert(rows.values.forall { case (exact, est, lb) => lb && est >= exact })
+    // 3 tokens in 4×1024 counters: no collisions, estimates are exact
+    assert(rows.values.forall { case (exact, est, _) => est == exact })
+  }
 }
