@@ -231,6 +231,45 @@ object StreamingQueries {
         SELECT user_id,
                CAST(SUM(CASE WHEN prev IS NULL OR sec - prev > 1800
                              THEN 1 ELSE 0 END) AS BIGINT) AS sessions
-        FROM d GROUP BY 1 ORDER BY 1"""))
+        FROM d GROUP BY 1 ORDER BY 1""")),
+
+    // #34e the CMS mergeability claim, proven live: the SAME
+    // Text.cmsCounters plan drained through the streaming engine's
+    // incremental state (partial sketches merged per micro-batch) must
+    // reproduce the batch sketch exactly; the batch probe then
+    // estimates the true top-20 user ids from the streamed counters,
+    // and the whole composition is oracle-replayed in DuckDB.
+    Q("stream_heavy_hitters",
+      (s, dir) => {
+        implicit val session: org.apache.spark.sql.SparkSession = s
+        val streamToks = eventStream(s, dir)
+          .select(col("user_id").cast("string").as("t"))
+        val counters = drain(graft.text.Text.cmsCounters(streamToks),
+          "graft_stream_cms",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        val batchToks = graft.sources.Sources.events(s, dir)
+          .select(col("user_id").cast("string").as("t"))
+        graft.text.Text.cmsEstimates(counters, batchToks)
+      },
+      Some(s"""
+        WITH toks AS (SELECT CAST(user_id AS VARCHAR) AS t FROM events),
+        ex AS (SELECT t, COUNT(*) AS exact FROM toks GROUP BY 1),
+        top AS (SELECT t, exact FROM ex ORDER BY exact DESC, t LIMIT 20),
+        occ AS (
+          SELECT rr.r AS r,
+            ${graft.functions.XHash.h60Sql("'cms' || rr.r || ':' || t")}
+              % 1024 AS c
+          FROM toks CROSS JOIN range(4) rr(r)),
+        counters AS (SELECT r, c, COUNT(*) AS n FROM occ GROUP BY 1, 2),
+        probes AS (
+          SELECT top.t, top.exact, rr.r AS r,
+            ${graft.functions.XHash.h60Sql("'cms' || rr.r || ':' || top.t")}
+              % 1024 AS c
+          FROM top CROSS JOIN range(4) rr(r))
+        SELECT p.t, p.exact, MIN(ct.n) AS est,
+          MIN(ct.n) - p.exact AS overcount,
+          MIN(ct.n) >= p.exact AS lower_bounded
+        FROM probes p JOIN counters ct ON p.r = ct.r AND p.c = ct.c
+        GROUP BY 1, 2"""))
   )
 }

@@ -305,19 +305,39 @@ object Text {
       d: Int = 4, w: Int = 1024, topK: Int = 20)
       : org.apache.spark.sql.DataFrame = {
     val toks = docs.select(explode(tokens(col(textCol))).as("t"))
-    val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("exact"))
-    val top = exact.orderBy(col("exact").desc, col("t")).limit(topK)
-    def bucket(r: Int, t: Column): Column =
-      pmod(graft.functions.XHash.h60(concat(lit(s"cms$r:"), t)),
-        lit(w.toLong))
-    val counters = toks
-      .select(explode(array((0 until d).map(r =>
-        struct(lit(r).as("r"), bucket(r, col("t")).as("c"))): _*)).as("rc"))
+    cmsEstimates(cmsCounters(toks, d, w), toks, d, w, topK)
+  }
+
+  /** The d-row salted bucket for one CMS hash row. */
+  private def cmsBucket(r: Int, t: Column, w: Int): Column =
+    pmod(graft.functions.XHash.h60(concat(lit(s"cms$r:"), t)),
+      lit(w.toLong))
+
+  /** The CMS itself: d×w counter rows from a single-column frame of
+    * item occurrences (`t`). Works unchanged on a STREAMING frame —
+    * the groupBy's partial aggregates are partial sketches, which is
+    * the whole point of the structure. */
+  def cmsCounters(toks: org.apache.spark.sql.DataFrame,
+      d: Int = 4, w: Int = 1024): org.apache.spark.sql.DataFrame =
+    toks.select(explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), cmsBucket(r, col("t"), w).as("c"))): _*))
+        .as("rc"))
       .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
       .agg(count(lit(1)).as("n"))
+
+  /** Probe a counter table for the true top-k items of `toks` (exact
+    * counts computed here, batch side): min across hash rows, the
+    * always-≥-exact estimate, and the overcount. */
+  def cmsEstimates(counters: org.apache.spark.sql.DataFrame,
+      toks: org.apache.spark.sql.DataFrame,
+      d: Int = 4, w: Int = 1024, topK: Int = 20)
+      : org.apache.spark.sql.DataFrame = {
+    val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("exact"))
+    val top = exact.orderBy(col("exact").desc, col("t")).limit(topK)
     val probes = top.select(col("t"), col("exact"),
         explode(array((0 until d).map(r =>
-          struct(lit(r).as("r"), bucket(r, col("t")).as("c"))): _*)).as("rc"))
+          struct(lit(r).as("r"), cmsBucket(r, col("t"), w).as("c"))): _*))
+          .as("rc"))
       .select(col("t"), col("exact"),
         col("rc.r").as("r"), col("rc.c").as("c"))
     probes.join(broadcast(counters), Seq("r", "c"))
