@@ -111,21 +111,25 @@ class TextSpec extends SparkSpec {
       concat_ws(" ", (0 until 200).map(i =>
         concat(lit(s"tok$i"), (col("id") * (i + 1)) % 997)): _*).as("t"))
       .localCheckpoint()
-    def timeIt(c: org.apache.spark.sql.Column): Long = {
-      def once(): Long = {
-        val t0 = System.nanoTime()
-        docs.select(c.as("h")).agg(sum("h")).collect()
-        System.nanoTime() - t0
-      }
-      once(); math.min(once(), once()) // warm, then best of 2
+    def once(c: org.apache.spark.sql.Column): Long = {
+      val t0 = System.nanoTime()
+      docs.select(c.as("h")).agg(sum("h")).collect()
+      System.nanoTime() - t0
     }
     val hofExpr = aggregate(split(col("t"), ""), lit(0L),
       (acc, ch) => (acc * lit(131L) + ascii(ch)) % lit(1000000007L))
     val fastExpr = org.apache.spark.sql.graft.bridge.column(
       graft.functions.RollingHash(
         org.apache.spark.sql.graft.bridge.expression(col("t"))))
-    val hof = timeIt(hofExpr)
-    val fast = timeIt(fastExpr)
+    // warm both, then INTERLEAVE the timed samples (A B A B A B) and
+    // take mins — suites run concurrently, and a machine stall that
+    // covers one path's whole contiguous window would otherwise flip
+    // the ratio (seen once in-round; the bench sweeps separate for the
+    // same reason)
+    once(hofExpr); once(fastExpr)
+    val samples = (1 to 3).map(_ => (once(hofExpr), once(fastExpr)))
+    val hof = samples.map(_._1).min
+    val fast = samples.map(_._2).min
     info(f"hof=${hof / 1e6}%.1f ms fast=${fast / 1e6}%.1f ms ratio=${hof.toDouble / fast}%.1f×")
     assert(fast * 2 <= hof,
       f"expected ≥2× speedup, got ${hof.toDouble / fast}%.2f×")
