@@ -251,28 +251,25 @@ object Index {
       val days = fragmented
       clustered(spark.read.parquet(mp).where(col("dn_date").isin(days: _*)))
         .write.mode("overwrite").partitionBy("dn_date").parquet(staging.toString)
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      // re-cluster: a staged day larger than one split would otherwise
-      // fan back out across read tasks and re-fragment on write
-      try clustered(spark.read.parquet(staging.toString))
-        .write.mode("overwrite").partitionBy("dn_date").parquet(mp)
-      catch { case e: Throwable =>
-        // the dynamic overwrite may have already cleared target day
-        // partitions, making the staging copy the only intact one —
-        // NEVER delete it on failure (mirrors the streamed branch)
-        throw new GraftException(s"compact: overwrite into $mp failed; " +
-          s"the compacted days are intact in $staging — restore them " +
-          "there before re-running", e)
-      } finally {
-        prev match {
-          case Some(v) =>
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None =>
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        }
+      // swap each staged day dir in with FS renames — the data moves
+      // ONCE (the staging write); the dynamic-partition-overwrite this
+      // replaces re-read and re-wrote every staged byte in a second
+      // Spark job, and needed a re-cluster pass to keep one file per
+      // day, which renames preserve by construction. Failure window is
+      // unchanged: a crash between a day's delete and its rename leaves
+      // that day's only copy in staging, exactly the window the
+      // overwrite path documented — so staging is never deleted on
+      // failure here either.
+      for (d <- days) {
+        val src = new org.apache.hadoop.fs.Path(staging, s"dn_date=$d")
+        val dst = new org.apache.hadoop.fs.Path(root, s"dn_date=$d")
+        fs.delete(dst, true)
+        if (!fs.rename(src, dst))
+          throw new GraftException(s"compact: rename $src -> $dst failed; " +
+            s"this day's compacted copy is intact in $staging — restore " +
+            "it before re-running")
       }
-      // only a fully-committed overwrite releases the staging copy
+      // only a fully-committed swap releases the staging copy
       fs.delete(staging, true)
       days
     }
