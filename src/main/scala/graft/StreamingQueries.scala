@@ -14,19 +14,28 @@ import graft.streaming.StreamScan
 object StreamingQueries {
 
   /** readStream over the events parquet, `ts` normalized to a micros
-    * TIMESTAMP whatever the dir stores: the base testdata carries
-    * TIMESTAMP(NANOS) (readable only as a raw long), while MakeScale
-    * dirs rebuild ts as a real micros TIMESTAMP. The nanos→micros
-    * conversion is exact integral `div` — a double round of nanos
-    * ~1.7e18 is off by ~256 and could flip a boundary-equal comparison.
+    * TIMESTAMP whatever the dir stores: driver testdata has carried
+    * TIMESTAMP(NANOS) (readable only as a raw long) and now naive
+    * micros (→ TIMESTAMP_NTZ), while MakeScale dirs rebuild ts as a
+    * real micros TIMESTAMP. Event-time streaming ops (watermark,
+    * window, interval join) hard-require TIMESTAMP, so both other
+    * encodings are normalized here: nanos→micros is exact integral
+    * `div` (a double round of nanos ~1.7e18 is off by ~256 and could
+    * flip a boundary-equal comparison), and the NTZ→TZ cast is an
+    * exact wall-clock relabel under the session's UTC timezone.
     * (The file stream source wants a glob, not a bare file path.) */
   private def eventStream(s: org.apache.spark.sql.SparkSession, dir: String) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
     val stream = s.readStream.schema(raw.schema).parquet(s"$dir/{events}.parquet")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else stream
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => stream
+    }
   }
 
   /** Drain a streaming frame to completion (AvailableNow → memory sink)
@@ -72,13 +81,21 @@ object StreamingQueries {
           timeCol = "ts", windowDur = "1 day", watermarkDelay = "0 seconds")
         drain(agg, "graft_stream_counts",
           org.apache.spark.sql.streaming.OutputMode.Complete())
+          // epoch-micros BIGINT bounds: the textual form of a raw
+          // timestamp depends on the dir's parquet encoding (naive vs
+          // UTC-adjusted reads differ in DuckDB); integer micros
+          // compare identically under every encoding
+          .select(expr("unix_micros(window_start)").as("window_start"),
+            expr("unix_micros(window_end)").as("window_end"),
+            col("event_type"), col("value"))
       },
       // The streaming result IS oracle-checkable: 1-day event-time
       // windows align to UTC days, so the drained AvailableNow run must
       // equal a batch day-truncated count.
       Some("""
-        SELECT date_trunc('day', ts) AS window_start,
-               date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+        SELECT epoch_ns(date_trunc('day', ts)) // 1000 AS window_start,
+               epoch_ns(date_trunc('day', ts) + INTERVAL 1 DAY) // 1000
+                 AS window_end,
                event_type,
                CAST(COUNT(*) AS BIGINT) AS value
         FROM events GROUP BY 1, 2, 3""")),
@@ -111,13 +128,17 @@ object StreamingQueries {
           StreamScan.restoreState(s, prevState)
         }
         s.read.parquet(s"$tmp/idx")
-          .select(col("window_start"), col("window_end"), col("event_type"),
-            col("value"))
+          // epoch-micros BIGINT bounds — same encoding-independence
+          // reasoning as stream_window_counts
+          .select(expr("unix_micros(window_start)").as("window_start"),
+            expr("unix_micros(window_end)").as("window_end"),
+            col("event_type"), col("value"))
       },
       Some("""
         WITH mx AS (SELECT max(ts) AS m FROM events)
-        SELECT date_trunc('day', ts) AS window_start,
-               date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+        SELECT epoch_ns(date_trunc('day', ts)) // 1000 AS window_start,
+               epoch_ns(date_trunc('day', ts) + INTERVAL 1 DAY) // 1000
+                 AS window_end,
                event_type,
                CAST(COUNT(*) AS BIGINT) AS value
         FROM events, mx

@@ -75,15 +75,25 @@ object MakeScale {
     scaled("orders")(addKeys("o_orderkey", "o_custkey"))
     scaled("lineitem")(addKeys("l_orderkey", "l_partkey", "l_suppkey"))
     scaled("events") { (df, off) =>
-      addKeys("event_id", "user_id")(df, off)
-        // rebuild ts as a real TIMESTAMP column (microseconds — the
-        // engine-side semantics Sources.events normalizes to; exact
-        // integral div, not /1000.0, so no double-rounding at nanos
-        // magnitude). Writing the raw nanos long back made scaled dirs
-        // bench-only: the DuckDB oracle SQL reads epoch_ns(ts) off a
-        // TIMESTAMP column and failed loudly on an INT64. A scaled dir
-        // now passes the correctness gate too.
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val keyed = addKeys("event_id", "user_id")(df, off)
+      // rebuild ts as a real TIMESTAMP column (microseconds — the
+      // engine-side semantics Sources.events normalizes to). Base dirs
+      // have carried nanos (→ raw long under nanosAsLong; exact
+      // integral div, not /1000.0, so no double-rounding at nanos
+      // magnitude) and naive micros (→ TIMESTAMP_NTZ; exact wall-clock
+      // relabel under the session's UTC timezone). Writing the raw
+      // encoding back made scaled dirs bench-only: the DuckDB oracle
+      // SQL reads epoch_ns(ts) off a TIMESTAMP column and failed
+      // loudly on an INT64. A scaled dir now passes the correctness
+      // gate too.
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          keyed.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          keyed.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => keyed
+      }
     }
     scaled("documents") { (df, off) =>
       addKeys("doc_id")(df, off)
