@@ -223,6 +223,22 @@ object DedupQueries {
       },
       Some(DedupSql.decontam())),
 
+    // #38b decontamination as a Bloom prefilter (the 100 TB shape):
+    // eval shingles → fixed bit array probed by pure column
+    // expressions over the corpus (zero joins), exact verify only on
+    // the flagged survivors. flagged ⊇ exact (no false negatives);
+    // false positives are the exact_hit=false rows, visible like the
+    // CMS gate's overcount. The oracle replays the bit positions
+    // relationally — the gate proves bitset-probe == set-membership.
+    Q("corpus_decontam_bloom",
+      (s, dir) => {
+        val d = docs(s, dir)
+        Dedup.bloomDecontam(
+          d.where(col("doc_id") % 97 =!= 0),
+          d.where(col("doc_id") % 97 === 0))
+      },
+      Some(DedupSql.decontamBloom())),
+
     // #25g substring-level dedup signal: per-doc fraction of word
     // 5-gram slots covered by spans that exist in >= 2 docs — catches
     // span-level copying that whole-document MinHash misses

@@ -81,6 +81,54 @@ object DedupSql {
        |SELECT DISTINCT CAST(c.doc_id AS BIGINT) AS doc_id
        |FROM csh c JOIN (SELECT DISTINCT s FROM esh) e USING (s)""".stripMargin
 
+  /** corpus_decontam_bloom / stream_decontam_bloom oracle: the Bloom
+    * composition replayed relationally. The filter's SET BIT POSITIONS
+    * are a derived relation (distinct eval pair × k family members, mod
+    * the derived m); a corpus shingle "might contain" iff all k of its
+    * probe positions are set — exactly the bit-array test, expressed as
+    * a join + HAVING count = k. m derives from the distinct eval pair
+    * count by the same integer power-of-two comparison as
+    * `Dedup.bloomBitsFor` (smallest 2^x ≥ 64·n over x ∈ [14, 24],
+    * COALESCE to the cap). The final exact_hit column replays the
+    * exact-verify-on-survivors composition. */
+  def decontamBloom(base: String = "documents", n: Int = 3,
+      evalMod: Int = 97, k: Int = 4): String =
+    s"""WITH ev AS (
+       |  SELECT doc_id, text FROM $base WHERE doc_id % $evalMod = 0),
+       |corpus AS (
+       |  SELECT doc_id, text FROM $base WHERE doc_id % $evalMod <> 0),
+       |${shingleCtes("ev", n, "e")},
+       |${shingleCtes("corpus", n, "c")},
+       |epairs AS (
+       |  SELECT DISTINCT ${XHash.h60Sql("s")} AS h1, ${XHash.h56Sql("s")} AS h2
+       |  FROM esh),
+       |mbits AS (
+       |  SELECT COALESCE(MIN(CAST(1 AS BIGINT) << x), 1 << 24) AS m
+       |  FROM range(14, 25) r(x), (SELECT COUNT(*) AS n FROM epairs) en
+       |  WHERE (CAST(1 AS BIGINT) << x) >= 64 * GREATEST(en.n, 1)),
+       |pos AS (
+       |  SELECT DISTINCT ((h1 + rr.r * h2) & ${XHash.Mask60}) % m AS p
+       |  FROM epairs, range($k) rr(r), mbits),
+       |cpairs AS (
+       |  SELECT DISTINCT doc_id, ${XHash.h60Sql("s")} AS h1,
+       |    ${XHash.h56Sql("s")} AS h2
+       |  FROM csh),
+       |flagged AS (
+       |  SELECT doc_id FROM (
+       |    SELECT cp.doc_id, cp.h1, cp.h2
+       |    FROM cpairs cp
+       |    CROSS JOIN range($k) rr(r)
+       |    CROSS JOIN mbits
+       |    JOIN pos ON ((cp.h1 + rr.r * cp.h2) & ${XHash.Mask60}) % m = pos.p
+       |    GROUP BY 1, 2, 3 HAVING COUNT(*) = $k)
+       |  GROUP BY 1),
+       |exact AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM csh c JOIN (SELECT DISTINCT s FROM esh) e USING (s))
+       |SELECT CAST(f.doc_id AS BIGINT) AS doc_id,
+       |  (x.doc_id IS NOT NULL) AS exact_hit
+       |FROM flagged f LEFT JOIN exact x USING (doc_id)""".stripMargin
+
   /** CTEs: {p}sh → {p}sig (per-doc minhash columns m0..m{k-1}) →
     * {p}banded → {p}cand (distinct candidate pairs, doc_a < doc_b).
     * `p` prefixes the CTE names (matching [[shingleCtes]]) so two

@@ -291,6 +291,37 @@ object StreamingQueries {
           MIN(ct.n) - p.exact AS overcount,
           MIN(ct.n) >= p.exact AS lower_bounded
         FROM probes p JOIN counters ct ON p.r = ct.r AND p.c = ct.c
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    // #38c the Bloom filter's mergeability, proven live (the CMS
+    // pattern for the third sketch family): the eval side's distinct
+    // (h1, h2) shingle-hash pairs are accumulated through the
+    // streaming engine's incremental state (set union = the Bloom
+    // bit-OR merge, held pre-projection so the gate sees every
+    // element), then the drained pair set builds the SAME bit array
+    // the batch path builds and the SAME prefilter→exact-verify
+    // composition runs over the batch corpus. One oracle replays both
+    // gates — streamed bits == batch bits == relational membership.
+    Q("stream_decontam_bloom",
+      (s, dir) => {
+        implicit val session: org.apache.spark.sql.SparkSession = s
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val evalStream = s.readStream.schema(raw.schema)
+          .parquet(s"$dir/{documents}.parquet")
+          .where(col("doc_id") % 97 === 0)
+        val pairsAgg = graft.dedup.Dedup.shingleRows(evalStream)
+          .select(graft.functions.XHash.h60(col("s")).as("h1"),
+            graft.functions.XHash.h56(col("s")).as("h2"))
+          .groupBy(col("h1"), col("h2")).count()
+        val drained = drain(pairsAgg, "graft_stream_bloom",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        val pairs = drained.select(col("h1"), col("h2"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val d = graft.sources.Sources.table(s, dir, "documents")
+        graft.dedup.Dedup.bloomDecontamFromPairs(
+          d.where(col("doc_id") % 97 =!= 0),
+          d.where(col("doc_id") % 97 === 0), pairs)
+      },
+      Some(DedupSql.decontamBloom()))
   )
 }

@@ -528,6 +528,116 @@ object Dedup {
       .select(col("id").as(idCol)).distinct()
   }
 
+  // ---- Bloom-filter decontamination (the 100 TB prefilter shape) ----
+  //
+  // [[contaminatedIds]] broadcasts the eval shingle STRINGS; at a large
+  // eval suite that broadcast carries megabytes of text and the probe is
+  // a hash-join per shingle. The Bloom form compresses the eval side to
+  // a fixed bit array (third mergeable sketch family here, after the
+  // HLL cardinality and CMS frequency gates: Bloom = membership; state
+  // merge = bitwise OR) and probes it with k pure column expressions —
+  // zero joins and zero extra shuffles over the corpus. No false
+  // negatives, so running the EXACT check only on Bloom survivors
+  // equals running it on the whole corpus — that composition (cheap
+  // sketch pass over everything, exact verify over the tiny candidate
+  // set) is the standard decontamination shape at scale.
+
+  /** Probes per shingle. With bits ≈ 64×shingles, per-shingle FPR is
+    * (1-e^(-k·n/m))^k ≈ 1.4e-5 — small enough that even a 1000-shingle
+    * doc's any-probe-hits union stays ~1%. */
+  val BloomK = 4
+
+  /** Bit-array size for an eval set of `n` distinct shingles: smallest
+    * power of two ≥ 64·n, clamped to [2^14, 2^24]. Powers of two by
+    * integer comparison (no float log — a boundary value must derive
+    * identically here and in the SQL replay). The 2^24 cap bounds the
+    * plan-literal bitset at 2 MB; an eval suite past ~256k shingles
+    * should move the words to a broadcast variable instead. */
+  def bloomBitsFor(n: Long): Int = {
+    val want = 64L * math.max(n, 1L)
+    (14 to 24).map(1L << _).find(_ >= want).getOrElse(1L << 24).toInt
+  }
+
+  /** Bit positions of family member `i` for a shingle's (h1, h2),
+    * replayed verbatim by the oracle: (h1 + i·h2) & mask60, mod m.
+    * Plain integer arithmetic — driver, executor, and DuckDB agree. */
+  private def bloomPos(h1: Long, h2: Long, i: Int, m: Int): Int =
+    (XHash.memberLong(h1, h2, i) % m).toInt
+
+  /** The bit array (64-bit words) for a collected eval-side (h1, h2)
+    * set. Driver-side on purpose: the eval suite is serving-sized (a
+    * benchmark corpus — thousands of docs), the same bounded-collect
+    * argument as the ANN LUT broadcast; the 100 TB side never collects. */
+  def bloomWords(pairs: Array[(Long, Long)], m: Int, k: Int = BloomK): Array[Long] = {
+    val words = new Array[Long](m / 64)
+    for ((h1, h2) <- pairs; i <- 0 until k) {
+      val p = bloomPos(h1, h2, i, m)
+      words(p >>> 6) |= (1L << (p & 63))
+    }
+    words
+  }
+
+  /** Membership test as a pure codegen'd column over (h1, h2): all k
+    * probed bits set. The bitset and the 64 single-bit masks ride the
+    * plan as array literals — element_at + AND, no variable-shift
+    * builtin needed, no UDF, no join. */
+  def bloomMightContain(words: Array[Long], m: Int, k: Int = BloomK)(
+      h1: Column, h2: Column): Column = {
+    val wordsLit = lit(words)
+    val powers = lit((0 until 64).map(1L << _).toArray)
+    (0 until k).map { i =>
+      val p = XHash.member(h1, h2, i) % m
+      val word = element_at(wordsLit, shiftright(p, 6).cast("int") + 1)
+      val mask = element_at(powers, (p.bitwiseAND(lit(63L))).cast("int") + 1)
+      word.bitwiseAND(mask) =!= 0L
+    }.reduce(_ && _)
+  }
+
+  /** Eval side → distinct (h1, h2) hash pairs (the Bloom input; m and
+    * the bit positions derive from these, so both engines must count
+    * the same set — pairs, not strings). */
+  def bloomEvalPairs(evalDocs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame =
+    shingleRows(evalDocs, idCol, textCol, n)
+      .select(XHash.h60(col("s")).as("h1"), XHash.h56(col("s")).as("h2"))
+      .distinct()
+
+  /** Full composition from an already-collected eval pair set (the
+    * streaming gate drains the same pairs through the incremental
+    * engine): Bloom-prefilter the corpus, then exact-verify ONLY the
+    * flagged docs. Output: (idCol, exact_hit) — flagged-but-not-exact
+    * rows are the filter's false positives, visible in the result the
+    * same way the CMS gate surfaces its overcount. */
+  def bloomDecontamFromPairs(docs: DataFrame, evalDocs: DataFrame,
+      pairs: Array[(Long, Long)], idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, k: Int = BloomK): DataFrame = {
+    val m = bloomBitsFor(pairs.length.toLong)
+    val words = bloomWords(pairs, m, k)
+    val flagged = shingleRows(docs, idCol, textCol, n, rebalance = false)
+      .select(col("id"), XHash.h60(col("s")).as("h1"),
+        XHash.h56(col("s")).as("h2"))
+      .where(bloomMightContain(words, m, k)(col("h1"), col("h2")))
+      .select(col("id").as(idCol)).distinct()
+    // exact pass over Bloom survivors only — no false negatives makes
+    // this equal to the exact pass over the whole corpus
+    val confirmed = contaminatedIds(
+      docs.join(broadcast(flagged), Seq(idCol), "leftsemi"),
+      evalDocs, idCol, textCol, n)
+      .withColumn("exact_hit", lit(true))
+    flagged.join(broadcast(confirmed), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("exact_hit"), lit(false)).as("exact_hit"))
+  }
+
+  /** Batch entry: derive the pair set from the eval docs and compose. */
+  def bloomDecontam(docs: DataFrame, evalDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, k: Int = BloomK): DataFrame = {
+    val pairs = bloomEvalPairs(evalDocs, idCol, textCol, n)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    bloomDecontamFromPairs(docs, evalDocs, pairs, idCol, textCol, n, k)
+  }
+
   /**
    * Substring-level dedup signal (the exact-substring-dedup
    * approximation): per doc, the fraction of its word n-gram SLOTS

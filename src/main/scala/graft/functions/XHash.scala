@@ -49,6 +49,15 @@ object XHash {
     * 2^60 + 112·2^56 < 2^63. */
   val MaxFamily = 112
 
+  /** [[member]] as plain Long arithmetic, for driver-side replays of
+    * the family (e.g. building a Bloom bit array from collected eval
+    * hashes) — bit-identical to the column and SQL forms. */
+  def memberLong(h1: Long, h2: Long, i: Int): Long = {
+    require(i >= 0 && i < MaxFamily,
+      s"family index $i out of overflow-safe range [0, $MaxFamily)")
+    if (i == 0) h1 else (h1 + h2 * i) & Mask60
+  }
+
   /** i-th member of the double-hashing family over (h1, h2). */
   def member(h1: Column, h2: Column, i: Int): Column = {
     require(i >= 0 && i < MaxFamily,

