@@ -57,6 +57,57 @@ object AnnQueries {
     path
   }
 
+  /** Old-corpus/new-batch split for the INCREMENTAL index gate (the
+    * dedup-store pattern applied to the ANN artifact): the artifact is
+    * trained and first built from the old slice only. */
+  private val AnnOldWhere = "vec_id % 3 <> 0"
+  private val AnnNewWhere = "vec_id % 3 = 0"
+
+  /** The incremental IVF+PQ artifact: built from the OLD corpus slice
+    * (geometry, centroids, codebooks all derive from it), then the new
+    * batch is encoded with the FROZEN halves read back off disk and
+    * APPENDED into the cell-partitioned code table — the `dragnet
+    * build -u` move for the vector index: a 100 TB index absorbs a
+    * crawl by encoding the new rows only, never retraining or
+    * re-encoding what it already holds. Kept in its own cache root so
+    * [[ensureIvfpqArtifact]]'s stale-sibling sweep can't collect it. */
+  private def ensureIvfpqIncArtifact(s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, Int) = synchronized {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fp = graft.tools.LocalFs.fingerprint(
+      new java.io.File(s"$dir/embeddings.parquet"))
+    val e = emb(s, dir)
+    val eOld = e.where(expr(AnnOldWhere))
+    val (nl, np, mod) = ivfGeom(eOld)
+    val key = s"$dirKey-$fp-nl$nl"
+    val path = s"/tmp/graft-ivfpq-inc/$key"
+    // marker AFTER the append (the chained-store pattern): an
+    // interrupted build rebuilds cleanly instead of double-appending
+    val marker = new java.io.File(s"$path/_GRAFT_APPENDED")
+    if (!marker.exists()) {
+      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-ivfpq-inc",
+        s"$dirKey-", key)
+      graft.tools.LocalFs.deleteRec(java.nio.file.Paths.get(path))
+      val centroids = Ann.ivfCentroids(eOld, nlist = nl, modulus = mod)
+      val cb = Ann.pqCodebooks(eOld, modulus = sampleMod(eOld))
+      centroids.write.mode("overwrite").parquet(s"$path/centroids")
+      cb.write.mode("overwrite").parquet(s"$path/codebooks")
+      Ann.boundedCellLayout(Ann.ivfpqEncode(eOld, centroids, cb))
+        .write.mode("overwrite")
+        .partitionBy("cell").parquet(s"$path/codes")
+      // the incremental step: encode ONLY the new batch, against the
+      // persisted halves (read back — the artifact is the contract,
+      // not the in-memory frames), and append its files per cell
+      Ann.boundedCellLayout(Ann.ivfpqEncode(e.where(expr(AnnNewWhere)),
+          s.read.parquet(s"$path/centroids"),
+          s.read.parquet(s"$path/codebooks")))
+        .write.mode("append")
+        .partitionBy("cell").parquet(s"$path/codes")
+      marker.createNewFile()
+    }
+    (path, np)
+  }
+
   /** The PQ codebook sampling modulus PIN for the oracle-gated queries:
     * the static oracle SQL derives it as `count(*) // 16` (k = 16 codes
     * per subspace — the code alphabet is fixed, not corpus-sized), so
@@ -204,7 +255,7 @@ object AnnQueries {
         WITH n AS (
           SELECT vec_id AS id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),$ivfGeomCtes
+          FROM embeddings),${ivfGeomCtes()}
         cent AS (
           SELECT id AS cid, vn AS cv FROM n, mm
           WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
@@ -240,7 +291,7 @@ object AnnQueries {
         WITH n AS (
           SELECT vec_id AS id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),$ivfGeomCtes
+          FROM embeddings),${ivfGeomCtes()}
         cent0 AS (
           SELECT id AS cid, vn AS cv FROM n, mm
           WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
@@ -409,6 +460,27 @@ object AnnQueries {
       },
       Some(ivfpqSql(lloyd = false))),
 
+    // #30e2 INCREMENTAL index maintenance: the artifact (geometry,
+    // centroids, codebooks, codes) is built from the OLD corpus slice;
+    // the new batch is encoded against the frozen halves read back off
+    // disk and appended per cell — then one search serves old ∪ new.
+    // The oracle replays the full composition from raw embeddings with
+    // the TRAINING population restricted to the old slice (trainWhere),
+    // so a retrain-on-append or a dropped batch turns the gate red.
+    // AnnSpec separately pins append-on-disk == full rebuild under the
+    // same frozen halves, bit for bit.
+    Q("ann_ivfpq_incremental",
+      (s, dir) => {
+        val (p, np) = ensureIvfpqIncArtifact(s, dir)
+        val e = emb(s, dir)
+        Ann.ivfpqTopKEncoded(
+          s.read.parquet(s"$p/codes"),
+          s.read.parquet(s"$p/centroids"),
+          s.read.parquet(s"$p/codebooks"),
+          queryVec(e), 10, nprobe = np)
+      },
+      Some(ivfpqSql(lloyd = false, trainWhere = AnnOldWhere))),
+
     // #30e3 BATCH serving over the same persisted artifact: a query
     // TABLE (4 lowest-id vectors) gets per-query cell choices via one
     // ranking window over the broadcast centroids, the probed-cell
@@ -476,7 +548,7 @@ object AnnQueries {
         WITH n AS (
           SELECT vec_id AS id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),$ivfGeomCtes
+          FROM embeddings),${ivfGeomCtes()}
         cent AS (
           SELECT id AS cid, vn AS cv FROM n, mm
           WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
@@ -592,15 +664,20 @@ object AnnQueries {
    * nlist//16 clamped to [4, 32], m = n // nlist. Assumes a CTE `n`
    * is already defined (these reference only `embeddings`).
    */
-  private def ivfGeomCtes: String = s"""
+  /** `trainWhere` (a predicate over vec_id, default all rows) restricts
+    * the geometry-deriving population — the incremental gate derives
+    * nlist/nprobe/modulus from the OLD corpus slice the artifact was
+    * built from, exactly as a frozen production index does. */
+  private def ivfGeomCtes(trainWhere: String = "TRUE"): String = s"""
         nlc AS (
           SELECT least(65536, greatest(16,
             1::BIGINT << greatest(0,
               CAST(ceil(log2(greatest(count(*), 2))) AS INT) // 2 - 2)))
-            AS nl FROM embeddings),
+            AS nl FROM embeddings WHERE $trainWhere),
         npc AS (SELECT least(32, greatest(4, nl // 16)) AS np FROM nlc),
         mm AS (
-          SELECT greatest(1, (SELECT count(*) FROM embeddings) // nl) AS m
+          SELECT greatest(1,
+            (SELECT count(*) FROM embeddings WHERE $trainWhere) // nl) AS m
           FROM nlc),"""
 
   /** The probed-cell CTE over derived nprobe: row_number instead of
@@ -731,7 +808,14 @@ object AnnQueries {
    * code) means over the WHOLE corpus (the ann_pq_lloyd family) —
    * before assignment/pruning/encoding.
    */
-  private def ivfpqSql(lloyd: Boolean): String = {
+  private def ivfpqSql(lloyd: Boolean, trainWhere: String = "TRUE"): String = {
+    // the training population predicate over vec_id; `n` renames vec_id
+    // to id, so derive that form ("vec_id" is a unique substring)
+    val trainN = trainWhere.replace("vec_id", "id")
+    // the Lloyd refine CTEs take their means over ALL of n; a sliced
+    // training population would need the slice applied there too
+    require(!lloyd || trainWhere == "TRUE",
+      "trainWhere is only plumbed through the non-Lloyd composition")
     val ivfRefineCtes = s"""
         d0 AS (
           SELECT n.id, n.vn, c.cid, ${dotSql("n.vn", "c.cv")} AS d
@@ -791,10 +875,11 @@ object AnnQueries {
         WITH n AS (
           SELECT vec_id AS id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),$ivfGeomCtes
+          FROM embeddings),${ivfGeomCtes(trainWhere)}
         cent0 AS (
           SELECT id AS cid, vn AS cv FROM n, mm
-          WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
+          WHERE ($trainN)
+            AND ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
             % mm.m = 0),${
       if (lloyd) ivfRefineCtes else "\n        cent AS (SELECT * FROM cent0),"}
         dists AS (
@@ -809,10 +894,12 @@ object AnnQueries {
           SELECT a.id, a.vn FROM asg a JOIN qc ON a.cell = qc.cell
           WHERE a.rn = 1),
         subIdx AS (SELECT unnest([0, 1, 2, 3]) AS sub),
-        mk AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
+        mk AS (SELECT greatest(1, count(*) // 16) AS m
+               FROM embeddings WHERE $trainWhere),
         pqs AS (
           SELECT id AS cid, vn AS cv FROM n, mk
-          WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
+          WHERE ($trainN)
+            AND ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
             % mk.m = 0),
         csubs AS (
           SELECT cid, sub, list_slice(cv, sub*16 + 1, sub*16 + 16) AS cv
@@ -861,7 +948,7 @@ object AnnQueries {
         WITH n AS (
           SELECT vec_id AS id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),$ivfGeomCtes
+          FROM embeddings),${ivfGeomCtes()}
         cent AS (
           SELECT id AS cid, vn AS cv FROM n, mm
           WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}

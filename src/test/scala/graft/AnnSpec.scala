@@ -493,4 +493,49 @@ class AnnSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(got == want && got.size == 5)
   }
+
+  test("incremental append to the persisted codes == full rebuild, bit for bit") {
+    import org.apache.spark.sql.functions._
+    // a corpus whose old slice (id % 3 != 0) trains the frozen halves;
+    // the new batch (id % 3 == 0) arrives later. Clustered directions
+    // with deterministic jitter so cells are non-trivial.
+    val dirs = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f))
+    val corpus = (0L until 120L).map { i =>
+      val d = dirs((i % 4).toInt)
+      (i, d.zipWithIndex.map { case (x, j) =>
+        x + 0.01f * (((i * 7 + j * 3) % 5) - 2) })
+    }.toDF("vec_id", "embedding")
+    val old = corpus.where(col("vec_id") % 3 =!= 0)
+    val fresh = corpus.where(col("vec_id") % 3 === 0)
+    val centroids = Ann.ivfCentroids(old, nlist = 4, modulus = Some(20L))
+      .localCheckpoint()
+    val cb = Ann.pqCodebooks(old, modulus = Some(5L)).localCheckpoint()
+    val base = java.nio.file.Files.createTempDirectory("graft-inc").toString
+    // the incremental lifecycle: old codes written, then the new batch
+    // encoded against the persisted halves and APPENDED per cell
+    centroids.write.parquet(s"$base/centroids")
+    cb.write.parquet(s"$base/codebooks")
+    Ann.boundedCellLayout(Ann.ivfpqEncode(old, centroids, cb))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$base/codes")
+    Ann.boundedCellLayout(Ann.ivfpqEncode(fresh,
+        spark.read.parquet(s"$base/centroids"),
+        spark.read.parquet(s"$base/codebooks")))
+      .write.mode("append").partitionBy("cell").parquet(s"$base/codes")
+    // the rebuild: everything encoded in one pass, same frozen halves
+    val rebuilt = Ann.ivfpqEncode(corpus, centroids, cb)
+    val appended = spark.read.parquet(s"$base/codes")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("cell"), col("sub"), col("code"))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows(appended) == rows(rebuilt),
+      "appended code table must equal the full re-encode")
+    // and the search can't tell them apart
+    val q = corpus.where(col("vec_id") === 0L)
+    val a = Ann.ivfpqTopKEncoded(appended, centroids, cb, q, 5, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    val r = Ann.ivfpqTopKEncoded(rebuilt, centroids, cb, q, 5, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(a == r && a.size == 5)
+  }
 }
