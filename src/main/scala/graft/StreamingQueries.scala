@@ -322,6 +322,33 @@ object StreamingQueries {
           d.where(col("doc_id") % 97 =!= 0),
           d.where(col("doc_id") % 97 === 0), pairs)
       },
-      Some(DedupSql.decontamBloom()))
+      Some(DedupSql.decontamBloom())),
+
+    // #34g the quantile sketch's mergeability, proven live (fourth
+    // sketch family: distribution): the hash-sample's value histogram
+    // accumulates through streaming incremental state — histograms of
+    // micro-batches ADD, the sketch's merge — and the drained
+    // histogram resolves through the identical bounded walk + DKW
+    // gate as the batch-accumulated one, under the same oracle.
+    Q("stream_quantile_sketch",
+      (s, dir) => {
+        implicit val session: org.apache.spark.sql.SparkSession = s
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val sampleStream = s.readStream.schema(raw.schema)
+          .parquet(s"$dir/{documents}.parquet")
+          .select(col("doc_id"),
+            graft.text.Text.tokenCount(col("text")).cast("long").as("v"))
+          .where(graft.functions.XHash.h60(col("doc_id").cast("string"))
+            % graft.plans.Quantiles.SampleMod === 0)
+        val histAgg = sampleStream.groupBy(col("v").as("b"))
+          .agg(count(lit(1)).as("c"))
+        val drained = drain(histAgg, "graft_stream_qsketch",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        val full = graft.sources.Sources.table(s, dir, "documents")
+          .select(graft.text.Text.tokenCount(col("text")).cast("long").as("v"))
+        graft.plans.Quantiles.sampleQuantileGate(full,
+          drained.select(col("b"), col("c")), TextQueries.SketchPs)
+      },
+      Some(TextQueries.sketchOracle))
   )
 }

@@ -14,6 +14,24 @@ import graft.text.Text
  */
 object TextQueries {
 
+  /** Quantile-sketch gate fractions, shared with the streaming twin. */
+  private[graft] val SketchPs = Seq(("p50", 0.5), ("p90", 0.9))
+
+  /** One oracle for both quantile-sketch gates (batch-accumulated and
+    * stream-accumulated sample histograms resolve identically). */
+  private[graft] def sketchOracle: String = s"""
+        WITH ftoks AS (
+          SELECT doc_id,
+            CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+              AS BIGINT) AS v
+          FROM documents),
+        stoks AS (
+          SELECT v FROM ftoks
+          WHERE ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")}
+            % ${graft.plans.Quantiles.SampleMod} = 0),
+        ${graft.plans.Quantiles.sampleQuantileGateSql("ftoks", "stoks",
+          SketchPs.map(_._2))}"""
+
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Sources.table(s, dir, "documents")
 
@@ -77,6 +95,30 @@ object TextQueries {
                CAST(COUNT(*) AS BIGINT) AS value
         FROM documents GROUP BY 1"""
       }),
+
+    // #34f mergeable QUANTILE sketch (fourth sketch family:
+    // distribution): the sketch is the token-count histogram of a
+    // deterministic 1-in-4 XHash sample of the docs — row-local
+    // membership, so samples union and histograms add (the streaming
+    // twin proves that live). Estimates walk the sample histogram
+    // exactly like the exact path walks the full one; `err` is the
+    // TRUE rank error of each estimate and `ok` its DKW bound check
+    // (pinned-literal ln(2/δ), so both engines compare the identical
+    // double) — the quality contract that turns red if the sampling
+    // stops representing the distribution.
+    Q("text_quantile_sketch",
+      (s, dir) => {
+        val toks = docs(s, dir).select(col("doc_id"),
+          Text.tokenCount(col("text")).cast("long").as("v"))
+        val sample = toks.where(
+          graft.functions.XHash.h60(col("doc_id").cast("string"))
+            % graft.plans.Quantiles.SampleMod === 0)
+        val sampleHist = sample.groupBy(col("v").as("b"))
+          .agg(count(lit(1)).as("c"))
+        graft.plans.Quantiles.sampleQuantileGate(
+          toks.select(col("v")), sampleHist, SketchPs)
+      },
+      Some(sketchOracle)),
 
     // #33 quality scoring: length/punctuation/stopword signals + composite
     Q("text_quality",

@@ -268,4 +268,50 @@ class TextSpec extends SparkSpec {
     // 3 tokens in 4×1024 counters: no collisions, estimates are exact
     assert(rows.values.forall { case (exact, est, _) => est == exact })
   }
+
+  test("quantile sketch gate: est/exact/err hand-checked, DKW flag honest") {
+    import org.apache.spark.sql.functions._
+    val qz = graft.plans.Quantiles
+    // full values 1..100; a fake "sample" histogram of the even values
+    // (k=50): type-1 p50 over evens = 50, p90 = 90; exact = 50, 90
+    val full = spark.range(1, 101).select(col("id").cast("long").as("v"))
+    val evens = full.where(col("v") % 2 === 0)
+      .groupBy(col("v").as("b")).agg(count(lit(1)).as("c"))
+    val out = qz.sampleQuantileGate(full, evens, Seq(("p50", 0.5), ("p90", 0.9)))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4), r.getLong(5))).sortBy(_._1)
+    val Seq(p50, p90) = out.toSeq
+    assert(p50._2 == 50 && p50._3 == 50 && p50._6 == 50)
+    assert(p90._2 == 90 && p90._3 == 90)
+    // rank(50)/100 = 0.50 -> err 0; rank(90)/100 = 0.90 -> err 0
+    assert(p50._4 == 0.0 && p90._4 == 0.0 && p50._5 && p90._5)
+    // a CORRUPTED sketch (all mass at the max value) must turn the DKW
+    // flag red: est_p50 = 100, rank 1.0, err 0.5 > eps(k=50) ~ 0.28
+    val bogus = Seq((100L, 50L)).toDF("b", "c")
+    val bad = qz.sampleQuantileGate(full, bogus, Seq(("p50", 0.5)))
+      .collect().head
+    assert(bad.getLong(1) == 100 && !bad.getBoolean(4),
+      s"corrupted sketch must fail the DKW gate: $bad")
+  }
+
+  test("quantile sketch merges: split-accumulated histogram == one-shot") {
+    import org.apache.spark.sql.functions._
+    val qz = graft.plans.Quantiles
+    val full = spark.range(1, 501).select(col("id").cast("long").as("v"))
+    val sampled = full.where(
+      graft.functions.XHash.h60(col("v").cast("string")) % 4 === 0)
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("v").as("b")).agg(count(lit(1)).as("c"))
+    val oneShot = hist(sampled)
+    // two "micro-batches" accumulated by adding histograms — the merge
+    val merged = hist(sampled.where(col("v") <= 250))
+      .unionAll(hist(sampled.where(col("v") > 250)))
+      .groupBy(col("b")).agg(sum(col("c")).as("c"))
+    val ps = Seq(("p50", 0.5), ("p90", 0.9))
+    val a = qz.sampleQuantileGate(full, oneShot, ps)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = qz.sampleQuantileGate(full, merged, ps)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b)
+  }
 }
