@@ -254,6 +254,39 @@ object DedupQueries {
       (s, dir) => Dedup.sharedSpans(docs(s, dir), n = 5),
       Some(DedupSql.sharedSpans(n = 5))),
 
+    // #40b crawl delta: two deterministic snapshot views of the corpus
+    // (old skips ids ≡4 mod 5; new skips ids ≡0 mod 5 and revises the
+    // text of ids ≡0 mod 7), every id classified added / removed /
+    // changed / unchanged by content fingerprint — the routing table
+    // an incremental pipeline feeds its dedup/clean/index updates and
+    // store retirements from. Only (id, fingerprint) pairs shuffle.
+    Q("corpus_diff",
+      (s, dir) => {
+        val d = docs(s, dir)
+        graft.dedup.Corpus.snapshotDiff(
+          d.where(col("doc_id") % 5 =!= 4),
+          d.where(col("doc_id") % 5 =!= 0)
+            .withColumn("text", when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" rev2"))).otherwise(col("text"))))
+      },
+      Some("""
+        WITH oldc AS (
+          SELECT doc_id,
+            md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+          FROM documents WHERE doc_id % 5 <> 4),
+        newc AS (
+          SELECT doc_id,
+            md5(regexp_replace(trim(lower(
+              CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END)),
+              '\s+', ' ', 'g')) AS fp
+          FROM documents WHERE doc_id % 5 <> 0)
+        SELECT CAST(COALESCE(o.doc_id, n.doc_id) AS BIGINT) AS doc_id,
+          CASE WHEN o.doc_id IS NULL THEN 'added'
+               WHEN n.doc_id IS NULL THEN 'removed'
+               WHEN o.fp <> n.fp THEN 'changed'
+               ELSE 'unchanged' END AS status
+        FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id""")),
+
     // #25i sequence packing (concat-and-chunk): per doc, the context
     // windows it lands in when each shard's token stream is split at a
     // fixed length. Hash-sharded, id-ordered → deterministic layout;

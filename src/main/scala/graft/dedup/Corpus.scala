@@ -206,6 +206,29 @@ object Corpus {
    * rate table is a tiny when-chain (codegen'd), not a join — the pass
    * stays shuffle-free at any corpus size.
    */
+  /**
+   * Crawl delta: classify every doc id across two snapshots of the
+   * same corpus as `added` (new only), `removed` (old only), `changed`
+   * (both, different normalized content), or `unchanged` — the
+   * incremental pipeline's routing table: `added ∪ changed` is what
+   * flows into dedup/clean/index update, `removed` is what retires
+   * from the stores. One content fingerprint per side, one full-outer
+   * shuffle join on the id — at warehouse scale both snapshots would
+   * be bucketed by id so the join co-locates without a shuffle; no
+   * content ever crosses the wire, only (id, 32-byte fp).
+   */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val o = oldDocs.select(col(idCol), Text.fingerprint(col(textCol)).as("ofp"))
+    val n = newDocs.select(col(idCol), Text.fingerprint(col(textCol)).as("nfp"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("ofp").isNull, lit("added"))
+          .when(col("nfp").isNull, lit("removed"))
+          .when(col("ofp") =!= col("nfp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   def mixBySource(docs: DataFrame, rates: Map[String, Double],
       default: Double = 0.0, sourceCol: String = "source",
       idCol: String = "doc_id"): DataFrame = {

@@ -251,4 +251,22 @@ class CorpusSpec extends SparkSpec {
         s"doc 20 ($onTarget) should outweigh off-target doc $i (${out(i)})")
     assert(out(20L) == out(0L), "identical text must get identical logw")
   }
+
+  test("snapshotDiff routes every id: added/removed/changed/unchanged") {
+    import org.apache.spark.sql.functions.col
+    val old = Seq(
+      (1L, "stays the same"),
+      (2L, "will be  Edited"),
+      (3L, "retires after this crawl")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "STAYS   the same"),      // normalization-equal -> unchanged
+      (2L, "will be edited indeed"), // content moved -> changed
+      (4L, "brand new page")         // -> added
+    ).toDF("doc_id", "text")
+    val got = Corpus.snapshotDiff(old, fresh)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
 }

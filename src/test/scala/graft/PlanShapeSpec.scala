@@ -199,6 +199,21 @@ class PlanShapeSpec extends SparkSpec {
       s"ann_ivfpq_batch shuffles a join side:\n${plan.take(1500)}")
   }
 
+  test("incremental IVF+PQ serving keeps static pruning over the appended layout") {
+    // appending the new batch's files per cell must leave the serving
+    // plan untouched: probed-cell literals still reach the scan as
+    // static partition filters, and nothing shuffles on a join key —
+    // the append is invisible to the reader, which is the point of
+    // appending per cell instead of rewriting
+    val plan = SparkEntry.queries("ann_ivfpq_incremental")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("partitionfilters: [cell") &&
+      plan.toLowerCase.contains(" in ("),
+      s"no static partition pruning on the appended code table:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"ann_ivfpq_incremental shuffles a join side:\n${plan.take(1500)}")
+  }
+
   test("document and embedding scans prune to the referenced columns") {
     // a corpus scan that reads all columns for a two-column projection
     // is a 100 TB mistake hidden at test scale — pin the parquet

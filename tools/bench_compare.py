@@ -36,9 +36,13 @@ try:
 except FileNotFoundError:
     baselines = {}
 
+import os
+cpus = os.cpu_count()
+
 if update:
     baselines[sf] = {"round": baselines.get(sf, {}).get("round", 0) + 1,
                      "total": detail['value'], "n": detail['n'],
+                     "cpus": cpus,
                      "queries": detail['queries']}
     json.dump(baselines, open(base_path, 'w'), indent=1, sort_keys=True)
     print(f"updated {base_path}[{sf}]: n={detail['n']} total={detail['value']}s")
@@ -48,6 +52,10 @@ if sf not in baselines:
     print(f"no baseline for {sf} in {base_path} -- run with --update after "
           f"vetting this run; comparing against nothing is not a pass")
     sys.exit(1)
+
+if baselines[sf].get('cpus') not in (None, cpus):
+    print(f"WARNING: baseline recorded at {baselines[sf]['cpus']} cpus, "
+          f"this machine has {cpus} -- timings are not comparable")
 
 base = baselines[sf]['queries']
 cur = detail['queries']
