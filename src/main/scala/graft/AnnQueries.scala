@@ -220,6 +220,25 @@ object AnnQueries {
       },
       Some(recallSql(ivfpqBatchSql, MinIvfpqHits))),
 
+    // #31g RECALL GATE, INCREMENTAL: the old-slice-trained artifact
+    // serving the GROWN corpus (old ∪ appended batch) against the
+    // exact ground truth over everything — the quality contract for
+    // index maintenance: geometry that stops representing the corpus
+    // as it grows turns this red, which no determinism check catches.
+    Q("ann_recall_incremental",
+      (s, dir) => {
+        val (p, np) = ensureIvfpqIncArtifact(s, dir)
+        val e = emb(s, dir)
+        val q = queryBatch(e, 4)
+        recallGate(Ann.bruteForceTopKBatch(e, q, 10),
+          Ann.ivfpqTopKEncodedBatch(
+            s.read.parquet(s"$p/codes"),
+            s.read.parquet(s"$p/centroids"),
+            s.read.parquet(s"$p/codebooks"),
+            q, 10, nprobe = np), MinIncHits)
+      },
+      Some(recallSql(ivfpqBatchSqlTrained(AnnOldWhere), MinIncHits))),
+
     // #31b multi-probe LSH: also scan hamming-1 sign buckets
     Q("ann_multiprobe",
       (s, dir) => {
@@ -583,6 +602,12 @@ object AnnQueries {
     * regen, per-qid noise, and the nlist clamp edge. */
   private val MinLshHits = 6
   private val MinIvfpqHits = 6
+  /** Incremental-path floor, pinned from measurement (batch TOTAL of
+    * 40 possible hits): 6 at sf0.01 (min clamp, PQ lossy at 500
+    * vectors), 31 at the 10x dir where the derived geometry is real.
+    * 4 leaves honest slack at the tiny scale while a collapsed
+    * artifact (wrong cells, scrambled codes) measures 0-1. */
+  private val MinIncHits = 4
 
   /** The exact batch ground truth (ann_topk_batch's oracle), shared
     * with the recall gates' SQL. */
@@ -944,14 +969,23 @@ object AnnQueries {
    * the final sum ranks per qid with rn <= 10 — mirroring
    * [[Ann.ivfpqTopKEncodedBatch]] stage for stage.
    */
-  private def ivfpqBatchSql: String = s"""
+  private def ivfpqBatchSql: String = ivfpqBatchSqlTrained()
+
+  /** [[ivfpqBatchSql]] with the TRAINING population restricted by a
+    * vec_id predicate (same plumbing as [[ivfpqSql]]'s trainWhere) —
+    * the incremental recall gate replays the old-slice-trained
+    * artifact's batch serving this way. */
+  private def ivfpqBatchSqlTrained(trainWhere: String = "TRUE"): String = {
+    val trainN = trainWhere.replace("vec_id", "id")
+    s"""
         WITH n AS (
           SELECT vec_id AS id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),${ivfGeomCtes()}
+          FROM embeddings),${ivfGeomCtes(trainWhere)}
         cent AS (
           SELECT id AS cid, vn AS cv FROM n, mm
-          WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
+          WHERE ($trainN)
+            AND ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
             % mm.m = 0),
         dists AS (
           SELECT n.id, n.vn, c.cid, ${dotSql("n.vn", "c.cv")} AS d
@@ -975,10 +1009,12 @@ object AnnQueries {
           SELECT DISTINCT a.id, a.vn FROM asg a
           WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM qc)),
         subIdx AS (SELECT unnest([0, 1, 2, 3]) AS sub),
-        mk AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
+        mk AS (SELECT greatest(1, count(*) // 16) AS m
+               FROM embeddings WHERE $trainWhere),
         pqs AS (
           SELECT id AS cid, vn AS cv FROM n, mk
-          WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
+          WHERE ($trainN)
+            AND ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
             % mk.m = 0),
         cb AS (
           SELECT cid, sub, list_slice(cv, sub*16 + 1, sub*16 + 16) AS cv
@@ -1018,6 +1054,7 @@ object AnnQueries {
               AS rn
           FROM scored)
         WHERE rn <= 10"""
+  }
 
   /** Sign bucket over dims 1-4 — mirrors Ann.signBucket(bits=4). */
   private def bucketSql: String =

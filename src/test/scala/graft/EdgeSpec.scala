@@ -76,6 +76,32 @@ class EdgeSpec extends SparkSpec {
     assert(s == Seq("", "@", "123456", "<NUM>"))
   }
 
+  test("round-10 ops survive degenerate inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Bloom decontam with an EMPTY eval set: all-zero filter, nothing
+    // flagged, nothing verified — and no crash on the driver collect
+    val corpus = Seq((1L, "some corpus text here")).toDF("doc_id", "text")
+    val noEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.dedup.Dedup.bloomDecontam(corpus, noEval).count() == 0)
+    // snapshotDiff where one side is empty: everything added / removed
+    val added = graft.dedup.Corpus.snapshotDiff(noEval, corpus)
+      .collect().map(_.getString(1)).toSeq
+    assert(added == Seq("added"))
+    val removed = graft.dedup.Corpus.snapshotDiff(corpus, noEval)
+      .collect().map(_.getString(1)).toSeq
+    assert(removed == Seq("removed"))
+    // quantile sketch with an EMPTY sample histogram: null estimates
+    // and a row per p — degraded, visible, not a crash
+    val full = spark.range(1, 11).select(col("id").cast("long").as("v"))
+    val emptyHist = Seq.empty[(Long, Long)].toDF("b", "c")
+    val out = graft.plans.Quantiles
+      .sampleQuantileGate(full, emptyHist, Seq(("p50", 0.5)))
+      .collect()
+    assert(out.length == 1 && out.head.isNullAt(1),
+      s"empty sample must yield a null estimate row: ${out.toSeq}")
+  }
+
   test("filters never resurrect dropped rows via NOT semantics") {
     val withNull = Seq((Some("x"), 1), (None, 2)).toDF("k", "v")
     // ne: NULL row fails (dropped), not treated as "not equal"
