@@ -287,6 +287,36 @@ object DedupQueries {
                ELSE 'unchanged' END AS status
         FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id""")),
 
+    // #40c referential integrity across the parallel tables: the
+    // pre-flight check an embedding-dependent stage runs before
+    // trusting the doc↔vector join. Deterministic holes punched in
+    // each side (docs skip ids ≡5 mod 13, vectors skip ids ≡3 mod 11)
+    // so every counter is exercised; the driver testdata's tables are
+    // id-aligned, which the n_docs/n_vecs totals confirm.
+    Q("corpus_integrity",
+      (s, dir) => graft.dedup.Corpus.integrityReport(
+        docs(s, dir).where(col("doc_id") % 13 =!= 5),
+        graft.sources.Sources.table(s, dir, "embeddings")
+          .where(col("vec_id") % 11 =!= 3)),
+      Some("""
+        WITH dd AS (
+          SELECT doc_id AS id, COUNT(*) AS dn FROM documents
+          WHERE doc_id % 13 <> 5 GROUP BY 1),
+        vv AS (
+          SELECT vec_id AS id, COUNT(*) AS vn FROM embeddings
+          WHERE vec_id % 11 <> 3 GROUP BY 1)
+        SELECT CAST(SUM(COALESCE(dn, 0)) AS BIGINT) AS n_docs,
+          CAST(SUM(COALESCE(vn, 0)) AS BIGINT) AS n_vecs,
+          CAST(SUM(CASE WHEN vn IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS docs_without_vec,
+          CAST(SUM(CASE WHEN dn IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS vecs_without_doc,
+          CAST(SUM(CASE WHEN dn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS dup_doc_ids,
+          CAST(SUM(CASE WHEN vn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS dup_vec_ids
+        FROM dd FULL OUTER JOIN vv USING (id)""")),
+
     // #25i sequence packing (concat-and-chunk): per doc, the context
     // windows it lands in when each shard's token stream is split at a
     // fixed length. Hash-sharded, id-ordered → deterministic layout;

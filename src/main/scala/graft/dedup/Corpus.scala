@@ -229,6 +229,30 @@ object Corpus {
           .otherwise(lit("unchanged")).as("status"))
   }
 
+  /**
+   * Referential-integrity report across the corpus's parallel tables
+   * (documents ↔ embeddings here; any id-keyed pair in general): one
+   * row of counts — rows per side, ids missing a partner on either
+   * side, duplicated ids on either side. The pre-flight check an
+   * embedding-dependent stage (ANN, semantic dedup, DSIR-by-embedding)
+   * runs before trusting the join: at 100 TB a silently half-embedded
+   * corpus poisons every downstream cosine. Two groupBys and one
+   * full-outer join on the id — linear, co-locatable when both tables
+   * are id-bucketed.
+   */
+  def integrityReport(docs: DataFrame, vecs: DataFrame,
+      docIdCol: String = "doc_id", vecIdCol: String = "vec_id"): DataFrame = {
+    val dd = docs.groupBy(col(docIdCol).as("id")).agg(count(lit(1)).as("dn"))
+    val vv = vecs.groupBy(col(vecIdCol).as("id")).agg(count(lit(1)).as("vn"))
+    dd.join(vv, Seq("id"), "full_outer").agg(
+      sum(coalesce(col("dn"), lit(0L))).cast("long").as("n_docs"),
+      sum(coalesce(col("vn"), lit(0L))).cast("long").as("n_vecs"),
+      sum(when(col("vn").isNull, 1L).otherwise(0L)).as("docs_without_vec"),
+      sum(when(col("dn").isNull, 1L).otherwise(0L)).as("vecs_without_doc"),
+      sum(when(col("dn") > 1, 1L).otherwise(0L)).as("dup_doc_ids"),
+      sum(when(col("vn") > 1, 1L).otherwise(0L)).as("dup_vec_ids"))
+  }
+
   def mixBySource(docs: DataFrame, rates: Map[String, Double],
       default: Double = 0.0, sourceCol: String = "source",
       idCol: String = "doc_id"): DataFrame = {

@@ -269,4 +269,17 @@ class CorpusSpec extends SparkSpec {
     assert(got == Map(1L -> "unchanged", 2L -> "changed",
       3L -> "removed", 4L -> "added"))
   }
+
+  test("integrityReport counts holes and duplicates on both sides") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "a"), (2L, "b"), (2L, "b dup"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val vecs = Seq((1L, Array(1f)), (3L, Array(2f)), (3L, Array(3f)),
+      (9L, Array(4f))).toDF("vec_id", "embedding")
+    val r = Corpus.integrityReport(docs, vecs).collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 4)   // raw row counts
+    assert(r.getLong(2) == 1)  // doc id 2 has no vector
+    assert(r.getLong(3) == 1)  // vec id 9 has no doc
+    assert(r.getLong(4) == 1 && r.getLong(5) == 1)  // one dup id each side
+  }
 }

@@ -130,4 +130,43 @@ class PropertySpec extends SparkSpec {
       }, n = 60)
     } finally { df.unpersist(); () }
   }
+
+  test("bloom filter: no false negatives, ever (pure driver arithmetic)") {
+    val strGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    check(Prop.forAll(Gen.nonEmptyListOf(strGen)) { strs =>
+      val pairs = strs.distinct.map { s =>
+        val a = graft.functions.Md5PairUtil.pair(s.getBytes("UTF-8"))
+        (a.getLong(0), a.getLong(1))
+      }.toArray
+      val m = graft.dedup.Dedup.bloomBitsFor(pairs.length.toLong)
+      val words = graft.dedup.Dedup.bloomWords(pairs, m)
+      pairs.forall { case (h1, h2) =>
+        (0 until graft.dedup.Dedup.BloomK).forall { i =>
+          val p = (graft.functions.XHash.memberLong(h1, h2, i) % m).toInt
+          (words(p >>> 6) & (1L << (p & 63))) != 0L
+        }
+      }
+    }, n = 80)
+  }
+
+  test("memberLong: non-negative, 60-bit, no overflow across the family") {
+    val h1Gen = Gen.choose(0L, (1L << 60) - 1)
+    val h2Gen = Gen.choose(0L, (1L << 56) - 1)
+    val iGen = Gen.choose(0, graft.functions.XHash.MaxFamily - 1)
+    check(Prop.forAll(h1Gen, h2Gen, iGen) { (h1, h2, i) =>
+      val v = graft.functions.XHash.memberLong(h1, h2, i)
+      v >= 0L && v < (1L << 60)
+    }, n = 200)
+  }
+
+  test("bloomBitsFor: smallest clamped power of two >= 64 n") {
+    check(Prop.forAll(Gen.choose(0L, 1L << 40)) { n =>
+      val m = graft.dedup.Dedup.bloomBitsFor(n)
+      val isPow2 = (m & (m - 1)) == 0
+      val inRange = m >= (1 << 14) && m <= (1 << 24)
+      val covers = m >= math.min(64L * math.max(n, 1L), 1L << 24)
+      val tight = m == (1 << 14) || (m.toLong / 2) < 64L * math.max(n, 1L)
+      isPow2 && inRange && covers && tight
+    }, n = 200)
+  }
 }
