@@ -144,6 +144,48 @@ object TextQueries {
             + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 AS quality
         FROM t""")),
 
+    // #33b per-source top-k by quality: the curation selection shape
+    // corpus_stratified's hash-cap can't express — keep the BEST k of
+    // every domain, not a random k. Only (id, source, score) triples
+    // ever shuffle (the text stays at the scan), and the rank window
+    // partitions by source — no global sort. Ties break on doc_id;
+    // both engines compute the identical IEEE double from the same
+    // integers (the text_quality gate hash-pins that), so the rank
+    // boundary is deterministic cross-engine.
+    Q("corpus_topk_quality",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            Text.qualityScore(col("text")).as("quality"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .where(col("rk") <= 5)
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+            CAST(length(text) AS BIGINT) AS n_chars,
+            CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+              / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+            CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                   x -> list_contains(['the','a','an','and','of','to','in','is','that','it','was','for','on','with','as'], x))) AS DOUBLE)
+              / CAST(greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1) AS DOUBLE) AS stopword_ratio
+          FROM documents),
+        scored AS (
+          SELECT doc_id, source,
+            least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+              + least(stopword_ratio * 4.0, 1.0) * 0.4
+              + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 AS quality
+          FROM t)
+        SELECT doc_id, source, quality, rk FROM (
+          SELECT doc_id, source, quality,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY quality DESC, doc_id) AS BIGINT) AS rk
+          FROM scored)
+        WHERE rk <= 5""")),
+
     // #35 fingerprinting: content hash (order-insensitive normalization)
     // + rolling polynomial hash (order-sensitive)
     Q("text_fingerprint",

@@ -133,6 +133,15 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(1500))
   }
 
+  test("per-source top-k shuffles scored triples by source, never globally sorts") {
+    val plan = SparkEntry.queries("corpus_topk_quality")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("hashpartitioning(source"),
+      s"top-k lost its by-source partitioning:\n${plan.take(1200)}")
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"top-k must not globally sort:\n${plan.take(1200)}")
+  }
+
   test("bloom decontam probes as a pure filter — no join, no shuffle before it") {
     // the Bloom pass's point at 100 TB: the corpus meets the filter as
     // a codegen'd Filter over the scan (bit array rides the plan as a
