@@ -18,6 +18,9 @@ object Bench {
       // here too (build.sbt sets it for sbt-forked runs, but Bench must
       // not depend on the launcher)
       .config("spark.sql.session.timeZone", "UTC")
+      // external bucketed tables keep data under /tmp; the catalog
+      // default location must not litter the repo cwd
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -78,6 +78,61 @@ object DedupQueries {
     path
   }
 
+  /** Shared oracle for both integrity gates (bucketing must change the
+    * plan, never the answer). */
+  private val integritySql = """
+        WITH dd AS (
+          SELECT doc_id AS id, COUNT(*) AS dn FROM documents
+          WHERE doc_id % 13 <> 5 GROUP BY 1),
+        vv AS (
+          SELECT vec_id AS id, COUNT(*) AS vn FROM embeddings
+          WHERE vec_id % 11 <> 3 GROUP BY 1)
+        SELECT CAST(SUM(COALESCE(dn, 0)) AS BIGINT) AS n_docs,
+          CAST(SUM(COALESCE(vn, 0)) AS BIGINT) AS n_vecs,
+          CAST(SUM(CASE WHEN vn IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS docs_without_vec,
+          CAST(SUM(CASE WHEN dn IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS vecs_without_doc,
+          CAST(SUM(CASE WHEN dn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS dup_doc_ids,
+          CAST(SUM(CASE WHEN vn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS dup_vec_ids
+        FROM dd FULL OUTER JOIN vv USING (id)"""
+
+  private[graft] val BucketedDocsTable = "graft_docs_bucketed"
+  private[graft] val BucketedEmbsTable = "graft_embs_bucketed"
+
+  /** Write documents/embeddings as EXTERNAL id-bucketed tables (16
+    * buckets, sorted within) under /tmp — the warehouse layout a 100 TB
+    * deployment keeps its corpus in so id-keyed joins and aggregations
+    * co-locate without shuffles. Fingerprint-keyed like the other
+    * artifact caches: a regenerated dataset rewrites; a second call in
+    * the same session (bench sweeps) is a metadata no-op. */
+  private[graft] def ensureBucketedTables(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = synchronized {
+    val root = "/tmp/graft-bucketed"
+    val fp = srcFingerprint(dir) + "-" + graft.tools.LocalFs.fingerprint(
+      new java.io.File(s"$dir/embeddings.parquet"))
+    val marker = new java.io.File(s"$root/_FP_$fp")
+    val haveTables = s.catalog.tableExists(BucketedDocsTable) &&
+      s.catalog.tableExists(BucketedEmbsTable)
+    if (marker.exists() && haveTables) return
+    graft.tools.LocalFs.deleteRec(java.nio.file.Paths.get(root))
+    s.sql(s"DROP TABLE IF EXISTS $BucketedDocsTable")
+    s.sql(s"DROP TABLE IF EXISTS $BucketedEmbsTable")
+    Sources.table(s, dir, "documents")
+      .write.bucketBy(16, "doc_id").sortBy("doc_id")
+      .option("path", s"$root/docs").mode("overwrite")
+      .saveAsTable(BucketedDocsTable)
+    Sources.table(s, dir, "embeddings")
+      .write.bucketBy(16, "vec_id").sortBy("vec_id")
+      .option("path", s"$root/embs").mode("overwrite")
+      .saveAsTable(BucketedEmbsTable)
+    new java.io.File(root).mkdirs()
+    marker.createNewFile()
+    ()
+  }
+
   def all: Seq[Q] = Seq(
 
     // #25 exact dedup: group by normalized content hash, keep min doc_id
@@ -298,24 +353,24 @@ object DedupQueries {
         docs(s, dir).where(col("doc_id") % 13 =!= 5),
         graft.sources.Sources.table(s, dir, "embeddings")
           .where(col("vec_id") % 11 =!= 3)),
-      Some("""
-        WITH dd AS (
-          SELECT doc_id AS id, COUNT(*) AS dn FROM documents
-          WHERE doc_id % 13 <> 5 GROUP BY 1),
-        vv AS (
-          SELECT vec_id AS id, COUNT(*) AS vn FROM embeddings
-          WHERE vec_id % 11 <> 3 GROUP BY 1)
-        SELECT CAST(SUM(COALESCE(dn, 0)) AS BIGINT) AS n_docs,
-          CAST(SUM(COALESCE(vn, 0)) AS BIGINT) AS n_vecs,
-          CAST(SUM(CASE WHEN vn IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-            AS docs_without_vec,
-          CAST(SUM(CASE WHEN dn IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-            AS vecs_without_doc,
-          CAST(SUM(CASE WHEN dn > 1 THEN 1 ELSE 0 END) AS BIGINT)
-            AS dup_doc_ids,
-          CAST(SUM(CASE WHEN vn > 1 THEN 1 ELSE 0 END) AS BIGINT)
-            AS dup_vec_ids
-        FROM dd FULL OUTER JOIN vv USING (id)""")),
+      Some(integritySql)),
+
+    // #40d the SAME integrity check over id-BUCKETED tables — the §4
+    // co-location claim made live instead of narrated: both tables are
+    // written bucketBy(16, id), so the groupBy(id) aggregations and
+    // the full-outer id join all consume the scan's bucket
+    // partitioning and the only exchange left in the whole plan is the
+    // final single-row rollup (PlanShapeSpec pins it). Same oracle as
+    // corpus_integrity: bucketing must change the plan, not the
+    // answer.
+    Q("corpus_integrity_bucketed",
+      (s, dir) => {
+        ensureBucketedTables(s, dir)
+        graft.dedup.Corpus.integrityReport(
+          s.table(BucketedDocsTable).where(col("doc_id") % 13 =!= 5),
+          s.table(BucketedEmbsTable).where(col("vec_id") % 11 =!= 3))
+      },
+      Some(integritySql)),
 
     // #25i sequence packing (concat-and-chunk): per doc, the context
     // windows it lands in when each shard's token stream is split at a

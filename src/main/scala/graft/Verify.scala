@@ -12,6 +12,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // external bucketed tables keep data under /tmp; the catalog
+      // default location must not litter the repo cwd
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

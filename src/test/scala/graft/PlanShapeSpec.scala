@@ -133,6 +133,29 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(1500))
   }
 
+  test("id-bucketed tables co-locate the integrity join: zero id shuffles") {
+    // the §4 claim made checkable: over bucketBy(16, id) tables, the
+    // per-id aggregations and the full-outer id join consume the
+    // scan's bucket partitioning, so the only exchange in the whole
+    // plan is the final single-row rollup. The unbucketed twin plans
+    // id-hash exchanges; the bucketed one must plan none.
+    DedupQueries.ensureBucketedTables(spark, sf001)
+    val plan = SparkEntry.queries("corpus_integrity_bucketed")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"bucketed gate is not reading bucketed scans:\n${plan.take(1200)}")
+    // the groupBys key on the raw columns (doc_id/vec_id) before the
+    // id alias; no id-keyed exchange of ANY name may survive
+    val idExchange = "Exchange hashpartitioning\\((doc_|vec_)?id".r
+    assert(idExchange.findFirstIn(plan).isEmpty,
+      s"bucketed integrity join still shuffles on the id:\n${plan.take(1500)}")
+    val unbucketed = SparkEntry.queries("corpus_integrity")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(idExchange.findFirstIn(unbucketed).isDefined,
+      "control: the unbucketed twin should need id exchanges " +
+        s"(did the plan change?):\n${unbucketed.take(1200)}")
+  }
+
   test("per-source top-k shuffles scored triples by source, never globally sorts") {
     val plan = SparkEntry.queries("corpus_topk_quality")(spark, sf001)
       .queryExecution.executedPlan.toString
