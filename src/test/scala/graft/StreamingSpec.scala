@@ -174,4 +174,57 @@ class StreamingSpec extends SparkSpec {
       before.groupBy(r => r(2)).map { case (k, rs) =>
         Seq(k, rs.toSeq.map(_(3).asInstanceOf[Long]).sum) }.toSet)
   }
+
+  test("sketch state accumulates across REAL micro-batches, not one big one") {
+    // the streamed-sketch gates drain a single-file source (one
+    // micro-batch at gate scale); this pins the multi-batch merge
+    // itself: 4 input files, maxFilesPerTrigger=1 -> >= 4 batches,
+    // and both sketch states (bloom pair set, quantile histogram)
+    // must equal their batch-computed twins exactly.
+    import graft.functions.XHash
+    val base = Files.createTempDirectory("graft-micro").toString
+    val words = Seq("alpha beta gamma delta", "epsilon zeta eta theta",
+      "iota kappa lambda mu", "nu xi omicron pi rho sigma")
+    (0 until 4).foreach { i =>
+      Seq((i * 10L, words(i)), (i * 10L + 1, words((i + 1) % 4)))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    val raw = spark.read.parquet(s"$base/in")
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val pairsAgg = graft.dedup.Dedup.shingleRows(stream)
+      .select(XHash.h60(col("s")).as("h1"), XHash.h56(col("s")).as("h2"))
+      .groupBy(col("h1"), col("h2")).count()
+    val q = pairsAgg.writeStream.format("memory").queryName("t_micro_pairs")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      s"expected >= 4 data-bearing micro-batches, got " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    val streamed = spark.table("t_micro_pairs")
+      .select(col("h1"), col("h2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.dedup.Dedup.bloomEvalPairs(raw)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, "streamed pair set != batch pair set")
+    // the distribution sketch: histogram counts must ADD across batches
+    val histStream = stream
+      .select(graft.text.Text.tokenCount(col("text")).cast("long").as("v"))
+      .groupBy(col("v").as("b")).agg(count(lit(1)).as("c"))
+    val q2 = histStream.writeStream.format("memory").queryName("t_micro_hist")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val streamedHist = spark.table("t_micro_hist")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batchHist = raw
+      .select(graft.text.Text.tokenCount(col("text")).cast("long").as("v"))
+      .groupBy(col("v").as("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamedHist == batchHist, "streamed histogram != batch histogram")
+  }
 }
