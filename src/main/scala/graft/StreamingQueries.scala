@@ -324,6 +324,42 @@ object StreamingQueries {
       },
       Some(DedupSql.decontamBloom())),
 
+    // #38d the OTHER direction of the Bloom symmetry: the filter is
+    // static (built batch-side from the eval docs) and the CORPUS
+    // streams through it — the production filter-the-crawl-as-it-
+    // arrives shape. The probe is a stateless streaming map (the bit
+    // array rides the plan); only flagged (id, shingle-hit) rows enter
+    // state, aggregated per id in Complete mode. The drained flagged
+    // set then takes the same batch exact-verify tail, under the same
+    // oracle as corpus_decontam_bloom: streamed-probe == batch-probe.
+    Q("stream_corpus_filter",
+      (s, dir) => {
+        implicit val session: org.apache.spark.sql.SparkSession = s
+        val d = graft.sources.Sources.table(s, dir, "documents")
+        val pairs = graft.dedup.Dedup.bloomEvalPairs(
+            d.where(col("doc_id") % 97 === 0))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val m = graft.dedup.Dedup.bloomBitsFor(pairs.length.toLong)
+        val words = graft.dedup.Dedup.bloomWords(pairs, m)
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val corpusStream = s.readStream.schema(raw.schema)
+          .parquet(s"$dir/{documents}.parquet")
+          .where(col("doc_id") % 97 =!= 0)
+        val flaggedAgg = graft.dedup.Dedup.shingleRows(corpusStream)
+          .select(col("id"), graft.functions.XHash.h60(col("s")).as("h1"),
+            graft.functions.XHash.h56(col("s")).as("h2"))
+          .where(graft.dedup.Dedup.bloomMightContain(words, m)(
+            col("h1"), col("h2")))
+          .groupBy(col("id")).count()
+        val flagged = drain(flaggedAgg, "graft_stream_corpus_filter",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+          .select(col("id").as("doc_id"))
+        graft.dedup.Dedup.confirmFlagged(
+          d.where(col("doc_id") % 97 =!= 0),
+          d.where(col("doc_id") % 97 === 0), flagged)
+      },
+      Some(DedupSql.decontamBloom())),
+
     // #34g the quantile sketch's mergeability, proven live (fourth
     // sketch family: distribution): the hash-sample's value histogram
     // accumulates through streaming incremental state — histograms of

@@ -618,8 +618,16 @@ object Dedup {
         XHash.h56(col("s")).as("h2"))
       .where(bloomMightContain(words, m, k)(col("h1"), col("h2")))
       .select(col("id").as(idCol)).distinct()
-    // exact pass over Bloom survivors only — no false negatives makes
-    // this equal to the exact pass over the whole corpus
+    confirmFlagged(docs, evalDocs, flagged, idCol, textCol, n)
+  }
+
+  /** The exact pass over Bloom survivors only — no false negatives
+    * makes this equal to the exact pass over the whole corpus. Shared
+    * by the batch probe and the streamed-probe gate. Output:
+    * (idCol, exact_hit). */
+  def confirmFlagged(docs: DataFrame, evalDocs: DataFrame,
+      flagged: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
     val confirmed = contaminatedIds(
       docs.join(broadcast(flagged), Seq(idCol), "leftsemi"),
       evalDocs, idCol, textCol, n)
