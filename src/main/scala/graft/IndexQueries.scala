@@ -58,6 +58,28 @@ object IndexQueries {
   }
   private val compactSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** TWO metrics under one index root — dragnet's index configs carry
+    * several metrics and the query planner picks the cheapest covering
+    * one (lib/dragnet-impl.js metric selection). `by_type` is the
+    * narrow rollup (event_type only — tiny); `by_minute` the wide one.
+    * Declaration order is the preference order, narrow first. */
+  private val multiMetrics = Seq(
+    Metric("by_type", Seq(FieldSpec.plain("event_type")))) ++ metrics
+
+  /** Build the two-metric index once per sfDir (both rollups written
+    * in ONE input pass — Index.build caches the scan for multi-metric
+    * builds). */
+  private def ensureMulti(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val path = s"${indexPath(sfDir, "day")}-multi"
+      val marker = new java.io.File(
+        s"${Index.metricPath(path, "day", "by_type")}/_SUCCESS")
+      if (!marker.exists())
+        Index.build(Sources.events(spark, sfDir), multiMetrics, path,
+          timeField = "ts", interval = "day")
+      path
+    }
+
   /** Build once per (sfDir, interval); parquet _SUCCESS is the marker. */
   private def ensureBuilt(spark: SparkSession, sfDir: String,
                           interval: String): String = synchronized {
@@ -84,6 +106,18 @@ object IndexQueries {
     // #13 build + query == scan (lossless rollup round trip)
     Q("index_roundtrip",
       serve("day", QueryConfig(breakdowns = AttrParser.parse("event_type"))),
+      Some(Scan.scanSql("events",
+        QueryConfig(breakdowns = AttrParser.parse("event_type")), rq))),
+
+    // #13c metric SELECTION among several rollups under one root (the
+    // dragnet index-config shape): the event_type-only query must be
+    // served by the NARROW by_type rollup while a user_id query falls
+    // through to by_minute — IndexSpec pins which files each plan
+    // reads; this gate pins that the narrow-served answer still equals
+    // the raw scan.
+    Q("index_metric_select",
+      (s, dir) => Index.query(s, ensureMulti(s, dir), multiMetrics,
+        QueryConfig(breakdowns = AttrParser.parse("event_type"))),
       Some(Scan.scanSql("events",
         QueryConfig(breakdowns = AttrParser.parse("event_type")), rq))),
 

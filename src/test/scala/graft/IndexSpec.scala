@@ -227,4 +227,31 @@ class IndexSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(total == ev.count())
   }
+
+  test("metric selection: narrow query reads the narrow rollup, wide falls through") {
+    val path = tmp()
+    val narrow = Metric("by_type", Seq(FieldSpec.plain("event_type")))
+    val wide = Metric("by_type_user",
+      Seq(FieldSpec.plain("event_type"), FieldSpec.plain("user_id")))
+    Index.build(ev, Seq(narrow, wide), path, timeField = "ts", interval = "day")
+    def servedFrom(cfg: QueryConfig): String =
+      Index.query(spark, path, Seq(narrow, wide), cfg)
+        .queryExecution.executedPlan.toString
+    val narrowPlan = servedFrom(
+      QueryConfig(breakdowns = Seq(FieldSpec.plain("event_type"))))
+    assert(narrowPlan.contains("/by_type") && !narrowPlan.contains("by_type_user"),
+      s"event_type query should read ONLY the narrow rollup:\n${narrowPlan.take(900)}")
+    val widePlan = servedFrom(QueryConfig(breakdowns =
+      Seq(FieldSpec.plain("event_type"), FieldSpec.plain("user_id"))))
+    assert(widePlan.contains("by_type_user"),
+      s"user_id query must fall through to the wide rollup:\n${widePlan.take(900)}")
+    // and both serve the same numbers a raw scan gives
+    val got = Index.query(spark, path, Seq(narrow, wide),
+        QueryConfig(breakdowns = Seq(FieldSpec.plain("event_type"))))
+      .collect().map(_.toSeq).toSet
+    val want = Scan.scan(ev,
+        QueryConfig(breakdowns = Seq(FieldSpec.plain("event_type"))))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
 }
