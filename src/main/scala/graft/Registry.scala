@@ -15,7 +15,7 @@ object Registry {
   def all: Seq[Q] =
     CoreScanQueries.all ++ IndexQueries.all ++ AnalyticsQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ AnnQueries.all ++
-      StreamingQueries.all ++ MultimodalQueries.all
+      RetrievalQueries.all ++ StreamingQueries.all ++ MultimodalQueries.all
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
   def oracles: Map[String, String] =

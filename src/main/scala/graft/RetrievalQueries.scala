@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ann.Ann
+import graft.sources.Sources
+import graft.text.Bm25
+
+/**
+ * SURVEY.md §2 rows 61-62: retrieval over the corpus — sparse (BM25
+ * lexical scoring, [[graft.text.Bm25]]) and hybrid (reciprocal-rank
+ * fusion of the BM25 list with the dense cosine list over the aligned
+ * `embeddings` table). The dense-only paths are the `ann_*` family;
+ * these two close the retrieval triangle a training-data pipeline
+ * actually runs: lexical match, semantic match, and the fusion of both.
+ *
+ * `doc_id` and `vec_id` are the same corpus row in the two views
+ * (TESTDATA ships them aligned); RRF joins on that identity.
+ */
+object RetrievalQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Sources.table(s, dir, "documents")
+  private def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Sources.table(s, dir, "embeddings")
+
+  /** Candidate-list depth for the fused gate; final fused k below. */
+  private val CandK = 50
+  private val FusedK = 10
+  private val Bm25K = 25
+
+  /** Dense cosine CTEs — the ann_topk oracle arithmetic (sequential-
+    * double dot, per-vector norms), ranked and cut to [[CandK]]. */
+  private def denseSql(k: Int): String = s"""
+        q AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1),
+        t AS (
+          SELECT vec_id,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(list_zip(embedding, qe),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+              (a, b) -> a + b) AS dp,
+            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, b) -> a + b)) AS na,
+            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, b) -> a + b)) AS nb
+          FROM embeddings, q),
+        dn AS (
+          SELECT vec_id AS did, row_number() OVER (ORDER BY dp / (na * nb) DESC, vec_id) AS r_dense
+          FROM t ORDER BY dp / (na * nb) DESC, vec_id LIMIT $k)"""
+
+  /**
+   * RRF fusion of two already-cut candidate lists (sparse: doc_id
+   * ordered by score desc; dense: vec_id ordered by cos desc). Ranks
+   * come from a row_number window over the k-row lists — the global
+   * window runs AFTER TakeOrdered cut each list to k rows, so it never
+   * sees corpus-sized input. The two k-row lists full-outer-join on row
+   * identity; absent ranks contribute 0 (the published RRF convention).
+   */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, k: Int): DataFrame = {
+    val sp = sparse
+      .withColumn("r_sparse",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id").as("sid"), col("r_sparse"))
+    val dn = dense
+      .withColumn("r_dense",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select(col("vec_id").as("did"), col("r_dense"))
+    val contrib = (r: String) =>
+      coalesce(lit(1.0) / (lit(Bm25.RrfK) + col(r)).cast("double"), lit(0.0))
+    sp.join(dn, col("sid") === col("did"), "full_outer")
+      .select(
+        coalesce(col("sid"), col("did")).as("id"),
+        col("r_sparse"), col("r_dense"),
+        (contrib("r_sparse") + contrib("r_dense")).as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // #61 BM25 top-k for the pinned query terms: one features pass, a
+    // single-row stats agg broadcast back, TakeOrdered top-k. The
+    // oracle replays the scoring arithmetic exactly — including the
+    // pinned series-log — so the gate is a hash match on scores, not
+    // rows-only.
+    Q("text_bm25",
+      (s, dir) => Bm25.topK(docs(s, dir), Bm25K),
+      Some(Bm25.topKSql("documents", Bm25K))),
+
+    // #62 hybrid retrieval: RRF(BM25 top-50, cosine top-50) → top-10.
+    // Integer ranks + rational fusion arithmetic — IEEE-exact in both
+    // engines; ties at equal rrf break on id in both.
+    Q("retrieval_rrf",
+      (s, dir) => {
+        val sparse = Bm25.topK(docs(s, dir), CandK)
+        val e = emb(s, dir)
+        val dense = Ann.bruteForceTopK(e,
+          e.orderBy(col("vec_id")).limit(1), CandK)
+        rrfFuse(sparse, dense, FusedK)
+      },
+      Some(s"""
+        WITH ${Bm25.sqlCtes("documents")},
+        sp AS (
+          SELECT doc_id AS sid, row_number() OVER (ORDER BY score DESC, doc_id) AS r_sparse
+          FROM sc ORDER BY score DESC, doc_id LIMIT $CandK),
+        ${denseSql(CandK)},
+        j AS (
+          SELECT COALESCE(sid, did) AS id, r_sparse, r_dense,
+            (COALESCE((CAST(1.0 AS DOUBLE) / CAST((${Bm25.RrfK} + r_sparse) AS DOUBLE)), CAST(0.0 AS DOUBLE))
+             + COALESCE((CAST(1.0 AS DOUBLE) / CAST((${Bm25.RrfK} + r_dense) AS DOUBLE)), CAST(0.0 AS DOUBLE))) AS rrf
+          FROM sp FULL OUTER JOIN dn ON sid = did)
+        SELECT id, r_sparse, r_dense, rrf FROM j
+        ORDER BY rrf DESC, id LIMIT $FusedK"""))
+  )
+}

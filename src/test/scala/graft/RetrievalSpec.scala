@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Bm25
+
+/** BM25 + RRF retrieval (SURVEY §2 rows 61-62). The scoring arithmetic
+  * is pinned: a pure-Scala mirror must reproduce the Spark plan's
+  * doubles BIT-FOR-BIT (the same claim the oracle makes cross-engine
+  * with DuckDB — the gate's hash match is only as strong as this). */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Scala mirror of one doc's BM25 score — the same association as
+    * Bm25.score's Column tree, term-by-term, left-folded. */
+  private def mirrorScore(tf: Map[String, Long], dl: Long, n: Long,
+      sumdl: Long, df: Map[String, Long], terms: Seq[String]): Double =
+    terms.map { t =>
+      val nD = n.toDouble; val dfD = df(t).toDouble
+      val tfD = tf(t).toDouble; val dlD = dl.toDouble
+      val avgdl = sumdl.toDouble / nD
+      val idfArg = ((nD - dfD) + 0.5) / (dfD + 0.5) + 1.0
+      val idf = Bm25.lnSeriesDouble(idfArg)
+      val num = tfD * (Bm25.K1 + 1.0)
+      val norm = (1.0 - Bm25.B) + (Bm25.B * dlD) / avgdl
+      val denom = tfD + Bm25.K1 * norm
+      idf * (num / denom)
+    }.reduceLeft(_ + _)
+
+  test("lnSeries: zero at 1, strictly monotone, tracks ln for small x") {
+    val xs = (1 to 400).map(i => 1.0 + i * 0.05) // 1.05 .. 21
+    assert(Bm25.lnSeriesDouble(1.0) == 0.0)
+    val vals = xs.map(Bm25.lnSeriesDouble)
+    assert(vals.zip(vals.tail).forall { case (a, b) => a < b },
+      "series must be strictly increasing")
+    xs.filter(_ <= 20.0).foreach { x =>
+      val rel = math.abs(Bm25.lnSeriesDouble(x) - math.log(x)) / math.log(x)
+      assert(rel < 0.02, s"x=$x rel=$rel")
+    }
+  }
+
+  test("lnSeries: Column evaluation == Scala mirror bit-for-bit") {
+    val xs = Seq(1.0, 1.1, 1.2987, 2.0, 3.5, 7.25, 19.75, 333.0)
+    val got = xs.toDF("x").select(Bm25.lnSeries(col("x")).as("v"))
+      .collect().map(_.getDouble(0))
+    got.zip(xs.map(Bm25.lnSeriesDouble)).foreach { case (g, e) =>
+      assert(java.lang.Double.doubleToLongBits(g) ==
+        java.lang.Double.doubleToLongBits(e), s"got $g expected $e")
+    }
+  }
+
+  test("bm25 topK == hand-computed mirror on a tiny corpus, exact") {
+    val terms = Seq("spark", "merge")
+    val rows = Seq(
+      (0L, "spark spark merge fast"),
+      (1L, "merge merge merge"),
+      (2L, "slow table scan"),
+      (3L, "spark"),
+      (4L, "spark merge spark merge spark merge spark merge"))
+    val docs = rows.toDF("doc_id", "text")
+    val got = Bm25.topK(docs, 5, terms).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val feats = rows.map { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      (id, toks.size.toLong,
+        terms.map(t => t -> toks.count(_ == t).toLong).toMap)
+    }
+    val n = feats.size.toLong
+    val sumdl = feats.map(_._2).sum
+    val df = terms.map(t => t -> feats.count(_._3(t) > 0).toLong).toMap
+    feats.foreach { case (id, dl, tf) =>
+      val exp = mirrorScore(tf, dl, n, sumdl, df, terms)
+      assert(java.lang.Double.doubleToLongBits(got(id)) ==
+        java.lang.Double.doubleToLongBits(exp),
+        s"doc $id got ${got(id)} expected $exp")
+    }
+    // ranking sanity: the all-hits doc with short length wins; the
+    // no-hit doc scores exactly 0
+    assert(got(2L) == 0.0)
+    assert(got.maxBy(_._2)._1 == 4L)
+  }
+
+  test("rrfFuse: both-list ids fuse both ranks; one-list ids keep one") {
+    val sparse = Seq((10L, 5.0), (11L, 4.0), (12L, 3.0))
+      .toDF("doc_id", "score")
+    val dense = Seq((11L, 0.9), (13L, 0.8)).toDF("vec_id", "cos")
+    val out = RetrievalQueries.rrfFuse(sparse, dense, 10).collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Int]),
+        Option(r.get(2)).map(_.asInstanceOf[Int]),
+        r.getDouble(3))).toSeq
+    val byId = out.map(t => t._1 -> t).toMap
+    // 11 is rank 2 sparse, rank 1 dense
+    assert(byId(11L) == ((11L, Some(2), Some(1),
+      1.0 / (Bm25.RrfK + 2).toDouble + 1.0 / (Bm25.RrfK + 1).toDouble)))
+    // 10 only sparse (rank 1); 13 only dense (rank 2)
+    assert(byId(10L) == ((10L, Some(1), None,
+      1.0 / (Bm25.RrfK + 1).toDouble + 0.0)))
+    assert(byId(13L) == ((13L, None, Some(2),
+      1.0 / (Bm25.RrfK + 2).toDouble + 0.0)))
+    // fusion order: the both-lists doc outranks every single-list doc
+    assert(out.head._1 == 11L)
+  }
+
+  test("bm25 plan: TakeOrdered top-k, no sort-merge join, no corpus window") {
+    val docs = graft.sources.Sources.table(spark, sf001, "documents")
+    val plan = Bm25.topK(docs, 25).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), "stats must broadcast")
+    assert(!plan.contains("Window"), "bm25 itself must not rank via window")
+  }
+
+  test("bm25 topK on empty corpus returns no rows") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Bm25.topK(empty, 5).collect().isEmpty)
+  }
+}
