@@ -80,6 +80,24 @@ object RetrievalQueries {
       .limit(k)
   }
 
+  /** Persisted-lexicon cache, fingerprint-keyed like the IVF+PQ and
+    * signature-store artifacts: same data + same vocab cap → reuse;
+    * anything else rebuilds and the stale sibling is swept. */
+  private def ensureLexicon(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fp = graft.tools.LocalFs.fingerprint(
+      new java.io.File(s"$dir/documents.parquet"))
+    val key = s"$dirKey-$fp-v${Bm25.VocabCap}"
+    val path = s"/tmp/graft-lexicon/$key"
+    if (!new java.io.File(s"$path/postings/_SUCCESS").exists()) {
+      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-lexicon",
+        s"$dirKey-", key)
+      Bm25.buildLexicon(docs(s, dir), path)
+    }
+    path
+  }
+
   def all: Seq[Q] = Seq(
 
     // #61 BM25 top-k for the pinned query terms: one features pass, a
@@ -90,6 +108,17 @@ object RetrievalQueries {
     Q("text_bm25",
       (s, dir) => Bm25.topK(docs(s, dir), Bm25K),
       Some(Bm25.topKSql("documents", Bm25K))),
+
+    // #61b the PRODUCTION read path: the same pinned query served from
+    // the persisted lexicon (postings partitioned by term + df + corpus
+    // stats) — term-partition pruning reads |terms| directories, the
+    // corpus parquet is never opened (RetrievalSpec pins both), and the
+    // pivoted-contribution assembly reproduces the scan path's doubles
+    // bit for bit. Oracle: identical scoring over the matching
+    // population (a postings index cannot see zero-match docs).
+    Q("retrieval_index_bm25",
+      (s, dir) => Bm25.bm25FromLexicon(s, ensureLexicon(s, dir), Bm25K),
+      Some(Bm25.topKMatchingSql("documents", Bm25K))),
 
     // #62 hybrid retrieval: RRF(BM25 top-50, cosine top-50) → top-10.
     // Integer ranks + rational fusion arithmetic — IEEE-exact in both

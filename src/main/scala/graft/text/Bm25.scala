@@ -109,13 +109,19 @@ object Bm25 {
     docs.select(cols: _*)
   }
 
-  /** One BM25 term's contribution; `n`/`df`/`sumdl` are the broadcast
-    * corpus stats as doubles, `tf`/`dl` the per-doc features. */
-  private def termScore(t: String): Column = {
+  /**
+   * One term's BM25 contribution from explicit feature columns; the
+   * corpus stats ride as columns `n`/`sumdl` (broadcast one-row join).
+   * BOTH serving shapes — scan-side ([[termScore]]'s pivoted features)
+   * and lexicon-side ([[bm25FromLexicon]]'s posting rows) — route
+   * through this one expression tree, so their doubles are identical
+   * bit for bit and one oracle gates both.
+   */
+  def contribution(tf: Column, df: Column, dl: Column): Column = {
     val nD = col("n").cast("double")
-    val dfD = col(dfCol(t)).cast("double")
-    val tfD = col(tfCol(t)).cast("double")
-    val dlD = col("dl").cast("double")
+    val dfD = df.cast("double")
+    val tfD = tf.cast("double")
+    val dlD = dl.cast("double")
     val avgdl = col("sumdl").cast("double") / nD
     val idfArg = ((nD - dfD) + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0)
     val idf = lnSeries(idfArg)
@@ -124,6 +130,9 @@ object Bm25 {
     val denom = tfD + lit(K1) * norm
     idf * (num / denom)
   }
+
+  private def termScore(t: String): Column =
+    contribution(col(tfCol(t)), col(dfCol(t)), col("dl"))
 
   private def termScoreSql(t: String): String = {
     val nD = "CAST(n AS DOUBLE)"
@@ -193,4 +202,97 @@ object Bm25 {
         WITH ${sqlCtes(table, terms)}
         SELECT doc_id, score FROM sc
         ORDER BY score DESC, doc_id LIMIT $k"""
+
+  /** Oracle for the lexicon-served gate: identical scoring, restricted
+    * to docs matching ≥1 query term — exactly the population a postings
+    * index can see. Matching ⇔ score > 0 here (idf > 0 whenever
+    * df ≤ N), but the filter compares INTEGER tf sums, not floats. */
+  def topKMatchingSql(table: String, k: Int,
+      terms: Seq[String] = Terms): String = {
+    val anyTf = terms.map(tfCol).reduceLeft((a, b) => s"($a + $b)")
+    s"""
+        WITH ${sqlCtes(table, terms)}
+        SELECT doc_id, score FROM sc
+        WHERE doc_id IN (SELECT doc_id FROM f WHERE $anyTf > 0)
+        ORDER BY score DESC, doc_id LIMIT $k"""
+  }
+
+  /** Vocabulary cap for the persisted lexicon: keep the top-cap terms
+    * by (df desc, term asc) — the capped-broadcast-vocab move
+    * text_logprob makes, applied to posting storage. An out-of-vocab
+    * query term simply contributes nothing (pinned by spec). */
+  val VocabCap = 64
+
+  /**
+   * Build the persisted lexicon (inverted index) a standing-query
+   * workload serves BM25 from without ever re-opening the corpus:
+   *
+   *   postings/   partitioned by term: (doc_id, tf, dl) per posting —
+   *               dl denormalized onto the posting row (impact-style)
+   *               so scoring never joins a doc-length table
+   *   df/         per vocab term: document frequency
+   *   stats/      one row: (n, sumdl)
+   *
+   * Scale shape: tokenize-explode → (term, doc_id) count is one
+   * shuffle keyed by (term, doc_id) — the same linearithmic pass any
+   * index build pays (cf. index/Index.scala rollups); at 100 TB the
+   * term partitioning means a query later reads |terms| directories,
+   * not the corpus. The vocab cap bounds directory fan-out; a real
+   * deployment sizes it to its query log's vocabulary.
+   */
+  def buildLexicon(docs: DataFrame, path: String, vocabCap: Int = VocabCap,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      Text.tokens(col(textCol)).as("toks"))
+    val stats = toks.select(size(col("toks")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    val postings = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val vocab = postings.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(vocabCap)
+    vocab.coalesce(1).write.mode("overwrite").parquet(s"$path/df")
+    postings.join(broadcast(vocab.select("term")), Seq("term"))
+      .write.mode("overwrite").partitionBy("term")
+      .parquet(s"$path/postings")
+  }
+
+  /**
+   * Serve BM25 top-k from the lexicon: term-partition pruning keeps the
+   * read to the query terms' directories (candidate rows = Σ df(term),
+   * never the corpus); per-posting contributions pivot back to fixed
+   * per-term columns (each term's sum folds one real value with exact
+   * +0.0s, so aggregation order cannot perturb the double) and add in
+   * the same left-fold order as the scan path — bit-identical scores,
+   * one shared oracle. Docs matching no query term are invisible to a
+   * postings index; [[topKMatchingSql]] is the matching-population
+   * oracle.
+   */
+  def bm25FromLexicon(s: org.apache.spark.sql.SparkSession, root: String,
+      k: Int, terms: Seq[String] = Terms): DataFrame = {
+    val post = s.read.parquet(s"$root/postings")
+      .where(col("term").isin(terms: _*))
+    val dfTab = s.read.parquet(s"$root/df")
+      .where(col("term").isin(terms: _*))
+    val stats = s.read.parquet(s"$root/stats")
+    val rows = post.join(broadcast(dfTab), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        contribution(col("tf"), col("df"), col("dl")).as("c"))
+    val pivotAggs = terms.map(t =>
+      sum(when(col("term") === lit(t), col("c")).otherwise(lit(0.0)))
+        .as(s"c_$t"))
+    rows.groupBy(col("doc_id"))
+      .agg(pivotAggs.head, pivotAggs.tail: _*)
+      .select(col("doc_id"),
+        terms.map(t => col(s"c_$t")).reduceLeft(_ + _).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -115,4 +115,63 @@ class RetrievalSpec extends SparkSpec {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Bm25.topK(empty, 5).collect().isEmpty)
   }
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+
+  test("lexicon serve == scan topK bit-for-bit on the matching population") {
+    val terms = Seq("spark", "merge")
+    val docs = Seq(
+      (0L, "spark spark merge fast"),
+      (1L, "merge merge merge"),
+      (2L, "slow table scan"), // matches neither term
+      (3L, "spark"),
+      (4L, "spark merge spark merge spark merge spark merge"))
+      .toDF("doc_id", "text")
+    val root = tmpDir("lexicon")
+    Bm25.buildLexicon(docs, root)
+    val served = Bm25.bm25FromLexicon(spark, root, 10, terms).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val scanned = Bm25.topK(docs, 10, terms).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the zero-match doc is invisible to a postings index...
+    assert(!served.contains(2L) && scanned(2L) == 0.0)
+    // ...and every matching doc scores identically, bit for bit
+    assert(served.keySet == scanned.keySet - 2L)
+    served.foreach { case (id, s) =>
+      assert(java.lang.Double.doubleToLongBits(s) ==
+        java.lang.Double.doubleToLongBits(scanned(id)), s"doc $id")
+    }
+  }
+
+  test("lexicon vocab cap: out-of-vocab term contributes nothing") {
+    val docs = Seq(
+      (0L, "common common rare"),
+      (1L, "common other"),
+      (2L, "other other common"))
+      .toDF("doc_id", "text")
+    val root = tmpDir("lexcap")
+    // cap=2 keeps {common(3), other(2)}; 'rare'(1) falls out
+    Bm25.buildLexicon(docs, root, vocabCap = 2)
+    val full = Bm25.bm25FromLexicon(spark, root, 10, Seq("common", "rare"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val commonOnly = Bm25.bm25FromLexicon(spark, root, 10, Seq("common"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(full == commonOnly,
+      "an out-of-vocab query term must change nothing")
+  }
+
+  test("lexicon serving plan: term-partition pruning, corpus never opened") {
+    val dir = sf001
+    val root = tmpDir("lexplan")
+    Bm25.buildLexicon(
+      graft.sources.Sources.table(spark, dir, "documents"), root)
+    val plan = Bm25.bm25FromLexicon(spark, root, 25)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "serving must not open the corpus")
+    assert(plan.contains("PartitionFilters") && plan.contains("term#"),
+      plan.take(1200))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
 }
