@@ -98,6 +98,34 @@ object RetrievalQueries {
     path
   }
 
+  /** Old-corpus/new-batch split for the incremental lexicon gate —
+    * the same thirds split the incremental ANN gate uses. */
+  private[graft] val LexOldWhere = "doc_id % 3 <> 0"
+  private[graft] val LexNewWhere = "doc_id % 3 = 0"
+
+  /** Incremental lexicon: built from the old slice (vocabulary frozen
+    * there), then the new batch's postings appended and the summaries
+    * integer-added — never a re-tokenize of what's already indexed.
+    * Own cache root so the base lexicon's sibling sweep can't collect
+    * it. */
+  private def ensureLexiconInc(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fp = graft.tools.LocalFs.fingerprint(
+      new java.io.File(s"$dir/documents.parquet"))
+    val key = s"$dirKey-$fp-v${Bm25.VocabCap}"
+    val path = s"/tmp/graft-lexinc/$key"
+    if (!new java.io.File(s"$path/_APPENDED").exists()) {
+      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-lexinc",
+        s"$dirKey-", key)
+      val d = docs(s, dir)
+      Bm25.buildLexicon(d.where(expr(LexOldWhere)), path)
+      Bm25.appendLexicon(s, d.where(expr(LexNewWhere)), path)
+      new java.io.File(s"$path/_APPENDED").createNewFile()
+    }
+    path
+  }
+
   def all: Seq[Q] = Seq(
 
     // #61 BM25 top-k for the pinned query terms: one features pass, a
@@ -118,6 +146,17 @@ object RetrievalQueries {
     // population (a postings index cannot see zero-match docs).
     Q("retrieval_index_bm25",
       (s, dir) => Bm25.bm25FromLexicon(s, ensureLexicon(s, dir), Bm25K),
+      Some(Bm25.topKMatchingSql("documents", Bm25K))),
+
+    // #61c incremental lexicon maintenance: the artifact is built from
+    // the OLD corpus slice (vocabulary frozen there), the new batch's
+    // postings are appended and the df/stats summaries integer-added —
+    // then ONE search serves old ∪ new. The oracle scores against the
+    // FULL population's df/N/avgdl, so a dropped batch or a stale
+    // summary turns the gate red; RetrievalSpec pins append-on-disk ==
+    // full rebuild (old-frozen vocab) component by component.
+    Q("retrieval_index_incremental",
+      (s, dir) => Bm25.bm25FromLexicon(s, ensureLexiconInc(s, dir), Bm25K),
       Some(Bm25.topKMatchingSql("documents", Bm25K))),
 
     // #62 hybrid retrieval: RRF(BM25 top-50, cosine top-50) → top-10.

@@ -240,27 +240,114 @@ object Bm25 {
    * not the corpus. The vocab cap bounds directory fan-out; a real
    * deployment sizes it to its query log's vocabulary.
    */
+  /** The tokenize-explode → (term, doc_id, dl, tf) posting pipeline —
+    * shared by build, append, and vocab selection. */
+  private def postingsOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        Text.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+
   def buildLexicon(docs: DataFrame, path: String, vocabCap: Int = VocabCap,
+      vocabDocs: Option[DataFrame] = None,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val toks = docs.select(col(idCol).as("doc_id"),
       Text.tokens(col(textCol)).as("toks"))
     val stats = toks.select(size(col("toks")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
     stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    val postings = toks
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("term"))
-      .where(col("term") =!= "")
-      .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).cast("long").as("tf"))
-    val vocab = postings.groupBy(col("term"))
-      .agg(count(lit(1)).cast("long").as("df"))
-      .orderBy(col("df").desc, col("term"))
+    val postings = postingsOf(docs, idCol, textCol)
+    // vocab MEMBERSHIP may come from a restricted population (the
+    // incremental comparator trains it on the old slice, mirroring the
+    // ANN trainWhere); df VALUES always count the full indexed docs.
+    val vocabTerms = vocabDocs.map(postingsOf(_, idCol, textCol))
+      .getOrElse(postings)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df_v"))
+      .orderBy(col("df_v").desc, col("term"))
       .limit(vocabCap)
-    vocab.coalesce(1).write.mode("overwrite").parquet(s"$path/df")
-    postings.join(broadcast(vocab.select("term")), Seq("term"))
+      .select(col("term"))
+    val dfTab = postings.join(broadcast(vocabTerms), Seq("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    dfTab.coalesce(1).write.mode("overwrite").parquet(s"$path/df")
+    postings.join(broadcast(vocabTerms), Seq("term"))
       .write.mode("overwrite").partitionBy("term")
       .parquet(s"$path/postings")
+  }
+
+  /** Two-metadata-rename swap of `$root/$name.staging` into
+    * `$root/$name` (local paths — the lexicon cache lives under /tmp;
+    * same restore-on-failure discipline as Dedup.compactStore). */
+  private def swapIn(root: String, name: String): Unit = {
+    val live = new java.io.File(root, name)
+    val staging = new java.io.File(root, s"$name.staging")
+    val aside = new java.io.File(root, s"$name.aside")
+    if (aside.exists()) deleteRec(aside) // leftover from a crashed run
+    if (!live.renameTo(aside))
+      sys.error(s"lexicon swap: cannot move $live aside — live untouched")
+    if (!staging.renameTo(live)) {
+      if (!aside.renameTo(live))
+        sys.error(s"lexicon swap: $name lost BOTH renames; aside=$aside")
+      sys.error(s"lexicon swap: staging rename failed; $name restored")
+    }
+    deleteRec(aside)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+    f.delete(): Unit
+  }
+
+  /**
+   * Absorb a new crawl batch into an existing lexicon WITHOUT touching
+   * what it already holds — the `dragnet build -u` move for the
+   * postings index (the dedup signature store and the IVF+PQ code
+   * table make the same move). The vocabulary is FROZEN at build time
+   * (vocab revision is a rebuild-time decision, like IVF geometry);
+   * the batch's postings for in-vocab terms APPEND into the term
+   * directories, and the driver-size summaries update by pure integer
+   * adds — df += batch df (new doc ids are disjoint, so counts add),
+   * n/sumdl likewise — rewritten via staging + two-rename swap so a
+   * crash never leaves a torn summary. Scale: the batch pays
+   * tokenize+count on ITS rows only; nothing already indexed is read
+   * or rewritten.
+   */
+  def appendLexicon(s: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val vocabTerms = s.read.parquet(s"$path/df").select(col("term"))
+    val batch = postingsOf(newDocs, idCol, textCol)
+      .join(broadcast(vocabTerms), Seq("term"))
+    batch.write.mode("append").partitionBy("term")
+      .parquet(s"$path/postings")
+    // summaries are vocab-cap / one-row bounded — driver-size by
+    // construction, so the adds happen locally
+    val dfDelta = batch.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfOld = s.read.parquet(s"$path/df")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    import s.implicits._
+    dfOld.map { case (t, d) => (t, d + dfDelta.getOrElse(t, 0L)) }.toSeq
+      .toDF("term", "df")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/df.staging")
+    swapIn(path, "df")
+    val Array(nNew, dlNew) = newDocs
+      .select(size(Text.tokens(col(textCol))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("sumdl"))
+      .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
+    val st = s.read.parquet(s"$path/stats").collect().head
+    Seq((st.getLong(st.fieldIndex("n")) + nNew,
+        st.getLong(st.fieldIndex("sumdl")) + dlNew))
+      .toDF("n", "sumdl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats.staging")
+    swapIn(path, "stats")
   }
 
   /**

@@ -161,6 +161,55 @@ class RetrievalSpec extends SparkSpec {
       "an out-of-vocab query term must change nothing")
   }
 
+  test("incremental lexicon == full rebuild with old-frozen vocab, bit for bit") {
+    val old = Seq(
+      (1L, "spark merge fast table"),
+      (2L, "merge merge slow"),
+      (4L, "spark spark spark scan"),
+      (5L, "table scan merge"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (0L, "spark merge merge novel"), // 'novel' is out of frozen vocab
+      (3L, "merge table table"))
+      .toDF("doc_id", "text")
+    val inc = tmpDir("lexinc")
+    Bm25.buildLexicon(old, inc)
+    Bm25.appendLexicon(spark, batch, inc)
+    val full = tmpDir("lexfull")
+    Bm25.buildLexicon(old.union(batch), full, vocabDocs = Some(old))
+
+    def slurp(root: String, part: String, cols: Seq[String]) =
+      spark.read.parquet(s"$root/$part").select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    assert(slurp(inc, "stats", Seq("n", "sumdl")) ==
+      slurp(full, "stats", Seq("n", "sumdl")))
+    assert(slurp(inc, "df", Seq("term", "df")) ==
+      slurp(full, "df", Seq("term", "df")))
+    assert(slurp(inc, "postings", Seq("term", "doc_id", "dl", "tf")) ==
+      slurp(full, "postings", Seq("term", "doc_id", "dl", "tf")))
+    // and the served scores agree exactly
+    val a = Bm25.bm25FromLexicon(spark, inc, 10, Seq("spark", "merge"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Bm25.bm25FromLexicon(spark, full, 10, Seq("spark", "merge"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+  }
+
+  test("lexicon swap: staged summary survives; a crashed aside is swept") {
+    val docs = Seq((0L, "alpha beta"), (1L, "beta gamma")).toDF("doc_id", "text")
+    val root = tmpDir("lexswap")
+    Bm25.buildLexicon(docs, root)
+    // plant a leftover aside dir from a "crashed" prior run
+    val aside = new java.io.File(root, "df.aside")
+    aside.mkdirs()
+    new java.io.File(aside, "junk").createNewFile()
+    Bm25.appendLexicon(spark, Seq((2L, "beta beta")).toDF("doc_id", "text"), root)
+    assert(!aside.exists(), "leftover aside must be swept by the swap")
+    val df = spark.read.parquet(s"$root/df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df("beta") == 3L && df("alpha") == 1L)
+  }
+
   test("lexicon serving plan: term-partition pruning, corpus never opened") {
     val dir = sf001
     val root = tmpDir("lexplan")
