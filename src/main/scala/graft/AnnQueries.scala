@@ -239,6 +239,42 @@ object AnnQueries {
       },
       Some(recallSql(ivfpqBatchSqlTrained(AnnOldWhere), MinIncHits))),
 
+    // #31h FILTERED vector search (the serving shape every vector store
+    // pairs with ANN: "nearest neighbors WHERE label = c"): the index is
+    // built over the FULL corpus, the predicate evaluates on probed-cell
+    // members only — attributes ride ON the assignment row (ivfAssign
+    // keep=label), so no corpus join happens at serve time; over the
+    // persisted cell-partitioned layout the same plan is literal-IN
+    // pruning + a scan-level filter on the pruned files. nprobe doubles
+    // (capped at nlist) — the standard compensation for candidates
+    // thinned by the filter's selectivity.
+    Q("ann_filtered",
+      (s, dir) => filteredIvf(s, dir),
+      Some(filteredIvfSql)),
+
+    // #31i RECALL GATE, FILTERED: the filtered IVF path against the
+    // exact filtered ground truth (brute force over the label slice).
+    // Both sides replay in SQL; recall_ok is the quality contract —
+    // the oracle asserts literal TRUE, so geometry or compensation
+    // changes that tank filtered retrieval turn the gate red.
+    Q("ann_recall_filtered",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val ex = Ann.bruteForceTopK(
+          e.where(col("label") === FilterLabel), queryVec(e), 10)
+        ex.select(col("vec_id")).as("e")
+          .join(filteredIvf(s, dir).select(col("vec_id")).as("a"),
+            col("e.vec_id") === col("a.vec_id"), "left")
+          .agg(count(col("a.vec_id")).as("hits"))
+          .select(col("hits"), (col("hits") / lit(10.0)).as("recall"),
+            (col("hits") >= MinFilteredHits).as("recall_ok"))
+      },
+      Some(s"""
+        SELECT count(ap.vec_id) AS hits,
+          count(ap.vec_id) / 10.0 AS recall, TRUE AS recall_ok
+        FROM ($exactFilteredSql) ex
+        LEFT JOIN ($filteredIvfSql) ap ON ex.vec_id = ap.vec_id""")),
+
     // #31b multi-probe LSH: also scan hamming-1 sign buckets
     Q("ann_multiprobe",
       (s, dir) => {
@@ -608,6 +644,78 @@ object AnnQueries {
     * 4 leaves honest slack at the tiny scale while a collapsed
     * artifact (wrong cells, scrambled codes) measures 0-1. */
   private val MinIncHits = 4
+
+  /** The label slice the filtered-search gates serve (an arbitrary
+    * class in [0,10); every sf dir carries all ten). */
+  private val FilterLabel = 3
+
+  /** Filtered-recall floor, single query so out of 10. Measured: 4/10
+    * at sf0.001 and 7/10 at sf0.01 (both at the nlist min clamp: 16
+    * cells, 8 probed, ~1/10 of their members carrying the label — the
+    * filtered candidate pool is ~25 vectors, so misses are the probe
+    * boundary, not a bug), 7/10 at the 10× dir (50k vectors, 8 of 64
+    * cells probed — real pruning). The floor of 3 sits
+    * under the measured minimum; a collapsed probe set or broken
+    * attribute carry scores 0-2 (the label slice thins to ~3 rows per
+    * cell, and the query has no self-hit — its own label differs). */
+  private val MinFilteredHits = 3
+
+  /** The filtered IVF serving frame (ann_filtered + the recall gate's
+    * approximate side): full-corpus index, label predicate on
+    * probed-cell members only, nprobe doubled capped at nlist. */
+  private def filteredIvf(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = emb(s, dir)
+    val (nl, np, mod) = ivfGeom(e)
+    val centroids = Ann.ivfCentroids(e, nlist = nl, modulus = mod)
+    val assigned = Ann.ivfAssign(e, centroids, keep = Seq("label"))
+    Ann.ivfTopKAssigned(assigned.where(col("label") === FilterLabel),
+      centroids, queryVec(e), 10, nprobe = math.min(nl, 2 * np))
+  }
+
+  /** Exact filtered ground truth: brute force over the label slice. */
+  private def exactFilteredSql: String = s"""
+        WITH n AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
+          FROM embeddings),
+        q AS (SELECT vn AS qn FROM n ORDER BY vec_id LIMIT 1)
+        SELECT vec_id, ${dotSql("vn", "qn")} AS cos
+        FROM n, q WHERE label = $FilterLabel
+        ORDER BY cos DESC, vec_id LIMIT 10"""
+
+  /** SQL twin of [[filteredIvf]]: ann_ivf's replay plus the label
+    * carried through the assignment and the doubled-nprobe probe set. */
+  private def filteredIvfSql: String = s"""
+        WITH n AS (
+          SELECT vec_id AS id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
+          FROM embeddings),${ivfGeomCtes()}
+        np2c AS (
+          SELECT least((SELECT nl FROM nlc), 2 * np) AS np2 FROM npc),
+        cent AS (
+          SELECT id AS cid, vn AS cv FROM n, mm
+          WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
+            % mm.m = 0),
+        dists AS (
+          SELECT n.id, n.label, n.vn, c.cid, ${dotSql("n.vn", "c.cv")} AS d
+          FROM n CROSS JOIN cent c),
+        asg AS (
+          SELECT id, label, vn, cid AS cell,
+            row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn
+          FROM dists),
+        qn AS (SELECT vn AS qn FROM n ORDER BY id LIMIT 1),
+        qc AS (
+          SELECT cell FROM (
+            SELECT c.cid AS cell,
+              row_number() OVER (ORDER BY ${dotSql("qn.qn", "c.cv")} DESC,
+                c.cid) AS rn
+            FROM cent c, qn)
+          WHERE rn <= (SELECT np2 FROM np2c))
+        SELECT a.id AS vec_id, ${dotSql("a.vn", "q.qn")} AS cos
+        FROM asg a JOIN qc ON a.cell = qc.cell CROSS JOIN qn q
+        WHERE a.rn = 1 AND a.label = $FilterLabel
+        ORDER BY cos DESC, vec_id LIMIT 10"""
 
   /** The exact batch ground truth (ann_topk_batch's oracle), shared
     * with the recall gates' SQL. */

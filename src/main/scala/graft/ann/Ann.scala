@@ -332,16 +332,25 @@ object Ann {
    * scale this is the dataset you PERSIST alongside the corpus
    * (partitioned/bucketed by `cell`), so repeated queries skip the
    * assignment pass entirely — see [[ivfTopKAssigned]].
+   *
+   * `keep` names metadata columns carried through onto the assignment
+   * row (attribute storage: a FILTERED search evaluates its predicate
+   * on probed-cell members with no corpus join — over the persisted
+   * layout the attributes live in the pruned cell files themselves).
    */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      keep: Seq[String] = Nil): DataFrame = {
+    val aggs = first(col("vn")).as("vn") +:
+      max_by(col("cid"), struct(col("d"), col("cid"))).as("cell") +:
+      keep.map(m => first(col(m)).as(m))
     withNormalized(corpus, vecCol, "vn")
-      .select(col(idCol).as("id"), col("vn"))
+      .select(col(idCol).as("id") +: col("vn") +: keep.map(col): _*)
       .crossJoin(broadcast(centroids))
       .withColumn("d", dot(col("vn"), col("cv")))
       .groupBy(col("id"))
-      .agg(first(col("vn")).as("vn"),
-        max_by(col("cid"), struct(col("d"), col("cid"))).as("cell"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /**
    * One deterministic Lloyd refinement of IVF centroids: assign every

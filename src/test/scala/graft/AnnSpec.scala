@@ -56,6 +56,37 @@ class AnnSpec extends SparkSpec {
     assert(persisted == oneShot && oneShot.size == 10)
   }
 
+  test("filtered IVF: attributes ride the assignment; full probe == exact slice") {
+    val emb = graft.sources.Sources.table(spark, sf001, "embeddings")
+    val q = emb.orderBy(col("vec_id")).limit(1)
+    val centroids = Ann.ivfCentroids(emb)
+    val assigned = Ann.ivfAssign(emb, centroids, keep = Seq("label"))
+    // the attribute carry is exact: every assignment row holds its
+    // corpus row's label (first() over the per-id group is safe — the
+    // group is one row wide before the centroid cross join)
+    assert(assigned.join(
+      emb.select(col("vec_id").as("id"), col("label").as("expect")), "id")
+      .where(col("label") =!= col("expect")).count() == 0)
+    // probing every cell, the filtered search IS the exact answer over
+    // the label slice
+    val servedAll = Ann.ivfTopKAssigned(assigned.where(col("label") === 3),
+        centroids, q, 10, nprobe = 1 << 20)
+      .collect().map(_.getLong(0)).toSet
+    val exact = Ann.bruteForceTopK(emb.where(col("label") === 3), q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(servedAll == exact && exact.size == 10)
+    // with real pruning, everything served still carries the label
+    val slice = emb.where(col("label") === 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val pruned = Ann.ivfTopKAssigned(assigned.where(col("label") === 3),
+        centroids, q, 10, nprobe = 4)
+      .collect().map(_.getLong(0))
+    assert(pruned.nonEmpty && pruned.forall(slice))
+    // an absent label is an empty result, not a failure
+    assert(Ann.ivfTopKAssigned(assigned.where(col("label") === -1),
+      centroids, q, 10, nprobe = 4).count() == 0)
+  }
+
   test("composed IVF+PQ: k results, candidates within probed cells, useful recall") {
     val emb = graft.sources.Sources.table(spark, sf001, "embeddings")
     val q = emb.orderBy(org.apache.spark.sql.functions.col("vec_id")).limit(1)

@@ -246,6 +246,30 @@ class PlanShapeSpec extends SparkSpec {
       s"ann_ivfpq_incremental shuffles a join side:\n${plan.take(1500)}")
   }
 
+  test("filtered IVF over persisted cells: label filter pushed to the scan, no corpus rejoin") {
+    // attribute storage is the point of ivfAssign(keep): over the
+    // persisted cell-partitioned assignment, a filtered search's
+    // predicate must reach the parquet scan as a pushed data filter —
+    // evaluated inside the probed cell files — and the plan must hold
+    // NO join that rejoins the corpus to fetch attributes, and no
+    // shuffle join at all (the probe set broadcasts).
+    val embT = graft.sources.Sources.table(spark, sf001, "embeddings")
+    val cents = graft.ann.Ann.ivfCentroids(embT)
+    val dir = java.nio.file.Files.createTempDirectory("graft-filt").toString
+    graft.ann.Ann.ivfAssign(embT, cents, keep = Seq("label"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val served = graft.ann.Ann.ivfTopKAssigned(
+      spark.read.parquet(dir)
+        .where(org.apache.spark.sql.functions.col("label") === 3),
+      cents, embT.orderBy(org.apache.spark.sql.functions.col("vec_id"))
+        .limit(1), 10)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(label,3"),
+      s"label predicate not pushed into the cell scan:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"filtered serve shuffles a join side:\n${plan.take(1500)}")
+  }
+
   test("document and embedding scans prune to the referenced columns") {
     // a corpus scan that reads all columns for a two-column projection
     // is a 100 TB mistake hidden at test scale — pin the parquet
