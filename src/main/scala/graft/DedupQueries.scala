@@ -78,6 +78,30 @@ object DedupQueries {
     path
   }
 
+  /** The retired slice of the old snapshot (⊂ OldWhere: 1 mod 9 and
+    * 4,7 mod 9 are nonzero mod 3 — only 1 mod 9 is used, a ninth of
+    * the corpus): the documents snapshotDiff would route to `removed`. */
+  private val RetireWhere = "doc_id % 9 = 1"
+
+  /** The store AFTER retirement: base-store copy + tombstone rows for
+    * the retired slice ([[Dedup.retireFromStore]] — append-only, no
+    * rewrite). Marked after the append so an interrupted build
+    * rebuilds instead of double-tombstoning (harmless but untidy). */
+  private def ensureRetiredStore(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    val base = ensureStore(s, dir)
+    val path = s"$base-retired"
+    val marker = new java.io.File(s"$path/_GRAFT_RETIRED")
+    if (!marker.exists()) {
+      deleteRec(java.nio.file.Paths.get(path))
+      s.read.parquet(base).write.mode("overwrite").parquet(path)
+      Dedup.retireFromStore(s,
+        docs(s, dir).where(expr(RetireWhere)).select(col("doc_id")), path)
+      marker.createNewFile()
+    }
+    path
+  }
+
   /** Shared oracle for both integrity gates (bucketing must change the
     * plan, never the answer). */
   private val integritySql = """
@@ -212,6 +236,26 @@ object DedupQueries {
           .select(col("doc_id").cast("long").as("doc_id"))
       },
       Some(DedupSql.incrementalChained(OldWhere, BatchAWhere, BatchBWhere))),
+
+    // #25d3 store RETIREMENT — the `removed` leg of corpus_diff's
+    // routing table closed into the store lifecycle: the retired
+    // slice's ids are tombstoned (append-only, O(retired)), the next
+    // crawl dedups against the LIVE store only, so a new doc whose
+    // sole duplicate was retired is keepable again. The oracle replays
+    // the keepers against the SHRUNK population (old minus retired) —
+    // tombstones that fail to shadow their data rows, or shadow ids
+    // they shouldn't, hash-mismatch. DedupSpec proves the red path
+    // (a doc kept HERE that dedup_incremental drops) and that
+    // compaction folds tombstones physically without changing answers.
+    Q("dedup_retire",
+      (s, dir) => {
+        val store = Dedup.liveStore(
+          s.read.parquet(ensureRetiredStore(s, dir)))
+        Dedup.incrementalKeepers(docs(s, dir).where(expr(NewWhere)), store)
+          .select(col("doc_id").cast("long").as("doc_id"))
+      },
+      Some(DedupSql.incrementalKeepers(
+        s"($OldWhere) AND NOT ($RetireWhere)", NewWhere))),
 
     // #25c boilerplate line removal (C4/RefinedWeb): lines whose
     // normalized form appears in >= 3 distinct docs are stripped

@@ -243,7 +243,7 @@ object Dedup {
       newDocs: DataFrame, storePath: String,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
       bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val store = spark.read.parquet(storePath)
+    val store = liveStore(spark.read.parquet(storePath))
     val kept = incrementalKeepers(newDocs, store, idCol, textCol, n,
       bands, rowsPerBand).localCheckpoint()
     val keptDocs = newDocs.join(kept, Seq(idCol), "left_semi")
@@ -251,6 +251,49 @@ object Dedup {
       .write.mode("append").parquet(storePath)
     kept
   }
+
+  /**
+   * Store RETIREMENT — the `removed` leg of [[graft.dedup.Corpus.snapshotDiff]]'s
+   * routing table applied to the signature store: documents that
+   * vanished from the corpus must stop deduping future crawls (a
+   * re-crawled page whose old twin was deleted is KEEPABLE again, and
+   * a store that only ever grows eventually dedups against ghosts).
+   * Deletion follows the store's append-only discipline: one TOMBSTONE
+   * row per retired id (same schema, `fp` NULL — a live row always
+   * carries its content fingerprint) appended in O(retired batch),
+   * never a store rewrite. Readers resolve tombstones via [[liveStore]];
+   * [[compactStore]] folds them physically, so the tombstone volume is
+   * bounded by one compaction cycle, exactly like the file-count
+   * fragmentation it already manages.
+   *
+   * The store carries no sequence numbers, so a tombstone shadows EVERY
+   * row of its id, including ones appended after it: re-adding a
+   * retired id (snapshotDiff's `changed` = retire + re-add) must pass
+   * through [[compactStore]] between the two steps — the LSM discipline
+   * without the LSM bookkeeping. `added` and `removed` legs compose
+   * freely within a cycle (their id sets are disjoint from the store's
+   * live set by construction).
+   */
+  def retireFromStore(spark: org.apache.spark.sql.SparkSession,
+      retiredIds: DataFrame, storePath: String,
+      idCol: String = "doc_id"): Unit = {
+    val store = spark.read.parquet(storePath)
+    val ids = retiredIds.select(col(idCol).cast("long").as("id")).distinct()
+    val tomb = store.schema.fields.foldLeft(ids)((df, f) =>
+      if (f.name == "id") df
+      else df.withColumn(f.name, lit(null).cast(f.dataType)))
+      .select(store.columns.map(col): _*)
+    tomb.write.mode("append").parquet(storePath)
+  }
+
+  /** Resolve [[retireFromStore]] tombstones: an id holding any
+    * tombstone row (NULL fp) drops entirely — data rows and the
+    * tombstones themselves. One id-keyed anti join over the store (the
+    * ~1e-4-of-corpus artifact, not the corpus), and the tombstone side
+    * of it is only the retired ids. */
+  def liveStore(store: DataFrame): DataFrame =
+    store.join(store.where(col("fp").isNull).select(col("id")),
+      Seq("id"), "left_anti")
 
   /**
    * Compact a fragmented signature store: every
@@ -287,7 +330,10 @@ object Dedup {
     if (!fs.exists(root)) return 0
     val staging = new org.apache.hadoop.fs.Path(storePath + ".compact-staging")
     val old = new org.apache.hadoop.fs.Path(storePath + ".compact-old")
-    spark.read.parquet(storePath).repartition(targetFiles)
+    // compaction is where retirement becomes physical: tombstoned ids
+    // (retireFromStore) fold out of the rewrite, so the tombstone
+    // volume is bounded by one compaction cycle
+    liveStore(spark.read.parquet(storePath)).repartition(targetFiles)
       .write.mode("overwrite").parquet(staging.toString)
     // a leftover aside dir from a crashed prior run would fail the
     // move-aside rename; the live store is root, so the leftover is dead

@@ -90,6 +90,50 @@ class DedupSpec extends SparkSpec {
     } finally graft.tools.LocalFs.deleteRec(p)
   }
 
+  test("retirement: tombstones free a duplicate; compaction folds them physically") {
+    def rep(s: String) = (s + " ") * 20
+    val old = Seq((1L, rep("a b c")), (2L, rep("d e f"))).toDF("doc_id", "text")
+    val crawl = Seq(
+      (10L, rep("a b c")),                 // exact dup of old 1
+      (11L, rep("e f d"))                  // near-dup of old 2
+    ).toDF("doc_id", "text")
+    val p = java.nio.file.Files.createTempDirectory("graft-store-retire")
+    try {
+      Dedup.signatureStore(old).write.mode("overwrite").parquet(p.toString)
+      // against the full store, both crawl docs drop
+      assert(Dedup.incrementalKeepers(crawl,
+        Dedup.liveStore(spark.read.parquet(p.toString)))
+        .collect().isEmpty)
+      // retire doc 1 → its exact dup (10) is keepable again, 11 still drops
+      Dedup.retireFromStore(spark, Seq(1L).toDF("doc_id"), p.toString)
+      val live = Dedup.liveStore(spark.read.parquet(p.toString))
+      assert(live.collect().map(_.getLong(0)).toSet == Set(2L))
+      val kept = Dedup.incrementalKeepers(crawl, live)
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(10L), s"retired dup not freed: $kept")
+      // compaction folds the tombstone physically: the rewritten file
+      // holds only live rows (no id-1 data row, no NULL-fp tombstone)
+      // and the dedup answer is unchanged
+      Dedup.compactStore(spark, p.toString)
+      val raw = spark.read.parquet(p.toString)
+      assert(raw.count() == 1 &&
+        raw.where(col("fp").isNull).count() == 0 &&
+        raw.where(col("id") === 1L).count() == 0)
+      assert(Dedup.incrementalKeepers(crawl,
+          Dedup.liveStore(raw)).collect().map(_.getLong(0)).toSet
+        == Set(10L))
+      // append-after-compact closes the loop: the freed keeper enters
+      // the store and blocks ITS next duplicate
+      val kept2 = Dedup.appendKeepersToStore(spark, crawl, p.toString)
+        .collect().map(_.getLong(0)).toSet
+      assert(kept2 == Set(10L))
+      assert(Dedup.incrementalKeepers(
+          Seq((20L, rep("a b c"))).toDF("doc_id", "text"),
+          Dedup.liveStore(spark.read.parquet(p.toString)))
+        .collect().isEmpty)
+    } finally graft.tools.LocalFs.deleteRec(p)
+  }
+
   test("compactStore failed swap restores the store intact") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta"))
