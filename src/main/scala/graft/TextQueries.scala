@@ -295,6 +295,53 @@ object TextQueries {
         FROM toks LEFT JOIN kept k USING (t), tot
         GROUP BY doc_id""")),
 
+    // #44c interpolated BIGRAM log-prob — the sequence-model upgrade of
+    // text_logprob (Jelinek-Mercer: 0.75·P(t|prev) + 0.25·P_uni, first
+    // token pure unigram, capped vocab AND capped bigram table so both
+    // broadcasts stay bounded at corpus scale; a dropped rare pair
+    // scores as unseen — λ·0 + the unigram leg). The oracle replays
+    // the whole model: parallel-unnest token sequence, lag() context,
+    // both capped tables, the interpolation arithmetic literal for
+    // literal.
+    Q("text_logprob2",
+      (s, dir) => Text.bigramLogProb(docs(s, dir),
+        maxVocab = 16, maxBigrams = 64),
+      Some("""
+        WITH parts AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS p
+          FROM documents),
+        toks AS (
+          SELECT doc_id,
+            unnest(range(1, len(p) + 1)) AS pos,
+            unnest(p) AS t
+          FROM parts),
+        seq AS (
+          SELECT doc_id, pos, t,
+            lag(t) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM toks),
+        vocab AS (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
+        kept AS (SELECT t, cnt FROM vocab ORDER BY cnt DESC, t LIMIT 16),
+        keptbg AS (
+          SELECT prev, t, COUNT(*) AS pc FROM seq WHERE prev IS NOT NULL
+          GROUP BY 1, 2 ORDER BY pc DESC, prev, t LIMIT 64),
+        ctx AS (
+          SELECT prev, COUNT(*) AS cc FROM seq WHERE prev IS NOT NULL
+          GROUP BY 1)
+        SELECT doc_id,
+          round(AVG(-ln(CASE WHEN s.prev IS NULL
+            THEN CAST(COALESCE(k.cnt, 1) AS DOUBLE) / total
+            ELSE 0.75 * (CAST(COALESCE(b.pc, 0) AS DOUBLE)
+                   / CAST(c.cc AS DOUBLE))
+               + 0.25 * (CAST(COALESCE(k.cnt, 1) AS DOUBLE) / total)
+            END)), 6) AS logprob2
+        FROM seq s
+        LEFT JOIN kept k ON k.t = s.t
+        LEFT JOIN keptbg b ON b.prev = s.prev AND b.t = s.t
+        LEFT JOIN ctx c ON c.prev = s.prev
+        CROSS JOIN tot
+        GROUP BY doc_id""")),
+
     // #44b CCNet's actual BUCKETING step on top of the logprob signal:
     // head/middle/tail by tercile cutoffs of the corpus distribution.
     // The cutoffs come from a bucket-bounded lquantize histogram

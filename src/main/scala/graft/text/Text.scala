@@ -243,6 +243,57 @@ object Text {
   }
 
   /**
+   * Interpolated BIGRAM log-prob scoring — the upgrade from
+   * [[unigramLogProb]]'s bag-of-words to a real sequence model (the
+   * CCNet/KenLM shape one interpolation order down): each token scores
+   * -ln( 0.75·P(t|prev) + 0.25·P_uni(t) ), Jelinek-Mercer style, and
+   * the doc is the mean. The conditional P(t|prev) = c(prev,t)/c(prev)
+   * uses bigram-slot counts (so Σ_t P(t|prev) = 1 over the uncapped
+   * table); a doc's first token, with no context, scores pure unigram.
+   * The unigram leg keeps [[unigramLogProb]]'s capped-vocab + count-1
+   * OOV floor, so the interpolated probability is never zero.
+   *
+   * Scale shape: THREE bounded broadcasts — the capped unigram vocab,
+   * the capped bigram table (`maxBigrams` top pairs by count, ties on
+   * the pair itself: a dropped rare pair scores as unseen, λ·0 + the
+   * unigram leg — graceful, not wrong), and the context counts (≤ one
+   * row per vocab type, same bound as the vocab). The corpus tokens
+   * never shuffle for the joins; the wide exchanges are the per-doc
+   * sequence window (lag over doc id) and the per-doc mean, which
+   * share the doc-id partitioning. Rounded to 1e-6 like every
+   * cross-engine double.
+   */
+  def bigramLogProb(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxVocab: Int = 1 << 16, maxBigrams: Int = 1 << 20)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val seq = toks.withColumn("prev", lag(col("t"), 1).over(w))
+    val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast("double").as("total"))
+    val keptUni = vocab.orderBy(col("cnt").desc, col("t")).limit(maxVocab)
+    val slots = seq.where(col("prev").isNotNull)
+    val keptBi = slots.groupBy(col("prev"), col("t"))
+      .agg(count(lit(1)).as("pc"))
+      .orderBy(col("pc").desc, col("prev"), col("t")).limit(maxBigrams)
+    val ctx = slots.groupBy(col("prev")).agg(count(lit(1)).as("cc"))
+    val pUni = coalesce(col("cnt").cast("double"), lit(1.0)) / col("total")
+    val p = when(col("prev").isNull, pUni)
+      .otherwise(lit(0.75) *
+        (coalesce(col("pc").cast("double"), lit(0.0)) / col("cc").cast("double")) +
+        lit(0.25) * pUni)
+    seq.join(broadcast(keptUni), Seq("t"), "left")
+      .join(broadcast(keptBi), Seq("prev", "t"), "left")
+      .join(broadcast(ctx), Seq("prev"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(round(avg(-log(p)), 6).as("logprob2"))
+  }
+
+  /**
    * Gopher-style REPETITION signals, per doc: `n_tokens`,
    * `dup_word_frac` (1 - distinct/total tokens) and `top_bigram_frac`
    * (occurrences of the most frequent bigram over all bigram slots) —

@@ -191,6 +191,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("LeftOuter"), plan.take(1500))
   }
 
+  test("bigram LM: every model table broadcast, pair cap a partial top-N") {
+    // three bounded model tables (capped vocab, capped bigram table,
+    // context counts) all meet the token stream as broadcast joins —
+    // a SortMergeJoin would mean corpus tokens shuffled on a model
+    // key; both caps must plan as TakeOrderedAndProject, not a global
+    // sort of the (corpus-scale) pair vocabulary
+    val plan = SparkEntry.queries("text_logprob2")(spark, sf001)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
   test("as-of join plans as union + window — no join operator at all") {
     val plan = SparkEntry.queries("q_asof_join")(spark, sf001)
       .queryExecution.sparkPlan.toString

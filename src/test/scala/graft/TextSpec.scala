@@ -179,6 +179,32 @@ class TextSpec extends SparkSpec {
     assert(r(2L) > r(1L) && r(1L) > r(3L))
   }
 
+  test("bigram logprob: interpolation, first-token unigram, capped pair table") {
+    import spark.implicits._
+    // corpus: doc1 = a b a b, doc2 = c c
+    // vocab a:2 b:2 c:2, total 6; slots (a,b):2 (b,a):1 (c,c):1;
+    // ctx a:2 b:1 c:1
+    val docs = Seq((1L, "a b a b"), (2L, "c c")).toDF("doc_id", "text")
+    def grid(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val r = Text.bigramLogProb(docs).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val pU = 2.0 / 6.0
+    val pAB = 0.75 * (2.0 / 2.0) + 0.25 * pU     // seen pair, ctx a
+    val pBA = 0.75 * (1.0 / 1.0) + 0.25 * pU     // seen pair, ctx b
+    val pCC = 0.75 * (1.0 / 1.0) + 0.25 * pU
+    assert(math.abs(r(1L) - grid((-math.log(pU) - math.log(pAB)
+      - math.log(pBA) - math.log(pAB)) / 4)) < 2e-6)
+    assert(math.abs(r(2L) - grid((-math.log(pU) - math.log(pCC)) / 2)) < 2e-6)
+    // cap the pair table at 1: only (a,b) survives (count 2); the
+    // dropped pairs score as unseen — the λ·0 + unigram-leg floor
+    val capped = Text.bigramLogProb(docs, maxBigrams = 1).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val pDrop = 0.25 * pU
+    assert(math.abs(capped(2L) - grid((-math.log(pU) - math.log(pDrop)) / 2))
+      < 2e-6)
+    assert(capped(1L) > r(1L) && capped(2L) > r(2L))
+  }
+
   test("bpe tokenization: merge cascade, chains, and word fencing") {
     import spark.implicits._
     val docs = Seq(
