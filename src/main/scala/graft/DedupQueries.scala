@@ -353,6 +353,18 @@ object DedupQueries {
       (s, dir) => Dedup.sharedSpans(docs(s, dir), n = 5),
       Some(DedupSql.sharedSpans(n = 5))),
 
+    // #25i sub-document exact dedup, C4-style: non-overlapping 8-token
+    // chunks, every repeated chunk text keeps exactly its first
+    // (doc_id, idx) occurrence corpus-wide and each doc reassembles
+    // from its survivors — the "remove repeated spans" operator that
+    // EDITS documents rather than dropping them. First-occurrence
+    // election is a struct-min groupBy on the 116-bit hash pair
+    // (map-side partial combine — a hyper-duplicated boilerplate
+    // chunk reduces in the mappers instead of skewing one reducer).
+    Q("dedup_chunks",
+      (s, dir) => Dedup.chunkDedup(docs(s, dir)),
+      Some(DedupSql.chunkDedup())),
+
     // #40b crawl delta: two deterministic snapshot views of the corpus
     // (old skips ids ≡4 mod 5; new skips ids ≡0 mod 5 and revises the
     // text of ids ≡0 mod 7), every id classified added / removed /

@@ -431,4 +431,38 @@ object DedupSql {
        |  CAST(k.n_chars AS BIGINT) AS n_chars
        |FROM kept k WHERE NOT EXISTS (
        |  SELECT 1 FROM losers l WHERE l.doc_id = k.doc_id)""".stripMargin
+
+  /** dedup_chunks oracle: non-overlapping `width`-token chunks, the
+    * lexicographically-first (doc_id, idx) occurrence of each chunk
+    * text (elected via struct-min over the same [[XHash]] 116-bit pair
+    * the Spark plan groups on) survives, and each document reassembles
+    * from its surviving chunks in position order. */
+  def chunkDedup(base: String = "documents",
+      width: Int = graft.dedup.Dedup.ChunkWidth): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM $base),
+       |chunks AS (
+       |  SELECT doc_id, i AS idx,
+       |    array_to_string(list_slice(t, i * $width + 1, i * $width + $width),
+       |      ' ') AS chunk
+       |  FROM toks, UNNEST(range(((len(t) - 1) // $width) + 1)) AS u(i)),
+       |hashed AS (
+       |  SELECT doc_id, idx, chunk,
+       |    ${XHash.h60Sql("chunk")} AS h1,
+       |    ${XHash.h56Sql("chunk")} AS h2
+       |  FROM chunks),
+       |w AS (
+       |  SELECT h1, h2, min({'doc_id': doc_id, 'idx': idx}) AS w
+       |  FROM hashed GROUP BY h1, h2),
+       |decided AS (
+       |  SELECT h.doc_id, h.idx, h.chunk,
+       |    ({'doc_id': h.doc_id, 'idx': h.idx} = w.w) AS kept
+       |  FROM hashed h JOIN w ON h.h1 = w.h1 AND h.h2 = w.h2)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+       |  coalesce(array_to_string(
+       |    list(chunk ORDER BY idx) FILTER (WHERE kept), ' '), '') AS kept_text
+       |FROM decided GROUP BY doc_id""".stripMargin
 }

@@ -780,4 +780,68 @@ object Dedup {
         jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
+
+  // ---- chunk-level (sub-document) exact dedup, C4-style ----
+
+  /** Non-overlapping token-chunk width for [[chunkDedup]] — the
+    * granularity at which repeated boilerplate is removed (C4 removed
+    * repeated three-SENTENCE spans; this corpus has no sentence marks,
+    * so a fixed token window plays that role). */
+  val ChunkWidth = 8
+
+  /**
+   * Sub-document exact dedup at chunk granularity: each document is cut
+   * into non-overlapping [[ChunkWidth]]-token chunks, and every chunk
+   * whose text already occurred anywhere earlier in the corpus — an
+   * earlier (doc, position), ordered by (id, chunk index) — is dropped;
+   * the FIRST occurrence (and only it) survives. This is the C4 /
+   * RefinedWeb "remove repeated spans, keep one" operator, the
+   * sub-document complement of [[exactKeepers]] (which can only drop
+   * whole documents).
+   *
+   * Output: one row per document — total chunks, surviving chunks, and
+   * the surviving text reassembled in chunk order (a fully-duplicated
+   * document comes back with kept_chunks=0 and empty text, not dropped
+   * rows — the caller decides the min-length policy).
+   *
+   * Scale shape: two corpus-byte shuffles, both unavoidable for a
+   * reassembling chunk dedup — (1) chunk rows group on the 116-bit
+   * [[XHash]] pair to elect each chunk text's first occurrence
+   * (partial-agg combines duplicate-heavy maps before the exchange, so
+   * a hyper-duplicated boilerplate chunk — the 100 TB hot key — reduces
+   * map-side instead of skewing one reducer, which a window over the
+   * hash would not); (2) decided rows group back on the id to reassemble
+   * documents. The winner join is hash-pair equi — AQE handles residual
+   * hot-hash skew. No window over corpus-sized partitions, no driver
+   * state.
+   */
+  def chunkDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", width: Int = ChunkWidth): DataFrame = {
+    val rows = docs
+      .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("ts"))
+      // '' splits to [''] so size >= 1 and every doc has >= 1 chunk
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          floor((size(col("ts")) - 1) / lit(width)).cast("int"))).as("idx"),
+        col("ts"))
+      .select(col("doc_id"), col("idx"),
+        concat_ws(" ",
+          slice(col("ts"), col("idx") * width + 1, lit(width))).as("chunk"))
+    val hashed = rows.select(col("doc_id"), col("idx"), col("chunk"),
+      XHash.h60(col("chunk")).as("h1"), XHash.h56(col("chunk")).as("h2"))
+    val winners = hashed.groupBy(col("h1"), col("h2"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+    hashed.join(winners, Seq("h1", "h2"))
+      .withColumn("kept", struct(col("doc_id"), col("idx")) === col("w"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), lit(1L)).otherwise(lit(0L))).as("kept_chunks"),
+        // collect_list skips nulls → only kept chunks; array_sort on the
+        // (idx, chunk) struct restores document order
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("kept"), struct(col("idx"), col("chunk"))))),
+          s => s.getField("chunk")), " ").as("kept_text"))
+  }
 }

@@ -376,4 +376,33 @@ class DedupSpec extends SparkSpec {
       .collect().head.getSeq[String](0)
     assert(sh == Seq("two words"))
   }
+
+  test("chunk dedup: first occurrence wins, docs reassemble in order") {
+    val d = Seq(
+      (1L, "a b c d e f"),       // both chunks first occurrences
+      (2L, "a b c x y z"),       // chunk0 dups doc1's chunk0
+      (3L, "d e f d e f"),       // both chunks dup doc1's chunk1 → empty
+      (4L, "p q r p q r p")      // within-doc dup at idx1; short tail kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(d, width = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(out == Set(
+      (1L, 2L, 2L, "a b c d e f"),
+      (2L, 2L, 1L, "x y z"),
+      (3L, 2L, 0L, ""),
+      (4L, 3L, 2L, "p q r p")))
+  }
+
+  test("chunk dedup: chunk multiset is preserved across the edit") {
+    // every distinct chunk text survives exactly once corpus-wide
+    val d = Seq(
+      (10L, "a b c a b c x"), (20L, "a b c"), (30L, "x y")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.chunkDedup(d, width = 3)
+      .agg(org.apache.spark.sql.functions.sum(col("kept_chunks")))
+      .collect().head.getLong(0)
+    // distinct chunks: "a b c", "x", "x y" → 3 survivors
+    assert(kept == 3L)
+  }
 }
