@@ -426,6 +426,39 @@ object TextQueries {
     // oracle replays every counter from the salted cross-engine hash;
     // lower_bounded (est >= exact) is the CMS invariant and holds
     // deterministically, overcount shows the d×w-vs-vocab-state cost.
+    // #32b PMI bigram collocations: the corpus-level n-gram statistic
+    // vocabulary induction runs — adjacent-pair counts vs independence,
+    // minCount-floored. Output is vocabulary²-shaped, never corpus-
+    // shaped; unigram/totals join in as broadcasts.
+    Q("text_collocations",
+      (s, dir) => graft.text.Text.collocations(docs(s, dir))
+        .select(col("x"), col("y"),
+          col("pair_count").cast("long").as("pair_count"), col("pmi")),
+      Some("""
+        WITH toks AS (
+          SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        tot AS (
+          SELECT CAST(sum(len(t)) AS DOUBLE) AS n_tok,
+                 CAST(sum(greatest(len(t) - 1, 0)) AS DOUBLE) AS n_pairs
+          FROM toks),
+        uni AS (
+          SELECT x, count(*) AS cx
+          FROM (SELECT unnest(t) AS x FROM toks) GROUP BY x),
+        bi AS (
+          SELECT t[i] AS x, t[i+1] AS y, count(*) AS pair_count
+          FROM toks, UNNEST(range(1, len(t))) u(i)
+          WHERE len(t) >= 2
+          GROUP BY 1, 2 HAVING count(*) >= 5)
+        SELECT bi.x, bi.y, CAST(bi.pair_count AS BIGINT) AS pair_count,
+          ln(CAST(bi.pair_count AS DOUBLE) * n_tok * n_tok /
+             (n_pairs * CAST(ux.cx AS DOUBLE) * CAST(uy.cx AS DOUBLE)))
+            AS pmi
+        FROM bi
+        JOIN uni ux ON bi.x = ux.x
+        JOIN uni uy ON bi.y = uy.x
+        CROSS JOIN tot""")),
+
     Q("text_heavy_hitters",
       (s, dir) => graft.text.Text.cmsHeavyHitters(docs(s, dir)),
       Some(s"""

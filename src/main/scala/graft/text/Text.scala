@@ -398,4 +398,49 @@ object Text {
         (col("est") - col("exact")).as("overcount"),
         (col("est") >= col("exact")).as("lower_bounded"))
   }
+
+  /**
+   * PMI-scored bigram collocations over the corpus — the n-gram
+   * statistic vocabulary induction and tokenizer evaluation runs:
+   * pmi(x,y) = ln(p(x,y) / (p(x)·p(y))) with p(x,y) = c_xy/pairs and
+   * p(x) = c_x/tokens, reported for every adjacent token pair seen at
+   * least `minCount` times.
+   *
+   * Scale shape: two explode+groupBy passes with map-side combine —
+   * unigram counts (vocab-bounded output) and adjacent-pair counts
+   * (vocab²-bounded, minCount-filtered) — then the pair table joins the
+   * BROADCAST unigram table twice and the single-row totals once; no
+   * corpus-sized shuffle at any point, and output is vocabulary-shaped,
+   * not corpus-shaped. The PMI expression is the same
+   * multiply-then-divide association both engines evaluate, so the
+   * oracle matches to the double ulp.
+   */
+  def collocations(docs: org.apache.spark.sql.DataFrame,
+      textCol: String = "text", minCount: Long = 5L)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(tokens(col(textCol)).as("ts"))
+    val totals = toks.agg(
+      sum(size(col("ts"))).cast("double").as("n_tok"),
+      sum(greatest(size(col("ts")) - 1, lit(0))).cast("double").as("n_pairs"))
+    val uni = toks.select(explode(col("ts")).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("cx"))
+    // the size>=2 guard is load-bearing: sequence(1, 0) DESCENDS in
+    // Spark, it is not empty like DuckDB's range(1, 1)
+    val bi = toks.where(size(col("ts")) >= 2)
+      .select(explode(sequence(lit(1), size(col("ts")) - 1)).as("i"),
+        col("ts"))
+      .select(element_at(col("ts"), col("i")).as("x"),
+        element_at(col("ts"), col("i") + 1).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("pair_count"))
+      .where(col("pair_count") >= minCount)
+    bi
+      .join(broadcast(uni.select(col("x"), col("cx"))), Seq("x"))
+      .join(broadcast(uni.select(col("x").as("y"), col("cx").as("cy"))),
+        Seq("y"))
+      .crossJoin(broadcast(totals))
+      .select(col("x"), col("y"), col("pair_count"),
+        log(col("pair_count").cast("double") * col("n_tok") * col("n_tok") /
+          (col("n_pairs") * col("cx").cast("double") *
+            col("cy").cast("double"))).as("pmi"))
+  }
 }

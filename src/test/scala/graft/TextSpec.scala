@@ -340,4 +340,22 @@ class TextSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
     assert(a == b)
   }
+
+  test("collocations: PMI matches hand computation, minCount floors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // corpus: 9 tokens, 7 adjacent pairs; c(x,y)=3 c(y,x)=2 c(z,z)=2
+    val d = Seq((1L, "x y x y x y"), (2L, "z z z")).toDF("doc_id", "text")
+    val out = graft.text.Text.collocations(d, minCount = 2L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(("x", "y"), ("y", "x"), ("z", "z")))
+    assert(out(("x", "y"))._1 == 3L)
+    // pmi(x,y) = ln(3·9·9 / (7·3·3))
+    assert(math.abs(out(("x", "y"))._2 -
+      math.log(3.0 * 9 * 9 / (7.0 * 3 * 3))) < 1e-12)
+    // single-token docs contribute no pairs and don't crash
+    val single = Seq((1L, "solo")).toDF("doc_id", "text")
+    assert(graft.text.Text.collocations(single, minCount = 1L).count() == 0L)
+  }
 }
