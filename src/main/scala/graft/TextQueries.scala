@@ -426,6 +426,42 @@ object TextQueries {
     // oracle replays every counter from the salted cross-engine hash;
     // lower_bounded (est >= exact) is the CMS invariant and holds
     // deterministically, overcount shows the d×w-vs-vocab-state cost.
+    // #33b model-based quality filter: fastText-shaped hashing-trick
+    // linear classifier with a pinned thousandths-integer weight table
+    // — keep = sign of an EXACT integer numerator (float summation
+    // order can never flip a near-zero decision), logit/prob surface
+    // as doubles. No weight-table join: the weight is arithmetic of
+    // the bucket, codegen'd per token.
+    Q("text_quality_model",
+      (s, dir) => graft.text.Text.qualityModel(docs(s, dir))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("logit"), col("prob"), col("keep")),
+      Some {
+        val h = graft.functions.XHash.h60Sql("'qm:' || t")
+        val b = graft.text.Text.QmBuckets
+        val bias = graft.text.Text.QmBiasNum
+        s"""
+        WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+          FROM documents),
+        feats AS (
+          SELECT doc_id,
+            ($h % $b) * 2654435761 % 2000 - 1000 AS wi
+          FROM toks),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            sum(wi) + $bias * count(*) AS num
+          FROM feats GROUP BY doc_id)
+        SELECT doc_id, n_tokens,
+          CAST(num AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000.0)
+            AS logit,
+          1.0 / (1.0 + exp(CAST(num AS DOUBLE) /
+            (CAST(n_tokens AS DOUBLE) * -1000.0))) AS prob,
+          num >= 0 AS keep
+        FROM agg"""
+      }),
+
     // #32b PMI bigram collocations: the corpus-level n-gram statistic
     // vocabulary induction runs — adjacent-pair counts vs independence,
     // minCount-floored. Output is vocabulary²-shaped, never corpus-

@@ -399,6 +399,62 @@ object Text {
         (col("est") >= col("exact")).as("lower_bounded"))
   }
 
+  /** Hashed-feature dimension of [[qualityModel]]. */
+  val QmBuckets = 64
+
+  /** Numerator of the [[qualityModel]] bias over the /1000 weight
+    * denominator (bias = QmBiasNum / 1000). */
+  val QmBiasNum = 60L
+
+  /** Integer weight of one hashed feature bucket, in thousandths:
+    * a pinned pseudo-random table over [-1000, 1000) derived from the
+    * bucket index by Knuth multiplicative hashing. The TABLE is the
+    * spec (like [[BpeMerges]]): a real deployment swaps in its trained
+    * thousandths-quantized weights; the gate needs a fixed one both
+    * engines replay verbatim. */
+  def qmWeightMilli(bucket: Column): Column =
+    bucket * lit(2654435761L) % lit(2000L) - lit(1000L)
+
+  /**
+   * fastText-shaped model-based quality filter: tokens hash into
+   * [[QmBuckets]] feature buckets (hashing trick), each bucket carries
+   * a pinned integer weight in thousandths, a document's logit is the
+   * mean bucket weight plus bias, and keep = logit >= 0 — the linear
+   * text classifier every production pipeline runs where the heuristic
+   * [[qualityScore]] stops.
+   *
+   * The keep decision is INTEGER arithmetic end to end: thousandths
+   * weights sum exactly (order-independent — a float sum's low bits
+   * would depend on partition order and could flip keep on a
+   * near-zero logit), bias folds in as `biasNum·n`, and the sign test
+   * runs on the integer numerator. Only logit/prob surface as doubles.
+   *
+   * Scale shape: explode → per-token codegen arithmetic (the weight is
+   * an expression OF the bucket — no weight-table join at all) →
+   * groupBy(id) with map-side partial (sum, count); the only shuffle is
+   * doc-count-sized narrow rows.
+   */
+  def qualityModel(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = QmBuckets, biasNum: Long = QmBiasNum)
+      : org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("t"))
+    val wi = qmWeightMilli(
+      graft.functions.XHash.h60(concat(lit("qm:"), col("t"))) %
+        lit(buckets.toLong))
+    tok.select(col("doc_id"), wi.as("wi"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wi")).as("sw"))
+      .withColumn("num", col("sw") + lit(biasNum) * col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("num").cast("double") /
+          (col("n_tokens").cast("double") * lit(1000.0))).as("logit"),
+        (lit(1.0) / (lit(1.0) + exp(col("num").cast("double") /
+          (col("n_tokens").cast("double") * lit(-1000.0))))).as("prob"),
+        (col("num") >= 0L).as("keep"))
+  }
+
   /**
    * PMI-scored bigram collocations over the corpus — the n-gram
    * statistic vocabulary induction and tokenizer evaluation runs:

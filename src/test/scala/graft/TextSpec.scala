@@ -341,6 +341,33 @@ class TextSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("quality model: integer numerator matches a driver-side replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+    }
+    def wi(t: String): Long =
+      (h60("qm:" + t) % graft.text.Text.QmBuckets) * 2654435761L % 2000L - 1000L
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha alpha")).toDF("doc_id", "text")
+    val out = graft.text.Text.qualityModel(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    val bias = graft.text.Text.QmBiasNum
+    val num1 = wi("alpha") + wi("beta") + wi("gamma") + 3 * bias
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - num1.toDouble / 3000.0) < 1e-15)
+    assert(out(1L)._4 == (num1 >= 0))
+    val num2 = 2 * wi("alpha") + 2 * bias
+    assert(out(2L)._4 == (num2 >= 0))
+    // prob is the sigmoid of the logit
+    assert(math.abs(out(1L)._3 -
+      1.0 / (1.0 + math.exp(-num1.toDouble / 3000.0))) < 1e-15)
+  }
+
   test("collocations: PMI matches hand computation, minCount floors") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
