@@ -286,6 +286,45 @@ object AnalyticsQueries {
              AND floor(epoch(c.ts)) <= floor(epoch(e.ts))) AS click_sec
         FROM events e WHERE e.event_type = 'error'""")),
 
+    // #45b global time-range (interval) join: per purchase event, count
+    // and sum ALL events — any user, any type — in its trailing
+    // 10-minute window. No equi key exists, so the naive theta-join is
+    // a |probe|×|build| nested loop; ScaleJoins.binnedRangeJoin makes
+    // it bin-equi + residual (each build row in exactly one bin, each
+    // probe spanning two), linear in event density. The oracle states
+    // the semantics as the plain inequality join (fine at oracle
+    // scale). Zero-match probes surface with n_prior=0 via the
+    // aggregate-then-left-join-back composition.
+    Q("q_interval_join",
+      (s, dir) => {
+        val winUs = 600000000L
+        val e = Sources.events(s, dir).select(col("event_id"),
+          graft.functions.epochMicros(col("ts")).as("tu"),
+          col("event_type"), col("value"))
+        val probe = e.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("tu"))
+        val build = e.select(col("tu").as("btu"), col("value"))
+        val matched = graft.plans.ScaleJoins
+          .binnedRangeJoin(probe, "tu", build, "btu", winUs)
+          .groupBy(col("event_id"))
+          .agg(count(lit(1)).as("n_prior"), sum(col("value")).as("v_prior"))
+        probe.join(matched, Seq("event_id"), "left_outer")
+          .select(col("event_id").cast("long").as("event_id"), col("tu"),
+            coalesce(col("n_prior"), lit(0L)).cast("long").as("n_prior"),
+            coalesce(col("v_prior"), lit(0.0)).as("v_prior"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, epoch_us(ts) AS tu, event_type, value
+          FROM events),
+        p AS (SELECT event_id, tu FROM e WHERE event_type = 'purchase')
+        SELECT CAST(p.event_id AS BIGINT) AS event_id, p.tu,
+          CAST(count(b.tu) AS BIGINT) AS n_prior,
+          coalesce(sum(b.value), 0.0) AS v_prior
+        FROM p LEFT JOIN e b
+          ON b.tu >= p.tu - 600000000 AND b.tu < p.tu
+        GROUP BY p.event_id, p.tu""")),
+
     // #21b anti-join: customers with no big-ticket orders (TPC-H Q22
     // flavor — the left_anti shape; at scale the orders side aggregates
     // to distinct keys before the join, so the anti probe is key-sized)

@@ -73,4 +73,11 @@ package object functions {
   /** SQL rendering of [[epochSecs]] over a DuckDB TIMESTAMP column. */
   def epochSecsSql(c: String): String =
     s"CAST(floor(epoch($c)) AS BIGINT)"
+
+  /** Record timestamp -> unix MICROseconds. try_cast because the dirs
+    * have carried ts as TIMESTAMP, TIMESTAMP_NTZ (naive micros — the
+    * cast is an exact UTC wall-clock relabel under the session's UTC
+    * zone), and rebuilt-from-nanos; DuckDB twin: `epoch_us(ts)`. */
+  def epochMicros(c: Column): Column =
+    unix_micros(c.try_cast("timestamp"))
 }

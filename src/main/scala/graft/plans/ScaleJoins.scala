@@ -107,4 +107,39 @@ object ScaleJoins {
       .select(col("_lrow.*") +:
         rightCols.map(c => col(s"_asof.`$c`").as(s"$prefix$c")): _*)
   }
+
+  /**
+   * Global time-range join — every probe row matched with the build
+   * rows whose time lies in the probe's trailing window
+   * `[p.t - windowUs, p.t)` — with NO key to equi-join on.
+   *
+   * The naive theta-join (`b.t >= p.t - w AND b.t < p.t`) has no equi
+   * condition, so Catalyst plans a broadcast nested-loop or cartesian —
+   * |probe|×|build| comparisons, dead at scale. The scalable shape bins
+   * BOTH sides into windowUs-wide time bins: each build row lands in
+   * exactly ONE bin (so matches can't double-count), each probe's
+   * trailing window spans exactly TWO consecutive bins, and the join
+   * becomes bin-equi + residual range predicate. Work is 2|probe| +
+   * bin-co-resident pairs — linear in event density, not in |probe|×
+   * |build|. Bin indices are integer division (`div`), never float —
+   * a double division can misround at a bin boundary.
+   *
+   * Returns matched pairs (inner): all probe columns plus the build
+   * columns. Unmatched probes are absent — the caller aggregates and
+   * left-joins back (see q_interval_join) when zero-match rows matter.
+   * A probe time column named like a build column must be aliased apart
+   * before the call.
+   */
+  def binnedRangeJoin(probe: DataFrame, probeTime: String,
+      build: DataFrame, buildTime: String, windowUs: Long): DataFrame = {
+    require(windowUs > 0, "windowUs must be positive")
+    val tb = expr(s"$probeTime div ${windowUs}L")
+    val p = probe.withColumn("_bin",
+      explode(array(tb - lit(1L), tb)))
+    val b = build.withColumn("_bin", expr(s"$buildTime div ${windowUs}L"))
+    p.join(b, Seq("_bin"))
+      .where(col(buildTime) >= col(probeTime) - lit(windowUs) &&
+        col(buildTime) < col(probeTime))
+      .drop("_bin")
+  }
 }

@@ -89,6 +89,32 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("binned range join == naive inequality join, boundaries exact") {
+    import spark.implicits._
+    val w = 100L
+    // probe times hit bin boundaries exactly (200, 300) and mid-bin;
+    // build times include t-w (in), t (out), t-w-1 (out), same-bin and
+    // previous-bin interior points
+    val probe = Seq((1L, 200L), (2L, 250L), (3L, 300L), (4L, 57L))
+      .toDF("pid", "pt")
+    val build = Seq(100L, 150L, 199L, 200L, 249L, 250L, 299L, 300L, 301L, 0L)
+      .map(Tuple1(_)).toDF("bt")
+    val got = ScaleJoins.binnedRangeJoin(probe, "pt", build, "bt", w)
+      .select("pid", "bt").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    val want = (for {
+      (pid, pt) <- Seq((1L, 200L), (2L, 250L), (3L, 300L), (4L, 57L))
+      bt <- Seq(100L, 150L, 199L, 200L, 249L, 250L, 299L, 300L, 301L, 0L)
+      if bt >= pt - w && bt < pt
+    } yield (pid, bt)).sorted
+    assert(got == want)
+    // and the plan is an equi hash/merge join, not a nested loop
+    val plan = ScaleJoins.binnedRangeJoin(probe, "pt", build, "bt", w)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join must stay equi-shaped:\n$plan")
+  }
+
   private def Sources(name: String) =
     graft.sources.Sources.table(spark, sf001, name)
 }
