@@ -77,6 +77,16 @@ object TextQueries {
         Text.bpeTokenCount(col("text")).cast("long").as("bpe_tokens")),
       Some(bpeOracleSql)),
 
+    // #34d BPE merge LEARNING: derive the top-10 merge table from the
+    // corpus itself — K rounds of pair-count → argmax → fixed-pass
+    // replace, each round one linear corpus pass into a vocab²-bounded
+    // count plus a single-row collect. The oracle unrolls all K rounds
+    // as generated CTEs, pinning count, tie-break, and merge
+    // application cross-engine at every intermediate state.
+    Q("text_bpe_train",
+      (s, dir) => Text.bpeTrain(docs(s, dir)),
+      Some(Text.bpeTrainOracleSql())),
+
     // #34b dragnet's quantize aggregation pointed at a pipeline signal:
     // power-of-two histogram of per-doc BPE-ish token counts — the
     // length-distribution view a data recipe cuts on (and proof the

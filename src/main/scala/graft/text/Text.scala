@@ -66,17 +66,112 @@ object Text {
    * merge cascade byte for byte. Pure codegen'd expressions: one linear
    * pass, no shuffle, no UDF — the 100 TB shape.
    */
-  def bpeTokens(text: Column): Column = {
+  /** The fenced char-spaced initial BPE state: words split to chars,
+    * space-delimited, fenced by U+0001 — shared by the merge APPLY path
+    * ([[bpeTokens]]) and the merge LEARNING path ([[bpeTrain]]). */
+  private[graft] def bpeInitFenced(text: Column): Column = {
     val words = regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
     val spaced = transform(words,
       w => regexp_replace(w, lit("(.)"), lit("$1 ")))
-    val init = concat(lit(" "), array_join(spaced, BpeFence + " "))
-    val merged = BpeMerges.foldLeft(init) { case (s, (a, b)) =>
+    concat(lit(" "), array_join(spaced, BpeFence + " "))
+  }
+
+  def bpeTokens(text: Column): Column = {
+    val merged = BpeMerges.foldLeft(bpeInitFenced(text)) { case (s, (a, b)) =>
       (1 to BpePasses).foldLeft(s)((cur, _) =>
         replace(cur, lit(s" $a $b "), lit(s" $a$b ")))
     }
     filter(split(trim(merged), " "),
       t => t =!= BpeFence && t =!= "")
+  }
+
+  /** Merge count [[bpeTrain]] learns (and its oracle unrolls). */
+  val BpeTrainMerges = 10
+
+  /**
+   * BPE merge LEARNING — the training half of the tokenizer story
+   * ([[bpeTokens]] applies a pinned table; this derives one): K rounds
+   * of (count adjacent symbol pairs) → (take the most frequent, ties by
+   * pair text) → (merge it corpus-wide via the same fixed-pass exact-
+   * string replace the apply path uses). Returns the learned table:
+   * (rank, lhs, rhs, pair_count).
+   *
+   * Scale shape: each round is ONE linear corpus pass (codegen split +
+   * index explode) into a symbol-vocab²-bounded partial-agg count —
+   * never a corpus-sized shuffle — plus a 1-row argmax collect; the
+   * driver holds K scalars total, nothing else. The evolving corpus
+   * state is localCheckpointed each round so round i+1 replays nothing
+   * (on a cluster you'd checkpoint to durable storage); lineage stays
+   * O(1) deep. The DuckDB oracle unrolls all K rounds as generated
+   * CTEs over the identical state strings, so count, tie-break, and
+   * merge application are pinned cross-engine at every round.
+   */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame,
+      textCol: String = "text", merges: Int = BpeTrainMerges,
+      passes: Int = BpePasses): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    var cur = docs.select(bpeInitFenced(col(textCol)).as("s"))
+      .localCheckpoint()
+    val learned = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < merges && !exhausted) {
+      val sym = cur.select(split(trim(col("s")), " ").as("y"))
+      val best = sym.where(size(col("y")) >= 2)
+        .select(explode(sequence(lit(1), size(col("y")) - 1)).as("j"),
+          col("y"))
+        .select(element_at(col("y"), col("j")).as("a"),
+          element_at(col("y"), col("j") + 1).as("b"))
+        .where(col("a") =!= BpeFence && col("b") =!= BpeFence &&
+          col("a") =!= "" && col("b") =!= "")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        learned += ((rank.toLong, a, b, c))
+        val merged = (1 to passes).foldLeft(col("s"))((s, _) =>
+          replace(s, lit(s" $a $b "), lit(s" $a$b ")))
+        cur = cur.select(merged.as("s")).localCheckpoint()
+      }
+      rank += 1
+    }
+    import spark.implicits._
+    learned.result().toDF("rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** The [[bpeTrain]] oracle: K unrolled rounds of pair-count → argmax
+    * → 3-pass replace, generated so every constant (fence, pass count,
+    * tie order) is shared with the Spark path. */
+  def bpeTrainOracleSql(base: String = "documents",
+      merges: Int = BpeTrainMerges, passes: Int = BpePasses): String = {
+    val init = "(' ' || array_to_string(list_transform(" +
+      "regexp_extract_all(lower(text), '[a-z]+'), " +
+      "w -> regexp_replace(w, '(.)', '\\1 ', 'g')), chr(1) || ' '))"
+    val rounds = (0 until merges).map { i =>
+      val rep = (1 to passes).foldLeft(s"s$i")((s, _) =>
+        s"replace($s, ' ' || bb.a || ' ' || bb.b || ' ', " +
+          s"' ' || bb.a || bb.b || ' ')")
+      s"""sym$i AS (SELECT string_split(trim(s$i), ' ') AS y FROM cur$i),
+         |pr$i AS (
+         |  SELECT y[j] AS a, y[j+1] AS b, count(*) AS c
+         |  FROM sym$i, UNNEST(range(1, len(y))) u(j)
+         |  WHERE len(y) >= 2 AND y[j] <> chr(1) AND y[j+1] <> chr(1)
+         |    AND y[j] <> '' AND y[j+1] <> ''
+         |  GROUP BY 1, 2),
+         |best$i AS (SELECT a, b, c FROM pr$i ORDER BY c DESC, a, b LIMIT 1),
+         |cur${i + 1} AS (
+         |  SELECT $rep AS s${i + 1} FROM cur$i CROSS JOIN best$i bb)"""
+        .stripMargin
+    }
+    val union = (0 until merges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, a AS lhs, b AS rhs, " +
+        s"CAST(c AS BIGINT) AS pair_count FROM best$i")
+      .mkString("\n", "\nUNION ALL\n", "")
+    s"""WITH cur0 AS (SELECT $init AS s0 FROM $base),
+       |${rounds.mkString(",\n")}$union""".stripMargin
   }
 
   /** BPE token count per document (see [[bpeTokens]]). */

@@ -341,6 +341,31 @@ class TextSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("bpe train: learns hand-computable merges in frequency order") {
+    import spark.implicits._
+    // chars: "aaab"×2 → pairs (a,a)×2 + (a,b) each; "ab" → (a,b).
+    // Round 0: (a,a)=4 wins. The 3-pass replace on " a a a b " merges
+    // only the FIRST overlapping occurrence per pass → " aa a b ".
+    // Round 1: (a,b)=3 beats (aa,a)=2.
+    val d = Seq((1L, "aaab"), (2L, "aaab"), (3L, "ab")).toDF("doc_id", "text")
+    val got = graft.text.Text.bpeTrain(d, merges = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(got == Seq((0L, "a", "a", 4L), (1L, "a", "b", 3L)))
+  }
+
+  test("bpe train: learned merges replayed through apply reduce tokens") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // sanity: applying the learned top merge shrinks the symbol stream
+    val d = Seq((1L, "banana bandana")).toDF("doc_id", "text")
+    val learned = graft.text.Text.bpeTrain(d, merges = 1).collect()
+    assert(learned.length == 1)
+    val (a, b) = (learned(0).getString(1), learned(0).getString(2))
+    // (a,n) appears 4 times — the clear winner in banana+bandana
+    assert((a, b) == ("a", "n"))
+  }
+
   test("quality model: integer numerator matches a driver-side replay") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
