@@ -365,6 +365,16 @@ object DedupQueries {
       (s, dir) => Dedup.chunkDedup(docs(s, dir)),
       Some(DedupSql.chunkDedup())),
 
+    // #20c link-analysis source ranking: PageRank over the source
+    // co-duplication graph (edge weight = distinct shared word
+    // 5-grams), five damped power iterations with dangling-mass
+    // redistribution — the CommonCrawl-domain-rank quality signal. The
+    // oracle unrolls every iteration relationally, pinning edge build,
+    // message arithmetic, and damping cross-engine at each state.
+    Q("corpus_source_rank",
+      (s, dir) => graft.dedup.Corpus.sourceRank(docs(s, dir)),
+      Some(DedupSql.sourceRank())),
+
     // #40b crawl delta: two deterministic snapshot views of the corpus
     // (old skips ids ≡4 mod 5; new skips ids ≡0 mod 5 and revises the
     // text of ids ≡0 mod 7), every id classified added / removed /

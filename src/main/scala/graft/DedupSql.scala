@@ -432,6 +432,54 @@ object DedupSql {
        |FROM kept k WHERE NOT EXISTS (
        |  SELECT 1 FROM losers l WHERE l.doc_id = k.doc_id)""".stripMargin
 
+  /** corpus_source_rank oracle: the source co-duplication PageRank with
+    * all `iters` damped power iterations unrolled as CTEs — counts, the
+    * per-edge message expression `(p * w) / ow`, the dangling-mass
+    * redistribution, and the damping arithmetic all evaluate in the
+    * identical shape the Spark plan uses. */
+  def sourceRank(base: String = "documents", n: Int = 5, iters: Int = 5,
+      damping: Double = 0.85): String = {
+    val rounds = (0 until iters).map { i =>
+      s"""msg$i AS (
+         |  SELECT e.dst AS v, sum(pr.p * e.w / o.ow) AS m
+         |  FROM e JOIN outw o ON o.src = e.src
+         |  JOIN pr$i pr ON pr.v = e.src
+         |  GROUP BY 1),
+         |dang$i AS (
+         |  SELECT coalesce(sum(p), 0.0) AS dm FROM pr$i
+         |  WHERE v NOT IN (SELECT src FROM outw)),
+         |pr${i + 1} AS (
+         |  SELECT nodes.v,
+         |    (1.0 - $damping) / n + $damping * (coalesce(m, 0.0) + dm / n)
+         |      AS p
+         |  FROM nodes CROSS JOIN nn CROSS JOIN dang$i
+         |  LEFT JOIN msg$i ON msg$i.v = nodes.v)""".stripMargin
+    }
+    s"""WITH toks AS (
+       |  SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM $base),
+       |idx AS (
+       |  SELECT source, t,
+       |    unnest(range(0, greatest(len(t) - $n, 0) + 1)) AS i
+       |  FROM toks),
+       |sh AS (
+       |  SELECT DISTINCT source AS v,
+       |    CASE WHEN len(t) < $n THEN array_to_string(t, ' ')
+       |         ELSE array_to_string(list_slice(t, i + 1, i + $n), ' ')
+       |    END AS s
+       |  FROM idx),
+       |nodes AS (SELECT DISTINCT source AS v FROM $base),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |e AS (
+       |  SELECT a.v AS src, b.v AS dst, CAST(count(*) AS DOUBLE) AS w
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.v <> b.v
+       |  GROUP BY 1, 2),
+       |outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+       |pr0 AS (SELECT v, 1.0 / n AS p FROM nodes CROSS JOIN nn),
+       |${rounds.mkString(",\n")}
+       |SELECT v AS source, p AS pr FROM pr$iters""".stripMargin
+  }
+
   /** dedup_chunks oracle: non-overlapping `width`-token chunks, the
     * lexicographically-first (doc_id, idx) occurrence of each chunk
     * text (elected via struct-min over the same [[XHash]] 116-bit pair

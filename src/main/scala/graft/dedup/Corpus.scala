@@ -443,4 +443,59 @@ object Corpus {
         (graft.plans.Quantiles.bucket(col("gkey"), step) > col("cut"))
           .as("selected"))
   }
+
+  /**
+   * PageRank over the source co-duplication graph — the CommonCrawl
+   * "domain rank" signal pipelines weight quality by: sources are
+   * nodes, an edge's weight is the number of distinct word n-grams the
+   * two sources share, and `iters` damped power iterations spread rank
+   * mass along content-sharing links. Dangling sources (no shared
+   * content) donate their mass uniformly, the standard formulation, so
+   * total rank stays 1.
+   *
+   * Scale shape: the edge build is the dedup family's bucket join —
+   * distinct (source, shingle) rows self-join on the shingle and
+   * reduce to source-pair weights (per-shingle fan-out is bounded by
+   * the sources sharing it; a boilerplate-hot shingle at domain scale
+   * wants the HeavyBucket cap [[Dedup]] applies to candidate pairs).
+   * Each iteration is one edge-bounded join+groupBy message pass plus
+   * a single-row dangling aggregate crossed in as a broadcast — no
+   * driver-side rank state, no corpus-sized shuffle after the edge
+   * build; states are localCheckpointed so iteration i+1 replays
+   * nothing. Node count is the one driver scalar (like the derived ANN
+   * geometry). The oracle unrolls all iterations relationally.
+   */
+  def sourceRank(docs: DataFrame, n: Int = 5, iters: Int = 5,
+      damping: Double = 0.85, srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(srcCol).as("v"),
+      explode(Dedup.shingles(col(textCol), n)).as("s")).distinct()
+    val edges = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.v") =!= col("b.v"))
+      .groupBy(col("a.v").as("src"), col("b.v").as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+      .localCheckpoint()
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      .localCheckpoint()
+    val nodes = docs.select(col(srcCol).as("v")).distinct().localCheckpoint()
+    val nN = nodes.count().toDouble
+    var pr = nodes.withColumn("p", lit(1.0) / lit(nN))
+    for (_ <- 0 until iters) {
+      val msgs = edges
+        .join(outw, Seq("src"))
+        .join(pr.select(col("v").as("src"), col("p")), Seq("src"))
+        .groupBy(col("dst").as("v"))
+        .agg(sum(col("p") * col("w") / col("ow")).as("m"))
+      val dang = pr
+        .join(outw.select(col("src").as("v")), Seq("v"), "left_anti")
+        .agg(coalesce(sum(col("p")), lit(0.0)).as("dm"))
+      pr = nodes.crossJoin(broadcast(dang))
+        .join(msgs, Seq("v"), "left_outer")
+        .select(col("v"),
+          ((lit(1.0) - lit(damping)) / lit(nN) + lit(damping) *
+            (coalesce(col("m"), lit(0.0)) + col("dm") / lit(nN))).as("p"))
+        .localCheckpoint()
+    }
+    pr.select(col("v").as(srcCol), col("p").as("pr"))
+  }
 }

@@ -282,4 +282,41 @@ class CorpusSpec extends SparkSpec {
     assert(r.getLong(3) == 1)  // vec id 9 has no doc
     assert(r.getLong(4) == 1 && r.getLong(5) == 1)  // one dup id each side
   }
+
+  test("source rank: matches a driver-side power-iteration replay") {
+    import org.apache.spark.sql.functions.col
+    // graph: A—B (one shared 3-gram), B—C (one shared 3-gram), D dangling
+    val docs = Seq(
+      (1L, "srcA", "q w e"), (2L, "srcB", "q w e"), (3L, "srcB", "m m m"),
+      (4L, "srcC", "m m m"), (5L, "srcD", "u u u")
+    ).toDF("doc_id", "source", "text")
+    val iters = 5; val d = 0.85
+    val nodes = Seq("srcA", "srcB", "srcC", "srcD")
+    val edges = Map( // src -> (dst, w)
+      "srcA" -> Seq(("srcB", 1.0)),
+      "srcB" -> Seq(("srcA", 1.0), ("srcC", 1.0)),
+      "srcC" -> Seq(("srcB", 1.0)))
+    val nN = nodes.size.toDouble
+    var p = nodes.map(_ -> 1.0 / nN).toMap
+    for (_ <- 0 until iters) {
+      val msgs = nodes.map { v =>
+        v -> edges.toSeq.flatMap { case (src, out) =>
+          val ow = out.map(_._2).sum
+          out.collect { case (dst, w) if dst == v => p(src) * w / ow }
+        }.sum
+      }.toMap
+      val dm = nodes.filterNot(edges.contains).map(p).sum
+      p = nodes.map(v =>
+        v -> ((1.0 - d) / nN + d * (msgs(v) + dm / nN))).toMap
+    }
+    val got = Corpus.sourceRank(docs, n = 3, iters = iters, damping = d)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach(v => assert(math.abs(got(v) - p(v)) < 1e-12,
+      s"$v: ${got(v)} vs ${p(v)}"))
+    // rank mass is conserved
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // the hub outranks the dangling isolate
+    assert(got("srcB") > got("srcD"))
+  }
 }
