@@ -96,6 +96,48 @@ object MultimodalQueries {
             / CAST(w AS DOUBLE) AS mean_b
         FROM p""")),
 
+    // #36f image near-dup via perceptual hashing: the banded PNGs decode
+    // through REAL ImageIO pixels into a dHash (9 nearest-neighbor luma
+    // samples → 8 rising-gradient bits), then hash-equal images group —
+    // the image-dedup analog of dedup_exact, proven end to end because
+    // the oracle recomputes the hash from the generator's closed-form
+    // pixel formula and never sees a byte of PNG. Group sizes join back
+    // as a broadcast (hash space is 256-bounded).
+    Q("multimodal_phash",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Sources.table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
+        val pngs = ids.map(id => (id, Multimodal.bandedPng(id)))
+          .toDF("doc_id", "payload")
+        val d = Multimodal.imageDHash(pngs, "payload")
+          .select(col("doc_id"), col("dh"))
+        val groups = d.groupBy(col("dh"))
+          .agg(count(lit(1)).as("group_size"))
+        d.join(broadcast(groups), Seq("dh"))
+          .select(col("doc_id"), col("dh"), col("group_size"))
+      },
+      Some {
+        def lum(k: Int) =
+          s"(CASE WHEN (($k * w) // 9) < (w // 2) THEN la ELSE lb END)"
+        val terms = (0 until 8).map(k =>
+          s"(CASE WHEN ${lum(k)} < ${lum(k + 1)} THEN ${1L << k} ELSE 0 END)")
+          .mkString(" + ")
+        s"""
+        WITH p AS (
+          SELECT doc_id, doc_id % 17 + 4 AS w,
+            299*(doc_id % 256) + 587*(doc_id*7 % 256)
+              + 114*(doc_id*13 % 256) AS la,
+            299*(doc_id*3 % 256) + 587*(doc_id*5 % 256)
+              + 114*(doc_id*11 % 256) AS lb
+          FROM documents),
+        d AS (SELECT doc_id, CAST($terms AS BIGINT) AS dh FROM p),
+        g AS (SELECT dh, CAST(count(*) AS BIGINT) AS group_size
+              FROM d GROUP BY dh)
+        SELECT d.doc_id, d.dh, g.group_size FROM d JOIN g USING (dh)"""
+      }),
+
     // #36c REAL audio decode: every doc_id is rendered to a 16-bit mono
     // PCM WAV whose rate and samples are pure functions of the id
     // (Multimodal.tonePcmWav), then parsed back through the RIFF/PCM

