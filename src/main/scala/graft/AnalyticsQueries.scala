@@ -286,6 +286,52 @@ object AnalyticsQueries {
              AND floor(epoch(c.ts)) <= floor(epoch(e.ts))) AS click_sec
         FROM events e WHERE e.event_type = 'error'""")),
 
+    // #24c funnel analysis: per user, the earliest ORDERED
+    // view → click → purchase chain (each stage strictly after the
+    // previous stage's time) and whether it completed inside one day —
+    // product-analytics sequential pattern matching. Stage times chain
+    // through three whole-partition conditional-min windows over the
+    // SAME user partitioning, so Catalyst plans ONE exchange + one sort
+    // serving all three (no per-stage self-joins; the oracle states the
+    // semantics as the chained joins instead).
+    Q("q_funnel",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+        val e = Sources.events(s, dir).select(col("user_id"),
+          graft.functions.epochMicros(col("ts")).as("tu"), col("event_type"))
+        e.withColumn("t1",
+            min(when(col("event_type") === "view", col("tu"))).over(w))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" && col("tu") > col("t1"),
+              col("tu"))).over(w))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" && col("tu") > col("t2"),
+              col("tu"))).over(w))
+          .groupBy(col("user_id"))
+          .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
+            min(col("t3")).as("t3"))
+          .select(col("user_id").cast("long").as("user_id"),
+            col("t1"), col("t2"), col("t3"),
+            coalesce(col("t3") - col("t1") <= lit(86400000000L), lit(false))
+              .as("completed"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS tu, event_type FROM events),
+        s1 AS (SELECT user_id, min(tu) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(tu) AS t2 FROM e JOIN s1 USING (user_id)
+               WHERE event_type = 'click' AND tu > s1.t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(tu) AS t3 FROM e JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND tu > s2.t2 GROUP BY 1)
+        SELECT CAST(u.user_id AS BIGINT) AS user_id, s1.t1, s2.t2, s3.t3,
+          coalesce(s3.t3 - s1.t1 <= 86400000000, FALSE) AS completed
+        FROM (SELECT DISTINCT user_id FROM e) u
+        LEFT JOIN s1 USING (user_id)
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)""")),
+
     // #45b global time-range (interval) join: per purchase event, count
     // and sum ALL events — any user, any type — in its trailing
     // 10-minute window. No equi key exists, so the naive theta-join is

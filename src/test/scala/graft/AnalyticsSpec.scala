@@ -28,4 +28,49 @@ class AnalyticsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, plan)
   }
+
+  test("funnel: stage order is strict and pre-stage events don't count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val day = 86400000000L
+    val e = Seq(
+      // u1: clean chain inside a day → completed
+      (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+      // u2: click BEFORE first view must not chain; later click does,
+      // purchase at exactly t2 is excluded (strict >), the later one
+      // lands outside nothing — completes
+      (2L, 50L, "click"), (2L, 100L, "view"), (2L, 150L, "click"),
+      (2L, 150L, "purchase"), (2L, 400L, "purchase"),
+      // u3: purchase before click → t3 null, not completed
+      (3L, 10L, "purchase"), (3L, 20L, "view"), (3L, 30L, "click"),
+      // u4: completes at EXACTLY the day boundary (<=)
+      (4L, 0L, "view"), (4L, 10L, "click"), (4L, day, "purchase"),
+      // u5: completes one microsecond too late
+      (5L, 0L, "view"), (5L, 10L, "click"), (5L, day + 11L, "purchase")
+    ).toDF("user_id", "tu", "event_type")
+      .select(col("user_id"),
+        org.apache.spark.sql.functions.timestamp_micros(col("tu")).as("ts"),
+        col("event_type"))
+    // run the same plan q_funnel builds, against an in-memory frame
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("user_id"))
+    val out = e.select(col("user_id"),
+        graft.functions.epochMicros(col("ts")).as("tu"), col("event_type"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("tu"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" && col("tu") > col("t1"), col("tu"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("tu") > col("t2"), col("tu"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
+      .select(col("user_id"),
+        coalesce(col("t3") - col("t1") <= lit(day), lit(false)).as("completed"),
+        col("t2"), col("t3"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out(1L)._1)
+    assert(out(2L) == ((true, Some(150L), Some(400L))))
+    assert(out(3L) == ((false, Some(30L), None)))
+    assert(out(4L)._1)
+    assert(!out(5L)._1)
+  }
 }
