@@ -286,6 +286,41 @@ object AnalyticsQueries {
              AND floor(epoch(c.ts)) <= floor(epoch(e.ts))) AS click_sec
         FROM events e WHERE e.event_type = 'error'""")),
 
+    // #24e cohort retention: users cohorted by first-active day, then
+    // the day-offset activity matrix for the first week — the other
+    // classic product-analytics shape next to funnels. (user, day)
+    // de-dups first so the final count is a plain count (a user hits
+    // each (cohort, offset) cell at most once — no count-distinct
+    // expand); the user-keyed groupBy and join share one partitioning.
+    // Output is cohorts×7 cells, never event-shaped.
+    Q("q_retention",
+      (s, dir) => {
+        val day = 86400000000L
+        val e = Sources.events(s, dir)
+          .select(col("user_id"),
+            graft.functions.epochMicros(col("ts")).as("tu"))
+          .select(col("user_id"), expr(s"tu div ${day}L").as("day"))
+        val cohorts = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+        val active = e.distinct()
+        active.join(cohorts, Seq("user_id"))
+          .withColumn("off", col("day") - col("cohort"))
+          .where(col("off").between(0, 6))
+          .groupBy(col("cohort"), col("off"))
+          .agg(count(lit(1)).as("active_users"))
+          .select(col("cohort"), col("off"),
+            col("active_users").cast("long").as("active_users"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        c AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1),
+        a AS (SELECT DISTINCT user_id, day FROM e)
+        SELECT c.cohort, a.day - c.cohort AS off,
+          CAST(count(*) AS BIGINT) AS active_users
+        FROM a JOIN c USING (user_id)
+        WHERE a.day - c.cohort BETWEEN 0 AND 6
+        GROUP BY 1, 2""")),
+
     // #24c funnel analysis: per user, the earliest ORDERED
     // view → click → purchase chain (each stage strictly after the
     // previous stage's time) and whether it completed inside one day —

@@ -29,6 +29,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, plan)
   }
 
+  test("retention: same-day repeats dedup, window clips at 6 days") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val day = 86400000000L
+    val e = Seq(
+      (1L, 0L), (1L, day), (1L, day + 1L), (1L, 3 * day), (1L, 9 * day),
+      (2L, 2 * day), (2L, 2 * day + 5L), (2L, 5 * day)
+    ).toDF("user_id", "tu")
+      .select(col("user_id"), expr(s"tu div ${day}L").as("day"))
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val got = e.distinct().join(cohorts, Seq("user_id"))
+      .withColumn("off", col("day") - col("cohort"))
+      .where(col("off").between(0, 6))
+      .groupBy(col("cohort"), col("off"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,   // u1; day 9 clipped
+      (2L, 0L) -> 1L, (2L, 3L) -> 1L))                   // u2; same-day dedup
+  }
+
   test("funnel: stage order is strict and pre-stage events don't count") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
