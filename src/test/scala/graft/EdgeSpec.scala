@@ -133,4 +133,26 @@ class EdgeSpec extends SparkSpec {
     // go NaN, and NaN casts to 0 — the whole vector zeroes on BOTH paths
     assert(byId(5L) == Seq(0.toByte, 0.toByte))
   }
+
+  test("round-11 ops survive empty and degenerate corpora") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // chunk dedup / collocations / quality model: empty in, empty out
+    assert(graft.dedup.Dedup.chunkDedup(noDocs).count() == 0)
+    assert(Text.collocations(noDocs).count() == 0)
+    assert(Text.qualityModel(noDocs).count() == 0)
+    // BPE training on a corpus with NO mergeable pair (every word one
+    // letter): an empty learned table, not a crash or an infinite loop
+    val single = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    assert(Text.bpeTrain(single, merges = 3).count() == 0)
+    // source rank over one edgeless source: all mass dangles back — the
+    // single node keeps rank 1 under any iteration count
+    val lone = Seq((1L, "srcA", "x y z")).toDF("doc_id", "source", "text")
+    val r = graft.dedup.Corpus.sourceRank(lone, n = 3, iters = 3)
+      .collect()
+    assert(r.length == 1 && math.abs(r.head.getDouble(1) - 1.0) < 1e-12)
+    // empty-text doc: one empty-string token, still classified
+    val blank = Seq((7L, "")).toDF("doc_id", "text")
+    val qm = Text.qualityModel(blank).collect().head
+    assert(qm.getLong(1) == 1L)
+  }
 }

@@ -300,4 +300,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(a.contains("vec_id") && a.contains("embedding:array<float>") &&
       !a.contains("label"), a.take(1000))
   }
+
+  test("round-11 ops keep their claimed shuffle/broadcast shapes") {
+    def planOf(q: String) = SparkEntry.queries(q)(spark, sf001)
+      .queryExecution.executedPlan.toString
+    def exchanges(p: String) =
+      p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // dedup_chunks: exactly the two inherent corpus shuffles (hash-pair
+    // winner election, doc reassembly) — and winner election is an
+    // aggregate, never a corpus-partition window
+    val chunks = planOf("dedup_chunks")
+    // 2 when the winner table broadcasts (test scale), 3 when both join
+    // sides exchange on the hash pair (corpus scale) — never more
+    assert(exchanges(chunks) <= 3, s"dedup_chunks exchanges:\n$chunks")
+    assert(!chunks.contains("Window"),
+      s"chunk winner election must not be a window:\n${chunks.take(1200)}")
+    // text_collocations: unigram/totals meet the pair table as
+    // broadcasts; the only hash exchanges are the two count groupBys
+    val coll = planOf("text_collocations")
+    assert(coll.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"collocations lost a broadcast:\n${coll.take(1200)}")
+    // pair groupBy + the vocab-bounded unigram agg once per broadcast
+    // side — every exchange carries vocab-shaped rows, never the corpus
+    assert(exchanges(coll) <= 3, s"collocations exchanges:\n$coll")
+    // text_quality_model: one doc-keyed exchange, weight is inline
+    // arithmetic (no join at all)
+    val qm = planOf("text_quality_model")
+    assert(exchanges(qm) == 1 && !qm.contains("Join"),
+      s"quality model shape:\n${qm.take(1200)}")
+    // q_funnel: three stage windows + final agg share ONE exchange
+    assert(exchanges(planOf("q_funnel")) == 1, planOf("q_funnel"))
+    // q_interval_join: equi join, never nested-loop over two real sides
+    val ij = planOf("q_interval_join")
+    assert(!ij.contains("CartesianProduct") &&
+      !ij.contains("BroadcastNestedLoopJoin"), ij.take(1200))
+  }
 }
