@@ -254,6 +254,50 @@ object StreamingQueries {
                              THEN 1 ELSE 0 END) AS BIGINT) AS sessions
         FROM d GROUP BY 1 ORDER BY 1""")),
 
+    // #24f the funnel state machine run INCREMENTALLY: per-user
+    // (t1,t2,t3) stage state advanced greedily across micro-batches
+    // (mapGroupsWithState — the multi-stage pattern beyond
+    // sessionize's gap rule); stages only transition unset → set, so
+    // per-user max over the Update-mode drain is the final state, and
+    // it must equal the batch q_funnel windows, whose oracle this is.
+    Q("stream_funnel",
+      (s, dir) => {
+        import s.implicits._
+        implicit val session: org.apache.spark.sql.SparkSession = s
+        val stream = eventStream(s, dir)
+          .select(col("user_id"), expr("unix_micros(ts)").as("tu"),
+            col("event_type"))
+          .as[(Long, Long, String)]
+        val out = graft.streaming.StreamFunnel.funnel(stream)
+        def t(c: String) = {
+          val m = max(col(c))
+          when(m < 0, lit(null).cast("long")).otherwise(m).as(c)
+        }
+        drain(out.toDF(), "graft_stream_funnel",
+            graft.streaming.StreamFunnel.outputMode)
+          .groupBy(col("user_id"))
+          .agg(t("t1"), t("t2"), t("t3"))
+          .select(col("user_id").cast("long").as("user_id"),
+            col("t1"), col("t2"), col("t3"),
+            coalesce(col("t3") - col("t1") <= lit(86400000000L), lit(false))
+              .as("completed"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS tu, event_type FROM events),
+        s1 AS (SELECT user_id, min(tu) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(tu) AS t2 FROM e JOIN s1 USING (user_id)
+               WHERE event_type = 'click' AND tu > s1.t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(tu) AS t3 FROM e JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND tu > s2.t2 GROUP BY 1)
+        SELECT CAST(u.user_id AS BIGINT) AS user_id, s1.t1, s2.t2, s3.t3,
+          coalesce(s3.t3 - s1.t1 <= 86400000000, FALSE) AS completed
+        FROM (SELECT DISTINCT user_id FROM e) u
+        LEFT JOIN s1 USING (user_id)
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)""")),
+
     // #34e the CMS mergeability claim, proven live: the SAME
     // Text.cmsCounters plan drained through the streaming engine's
     // incremental state (partial sketches merged per micro-batch) must
