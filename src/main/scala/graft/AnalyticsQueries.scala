@@ -286,6 +286,77 @@ object AnalyticsQueries {
              AND floor(epoch(c.ts)) <= floor(epoch(e.ts))) AS click_sec
         FROM events e WHERE e.event_type = 'error'""")),
 
+    // #24g statistical rate anomaly detection over a DENSE time grid:
+    // per (event_type, hour) counts including the zero hours (the grid
+    // explodes from a single-row bounds agg × the broadcast type list —
+    // calendar-shaped, never event-shaped), z-scored against that
+    // type's own hourly distribution. The |z|>2 DECISION is exact
+    // integer arithmetic — (c·n−S)²·(c−1) > 4c(c·SS−S²) in
+    // decimal(38)/HUGEINT — so float summation can never flip a
+    // boundary cell; z itself surfaces as a display double.
+    Q("q_rate_anomaly",
+      (s, dir) => {
+        val hourUs = 3600000000L
+        val e = Sources.events(s, dir)
+          .select(col("event_type"),
+            graft.functions.epochMicros(col("ts")).as("tu"))
+          .select(col("event_type"), expr(s"tu div ${hourUs}L").as("hour"))
+        val bounds = e.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        val hours = bounds
+          .select(explode(sequence(col("h0"), col("h1"))).as("hour"))
+        val types = e.select(col("event_type")).distinct()
+        val grid = types.crossJoin(broadcast(hours))
+        val counts = e.groupBy(col("event_type"), col("hour"))
+          .agg(count(lit(1)).as("n"))
+        val dense = grid.join(counts, Seq("event_type", "hour"), "left_outer")
+          .select(col("event_type"), col("hour"),
+            coalesce(col("n"), lit(0L)).as("n"))
+        val stats = dense.groupBy(col("event_type")).agg(
+          count(lit(1)).as("c"), sum(col("n")).as("s"),
+          sum(col("n") * col("n")).as("ss"))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        dense.join(broadcast(stats), Seq("event_type"))
+          .select(col("event_type"), col("hour"), col("n"),
+            ((dd(col("n")) - dd(col("s")) / dd(col("c"))) /
+              sqrt((dd(col("c")) * dd(col("ss")) - dd(col("s")) * dd(col("s"))) /
+                (dd(col("c")) * (dd(col("c")) - lit(1.0))))).as("z"),
+            ((dec(col("c")) * dec(col("n")) - dec(col("s"))) *
+              (dec(col("c")) * dec(col("n")) - dec(col("s"))) *
+              (dec(col("c")) - dec(lit(1))) >
+              dec(lit(4)) * dec(col("c")) *
+                (dec(col("c")) * dec(col("ss")) - dec(col("s")) * dec(col("s"))))
+              .as("anomalous"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS hour FROM events),
+        b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM e),
+        hrs AS (SELECT unnest(range(h0, h1 + 1)) AS hour FROM b),
+        ty AS (SELECT DISTINCT event_type FROM e),
+        cnt AS (SELECT event_type, hour, count(*) AS n FROM e GROUP BY 1, 2),
+        dense AS (
+          SELECT ty.event_type, hrs.hour, coalesce(cnt.n, 0) AS n
+          FROM ty CROSS JOIN hrs
+          LEFT JOIN cnt ON cnt.event_type = ty.event_type
+            AND cnt.hour = hrs.hour),
+        st AS (SELECT event_type, count(*) AS c, sum(n) AS s,
+                 sum(n*n) AS ss FROM dense GROUP BY 1)
+        SELECT d.event_type, d.hour, CAST(d.n AS BIGINT) AS n,
+          (CAST(d.n AS DOUBLE) - CAST(st.s AS DOUBLE) / CAST(st.c AS DOUBLE))
+            / sqrt((CAST(st.c AS DOUBLE) * CAST(st.ss AS DOUBLE)
+                - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+              / (CAST(st.c AS DOUBLE) * (CAST(st.c AS DOUBLE) - 1.0))) AS z,
+          (CAST(st.c AS HUGEINT) * CAST(d.n AS HUGEINT)
+              - CAST(st.s AS HUGEINT))
+            * (CAST(st.c AS HUGEINT) * CAST(d.n AS HUGEINT)
+              - CAST(st.s AS HUGEINT))
+            * (CAST(st.c AS HUGEINT) - 1)
+            > 4 * CAST(st.c AS HUGEINT)
+              * (CAST(st.c AS HUGEINT) * CAST(st.ss AS HUGEINT)
+                - CAST(st.s AS HUGEINT) * CAST(st.s AS HUGEINT)) AS anomalous
+        FROM dense d JOIN st USING (event_type)""")),
+
     // #24e cohort retention: users cohorted by first-active day, then
     // the day-offset activity matrix for the first week — the other
     // classic product-analytics shape next to funnels. (user, day)

@@ -29,6 +29,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, plan)
   }
 
+  test("rate anomaly: exact integer decision == float z on clear cases") {
+    // series with one clear spike: [0,0,0,0,0,0,0,0,0,10]
+    // c=10, S=10, SS=100: var=(10·100-100)/90=10, mean=1
+    // z(10)=9/sqrt(10)≈2.85 → anomalous; z(0)=-1/sqrt(10) → not
+    val c = BigInt(10); val s = BigInt(10); val ss = BigInt(100)
+    def exact(n: BigInt) =
+      (c * n - s).pow(2) * (c - 1) > 4 * c * (c * ss - s * s)
+    assert(exact(10) && !exact(0))
+    // boundary: z == 2 exactly must NOT flag (strict >): series where
+    // 4·c·(c·SS−S²) == (c·n−S)²·(c−1); constant series never flags
+    val cc = BigInt(5); val sC = BigInt(15); val ssC = BigInt(45)
+    def exactConst(n: BigInt) =
+      (cc * n - sC).pow(2) * (cc - 1) > 4 * cc * (cc * ssC - sC * sC)
+    assert(!exactConst(3)) // constant 3s: zero variance, zero deviation
+  }
+
   test("retention: same-day repeats dedup, window clips at 6 days") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
