@@ -87,6 +87,22 @@ object TextQueries {
       (s, dir) => Text.bpeTrain(docs(s, dir)),
       Some(Text.bpeTrainOracleSql())),
 
+    // #34e the train→apply loop CLOSED: the corpus tokenized by the
+    // merges just learned from it (the final training state IS the
+    // applied tokenizer — fences and empties dropped, like
+    // text_tokens_bpe over the pinned table). The oracle extends the
+    // same unrolled CTE chain one select further, so a drifted
+    // intermediate state fails BOTH gates coherently.
+    Q("text_bpe_train_apply",
+      (s, dir) => {
+        val (state, _) = Text.bpeTrainFull(docs(s, dir))
+        state.select(col("doc_id"),
+          size(filter(split(trim(col("s")), " "),
+            t => t =!= "" && t =!= ""))
+            .cast("long").as("learned_tokens"))
+      },
+      Some(Text.bpeTrainApplyOracleSql())),
+
     // #34b dragnet's quantize aggregation pointed at a pipeline signal:
     // power-of-two histogram of per-doc BPE-ish token counts — the
     // length-distribution view a data recipe cuts on (and proof the

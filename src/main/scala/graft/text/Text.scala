@@ -108,9 +108,23 @@ object Text {
    */
   def bpeTrain(docs: org.apache.spark.sql.DataFrame,
       textCol: String = "text", merges: Int = BpeTrainMerges,
-      passes: Int = BpePasses): org.apache.spark.sql.DataFrame = {
+      passes: Int = BpePasses): org.apache.spark.sql.DataFrame =
+    bpeTrainFull(docs, textCol = textCol, merges = merges,
+      passes = passes)._2
+
+  /**
+   * [[bpeTrain]] exposing BOTH halves: the final merged corpus state
+   * (id, fenced symbol string — the trained tokenizer APPLIED to its
+   * own training corpus, see text_bpe_train_apply) and the learned
+   * merge table.
+   */
+  def bpeTrainFull(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      merges: Int = BpeTrainMerges, passes: Int = BpePasses)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val spark = docs.sparkSession
-    var cur = docs.select(bpeInitFenced(col(textCol)).as("s"))
+    var cur = docs.select(col(idCol).as("doc_id"),
+        bpeInitFenced(col(textCol)).as("s"))
       .localCheckpoint()
     val learned = Seq.newBuilder[(Long, String, String, Long)]
     var rank = 0
@@ -134,19 +148,21 @@ object Text {
         learned += ((rank.toLong, a, b, c))
         val merged = (1 to passes).foldLeft(col("s"))((s, _) =>
           replace(s, lit(s" $a $b "), lit(s" $a$b ")))
-        cur = cur.select(merged.as("s")).localCheckpoint()
+        cur = cur.select(col("doc_id"), merged.as("s")).localCheckpoint()
       }
       rank += 1
     }
     import spark.implicits._
-    learned.result().toDF("rank", "lhs", "rhs", "pair_count")
+    (cur, learned.result().toDF("rank", "lhs", "rhs", "pair_count"))
   }
 
   /** The [[bpeTrain]] oracle: K unrolled rounds of pair-count → argmax
     * → 3-pass replace, generated so every constant (fence, pass count,
     * tie order) is shared with the Spark path. */
-  def bpeTrainOracleSql(base: String = "documents",
-      merges: Int = BpeTrainMerges, passes: Int = BpePasses): String = {
+  /** The shared CTE chain of the training oracles: cur0 (fenced init,
+    * doc_id carried) and `merges` unrolled rounds of pair-count →
+    * argmax → fixed-pass replace. */
+  private def bpeTrainCtes(base: String, merges: Int, passes: Int): String = {
     val init = "(' ' || array_to_string(list_transform(" +
       "regexp_extract_all(lower(text), '[a-z]+'), " +
       "w -> regexp_replace(w, '(.)', '\\1 ', 'g')), chr(1) || ' '))"
@@ -163,16 +179,32 @@ object Text {
          |  GROUP BY 1, 2),
          |best$i AS (SELECT a, b, c FROM pr$i ORDER BY c DESC, a, b LIMIT 1),
          |cur${i + 1} AS (
-         |  SELECT $rep AS s${i + 1} FROM cur$i CROSS JOIN best$i bb)"""
-        .stripMargin
+         |  SELECT doc_id, $rep AS s${i + 1}
+         |  FROM cur$i CROSS JOIN best$i bb)""".stripMargin
     }
+    s"""WITH cur0 AS (SELECT doc_id, $init AS s0 FROM $base),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  def bpeTrainOracleSql(base: String = "documents",
+      merges: Int = BpeTrainMerges, passes: Int = BpePasses): String = {
     val union = (0 until merges).map(i =>
       s"SELECT CAST($i AS BIGINT) AS rank, a AS lhs, b AS rhs, " +
         s"CAST(c AS BIGINT) AS pair_count FROM best$i")
-      .mkString("\n", "\nUNION ALL\n", "")
-    s"""WITH cur0 AS (SELECT $init AS s0 FROM $base),
-       |${rounds.mkString(",\n")}$union""".stripMargin
+      .mkString("\nUNION ALL\n")
+    s"""${bpeTrainCtes(base, merges, passes)}
+       |$union""".stripMargin
   }
+
+  /** The text_bpe_train_apply oracle: the same unrolled chain, final
+    * state tokenized per document (fences and empties dropped). */
+  def bpeTrainApplyOracleSql(base: String = "documents",
+      merges: Int = BpeTrainMerges, passes: Int = BpePasses): String =
+    s"""${bpeTrainCtes(base, merges, passes)}
+       |SELECT doc_id,
+       |  CAST(len(list_filter(string_split(trim(s$merges), ' '),
+       |    t -> t <> chr(1) AND t <> '')) AS BIGINT) AS learned_tokens
+       |FROM cur$merges""".stripMargin
 
   /** BPE token count per document (see [[bpeTokens]]). */
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
