@@ -35,6 +35,27 @@ object TextQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Sources.table(s, dir, "documents")
 
+  /** Persisted BPE-training artifact (final merged corpus state +
+    * learned merge table), fingerprint-keyed like the lexicon and the
+    * IVF+PQ artifacts: training runs ONCE per dataset per machine and
+    * both the learn gate and the apply gate read the same artifact —
+    * deterministic training makes artifact == live output. */
+  private def ensureBpe(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fp = graft.tools.LocalFs.fingerprint(
+      new java.io.File(s"$dir/documents.parquet"))
+    val key = s"$dirKey-$fp-m${Text.BpeTrainMerges}"
+    val path = s"/tmp/graft-bpe/$key"
+    if (!new java.io.File(s"$path/learned/_SUCCESS").exists()) {
+      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-bpe", s"$dirKey-", key)
+      val (state, learned) = Text.bpeTrainFull(docs(s, dir))
+      state.write.mode("overwrite").parquet(s"$path/state")
+      learned.coalesce(1).write.mode("overwrite").parquet(s"$path/learned")
+    }
+    path
+  }
+
   /** The text_tokens_bpe oracle, generated from [[Text.BpeMerges]] —
     * the same pinned table, same pass count, same fence (chr(1)), so
     * the two engines run the identical merge cascade. */
@@ -84,7 +105,7 @@ object TextQueries {
     // as generated CTEs, pinning count, tie-break, and merge
     // application cross-engine at every intermediate state.
     Q("text_bpe_train",
-      (s, dir) => Text.bpeTrain(docs(s, dir)),
+      (s, dir) => s.read.parquet(s"${ensureBpe(s, dir)}/learned"),
       Some(Text.bpeTrainOracleSql())),
 
     // #34e the train→apply loop CLOSED: the corpus tokenized by the
@@ -95,7 +116,7 @@ object TextQueries {
     // intermediate state fails BOTH gates coherently.
     Q("text_bpe_train_apply",
       (s, dir) => {
-        val (state, _) = Text.bpeTrainFull(docs(s, dir))
+        val state = s.read.parquet(s"${ensureBpe(s, dir)}/state")
         state.select(col("doc_id"),
           size(filter(split(trim(col("s")), " "),
             t => t =!= "" && t =!= ""))
