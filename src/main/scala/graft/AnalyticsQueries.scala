@@ -286,6 +286,30 @@ object AnalyticsQueries {
              AND floor(epoch(c.ts)) <= floor(epoch(e.ts))) AS click_sec
         FROM events e WHERE e.event_type = 'error'""")),
 
+    // #20d the skew-salting primitive GATED (ScaleJoins.saltedJoin was
+    // spec-only): orders⋈customer on the salted (key, salt) pair must
+    // equal the plain join the oracle states — salting must never
+    // change results, only spread a hot key over `salts` reducers.
+    Q("q_salted_join",
+      (s, dir) => {
+        val o = Sources.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val c = Sources.table(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        graft.plans.ScaleJoins.saltedJoin(o, c, "o_custkey", salts = 8)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).cast("long").as("orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("revenue"))
+      },
+      Some("""
+        SELECT c.c_mktsegment,
+          CAST(count(*) AS BIGINT) AS orders,
+          CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1""")),
+
     // #24g statistical rate anomaly detection over a DENSE time grid:
     // per (event_type, hour) counts including the zero hours (the grid
     // explodes from a single-row bounds agg × the broadcast type list —

@@ -509,6 +509,63 @@ object TextQueries {
         FROM agg"""
       }),
 
+    // #33c model evaluation: the classifier (row 68) calibrated against
+    // the heuristic score (row 33) — per logit-grid bin, how many docs
+    // each policy keeps and how often they agree. Bins are EXACT
+    // integer arithmetic over the model's integer numerator
+    // (least((num+1000n)·10 div 2000n, 9) — all non-negative, so
+    // truncation == floor in both engines); every output column is an
+    // integer count, so the whole gate is float-free.
+    Q("text_quality_eval",
+      (s, dir) => {
+        val m = graft.text.Text.qualityModelRaw(docs(s, dir))
+        val h = docs(s, dir).select(col("doc_id"),
+          (Text.qualityScore(col("text")) >= lit(0.3)).as("hk"))
+        m.join(h, Seq("doc_id"))
+          .select(
+            least(expr("(num + 1000 * n_tokens) * 10 div (2000 * n_tokens)"),
+              lit(9L)).as("bin"),
+            (col("num") >= 0L).as("mk"), col("hk"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("mk"), 1L).otherwise(0L)).as("model_keeps"),
+            sum(when(col("hk"), 1L).otherwise(0L)).as("heur_keeps"),
+            sum(when(col("mk") === col("hk"), 1L).otherwise(0L)).as("agree"))
+      },
+      Some {
+        val h = graft.functions.XHash.h60Sql("'qm:' || t")
+        val b = graft.text.Text.QmBuckets
+        val bias = graft.text.Text.QmBiasNum
+        s"""
+        WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+          FROM documents),
+        feats AS (
+          SELECT doc_id, ($h % $b) * 2654435761 % 2000 - 1000 AS wi
+          FROM toks),
+        agg AS (
+          SELECT doc_id, count(*) AS n,
+            sum(wi) + $bias * count(*) AS num
+          FROM feats GROUP BY doc_id),
+        heur AS (
+          SELECT doc_id,
+            (${DedupSql.qualitySql("text")} >= 0.3) AS hk
+          FROM documents),
+        binned AS (
+          SELECT least(((num + 1000 * n) * 10) // (2000 * n), 9) AS bin,
+            num >= 0 AS mk, hk
+          FROM agg JOIN heur USING (doc_id))
+        SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS BIGINT)
+            AS model_keeps,
+          CAST(sum(CASE WHEN hk THEN 1 ELSE 0 END) AS BIGINT)
+            AS heur_keeps,
+          CAST(sum(CASE WHEN mk = hk THEN 1 ELSE 0 END) AS BIGINT)
+            AS agree
+        FROM binned GROUP BY bin"""
+      }),
+
     // #32b PMI bigram collocations: the corpus-level n-gram statistic
     // vocabulary induction runs — adjacent-pair counts vs independence,
     // minCount-floored. Output is vocabulary²-shaped, never corpus-

@@ -561,7 +561,10 @@ object Text {
    * groupBy(id) with map-side partial (sum, count); the only shuffle is
    * doc-count-sized narrow rows.
    */
-  def qualityModel(docs: org.apache.spark.sql.DataFrame,
+  /** [[qualityModel]]'s exact integer core: (doc_id, n_tokens, num) —
+    * the numerator every downstream decision (keep, calibration bin)
+    * derives from without touching a float. */
+  def qualityModelRaw(docs: org.apache.spark.sql.DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       buckets: Int = QmBuckets, biasNum: Long = QmBiasNum)
       : org.apache.spark.sql.DataFrame = {
@@ -573,7 +576,15 @@ object Text {
     tok.select(col("doc_id"), wi.as("wi"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("wi")).as("sw"))
-      .withColumn("num", col("sw") + lit(biasNum) * col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sw") + lit(biasNum) * col("n_tokens")).as("num"))
+  }
+
+  def qualityModel(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = QmBuckets, biasNum: Long = QmBiasNum)
+      : org.apache.spark.sql.DataFrame = {
+    qualityModelRaw(docs, idCol, textCol, buckets, biasNum)
       .select(col("doc_id"), col("n_tokens"),
         (col("num").cast("double") /
           (col("n_tokens").cast("double") * lit(1000.0))).as("logit"),
