@@ -286,6 +286,44 @@ object AnalyticsQueries {
              AND floor(epoch(c.ts)) <= floor(epoch(e.ts))) AS click_sec
         FROM events e WHERE e.event_type = 'error'""")),
 
+    // #24h sessionization via the NATIVE session_window operator (the
+    // Spark-first twin of q_sessionize's hand-rolled lag windows and
+    // stream_sessionize's state machine): per (user, session) the
+    // merged [first, last+gap) window and its event count. The oracle
+    // states the same semantics as gaps-and-islands SQL — new island
+    // when the gap is >= 30min (session_window's right-open merge
+    // rule), island id by running sum, window end = last + gap.
+    Q("q_session_window",
+      (s, dir) => {
+        val e = Sources.events(s, dir).select(col("user_id"),
+          col("ts").try_cast("timestamp").as("ts"))
+        e.groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("events"))
+          .select(col("user_id").cast("long").as("user_id"),
+            expr("unix_micros(w.start)").as("session_start"),
+            expr("unix_micros(w.end)").as("session_end"),
+            col("events").cast("long").as("events"))
+      },
+      Some("""
+        WITH d AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+        o AS (SELECT user_id, tu,
+                lag(tu) OVER (PARTITION BY user_id ORDER BY tu) AS prev
+              FROM d),
+        f AS (SELECT user_id, tu,
+                CASE WHEN prev IS NULL OR tu - prev >= 1800000000
+                     THEN 1 ELSE 0 END AS ns
+              FROM o),
+        g AS (SELECT user_id, tu,
+                sum(ns) OVER (PARTITION BY user_id ORDER BY tu
+                  ROWS UNBOUNDED PRECEDING) AS sid
+              FROM f)
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+          min(tu) AS session_start,
+          max(tu) + 1800000000 AS session_end,
+          CAST(count(*) AS BIGINT) AS events
+        FROM g GROUP BY user_id, sid""")),
+
     // #20d the skew-salting primitive GATED (ScaleJoins.saltedJoin was
     // spec-only): orders⋈customer on the salted (key, salt) pair must
     // equal the plain join the oracle states — salting must never
