@@ -57,6 +57,21 @@ object DedupQueries {
     path
   }
 
+  /** Chunk-hash store of the OLD snapshot (16 bytes per distinct
+    * chunk), fingerprint-keyed like [[ensureStore]]. */
+  private def ensureChunkStore(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"/tmp/graft-chunkstore/$dirKey-${srcFingerprint(dir)}"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-chunkstore",
+        s"$dirKey-", new java.io.File(path).getName)
+      Dedup.chunkStore(docs(s, dir).where(expr(OldWhere)))
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
   /** The UPDATED store for the chained gate: old snapshot ∪ batch A's
     * keeper signatures, produced by copying the base store and running
     * [[Dedup.appendKeepersToStore]] on batch A — the update step itself
@@ -352,6 +367,22 @@ object DedupQueries {
     Q("dedup_span_ranges",
       (s, dir) => Dedup.sharedSpans(docs(s, dir), n = 5),
       Some(DedupSql.sharedSpans(n = 5))),
+
+    // #25j the sub-document dedup run INCREMENTALLY (the fourth closed
+    // incremental loop, at chunk grain: signature store, lexicon, and
+    // IVF+PQ index close it at theirs): a new crawl's chunks dedup
+    // against the persisted chunk-hash store of the old snapshot —
+    // 16 bytes per distinct old chunk, no old text re-read — plus
+    // first-occurrence-wins within the batch. The oracle replays the
+    // old snapshot's chunk set from raw documents, so a stale or
+    // partial store hash-mismatches.
+    Q("dedup_chunks_incremental",
+      (s, dir) => {
+        val store = s.read.parquet(ensureChunkStore(s, dir))
+        Dedup.chunkDedupIncremental(
+          docs(s, dir).where(expr(NewWhere)), store)
+      },
+      Some(DedupSql.chunkDedupIncremental(OldWhere, NewWhere))),
 
     // #25i sub-document exact dedup, C4-style: non-overlapping 8-token
     // chunks, every repeated chunk text keeps exactly its first

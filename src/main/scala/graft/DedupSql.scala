@@ -480,6 +480,23 @@ object DedupSql {
        |SELECT v AS source, p AS pr FROM pr$iters""".stripMargin
   }
 
+  /** The chunk CTE chain (base → {p}chunks → {p}hashed), shared by the
+    * batch and incremental chunk-dedup oracles. */
+  private def chunkCtes(base: String, width: Int, p: String = ""): String =
+    s"""${p}toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM $base),
+       |${p}chunks AS (
+       |  SELECT doc_id, i AS idx,
+       |    array_to_string(list_slice(t, i * $width + 1, i * $width + $width),
+       |      ' ') AS chunk
+       |  FROM ${p}toks, UNNEST(range(((len(t) - 1) // $width) + 1)) AS u(i)),
+       |${p}hashed AS (
+       |  SELECT doc_id, idx, chunk,
+       |    ${XHash.h60Sql("chunk")} AS h1,
+       |    ${XHash.h56Sql("chunk")} AS h2
+       |  FROM ${p}chunks)""".stripMargin
+
   /** dedup_chunks oracle: non-overlapping `width`-token chunks, the
     * lexicographically-first (doc_id, idx) occurrence of each chunk
     * text (elected via struct-min over the same [[XHash]] 116-bit pair
@@ -487,25 +504,38 @@ object DedupSql {
     * from its surviving chunks in position order. */
   def chunkDedup(base: String = "documents",
       width: Int = graft.dedup.Dedup.ChunkWidth): String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-       |  FROM $base),
-       |chunks AS (
-       |  SELECT doc_id, i AS idx,
-       |    array_to_string(list_slice(t, i * $width + 1, i * $width + $width),
-       |      ' ') AS chunk
-       |  FROM toks, UNNEST(range(((len(t) - 1) // $width) + 1)) AS u(i)),
-       |hashed AS (
-       |  SELECT doc_id, idx, chunk,
-       |    ${XHash.h60Sql("chunk")} AS h1,
-       |    ${XHash.h56Sql("chunk")} AS h2
-       |  FROM chunks),
+    s"""WITH ${chunkCtes(base, width)},
        |w AS (
        |  SELECT h1, h2, min({'doc_id': doc_id, 'idx': idx}) AS w
        |  FROM hashed GROUP BY h1, h2),
        |decided AS (
        |  SELECT h.doc_id, h.idx, h.chunk,
        |    ({'doc_id': h.doc_id, 'idx': h.idx} = w.w) AS kept
+       |  FROM hashed h JOIN w ON h.h1 = w.h1 AND h.h2 = w.h2)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+       |  coalesce(array_to_string(
+       |    list(chunk ORDER BY idx) FILTER (WHERE kept), ' '), '') AS kept_text
+       |FROM decided GROUP BY doc_id""".stripMargin
+
+  /** dedup_chunks_incremental oracle: the old snapshot's distinct chunk
+    * hash set replayed from raw documents, the new batch's chunks kept
+    * iff absent there AND first-in-batch at their (doc_id, idx). */
+  def chunkDedupIncremental(oldWhere: String, newWhere: String,
+      width: Int = graft.dedup.Dedup.ChunkWidth): String =
+    s"""WITH ${chunkCtes(s"(SELECT * FROM documents WHERE $oldWhere)",
+            width, "o")},
+       |store AS (SELECT DISTINCT h1, h2 FROM ohashed),
+       |${chunkCtes(s"(SELECT * FROM documents WHERE $newWhere)", width)},
+       |w AS (
+       |  SELECT h1, h2, min({'doc_id': doc_id, 'idx': idx}) AS w
+       |  FROM hashed GROUP BY h1, h2),
+       |decided AS (
+       |  SELECT h.doc_id, h.idx, h.chunk,
+       |    (NOT EXISTS (SELECT 1 FROM store s
+       |       WHERE s.h1 = h.h1 AND s.h2 = h.h2)
+       |     AND {'doc_id': h.doc_id, 'idx': h.idx} = w.w) AS kept
        |  FROM hashed h JOIN w ON h.h1 = w.h1 AND h.h2 = w.h2)
        |SELECT doc_id,
        |  CAST(count(*) AS BIGINT) AS n_chunks,

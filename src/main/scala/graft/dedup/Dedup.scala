@@ -815,8 +815,11 @@ object Dedup {
    * hot-hash skew. No window over corpus-sized partitions, no driver
    * state.
    */
-  def chunkDedup(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", width: Int = ChunkWidth): DataFrame = {
+  /** One row per (doc, chunk index): the chunk text and its 116-bit
+    * hash pair — the shared front half of [[chunkDedup]],
+    * [[chunkStore]], and [[chunkDedupIncremental]]. */
+  private[graft] def chunkHashRows(docs: DataFrame, idCol: String,
+      textCol: String, width: Int): DataFrame = {
     val rows = docs
       .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("ts"))
       // '' splits to [''] so size >= 1 and every doc has >= 1 chunk
@@ -827,13 +830,14 @@ object Dedup {
       .select(col("doc_id"), col("idx"),
         concat_ws(" ",
           slice(col("ts"), col("idx") * width + 1, lit(width))).as("chunk"))
-    val hashed = rows.select(col("doc_id"), col("idx"), col("chunk"),
+    rows.select(col("doc_id"), col("idx"), col("chunk"),
       XHash.h60(col("chunk")).as("h1"), XHash.h56(col("chunk")).as("h2"))
-    val winners = hashed.groupBy(col("h1"), col("h2"))
-      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
-    hashed.join(winners, Seq("h1", "h2"))
-      .withColumn("kept", struct(col("doc_id"), col("idx")) === col("w"))
-      .groupBy(col("doc_id"))
+  }
+
+  /** Reassembly back half shared by the batch and incremental chunk
+    * dedups: decided rows (doc_id, idx, chunk, kept) → one row per doc. */
+  private def chunkReassemble(decided: DataFrame): DataFrame =
+    decided.groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_chunks"),
         sum(when(col("kept"), lit(1L)).otherwise(lit(0L))).as("kept_chunks"),
@@ -843,5 +847,46 @@ object Dedup {
           array_sort(collect_list(
             when(col("kept"), struct(col("idx"), col("chunk"))))),
           s => s.getField("chunk")), " ").as("kept_text"))
+
+  def chunkDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", width: Int = ChunkWidth): DataFrame = {
+    val hashed = chunkHashRows(docs, idCol, textCol, width)
+    val winners = hashed.groupBy(col("h1"), col("h2"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+    chunkReassemble(hashed.join(winners, Seq("h1", "h2"))
+      .withColumn("kept", struct(col("doc_id"), col("idx")) === col("w")))
+  }
+
+  /** The persistable chunk-hash store: the distinct 116-bit pairs of
+    * every chunk a corpus snapshot contains — 16 bytes per distinct
+    * chunk, the artifact [[chunkDedupIncremental]] dedups new crawls
+    * against without re-reading a byte of old text. */
+  def chunkStore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", width: Int = ChunkWidth): DataFrame =
+    chunkHashRows(docs, idCol, textCol, width)
+      .select(col("h1"), col("h2")).distinct()
+
+  /**
+   * Incremental [[chunkDedup]] — the sub-document leg of the
+   * incremental-crawl story (the dedup signature store, the lexicon,
+   * and the IVF+PQ index already close this loop at their grains): a
+   * NEW batch's chunks dedup against the persisted [[chunkStore]] of
+   * the old snapshot plus first-occurrence-wins within the batch, and
+   * each batch document reassembles from its survivors. Old data is
+   * touched only through the 16-bytes-per-chunk store; the plan is the
+   * batch operator plus one (h1,h2) anti-membership join.
+   */
+  def chunkDedupIncremental(newDocs: DataFrame, store: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      width: Int = ChunkWidth): DataFrame = {
+    val hashed = chunkHashRows(newDocs, idCol, textCol, width)
+    val flagged = hashed.join(
+      store.select(col("h1"), col("h2"), lit(true).as("in_store")),
+      Seq("h1", "h2"), "left_outer")
+    val winners = hashed.groupBy(col("h1"), col("h2"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+    chunkReassemble(flagged.join(winners, Seq("h1", "h2"))
+      .withColumn("kept", col("in_store").isNull &&
+        struct(col("doc_id"), col("idx")) === col("w")))
   }
 }

@@ -394,6 +394,30 @@ class DedupSpec extends SparkSpec {
       (4L, 3L, 2L, "p q r p")))
   }
 
+  test("incremental chunk dedup: store chunks shadow, batch elects rest") {
+    val old = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val store = Dedup.chunkStore(old, width = 3)
+    val batch = Seq(
+      (10L, "a b c x y z"),   // chunk0 in store → dropped; chunk1 kept
+      (20L, "x y z x y z")    // chunk0 loses to doc10's; chunk1 within-dup
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedupIncremental(batch, store, width = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(out == Set(
+      (10L, 2L, 1L, "x y z"),
+      (20L, 2L, 0L, "")))
+    // store round-trips through parquet unchanged
+    val p = java.nio.file.Files.createTempDirectory("graft-chunkstore-spec")
+    try {
+      store.write.mode("overwrite").parquet(p.toString)
+      val out2 = Dedup.chunkDedupIncremental(batch,
+        spark.read.parquet(p.toString), width = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(out2 == Set((10L, 1L), (20L, 0L)))
+    } finally graft.tools.LocalFs.deleteRec(p)
+  }
+
   test("chunk dedup: chunk multiset is preserved across the edit") {
     // every distinct chunk text survives exactly once corpus-wide
     val d = Seq(
