@@ -286,6 +286,41 @@ object AnalyticsQueries {
              AND floor(epoch(c.ts)) <= floor(epoch(e.ts))) AS click_sec
         FROM events e WHERE e.event_type = 'error'""")),
 
+    // #24i trailing-window time series: daily revenue plus its 7-day
+    // RANGE-frame rolling sum — the frame type the cumulative
+    // (q_running_total) and sliding-count shapes don't cover: RANGE
+    // over an integer day axis skips missing days (a gap day does NOT
+    // shrink the window to 7 rows of older data). Revenue aggregates
+    // exactly in DECIMAL before the window, and the window input is
+    // calendar-bounded (one row per active day), so the global
+    // range-sort never sees corpus-shaped data.
+    Q("q_rolling_7d",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Sources.table(s, dir, "orders")
+          .select(datediff(col("o_orderdate").try_cast("date"),
+            lit("1992-01-01").cast("date")).cast("long").as("day_num"),
+            col("o_totalprice").cast("decimal(18,2)").as("p"))
+          .groupBy(col("day_num"))
+          .agg(sum(col("p")).as("rev"))
+        val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+        daily.select(col("day_num"),
+            col("rev").cast("double").as("revenue"),
+            sum(col("rev")).over(w).cast("double").as("revenue_7d"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT date_diff('day', DATE '1992-01-01',
+              CAST(o_orderdate AS DATE)) AS day_num,
+            sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders GROUP BY 1)
+        SELECT day_num,
+          CAST(rev AS DOUBLE) AS revenue,
+          CAST(sum(rev) OVER (ORDER BY day_num
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS revenue_7d
+        FROM daily""")),
+
     // #24h sessionization via the NATIVE session_window operator (the
     // Spark-first twin of q_sessionize's hand-rolled lag windows and
     // stream_sessionize's state machine): per (user, session) the
