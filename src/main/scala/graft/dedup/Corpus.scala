@@ -489,6 +489,12 @@ object Corpus {
       val dang = pr
         .join(outw.select(col("src").as("v")), Seq("v"), "left_anti")
         .agg(coalesce(sum(col("p")), lit(0.0)).as("dm"))
+      // localCheckpoint, not lazy persist: each pr is referenced twice
+      // by the next state (messages + dangling) — eager checkpointing
+      // cuts that to one computation AND keeps each iteration a flat
+      // plan. (A lazy persist() chain was measured 1.6x SLOWER here:
+      // nested InMemoryRelations under AQE replan the whole chain at
+      // the final action.)
       pr = nodes.crossJoin(broadcast(dang))
         .join(msgs, Seq("v"), "left_outer")
         .select(col("v"),
