@@ -286,6 +286,113 @@ object AnalyticsQueries {
              AND floor(epoch(c.ts)) <= floor(epoch(e.ts))) AS click_sec
         FROM events e WHERE e.event_type = 'error'""")),
 
+    // #24k CUSUM changepoint estimation per event type: over the same
+    // dense hour grid as q_rate_anomaly, the hour k maximizing the
+    // |scaled CUSUM| |c·prefix_k(n) − k·S| — the classic single-
+    // changepoint estimate, drift detection for a live pipeline. The
+    // statistic is INTEGER (mean scaled away by c), the argmax is a
+    // struct-min election (largest score, earliest hour on ties), so
+    // the whole gate is float-free; one ordered window per type over
+    // calendar-bounded rows.
+    Q("q_changepoint",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourUs = 3600000000L
+        val e = Sources.events(s, dir)
+          .select(col("event_type"),
+            graft.functions.epochMicros(col("ts")).as("tu"))
+          .select(col("event_type"), expr(s"tu div ${hourUs}L").as("hour"))
+        val bounds = e.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        val hours = bounds
+          .select(explode(sequence(col("h0"), col("h1"))).as("hour"))
+        val grid = e.select(col("event_type")).distinct()
+          .crossJoin(broadcast(hours))
+        val dense = grid
+          .join(e.groupBy(col("event_type"), col("hour"))
+            .agg(count(lit(1)).as("n")), Seq("event_type", "hour"),
+            "left_outer")
+          .select(col("event_type"), col("hour"),
+            coalesce(col("n"), lit(0L)).as("n"))
+        val stats = dense.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("c"), sum(col("n")).as("s"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dense.join(broadcast(stats), Seq("event_type"))
+          .select(col("event_type"), col("hour"),
+            (col("c") * sum(col("n")).over(w) -
+              row_number().over(
+                Window.partitionBy(col("event_type")).orderBy(col("hour")))
+                .cast("long") * col("s")).as("dev"))
+          .select(col("event_type"), col("hour"), abs(col("dev")).as("score"))
+          .groupBy(col("event_type"))
+          .agg(min(struct((-col("score")).as("ns"), col("hour"))).as("m"))
+          .select(col("event_type"), col("m.hour").as("cp_hour"),
+            (-col("m.ns")).as("cusum_stat"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS hour
+          FROM events),
+        b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM e),
+        hrs AS (SELECT unnest(range(h0, h1 + 1)) AS hour FROM b),
+        ty AS (SELECT DISTINCT event_type FROM e),
+        cnt AS (SELECT event_type, hour, count(*) AS n
+                FROM e GROUP BY 1, 2),
+        dense AS (
+          SELECT ty.event_type, hrs.hour, coalesce(cnt.n, 0) AS n
+          FROM ty CROSS JOIN hrs
+          LEFT JOIN cnt ON cnt.event_type = ty.event_type
+            AND cnt.hour = hrs.hour),
+        st AS (SELECT event_type, count(*) AS c, sum(n) AS s
+               FROM dense GROUP BY 1),
+        dev AS (
+          SELECT d.event_type, d.hour,
+            abs(st.c * sum(d.n) OVER (PARTITION BY d.event_type
+                ORDER BY d.hour ROWS UNBOUNDED PRECEDING)
+              - (row_number() OVER (PARTITION BY d.event_type
+                  ORDER BY d.hour)) * st.s) AS score
+          FROM dense d JOIN st USING (event_type)),
+        pick AS (
+          SELECT event_type, min({'ns': -score, 'hour': hour}) AS m
+          FROM dev GROUP BY 1)
+        SELECT event_type, m.hour AS cp_hour,
+          CAST(-m.ns AS BIGINT) AS cusum_stat
+        FROM pick""")),
+
+    // #24j pivot: the day × event-type count matrix via the native
+    // .pivot() operator with a PINNED column list (an unpinned pivot
+    // would scan once just to discover columns and make the output
+    // schema data-dependent — both wrong at scale). One groupBy with
+    // map-side combine; output is days × 5 columns.
+    Q("q_pivot_daily",
+      (s, dir) => {
+        val day = 86400000000L
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val e = Sources.events(s, dir)
+          .select(graft.functions.epochMicros(col("ts")).as("tu"),
+            col("event_type"))
+          .select(expr(s"tu div ${day}L").as("day"), col("event_type"))
+        e.groupBy(col("day")).pivot("event_type", types).count()
+          .select(col("day") +:
+            types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      },
+      Some("""
+        WITH e AS (
+          SELECT epoch_us(ts) // 86400000000 AS day, event_type
+          FROM events)
+        SELECT day,
+          CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS click,
+          CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS error,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS purchase,
+          CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS signup,
+          CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS "view"
+        FROM e GROUP BY day""")),
+
     // #24i trailing-window time series: daily revenue plus its 7-day
     // RANGE-frame rolling sum — the frame type the cumulative
     // (q_running_total) and sliding-count shapes don't cover: RANGE
