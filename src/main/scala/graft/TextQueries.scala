@@ -509,6 +509,29 @@ object TextQueries {
         FROM agg"""
       }),
 
+    // #32c windowed skip-gram co-occurrence (the GloVe X_ij / word2vec
+    // window statistic, one step past row 67's adjacency): ordered
+    // pairs within 3 positions, 1/distance weights kept EXACT in
+    // sixths ({6,3,2} — integer sums, no float accumulation). Output
+    // vocab²-bounded, minCount-floored.
+    Q("text_cooccurrence",
+      (s, dir) => graft.text.Text.cooccurrence(docs(s, dir))
+        .select(col("x"), col("y"), col("cooc").cast("long").as("cooc"),
+          col("w6").cast("long").as("w6")),
+      Some("""
+        WITH toks AS (
+          SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        p AS (
+          SELECT t[i] AS x, t[i + d] AS y, d
+          FROM toks,
+            UNNEST(range(1, len(t))) u(i),
+            UNNEST(range(1, least(3, len(t) - i) + 1)) v(d)
+          WHERE len(t) >= 2)
+        SELECT x, y, CAST(count(*) AS BIGINT) AS cooc,
+          CAST(sum(6 // d) AS BIGINT) AS w6
+        FROM p GROUP BY 1, 2 HAVING count(*) >= 5""")),
+
     // #33c model evaluation: the classifier (row 68) calibrated against
     // the heuristic score (row 33) — per logit-grid bin, how many docs
     // each policy keeps and how often they agree. Bins are EXACT

@@ -594,6 +594,38 @@ object Text {
   }
 
   /**
+   * Windowed skip-gram co-occurrence counts — the statistic embedding
+   * training (word2vec subsampling windows, GloVe's X_ij matrix)
+   * preprocesses a corpus into: every ORDERED token pair within
+   * `window` positions, with the conventional 1/distance weighting
+   * kept EXACT by scaling to sixths (window=3 → weights {6,3,2} —
+   * integer sums, no float accumulation order in the gate).
+   *
+   * Scale shape like [[collocations]]: a double index-explode (i, then
+   * distance ≤ window) into one map-side-combined groupBy — the output
+   * is vocab²-bounded and minCount-floored, never corpus-shaped.
+   */
+  def cooccurrence(docs: org.apache.spark.sql.DataFrame,
+      textCol: String = "text", window: Int = 3, minCount: Long = 5L)
+      : org.apache.spark.sql.DataFrame = {
+    // sixths are exact only while every distance divides 6
+    require(window >= 1 && window <= 3, "window must be in [1, 3]")
+    val toks = docs.select(tokens(col(textCol)).as("ts"))
+    toks.where(size(col("ts")) >= 2)
+      .select(explode(sequence(lit(1), size(col("ts")) - 1)).as("i"),
+        col("ts"))
+      .select(col("ts"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(window), size(col("ts")) - col("i")))).as("d"))
+      .select(element_at(col("ts"), col("i")).as("x"),
+        element_at(col("ts"), col("i") + col("d")).as("y"), col("d"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("cooc"),
+        sum(expr("6 div d")).as("w6"))
+      .where(col("cooc") >= minCount)
+  }
+
+  /**
    * PMI-scored bigram collocations over the corpus — the n-gram
    * statistic vocabulary induction and tokenizer evaluation runs:
    * pmi(x,y) = ln(p(x,y) / (p(x)·p(y))) with p(x,y) = c_xy/pairs and

@@ -341,6 +341,26 @@ class TextSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("cooccurrence: windowed pairs with exact sixth-weights") {
+    import spark.implicits._
+    // "a b c d": pairs d=1: ab bc cd; d=2: ac bd; d=3: ad
+    val d = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val out = graft.text.Text.cooccurrence(d, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("a", "b")) == ((1L, 6L)))
+    assert(out(("a", "c")) == ((1L, 3L)))
+    assert(out(("a", "d")) == ((1L, 2L)))
+    assert(out.size == 6)
+    // repeated pair accumulates both count and weight
+    val r = Seq((1L, "x y x y")).toDF("doc_id", "text")
+    val m = graft.text.Text.cooccurrence(r, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // (x,y): d=1 twice + d=3 once → cooc 3, w6 = 6+6+2
+    assert(m(("x", "y")) == ((3L, 14L)))
+  }
+
   test("bpe train: learns hand-computable merges in frequency order") {
     import spark.implicits._
     // chars: "aaab"×2 → pairs (a,a)×2 + (a,b) each; "ab" → (a,b).
