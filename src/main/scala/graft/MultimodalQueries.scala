@@ -138,6 +138,41 @@ object MultimodalQueries {
         SELECT d.doc_id, d.dh, g.group_size FROM d JOIN g USING (dh)"""
       }),
 
+    // #36g audio near-dup fingerprint (the audio analog of
+    // multimodal_phash): decode the WAV's real PCM, quantize each
+    // 16-sample window's integer |amplitude| sum to a 2-bit energy
+    // level, pack levels into one long — the coarse energy envelope
+    // audio dedup buckets on. All integer arithmetic end to end; the
+    // oracle recomputes the fingerprint from the generator's
+    // closed-form sample formula with range() lambdas.
+    Q("multimodal_audio_fp",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Sources.table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
+        val wavs = ids.map(id => (id, Multimodal.tonePcmWav(id)))
+          .toDF("doc_id", "payload")
+        Multimodal.audioFingerprint(wavs, "payload")
+          .select(col("doc_id"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("n_windows").cast("long").as("n_windows"), col("fp"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, doc_id % 50 + 10 AS n,
+            CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate
+          FROM documents),
+        w AS (SELECT doc_id, sample_rate, least(n // 16, 16) AS nw FROM p)
+        SELECT doc_id, sample_rate, CAST(nw AS BIGINT) AS n_windows,
+          CAST(CASE WHEN nw = 0 THEN 0 ELSE
+            list_sum(list_transform(range(nw), w ->
+              (list_sum(list_transform(range(w * 16, w * 16 + 16), k ->
+                abs((31 * doc_id + 7 * k) % 2001 - 1000))) // 4001)
+              << (2 * w)))
+          END AS BIGINT) AS fp
+        FROM w""")),
+
     // #36c REAL audio decode: every doc_id is rendered to a 16-bit mono
     // PCM WAV whose rate and samples are pure functions of the id
     // (Multimodal.tonePcmWav), then parsed back through the RIFF/PCM

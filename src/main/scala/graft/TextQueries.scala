@@ -509,6 +509,32 @@ object TextQueries {
         FROM agg"""
       }),
 
+    // #32d the dataset card: one-row corpus datasheet (docs, tokens,
+    // chars, sources, langs, exact-dup docs) in a single pass — the
+    // three count-distincts expand the scan 3× (Spark's Expand
+    // operator), still one linear job with a single-row result; every
+    // column is an exact integer.
+    Q("corpus_stats",
+      (s, dir) => docs(s, dir).agg(
+        count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount(col("text"))).cast("long").as("n_tokens"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(Text.fingerprint(col("text"))))
+          .as("dup_docs")),
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+            AS BIGINT) AS n_tokens,
+          CAST(sum(length(text)) AS BIGINT) AS n_chars,
+          CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+          CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+          CAST(count(*) - count(DISTINCT
+            md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))
+            AS BIGINT) AS dup_docs
+        FROM documents""")),
+
     // #32c windowed skip-gram co-occurrence (the GloVe X_ij / word2vec
     // window statistic, one step past row 67's adjacency): ordered
     // pairs within 3 positions, 1/distance weights kept EXACT in

@@ -205,8 +205,64 @@ object Multimodal {
   /** Parse a WAV (RIFF) payload: walk the chunk list, require canonical
     * 16-bit mono PCM, and return (sample_rate, n_samples, mean, peak)
     * from the data chunk's samples. None for anything else. */
-  private[graft] def decodeWavStats(
-      bytes: Array[Byte]): Option[(Int, Long, Double, Long)] = {
+  /** Output schema of [[audioFingerprint]]'s appended columns. */
+  private val audioFpFields = Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("n_windows", IntegerType),
+    StructField("fp", LongType))
+
+  /**
+   * REAL audio fingerprint over a binary column (the audio analog of
+   * [[imageDHash]]): decode the WAV's PCM samples, split into windows
+   * of 16, quantize each window's integer sum of |amplitude| to a
+   * 2-bit energy level (sumabs div 4001 — exact integer arithmetic),
+   * and pack the levels into one long (2 bits per window, first 16
+   * windows). Hash-equal fingerprints = same coarse energy envelope —
+   * the dedup key audio pipelines bucket on. NULL for non-WAV
+   * payloads. The oracle recomputes the fingerprint from the
+   * generator's closed-form sample formula, never seeing a byte.
+   */
+  def audioFingerprint(df: DataFrame, payloadCol: String,
+      batchSize: Int = 64, rebalance: Boolean = true): DataFrame = {
+    val outSchema = StructType(df.schema ++ audioFpFields)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val nulls = Seq[Any](null, null, null)
+    val in = if (rebalance) rebalanced(df) else df
+    in.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val fp = decodeWavFingerprint(r.getAs[Array[Byte]](idx))
+            .map { case (rate, nw, f) => Seq[Any](rate, nw, f) }
+            .getOrElse(nulls)
+          Row.fromSeq(r.toSeq ++ fp)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** The 2-bit-per-window energy fingerprint of one WAV payload. */
+  private[graft] def decodeWavFingerprint(
+      bytes: Array[Byte]): Option[(Int, Int, Long)] =
+    scala.util.Try(decodeWavSamples(bytes)).toOption.flatten.map {
+      case (rate, ss) =>
+        val nw = math.min(ss.length / 16, 16)
+        var fp = 0L
+        var w = 0
+        while (w < nw) {
+          var sa = 0L
+          var k = 0
+          while (k < 16) { sa += math.abs(ss(w * 16 + k).toLong); k += 1 }
+          fp |= (sa / 4001L) << (2 * w) // level < 4: bits never overlap
+          w += 1
+        }
+        (rate, nw, fp)
+    }
+
+  /** The RIFF walk shared by [[decodeWavStats]] and
+    * [[decodeWavFingerprint]]: canonical 16-bit mono PCM → the sample
+    * rate and the raw int16 samples; None for anything else. */
+  private[graft] def decodeWavSamples(
+      bytes: Array[Byte]): Option[(Int, Array[Int])] = {
     if (bytes == null || bytes.length < 44) return None
     def u8(i: Int) = bytes(i) & 0xff
     def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
@@ -235,21 +291,32 @@ object Multimodal {
     }
     if (fmt != 1 || channels != 1 || bits != 16 || rate <= 0 ||
         dataOff < 0) return None
-    val n = dataLen / 2
+    val n = (dataLen / 2).toInt
     if (n <= 0) return None
-    var sum = 0L; var peak = 0L
+    val ss = new Array[Int](n)
     var i = 0
     while (i < n) {
       // int16 LE: sign comes from the high byte
-      val s = (bytes(dataOff + 2 * i.toInt + 1) << 8) |
-        (bytes(dataOff + 2 * i.toInt) & 0xff)
-      sum += s
-      val a = math.abs(s.toLong)
-      if (a > peak) peak = a
+      ss(i) = (bytes(dataOff + 2 * i + 1) << 8) |
+        (bytes(dataOff + 2 * i) & 0xff)
       i += 1
     }
-    Some((rate, n, sum.toDouble / n, peak))
+    Some((rate, ss))
   }
+
+  private[graft] def decodeWavStats(
+      bytes: Array[Byte]): Option[(Int, Long, Double, Long)] =
+    decodeWavSamples(bytes).map { case (rate, ss) =>
+      var sum = 0L; var peak = 0L
+      var i = 0
+      while (i < ss.length) {
+        sum += ss(i)
+        val a = math.abs(ss(i).toLong)
+        if (a > peak) peak = a
+        i += 1
+      }
+      (rate, ss.length.toLong, sum.toDouble / ss.length, peak)
+    }
 
   /**
    * Deterministic synthetic WAV for tests/oracles (the audio analog of

@@ -185,6 +185,26 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeDHash("not a png".getBytes).isEmpty)
   }
 
+  test("audio fingerprint: decode matches the generator's replay") {
+    def replay(id: Long): (Int, Int, Long) = {
+      val n = (id % 50 + 10).toInt
+      val rate = 8000 * (1 + (id % 3).toInt)
+      val nw = math.min(n / 16, 16)
+      var fp = 0L
+      for (w <- 0 until nw) {
+        val sa = (0 until 16).map(k =>
+          math.abs((id * 31 + (w * 16 + k) * 7) % 2001 - 1000)).sum
+        fp |= (sa / 4001L) << (2 * w)
+      }
+      (rate, nw, fp)
+    }
+    (0L until 60L).foreach { id =>  // covers every n mod 50, incl nw=0
+      val got = Multimodal.decodeWavFingerprint(Multimodal.tonePcmWav(id))
+      assert(got.contains(replay(id)), s"id=$id: $got vs ${replay(id)}")
+    }
+    assert(Multimodal.decodeWavFingerprint("RIFFnope".getBytes).isEmpty)
+  }
+
   test("metadata struct round-trips through the schema") {
     val df = payloads.withColumn("meta", struct(
       col("kind"), lit(640).as("width"), lit(480).as("height"),
