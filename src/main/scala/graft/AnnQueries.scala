@@ -454,6 +454,64 @@ object AnnQueries {
           FROM qz, qq)
         SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10""")),
 
+    // #29b embedding-space outlier detection (noise/mislabel hunting
+    // before training): per label, the 3 vectors farthest from their
+    // label's centroid — computed ENTIRELY in exact integers: int8
+    // per-vector quantization (the ann_quantized arithmetic), per-dim
+    // integer sums for the centroid, and the scaled L1 distance
+    // Σ_d |cnt·q_d − S_d| (the mean's division multiplied away), so
+    // neither float centroids nor summation order can move a rank.
+    // Dim-exploded rows are (id, label, dim, int) — narrow; the
+    // centroid table is labels×dims and broadcasts back.
+    Q("corpus_embed_outliers",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val qz = emb(s, dir).select(col("vec_id"), col("label"),
+          Ann.quantize8(col("embedding")).as("q"))
+        val e = qz.select(col("vec_id"), col("label"),
+            posexplode(col("q")))
+          .select(col("vec_id"), col("label"), col("pos"),
+            col("col").cast("long").as("qd"))
+        val c = e.groupBy(col("label"), col("pos"))
+          .agg(sum(col("qd")).as("sd"), count(lit(1)).as("cnt"))
+        val dist = e.join(broadcast(c), Seq("label", "pos"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(sum(abs(col("cnt") * col("qd") - col("sd"))).as("sdist"))
+        dist.withColumn("rnk", row_number().over(
+            Window.partitionBy(col("label"))
+              .orderBy(col("sdist").desc, col("vec_id"))))
+          .where(col("rnk") <= 3)
+          .select(col("label").cast("long").as("label"), col("vec_id"),
+            col("sdist"), col("rnk").cast("long").as("rnk"))
+      },
+      Some(s"""
+        WITH qz AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> floor(CAST(x AS DOUBLE)
+              * (127.0 / greatest(list_aggregate(
+                   list_transform(embedding, y -> abs(CAST(y AS DOUBLE))),
+                   'max'), 1e-30)) + 0.5)) AS q
+          FROM embeddings),
+        e AS (
+          SELECT vec_id, label, d, q[d] AS qd
+          FROM qz, UNNEST(range(1, len(q) + 1)) u(d)),
+        c AS (
+          SELECT label, d, sum(qd) AS sd, count(*) AS cnt
+          FROM e GROUP BY 1, 2),
+        dist AS (
+          SELECT e.vec_id, e.label,
+            sum(abs(c.cnt * e.qd - c.sd)) AS sdist
+          FROM e JOIN c ON c.label = e.label AND c.d = e.d
+          GROUP BY 1, 2),
+        r AS (
+          SELECT label, vec_id, sdist,
+            row_number() OVER (PARTITION BY label
+              ORDER BY sdist DESC, vec_id) AS rnk
+          FROM dist)
+        SELECT CAST(label AS BIGINT) AS label, vec_id,
+          CAST(sdist AS BIGINT) AS sdist, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= 3""")),
+
     // #30c product quantization: deterministic per-subspace codebooks
     // (XHash-sampled like IVF), L2-nearest encoding, ADC search. The
     // oracle replays sampling, sub-vector split, argmin encoding (ties
