@@ -512,6 +512,21 @@ object AnnQueries {
           CAST(sdist AS BIGINT) AS sdist, CAST(rnk AS BIGINT) AS rnk
         FROM r WHERE rnk <= 3""")),
 
+    // #30e RECALL GATE, int8: the quantized scan's top-10 against the
+    // full-precision exact ground truth — the quality contract scalar
+    // quantization was missing (its determinism gate can't see a
+    // precision collapse). Floor 32/40 pinned from measurement (38/40
+    // at sf0.01, 40/40 at sf0.001 and the 10× dir — int8 over 64 dims
+    // is near-lossless, and the floor leaves honest slack).
+    Q("ann_recall_quantized",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = queryBatch(e, 4)
+        recallGate(Ann.bruteForceTopKBatch(e, q, 10),
+          Ann.quantizedTopKBatch(e, q, 10), MinQuantHits)
+      },
+      Some(recallSql(quantizedBatchSql, MinQuantHits))),
+
     // #30c product quantization: deterministic per-subspace codebooks
     // (XHash-sampled like IVF), L2-nearest encoding, ADC search. The
     // oracle replays sampling, sub-vector split, argmin encoding (ties
@@ -786,6 +801,33 @@ object AnnQueries {
         sc AS (
           SELECT qs.qid, n.vec_id, ${dotSql("n.vn", "qs.qn")} AS cos
           FROM n CROSS JOIN qs)
+        SELECT qid, vec_id, cos FROM (
+          SELECT qid, vec_id, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+              AS rn
+          FROM sc)
+        WHERE rn <= 10"""
+
+  /** Floor for the int8 recall gate (total hits over 4 queries × 10). */
+  private val MinQuantHits = 32
+
+  /** The batch analog of ann_quantized's oracle — per-vector int8
+    * quantization, 4-query batch, per-qid ranking window. */
+  private def quantizedBatchSql: String = s"""
+        WITH qz AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> floor(CAST(x AS DOUBLE)
+              * (127.0 / greatest(list_aggregate(
+                   list_transform(embedding, y -> abs(CAST(y AS DOUBLE))),
+                   'max'), 1e-30)) + 0.5)) AS q
+          FROM embeddings),
+        qb AS (SELECT vec_id AS qid, q AS qq FROM qz ORDER BY vec_id LIMIT 4),
+        sc AS (
+          SELECT qb.qid, qz.vec_id,
+            ${dotSql("qz.q", "qb.qq")}
+              / (sqrt(${dotSql("qz.q", "qz.q")})
+                 * sqrt(${dotSql("qb.qq", "qb.qq")})) AS cos
+          FROM qz CROSS JOIN qb)
         SELECT qid, vec_id, cos FROM (
           SELECT qid, vec_id, cos,
             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)

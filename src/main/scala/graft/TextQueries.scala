@@ -74,6 +74,48 @@ object TextQueries {
         FROM documents"""
   }
 
+
+  /** The text_langid oracle (also the base of the eval rollup):
+    * generated from the SAME stopword profiles the Scala langId
+    * uses. */
+  private def langidOracleSql: String = {
+        val profiles = Seq(
+          "en" -> Seq("the", "a", "an", "and", "of", "to", "in", "is",
+            "that", "it", "was", "for", "on", "with", "as"),
+          "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en",
+            "un", "una", "es", "por", "con", "para"),
+          "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est",
+            "dans", "que", "pour", "qui", "sur"),
+          "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine",
+            "zu", "von", "mit", "nicht", "auf"))
+        val scoreCols = profiles.map { case (lang, stops) =>
+          val listLit = stops.map(s => s"'$s'").mkString("[", ", ", "]")
+          s"""CAST(len(list_filter(toks, x -> list_contains($listLit, x))) AS DOUBLE)
+             |        / CAST(greatest(len(toks), 1) AS DOUBLE) AS sc_$lang""".stripMargin
+        }.mkString(",\n      ")
+        val best = profiles.map(p => s"sc_${p._1}").mkString("greatest(", ", ", ")")
+        val tieBreak = profiles.map { case (lang, _) =>
+          s"WHEN sc_$lang = best AND sc_$lang > 0 THEN '$lang'"
+        }.mkString("\n          ")
+        s"""
+        WITH t AS (
+          SELECT doc_id, lang AS lang_actual, text,
+            string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, lang_actual,
+            CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE)
+              / CAST(greatest(length(text), 1) AS DOUBLE) AS cjk,
+            $scoreCols
+          FROM t),
+        b AS (SELECT *, $best AS best FROM s)
+        SELECT doc_id, lang_actual,
+          CASE WHEN cjk > 0.3 THEN 'zh'
+          $tieBreak
+          ELSE 'und' END AS lang_pred
+        FROM b"""
+      }
+
   def all: Seq[Q] = Seq(
 
     // #34 token counting: whitespace tokens + BPE-ish pre-tokenizer runs
@@ -280,43 +322,27 @@ object TextQueries {
         col("doc_id"),
         col("lang").as("lang_actual"),
         Text.langId(col("text")).as("lang_pred")),
-      Some {
-        val profiles = Seq(
-          "en" -> Seq("the", "a", "an", "and", "of", "to", "in", "is",
-            "that", "it", "was", "for", "on", "with", "as"),
-          "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en",
-            "un", "una", "es", "por", "con", "para"),
-          "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est",
-            "dans", "que", "pour", "qui", "sur"),
-          "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine",
-            "zu", "von", "mit", "nicht", "auf"))
-        val scoreCols = profiles.map { case (lang, stops) =>
-          val listLit = stops.map(s => s"'$s'").mkString("[", ", ", "]")
-          s"""CAST(len(list_filter(toks, x -> list_contains($listLit, x))) AS DOUBLE)
-             |        / CAST(greatest(len(toks), 1) AS DOUBLE) AS sc_$lang""".stripMargin
-        }.mkString(",\n      ")
-        val best = profiles.map(p => s"sc_${p._1}").mkString("greatest(", ", ", ")")
-        val tieBreak = profiles.map { case (lang, _) =>
-          s"WHEN sc_$lang = best AND sc_$lang > 0 THEN '$lang'"
-        }.mkString("\n          ")
-        s"""
-        WITH t AS (
-          SELECT doc_id, lang AS lang_actual, text,
-            string_split_regex(trim(lower(text)), '\\s+') AS toks
-          FROM documents),
-        s AS (
-          SELECT doc_id, lang_actual,
-            CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE)
-              / CAST(greatest(length(text), 1) AS DOUBLE) AS cjk,
-            $scoreCols
-          FROM t),
-        b AS (SELECT *, $best AS best FROM s)
-        SELECT doc_id, lang_actual,
-          CASE WHEN cjk > 0.3 THEN 'zh'
-          $tieBreak
-          ELSE 'und' END AS lang_pred
-        FROM b"""
-      }),
+      Some(langidOracleSql)),
+
+    // #32e the langid QUALITY gate (accuracy, not just determinism):
+    // the confusion rollup of predicted vs ground-truth language —
+    // per (actual, predicted) cell counts plus the per-actual total,
+    // all exact integers over a language²-bounded output. A heuristic
+    // change that tanks accuracy shows up as mass moving off the
+    // diagonal, which the per-doc gate alone renders invisible.
+    Q("text_langid_eval",
+      (s, dir) => docs(s, dir).select(
+          col("lang").as("lang_actual"),
+          Text.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_actual"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("lang_actual"), col("lang_pred"),
+          col("n").cast("long").as("n")),
+      Some(s"""
+        WITH base AS ($langidOracleSql)
+        SELECT lang_actual, lang_pred, CAST(count(*) AS BIGINT) AS n
+        FROM base GROUP BY 1, 2""")),
+
 
     // #33c CCNet-style unigram log-prob: mean -ln p(token) under the
     // corpus unigram distribution — the corpus-relative quality signal

@@ -945,6 +945,23 @@ object Ann {
       .limit(k)
   }
 
+  /** Batch [[quantizedTopK]] — one quantized corpus pass scores every
+    * broadcast query, per-query ranking window (the
+    * [[bruteForceTopKBatch]] shape over int8). */
+  def quantizedTopKBatch(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", qidCol: String = "qid",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(qidCol).as("_qid"),
+      quantize8(col(vecCol)).as("qq")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid")).orderBy(col("cos").desc, col(idCol))
+    corpus.select(col(idCol), quantize8(col(vecCol)).as("qv"))
+      .join(q)
+      .select(col("_qid"), col(idCol), cosine(col("qv"), col("qq")).as("cos"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("_qid").as(qidCol), col(idCol), col("cos"))
+  }
+
   /**
    * Embedding-cosine near-dup pairs: sign-bucket join (pairs only form
    * within a bucket), exact cosine verify ≥ minCos.
