@@ -535,6 +535,60 @@ object TextQueries {
         FROM agg"""
       }),
 
+    // #33d budget-fill curation: spend a token budget (half the corpus)
+    // on the best documents by the row-68 model — greedy from the top
+    // at centi-logit BUCKET granularity, the histogram-cutoff move
+    // corpus_dsir uses (no global sort over docs; the running-sum
+    // window sees ≤ 201 bucket rows). Everything is integer: the
+    // bucket key ((num+1000n)·100 div 1000n — non-negative, so
+    // truncation == floor in both engines), the per-bucket token sums,
+    // the budget (total div 2), and the cumulative comparison; a doc
+    // is selected iff its whole bucket fits the remaining budget.
+    Q("corpus_token_budget",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = graft.text.Text.qualityModelRaw(docs(s, dir))
+          .select(col("doc_id"), col("n_tokens"),
+            expr("(num + 1000 * n_tokens) * 100 div (1000 * n_tokens)")
+              .as("kc"))
+        val budget = m.agg(expr("sum(n_tokens) div 2").as("budget"))
+        val hist = m.groupBy(col("kc")).agg(sum(col("n_tokens")).as("bt"))
+        val cum = hist.withColumn("cum",
+          sum(col("bt")).over(Window.orderBy(col("kc").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        m.join(broadcast(cum.select(col("kc"), col("cum"))), Seq("kc"))
+          .crossJoin(broadcast(budget))
+          .select(col("doc_id"), col("n_tokens"), col("kc"),
+            (col("cum") <= col("budget")).as("selected"))
+      },
+      Some {
+        val h = graft.functions.XHash.h60Sql("'qm:' || t")
+        val b = graft.text.Text.QmBuckets
+        val bias = graft.text.Text.QmBiasNum
+        s"""
+        WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+          FROM documents),
+        feats AS (
+          SELECT doc_id, ($h % $b) * 2654435761 % 2000 - 1000 AS wi
+          FROM toks),
+        m AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            ((sum(wi) + $bias * count(*)) + 1000 * count(*)) * 100
+              // (1000 * count(*)) AS kc
+          FROM feats GROUP BY doc_id),
+        budget AS (SELECT sum(n_tokens) // 2 AS budget FROM m),
+        hist AS (SELECT kc, sum(n_tokens) AS bt FROM m GROUP BY kc),
+        cum AS (
+          SELECT kc, sum(bt) OVER (ORDER BY kc DESC
+            ROWS UNBOUNDED PRECEDING) AS cum
+          FROM hist)
+        SELECT m.doc_id, m.n_tokens, m.kc,
+          cum.cum <= budget.budget AS selected
+        FROM m JOIN cum USING (kc) CROSS JOIN budget"""
+      }),
+
     // #32d the dataset card: one-row corpus datasheet (docs, tokens,
     // chars, sources, langs, exact-dup docs) in a single pass — the
     // three count-distincts expand the scan 3× (Spark's Expand
