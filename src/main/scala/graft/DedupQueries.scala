@@ -494,6 +494,50 @@ object DedupQueries {
           CAST((tok_offset + n_toks - 1) // 256 AS BIGINT) AS chunk_last
         FROM c""")),
 
+    // #41b the SHARD MANIFEST over the packed layout — the artifact a
+    // trainer's data loader actually consumes (and the integrity check
+    // a 100 TB packing job publishes): per shard, document and token
+    // totals, the number of fixed-length sequences the shard splits
+    // into (from the LAST doc's chunk_last — the packing is
+    // offset-contiguous per shard), a replayable content checksum
+    // (sum of id·XHash over members — order-free, so map-side partial
+    // aggs suffice), and the count of docs straddling a sequence
+    // boundary. One rollup over the pack table; output is shard-count
+    // rows.
+    Q("corpus_pack_manifest",
+      (s, dir) => {
+        val p = graft.dedup.Corpus.packChunks(docs(s, dir),
+          seqLen = 256, shards = 8)
+        p.groupBy(col("shard")).agg(
+          count(lit(1)).as("n_docs"),
+          (max(col("chunk_last")) + 1).as("n_seqs"),
+          sum(when(col("chunk_first") =!= col("chunk_last"), 1L)
+            .otherwise(0L)).as("straddlers"),
+          sum(col("doc_id") % lit(1000003L) *
+            (graft.functions.XHash.h60(col("doc_id").cast("string"))
+              % lit(1000000L)) % lit(1000003L)).as("checksum"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+            ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+            ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 1000000 AS ck,
+            CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, shard, ck, n_toks,
+            COALESCE(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+          FROM t)
+        SELECT CAST(shard AS BIGINT) AS shard,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(max((tok_offset + n_toks - 1) // 256) + 1 AS BIGINT) AS n_seqs,
+          CAST(sum(CASE WHEN tok_offset // 256 <>
+            (tok_offset + n_toks - 1) // 256 THEN 1 ELSE 0 END) AS BIGINT)
+            AS straddlers,
+          CAST(sum(doc_id % 1000003 * ck % 1000003) AS BIGINT) AS checksum
+        FROM c GROUP BY shard""")),
+
     // #25f source-weighted mixture sampling (domain reweighting):
     // per-source deterministic hash keep-rates, power-of-two rates so
     // rate×10⁶ is integer-exact in both engines. Output = per-source
