@@ -438,7 +438,7 @@ object DedupSql {
     * redistribution, and the damping arithmetic all evaluate in the
     * identical shape the Spark plan uses. */
   def sourceRank(base: String = "documents", n: Int = 5, iters: Int = 5,
-      damping: Double = 0.85): String = {
+      damping: Double = 0.85, maxSources: Int = 64): String = {
     val rounds = (0 until iters).map { i =>
       s"""msg$i AS (
          |  SELECT e.dst AS v, sum(pr.p * e.w / o.ow) AS m
@@ -470,9 +470,13 @@ object DedupSql {
        |  FROM idx),
        |nodes AS (SELECT DISTINCT source AS v FROM $base),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |sdf AS (
+       |  SELECT s FROM sh GROUP BY s
+       |  HAVING count(*) <= $maxSources),
        |e AS (
        |  SELECT a.v AS src, b.v AS dst, CAST(count(*) AS DOUBLE) AS w
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.v <> b.v
+       |  JOIN sdf ON sdf.s = a.s
        |  GROUP BY 1, 2),
        |outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
        |pr0 AS (SELECT v, 1.0 / n AS p FROM nodes CROSS JOIN nn),

@@ -584,7 +584,7 @@ object TextQueries {
           SELECT kc, sum(bt) OVER (ORDER BY kc DESC
             ROWS UNBOUNDED PRECEDING) AS cum
           FROM hist)
-        SELECT m.doc_id, m.n_tokens, m.kc,
+        SELECT m.doc_id, m.n_tokens, CAST(m.kc AS BIGINT) AS kc,
           cum.cum <= budget.budget AS selected
         FROM m JOIN cum USING (kc) CROSS JOIN budget"""
       }),
@@ -685,7 +685,7 @@ object TextQueries {
           SELECT least(((num + 1000 * n) * 10) // (2000 * n), 9) AS bin,
             num >= 0 AS mk, hk
           FROM agg JOIN heur USING (doc_id))
-        SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
           CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS BIGINT)
             AS model_keeps,
           CAST(sum(CASE WHEN hk THEN 1 ELSE 0 END) AS BIGINT)

@@ -453,11 +453,17 @@ object Corpus {
    * content) donate their mass uniformly, the standard formulation, so
    * total rank stays 1.
    *
-   * Scale shape: the edge build is the dedup family's bucket join —
-   * distinct (source, shingle) rows self-join on the shingle and
-   * reduce to source-pair weights (per-shingle fan-out is bounded by
-   * the sources sharing it; a boilerplate-hot shingle at domain scale
-   * wants the HeavyBucket cap [[Dedup]] applies to candidate pairs).
+   * Scale shape: the edge build routes through [[Dedup.bucketPairs]]
+   * with a document-frequency cap — a shingle shared by more than
+   * `maxSources` distinct sources is boilerplate (near-zero
+   * discriminative weight for co-duplication, the same argument
+   * corpus_boilerplate makes for hot lines) and is dropped BEFORE pair
+   * generation. Without the cap a shingle shared by K sources emits
+   * K² pair rows inside ONE join key (one task): quadratic work and a
+   * parallelism ceiling at web scale. With it, every surviving bucket
+   * is ≤ maxSources, so the in-bucket expansion is memory-bounded and
+   * per-key work is O(maxSources²) constant. The oracle replays the
+   * identical cap in its edge CTE.
    * Each iteration is one edge-bounded join+groupBy message pass plus
    * a single-row dangling aggregate crossed in as a broadcast — no
    * driver-side rank state, no corpus-sized shuffle after the edge
@@ -467,13 +473,21 @@ object Corpus {
    */
   def sourceRank(docs: DataFrame, n: Int = 5, iters: Int = 5,
       damping: Double = 0.85, srcCol: String = "source",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", maxSources: Int = 64): DataFrame = {
     val sh = docs.select(col(srcCol).as("v"),
       explode(Dedup.shingles(col(textCol), n)).as("s")).distinct()
-    val edges = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.v") =!= col("b.v"))
-      .groupBy(col("a.v").as("src"), col("b.v").as("dst"))
+    // bucketPairs with maxBucket = the DF cap: buckets (shingles) shared
+    // by > maxSources sources are skipped, the rest expand in-bucket to
+    // ordered (a < b) source pairs — bounded per key, no K² hot task.
+    val half = Dedup.bucketPairs(
+        sh.select(col("s"), col("v").as("item")), Seq("s"),
+        heavy = Dedup.HeavyBucket, maxBucket = Some(maxSources))
+      .groupBy(col("a").as("src"), col("b").as("dst"))
       .agg(count(lit(1)).cast("double").as("w"))
+    // the co-duplication graph is symmetric: mirror the ordered half
+    val edges = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst"),
+        col("w")))
       .localCheckpoint()
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
       .localCheckpoint()

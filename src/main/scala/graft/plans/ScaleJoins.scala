@@ -121,8 +121,11 @@ object ScaleJoins {
    * trailing window spans exactly TWO consecutive bins, and the join
    * becomes bin-equi + residual range predicate. Work is 2|probe| +
    * bin-co-resident pairs — linear in event density, not in |probe|×
-   * |build|. Bin indices are integer division (`div`), never float —
-   * a double division can misround at a bin boundary.
+   * |build|. Bin indices are integer FLOOR division, never float — a
+   * double division can misround at a bin boundary, and Spark's `div`
+   * truncates toward zero, which would mis-bin negative times and
+   * silently drop matches (the two-consecutive-bins covering argument
+   * needs floor semantics), so `div` gets a sign correction.
    *
    * Returns matched pairs (inner): all probe columns plus the build
    * columns. Unmatched probes are absent — the caller aggregates and
@@ -133,10 +136,15 @@ object ScaleJoins {
   def binnedRangeJoin(probe: DataFrame, probeTime: String,
       build: DataFrame, buildTime: String, windowUs: Long): DataFrame = {
     require(windowUs > 0, "windowUs must be positive")
-    val tb = expr(s"$probeTime div ${windowUs}L")
+    // floorDiv(t, w) for w > 0: `div` truncates toward zero, so shift
+    // the quotient down by one when a negative t leaves a remainder
+    def floorBin(t: String) = expr(
+      s"$t div ${windowUs}L - (CASE WHEN $t % ${windowUs}L < 0 " +
+        "THEN 1 ELSE 0 END)")
+    val tb = floorBin(probeTime)
     val p = probe.withColumn("_bin",
       explode(array(tb - lit(1L), tb)))
-    val b = build.withColumn("_bin", expr(s"$buildTime div ${windowUs}L"))
+    val b = build.withColumn("_bin", floorBin(buildTime))
     p.join(b, Seq("_bin"))
       .where(col(buildTime) >= col(probeTime) - lit(windowUs) &&
         col(buildTime) < col(probeTime))

@@ -161,7 +161,11 @@ object Text {
     * tie order) is shared with the Spark path. */
   /** The shared CTE chain of the training oracles: cur0 (fenced init,
     * doc_id carried) and `merges` unrolled rounds of pair-count →
-    * argmax → fixed-pass replace. */
+    * argmax → fixed-pass replace. An exhausted round (no mergeable
+    * pair, so best$i is empty) is a no-op — LEFT JOIN + coalesce keeps
+    * cur_{i+1} = cur_i, mirroring the Scala early-exit; a CROSS JOIN
+    * here would collapse the corpus state to zero rows on degenerate
+    * corpora and silently diverge from the Spark side. */
   private def bpeTrainCtes(base: String, merges: Int, passes: Int): String = {
     val init = "(' ' || array_to_string(list_transform(" +
       "regexp_extract_all(lower(text), '[a-z]+'), " +
@@ -179,8 +183,8 @@ object Text {
          |  GROUP BY 1, 2),
          |best$i AS (SELECT a, b, c FROM pr$i ORDER BY c DESC, a, b LIMIT 1),
          |cur${i + 1} AS (
-         |  SELECT doc_id, $rep AS s${i + 1}
-         |  FROM cur$i CROSS JOIN best$i bb)""".stripMargin
+         |  SELECT doc_id, coalesce($rep, s$i) AS s${i + 1}
+         |  FROM cur$i LEFT JOIN best$i bb ON TRUE)""".stripMargin
     }
     s"""WITH cur0 AS (SELECT doc_id, $init AS s0 FROM $base),
        |${rounds.mkString(",\n")}""".stripMargin

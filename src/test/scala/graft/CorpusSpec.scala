@@ -319,4 +319,30 @@ class CorpusSpec extends SparkSpec {
     // the hub outranks the dangling isolate
     assert(got("srcB") > got("srcD"))
   }
+
+  test("source rank: DF cap drops a planted all-sources boilerplate " +
+      "shingle (no K-squared edges from one hot key)") {
+    import org.apache.spark.sql.functions.col
+    // 6 sources all share one boilerplate 3-gram; with maxSources = 4
+    // that shingle is dropped BEFORE pair generation, so the only edge
+    // left is the genuine A—B pair.
+    val boiler = (1 to 6).map(i => (i.toLong, s"src$i", "z z z"))
+    val real = Seq((10L, "src1", "a b c"), (11L, "src2", "a b c"))
+    val docs = (boiler ++ real).toDF("doc_id", "source", "text")
+    val pr = Corpus.sourceRank(docs, n = 3, iters = 2, maxSources = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr.size == 6)
+    // src1/src2 are linked (higher rank); src3..6 are all dangling and
+    // identical — the boilerplate shingle contributed zero edges.
+    assert(pr("src1") == pr("src2"))
+    assert(Set("src3", "src4", "src5", "src6").map(pr).size == 1)
+    assert(pr("src1") > pr("src3"))
+    // and with the cap lifted the boilerplate DOES link everyone:
+    // src3 gains rank from edges, proving the cap (not the data) is
+    // what severed the hot key above.
+    val uncapped = Corpus.sourceRank(docs, n = 3, iters = 2,
+        maxSources = 1000)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(uncapped("src3") > pr("src3"))
+  }
 }

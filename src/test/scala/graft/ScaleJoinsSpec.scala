@@ -115,6 +115,27 @@ class ScaleJoinsSpec extends SparkSpec {
       s"range join must stay equi-shaped:\n$plan")
   }
 
+  test("binned range join: negative times bin with floor semantics") {
+    import spark.implicits._
+    // `div` truncates toward zero, which would put -50 and 50 in the
+    // same bin 0 and silently drop cross-zero matches; floor binning
+    // keeps the two-consecutive-bins covering argument for all longs.
+    val w = 100L
+    val probes = Seq((1L, -200L), (2L, -150L), (3L, 0L), (4L, 50L))
+    val builds = Seq(-300L, -251L, -250L, -201L, -200L, -101L, -100L,
+      -51L, -50L, -1L, 0L, 49L)
+    val got = ScaleJoins.binnedRangeJoin(
+        probes.toDF("pid", "pt"), "pt",
+        builds.map(Tuple1(_)).toDF("bt"), "bt", w)
+      .select("pid", "bt").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    val want = (for {
+      (pid, pt) <- probes; bt <- builds
+      if bt >= pt - w && bt < pt
+    } yield (pid, bt)).sorted
+    assert(got == want)
+  }
+
   private def Sources(name: String) =
     graft.sources.Sources.table(spark, sf001, name)
 }

@@ -44,6 +44,16 @@ for name, sql in sorted(oracle.items()):
     ok = True
     for c in exp.columns:
         a, b = exp[c], got[c]
+        # The driver's hash is dtype-sensitive: an integer column that
+        # DuckDB returns as HUGEINT renders float64 in pandas and fails
+        # the driver even when every value matches. Mirror that: an
+        # int-vs-float dtype split is a FAIL here too (cast the oracle).
+        if (a.dtype.kind in 'iu') != (b.dtype.kind in 'iu') and \
+           (a.dtype.kind in 'iuf' and b.dtype.kind in 'iuf'):
+            print(f"FAIL {name}: col {c} dtype mismatch: "
+                  f"spark={b.dtype} oracle={a.dtype} "
+                  f"(driver hash is type-sensitive; CAST the oracle)")
+            ok = False; fail += 1; break
         if a.dtype.kind == 'f' or b.dtype.kind == 'f':
             bad = ~((a.isna() & b.isna()) |
                     (abs(a.astype(float) - b.astype(float)) <= 1e-9 + 1e-9*abs(a.astype(float))))
