@@ -281,26 +281,27 @@ object Bm25 {
   }
 
   /** Two-metadata-rename swap of `$root/$name.staging` into
-    * `$root/$name` (local paths — the lexicon cache lives under /tmp;
-    * same restore-on-failure discipline as Dedup.compactStore). */
-  private def swapIn(root: String, name: String): Unit = {
-    val live = new java.io.File(root, name)
-    val staging = new java.io.File(root, s"$name.staging")
-    val aside = new java.io.File(root, s"$name.aside")
-    if (aside.exists()) deleteRec(aside) // leftover from a crashed run
-    if (!live.renameTo(aside))
+    * `$root/$name`, through the Hadoop FileSystem API so the lexicon
+    * root can live on any scheme the cluster mounts (file://, hdfs://,
+    * s3a:// — same restore-on-failure discipline as
+    * Dedup.compactStore; reference: dragnet keeps the analogous index
+    * state behind its Manta datasource, lib/datasource-manta.js). */
+  private def swapIn(s: org.apache.spark.sql.SparkSession, root: String,
+      name: String): Unit = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sessionState.newHadoopConf())
+    val live = new org.apache.hadoop.fs.Path(rootP, name)
+    val staging = new org.apache.hadoop.fs.Path(rootP, s"$name.staging")
+    val aside = new org.apache.hadoop.fs.Path(rootP, s"$name.aside")
+    if (fs.exists(aside)) fs.delete(aside, true) // crashed-run leftover
+    if (!fs.rename(live, aside))
       sys.error(s"lexicon swap: cannot move $live aside — live untouched")
-    if (!staging.renameTo(live)) {
-      if (!aside.renameTo(live))
+    if (!fs.rename(staging, live)) {
+      if (!fs.rename(aside, live))
         sys.error(s"lexicon swap: $name lost BOTH renames; aside=$aside")
       sys.error(s"lexicon swap: staging rename failed; $name restored")
     }
-    deleteRec(aside)
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
-    f.delete(): Unit
+    fs.delete(aside, true): Unit
   }
 
   /**
@@ -336,7 +337,7 @@ object Bm25 {
     dfOld.map { case (t, d) => (t, d + dfDelta.getOrElse(t, 0L)) }.toSeq
       .toDF("term", "df")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/df.staging")
-    swapIn(path, "df")
+    swapIn(s, path, "df")
     val Array(nNew, dlNew) = newDocs
       .select(size(Text.tokens(col(textCol))).cast("long").as("dl"))
       .agg(count(lit(1)).as("n"),
@@ -347,7 +348,7 @@ object Bm25 {
         st.getLong(st.fieldIndex("sumdl")) + dlNew))
       .toDF("n", "sumdl")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats.staging")
-    swapIn(path, "stats")
+    swapIn(s, path, "stats")
   }
 
   /**
