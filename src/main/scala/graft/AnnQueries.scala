@@ -29,7 +29,10 @@ object AnnQueries {
   /** Build the IVF+PQ serving artifact once per dataset (fingerprint-
     * keyed like the index and signature-store caches): centroids,
     * codebooks, and the cell-partitioned code table — what a production
-    * pipeline persists per crawl so searches never open the corpus. */
+    * pipeline persists per crawl so searches never open the corpus.
+    * `java.io.File` probes are in-contract here: local `/tmp` gate
+    * cache only, per the [[graft.tools.LocalFs]] scope contract (the
+    * Ann library APIs themselves are scheme-agnostic). */
   private def ensureIvfpqArtifact(s: org.apache.spark.sql.SparkSession,
       dir: String): String = synchronized {
     val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")

@@ -29,7 +29,11 @@ object DedupQueries {
     * over the parquet file/directory): a regenerated dataset changes the
     * fingerprint, so the store REBUILDS instead of silently deduping
     * against stale signatures while the oracle recomputes from live
-    * data; it also disambiguates two dirs whose sanitized names
+    * data. `java.io.File` probes throughout these `ensure*` helpers are
+    * in-contract: local `/tmp` gate caches only ([[graft.tools.LocalFs]]
+    * scope contract); the Dedup store APIs they wrap are
+    * scheme-agnostic (FileSystemSchemeSpec). Fingerprinting also
+    * disambiguates two dirs whose sanitized names
     * collide. */
   private def srcFingerprint(dir: String): String =
     graft.tools.LocalFs.fingerprint(new java.io.File(s"$dir/documents.parquet"))

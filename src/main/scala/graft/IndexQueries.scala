@@ -68,7 +68,9 @@ object IndexQueries {
 
   /** Build the two-metric index once per sfDir (both rollups written
     * in ONE input pass — Index.build caches the scan for multi-metric
-    * builds). */
+    * builds). `java.io.File` markers are in-contract here: local `/tmp`
+    * gate cache only ([[graft.tools.LocalFs]] scope contract); Index
+    * itself is scheme-agnostic (FileSystemSchemeSpec). */
   private def ensureMulti(spark: SparkSession, sfDir: String): String =
     synchronized {
       val path = s"${indexPath(sfDir, "day")}-multi"

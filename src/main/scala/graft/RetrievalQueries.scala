@@ -82,7 +82,10 @@ object RetrievalQueries {
 
   /** Persisted-lexicon cache, fingerprint-keyed like the IVF+PQ and
     * signature-store artifacts: same data + same vocab cap → reuse;
-    * anything else rebuilds and the stale sibling is swept. */
+    * anything else rebuilds and the stale sibling is swept.
+    * `java.io.File` probes are in-contract here: local `/tmp` gate
+    * cache only ([[graft.tools.LocalFs]] scope contract); Bm25's own
+    * lexicon maintenance is scheme-agnostic (FileSystemSchemeSpec). */
   private def ensureLexicon(s: org.apache.spark.sql.SparkSession,
       dir: String): String = synchronized {
     val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")

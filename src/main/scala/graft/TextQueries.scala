@@ -39,7 +39,9 @@ object TextQueries {
     * learned merge table), fingerprint-keyed like the lexicon and the
     * IVF+PQ artifacts: training runs ONCE per dataset per machine and
     * both the learn gate and the apply gate read the same artifact —
-    * deterministic training makes artifact == live output. */
+    * deterministic training makes artifact == live output.
+    * `java.io.File` probes are in-contract here: local `/tmp` gate
+    * cache only, per the [[graft.tools.LocalFs]] scope contract. */
   private def ensureBpe(s: org.apache.spark.sql.SparkSession,
       dir: String): String = synchronized {
     val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")

@@ -479,11 +479,15 @@ object Corpus {
     // bucketPairs with maxBucket = the DF cap: buckets (shingles) shared
     // by > maxSources sources are skipped, the rest expand in-bucket to
     // ordered (a < b) source pairs — bounded per key, no K² hot task.
+    // checkpointed before the symmetric union references it twice —
+    // otherwise the whole bucketPairs+groupBy subtree is computed once
+    // per union arm unless AQE exchange reuse happens to fire
     val half = Dedup.bucketPairs(
         sh.select(col("s"), col("v").as("item")), Seq("s"),
         heavy = Dedup.HeavyBucket, maxBucket = Some(maxSources))
       .groupBy(col("a").as("src"), col("b").as("dst"))
       .agg(count(lit(1)).cast("double").as("w"))
+      .localCheckpoint()
     // the co-duplication graph is symmetric: mirror the ordered half
     val edges = half
       .union(half.select(col("dst").as("src"), col("src").as("dst"),

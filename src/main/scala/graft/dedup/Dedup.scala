@@ -314,7 +314,11 @@ object Dedup {
    */
   def compactStore(spark: org.apache.spark.sql.SparkSession,
       storePath: String, targetFiles: Int = 1): Int =
-    compactStoreImpl(spark, storePath, targetFiles, (fs, a, b) => fs.rename(a, b))
+    // FileSystem.rename reports failure as false (HDFS) OR by throwing
+    // (LocalFileSystem and other FS-contract stores); normalize to
+    // false so the restore branches run in both dialects
+    compactStoreImpl(spark, storePath, targetFiles, (fs, a, b) =>
+      try fs.rename(a, b) catch { case _: java.io.IOException => false })
 
   /** [[compactStore]] with the rename injectable, so the spec can drive
     * the failed-swap path deterministically (a real FS rename cannot be

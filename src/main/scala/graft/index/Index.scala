@@ -242,7 +242,10 @@ object Index {
           "and re-run (the live index is untouched)")
       }
       fs.delete(root, true)
-      if (!fs.rename(staging, root))
+      // rename failure surfaces as false (HDFS) or a thrown IOException
+      // (LocalFileSystem) — fold both into the guidance-carrying error
+      if (!(try fs.rename(staging, root)
+            catch { case _: java.io.IOException => false }))
         throw new GraftException(s"compact: rename $staging -> $root failed " +
           "(compacted data is intact in the staging dir)")
       // whole metric rewritten — report every day it now holds
@@ -264,7 +267,8 @@ object Index {
         val src = new org.apache.hadoop.fs.Path(staging, s"dn_date=$d")
         val dst = new org.apache.hadoop.fs.Path(root, s"dn_date=$d")
         fs.delete(dst, true)
-        if (!fs.rename(src, dst))
+        if (!(try fs.rename(src, dst)
+              catch { case _: java.io.IOException => false }))
           throw new GraftException(s"compact: rename $src -> $dst failed; " +
             s"this day's compacted copy is intact in $staging — restore " +
             "it before re-running")

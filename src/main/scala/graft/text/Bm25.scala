@@ -282,22 +282,37 @@ object Bm25 {
 
   /** Two-metadata-rename swap of `$root/$name.staging` into
     * `$root/$name`, through the Hadoop FileSystem API so the lexicon
-    * root can live on any scheme the cluster mounts (file://, hdfs://,
-    * s3a:// — same restore-on-failure discipline as
-    * Dedup.compactStore; reference: dragnet keeps the analogous index
-    * state behind its Manta datasource, lib/datasource-manta.js). */
-  private def swapIn(s: org.apache.spark.sql.SparkSession, root: String,
+    * root can live on any scheme the cluster mounts — same
+    * restore-on-failure discipline as Dedup.compactStore; reference:
+    * dragnet keeps the analogous index state behind its Manta
+    * datasource, lib/datasource-manta.js. The never-torn guarantee
+    * rests on FileSystem.rename being a cheap metadata move, which
+    * holds for file:// and hdfs:// but NOT for object stores (s3a://
+    * renames are copy+delete — a crash mid-"rename" can leave a
+    * partial copy). On an object-store root use a committer-style
+    * write-then-repoint layout instead; this swap is only safe on
+    * filesystems with atomic directory rename. */
+  private[graft] def swapIn(s: org.apache.spark.sql.SparkSession, root: String,
       name: String): Unit = {
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(s.sessionState.newHadoopConf())
     val live = new org.apache.hadoop.fs.Path(rootP, name)
     val staging = new org.apache.hadoop.fs.Path(rootP, s"$name.staging")
     val aside = new org.apache.hadoop.fs.Path(rootP, s"$name.aside")
+    // FileSystem.rename reports a missing/invalid source as EITHER a
+    // false return (HDFS) or a thrown FileNotFoundException
+    // (LocalFileSystem, FS-contract "HDFS-compatible" stores) — the
+    // restore branches below must run in both dialects, so failures
+    // normalize to false here (FileSystemSchemeSpec drives both).
+    def mv(src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Boolean =
+      try fs.rename(src, dst)
+      catch { case _: java.io.IOException => false }
     if (fs.exists(aside)) fs.delete(aside, true) // crashed-run leftover
-    if (!fs.rename(live, aside))
+    if (!mv(live, aside))
       sys.error(s"lexicon swap: cannot move $live aside — live untouched")
-    if (!fs.rename(staging, live)) {
-      if (!fs.rename(aside, live))
+    if (!mv(staging, live)) {
+      if (!mv(aside, live))
         sys.error(s"lexicon swap: $name lost BOTH renames; aside=$aside")
       sys.error(s"lexicon swap: staging rename failed; $name restored")
     }

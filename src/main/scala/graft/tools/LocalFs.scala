@@ -2,7 +2,18 @@ package graft.tools
 
 /** Local-filesystem helpers for gate/bench scaffolding (stores, scratch
   * index trees) — NOT used by distributed operators, which go through
-  * the Hadoop FS API. */
+  * the Hadoop FS API.
+  *
+  * Scope contract: every caller of these helpers (the `ensure*Artifact`
+  * per-query caches in *Queries.scala and their `_SUCCESS`/marker
+  * probes via `java.io.File`) operates on hard-coded `/tmp/graft-*`
+  * roots over driver-local testdata — single-process memoization for
+  * the gate/bench sweeps, never a production artifact root. The
+  * library-level stateful artifacts those caches wrap (graft.index.Index,
+  * graft.dedup.Dedup stores, graft.text.Bm25 lexicons) resolve their
+  * FileSystem from the path's scheme and are exercised on explicit
+  * `file://` URIs by FileSystemSchemeSpec — an artifact root that is a
+  * URI must go through those APIs, not through this object. */
 object LocalFs {
   /** Content fingerprint of a parquet file-or-directory (length ⊕ mtime
     * over the file / its children): regenerating the dataset changes the

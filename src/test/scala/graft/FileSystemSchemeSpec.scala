@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.index.Index
+import graft.index.Index.Metric
+import graft.sources.Sources
+import graft.text.Bm25
+
+/** Every stateful artifact (index tree, dedup signature store, BM25
+  * lexicon) is maintained through the Hadoop FileSystem API so its root
+  * can live on whatever scheme the cluster mounts — the counterpart of
+  * dragnet keeping its index state behind a pluggable datasource
+  * (lib/datasource-manta.js vs datasource-file.js). This suite is the
+  * executable proof: every root here is an EXPLICIT `file://` URI, so
+  * each lifecycle resolves its FileSystem from the path's scheme (the
+  * code path a `hdfs://` or `s3a://` root takes) rather than falling
+  * through java.io/default-FS behavior, and the lexicon swap's
+  * restore-on-failure branches are driven directly against that
+  * scheme-resolved FS. (Rename atomicity — and therefore the
+  * never-torn guarantee — holds for file:// and hdfs:// only; object
+  * stores need a committer-style layout, see Bm25.swapIn's doc.)
+  */
+class FileSystemSchemeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fileRoot(tag: String): String =
+    "file://" + java.nio.file.Files.createTempDirectory(s"graft-fss-$tag")
+      .toString
+
+  private def fsOf(root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("file:// roots resolve a scheme-qualified FileSystem, not the default") {
+    val root = fileRoot("probe")
+    val fs = fsOf(root)
+    assert(fs.getUri.getScheme == "file")
+    // the spec's premise: these paths carry their scheme end to end
+    assert(new Path(root).toUri.getScheme == "file")
+  }
+
+  test("index build + update + compact lifecycle on an explicit file:// root") {
+    val ev = Sources.events(spark, sf001)
+    val metric = Metric("by_type", Seq(FieldSpec.plain("event_type")))
+    val root = fileRoot("index")
+    Index.build(ev, Seq(metric), root, timeField = "ts", interval = "day")
+    val cfg = QueryConfig(breakdowns = Seq(FieldSpec.plain("event_type")))
+    val fromScan = Scan.scan(ev, cfg).collect().map(_.toSeq).toSet
+    assert(Index.query(spark, root, Seq(metric), cfg)
+      .collect().map(_.toSeq).toSet == fromScan, "build+query on file://")
+
+    // update: replay one day through the dynamic-partition-overwrite
+    // path — same totals, still one file per day, still on file://
+    val someDay = spark.read.parquet(Index.metricPath(root, "day", "by_type"))
+      .select(col("dn_date").cast("string")).distinct()
+      .orderBy(col("dn_date")).limit(1).collect().head.getString(0)
+    val dayRows = ev.where(to_date(col("ts")) === lit(someDay))
+    Index.update(dayRows, Seq(metric), root, timeField = "ts")
+    assert(Index.query(spark, root, Seq(metric), cfg)
+      .collect().map(_.toSeq).toSet == fromScan, "update on file://")
+
+    // compact: fragment a fresh metric tree with a deliberately
+    // non-day-clustered write, compact to one file per day through the
+    // scheme-resolved FS, and the query still equals the raw scan
+    val root2 = fileRoot("index-compact")
+    val mp = Index.metricPath(root2, "day", "by_type")
+    Index.scanRows(ev, metric, "ts", "day")
+      .repartition(8).write.partitionBy("dn_date").parquet(mp)
+    val fs = fsOf(root2)
+    def filesPerDay: Seq[Int] = fs.listStatus(new Path(mp))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("dn_date="))
+      .map(d => fs.listStatus(d.getPath)
+        .count(f => f.isFile && f.getPath.getName.startsWith("part-"))).toSeq
+    assert(filesPerDay.exists(_ > 1), "setup must fragment")
+    val days = Index.compact(spark, root2, "by_type")
+    assert(days.nonEmpty && filesPerDay.forall(_ == 1))
+    assert(Index.query(spark, root2, Seq(metric), cfg)
+      .collect().map(_.toSeq).toSet == fromScan, "compact on file://")
+  }
+
+  test("signature-store append/retire/compact lifecycle on an explicit file:// root") {
+    def rep(s: String) = (s + " ") * 20
+    val old = Seq((1L, rep("a b c")), (2L, rep("d e f"))).toDF("doc_id", "text")
+    val store = fileRoot("sigstore") + "/store"
+    Dedup.signatureStore(old).write.mode("overwrite").parquet(store)
+
+    // append: crawl A's keepers enter the store through the file:// path
+    val crawlA = Seq((10L, rep("a b c")), (11L, rep("g h i")))
+      .toDF("doc_id", "text")
+    val keptA = Dedup.appendKeepersToStore(spark, crawlA, store)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptA == Set(11L))
+
+    // retire doc 2 (tombstone append), then compact (the two-rename
+    // swap) — both resolve their FS from the file:// scheme
+    Dedup.retireFromStore(spark, Seq(2L).toDF("doc_id"), store)
+    val files = Dedup.compactStore(spark, store)
+    assert(files >= 1)
+    // post-compact semantics: 2's twin is keepable again, 11's is not
+    val crawlB = Seq((20L, rep("d e f")), (21L, rep("g h i")))
+      .toDF("doc_id", "text")
+    val keptB = Dedup.incrementalKeepers(crawlB, spark.read.parquet(store))
+      .collect().map(_.getLong(0)).toSet
+    assert(keptB == Set(20L))
+  }
+
+  test("lexicon build + incremental append (two-rename swaps) on an explicit file:// root") {
+    val old = Seq(
+      (1L, "spark merge fast table"),
+      (2L, "merge merge slow"),
+      (4L, "spark spark spark scan")).toDF("doc_id", "text")
+    val batch = Seq((3L, "merge table table")).toDF("doc_id", "text")
+    val inc = fileRoot("lex") + "/lexicon"
+    Bm25.buildLexicon(old, inc)
+    Bm25.appendLexicon(spark, batch, inc) // two swapIn calls on file://
+    val full = fileRoot("lexfull") + "/lexicon"
+    Bm25.buildLexicon(old.union(batch), full, vocabDocs = Some(old))
+    val a = Bm25.bm25FromLexicon(spark, inc, 10, Seq("spark", "merge"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Bm25.bm25FromLexicon(spark, full, 10, Seq("spark", "merge"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b && a.nonEmpty)
+    // and no swap debris: neither staging nor aside dirs survive
+    val fs = fsOf(inc)
+    for (n <- Seq("df", "stats"); suf <- Seq("staging", "aside"))
+      assert(!fs.exists(new Path(inc, s"$n.$suf")), s"$n.$suf left behind")
+  }
+
+  // --- swapIn failure branches, driven on the scheme-resolved FS ---
+
+  private def mkDirWithFile(fs: FileSystem, dir: Path, mark: String): Unit = {
+    fs.mkdirs(dir)
+    fs.create(new Path(dir, mark)).close()
+  }
+
+  test("swapIn sweeps a crashed run's aside dir, then lands the staging copy") {
+    val root = fileRoot("swap-ok")
+    val fs = fsOf(root)
+    mkDirWithFile(fs, new Path(root, "df"), "OLD")
+    mkDirWithFile(fs, new Path(root, "df.staging"), "NEW")
+    mkDirWithFile(fs, new Path(root, "df.aside"), "CRASH_LEFTOVER")
+    Bm25.swapIn(spark, root, "df")
+    assert(fs.exists(new Path(root, "df/NEW")), "staging content must be live")
+    assert(!fs.exists(new Path(root, "df/OLD")))
+    assert(!fs.exists(new Path(root, "df.staging")))
+    assert(!fs.exists(new Path(root, "df.aside")), "aside must be released")
+  }
+
+  test("swapIn with staging missing restores the live copy and reports") {
+    val root = fileRoot("swap-restore")
+    val fs = fsOf(root)
+    mkDirWithFile(fs, new Path(root, "df"), "OLD")
+    val e = intercept[RuntimeException](Bm25.swapIn(spark, root, "df"))
+    assert(e.getMessage.contains("restored"))
+    assert(fs.exists(new Path(root, "df/OLD")), "live copy must be restored")
+    assert(!fs.exists(new Path(root, "df.aside")), "no torn aside state")
+  }
+
+  test("swapIn with live missing fails fast and leaves staging intact") {
+    val root = fileRoot("swap-nolive")
+    val fs = fsOf(root)
+    mkDirWithFile(fs, new Path(root, "df.staging"), "NEW")
+    val e = intercept[RuntimeException](Bm25.swapIn(spark, root, "df"))
+    assert(e.getMessage.contains("live untouched"))
+    assert(fs.exists(new Path(root, "df.staging/NEW")),
+      "staging must survive for a retry")
+  }
+}

@@ -335,4 +335,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!ij.contains("CartesianProduct") &&
       !ij.contains("BroadcastNestedLoopJoin"), ij.take(1200))
   }
+
+  test("every global window (no partition spec) sits above a bounded subplan") {
+    // A WindowExec with an empty partitionSpec funnels its whole input
+    // through ONE task — acceptable only when that input is bounded by
+    // construction: below a TakeOrdered/limit cut (rrf rank windows) or
+    // above an aggregate whose grouping is a value-grid histogram /
+    // capped key set (quantile bucket walks), never a raw corpus scan.
+    // This pins the source of the benign `WindowExec: No Partition
+    // Defined` warnings so a refactor can't silently widen one.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    def bounded(p: SparkPlan): Boolean = p.find {
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.CollectLimitExec => true
+      case _: org.apache.spark.sql.execution.LocalLimitExec => true
+      case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+      case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+      case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+      // an eager lineage cut (localCheckpoint) of an already-cut list
+      // surfaces as an RDD scan; those cuts are themselves asserted by
+      // the producing queries, so a pre-materialized input counts as
+      // bounded only when it is the window's whole subtree
+      case r: org.apache.spark.sql.execution.RDDScanExec => r eq p
+      // a LocalTableScan is driver-materialized rows (a drained
+      // streaming-state histogram) — bounded before it ever became a plan
+      case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+      case _ => false
+    }.isDefined
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sf001).queryExecution.sparkPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) =>
+            s"$name: global window over unbounded input:\n" +
+              w.toString.take(800)
+        }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n---\n"))
+  }
 }
