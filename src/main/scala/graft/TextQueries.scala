@@ -152,6 +152,17 @@ object TextQueries {
       (s, dir) => s.read.parquet(s"${ensureBpe(s, dir)}/learned"),
       Some(Text.bpeTrainOracleSql())),
 
+    // #34f unigram-LM (SentencePiece-style) tokenizer training — the
+    // second subword family next to BPE: hard-EM (Viterbi E-step over a
+    // capped word population, count M-step, prune to the target vocab),
+    // every decision in integer micro-nats via the shared
+    // truncated-series ln. ONE corpus pass (word-count groupBy) bounds
+    // the training world; the oracle unrolls both EM rounds' DP as
+    // generated CTEs.
+    Q("text_unigram_train",
+      (s, dir) => graft.text.Unigram.train(docs(s, dir)),
+      Some(graft.text.Unigram.trainOracleSql())),
+
     // #34e the train→apply loop CLOSED: the corpus tokenized by the
     // merges just learned from it (the final training state IS the
     // applied tokenizer — fences and empties dropped, like

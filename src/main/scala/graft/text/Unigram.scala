@@ -1,0 +1,250 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Unigram-LM (SentencePiece-style) tokenizer TRAINING — the second
+ * subword family next to BPE ([[Text.bpeTrain]]): instead of greedily
+ * merging pairs, hold a candidate piece vocabulary, segment the word
+ * population by Viterbi under current piece scores, re-estimate counts
+ * from the chosen segmentations, and prune to the target vocabulary —
+ * hard-EM over a capped candidate set (Kudo 2018's algorithm with
+ * Viterbi E-steps; the reference engine has no tokenizer training at
+ * all — this is training-pipeline surface, like dragnet's quantize
+ * aggregations are analytics surface, bin/dn:1).
+ *
+ * Decisions are EXACT by the house rule: piece scores are integer
+ * micro-nats — floor(1e6 · lnSeries(c/T)) with [[Bm25.lnSeries]], the
+ * truncated-series ln both engines evaluate bit-identically — so every
+ * Viterbi comparison, tie-break, and prune cut is integer arithmetic
+ * the DuckDB oracle replays exactly. Ties: segmentations tie-break by
+ * longer last piece (bl DESC); equal (score, bl) implies an identical
+ * predecessor state, so the election is total. Prune and cap cuts
+ * order by (count DESC, piece) — total because piece is unique.
+ *
+ * Scale shape: ONE corpus pass (tokenize-explode → word-count groupBy,
+ * the only corpus-sized shuffle) caps the trainer's world to the top
+ * [[WordCap]] words; every later table is bounded by WordCap ×
+ * MaxWordLen × MaxPieceLen rows, piece scores broadcast into the DP
+ * joins, and each DP state is localCheckpointed so the unrolled
+ * lineage stays flat. At 100 TB only the first pass grows; the
+ * training state is a constant-size artifact, exactly like the IVF
+ * geometry or the BPE merge table. The oracle unrolls the same DP as
+ * generated CTEs ([[trainOracleSql]]).
+ */
+object Unigram {
+
+  /** Words longer than this are out of the training population (the DP
+    * unrolls one CTE per position, so the cap is the unroll depth). */
+  val MaxWordLen = 10
+
+  /** Longest candidate piece (SentencePiece's max_sentencepiece_length
+    * analog). */
+  val MaxPieceLen = 4
+
+  /** Training world: top-WordCap words by (count DESC, word). */
+  val WordCap = 2048
+
+  /** Seed candidate cap: top multi-char substrings by weighted
+    * frequency; single chars always stay (coverage guarantee). */
+  val SeedCap = 96
+
+  /** Multi-char pieces kept after each EM round's prune. */
+  val VocabTarget = 64
+
+  /** Hard-EM rounds (Viterbi E-step + count M-step + prune). */
+  val Rounds = 2
+
+  private val ScoreScaleSql = "CAST(1000000.0 AS DOUBLE)"
+
+  /** Integer micro-nat score of count/total — the ONLY float arithmetic
+    * in the trainer, immediately floored, via the shared truncated-series
+    * ln both engines evaluate bit-identically (Bm25's BM25 discipline). */
+  private def microNats(c: org.apache.spark.sql.Column,
+      t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(lit(1000000.0) *
+      Bm25.lnSeries(c.cast("double") / t.cast("double"))).cast("long")
+
+  private def microNatsSql(c: String, t: String): String =
+    s"CAST(floor($ScoreScaleSql * ${Bm25.lnSeriesSql(
+      s"(CAST($c AS DOUBLE) / CAST($t AS DOUBLE))")}) AS BIGINT)"
+
+  /** (piece, c, s): score every vocab row against the vocab total. */
+  private def scored(v: DataFrame): DataFrame = {
+    val t = v.agg(sum(col("c")).as("t"))
+    v.crossJoin(broadcast(t))
+      .select(col("piece"), col("c"), microNats(col("c"), col("t")).as("s"))
+  }
+
+  /** One Viterbi pass: best segmentation of every word in `words` under
+    * `scores`, DP unrolled over positions 1..MaxWordLen. Returns
+    * (word, len, wc, sc, seg) — seg the space-joined chosen pieces. */
+  private def viterbi(words: DataFrame, pieces: DataFrame,
+      scores: DataFrame): DataFrame = {
+    val sc = broadcast(scores.select(col("piece"), col("s")))
+    var states = Map(0 -> words.select(col("word"), col("len"), col("wc"),
+      lit(0L).as("sc"), lit("").as("seg")))
+    for (j <- 1 to MaxWordLen) {
+      val branches = (1 to math.min(j, MaxPieceLen)).map { l =>
+        pieces.where(col("i") === lit(j - l + 1) && col("l") === lit(l))
+          .select(col("word"), col("piece"))
+          .join(states(j - l).select(col("word"), col("len"), col("wc"),
+            col("sc").as("psc"), col("seg").as("pseg")), Seq("word"))
+          .join(sc, Seq("piece"))
+          .select(col("word"), col("len"), col("wc"),
+            (col("psc") + col("s")).as("sc"), lit(l).as("bl"),
+            concat(col("pseg"), lit(" "), col("piece")).as("seg"))
+      }
+      // the (sc, bl, seg) struct-max IS the election: best score, then
+      // longest piece; equal (sc, bl) implies an identical seg
+      val dj = branches.reduce(_ unionByName _)
+        .groupBy(col("word"), col("len"), col("wc"))
+        .agg(max(struct(col("sc"), col("bl"), col("seg"))).as("m"))
+        .select(col("word"), col("len"), col("wc"),
+          col("m.sc").as("sc"), col("m.seg").as("seg"))
+        .localCheckpoint()
+      states += j -> dj
+    }
+    (1 to MaxWordLen).map(j => states(j).where(col("len") === lit(j)))
+      .reduce(_ unionByName _)
+  }
+
+  /**
+   * Train on `docs(textCol)`: returns the final vocabulary as
+   * (piece, cnt, score_micro) — counts from the last Viterbi pass,
+   * scores in integer micro-nats, ordered (cnt DESC, piece).
+   */
+  def train(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = docs
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .where(length(col("word")).between(1, MaxWordLen))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .orderBy(col("wc").desc, col("word")).limit(WordCap)
+      .withColumn("len", length(col("word")))
+      .localCheckpoint()
+    // every substring occurrence (word, i, l, piece), i+l-1 <= len
+    val pieces = words
+      .select(col("word"), col("len"), col("wc"),
+        explode(sequence(lit(1), col("len"))).as("i"))
+      .select(col("word"), col("len"), col("wc"), col("i"),
+        explode(sequence(lit(1), lit(MaxPieceLen))).as("l"))
+      .where(col("i") + col("l") - lit(1) <= col("len"))
+      .withColumn("piece", col("word").substr(col("i"), col("l")))
+      .localCheckpoint()
+    val seedCounts = pieces.groupBy(col("piece")).agg(sum(col("wc")).as("c"))
+    val chars = seedCounts.where(length(col("piece")) === 1)
+      .select(col("piece")).localCheckpoint()
+    var vocab = seedCounts.where(length(col("piece")) === 1)
+      .unionByName(seedCounts.where(length(col("piece")) > 1)
+        .orderBy(col("c").desc, col("piece")).limit(SeedCap))
+      .localCheckpoint()
+    for (_ <- 1 to Rounds) {
+      val fin = viterbi(words, pieces, scored(vocab))
+      val used = fin
+        .select(col("wc"), explode(split(trim(col("seg")), " ")).as("piece"))
+        .where(col("piece") =!= "")
+        .groupBy(col("piece")).agg(sum(col("wc")).as("c"))
+      // chars stay unconditionally (coverage), multi prune to target
+      val keptChars = chars.join(used, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("c"), lit(0L)).as("c"))
+      val keptMulti = used.where(length(col("piece")) > 1)
+        .orderBy(col("c").desc, col("piece")).limit(VocabTarget)
+      vocab = keptChars.unionByName(keptMulti).localCheckpoint()
+    }
+    scored(vocab)
+      .select(col("piece"), col("c").cast("long").as("cnt"),
+        col("s").as("score_micro"))
+      .orderBy(col("cnt").desc, col("piece"))
+  }
+
+  // ---- generated DuckDB oracle: the identical chain, unrolled ----
+
+  /** One DP CTE block for round `r`, positions 1..MaxWordLen. */
+  private def dpCtes(r: Int): String = {
+    val base =
+      s"""d${r}_0 AS (
+         |  SELECT word, len, wc, CAST(0 AS BIGINT) AS sc, '' AS seg FROM w)"""
+        .stripMargin
+    val steps = (1 to MaxWordLen).map { j =>
+      val branches = (1 to math.min(j, MaxPieceLen)).map { l =>
+        s"""SELECT p.word, p.len, p.wc, d.sc + s.s AS sc, $l AS bl,
+           |      d.seg || ' ' || p.piece AS seg
+           |    FROM p JOIN d${r}_${j - l} d ON p.word = d.word
+           |    JOIN s${r - 1} s ON s.piece = p.piece
+           |    WHERE p.i = ${j - l + 1} AND p.l = $l""".stripMargin
+      }.mkString("\n    UNION ALL\n    ")
+      s"""d${r}_$j AS MATERIALIZED (
+         |  SELECT word, len, wc, sc, seg FROM (
+         |    SELECT word, len, wc, sc, seg, ROW_NUMBER() OVER (
+         |      PARTITION BY word ORDER BY sc DESC, bl DESC) AS rn
+         |    FROM (
+         |    $branches)
+         |  ) WHERE rn = 1)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  /** Round `r`'s E+M step: final states, usage counts, pruned vocab,
+    * total, scores — s${r} feeds round r+1's DP. */
+  private def roundCtes(r: Int): String = {
+    val fin = (1 to MaxWordLen)
+      .map(j => s"SELECT word, len, wc, sc, seg FROM d${r}_$j WHERE len = $j")
+      .mkString("\n  UNION ALL\n  ")
+    s"""${dpCtes(r)},
+       |fin$r AS MATERIALIZED (
+       |  $fin),
+       |use$r AS MATERIALIZED (
+       |  SELECT u.piece, SUM(f.wc) AS c
+       |  FROM fin$r f, UNNEST(string_split(trim(f.seg), ' ')) u(piece)
+       |  WHERE u.piece <> '' GROUP BY 1),
+       |v$r AS MATERIALIZED (
+       |  SELECT ch.piece, COALESCE(u.c, 0) AS c
+       |  FROM chars ch LEFT JOIN use$r u ON ch.piece = u.piece
+       |  UNION ALL
+       |  SELECT piece, c FROM (
+       |    SELECT piece, c FROM use$r WHERE length(piece) > 1
+       |    ORDER BY c DESC, piece LIMIT $VocabTarget)),
+       |t$r AS (SELECT SUM(c) AS t FROM v$r),
+       |s$r AS MATERIALIZED (
+       |  SELECT piece, c, ${microNatsSql("c", "t")} AS s
+       |  FROM v$r, t$r)""".stripMargin
+  }
+
+  /** The [[train]] oracle: seed + `Rounds` unrolled EM rounds, every
+    * constant shared with the Scala path. */
+  def trainOracleSql(base: String = "documents"): String = {
+    val rounds = (1 to Rounds).map(roundCtes).mkString(",\n")
+    s"""WITH w0 AS (
+       |  SELECT word, COUNT(*) AS wc FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |    FROM $base)
+       |  WHERE length(word) BETWEEN 1 AND $MaxWordLen GROUP BY 1),
+       |w AS MATERIALIZED (
+       |  SELECT word, wc, length(word) AS len FROM w0
+       |  ORDER BY wc DESC, word LIMIT $WordCap),
+       |p AS MATERIALIZED (
+       |  SELECT word, len, wc, CAST(i AS INT) AS i, CAST(l AS INT) AS l,
+       |    substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece
+       |  FROM w, UNNEST(range(1, len + 1)) a(i),
+       |    UNNEST(range(1, $MaxPieceLen + 1)) b(l)
+       |  WHERE i + l - 1 <= len),
+       |seedc AS MATERIALIZED (SELECT piece, SUM(wc) AS c FROM p GROUP BY 1),
+       |chars AS MATERIALIZED (SELECT piece FROM seedc WHERE length(piece) = 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT piece, c FROM seedc WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, c FROM (
+       |    SELECT piece, c FROM seedc WHERE length(piece) > 1
+       |    ORDER BY c DESC, piece LIMIT $SeedCap)),
+       |t0 AS (SELECT SUM(c) AS t FROM v0),
+       |s0 AS MATERIALIZED (
+       |  SELECT piece, c, ${microNatsSql("c", "t")} AS s
+       |  FROM v0, t0),
+       |$rounds
+       |SELECT piece, CAST(c AS BIGINT) AS cnt, s AS score_micro
+       |FROM s$Rounds
+       |ORDER BY cnt DESC, piece""".stripMargin
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.text.{Bm25, Unigram}
+
+/** Unigram-LM trainer: hand-checkable segmentations on planted corpora,
+  * coverage and cap invariants, and the exact-decision properties the
+  * oracle relies on. */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def train(texts: Seq[String]) =
+    Unigram.train(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+  test("a repeated word is learned whole: one piece spans it") {
+    // 'data' dominates; the trainer must surface 'data' as a piece with
+    // usage == its word count (Viterbi picks the 4-char piece over
+    // char-by-char splits: one score beats four saturated-low scores)
+    val out = train(Seq.fill(20)("data").mkString(" ") :: Nil)
+    val pieces = out.map(_._1).toSet
+    assert(pieces.contains("data"), s"pieces=$pieces")
+    assert(out.find(_._1 == "data").get._2 == 20L)
+    // chars stay for coverage even when unused by the best segmentation
+    for (ch <- Seq("d", "a", "t"))
+      assert(pieces.contains(ch), s"char $ch pruned: $pieces")
+  }
+
+  test("mixed corpus: frequent stems beat char splits; caps hold") {
+    val corpus = (Seq.fill(30)("spark") ++ Seq.fill(20)("sparks") ++
+      Seq.fill(10)("mark")).mkString(" ")
+    val out = train(Seq(corpus))
+    val byPiece = out.map(t => t._1 -> t._2).toMap
+    // 'mark' (a whole word, 4 chars) must be learned as one piece; the
+    // spark/sparks family must be covered by multi-char pieces (the
+    // exact split — s+park vs spar+k — is the trainer's tie-break call,
+    // not the spec's: both are valid maximum-score segmentations)
+    assert(byPiece.get("mark").contains(10L), s"got ${out.toSeq}")
+    assert(out.exists(t => t._1.length >= 3 && t._1 != "mark" && t._2 >= 20L),
+      s"no multi-char piece covers spark/sparks: ${out.toSeq}")
+    assert(out.forall(_._1.length <= Unigram.MaxPieceLen))
+    assert(out.count(_._1.length > 1) <= Unigram.VocabTarget)
+    // scores are integer micro-nats of c/T via the shared lnSeries
+    val t = out.map(_._2).sum
+    for ((p, c, s) <- out if c > 0) {
+      val expect = math.floor(1e6 *
+        Bm25.lnSeriesDouble(c.toDouble / t.toDouble)).toLong
+      assert(s == expect, s"$p: $s != $expect")
+    }
+  }
+
+  test("deterministic: two trainings of the same corpus agree exactly") {
+    val texts = Seq("the merge window merges the sparks",
+      "window after window the spark merges")
+    assert(train(texts).toSeq == train(texts).toSeq)
+  }
+
+  test("degenerate corpora: empty and no-alpha text train to empty vocabs") {
+    assert(train(Nil).isEmpty)
+    assert(train(Seq("123 456 !!!", "")).isEmpty)
+  }
+
+  test("words over MaxWordLen are out of population; their substrings absent") {
+    val out = train(Seq(Seq.fill(10)("extraordinarily").mkString(" ")))
+    assert(out.isEmpty, s"over-long word leaked: ${out.toSeq}")
+  }
+}
