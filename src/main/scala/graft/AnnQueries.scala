@@ -703,7 +703,7 @@ object AnnQueries {
   /** The semantic-dedup cosine threshold, shared by the Spark query and
     * its oracle so the two sides cannot drift. 0.35 matches
     * dedup_embed's near-dup bar on this synthetic embedding corpus. */
-  private val SemDedupMinCos = 0.35
+  private[graft] val SemDedupMinCos = 0.35
 
   /** Batch-total recall floors for the quality gates, in hits out of
     * 40 (4 queries × 10). Measured: 9/9 (sf0.001), 9/9 (sf0.01), 39/39
@@ -904,7 +904,7 @@ object AnnQueries {
     * the geometry-deriving population — the incremental gate derives
     * nlist/nprobe/modulus from the OLD corpus slice the artifact was
     * built from, exactly as a frozen production index does. */
-  private def ivfGeomCtes(trainWhere: String = "TRUE"): String = s"""
+  private[graft] def ivfGeomCtes(trainWhere: String = "TRUE"): String = s"""
         nlc AS (
           SELECT least(65536, greatest(16,
             1::BIGINT << greatest(0,
@@ -1276,15 +1276,15 @@ object AnnQueries {
   /** Sequential-double L2 norm — mirrors ArrayL2Norm. */
   /** Sequential-double L2 norm of a list expression — mirrors
     * ArrayL2Norm's left fold. */
-  private def normSqlOf(v: String): String =
+  private[graft] def normSqlOf(v: String): String =
     s"""sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
        |      (a, b) -> a + b))""".stripMargin
 
-  private def normSql: String = normSqlOf("embedding")
+  private[graft] def normSql: String = normSqlOf("embedding")
 
   /** Sequential-double dot product — mirrors ArrayDotProduct. */
-  private def dotSql(a: String, b: String): String =
+  private[graft] def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list_transform(list_zip($a, $b), p -> p[1] * p[2])),
        |      (x, y) -> x + y)""".stripMargin

@@ -542,6 +542,19 @@ object DedupQueries {
           CAST(sum(doc_id % 1000003 * ck % 1000003) AS BIGINT) AS checksum
         FROM c GROUP BY shard""")),
 
+    // #25j the CLOSED-LOOP curation pipeline: clean → chunk dedup
+    // (text rewritten) → SemDeDup over survivor embeddings (geometry
+    // derived from the survivor population) → decontamination →
+    // quality-model keep → token-budget fill → pack → per-shard
+    // manifest — one composed plan, one replayed oracle. Every stage
+    // is individually gated elsewhere; this gate proves the contracts
+    // COMPOSE (any drifted doc at any stage changes a manifest count
+    // or checksum).
+    Q("corpus_pipeline",
+      (s, dir) => graft.dedup.Corpus.pipeline(docs(s, dir),
+        Sources.table(s, dir, "embeddings")),
+      Some(DedupSql.pipeline())),
+
     // #25f source-weighted mixture sampling (domain reweighting):
     // per-source deterministic hash keep-rates, power-of-two rates so
     // rate×10⁶ is integer-exact in both engines. Output = per-source

@@ -547,4 +547,145 @@ object DedupSql {
        |  coalesce(array_to_string(
        |    list(chunk ORDER BY idx) FILTER (WHERE kept), ' '), '') AS kept_text
        |FROM decided GROUP BY doc_id""".stripMargin
+
+  /** corpus_pipeline oracle: the whole closed-loop curation chain —
+    * clean → chunk dedup (text REWRITTEN) → SemDeDup on the survivor
+    * embeddings (derived geometry over the survivor subset) →
+    * decontamination vs the eval split → quality-model keep →
+    * token-budget fill → pack → per-shard manifest — as ONE generated
+    * CTE chain sharing every constant with the Spark composition
+    * ([[graft.dedup.Corpus.pipeline]]). Stage fragments are the same
+    * generators the individual gates use (prefixes keep the three
+    * tokenize chains apart); the semantic fragment reuses
+    * [[AnnQueries]]' norm/dot/geometry SQL verbatim. */
+  def pipeline(minQuality: Double = 0.3, nearDupJaccard: Double = 0.6,
+      n: Int = 3, width: Int = graft.dedup.Dedup.ChunkWidth,
+      evalMod: Int = 97, seqLen: Int = 256, shards: Int = 8): String = {
+    val minCos = AnnQueries.SemDedupMinCos
+    val qmB = graft.text.Text.QmBuckets
+    val qmBias = graft.text.Text.QmBiasNum
+    val qh = XHash.h60Sql("'qm:' || t")
+    val sbIn = "vec_id IN (SELECT doc_id FROM sb)"
+    s"""WITH q AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE ${qualitySql("text")} >= $minQuality),
+       |fp AS (
+       |  SELECT doc_id,
+       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+       |  FROM q),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+       |kept AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+       |${shingleCtes("kept", n)},
+       |${minhashCtes(n, 8, 2)},
+       |$jaccardCtes,
+       |losers AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM jac
+       |  WHERE jaccard >= $nearDupJaccard),
+       |sa AS (
+       |  SELECT k.doc_id, k.text FROM kept k WHERE NOT EXISTS (
+       |    SELECT 1 FROM losers l WHERE l.doc_id = k.doc_id)),
+       |${chunkCtes("sa", width, "ck")},
+       |ckw AS (
+       |  SELECT h1, h2, min({'doc_id': doc_id, 'idx': idx}) AS w
+       |  FROM ckhashed GROUP BY h1, h2),
+       |ckdec AS (
+       |  SELECT h.doc_id, h.idx, h.chunk,
+       |    ({'doc_id': h.doc_id, 'idx': h.idx} = w.w) AS kept
+       |  FROM ckhashed h JOIN ckw w ON h.h1 = w.h1 AND h.h2 = w.h2),
+       |sb AS MATERIALIZED (
+       |  SELECT doc_id, kept_text AS text FROM (
+       |    SELECT doc_id,
+       |      sum(CASE WHEN kept THEN 1 ELSE 0 END) AS kept_chunks,
+       |      coalesce(array_to_string(
+       |        list(chunk ORDER BY idx) FILTER (WHERE kept), ' '), '')
+       |        AS kept_text
+       |    FROM ckdec GROUP BY doc_id)
+       |  WHERE kept_chunks > 0),
+       |vn AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      ${AnnQueries.normSql}) AS vn
+       |  FROM embeddings WHERE $sbIn),${AnnQueries.ivfGeomCtes(sbIn)}
+       |cent AS (
+       |  SELECT id AS cid, vn AS cv FROM vn, mm
+       |  WHERE ${XHash.h60Sql("CAST(id AS VARCHAR)")} % mm.m = 0),
+       |dists AS (
+       |  SELECT vn.id, vn.vn, c.cid,
+       |    ${AnnQueries.dotSql("vn.vn", "c.cv")} AS d
+       |  FROM vn CROSS JOIN cent c),
+       |asg AS (
+       |  SELECT id, vn, cid AS cell,
+       |    row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC)
+       |      AS rn
+       |  FROM dists),
+       |a1 AS (SELECT id, vn, cell FROM asg WHERE rn = 1),
+       |dup AS (
+       |  SELECT DISTINCT b.id AS id
+       |  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.id < b.id
+       |  WHERE ${AnnQueries.dotSql("a.vn", "b.vn")} >= $minCos),
+       |sc AS (
+       |  -- un-embedded docs pass through; embedded ones drop iff they
+       |  -- are a dup's higher id — exactly semanticDedup's anti-join
+       |  -- (dup ⊆ embedded ids, so one NOT EXISTS covers both legs)
+       |  SELECT sb.doc_id, sb.text FROM sb
+       |  WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.id = sb.doc_id)),
+       |ev AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % $evalMod = 0),
+       |cs AS (
+       |  SELECT doc_id, text FROM sc WHERE doc_id % $evalMod <> 0),
+       |${shingleCtes("ev", n, "e")},
+       |${shingleCtes("cs", n, "c")},
+       |contam AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM csh c JOIN (SELECT DISTINCT s FROM esh) e USING (s)),
+       |sd AS MATERIALIZED (
+       |  SELECT cs.doc_id, cs.text FROM cs WHERE NOT EXISTS (
+       |    SELECT 1 FROM contam x WHERE x.doc_id = cs.doc_id)),
+       |qtoks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+       |  FROM sd),
+       |feats AS (
+       |  SELECT doc_id, ($qh % $qmB) * 2654435761 % 2000 - 1000 AS wi
+       |  FROM qtoks),
+       |m AS MATERIALIZED (
+       |  SELECT doc_id, n_tokens,
+       |    ((num + 1000 * n_tokens) * 100) // (1000 * n_tokens) AS kc
+       |  FROM (
+       |    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |      sum(wi) + $qmBias * count(*) AS num
+       |    FROM feats GROUP BY doc_id)
+       |  WHERE num >= 0),
+       |bud AS (SELECT sum(n_tokens) // 2 AS budget FROM m),
+       |hist AS (SELECT kc, sum(n_tokens) AS bt FROM m GROUP BY kc),
+       |cum AS (
+       |  SELECT kc, SUM(bt) OVER (ORDER BY kc DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM hist),
+       |sel AS (
+       |  SELECT m.doc_id FROM m JOIN cum USING (kc), bud
+       |  WHERE cum <= budget),
+       |pt AS (
+       |  SELECT sd.doc_id,
+       |    ${XHash.h60Sql("CAST(sd.doc_id AS VARCHAR)")} % $shards AS shard,
+       |    ${XHash.h60Sql("CAST(sd.doc_id AS VARCHAR)")} % 1000000 AS ck,
+       |    CAST(len(string_split_regex(trim(lower(sd.text)), '\\s+'))
+       |      AS BIGINT) AS n_toks
+       |  FROM sd JOIN sel USING (doc_id)),
+       |pc AS (
+       |  SELECT doc_id, shard, ck, n_toks,
+       |    COALESCE(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS tok_offset
+       |  FROM pt)
+       |SELECT CAST(shard AS BIGINT) AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(max((tok_offset + n_toks - 1) // $seqLen) + 1 AS BIGINT)
+       |    AS n_seqs,
+       |  CAST(sum(CASE WHEN tok_offset // $seqLen <>
+       |    (tok_offset + n_toks - 1) // $seqLen THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS straddlers,
+       |  CAST(sum(doc_id % 1000003 * ck % 1000003) AS BIGINT) AS checksum
+       |FROM pc GROUP BY shard""".stripMargin
+  }
 }

@@ -522,4 +522,89 @@ object Corpus {
     }
     pr.select(col("v").as(srcCol), col("p").as("pr"))
   }
+
+  /**
+   * The CLOSED-LOOP curation pipeline — every stage of a pretraining
+   * data build, composed end to end into one plan:
+   *
+   *   clean (quality floor → exact dedup → near-dup removal)
+   *   → chunk-level dedup (docs REWRITTEN to their surviving chunks)
+   *   → SemDeDup over the survivors' embeddings (geometry derived from
+   *     the survivor population; docs without an embedding pass through
+   *     — an un-embedded doc can't be semantically deduplicated)
+   *   → decontamination against the eval split (docs ≡ 0 mod `evalMod`,
+   *     which are themselves excluded from the training corpus)
+   *   → model-based quality filter (keep = exact integer numerator ≥ 0)
+   *   → token-budget fill (half the surviving tokens, greedy from the
+   *     top at centi-logit bucket granularity)
+   *   → sequence packing → per-shard MANIFEST (the gate output: any
+   *     drifted doc upstream changes a count or checksum here).
+   *
+   * Each stage is individually oracle-gated; this proves the CONTRACTS
+   * COMPOSE — rewritten text flows into shingling/quality/packing, the
+   * semantic stage's derived geometry follows the survivor count, and
+   * the budget is a function of what survived, not of the raw corpus.
+   *
+   * Scale shape: inherits each stage's (clean's banded near-dup join,
+   * chunk dedup's struct-min election, SemDeDup's bounded in-cell
+   * pairs, decontamination's broadcast eval shingles, the budget's
+   * ≤201-bucket window); the only new plumbing is id semi/anti joins
+   * between stages. Survivor states are localCheckpointed where more
+   * than one downstream stage reads them.
+   */
+  def pipeline(docs: DataFrame, embs: DataFrame, evalMod: Int = 97,
+      seqLen: Int = 256, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // A: document-level clean on the original text
+    val sa = clean(docs).select(col("doc_id"), col("text"))
+    // B: chunk dedup rewrites each survivor to its kept chunks
+    val sb = Dedup.chunkDedup(sa)
+      .where(col("kept_chunks") > 0)
+      .select(col("doc_id"), col("kept_text").as("text"))
+      .localCheckpoint()
+    // C: SemDeDup on the survivor embeddings, geometry from the subset
+    val sbEmb = embs.join(sb.select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val nVec = sbEmb.count()
+    val nl = graft.ann.Ann.nlistFor(nVec)
+    val semKeep = graft.ann.Ann.semanticDedup(sbEmb, minCos = 0.35,
+        nlist = nl, modulus = Some(math.max(1L, nVec / nl)))
+      .select(col("vec_id").as("doc_id"))
+    val sc = sb.join(embs.select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .unionByName(sb.join(semKeep, Seq("doc_id"), "left_semi"))
+    // D: decontamination — eval docs out of the corpus, contaminated out
+    val evalDocs = docs.where(col("doc_id") % evalMod === 0)
+    val cs = sc.where(col("doc_id") % evalMod =!= 0)
+    val sd = cs.join(Dedup.contaminatedIds(cs, evalDocs),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // E: quality-model keep (integer numerator sign) at chunk-rewritten
+    // text, with the centi-logit bucket for the budget stage
+    val m = Text.qualityModelRaw(sd).where(col("num") >= 0L)
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(num + 1000 * n_tokens) * 100 div (1000 * n_tokens)").as("kc"))
+      .localCheckpoint()
+    // F: budget fill — half the kept tokens, whole buckets from the top
+    val budget = m.agg(expr("sum(n_tokens) div 2").as("budget"))
+    val hist = m.groupBy(col("kc")).agg(sum(col("n_tokens")).as("bt"))
+    val cum = hist.withColumn("cum",
+      sum(col("bt")).over(Window.orderBy(col("kc").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sel = m.join(broadcast(cum.select(col("kc"), col("cum"))), Seq("kc"))
+      .crossJoin(broadcast(budget))
+      .where(col("cum") <= col("budget"))
+      .select(col("doc_id"))
+    // G: pack the selected docs, publish the per-shard manifest
+    val packed = packChunks(sd.join(sel, Seq("doc_id"), "left_semi"),
+      seqLen = seqLen, shards = shards)
+    packed.groupBy(col("shard")).agg(
+      count(lit(1)).as("n_docs"),
+      (max(col("chunk_last")) + 1).as("n_seqs"),
+      sum(when(col("chunk_first") =!= col("chunk_last"), 1L)
+        .otherwise(0L)).as("straddlers"),
+      sum(col("doc_id") % lit(1000003L) *
+        (graft.functions.XHash.h60(col("doc_id").cast("string"))
+          % lit(1000000L)) % lit(1000003L)).as("checksum"))
+  }
 }

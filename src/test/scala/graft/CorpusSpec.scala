@@ -345,4 +345,73 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(uncapped("src3") > pr("src3"))
   }
+
+  // ---- corpus_pipeline: the composed closed-loop curation chain ----
+
+  private val plWords = Seq("river", "garden", "window", "engine", "basket",
+    "yellow", "winter", "market", "signal", "copper", "meadow", "lantern")
+
+  /** Natural-ish sentences (stopwords keep them over the quality floor)
+    * with seed-varied content words so lengths and vocab differ. */
+  private def sentence(seed: Int): String = {
+    val a = plWords(seed % plWords.size)
+    val b = plWords((seed * 5 + 3) % plWords.size)
+    val c = plWords((seed * 7 + 1) % plWords.size)
+    s"the $a by the $b was quiet and we walked past the $c " +
+      s"while it rained " + ("softly " * (seed % 4)) + "in town number" +
+      s" item$seed"
+  }
+
+  /** A base corpus big enough that every pipeline stage has work:
+    * varied docs plus the eval doc (id 97). */
+  private def plBase: Seq[(Long, String)] =
+    (1L to 40L).map(i => (i, sentence(i.toInt))) :+
+      (97L, "held out benchmark question about the moon landing date")
+
+  /** Mutually orthogonal one-hot embeddings: no accidental semantic
+    * dups, so the pipeline's survivor set is controlled by the planted
+    * text, not by lattice coincidences. */
+  private def plEmb(ids: Seq[Long]) =
+    ids.map(i => (i, Array.tabulate(48)(d =>
+      if (d == (i % 48).toInt) 1f else 0f))).toDF("vec_id", "embedding")
+
+  private def manifestOf(rows: Seq[(Long, String)],
+      embIds: Seq[Long]): Seq[Seq[Any]] =
+    Corpus.pipeline(rows.toDF("doc_id", "text"), plEmb(embIds))
+      .orderBy("shard").collect().map(_.toSeq.toVector).toVector
+
+  test("pipeline: adding an exact duplicate changes nothing downstream") {
+    val base = plBase
+    val dup = base :+ (41L, base.head._2) // same text, higher id, no emb
+    val embIds = base.map(_._1).filter(i => i % 3 != 0 && i != 97L)
+    val baseMan = manifestOf(base, embIds)
+    assert(baseMan.nonEmpty, "fixture must survive to packing")
+    assert(manifestOf(dup, embIds) == baseMan,
+      "an exact dup must be invisible to the manifest")
+  }
+
+  test("pipeline: a contaminated doc drops; its benign twin is visible") {
+    val base = plBase
+    val embIds = base.map(_._1).filter(i => i % 3 != 0 && i != 97L)
+    // 43 shares a 3-gram with the eval doc (id 97) → decontaminated out
+    val contaminated = base :+
+      (43L, "notes mention the moon landing date among many other things here")
+    assert(manifestOf(contaminated, embIds) == manifestOf(base, embIds),
+      "a contaminated doc must be invisible to the manifest")
+    // the control: same id with benign text shifts the manifest (so the
+    // equality above is the decontam stage, not incidental drop-out)
+    val benign = base :+
+      (43L, "notes mention entirely unrelated calendar trivia and nothing shared")
+    assert(manifestOf(benign, embIds) != manifestOf(base, embIds),
+      "the benign twin must reach packing (otherwise the test is vacuous)")
+  }
+
+  test("pipeline: manifest shape — bounded shards, integral totals") {
+    val base = plBase
+    val out = manifestOf(base, base.map(_._1).filter(_ % 3 != 0))
+    assert(out.nonEmpty && out.size <= 8)
+    val nDocs = out.map(_(1).asInstanceOf[Long]).sum
+    assert(nDocs >= 1 && nDocs <= base.size)
+    assert(out.forall(_(2).asInstanceOf[Long] >= 1)) // n_seqs
+  }
 }
