@@ -76,6 +76,27 @@ object DedupQueries {
     path
   }
 
+  /** Write the packed-shard artifact (members + physical sequence
+    * files) once per dataset, fingerprint-keyed like the other caches
+    * ([[graft.tools.LocalFs]] scope contract: local `/tmp` gate cache;
+    * Corpus.writeShards itself takes any FS root). Marker AFTER both
+    * writes so an interrupted build rebuilds cleanly. */
+  private def ensureShards(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"/tmp/graft-shards/$dirKey-${srcFingerprint(dir)}"
+    val marker = new java.io.File(s"$path/_GRAFT_PACKED")
+    if (!marker.exists()) {
+      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-shards",
+        s"$dirKey-", new java.io.File(path).getName)
+      deleteRec(java.nio.file.Paths.get(path))
+      graft.dedup.Corpus.writeShards(docs(s, dir), path,
+        seqLen = 256, shards = 8)
+      marker.createNewFile()
+    }
+    path
+  }
+
   /** The UPDATED store for the chained gate: old snapshot ∪ batch A's
     * keeper signatures, produced by copying the base store and running
     * [[Dedup.appendKeepersToStore]] on batch A — the update step itself
@@ -536,6 +557,54 @@ object DedupQueries {
         SELECT CAST(shard AS BIGINT) AS shard,
           CAST(count(*) AS BIGINT) AS n_docs,
           CAST(max((tok_offset + n_toks - 1) // 256) + 1 AS BIGINT) AS n_seqs,
+          CAST(sum(CASE WHEN tok_offset // 256 <>
+            (tok_offset + n_toks - 1) // 256 THEN 1 ELSE 0 END) AS BIGINT)
+            AS straddlers,
+          CAST(sum(doc_id % 1000003 * ck % 1000003) AS BIGINT) AS checksum
+        FROM c GROUP BY shard""")),
+
+    // #41c the packing made PHYSICAL: writeShards persists the member
+    // table AND the shard sequence files themselves (fixed 256-token
+    // windows, partitioned by shard); the gate recomputes every
+    // manifest column FROM THE WRITTEN BYTES — n_seqs and n_toks come
+    // off the seq files, docs/straddlers/checksum off the member table
+    // — and the oracle recomputes the same numbers from the raw corpus,
+    // so a missing, duplicated, or torn window on disk hash-mismatches.
+    Q("corpus_pack_written",
+      (s, dir) => {
+        val root = ensureShards(s, dir)
+        val members = s.read.parquet(s"$root/members")
+        val seqs = s.read.parquet(s"$root/seqs")
+        val fromSeqs = seqs.groupBy(col("shard")).agg(
+          count(lit(1)).as("n_seqs"),
+          sum(size(col("tokens"))).cast("long").as("n_toks"))
+        val fromMembers = members.groupBy(col("shard")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("chunk_first") =!= col("chunk_last"), 1L)
+            .otherwise(0L)).as("straddlers"),
+          sum(col("doc_id") % lit(1000003L) *
+            (graft.functions.XHash.h60(col("doc_id").cast("string"))
+              % lit(1000000L)) % lit(1000003L)).as("checksum"))
+        fromMembers.join(fromSeqs, Seq("shard"))
+          .select(col("shard"), col("n_docs"), col("n_seqs"),
+            col("n_toks"), col("straddlers"), col("checksum"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+            ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+            ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 1000000 AS ck,
+            CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, shard, ck, n_toks,
+            COALESCE(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+          FROM t)
+        SELECT CAST(shard AS BIGINT) AS shard,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(max((tok_offset + n_toks - 1) // 256) + 1 AS BIGINT) AS n_seqs,
+          CAST(sum(n_toks) AS BIGINT) AS n_toks,
           CAST(sum(CASE WHEN tok_offset // 256 <>
             (tok_offset + n_toks - 1) // 256 THEN 1 ELSE 0 END) AS BIGINT)
             AS straddlers,

@@ -298,6 +298,50 @@ object StreamingQueries {
         LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)""")),
 
+    // #24d q_retention's INCREMENTAL twin (the last batch-only
+    // analytics classic): per-user state = (cohort, 7-bit active-day
+    // mask, update seq) in mapGroupsWithState — order-INDEPENDENT (a
+    // late-arriving earlier day moves the cohort and shifts the mask,
+    // bits past the window dropping), two scalars per user. The drain
+    // takes each user's final state (struct-max on the strictly
+    // increasing seq), explodes the mask bits, and aggregates the same
+    // (cohort, off) → active_users matrix as the batch query — one
+    // shared oracle.
+    Q("stream_retention",
+      (s, dir) => {
+        import s.implicits._
+        implicit val session: org.apache.spark.sql.SparkSession = s
+        val stream = eventStream(s, dir)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .as[(Long, Long)]
+        val out = graft.streaming.StreamRetention.retention(stream)
+        val fin = drain(out.toDF(), "graft_stream_retention",
+            graft.streaming.StreamRetention.outputMode)
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("seq"), col("cohort"), col("mask"))).as("m"))
+          .select(col("m.cohort").as("cohort"), col("m.mask").as("mask"))
+        fin.select(col("cohort"),
+            explode(sequence(lit(0),
+              lit(graft.streaming.StreamRetention.Window - 1))).as("off"),
+            col("mask"))
+          .where(expr("shiftright(mask, off) % 2 = 1"))
+          .groupBy(col("cohort"), col("off"))
+          .agg(count(lit(1)).as("active_users"))
+          .select(col("cohort"), col("off").cast("long").as("off"),
+            col("active_users").cast("long").as("active_users"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        c AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1),
+        a AS (SELECT DISTINCT user_id, day FROM e)
+        SELECT c.cohort, a.day - c.cohort AS off,
+          CAST(count(*) AS BIGINT) AS active_users
+        FROM a JOIN c USING (user_id)
+        WHERE a.day - c.cohort BETWEEN 0 AND 6
+        GROUP BY 1, 2""")),
+
     // #34e the CMS mergeability claim, proven live: the SAME
     // Text.cmsCounters plan drained through the streaming engine's
     // incremental state (partial sketches merged per micro-batch) must

@@ -177,6 +177,14 @@ object Corpus {
    */
   def packChunks(docs: DataFrame, seqLen: Int = 2048,
       shards: Int = DeriveShards,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    packMembers(docs, seqLen, shards, idCol, textCol).drop("n_toks")
+
+  /** [[packChunks]] plus each member's token count — the full member
+    * table [[writeShards]] persists so the manifest is recomputable
+    * from the artifact alone (offsets re-derive from n_toks). */
+  def packMembers(docs: DataFrame, seqLen: Int = 2048,
+      shards: Int = DeriveShards,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(seqLen > 0 && shards >= 0, "seqLen and shards must be positive")
     val nShards =
@@ -193,9 +201,55 @@ object Corpus {
     t.withColumn("tok_offset", coalesce(sum(col("n_toks")).over(w), lit(0L)))
       .select(col("id").as(idCol),
         col("shard").cast("long").as("shard"),
+        col("n_toks"),
         col("tok_offset"),
         expr(s"tok_offset div $seqLen").as("chunk_first"),
         expr(s"(tok_offset + n_toks - 1) div $seqLen").as("chunk_last"))
+  }
+
+  /**
+   * The PHYSICAL packing the manifest (row 86) summarizes: each shard's
+   * token stream in doc-id order, split into fixed `seqLen` context
+   * windows — (shard, seq_idx, tokens), every window full except each
+   * shard's last. What a trainer's loader memory-maps; until this, the
+   * pipeline only ever published the summary.
+   *
+   * Scale shape: tokenize-explode with the member offsets already
+   * computed (one per-shard window over doc-count rows, same as
+   * packChunks), then ONE shuffle on (shard, seq_idx) whose groups are
+   * bounded by seqLen tokens — the window assembly is embarrassingly
+   * parallel at any corpus size. Token order inside a window is pinned
+   * by the (pos_in_seq, token) struct sort.
+   */
+  def packedSequences(docs: DataFrame, seqLen: Int = 2048,
+      shards: Int = DeriveShards,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val members = packMembers(docs, seqLen, shards, idCol, textCol)
+      .select(col(idCol), col("shard"), col("tok_offset"))
+    docs.select(col(idCol), Text.tokens(col(textCol)).as("toks"))
+      .join(members, Seq(idCol))
+      .select(col("shard"), col("tok_offset"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("gidx", col("tok_offset") + col("pos"))
+      .select(col("shard"), expr(s"gidx div $seqLen").as("seq_idx"),
+        expr(s"gidx % $seqLen").as("p"), col("tok"))
+      .groupBy(col("shard"), col("seq_idx"))
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+        s => s.getField("tok")).as("tokens"))
+  }
+
+  /** Persist the packing: `root/members` (the [[packMembers]] table)
+    * and `root/seqs` ([[packedSequences]], partitioned by shard — the
+    * shard files themselves). The written artifact is self-contained:
+    * corpus_pack_written recomputes the manifest from these bytes and
+    * gates it against the raw-corpus oracle. */
+  def writeShards(docs: DataFrame, root: String, seqLen: Int = 2048,
+      shards: Int = DeriveShards,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    packMembers(docs, seqLen, shards, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$root/members")
+    packedSequences(docs, seqLen, shards, idCol, textCol)
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$root/seqs")
   }
 
   /**

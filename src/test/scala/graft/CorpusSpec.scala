@@ -406,6 +406,34 @@ class CorpusSpec extends SparkSpec {
       "the benign twin must reach packing (otherwise the test is vacuous)")
   }
 
+  test("packedSequences: windows are full, contiguous, and byte-faithful") {
+    val docs = (1L to 12L)
+      .map(i => (i, (1 to (3 + i % 5).toInt).map(k => s"d${i}w$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    val seqLen = 4
+    val members = Corpus.packMembers(docs, seqLen = seqLen, shards = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val seqs = Corpus.packedSequences(docs, seqLen = seqLen, shards = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2).toVector))
+    // every window full except each shard's last; indices contiguous
+    for ((shard, group) <- seqs.groupBy(_._1)) {
+      val byIdx = group.sortBy(_._2)
+      assert(byIdx.map(_._2).toSeq == byIdx.indices.map(_.toLong),
+        s"shard $shard windows not contiguous")
+      assert(byIdx.init.forall(_._3.size == seqLen),
+        s"shard $shard has a short non-final window")
+    }
+    // per shard: concatenated windows == members' docs' tokens in id order
+    val docToks = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toVector).toMap
+    for ((shard, group) <- members.groupBy(_._2)) {
+      val expect = group.sortBy(_._1).flatMap(m => docToks(m._1)).toVector
+      val got = seqs.filter(_._1 == shard).sortBy(_._2).flatMap(_._3).toVector
+      assert(got == expect, s"shard $shard token stream drifted")
+    }
+  }
+
   test("pipeline: manifest shape — bounded shards, integral totals") {
     val base = plBase
     val out = manifestOf(base, base.map(_._1).filter(_ % 3 != 0))
