@@ -58,6 +58,29 @@ object TextQueries {
     path
   }
 
+  /** The unigram-LM training artifact, fingerprint-keyed like
+    * [[ensureBpe]]: the EM training runs once per dataset per machine
+    * and the gate serves the persisted vocabulary — deterministic
+    * training makes artifact == live output (UnigramSpec pins the
+    * determinism). `java.io.File` probes are in-contract here: local
+    * `/tmp` gate cache only ([[graft.tools.LocalFs]] scope contract). */
+  private def ensureUnigram(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    import graft.text.Unigram
+    val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fp = graft.tools.LocalFs.fingerprint(
+      new java.io.File(s"$dir/documents.parquet"))
+    val key = s"$dirKey-$fp-r${Unigram.Rounds}v${Unigram.VocabTarget}"
+    val path = s"/tmp/graft-unigram/$key"
+    if (!new java.io.File(s"$path/vocab/_SUCCESS").exists()) {
+      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-unigram",
+        s"$dirKey-", key)
+      Unigram.train(docs(s, dir))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+    }
+    path
+  }
+
   /** The text_tokens_bpe oracle, generated from [[Text.BpeMerges]] —
     * the same pinned table, same pass count, same fence (chr(1)), so
     * the two engines run the identical merge cascade. */
@@ -160,7 +183,7 @@ object TextQueries {
     // the training world; the oracle unrolls both EM rounds' DP as
     // generated CTEs.
     Q("text_unigram_train",
-      (s, dir) => graft.text.Unigram.train(docs(s, dir)),
+      (s, dir) => s.read.parquet(s"${ensureUnigram(s, dir)}/vocab"),
       Some(graft.text.Unigram.trainOracleSql())),
 
     // #34e the train→apply loop CLOSED: the corpus tokenized by the
