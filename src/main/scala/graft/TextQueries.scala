@@ -72,11 +72,12 @@ object TextQueries {
       new java.io.File(s"$dir/documents.parquet"))
     val key = s"$dirKey-$fp-r${Unigram.Rounds}v${Unigram.VocabTarget}"
     val path = s"/tmp/graft-unigram/$key"
-    if (!new java.io.File(s"$path/vocab/_SUCCESS").exists()) {
+    if (!new java.io.File(s"$path/segs/_SUCCESS").exists()) {
       graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-unigram",
         s"$dirKey-", key)
-      Unigram.train(docs(s, dir))
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+      val (vocab, segs) = Unigram.trainFull(docs(s, dir))
+      vocab.coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+      segs.coalesce(1).write.mode("overwrite").parquet(s"$path/segs")
     }
     path
   }
@@ -185,6 +186,18 @@ object TextQueries {
     Q("text_unigram_train",
       (s, dir) => s.read.parquet(s"${ensureUnigram(s, dir)}/vocab"),
       Some(graft.text.Unigram.trainOracleSql())),
+
+    // #34g the unigram train→apply loop CLOSED (the row-77 move for
+    // the second subword family): the final E-step's segmentation,
+    // served from the persisted artifact as a WordCap-bounded
+    // broadcast dictionary, tokenizes the corpus — per-doc counts with
+    // character backoff for out-of-population words. The oracle
+    // extends the same unrolled EM chain one join further, so a
+    // drifted intermediate state fails BOTH unigram gates coherently.
+    Q("text_unigram_apply",
+      (s, dir) => graft.text.Unigram.applyCounts(docs(s, dir),
+        s.read.parquet(s"${ensureUnigram(s, dir)}/segs")),
+      Some(graft.text.Unigram.applyOracleSql())),
 
     // #34e the train→apply loop CLOSED: the corpus tokenized by the
     // merges just learned from it (the final training state IS the

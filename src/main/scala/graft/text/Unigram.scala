@@ -115,7 +115,19 @@ object Unigram {
    * (piece, cnt, score_micro) — counts from the last Viterbi pass,
    * scores in integer micro-nats, ordered (cnt DESC, piece).
    */
-  def train(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def train(docs: DataFrame, textCol: String = "text"): DataFrame =
+    trainFull(docs, textCol)._1
+
+  /**
+   * [[train]] exposing BOTH halves (the BPE `bpeTrainFull` shape): the
+   * scored final vocabulary AND the final E-step's Viterbi
+   * segmentation of the word population (word, seg) — the trained
+   * tokenizer APPLIED to its own training corpus; the apply gate joins
+   * it as a broadcast dictionary with character-count backoff for
+   * out-of-population words.
+   */
+  def trainFull(docs: DataFrame,
+      textCol: String = "text"): (DataFrame, DataFrame) = {
     val words = docs
       .select(explode(regexp_extract_all(lower(col(textCol)),
         lit("[a-z]+"), lit(0))).as("word"))
@@ -140,8 +152,10 @@ object Unigram {
       .unionByName(seedCounts.where(length(col("piece")) > 1)
         .orderBy(col("c").desc, col("piece")).limit(SeedCap))
       .localCheckpoint()
+    var lastFin: DataFrame = null
     for (_ <- 1 to Rounds) {
       val fin = viterbi(words, pieces, scored(vocab))
+      lastFin = fin
       val used = fin
         .select(col("wc"), explode(split(trim(col("seg")), " ")).as("piece"))
         .where(col("piece") =!= "")
@@ -153,10 +167,33 @@ object Unigram {
         .orderBy(col("c").desc, col("piece")).limit(VocabTarget)
       vocab = keptChars.unionByName(keptMulti).localCheckpoint()
     }
-    scored(vocab)
+    val out = scored(vocab)
       .select(col("piece"), col("c").cast("long").as("cnt"),
         col("s").as("score_micro"))
       .orderBy(col("cnt").desc, col("piece"))
+    (out, lastFin.select(col("word"), col("seg")))
+  }
+
+  /**
+   * APPLY the trained tokenizer over a corpus: per-doc token count
+   * under the learned segmentation — the word-level dictionary
+   * ([[trainFull]]'s final E-step, broadcast) resolves in-population
+   * words to their piece counts; out-of-population words (beyond the
+   * cap or over MaxWordLen) back off to character count. One corpus
+   * pass, one broadcast join, one doc-keyed groupBy — the 100 TB
+   * shape: the dictionary is WordCap-bounded however big the corpus.
+   */
+  def applyCounts(docs: DataFrame, segs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dict = broadcast(segs.select(col("word"),
+      size(split(trim(col("seg")), " ")).as("np")))
+    docs.select(col(idCol),
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z]+"), lit(0))).as("word"))
+      .join(dict, Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("np").cast("long"),
+        length(col("word")).cast("long"))).as("unigram_tokens"))
   }
 
   // ---- generated DuckDB oracle: the identical chain, unrolled ----
@@ -214,7 +251,36 @@ object Unigram {
 
   /** The [[train]] oracle: seed + `Rounds` unrolled EM rounds, every
     * constant shared with the Scala path. */
-  def trainOracleSql(base: String = "documents"): String = {
+  def trainOracleSql(base: String = "documents"): String =
+    s"""${chainCtes(base)}
+       |SELECT piece, CAST(c AS BIGINT) AS cnt, s AS score_micro
+       |FROM s$Rounds
+       |ORDER BY cnt DESC, piece""".stripMargin
+
+  /** The apply oracle: the SAME training chain extended one join
+    * further (the BPE bpeTrainApplyOracleSql shape) — the final
+    * E-step's segmentation becomes a per-word piece-count dictionary
+    * over the corpus, with character-count backoff for words outside
+    * the trained population; a drifted intermediate state fails both
+    * gates coherently. */
+  def applyOracleSql(base: String = "documents"): String =
+    s"""${chainCtes(base)},
+       |dict AS (
+       |  SELECT word, len(string_split(trim(seg), ' ')) AS np
+       |  FROM fin$Rounds),
+       |cw AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM $base)
+       |SELECT doc_id,
+       |  CAST(sum(coalesce(d.np, length(cw.word))) AS BIGINT)
+       |    AS unigram_tokens
+       |FROM cw LEFT JOIN dict d ON cw.word = d.word
+       |GROUP BY doc_id""".stripMargin
+
+  /** The shared WITH-chain of both oracles: seed vocabulary + `Rounds`
+    * unrolled EM rounds (ends after s$Rounds / fin$Rounds). */
+  private def chainCtes(base: String): String = {
     val rounds = (1 to Rounds).map(roundCtes).mkString(",\n")
     s"""WITH w0 AS (
        |  SELECT word, COUNT(*) AS wc FROM (
@@ -242,9 +308,6 @@ object Unigram {
        |s0 AS MATERIALIZED (
        |  SELECT piece, c, ${microNatsSql("c", "t")} AS s
        |  FROM v0, t0),
-       |$rounds
-       |SELECT piece, CAST(c AS BIGINT) AS cnt, s AS score_micro
-       |FROM s$Rounds
-       |ORDER BY cnt DESC, piece""".stripMargin
+       |$rounds""".stripMargin
   }
 }

@@ -49,6 +49,19 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("apply: in-population words use their segmentation, OOV backs off to chars") {
+    val train = Seq((1L, Seq.fill(20)("data").mkString(" ")))
+      .toDF("doc_id", "text")
+    val (_, segs) = Unigram.trainFull(train)
+    // 'data' segments as one piece (pinned by the first test); 'datax'
+    // is out of the trained population -> character backoff (5)
+    val out = Unigram.applyCounts(
+      Seq((7L, "data datax DATA"), (8L, "???")).toDF("doc_id", "text"), segs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(7L) == 1L + 5L + 1L, s"got $out") // lowercased DATA joins too
+    assert(!out.contains(8L), "a no-word doc has no token rows")
+  }
+
   test("deterministic: two trainings of the same corpus agree exactly") {
     val texts = Seq("the merge window merges the sparks",
       "window after window the spark merges")
