@@ -464,6 +464,68 @@ object TextQueries {
         CROSS JOIN tot
         GROUP BY doc_id""")),
 
+    // #44d interpolated TRIGRAM log-prob — the ladder's top rung
+    // (JM all the way down: pos 1 unigram, pos 2 the 0.75/0.25 bigram
+    // mix, pos 3+ 0.6·P(t|p2,p1) + 0.3·P(t|p1) + 0.1·P_uni). All three
+    // model tables capped (16/64/128 here, deliberately small so every
+    // drop path fires at sf0.01) and broadcast; the oracle replays the
+    // double-lag sequence, all three cuts, and the interpolation
+    // literal for literal.
+    Q("text_logprob3",
+      (s, dir) => Text.trigramLogProb(docs(s, dir),
+        maxVocab = 16, maxBigrams = 64, maxTrigrams = 128),
+      Some("""
+        WITH parts AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS p
+          FROM documents),
+        toks AS (
+          SELECT doc_id,
+            unnest(range(1, len(p) + 1)) AS pos,
+            unnest(p) AS t
+          FROM parts),
+        seq AS (
+          SELECT doc_id, pos, t,
+            lag(t) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+            lag(t, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+          FROM toks),
+        vocab AS (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
+        kept AS (SELECT t, cnt FROM vocab ORDER BY cnt DESC, t LIMIT 16),
+        keptbg AS (
+          SELECT p1, t, COUNT(*) AS pc FROM seq WHERE p1 IS NOT NULL
+          GROUP BY 1, 2 ORDER BY pc DESC, p1, t LIMIT 64),
+        ctx2 AS (
+          SELECT p1, COUNT(*) AS cc FROM seq WHERE p1 IS NOT NULL
+          GROUP BY 1),
+        kepttg AS (
+          SELECT p2, p1, t, COUNT(*) AS tc FROM seq WHERE p2 IS NOT NULL
+          GROUP BY 1, 2, 3 ORDER BY tc DESC, p2, p1, t LIMIT 128),
+        ctx3 AS (
+          SELECT p2, p1, COUNT(*) AS c3 FROM seq WHERE p2 IS NOT NULL
+          GROUP BY 1, 2)
+        SELECT doc_id,
+          round(AVG(-ln(CASE
+            WHEN s.p1 IS NULL
+            THEN CAST(COALESCE(k.cnt, 1) AS DOUBLE) / total
+            WHEN s.p2 IS NULL
+            THEN 0.75 * (CAST(COALESCE(b.pc, 0) AS DOUBLE)
+                   / CAST(c2.cc AS DOUBLE))
+               + 0.25 * (CAST(COALESCE(k.cnt, 1) AS DOUBLE) / total)
+            ELSE 0.6 * (CAST(COALESCE(g.tc, 0) AS DOUBLE)
+                   / CAST(c3.c3 AS DOUBLE))
+               + 0.3 * (CAST(COALESCE(b.pc, 0) AS DOUBLE)
+                   / CAST(c2.cc AS DOUBLE))
+               + 0.1 * (CAST(COALESCE(k.cnt, 1) AS DOUBLE) / total)
+            END)), 6) AS logprob3
+        FROM seq s
+        LEFT JOIN kept k ON k.t = s.t
+        LEFT JOIN keptbg b ON b.p1 = s.p1 AND b.t = s.t
+        LEFT JOIN ctx2 c2 ON c2.p1 = s.p1
+        LEFT JOIN kepttg g ON g.p2 = s.p2 AND g.p1 = s.p1 AND g.t = s.t
+        LEFT JOIN ctx3 c3 ON c3.p2 = s.p2 AND c3.p1 = s.p1
+        CROSS JOIN tot
+        GROUP BY doc_id""")),
+
     // #44b CCNet's actual BUCKETING step on top of the logprob signal:
     // head/middle/tail by tercile cutoffs of the corpus distribution.
     // The cutoffs come from a bucket-bounded lquantize histogram

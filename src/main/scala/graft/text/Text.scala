@@ -425,6 +425,65 @@ object Text {
   }
 
   /**
+   * Interpolated TRIGRAM log-prob — one rung past [[bigramLogProb]] on
+   * the n-gram ladder (Jelinek-Mercer all the way down: position 1
+   * scores pure unigram, position 2 the 0.75/0.25 bigram mix, position
+   * 3+ the 0.6/0.3/0.1 trigram mix — each lower order the backoff of
+   * the one above). All three model tables are CAPPED (top-N by count
+   * with full-key tie-breaks) so the broadcasts stay bounded at any
+   * corpus size; context counts are uncapped but vocab²-bounded. A
+   * dropped rare trigram scores as unseen — λ·0 plus the lower-order
+   * legs. Same scale shape as the bigram: the corpus never shuffles
+   * except the per-doc lag window and final groupBy, which share one
+   * doc partitioning.
+   */
+  def trigramLogProb(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxVocab: Int = 1 << 16, maxBigrams: Int = 1 << 20,
+      maxTrigrams: Int = 1 << 22): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val seq = toks.withColumn("p1", lag(col("t"), 1).over(w))
+      .withColumn("p2", lag(col("t"), 2).over(w))
+    val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast("double").as("total"))
+    val keptUni = vocab.orderBy(col("cnt").desc, col("t")).limit(maxVocab)
+    val slots2 = seq.where(col("p1").isNotNull)
+    val keptBi = slots2.groupBy(col("p1"), col("t"))
+      .agg(count(lit(1)).as("pc"))
+      .orderBy(col("pc").desc, col("p1"), col("t")).limit(maxBigrams)
+    val ctx2 = slots2.groupBy(col("p1")).agg(count(lit(1)).as("cc"))
+    val slots3 = seq.where(col("p2").isNotNull)
+    val keptTri = slots3.groupBy(col("p2"), col("p1"), col("t"))
+      .agg(count(lit(1)).as("tc"))
+      .orderBy(col("tc").desc, col("p2"), col("p1"), col("t"))
+      .limit(maxTrigrams)
+    val ctx3 = slots3.groupBy(col("p2"), col("p1")).agg(count(lit(1)).as("c3"))
+    val pUni = coalesce(col("cnt").cast("double"), lit(1.0)) / col("total")
+    val pBi = lit(0.75) *
+      (coalesce(col("pc").cast("double"), lit(0.0)) / col("cc").cast("double")) +
+      lit(0.25) * pUni
+    val pTri = lit(0.6) *
+      (coalesce(col("tc").cast("double"), lit(0.0)) / col("c3").cast("double")) +
+      lit(0.3) *
+      (coalesce(col("pc").cast("double"), lit(0.0)) / col("cc").cast("double")) +
+      lit(0.1) * pUni
+    val p = when(col("p1").isNull, pUni)
+      .when(col("p2").isNull, pBi)
+      .otherwise(pTri)
+    seq.join(broadcast(keptUni), Seq("t"), "left")
+      .join(broadcast(keptBi), Seq("p1", "t"), "left")
+      .join(broadcast(ctx2), Seq("p1"), "left")
+      .join(broadcast(keptTri), Seq("p2", "p1", "t"), "left")
+      .join(broadcast(ctx3), Seq("p2", "p1"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(round(avg(-log(p)), 6).as("logprob3"))
+  }
+
+  /**
    * Gopher-style REPETITION signals, per doc: `n_tokens`,
    * `dup_word_frac` (1 - distinct/total tokens) and `top_bigram_frac`
    * (occurrences of the most frequent bigram over all bigram slots) —

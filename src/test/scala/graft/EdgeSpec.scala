@@ -155,4 +155,26 @@ class EdgeSpec extends SparkSpec {
     val qm = Text.qualityModel(blank).collect().head
     assert(qm.getLong(1) == 1L)
   }
+
+  test("round-12 ops survive empty and degenerate corpora") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // the full curation pipeline on nothing: empty manifest, no crash
+    // at any stage (clean, chunk, semantic geometry over zero vectors,
+    // decontam, quality, budget, pack)
+    assert(graft.dedup.Corpus.pipeline(noDocs, noEmb).count() == 0)
+    // packing nothing: no members, no sequence files
+    assert(graft.dedup.Corpus.packMembers(noDocs, 4, 2).count() == 0)
+    assert(graft.dedup.Corpus.packedSequences(noDocs, 4, 2).count() == 0)
+    // a garbage-only corpus dies at the quality floor, not mid-pipeline
+    val junk = Seq((1L, "!!!...;;;"), (2L, "")).toDF("doc_id", "text")
+    assert(graft.dedup.Corpus.pipeline(junk, noEmb).count() == 0)
+    // unigram apply with an EMPTY dictionary: everything backs off to
+    // character counts
+    val segs = Seq.empty[(String, String)].toDF("word", "seg")
+    val counts = graft.text.Unigram.applyCounts(
+      Seq((1L, "ab cde")).toDF("doc_id", "text"), segs).collect()
+    assert(counts.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 5L)))
+  }
 }

@@ -205,6 +205,36 @@ class TextSpec extends SparkSpec {
     assert(capped(1L) > r(1L) && capped(2L) > r(2L))
   }
 
+  test("trigram logprob: three-rung interpolation and capped table drops") {
+    import spark.implicits._
+    // doc1 = a b c a b c: vocab a:2 b:2 c:2 total 6;
+    // bigrams (a,b):2 (b,c):2 (c,a):1, ctx2 a:2 b:2 c:1;
+    // trigrams (a,b,c):2 (b,c,a):1 (c,a,b):1, ctx3 (a,b):2 (b,c):1 (c,a):1
+    val docs = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    def grid(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val pU = 2.0 / 6.0
+    val p2 = 0.75 * (2.0 / 2.0) + 0.25 * pU            // pos 2: b | a
+    val pABC = 0.6 * (2.0 / 2.0) + 0.3 * (2.0 / 2.0) + 0.1 * pU
+    val pBCA = 0.6 * (1.0 / 1.0) + 0.3 * (1.0 / 1.0) + 0.1 * pU
+    val pCAB = 0.6 * (1.0 / 1.0) + 0.3 * (2.0 / 2.0) + 0.1 * pU
+    val expect = grid((-math.log(pU) - math.log(p2) - math.log(pABC)
+      - math.log(pBCA) - math.log(pCAB) - math.log(pABC)) / 6)
+    val r = Text.trigramLogProb(docs).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - expect) < 2e-6, s"got ${r(1L)} want $expect")
+    // cap the trigram table at 1: only (a,b,c) (count 2) survives; the
+    // dropped trigrams lose their 0.6 leg but keep bigram + unigram
+    val pBCAd = 0.3 * (1.0 / 1.0) + 0.1 * pU
+    val pCABd = 0.3 * (2.0 / 2.0) + 0.1 * pU
+    val expectCap = grid((-math.log(pU) - math.log(p2) - math.log(pABC)
+      - math.log(pBCAd) - math.log(pCABd) - math.log(pABC)) / 6)
+    val capped = Text.trigramLogProb(docs, maxTrigrams = 1).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(capped(1L) - expectCap) < 2e-6,
+      s"got ${capped(1L)} want $expectCap")
+    assert(capped(1L) > r(1L))
+  }
+
   test("bpe tokenization: merge cascade, chains, and word fencing") {
     import spark.implicits._
     val docs = Seq(
