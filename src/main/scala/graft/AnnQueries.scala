@@ -541,6 +541,23 @@ object AnnQueries {
       },
       Some(pqSql(lloyd = false))),
 
+    // #30f OPQ-lite rotated PQ: the (1/√d)·H·D structured rotation
+    // (deterministic ±1 diagonal from the house hash + fast
+    // Walsh-Hadamard butterflies) decorrelates dimensions before the
+    // sub-vector split, so the PQ subspaces share the variance — the
+    // cheap stand-in for learned OPQ. Every butterfly is two double
+    // adds in a fixed association order, so the oracle's relational
+    // replay of all six stages is bit-identical and the gate needs no
+    // new tolerance. Same sampling modulus as ann_pq (id-hash based,
+    // rotation-invariant).
+    Q("ann_pq_rotated",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val re = graft.ann.Opq.rotated(e)
+        Ann.pqTopK(re, queryVec(re), 10, modulus = sampleMod(e))
+      },
+      Some(pqSql(lloyd = false, rotated = true))),
+
     // #30d PQ + one deterministic Lloyd refinement of the codebooks
     // (per-subspace analog of ann_ivf_lloyd); the oracle additionally
     // replays assignment → rounded per-dimension means → re-encode.
@@ -959,7 +976,20 @@ object AnnQueries {
    * score sum (each subspace partial in its own SUM, added
    * left-to-right — bit-identical to the Spark plan).
    */
-  private def pqSql(lloyd: Boolean): String = {
+  private def pqSql(lloyd: Boolean, rotated: Boolean = false): String = {
+    val nCtes =
+      if (rotated)
+        s"""eb AS (SELECT vec_id AS id, embedding FROM embeddings),
+           |${graft.ann.Opq.rotateCtes("eb", "embedding")},
+           |n AS (
+           |  SELECT id, list_transform(r, x -> x / ${normSqlOf("r")}) AS vn
+           |  FROM opqr)""".stripMargin
+      else
+        s"""n AS (
+           |  SELECT vec_id AS id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql)
+           |      AS vn
+           |  FROM embeddings)""".stripMargin
     val refineCtes = s"""
         rdists AS (
           SELECT s.id, s.sub, s.sv, c.cid,
@@ -987,10 +1017,7 @@ object AnnQueries {
                             WHERE r.sub = c.sub AND r.cid = c.cid)),"""
     val cbRel = if (lloyd) "cb" else "csubs"
     s"""
-        WITH n AS (
-          SELECT vec_id AS id,
-            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),
+        WITH $nCtes,
         mm AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
         cent AS (
           SELECT id AS cid, vn AS cv FROM n, mm

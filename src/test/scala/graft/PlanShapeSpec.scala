@@ -336,6 +336,19 @@ class PlanShapeSpec extends SparkSpec {
       !ij.contains("BroadcastNestedLoopJoin"), ij.take(1200))
   }
 
+  test("trigram LM: every model table broadcast, corpus never sort-merge-joined") {
+    // five model-table joins (uni, bi, ctx2, tri, ctx3) must all meet
+    // the token sequence as broadcasts — the tables are capped/vocab²-
+    // bounded by construction; a sort-merge join would mean a corpus
+    // shuffle on token keys snuck in
+    val p = SparkEntry.queries("text_logprob3")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 5,
+      s"trigram lost a model broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"trigram corpus shuffled on a model key:\n${p.take(1500)}")
+  }
+
   test("every global window (no partition spec) sits above a bounded subplan") {
     // A WindowExec with an empty partitionSpec funnels its whole input
     // through ONE task — acceptable only when that input is bounded by
