@@ -128,6 +128,23 @@ class FileSystemSchemeSpec extends SparkSpec {
       assert(!fs.exists(new Path(inc, s"$n.$suf")), s"$n.$suf left behind")
   }
 
+  test("packed-shard artifact writes land on an explicit file:// root") {
+    val docs = (1L to 9L).map(i => (i, s"alpha beta word$i gamma"))
+      .toDF("doc_id", "text")
+    val root = fileRoot("shards") + "/pack"
+    graft.dedup.Corpus.writeShards(docs, root, seqLen = 4, shards = 2)
+    val fs = fsOf(root)
+    assert(fs.exists(new Path(s"$root/members/_SUCCESS")))
+    assert(fs.exists(new Path(s"$root/seqs/_SUCCESS")))
+    // the artifact is readable back through the same scheme and
+    // self-consistent: window token totals == member token totals
+    val members = spark.read.parquet(s"$root/members")
+    val seqs = spark.read.parquet(s"$root/seqs")
+    val mToks = members.agg(sum(col("n_toks"))).head.getLong(0)
+    val sToks = seqs.select(explode(col("tokens"))).count()
+    assert(mToks == sToks && mToks > 0)
+  }
+
   // --- swapIn failure branches, driven on the scheme-resolved FS ---
 
   private def mkDirWithFile(fs: FileSystem, dir: Path, mark: String): Unit = {
