@@ -624,6 +624,36 @@ object DedupQueries {
         Sources.table(s, dir, "embeddings")),
       Some(DedupSql.pipeline())),
 
+    // #25k the pipeline's INCREMENTAL twin — crawl N+1's admission
+    // chain: doc-level dedup against the persisted signature store,
+    // chunk-level dedup against the persisted chunk store (text
+    // REWRITTEN to the surviving chunks), decontamination vs the eval
+    // split, quality-model keep. Old data is touched ONLY through the
+    // two store artifacts; the oracle replays their contents from the
+    // raw old snapshot, so a stale or torn store hash-mismatches.
+    // Output: the admitted docs with their token counts — what the
+    // crawl contributes to training.
+    Q("corpus_pipeline_incremental",
+      (s, dir) => {
+        val batch = docs(s, dir).where(expr(NewWhere))
+        val k1 = Dedup.incrementalKeepers(batch,
+          s.read.parquet(ensureStore(s, dir)))
+        val b1 = batch.join(k1, Seq("doc_id"), "left_semi")
+        val b2 = Dedup.chunkDedupIncremental(b1,
+            s.read.parquet(ensureChunkStore(s, dir)))
+          .where(col("kept_chunks") > 0)
+          .select(col("doc_id"), col("kept_text").as("text"))
+          .localCheckpoint()
+        val evalDocs = docs(s, dir).where(col("doc_id") % 97 === 0)
+        val cs = b2.where(col("doc_id") % 97 =!= 0)
+        val b3 = cs.join(Dedup.contaminatedIds(cs, evalDocs),
+          Seq("doc_id"), "left_anti")
+        graft.text.Text.qualityModelRaw(b3).where(col("num") >= 0L)
+          .select(col("doc_id"),
+            col("n_tokens").cast("long").as("n_tokens"))
+      },
+      Some(DedupSql.pipelineIncremental(OldWhere, NewWhere))),
+
     // #25f source-weighted mixture sampling (domain reweighting):
     // per-source deterministic hash keep-rates, power-of-two rates so
     // rate×10⁶ is integer-exact in both engines. Output = per-source

@@ -548,6 +548,93 @@ object DedupSql {
        |    list(chunk ORDER BY idx) FILTER (WHERE kept), ' '), '') AS kept_text
        |FROM decided GROUP BY doc_id""".stripMargin
 
+  /** corpus_pipeline_incremental oracle: crawl N+1's admission chain
+    * replayed from raw snapshots — the four incrementalKeepers filters
+    * against the old snapshot (stage 1), chunk-level dedup against the
+    * old chunk-hash set with first-in-batch election (stage 2, text
+    * REWRITTEN), decontamination vs the eval split (stage 3), and the
+    * quality-model sign test (stage 4). The Spark side touches old
+    * data ONLY through the persisted signature/chunk stores; this
+    * replays their contents from documents, so a stale or torn store
+    * hash-mismatches (the dedup_incremental discipline, composed). */
+  def pipelineIncremental(oldWhere: String, newWhere: String,
+      base: String = "documents", n: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 2,
+      width: Int = graft.dedup.Dedup.ChunkWidth,
+      evalMod: Int = 97): String = {
+    val qmB = graft.text.Text.QmBuckets
+    val qmBias = graft.text.Text.QmBiasNum
+    val qh = XHash.h60Sql("'qm:' || t")
+    s"""WITH od AS (SELECT * FROM $base WHERE $oldWhere),
+       |nd AS (SELECT * FROM $base WHERE $newWhere),
+       |${shingleCtes("od", n, "o")},
+       |${minhashCtes(n, bands, rowsPerBand, "o")},
+       |${shingleCtes("nd", n, "w")},
+       |${minhashCtes(n, bands, rowsPerBand, "w")},
+       |nfp AS (SELECT doc_id, ${fpSql("text")} AS fp FROM nd),
+       |ofp AS (SELECT DISTINCT ${fpSql("text")} AS fp FROM od),
+       |keepers AS (SELECT MIN(doc_id) AS doc_id FROM nfp GROUP BY fp),
+       |crossx AS (
+       |  SELECT nfp.doc_id FROM nfp LEFT JOIN ofp USING (fp)
+       |  WHERE ofp.fp IS NULL),
+       |crossnear AS (
+       |  SELECT DISTINCT w.doc_id FROM wbanded w
+       |  JOIN obanded o ON w.band = o.band AND w.bh = o.bh),
+       |neardrop AS (SELECT DISTINCT doc_b AS doc_id FROM wcand),
+       |k1 AS (
+       |  SELECT k.doc_id FROM keepers k
+       |  JOIN crossx bx ON bx.doc_id = k.doc_id
+       |  LEFT JOIN crossnear cx ON cx.doc_id = k.doc_id
+       |  LEFT JOIN neardrop dx ON dx.doc_id = k.doc_id
+       |  WHERE cx.doc_id IS NULL AND dx.doc_id IS NULL),
+       |b1 AS (SELECT nd.doc_id, nd.text FROM nd JOIN k1 USING (doc_id)),
+       |${chunkCtes(s"(SELECT * FROM $base WHERE $oldWhere)", width, "co")},
+       |chstore AS (SELECT DISTINCT h1, h2 FROM cohashed),
+       |${chunkCtes("b1", width, "cn")},
+       |w2 AS (
+       |  SELECT h1, h2, min({'doc_id': doc_id, 'idx': idx}) AS w
+       |  FROM cnhashed GROUP BY h1, h2),
+       |dec AS (
+       |  SELECT h.doc_id, h.idx, h.chunk,
+       |    (NOT EXISTS (SELECT 1 FROM chstore s
+       |       WHERE s.h1 = h.h1 AND s.h2 = h.h2)
+       |     AND {'doc_id': h.doc_id, 'idx': h.idx} = w2.w) AS kept
+       |  FROM cnhashed h JOIN w2 ON h.h1 = w2.h1 AND h.h2 = w2.h2),
+       |b2 AS MATERIALIZED (
+       |  SELECT doc_id, kept_text AS text FROM (
+       |    SELECT doc_id,
+       |      sum(CASE WHEN kept THEN 1 ELSE 0 END) AS kept_chunks,
+       |      coalesce(array_to_string(
+       |        list(chunk ORDER BY idx) FILTER (WHERE kept), ' '), '')
+       |        AS kept_text
+       |    FROM dec GROUP BY doc_id)
+       |  WHERE kept_chunks > 0),
+       |ev AS (
+       |  SELECT doc_id, text FROM $base WHERE doc_id % $evalMod = 0),
+       |cs AS (
+       |  SELECT doc_id, text FROM b2 WHERE doc_id % $evalMod <> 0),
+       |${shingleCtes("ev", n, "e")},
+       |${shingleCtes("cs", n, "c")},
+       |contam AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM csh c JOIN (SELECT DISTINCT s FROM esh) e USING (s)),
+       |b3 AS (
+       |  SELECT cs.doc_id, cs.text FROM cs WHERE NOT EXISTS (
+       |    SELECT 1 FROM contam x WHERE x.doc_id = cs.doc_id)),
+       |qtoks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+       |  FROM b3),
+       |feats AS (
+       |  SELECT doc_id, ($qh % $qmB) * 2654435761 % 2000 - 1000 AS wi
+       |  FROM qtoks),
+       |m AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    sum(wi) + $qmBias * count(*) AS num
+       |  FROM feats GROUP BY doc_id)
+       |SELECT doc_id, n_tokens FROM m WHERE num >= 0""".stripMargin
+  }
+
   /** corpus_pipeline oracle: the whole closed-loop curation chain —
     * clean → chunk dedup (text REWRITTEN) → SemDeDup on the survivor
     * embeddings (derived geometry over the survivor subset) →
