@@ -611,6 +611,48 @@ object DedupQueries {
           CAST(sum(doc_id % 1000003 * ck % 1000003) AS BIGINT) AS checksum
         FROM c GROUP BY shard""")),
 
+    // #41d packing EFFICIENCY report over the written artifact — the
+    // loader-ops metric a 100 TB packing job publishes next to its
+    // manifest: per shard, the padding the fixed windows waste
+    // (n_seqs·seqLen − n_toks, only ever in the final partial window
+    // by construction — offset-contiguous packing pads nowhere else)
+    // and the fill rate in exact millionths (integer division; no
+    // float enters the gate). Reads members off the persisted shard
+    // artifact; the oracle recomputes from the raw corpus.
+    Q("corpus_pack_stats",
+      (s, dir) => {
+        val members = s.read.parquet(s"${ensureShards(s, dir)}/members")
+        members.groupBy(col("shard")).agg(
+          (max(col("chunk_last")) + 1).as("n_seqs"),
+          sum(col("n_toks")).as("n_toks"))
+          .select(col("shard"),
+            col("n_seqs"),
+            col("n_toks"),
+            (col("n_seqs") * lit(256L) - col("n_toks")).as("pad_tokens"),
+            expr("n_toks * 1000000 div (n_seqs * 256)")
+              .as("fill_millionths"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+            ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+            CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, shard, n_toks,
+            COALESCE(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+          FROM t),
+        g AS (
+          SELECT CAST(shard AS BIGINT) AS shard,
+            CAST(max((tok_offset + n_toks - 1) // 256) + 1 AS BIGINT) AS n_seqs,
+            CAST(sum(n_toks) AS BIGINT) AS n_toks
+          FROM c GROUP BY shard)
+        SELECT shard, n_seqs, n_toks,
+          n_seqs * 256 - n_toks AS pad_tokens,
+          n_toks * 1000000 // (n_seqs * 256) AS fill_millionths
+        FROM g""")),
+
     // #25j the CLOSED-LOOP curation pipeline: clean → chunk dedup
     // (text rewritten) → SemDeDup over survivor embeddings (geometry
     // derived from the survivor population) → decontamination →
