@@ -26,6 +26,25 @@ object AnnQueries {
     e.orderBy(col("vec_id")).limit(nq)
       .select(col("vec_id").as("qid"), col("embedding"))
 
+  /** How many leading dimensions the anisotropic fixture boosts —
+    * exactly PQ subspace 0 (m=4 over 64 dims), the worst case for an
+    * unrotated sub-vector split. */
+  private[graft] val AnisoBoostDims = 16
+
+  /** The ANISOTROPIC fixture for the rotation's quality gate: variance
+    * concentrated in PQ subspace 0 (dims 0-15 boosted 8×, the rest
+    * damped 8× — a 4096:1 variance ratio), the unbalanced-subspace
+    * case Ge et al. CVPR'13 §4 motivates OPQ with. An unrotated m=4
+    * split leaves subspace 0 carrying ~99.9% of the squared mass; the
+    * H·D rotation spreads it to ~25% per subspace — the balance the
+    * gate pins (NOT recall: see ann_rotated_balance's comment for why
+    * recall provably cannot separate the paths here). Both weights are
+    * exact powers of two, so the fixture is bit-replayable in SQL. */
+  private[graft] def anisoEmb(e: org.apache.spark.sql.DataFrame) =
+    e.withColumn("embedding", transform(col("embedding"), (x, i) =>
+      x.cast("double") *
+        when(i < lit(AnisoBoostDims), lit(8.0)).otherwise(lit(0.125))))
+
   /** Build the IVF+PQ serving artifact once per dataset (fingerprint-
     * keyed like the index and signature-store caches): centroids,
     * codebooks, and the cell-partitioned code table — what a production
@@ -558,6 +577,43 @@ object AnnQueries {
       },
       Some(pqSql(lloyd = false, rotated = true))),
 
+    // #30f2 batch PQ serving (the pqTopK analog of ann_topk_batch /
+    // ann_ivfpq_batch): one codebook sample + one encode pass serve
+    // the whole query batch — the LUT grows to m×k×nq broadcast rows,
+    // the top-k boundary becomes a per-qid ranking window, and the
+    // corpus-side cost is unchanged from the single-query path. The
+    // oracle replays sampling, encoding, the per-qid LUT, and the
+    // fixed-order score sum.
+    Q("ann_pq_batch",
+      (s, dir) => {
+        val e = emb(s, dir)
+        Ann.pqTopKBatch(e, queryBatch(e, 4), 10, modulus = sampleMod(e))
+      },
+      Some(pqBatchSql)),
+
+    // #30f3 the ROTATION'S CONTRACT made falsifiable (the r12 verdict
+    // item asked for a recall floor a no-op rotation fails; the
+    // MEASURED finding is that no such floor exists — see the
+    // [[graft.ann.Opq]] Scaladoc and OpqSpec's collapse pin: for any
+    // axis-aligned variance concentration, Hadamard block
+    // self-similarity makes rotated sampled-codebook PQ return
+    // BIT-IDENTICAL top-k to plain PQ, and on sparse fixtures the
+    // rotation measurably INCREASES sampled-codebook distortion, so
+    // recall can never separate them at gate scale). What the rotation
+    // provably delivers is Ge et al. CVPR'13's own objective: BALANCED
+    // variance across the PQ subspaces. Gate exactly that, on the
+    // anisotropic fixture ([[anisoEmb]], subspace 0 carrying ~99.9% of
+    // the squared mass): per-vector per-subspace mass shares in exact
+    // integer millionths, corpus-averaged; balance_ok requires the
+    // UNROTATED max share ≥ 90% (the fixture really is adversarial)
+    // AND the ROTATED max share ≤ 40% (the rotation really spreads
+    // it). A no-op rotation reproduces the plain shares and fails the
+    // 40% arm; the oracle replays fixture, rotation, and the integer
+    // share arithmetic, asserting literal TRUE.
+    Q("ann_rotated_balance",
+      (s, dir) => rotatedBalance(emb(s, dir)),
+      Some(rotatedBalanceSql)),
+
     // #30d PQ + one deterministic Lloyd refinement of the codebooks
     // (per-subspace analog of ann_ivf_lloyd); the oracle additionally
     // replays assignment → rounded per-dimension means → re-encode.
@@ -717,10 +773,11 @@ object AnnQueries {
         WHERE a.id NOT IN (SELECT id FROM dup)"""))
   )
 
-  /** The semantic-dedup cosine threshold, shared by the Spark query and
-    * its oracle so the two sides cannot drift. 0.35 matches
-    * dedup_embed's near-dup bar on this synthetic embedding corpus. */
-  private[graft] val SemDedupMinCos = 0.35
+  /** The semantic-dedup cosine threshold — hoisted to
+    * [[graft.ann.Ann.SemDedupMinCos]] so graft.dedup shares the same
+    * constant; this alias keeps the registry's oracle interpolations
+    * reading locally. */
+  private[graft] def SemDedupMinCos = Ann.SemDedupMinCos
 
   /** Batch-total recall floors for the quality gates, in hits out of
     * 40 (4 queries × 10). Measured: 9/9 (sf0.001), 9/9 (sf0.01), 39/39
@@ -907,6 +964,153 @@ object AnnQueries {
         LEFT JOIN ($approxSql) ap
           ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id
         GROUP BY 1 ORDER BY 1"""
+
+  /** The rotation-balance floors, in integer millionths of a vector's
+    * squared mass (corpus-averaged): the anisotropic fixture must put
+    * ≥ 90% of the mass in one unrotated subspace (it measures ~99.9%),
+    * and the rotation must cap every subspace's share at ≤ 40% (it
+    * measures ~25% ± per-vector noise; a no-op rotation reproduces the
+    * ~99.9% and fails). Wide enough to survive a data regen, tight
+    * enough that any partial mixing (a dropped butterfly stage leaves
+    * ~50% in one pair of subspaces) still fails. */
+  private[graft] val MaxRotShareMillionths = 400000L
+  private[graft] val MinPlainShareMillionths = 900000L
+
+  /** Spark side of the rotation-balance gate: per vector, each PQ
+    * subspace's share of the squared mass in exact integer millionths
+    * (floor(10⁶·‖sub‖²/‖v‖²) — fixed-order dots, so both engines
+    * compute the identical double before the one floor), for the
+    * UNROTATED aniso fixture and its H·D rotation; corpus-averaged by
+    * integer division. balance_ok is the quality contract (the oracle
+    * asserts literal TRUE). */
+  private[graft] def rotatedBalance(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val both = graft.ann.Opq.rotated(
+        anisoEmb(e).withColumn("pv", col("embedding")))
+      .select(col("vec_id"), col("pv"), col("embedding").as("rv"))
+    def shares(v: String): Seq[org.apache.spark.sql.Column] = {
+      val tot = Ann.dot(col(v), col(v))
+      (0 until 4).map { s =>
+        floor(lit(1000000.0)
+          * Ann.dot(slice(col(v), s * 16 + 1, 16),
+            slice(col(v), s * 16 + 1, 16)) / tot)
+      }
+    }
+    val ps = shares("pv")
+    val rs = shares("rv")
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    both.select(explode(array((0 until 4).map(s =>
+        struct(lit(s).as("sub"), ps(s).as("p"), rs(s).as("r"))): _*)).as("b"))
+      .select(col("b.sub").as("sub"), col("b.p").as("p"), col("b.r").as("r"))
+      .groupBy(col("sub"))
+      .agg(expr("sum(p) div count(1)").as("plain_share"),
+        expr("sum(r) div count(1)").as("rot_share"))
+      .select(col("sub"), col("plain_share"), col("rot_share"),
+        (max(col("rot_share")).over(all) <= lit(MaxRotShareMillionths) &&
+          max(col("plain_share")).over(all) >= lit(MinPlainShareMillionths))
+          .as("balance_ok"))
+      .orderBy(col("sub"))
+  }
+
+  /** The rotation-balance oracle: fixture → rotation → the identical
+    * integer share arithmetic, balance_ok as literal TRUE. */
+  private def rotatedBalanceSql: String = {
+    def shareSql(v: String, s: String) = {
+      val sub = s"list_slice($v, $s*16 + 1, $s*16 + 16)"
+      s"""CAST(floor(1000000.0 * (${dotSql(sub, sub)})
+         |      / (${dotSql(v, v)})) AS BIGINT)""".stripMargin
+    }
+    s"""
+        WITH $anisoCte,
+        ${graft.ann.Opq.rotateCtes("an", "av")},
+        j AS (
+          SELECT an.id, an.av AS pv, o.r AS rv
+          FROM an JOIN opqr o ON an.id = o.id),
+        sh AS (
+          SELECT u.sub AS sub,
+            ${shareSql("pv", "u.sub")} AS p,
+            ${shareSql("rv", "u.sub")} AS r
+          FROM j, (SELECT unnest([0, 1, 2, 3]) AS sub) u)
+        SELECT sub, CAST(SUM(p) // COUNT(*) AS BIGINT) AS plain_share,
+          CAST(SUM(r) // COUNT(*) AS BIGINT) AS rot_share,
+          TRUE AS balance_ok
+        FROM sh GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** The batch-PQ serving oracle ([[pqBatchCtes]] over the plainly
+    * normalized corpus). */
+  private def pqBatchSql: String = s"""
+        WITH n AS (
+          SELECT vec_id AS id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql)
+              AS vn
+          FROM embeddings),
+        mm AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
+        subIdx AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+        ${pqBatchCtes("b", "n")}
+        SELECT qid, vec_id, score FROM b_top"""
+
+  /** The anisotropic-fixture CTE — [[anisoEmb]]'s SQL twin (exact
+    * power-of-two weights, 0-based index CASE identical to the Spark
+    * transform's). */
+  private def anisoCte: String = s"""
+        an AS (
+          SELECT vec_id AS id,
+            list_transform(range(0, ${graft.ann.Opq.Dim}), i ->
+              CAST(embedding[i + 1] AS DOUBLE)
+                * CASE WHEN i < $AnisoBoostDims THEN 8.0 ELSE 0.125 END)
+              AS av
+          FROM embeddings)"""
+
+  /** Batch-PQ CTE family over a normalized relation `nRel` (id, vn),
+    * prefixed `p` — sampling at mm, sub-vector split, argmin encode,
+    * per-qid LUT, fixed-order score sum, per-qid ranking window —
+    * ending in `${p}_top (qid, vec_id)`. [[Ann.pqTopKBatch]]'s replay,
+    * instantiated once per branch of the rotated recall gate. */
+  private def pqBatchCtes(p: String, nRel: String): String = s"""
+        ${p}_cent AS (
+          SELECT id AS cid, vn AS cv FROM $nRel, mm
+          WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
+            % mm.m = 0),
+        ${p}_subs AS (
+          SELECT id, sub, list_slice(vn, sub*16 + 1, sub*16 + 16) AS sv
+          FROM $nRel, subIdx),
+        ${p}_csubs AS (
+          SELECT cid, sub, list_slice(cv, sub*16 + 1, sub*16 + 16) AS cv
+          FROM ${p}_cent, subIdx),
+        ${p}_dists AS (
+          SELECT s.id, s.sub, c.cid,
+            (${dotSql("s.sv", "s.sv")}) + (${dotSql("c.cv", "c.cv")})
+              - 2.0 * (${dotSql("s.sv", "c.cv")}) AS dist
+          FROM ${p}_subs s JOIN ${p}_csubs c ON s.sub = c.sub),
+        ${p}_codes AS (
+          SELECT id, sub, cid AS code,
+            row_number() OVER (PARTITION BY id, sub ORDER BY dist, cid) AS rn
+          FROM ${p}_dists),
+        ${p}_qs AS (SELECT id AS qid, vn AS qn FROM $nRel ORDER BY id LIMIT 4),
+        ${p}_qsubs AS (
+          SELECT qid, sub, list_slice(qn, sub*16 + 1, sub*16 + 16) AS qv
+          FROM ${p}_qs, subIdx),
+        ${p}_lut AS (
+          SELECT q.qid, c.sub, c.cid, ${dotSql("c.cv", "q.qv")} AS pd
+          FROM ${p}_csubs c JOIN ${p}_qsubs q ON c.sub = q.sub),
+        ${p}_sc AS (
+          SELECT l.qid, c.id,
+            (SUM(CASE WHEN c.sub = 0 THEN l.pd END)
+             + SUM(CASE WHEN c.sub = 1 THEN l.pd END)
+             + SUM(CASE WHEN c.sub = 2 THEN l.pd END)
+             + SUM(CASE WHEN c.sub = 3 THEN l.pd END)) AS score
+          FROM ${p}_codes c JOIN ${p}_lut l
+            ON c.sub = l.sub AND c.code = l.cid
+          WHERE c.rn = 1 GROUP BY 1, 2),
+        ${p}_top AS (
+          SELECT qid, vec_id, score FROM (
+            SELECT qid, id AS vec_id, score,
+              row_number() OVER (PARTITION BY qid ORDER BY score DESC, id)
+                AS rn
+            FROM ${p}_sc)
+          WHERE rn <= 10)"""
 
   /**
    * Shared oracle CTEs deriving the IVF geometry from count(*) — the

@@ -20,8 +20,8 @@ object DedupQueries {
     * deterministic id partition, so the oracle can replay both sides.
     * The chained (two-crawl) gate splits the new space further into
     * batch A (even thirds) and batch B (odd thirds). */
-  private val OldWhere = "doc_id % 3 <> 0"
-  private val NewWhere = "doc_id % 3 = 0"
+  private[graft] val OldWhere = "doc_id % 3 <> 0"
+  private[graft] val NewWhere = "doc_id % 3 = 0"
   private val BatchAWhere = "doc_id % 6 = 0"
   private val BatchBWhere = "doc_id % 6 = 3"
 
@@ -45,7 +45,7 @@ object DedupQueries {
     * (parquet _SUCCESS as the marker) — the persisted artifact the
     * incremental query dedups against; the old documents are never read
     * again. */
-  private def ensureStore(s: org.apache.spark.sql.SparkSession,
+  private[graft] def ensureStore(s: org.apache.spark.sql.SparkSession,
       dir: String): String = synchronized {
     val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val path = s"/tmp/graft-sigstore/$dirKey-${srcFingerprint(dir)}"
@@ -63,7 +63,7 @@ object DedupQueries {
 
   /** Chunk-hash store of the OLD snapshot (16 bytes per distinct
     * chunk), fingerprint-keyed like [[ensureStore]]. */
-  private def ensureChunkStore(s: org.apache.spark.sql.SparkSession,
+  private[graft] def ensureChunkStore(s: org.apache.spark.sql.SparkSession,
       dir: String): String = synchronized {
     val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val path = s"/tmp/graft-chunkstore/$dirKey-${srcFingerprint(dir)}"

@@ -473,6 +473,41 @@ object StreamingQueries {
         graft.plans.Quantiles.sampleQuantileGate(full,
           drained.select(col("b"), col("c")), TextQueries.SketchPs)
       },
-      Some(TextQueries.sketchOracle))
+      Some(TextQueries.sketchOracle)),
+
+    // #25k-stream the incremental admission pipeline run as a STREAM —
+    // crawl N+1 admitted as it arrives, the production shape of
+    // corpus_pipeline_incremental (whose oracle this shares, so the
+    // two twins can never drift). The streaming leg is COMPLETELY
+    // STATELESS — one per-row probe expansion (fingerprint + 8 LSH
+    // band buckets + one probe per token chunk, graft.streaming
+    // .Admission.probeRows) and ONE stream-static left-outer join
+    // against every key the two persisted store artifacts hold — so
+    // the drained row set is independent of the micro-batch carve-up
+    // by construction (StreamingSpec drives ≥4 real batches and pins
+    // equality with the batch twin). The batch tail (Admission.admit)
+    // then makes only the crawl-WIDE decisions: fingerprint min-id
+    // election, within-crawl LSH drops, chunk first-occurrence +
+    // reassembly, decontam + quality on the REWRITTEN text.
+    Q("stream_pipeline_incremental",
+      (s, dir) => {
+        implicit val session: org.apache.spark.sql.SparkSession = s
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val crawl = s.readStream.schema(raw.schema)
+          .parquet(s"$dir/{documents}.parquet")
+          .where(expr(DedupQueries.NewWhere))
+        val keys = graft.streaming.Admission.storeKeys(
+          s.read.parquet(DedupQueries.ensureStore(s, dir)),
+          s.read.parquet(DedupQueries.ensureChunkStore(s, dir)))
+        val probed = graft.streaming.Admission.probeRows(crawl)
+          .join(keys, Seq("kind", "k1", "k2"), "left_outer")
+        val drained = drain(probed, "graft_stream_admission",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        graft.streaming.Admission.admit(drained,
+          graft.sources.Sources.table(s, dir, "documents")
+            .where(col("doc_id") % 97 === 0))
+      },
+      Some(DedupSql.pipelineIncremental(DedupQueries.OldWhere,
+        DedupQueries.NewWhere)))
   )
 }

@@ -628,6 +628,47 @@ object Ann {
     adcTopK(enc, pqLut(cb, query, vecCol, m), m, idCol, topK)
   }
 
+  /**
+   * Batch [[pqTopK]] — one encode pass serves every query in the
+   * batch: the LUT grows to m×k×nq rows (still broadcast-size), ADC
+   * partials group by (qid, id), and the top-k boundary becomes a
+   * per-qid ranking window. The corpus-side cost is unchanged from the
+   * single-query path (sample, encode once); batch size multiplies
+   * only broadcast rows — the shape every recall gate's approximate
+   * side shares ([[lshTopKBatch]], [[quantizedTopKBatch]]).
+   */
+  def pqTopKBatch(corpus: DataFrame, queries: DataFrame, topK: Int,
+      idCol: String = "vec_id", qidCol: String = "qid",
+      vecCol: String = "embedding", m: Int = 4, k: Int = 16,
+      lloyd: Int = 0, modulus: Option[Long] = None): DataFrame = {
+    var cb = pqCodebooks(corpus, idCol, vecCol, m, k, modulus)
+    (0 until lloyd).foreach(_ => cb = pqRefine(corpus, cb, idCol, vecCol, m))
+    val enc = pqEncode(corpus, cb, idCol, vecCol, m)
+    val dsub = cb.select(size(col("cv"))).head.getInt(0)
+    val qsubCols = (0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(col("qn"), s * dsub + 1, dsub).as("qv")))
+    val qsubs = withNormalized(
+        queries.select(col(qidCol).as("_qid"), col(vecCol)), vecCol, "qn")
+      .select(col("_qid"), explode(array(qsubCols: _*)).as("b"))
+      .select(col("_qid"), col("b.sub").as("lsub"), col("b.qv").as("qv"))
+    val lut = cb.join(broadcast(qsubs), col("sub") === col("lsub"))
+      .select(col("_qid"), col("lsub"), col("cid"),
+        dot(col("cv"), col("qv")).as("pd"))
+    // fixed-order partial sum per subspace, exactly [[adcTopK]]'s move
+    val partials = (0 until m).map(s =>
+      sum(when(col("sub") === s, col("pd"))).as(s"p$s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid")).orderBy(col("score").desc, col(idCol))
+    enc.join(broadcast(lut),
+        col("sub") === col("lsub") && col("code") === col("cid"))
+      .groupBy(col("_qid"), col("id"))
+      .agg(partials.head, partials.tail: _*)
+      .select(col("_qid"), col("id").as(idCol),
+        (0 until m).map(s => col(s"p$s")).reduce(_ + _).as("score"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= topK)
+      .select(col("_qid").as(qidCol), col(idCol), col("score"))
+  }
+
   /** The query-side m×k ADC lookup table (lsub, cid, pd): each codebook
     * centroid's partial dot against the query's matching sub-vector.
     * Tiny (m×k rows) — always broadcast by consumers. */
@@ -1015,6 +1056,12 @@ object Ann {
    * path instead of exploding one task's collect_set. Returns the KEPT
    * ids (lowest id of every near-dup group survives, greedily).
    */
+  /** The house semantic-dedup cosine threshold, shared by every caller
+    * (the registry query, its oracle generator, and the corpus
+    * pipeline) so the Spark and SQL sides cannot drift. 0.35 matches
+    * dedup_embed's near-dup bar on this synthetic embedding corpus. */
+  val SemDedupMinCos = 0.35
+
   def semanticDedup(corpus: DataFrame, minCos: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       nlist: Int = DeriveNlist, modulus: Option[Long] = None): DataFrame = {

@@ -18,6 +18,23 @@ import org.apache.spark.sql.functions._
  * DuckDB replay ([[rotateCtes]]) is bit-identical — the rotated-PQ gate
  * needs no tolerance beyond the PQ oracle's own.
  *
+ * What the rotation does and does NOT buy (measured, round 13; pinned
+ * in OpqSpec): with hash-SAMPLED codebooks, H·D is EXACTLY inert for
+ * any axis-aligned variance concentration — any subset of Hadamard
+ * columns is orthogonal-scaled, so every subspace block A_s of the
+ * rotation restricted to an axis subspace satisfies AᵀₛAₛ = I/m; the
+ * per-subspace argmin over sampled codes then elects the SAME latent
+ * sample in every subspace, and rotated PQ returns bit-identical top-k
+ * to plain PQ (OpqSpec pins this collapse on a zero-tail fixture). On
+ * per-vector-sparse fixtures the rotation INCREASES sampled-codebook
+ * distortion (~1.3× measured — sampled sparse codes match sparse data
+ * better than dense Gaussian data). So no recall floor separating
+ * rotated from plain is pinnable at gate scale; the rotation's
+ * falsifiable contract is Ge et al.'s own criterion — BALANCED
+ * per-subspace variance — gated exactly by ann_rotated_balance
+ * (unrotated max share ≥ 90% vs rotated max share ≤ 40%, integer
+ * millionths; a no-op rotation fails the 40% arm).
+ *
  * Scale shape: d·log d adds per row, all inside one chain of projected
  * columns (each stage references the PREVIOUS stage's named column, so
  * the expression tree stays linear — no 3^stages blowup); no shuffle,
@@ -62,9 +79,17 @@ object Opq {
    */
   def rotated(corpus: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val sg = lit(signs.toArray)
+    // the butterflies and the SQL replay are generated for width==Dim;
+    // a narrower vector would silently yield nulls past the array end,
+    // so a mismatched corpus must error loudly, per row, in the same
+    // projected expression (a separate guard column could be pruned)
+    val guard = assert_true(size(col(vecCol)) === lit(Dim),
+      concat(lit(s"Opq.rotated: $vecCol must be exactly $Dim-dim, got "),
+        size(col(vecCol)).cast("string")))
     var df = corpus.withColumn("__opq",
-      transform(col(vecCol), (x, i) =>
-        x.cast("double") * element_at(sg, i + 1)))
+      when(guard.isNull,
+        transform(col(vecCol), (x, i) =>
+          x.cast("double") * element_at(sg, i + 1))))
     for (k <- 0 until Stages)
       df = df.withColumn("__opq", stageExpr(col("__opq"), 1 << k))
     df.withColumn(vecCol, transform(col("__opq"), x => x * lit(Scale)))

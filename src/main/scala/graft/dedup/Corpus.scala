@@ -621,7 +621,8 @@ object Corpus {
       Seq("vec_id"), "left_semi")
     val nVec = sbEmb.count()
     val nl = graft.ann.Ann.nlistFor(nVec)
-    val semKeep = graft.ann.Ann.semanticDedup(sbEmb, minCos = 0.35,
+    val semKeep = graft.ann.Ann.semanticDedup(sbEmb,
+        minCos = graft.ann.Ann.SemDedupMinCos,
         nlist = nl, modulus = Some(math.max(1L, nVec / nl)))
       .select(col("vec_id").as("doc_id"))
     val sc = sb.join(embs.select(col("vec_id").as("doc_id")),

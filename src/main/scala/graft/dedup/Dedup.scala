@@ -136,7 +136,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_buckets"))
   }
 
-  private def bandedKeys(sig: DataFrame, bands: Int,
+  private[graft] def bandedKeys(sig: DataFrame, bands: Int,
       rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val rowHashes = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
@@ -198,7 +198,7 @@ object Dedup {
 
   /** LSH banding + in-bucket pair generation over a signature table
     * (see [[bucketPairs]] for the small/heavy bucket regimes). */
-  private def candidatesOfSignature(sig: DataFrame, bands: Int,
+  private[graft] def candidatesOfSignature(sig: DataFrame, bands: Int,
       rowsPerBand: Int, maxBucket: Option[Int] = None,
       heavy: Int = HeavyBucket, reliable: Boolean = false): DataFrame =
     bucketPairs(
@@ -316,9 +316,17 @@ object Dedup {
       storePath: String, targetFiles: Int = 1): Int =
     // FileSystem.rename reports failure as false (HDFS) OR by throwing
     // (LocalFileSystem and other FS-contract stores); normalize to
-    // false so the restore branches run in both dialects
-    compactStoreImpl(spark, storePath, targetFiles, (fs, a, b) =>
-      try fs.rename(a, b) catch { case _: java.io.IOException => false })
+    // false so the restore branches run in both dialects — but keep the
+    // thrown exception (missing source vs disk-full vs permissions) as
+    // a suppressed cause on whatever error the impl raises
+    {
+      var mvErr: Option[java.io.IOException] = None
+      try compactStoreImpl(spark, storePath, targetFiles, (fs, a, b) =>
+        try fs.rename(a, b)
+        catch { case e: java.io.IOException => mvErr = Some(e); false })
+      catch { case e: Throwable if mvErr.isDefined =>
+        mvErr.foreach(e.addSuppressed); throw e }
+    }
 
   /** [[compactStore]] with the rename injectable, so the spec can drive
     * the failed-swap path deterministically (a real FS rename cannot be
@@ -840,7 +848,7 @@ object Dedup {
 
   /** Reassembly back half shared by the batch and incremental chunk
     * dedups: decided rows (doc_id, idx, chunk, kept) → one row per doc. */
-  private def chunkReassemble(decided: DataFrame): DataFrame =
+  private[graft] def chunkReassemble(decided: DataFrame): DataFrame =
     decided.groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_chunks"),

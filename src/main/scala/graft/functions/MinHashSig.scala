@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+
+/** Row-level kernel shared by interpreted eval and generated code. */
+object MinHashSigUtil {
+  /** The k-member MinHash signature of a shingle array in one tight
+    * loop: per shingle ONE md5 digest ([[Md5PairUtil]]'s (h1, h2)
+    * split), then the Kirsch–Mitzenmacher family
+    * `(h1 + i·h2) & mask60` folded into k running minima —
+    * bit-identical to min-aggregating [[XHash.member]] columns over
+    * shingle rows (the batch formulation), and to the HOF
+    * `array_min(transform(...))` form, but ~50× cheaper than either
+    * evaluated per row: the HOF interpreter re-evaluates the digest
+    * pipeline per (member, shingle) pair, this digests each shingle
+    * once. */
+  def sig(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var j = 0
+    val n = shingles.numElements()
+    while (j < n) {
+      md.reset()
+      val d = md.digest(shingles.getUTF8String(j).getBytes)
+      var hi = 0L
+      var i = 0
+      while (i < 8) { hi = (hi << 8) | (d(i) & 0xffL); i += 1 }
+      var lo = 0L
+      i = 8
+      while (i < 16) { lo = (lo << 8) | (d(i) & 0xffL); i += 1 }
+      val h1 = hi >>> 4
+      val h2 = lo >>> 8
+      i = 0
+      while (i < k) {
+        val m = if (i == 0) h1 else (h1 + h2 * i) & XHash.Mask60
+        if (m < mins(i)) mins(i) = m
+        i += 1
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+}
+
+/**
+ * graft_minhash_sig(shingles, k) → array<bigint>: the whole k-member
+ * MinHash signature of one document's shingle array as a single native
+ * expression — the per-ROW formulation the stateless streaming
+ * admission path needs (the batch path min-aggregates member columns
+ * over exploded shingle rows, a shuffle; a streaming probe row must
+ * carry its signature without one). Values are bit-identical to the
+ * batch aggregation (StreamDedupSpec pins it).
+ */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSigUtil.sig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSigUtil.sig($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}

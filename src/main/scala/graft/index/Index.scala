@@ -243,11 +243,17 @@ object Index {
       }
       fs.delete(root, true)
       // rename failure surfaces as false (HDFS) or a thrown IOException
-      // (LocalFileSystem) — fold both into the guidance-carrying error
-      if (!(try fs.rename(staging, root)
-            catch { case _: java.io.IOException => false }))
-        throw new GraftException(s"compact: rename $staging -> $root failed " +
-          "(compacted data is intact in the staging dir)")
+      // (LocalFileSystem) — fold both into the guidance-carrying error,
+      // keeping the thrown dialect's exception as the cause
+      (try Right(fs.rename(staging, root))
+       catch { case e: java.io.IOException => Left(e) }) match {
+        case Right(true) => ()
+        case r =>
+          val msg = s"compact: rename $staging -> $root failed " +
+            "(compacted data is intact in the staging dir)"
+          throw r.fold(e => new GraftException(s"$msg [rename threw: $e]", e),
+            _ => new GraftException(msg))
+      }
       // whole metric rewritten — report every day it now holds
       dayDirs.map(_.getPath.getName.stripPrefix("dn_date=")).toSeq.sorted
     } else {
@@ -267,11 +273,17 @@ object Index {
         val src = new org.apache.hadoop.fs.Path(staging, s"dn_date=$d")
         val dst = new org.apache.hadoop.fs.Path(root, s"dn_date=$d")
         fs.delete(dst, true)
-        if (!(try fs.rename(src, dst)
-              catch { case _: java.io.IOException => false }))
-          throw new GraftException(s"compact: rename $src -> $dst failed; " +
-            s"this day's compacted copy is intact in $staging — restore " +
-            "it before re-running")
+        (try Right(fs.rename(src, dst))
+         catch { case e: java.io.IOException => Left(e) }) match {
+          case Right(true) => ()
+          case r =>
+            val msg = s"compact: rename $src -> $dst failed; " +
+              s"this day's compacted copy is intact in $staging — restore " +
+              "it before re-running"
+            throw r.fold(
+              e => new GraftException(s"$msg [rename threw: $e]", e),
+              _ => new GraftException(msg))
+        }
       }
       // only a fully-committed swap releases the staging copy
       fs.delete(staging, true)

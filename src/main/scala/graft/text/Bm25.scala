@@ -304,17 +304,23 @@ object Bm25 {
     // (LocalFileSystem, FS-contract "HDFS-compatible" stores) — the
     // restore branches below must run in both dialects, so failures
     // normalize to false here (FileSystemSchemeSpec drives both).
+    // the thrown exception (which tells a missing source from
+    // disk-full/permission failures) rides along as the error's cause
+    var mvErr: Option[java.io.IOException] = None
     def mv(src: org.apache.hadoop.fs.Path,
         dst: org.apache.hadoop.fs.Path): Boolean =
       try fs.rename(src, dst)
-      catch { case _: java.io.IOException => false }
+      catch { case e: java.io.IOException => mvErr = Some(e); false }
+    def fail(msg: String): Nothing = throw mvErr.fold(
+      new RuntimeException(msg))(e =>
+      new RuntimeException(s"$msg [last rename threw: $e]", e))
     if (fs.exists(aside)) fs.delete(aside, true) // crashed-run leftover
     if (!mv(live, aside))
-      sys.error(s"lexicon swap: cannot move $live aside — live untouched")
+      fail(s"lexicon swap: cannot move $live aside — live untouched")
     if (!mv(staging, live)) {
       if (!mv(aside, live))
-        sys.error(s"lexicon swap: $name lost BOTH renames; aside=$aside")
-      sys.error(s"lexicon swap: staging rename failed; $name restored")
+        fail(s"lexicon swap: $name lost BOTH renames; aside=$aside")
+      fail(s"lexicon swap: staging rename failed; $name restored")
     }
     fs.delete(aside, true): Unit
   }

@@ -618,4 +618,67 @@ class AnnSpec extends SparkSpec {
     assert(totRot >= totPlain - 4, s"rotated $totRot vs plain $totPlain")
     assert(totRot >= 8, s"rotated recall collapsed: $totRot/40")
   }
+
+  test("THEOREM PIN: H·D is exactly inert for axis-aligned variance " +
+      "(rotated PQ top-k == plain PQ top-k on a projection fixture)") {
+    // any subset of Hadamard columns is orthogonal-scaled, so each
+    // subspace block A_s of the rotation restricted to an axis-aligned
+    // subspace has AᵀₛAₛ = I/m: every subspace's sampled-code argmin
+    // elects the SAME latent sample and the ADC score telescopes back
+    // to the plain dot — rotated PQ cannot be distinguished from plain
+    // PQ by ANY ranking metric on such data. This is why the rotation's
+    // quality gate pins variance balance, not recall.
+    import org.apache.spark.sql.functions.{transform, when, lit}
+    val e = graft.sources.Sources.table(spark, sf001, "embeddings")
+    // pure projection fixture: keep dims 0-15 (exactly PQ subspace 0),
+    // zero the rest — the extreme of axis-aligned concentration
+    val proj = e.withColumn("embedding",
+      transform(col("embedding"), (x, i) =>
+        when(i < lit(16), x.cast("double")).otherwise(lit(0.0))))
+    assert(proj.where(Ann.norm(col("embedding")) === 0.0).count() == 0,
+      "fixture degenerate: zero-norm vectors")
+    val mod = Some(math.max(1L, e.count() / 16))
+    def qb(c: org.apache.spark.sql.DataFrame) =
+      c.orderBy(col("vec_id")).limit(4)
+        .select(col("vec_id").as("qid"), col("embedding"))
+    def tops(c: org.apache.spark.sql.DataFrame) =
+      Ann.pqTopKBatch(c, qb(c), 10, modulus = mod)
+        .select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val rproj = graft.ann.Opq.rotated(proj)
+    assert(tops(proj) == tops(rproj),
+      "rotated PQ must return the identical top-k on axis-aligned data")
+  }
+
+  test("rotation-balance gate: fixture adversarial, rotation balances, " +
+      "a no-op rotation would fail") {
+    val e = graft.sources.Sources.table(spark, sf001, "embeddings")
+    val rows = AnnQueries.rotatedBalance(e).collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getAs[Boolean]("balance_ok")))
+    val maxPlain = rows.map(_.getAs[Long]("plain_share")).max
+    val maxRot = rows.map(_.getAs[Long]("rot_share")).max
+    // the fixture really concentrates (~99.9% in subspace 0)...
+    assert(maxPlain >= AnnQueries.MinPlainShareMillionths,
+      s"fixture not adversarial: max plain share $maxPlain")
+    // ...the rotation really spreads (~25% per subspace)...
+    assert(maxRot <= AnnQueries.MaxRotShareMillionths,
+      s"rotation failed to balance: max rotated share $maxRot")
+    // ...and an identity rotation reproduces the plain shares, which
+    // sit far ABOVE the rotated ceiling — the gate's falsifiability
+    assert(maxPlain > AnnQueries.MaxRotShareMillionths,
+      "a no-op rotation would pass the gate — floors meaningless")
+  }
+
+  test("Opq.rotated rejects a non-64-dim embedding loudly") {
+    import spark.implicits._
+    val narrow = Seq((0L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      graft.ann.Opq.rotated(narrow).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("must be exactly 64-dim")),
+      s"wrong error: ${messages(ex).mkString(" | ")}")
+  }
 }

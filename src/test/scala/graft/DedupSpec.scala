@@ -429,4 +429,30 @@ class DedupSpec extends SparkSpec {
     // distinct chunks: "a b c", "x", "x y" → 3 survivors
     assert(kept == 3L)
   }
+
+  test("MinHashSig native expression == batch min-aggregated signature, " +
+      "bit for bit") {
+    // the streaming admission path carries each document's signature as
+    // ONE native per-row expression; the batch path min-aggregates
+    // member columns over exploded shingle rows — same multiset, same
+    // (h1 + i·h2) & mask arithmetic, so they must agree exactly on
+    // real data (duplicate shingles included)
+    val docs = graft.sources.Sources.table(spark, sf001, "documents")
+      .limit(200)
+    val k = 16
+    val batch = Dedup.minhashSignature(docs, k = k)
+    val native = docs.select(col("doc_id").as("id"),
+      org.apache.spark.sql.graft.bridge.column(
+        graft.functions.MinHashSig(
+          org.apache.spark.sql.graft.bridge.expression(
+            Dedup.shingles(col("text"))), k)).as("sig"))
+    val mismatches = batch.join(native, Seq("id"))
+      .where((0 until k).map(i =>
+          col(s"m$i") =!=
+            org.apache.spark.sql.functions.element_at(col("sig"), i + 1))
+        .reduce(_ || _))
+      .count()
+    assert(mismatches == 0, s"$mismatches docs with drifted signatures")
+    assert(batch.count() == 200)
+  }
 }

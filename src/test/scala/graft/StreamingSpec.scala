@@ -227,4 +227,58 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(streamedHist == batchHist, "streamed histogram != batch histogram")
   }
+
+  test("streamed admission pipeline == batch twin across >= 4 real " +
+      "micro-batches, any carve-up") {
+    // the registry gate drains the crawl as ONE micro-batch (single
+    // parquet file); this pins the claim that matters at scale — the
+    // stateless probe + store join composition is independent of the
+    // micro-batch carve-up. The crawl is split into 4 files, streamed
+    // one file per trigger, and the admitted (doc_id, n_tokens) set
+    // must equal the batch twin's exactly.
+    val dir = sf001
+    val d = graft.sources.Sources.table(spark, dir, "documents")
+    val crawl = d.where(expr(DedupQueries.NewWhere))
+    val base = Files.createTempDirectory("graft-admission").toString
+    crawl.repartition(4).write.parquet(s"$base/in")
+    val raw = spark.read.parquet(s"$base/in")
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val keys = graft.streaming.Admission.storeKeys(
+      spark.read.parquet(DedupQueries.ensureStore(spark, dir)),
+      spark.read.parquet(DedupQueries.ensureChunkStore(spark, dir)))
+    val probed = graft.streaming.Admission.probeRows(stream)
+      .join(keys, Seq("kind", "k1", "k2"), "left_outer")
+    val q = probed.writeStream.format("memory").queryName("t_admission")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      s"expected >= 4 data-bearing micro-batches, got " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    val evalDocs = d.where(col("doc_id") % 97 === 0)
+    val streamed = graft.streaming.Admission
+      .admit(spark.table("t_admission"), evalDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the batch twin, from its own operators (not the drained rows)
+    val k1 = graft.dedup.Dedup.incrementalKeepers(crawl,
+      spark.read.parquet(DedupQueries.ensureStore(spark, dir)))
+    val b1 = crawl.join(k1, Seq("doc_id"), "left_semi")
+    val b2 = graft.dedup.Dedup.chunkDedupIncremental(b1,
+        spark.read.parquet(DedupQueries.ensureChunkStore(spark, dir)))
+      .where(col("kept_chunks") > 0)
+      .select(col("doc_id"), col("kept_text").as("text"))
+      .localCheckpoint()
+    val cs = b2.where(col("doc_id") % 97 =!= 0)
+    val b3 = cs.join(graft.dedup.Dedup.contaminatedIds(cs, evalDocs),
+      Seq("doc_id"), "left_anti")
+    val batch = graft.text.Text.qualityModelRaw(b3).where(col("num") >= 0L)
+      .select(col("doc_id"), col("n_tokens").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"streamed admission != batch twin: only-streamed=" +
+        s"${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
+    assert(streamed.nonEmpty, "vacuous: nothing admitted")
+  }
 }
