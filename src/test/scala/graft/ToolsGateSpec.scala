@@ -22,7 +22,29 @@ class ToolsGateSpec extends AnyFunSuite {
     val probe = run("python3", "-c", "import duckdb, pyarrow")
     assume(probe.exists(_._1 == 0),
       "python3 + duckdb + pyarrow not available — gate tooling untestable here")
-    val res = run("python3", "tools/test_check_dtype.py")
+    // resolve from CWD but assume-skip (not fail) when the JVM isn't
+    // rooted at the repo — the fixture is gate scaffolding, and a
+    // file-not-found nonzero exit would otherwise read as a regression
+    val script = new java.io.File("tools/test_check_dtype.py")
+    assume(script.exists(),
+      s"fixture script not found at ${script.getAbsolutePath} — " +
+        "test JVM not rooted at the repo; gate tooling untestable here")
+    val res = run("python3", script.getAbsolutePath)
+    assert(res.isDefined, "could not launch python3")
+    val (code, out) = res.get
+    assert(code == 0, s"fixture test failed:\n$out")
+    assert(out.contains("FIXTURE: PASS"), out)
+  }
+
+  test("bench_compare contention sentinel: contended run annotates, " +
+      "outsized regression still fails, --update refused") {
+    val probe = run("python3", "-c", "import json")
+    assume(probe.exists(_._1 == 0), "python3 not available")
+    val script = new java.io.File("tools/test_bench_sentinel.py")
+    assume(script.exists(),
+      s"fixture script not found at ${script.getAbsolutePath} — " +
+        "test JVM not rooted at the repo; gate tooling untestable here")
+    val res = run("python3", script.getAbsolutePath)
     assert(res.isDefined, "could not launch python3")
     val (code, out) = res.get
     assert(code == 0, s"fixture test failed:\n$out")

@@ -17,12 +17,26 @@ Usage:
 Exit 1 if any common op regressed past THRESH (default 1.5x and >0.15s
 absolute -- tiny ops flap on scheduler noise) or the common-set total
 drifted >20%.
+
+Contention sentinel (VERDICT r12 item 8): ops whose BASELINE time is at
+the framework floor (<= SENTINEL_MAX_BASE) do near-zero compute -- their
+ratio measures machine load, not code. When the MEDIAN ratio over that
+class exceeds CONTENTION_MIN the run is annotated CONTENDED and per-op
+regressions explained by the contention factor (ratio <= median * 1.2)
+are demoted to annotations instead of failures; a regression that
+exceeds even the contended envelope still fails. This turns the ten
+phantom flags the r12 driver bench produced under load into one
+automatic verdict line instead of a per-op adjudication.
 """
 import json, sys
 
 THRESH_RATIO = 1.5
 THRESH_ABS = 0.15   # seconds; below this, ratio noise is scheduler noise
 TOTAL_DRIFT = 1.20
+SENTINEL_MAX_BASE = 0.35  # baseline secs; at/below = framework-floor op
+SENTINEL_MIN_N = 5        # need this many sentinels to trust the median
+CONTENTION_MIN = 1.3      # median sentinel ratio at/above = contended run
+CONTENTION_SLACK = 1.2    # per-op ratios <= median*this are load-explained
 
 args = [a for a in sys.argv[1:] if not a.startswith('--')]
 update = '--update' in sys.argv
@@ -40,6 +54,20 @@ import os
 cpus = os.cpu_count()
 
 if update:
+    # refuse to fold a contended run into the baseline (unless --force):
+    # a loaded-machine fold poisons every later comparison
+    prev = baselines.get(sf, {}).get('queries', {})
+    sent = [q for q in prev
+            if q in detail['queries'] and 0 < prev[q] <= SENTINEL_MAX_BASE]
+    if len(sent) >= SENTINEL_MIN_N and '--force' not in sys.argv:
+        rs = sorted(detail['queries'][q] / prev[q] for q in sent)
+        m = len(rs) // 2
+        med = rs[m] if len(rs) % 2 else (rs[m - 1] + rs[m]) / 2
+        if med >= CONTENTION_MIN:
+            print(f"REFUSED --update: run is contended (sentinel median "
+                  f"{med:.2f}x over {len(sent)} framework-floor ops); "
+                  f"re-run idle or pass --force")
+            sys.exit(1)
     baselines[sf] = {"round": baselines.get(sf, {}).get("round", 0) + 1,
                      "total": detail['value'], "n": detail['n'],
                      "cpus": cpus,
@@ -72,6 +100,30 @@ for q in common:
     elif b > c * THRESH_RATIO and b - c > THRESH_ABS:
         improved.append((q, b, c))
 
+# --- contention sentinel: median ratio over the framework-floor class ---
+sentinels = [q for q in common if 0 < base[q] <= SENTINEL_MAX_BASE]
+contention = None
+if len(sentinels) >= SENTINEL_MIN_N:
+    ratios = sorted(cur[q] / base[q] for q in sentinels)
+    mid = len(ratios) // 2
+    med = (ratios[mid] if len(ratios) % 2
+           else (ratios[mid - 1] + ratios[mid]) / 2)
+    if med >= CONTENTION_MIN:
+        contention = med
+if contention is not None:
+    print(f"  CONTENDED RUN: median ratio over {len(sentinels)} "
+          f"framework-floor sentinels (baseline <= {SENTINEL_MAX_BASE}s) "
+          f"is {contention:.2f}x -- machine load, not code; regressions "
+          f"within {contention:.2f}x*{CONTENTION_SLACK} are annotated, "
+          f"not failed; re-measure on an idle machine before folding")
+    explained = [(q, b, c) for q, b, c in regressed
+                 if c <= b * contention * CONTENTION_SLACK]
+    regressed = [(q, b, c) for q, b, c in regressed
+                 if c > b * contention * CONTENTION_SLACK]
+    for q, b, c in sorted(explained, key=lambda x: x[1] - x[2]):
+        print(f"  contention-explained {q}: {b:.2f}s -> {c:.2f}s "
+              f"({c/b:.1f}x <= envelope)")
+
 bt = sum(base[q] for q in common)
 ct = sum(cur[q] for q in common)
 print(f"[{sf}] common set: {len(common)} ops, baseline {bt:.2f}s -> "
@@ -87,6 +139,9 @@ for q, b, c in sorted(regressed, key=lambda x: x[1] - x[2]):
 for q, b, c in sorted(improved, key=lambda x: x[2] - x[1]):
     print(f"  improved {q}: {b:.2f}s -> {c:.2f}s")
 
-bad = bool(regressed) or (bt > 0 and ct > bt * TOTAL_DRIFT)
-print("RESULT:", "FAIL" if bad else "PASS")
+drift_cap = TOTAL_DRIFT if contention is None \
+    else max(TOTAL_DRIFT, contention * CONTENTION_SLACK)
+bad = bool(regressed) or (bt > 0 and ct > bt * drift_cap)
+verdict = "FAIL" if bad else ("PASS (CONTENDED)" if contention else "PASS")
+print("RESULT:", verdict)
 sys.exit(1 if bad else 0)

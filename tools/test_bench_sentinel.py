@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Fixture test for bench_compare.py's contention sentinel (VERDICT r12
+item 8). Builds synthetic BENCH_DETAIL/BENCH_BASELINES pairs in a temp
+dir and asserts the four behaviors that matter:
+
+  1. idle run, one real regression            -> FAIL (flagged per-op)
+  2. contended run (uniform ~1.6x incl. the
+     framework-floor sentinel class)          -> PASS (CONTENDED), the
+     would-be flags demoted to annotations
+  3. contended run with one op regressed far
+     beyond the contention envelope (~5x)     -> FAIL (that op only)
+  4. --update on a contended run              -> REFUSED exit 1
+Prints FIXTURE: PASS on success (the ToolsGateSpec contract).
+"""
+import json, os, subprocess, sys, tempfile
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+TOOL = os.path.join(HERE, 'bench_compare.py')
+
+
+def run(tmp, detail, baselines, extra=()):
+    dp = os.path.join(tmp, 'detail.json')
+    bp = os.path.join(tmp, 'base.json')
+    json.dump(detail, open(dp, 'w'))
+    json.dump(baselines, open(bp, 'w'))
+    p = subprocess.run([sys.executable, TOOL, dp, bp, *extra],
+                       capture_output=True, text=True)
+    return p.returncode, p.stdout
+
+
+def mk(queries):
+    return {"metric": "t", "value": round(sum(queries.values()), 3),
+            "unit": "sec", "n": len(queries), "sf": "sfX",
+            "queries": queries}
+
+
+# 8 framework-floor sentinels + 4 heavier ops
+BASE_Q = {f"scan_s{i}": 0.10 for i in range(8)}
+BASE_Q.update({"heavy_a": 2.0, "heavy_b": 3.0, "mid_c": 0.8, "mid_d": 1.0})
+BASELINES = {"sfX": {"round": 1, "total": sum(BASE_Q.values()),
+                     "n": len(BASE_Q), "queries": BASE_Q}}
+
+fails = []
+
+with tempfile.TemporaryDirectory() as tmp:
+    # 1. idle machine, heavy_a genuinely regressed 2x
+    q = dict(BASE_Q); q["heavy_a"] = 4.2
+    code, out = run(tmp, mk(q), BASELINES)
+    if code != 1 or "REGRESSED heavy_a" not in out or "CONTENDED" in out:
+        fails.append(f"case1: code={code}\n{out}")
+
+    # 2. contended: everything uniformly ~1.6x (sentinels included)
+    q = {k: round(v * 1.6, 4) for k, v in BASE_Q.items()}
+    code, out = run(tmp, mk(q), BASELINES)
+    if code != 0 or "CONTENDED RUN" not in out \
+            or "contention-explained heavy_a" not in out \
+            or "REGRESSED" in out or "PASS (CONTENDED)" not in out:
+        fails.append(f"case2: code={code}\n{out}")
+
+    # 3. contended AND heavy_b regressed far beyond the envelope (5x)
+    q = {k: round(v * 1.6, 4) for k, v in BASE_Q.items()}
+    q["heavy_b"] = 15.0
+    code, out = run(tmp, mk(q), BASELINES)
+    if code != 1 or "CONTENDED RUN" not in out \
+            or "REGRESSED heavy_b" not in out \
+            or "REGRESSED heavy_a" in out:
+        fails.append(f"case3: code={code}\n{out}")
+
+    # 4. --update refused on a contended run
+    q = {k: round(v * 1.6, 4) for k, v in BASE_Q.items()}
+    code, out = run(tmp, mk(q), BASELINES, extra=("--update",))
+    if code != 1 or "REFUSED --update" not in out:
+        fails.append(f"case4: code={code}\n{out}")
+    # ...but allowed with --force
+    code, out = run(tmp, mk(q), BASELINES, extra=("--update", "--force"))
+    if code != 0 or "updated" not in out:
+        fails.append(f"case4-force: code={code}\n{out}")
+
+    # 5. idle uniform run stays a plain PASS (sentinel quiet at 1.0x)
+    code, out = run(tmp, mk(dict(BASE_Q)), BASELINES)
+    if code != 0 or "CONTENDED" in out or out.strip().rsplit(" ", 1)[-1] != "PASS":
+        fails.append(f"case5: code={code}\n{out}")
+
+if fails:
+    print("\n---\n".join(fails))
+    print("FIXTURE: FAIL")
+    sys.exit(1)
+print("FIXTURE: PASS")
