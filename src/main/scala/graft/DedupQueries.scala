@@ -97,6 +97,51 @@ object DedupQueries {
     path
   }
 
+  /** The pack-time mixture contract of the quota gates (#41e/f):
+    * twelve capped sources cycling 400/800/1200 tokens (each binds —
+    * every source holds ~1.3k tokens at sf0.01 and more at 10×), the
+    * rest uncapped. Both engines replay this one constant. */
+  private[graft] val PackQuotas: Seq[(String, Long)] =
+    (0 until 12).map(i => s"src$i" -> (400L * (i % 3 + 1)))
+
+  /** DuckDB replay of the quota when-chain (-1 = uncapped). */
+  private def quotaCaseSql(src: String): String =
+    s"CASE $src " + PackQuotas.map { case (s0, q) =>
+      s"WHEN '$s0' THEN $q" }.mkString(" ") + " ELSE -1 END"
+
+  /** DuckDB replay of Corpus.quotaAdmit over `documents`: inclusive
+    * per-source running token sum in doc-id order, kept while ≤ quota.
+    * (The Spark side's two-pass bucket formulation computes the same
+    * prefix sum — the buckets are an execution detail.) */
+  private def quotaAdmittedSql(): String =
+    s"""SELECT doc_id, source, n_toks FROM (
+          SELECT doc_id, source,
+            CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_toks,
+            SUM(CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT))
+              OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM documents)
+        WHERE ${quotaCaseSql("source")} < 0
+           OR cum <= ${quotaCaseSql("source")}"""
+
+  /** The quota-packed shard artifact (#41e/f), fingerprint-keyed like
+    * [[ensureShards]]; members carry `source`. */
+  private def ensureQuotaShards(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"/tmp/graft-quotashards/$dirKey-${srcFingerprint(dir)}"
+    val marker = new java.io.File(s"$path/_GRAFT_PACKED")
+    if (!marker.exists()) {
+      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-quotashards",
+        s"$dirKey-", new java.io.File(path).getName)
+      deleteRec(java.nio.file.Paths.get(path))
+      graft.dedup.Corpus.writeShardsQuota(docs(s, dir), path, PackQuotas,
+        seqLen = 256, shards = 8)
+      marker.createNewFile()
+    }
+    path
+  }
+
   /** The UPDATED store for the chained gate: old snapshot ∪ batch A's
     * keeper signatures, produced by copying the base store and running
     * [[Dedup.appendKeepersToStore]] on batch A — the update step itself
@@ -652,6 +697,94 @@ object DedupQueries {
           n_seqs * 256 - n_toks AS pad_tokens,
           n_toks * 1000000 // (n_seqs * 256) AS fill_millionths
         FROM g""")),
+
+    // #41e per-source QUOTA packing (VERDICT r12 item 4): the mixture
+    // contract applied AT PACK TIME — "at most N tokens of source S",
+    // exact to the token, admitted as an ordered doc-id prefix per
+    // source (Corpus.quotaAdmit's two-pass prefix sum). The manifest
+    // gains the per-source grain: (shard, source) rows recomputed FROM
+    // THE WRITTEN BYTES (the member table carries source), so an
+    // over-quota doc that leaked into the artifact hash-mismatches.
+    Q("corpus_pack_quota",
+      (s, dir) => {
+        val members = s.read.parquet(s"${ensureQuotaShards(s, dir)}/members")
+        members.groupBy(col("shard"), col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_toks"),
+          sum(when(col("chunk_first") =!= col("chunk_last"), 1L)
+            .otherwise(0L)).as("straddlers"),
+          sum(col("doc_id") % lit(1000003L) *
+            (graft.functions.XHash.h60(col("doc_id").cast("string"))
+              % lit(1000000L)) % lit(1000003L)).as("checksum"))
+      },
+      Some(s"""
+        WITH a AS (${quotaAdmittedSql()}),
+        m AS (
+          SELECT doc_id, source, n_toks,
+            ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+            ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 1000000 AS ck,
+            COALESCE(SUM(n_toks) OVER (
+              PARTITION BY ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 8
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+          FROM a)
+        SELECT CAST(shard AS BIGINT) AS shard, source,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_toks) AS BIGINT) AS n_toks,
+          CAST(sum(CASE WHEN tok_offset // 256 <>
+            (tok_offset + n_toks - 1) // 256 THEN 1 ELSE 0 END) AS BIGINT)
+            AS straddlers,
+          CAST(sum(doc_id % 1000003 * ck % 1000003) AS BIGINT) AS checksum
+        FROM m GROUP BY shard, source""")),
+
+    // #41f the quota FILL report: per source, the cap, what the written
+    // artifact actually holds (docs/tokens off the member bytes), what
+    // the quota rejected, and the fill rate in integer millionths —
+    // the contract-compliance table published next to the manifest.
+    // Sources whose quota admits nothing still report (raw-corpus left
+    // join), and admitted_toks > quota is structurally impossible to
+    // pass the gate.
+    Q("corpus_pack_quota_fill",
+      (s, dir) => {
+        val members = s.read.parquet(s"${ensureQuotaShards(s, dir)}/members")
+        val admitted = members.groupBy(col("source")).agg(
+          count(lit(1)).as("admitted_docs"),
+          sum(col("n_toks")).as("admitted_toks"))
+        val quota = PackQuotas.foldLeft(lit(-1L)
+            : org.apache.spark.sql.Column) { case (acc, (s0, q)) =>
+          when(col("source") === s0, lit(q)).otherwise(acc)
+        }
+        docs(s, dir).groupBy(col("source"))
+          .agg(count(lit(1)).as("total_docs"))
+          .join(admitted, Seq("source"), "left_outer")
+          .select(col("source"), quota.as("quota"),
+            coalesce(col("admitted_docs"), lit(0L)).as("admitted_docs"),
+            coalesce(col("admitted_toks"), lit(0L)).as("admitted_toks"),
+            (col("total_docs") - coalesce(col("admitted_docs"), lit(0L)))
+              .as("dropped_docs"),
+            when(quota < 0L, lit(-1L))
+              .otherwise(expr(
+                "coalesce(admitted_toks, 0) * 1000000 div quota"))
+              .as("fill_millionths"))
+      },
+      Some(s"""
+        WITH a AS (${quotaAdmittedSql()}),
+        g AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS admitted_docs,
+            CAST(sum(n_toks) AS BIGINT) AS admitted_toks
+          FROM a GROUP BY source),
+        r AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS total_docs,
+            CAST(${quotaCaseSql("source")} AS BIGINT) AS quota
+          FROM documents GROUP BY source)
+        SELECT r.source, r.quota,
+          COALESCE(g.admitted_docs, 0) AS admitted_docs,
+          COALESCE(g.admitted_toks, 0) AS admitted_toks,
+          r.total_docs - COALESCE(g.admitted_docs, 0) AS dropped_docs,
+          CASE WHEN r.quota < 0 THEN CAST(-1 AS BIGINT)
+            ELSE COALESCE(g.admitted_toks, 0) * 1000000 // r.quota END
+            AS fill_millionths
+        FROM r LEFT JOIN g ON r.source = g.source""")),
 
     // #25j the CLOSED-LOOP curation pipeline: clean → chunk dedup
     // (text rewritten) → SemDeDup over survivor embeddings (geometry

@@ -14,8 +14,9 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     CoreScanQueries.all ++ IndexQueries.all ++ AnalyticsQueries.all ++
-      TextQueries.all ++ DedupQueries.all ++ AnnQueries.all ++
-      RetrievalQueries.all ++ StreamingQueries.all ++ MultimodalQueries.all
+      TextQueries.all ++ UrlQueries.all ++ DedupQueries.all ++
+      AnnQueries.all ++ RetrievalQueries.all ++ StreamingQueries.all ++
+      MultimodalQueries.all
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
   def oracles: Map[String, String] =

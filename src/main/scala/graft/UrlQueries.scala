@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources
+import graft.text.{Text, Urls}
+
+/**
+ * SURVEY.md §2 row 91: the URL / domain curation-signal family — host
+ * extraction, registered-domain (eTLD+1) rollup with per-domain
+ * quality, and URL normalization for crawl-dup detection (the
+ * CommonCrawl-style signals a web-scale corpus is filtered by).
+ *
+ * The test tables have no URL column, so each query first synthesizes
+ * one as a closed form of doc_id ([[graft.text.Urls.synthUrl]]) and
+ * then operates ONLY on the URL STRING — `parse_url`, suffix-list
+ * lookup, param filtering — while the DuckDB oracle replays the
+ * generator FORMULA and never parses a URL (the
+ * multimodal-generator proof discipline, MultimodalQueries row 36).
+ *
+ * Scale shape: everything per-row until the one rollup/dedup groupBy
+ * (a single shuffle on the natural key); no UDF, no driver state, no
+ * collected side structures — the suffix list is a literal array in
+ * the plan.
+ */
+object UrlQueries {
+
+  private def withUrl(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Sources.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        Urls.synthUrl(col("doc_id")).as("url"))
+
+  def all: Seq[Q] = Seq(
+    // #91a host extraction + URL anatomy: one projection of parse_url
+    // components off the raw string. The oracle's closed forms prove
+    // the parse is real (scheme/host/path/params/fragment must all
+    // round-trip the generator's formula through java URL parsing).
+    Q("url_parse",
+      (s, dir) => withUrl(s, dir).select(
+        col("doc_id"),
+        col("url"),
+        parse_url(col("url"), lit("PROTOCOL")).as("scheme"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        size(split(parse_url(col("url"), lit("QUERY")), "&"))
+          .as("n_params"),
+        parse_url(col("url"), lit("REF")).isNotNull.as("has_frag")),
+      Some {
+        val (u, id) = ("(doc_id % 150)", "doc_id")
+        s"""
+        SELECT doc_id,
+          ${Urls.urlSql(id)} AS url,
+          (CASE WHEN $u % 3 = 0 THEN 'http' ELSE 'https' END) AS scheme,
+          ${Urls.hostSql(id)} AS host,
+          ('/p/' || ($u % 17) ||
+            (CASE WHEN $u % 2 = 0 THEN '/a' ELSE '' END) ||
+            '/doc-' || $u) AS path,
+          CAST(CASE WHEN $id % 2 = 0 THEN 2 ELSE 1 END AS INTEGER)
+            AS n_params,
+          ($id % 7 = 0) AS has_frag
+        FROM documents"""
+      }),
+
+    // #91b registered-domain rollup: eTLD+1 via the public-suffix list
+    // (three of the 8 generator TLDs are two-level, so "last two
+    // labels" is wrong for ~3/8 of hosts — the suffix lookup is load-
+    // bearing), then the per-domain aggregate a curation pipeline
+    // blocklists from: doc count, distinct hosts, distinct pages, mean
+    // quality. One shuffle on the 23-value domain key.
+    Q("url_domain_rollup",
+      (s, dir) => {
+        val host = parse_url(col("url"), lit("HOST"))
+        withUrl(s, dir)
+          .select(col("doc_id"), col("text"), host.as("host"),
+            Urls.registeredDomain(host).as("domain"),
+            parse_url(col("url"), lit("PATH")).as("path"))
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("host")).as("n_hosts"),
+            countDistinct(col("path")).as("n_pages"),
+            avg(Text.qualityScore(col("text"))).as("avg_quality"))
+      },
+      Some {
+        val u = "(doc_id % 150)"
+        s"""
+        WITH t AS (
+          SELECT ${Urls.registeredSql("doc_id")} AS domain,
+            ${Urls.hostSql("doc_id")} AS host,
+            ('/p/' || ($u % 17) ||
+              (CASE WHEN $u % 2 = 0 THEN '/a' ELSE '' END) ||
+              '/doc-' || $u) AS path,
+            ${DedupSql.qualitySql("text")} AS q
+          FROM documents)
+        SELECT domain, count(*) AS n_docs,
+          count(DISTINCT host) AS n_hosts,
+          count(DISTINCT path) AS n_pages,
+          avg(q) AS avg_quality
+        FROM t GROUP BY domain"""
+      }),
+
+    // #91c URL normalization + url-keyed crawl dedup: utm_* params
+    // dropped, survivors sorted, fragment dropped, authority kept
+    // verbatim (non-default port survives) — then group on the
+    // canonical string: the same page crawled under different tracking
+    // noise collapses to one group, min doc_id elected canonical. The
+    // group join stays keyed (AQE broadcasts when small); no driver
+    // collect.
+    Q("url_normalize",
+      (s, dir) => {
+        val d = withUrl(s, dir)
+          .select(col("doc_id"), Urls.normalize(col("url")).as("norm_url"))
+        val groups = d.groupBy(col("norm_url"))
+          .agg(count(lit(1)).as("dup_count"),
+            min(col("doc_id")).as("canon"))
+        d.join(groups, Seq("norm_url"))
+          .select(col("doc_id"), col("norm_url"), col("dup_count"),
+            (col("doc_id") === col("canon")).as("is_canonical"))
+      },
+      Some(s"""
+        WITH n AS (
+          SELECT doc_id, ${Urls.normalizedSql("doc_id")} AS norm_url
+          FROM documents)
+        SELECT doc_id, norm_url,
+          count(*) OVER (PARTITION BY norm_url) AS dup_count,
+          (doc_id = min(doc_id) OVER (PARTITION BY norm_url))
+            AS is_canonical
+        FROM n"""))
+  )
+}

@@ -253,6 +253,85 @@ object Corpus {
   }
 
   /**
+   * Per-source token QUOTAS at pack time — the mixture CONTRACT the
+   * rate knob of [[mixture]] can't express: "at most N tokens of
+   * source S in the packed corpus", exact to the token. Admission is
+   * an ordered prefix per source (doc_id ascending; the first doc
+   * whose inclusive running token sum exceeds the quota, and everything
+   * after it, is dropped), so the admitted set is deterministic,
+   * engine-independent, and all-integer. Quota -1 (or an unlisted
+   * source) = uncapped. The quota table is a tiny when-chain in the
+   * plan — no join, no driver map.
+   *
+   * Scale shape: a naive `Window.partitionBy(source)` puts each
+   * source's whole corpus in ONE task — a 40%-of-100TB source is a
+   * single-partition prefix sum. This is the two-pass formulation
+   * instead: bucket each source by doc-id range (bucket width derived
+   * from one max-id scalar, ≤ [[QuotaBuckets]] buckets), sum partials
+   * per (source, bucket) — a tiny table — prefix those per source, and
+   * broadcast the offsets back so the within-bucket window runs on
+   * bounded partitions. Same numbers, parallelism sources×buckets.
+   */
+  def quotaAdmit(docs: DataFrame, quotas: Seq[(String, Long)],
+      idCol: String = "doc_id", textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    val q = quotaCol(quotas, srcCol)
+    val maxId = docs.agg(max(col(idCol))).head.getAs[Any](0) match {
+      case null => 0L
+      case l: Long => l
+      case i: Int => i.toLong
+    }
+    val width = math.max(1L, maxId / QuotaBuckets + 1)
+    val toks = Text.tokenCount(col(textCol)).cast("long")
+    val t = docs.withColumn("__toks", toks)
+      .withColumn("__b", expr(s"CAST($idCol AS BIGINT) div $width"))
+    val partials = t.groupBy(col(srcCol).as("__s"), col("__b"))
+      .agg(sum(col("__toks")).as("__bt"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__s")).orderBy(col("__b"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = partials
+      .withColumn("__off", coalesce(sum(col("__bt")).over(wb), lit(0L)))
+      .select(col("__s").as(srcCol), col("__b"), col("__off"))
+    val ww = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol), col("__b")).orderBy(col(idCol))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    t.join(broadcast(offsets), Seq(srcCol, "__b"))
+      .withColumn("__cum", col("__off") + sum(col("__toks")).over(ww))
+      .where(q < 0L || col("__cum") <= q)
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Offset-table grain of [[quotaAdmit]]'s two-pass prefix sum. */
+  private[graft] val QuotaBuckets = 1024L
+
+  /** The quota when-chain: source → token cap, -1 = uncapped. */
+  private def quotaCol(quotas: Seq[(String, Long)], srcCol: String): Column =
+    quotas.foldLeft(lit(-1L): Column) { case (acc, (s0, lim)) =>
+      when(col(srcCol) === s0, lit(lim)).otherwise(acc)
+    }
+
+  /** [[writeShards]] over the quota-admitted corpus, with the member
+    * table additionally carrying each doc's SOURCE — the per-source
+    * column the manifest needs so per-source accounting (row 91's
+    * quota gates) recomputes from the written bytes alone, never from
+    * a join back to the raw corpus. */
+  def writeShardsQuota(docs: DataFrame, root: String,
+      quotas: Seq[(String, Long)], seqLen: Int = 2048,
+      shards: Int = DeriveShards, idCol: String = "doc_id",
+      textCol: String = "text", srcCol: String = "source"): Unit = {
+    val admitted = quotaAdmit(docs, quotas, idCol, textCol, srcCol)
+      .localCheckpoint()
+    packMembers(admitted, seqLen, shards, idCol, textCol)
+      .join(admitted.select(col(idCol), col(srcCol)), Seq(idCol))
+      .write.mode("overwrite").parquet(s"$root/members")
+    packedSequences(admitted, seqLen, shards, idCol, textCol)
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$root/seqs")
+  }
+
+  /**
    * Source-weighted MIXTURE sampling (domain reweighting — the
    * "3 epochs of wikipedia, 0.5 of common crawl" knob of a pretraining
    * data recipe, for the down-weighting case): each source keeps its own

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Corpus
+
+/** Pins for pack-time per-source token quotas (SURVEY §2 row 91 /
+  * VERDICT r12 item 4): exact inclusive-prefix admission, the quota
+  * boundary, zero-admission sources, uncapped passthrough, and the
+  * two-pass bucket formulation's equality with the naive single-window
+  * prefix sum it replaces. */
+class QuotaSpec extends SparkSpec {
+  import spark.implicits._
+
+  // token counts: doc text of n words → n tokens
+  private def doc(id: Long, src: String, n: Int) =
+    (id, src, Seq.fill(n)("w").mkString(" "))
+
+  private lazy val docs = Seq(
+    doc(1, "a", 5), doc(2, "a", 5), doc(3, "a", 5),   // a: 5,10,15 cum
+    doc(4, "b", 8), doc(5, "b", 1),                   // b: 8,9
+    doc(6, "c", 100),                                 // c: 100
+    doc(7, "d", 3), doc(8, "d", 3)                    // d: uncapped
+  ).toDF("doc_id", "source", "text")
+
+  private def admitted(quotas: Seq[(String, Long)]): Set[Long] =
+    Corpus.quotaAdmit(docs, quotas)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("quota boundary is inclusive: cum == quota admits") {
+    // a capped at 10: docs 1 (cum 5) and 2 (cum 10) admit, 3 (15) not
+    assert(admitted(Seq("a" -> 10L, "b" -> 8L, "c" -> 50L)) ==
+      Set(1L, 2L, 4L, 7L, 8L))
+  }
+
+  test("a first doc over quota admits nothing for its source") {
+    // c's only doc is 100 tokens; quota 50 → source c empty
+    val out = Corpus.quotaAdmit(docs, Seq("c" -> 50L))
+      .where(col("source") === "c").count()
+    assert(out == 0L)
+  }
+
+  test("quota -1 and unlisted sources are uncapped") {
+    assert(admitted(Seq("a" -> -1L)) == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))
+  }
+
+  test("admission order is doc_id, not arrival order") {
+    // same rows reversed: admission set unchanged
+    val rev = docs.orderBy(col("doc_id").desc).localCheckpoint()
+    val out = Corpus.quotaAdmit(rev, Seq("a" -> 10L))
+      .where(col("source") === "a")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L))
+  }
+
+  test("two-pass bucket formulation equals the naive single window") {
+    // 600 docs over 3 sources with varying sizes; ids far beyond the
+    // bucket width so docs of one source spread across many buckets
+    val big = spark.range(600).select(
+      (col("id") * 977L).as("doc_id"),
+      concat(lit("s"), col("id") % 3).as("source"),
+      concat_ws(" ", transform(sequence(lit(1), col("id") % 7 + 1),
+        _ => lit("w"))).as("text"))
+      .localCheckpoint()
+    val quotas = Seq("s0" -> 300L, "s1" -> 150L)
+    val got = Corpus.quotaAdmit(big, quotas)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // naive reference: one window per source
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val q = quotas.foldLeft(lit(-1L): org.apache.spark.sql.Column) {
+      case (acc, (s0, lim)) =>
+        when(col("source") === s0, lit(lim)).otherwise(acc)
+    }
+    val want = big
+      .withColumn("cum", sum(size(split(trim(lower(col("text"))), "\\s+"))
+        .cast("long")).over(w))
+      .where(q < 0L || col("cum") <= q)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty && got.size < 600)
+  }
+
+  test("writeShardsQuota members carry source and respect quotas") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-quota-spec").toString
+    Corpus.writeShardsQuota(docs, root, Seq("a" -> 10L, "c" -> 50L),
+      seqLen = 4, shards = 2)
+    val members = spark.read.parquet(s"$root/members")
+    assert(members.columns.contains("source"))
+    val bySrc = members.groupBy("source")
+      .agg(sum("n_toks").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("a") == 10L)       // exactly at quota
+    assert(!bySrc.contains("c"))    // zero-admission source absent
+    assert(bySrc("b") == 9L && bySrc("d") == 6L) // uncapped intact
+    graft.tools.LocalFs.deleteRec(java.nio.file.Paths.get(root))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Urls
+
+/** Pins for the URL / domain family (SURVEY §2 row 91): the generator's
+  * anatomy, real parse round-trips, eTLD+1 suffix-list behavior on
+  * hand-built hosts (not just generator output), and normalization's
+  * exact canonical form. */
+class UrlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): String =
+    spark.range(1).select(c.cast("string")).head.getString(0)
+
+  test("synthUrl: canonical parts derive from id % 150, noise from id") {
+    // id 150 and id 0 share u=0 → same scheme/host/port/path/id-param
+    val urls = Seq(0L, 150L, 300L).map(i =>
+      one(Urls.synthUrl(lit(i))))
+    // id 0: u=0 → http (0%3=0), bare host (0%5=0), :8080 (0%11=0),
+    // utm present (0%2=0), id-first (0%4=0), frag (0%7=0)
+    assert(urls.head ==
+      "http://site0.com:8080/p/0/a/doc-0?id=0&utm_source=s0#sec0")
+    // id 150: same canon, utm present (150%2=0) but utm-first
+    // (150%4!=0), no frag (150%7!=0)
+    assert(urls(1) ==
+      "http://site0.com:8080/p/0/a/doc-0?utm_source=s0&id=0")
+    // id 300: utm s0 (300%6=0), id-first (300%4=0), no frag
+    assert(urls(2) ==
+      "http://site0.com:8080/p/0/a/doc-0?id=0&utm_source=s0")
+  }
+
+  test("parse_url round-trips the generator (host drops the port)") {
+    val r = spark.range(303).select(
+      Urls.synthUrl(col("id")).as("url"))
+      .select(parse_url(col("url"), lit("HOST")).as("h"),
+        parse_url(col("url"), lit("PROTOCOL")).as("p"))
+      .where(col("h").contains(":") || !col("p").isin("http", "https"))
+      .count()
+    assert(r == 0L)
+  }
+
+  test("registeredDomain: suffix list is load-bearing, not last-two-labels") {
+    val cases = Seq(
+      "www.site5.co.uk" -> "site5.co.uk",   // two-level suffix + sub
+      "site5.co.uk" -> "site5.co.uk",       // two-level suffix, bare
+      "www.site4.com" -> "site4.com",       // one-level + sub
+      "site4.com" -> "site4.com",           // one-level, bare
+      "a.b.site9.com.au" -> "site9.com.au", // deep sub chain
+      "co.uk" -> "co.uk")                   // bare suffix: nothing to add
+    for ((h, want) <- cases)
+      assert(one(Urls.registeredDomain(lit(h))) == want, h)
+  }
+
+  test("normalize: strips utm_* and fragment, sorts params, keeps port") {
+    val raw = "https://cdn.site3.io:8080/p/9/doc-3?utm_source=s5&id=7#sec2"
+    assert(one(Urls.normalize(lit(raw))) ==
+      "https://cdn.site3.io:8080/p/9/doc-3?id=7")
+    // param sort: b= before id= after the utm strip
+    val multi = "https://site4.com/p?id=7&utm_x=1&b=2"
+    assert(one(Urls.normalize(lit(multi))) ==
+      "https://site4.com/p?b=2&id=7")
+    // all params stripped → no '?'
+    val only = "https://site4.com/p?utm_only=1"
+    assert(one(Urls.normalize(lit(only))) == "https://site4.com/p")
+  }
+
+  test("normalized URL is a pure function of id % 150 (dup groups real)") {
+    val n = spark.range(450)
+      .select((col("id") % 150).as("u"),
+        Urls.normalize(Urls.synthUrl(col("id"))).as("norm"))
+      .groupBy(col("u")).agg(countDistinct(col("norm")).as("d"))
+      .where(col("d") =!= 1).count()
+    assert(n == 0L)
+    // and distinct u → distinct norm (no accidental cross-u collision)
+    val total = spark.range(450)
+      .select(Urls.normalize(Urls.synthUrl(col("id"))).as("norm"))
+      .agg(countDistinct(col("norm"))).head.getLong(0)
+    assert(total == 150L)
+  }
+}
