@@ -199,6 +199,23 @@ object TextQueries {
         s.read.parquet(s"${ensureUnigram(s, dir)}/segs")),
       Some(graft.text.Unigram.applyOracleSql())),
 
+    // #34g the SELF-HOSTED perplexity filter (VERDICT r12 item 6, the
+    // CCNet rung row 44 stood in for with a pinned vocabulary): per-doc
+    // micro-nat logprob under the unigram LM the engine itself trained
+    // (text_unigram_train's fingerprint-keyed artifact), char backoff
+    // for out-of-population words, fixed OOV penalty, and the keep
+    // decision at -6.5 nats/piece made MULTIPLICATIVELY so no integer
+    // division (Spark truncates, DuckDB floors on negatives). Oracle =
+    // the same unrolled train chain extended by the scoring joins.
+    Q("text_ppl_unigram",
+      (s, dir) => {
+        val root = ensureUnigram(s, dir)
+        graft.text.Unigram.pplScore(docs(s, dir),
+          s.read.parquet(s"$root/vocab"),
+          s.read.parquet(s"$root/segs"))
+      },
+      Some(graft.text.Unigram.pplOracleSql())),
+
     // #34e the train→apply loop CLOSED: the corpus tokenized by the
     // merges just learned from it (the final training state IS the
     // applied tokenizer — fences and empties dropped, like

@@ -196,6 +196,76 @@ object Unigram {
         length(col("word")).cast("long"))).as("unigram_tokens"))
   }
 
+  /** Score a piece scheduled by the final E-step but pruned from the
+    * final vocabulary (possible: the prune keeps top-[[VocabTarget]]
+    * multi-char pieces of the LAST usage count), and any character the
+    * training population never saw: a fixed OOV penalty in micro-nats.
+    * One constant, replayed by both engines. */
+  val OovMicroNats: Long = -20000000L
+
+  /** The CCNet-style keep floor: mean per-piece logprob ≥ -3.43 nats —
+    * the measured MEDIAN of the test corpus's per-piece logprob
+    * (bulk range -3.65..-3.29), so the decision actually splits the
+    * population instead of passing vacuously. Decided multiplicatively
+    * — `logprob ≥ floor · n` — so the gate never divides two integers,
+    * where Spark truncates and DuckDB floors differently on
+    * negatives. */
+  val KeepPerPieceMicroNats: Long = -3430000L
+
+  /**
+   * Perplexity scoring under the TRAINED artifact — the self-hosted
+   * CCNet filter (Wenzek et al. 2020's perplexity rung, served by a
+   * model this engine trained rather than row 44's pinned vocabulary):
+   * per doc, the total micro-nat logprob of its words under the
+   * learned segmentation (each word's pieces score from the final
+   * vocabulary; out-of-population words back off to per-character
+   * scores; unknown pieces/chars take [[OovMicroNats]]) and the
+   * integer keep decision at [[KeepPerPieceMicroNats]] per piece.
+   *
+   * Scale shape: the dictionary (WordCap-bounded) and the char table
+   * (≤ alphabet) broadcast; the corpus makes ONE pass (word explode →
+   * two broadcast joins → doc-keyed groupBy). The OOV char explosion
+   * only touches words OUTSIDE the top-WordCap population — the
+   * frequency-skewed minority of tokens.
+   */
+  def pplScore(docs: DataFrame, vocab: DataFrame, segs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val scores = vocab.select(col("piece"), col("score_micro"))
+    val dict = broadcast(
+      segs.select(col("word"),
+          explode(split(trim(col("seg")), " ")).as("piece"))
+        .where(col("piece") =!= "")
+        .join(scores, Seq("piece"), "left")
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("np"),
+          sum(coalesce(col("score_micro"), lit(OovMicroNats))).as("wlp")))
+    val charScores = broadcast(scores.where(length(col("piece")) === 1)
+      .select(col("piece").as("ch"), col("score_micro").as("cs")))
+    val words = docs.select(col(idCol),
+      explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+"), lit(0))).as("word"))
+    val j = words.join(dict, Seq("word"), "left").localCheckpoint()
+    val inDict = j.where(col("wlp").isNotNull)
+      .select(col(idCol), col("np"), col("wlp"))
+    val oov = j.where(col("wlp").isNull)
+      .select(col(idCol), col("word"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col(idCol), col("word"),
+        col("word").substr(col("i"), lit(1)).as("ch"))
+      .join(charScores, Seq("ch"), "left")
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("np"),
+        sum(coalesce(col("cs"), lit(OovMicroNats))).as("wlp"))
+      .select(col(idCol), col("np"), col("wlp"))
+    inDict.unionByName(oov)
+      .groupBy(col(idCol))
+      .agg(sum(col("np")).as("n_pieces"),
+        sum(col("wlp")).as("logprob_micro"))
+      .select(col(idCol), col("n_pieces"), col("logprob_micro"),
+        (col("logprob_micro") >=
+          lit(KeepPerPieceMicroNats) * col("n_pieces")).as("keep"))
+  }
+
   // ---- generated DuckDB oracle: the identical chain, unrolled ----
 
   /** One DP CTE block for round `r`, positions 1..MaxWordLen. */
@@ -277,6 +347,47 @@ object Unigram {
        |    AS unigram_tokens
        |FROM cw LEFT JOIN dict d ON cw.word = d.word
        |GROUP BY doc_id""".stripMargin
+
+  /** The [[pplScore]] oracle: the training chain extended by the
+    * scoring joins — word dictionary with piece logprobs off
+    * fin$Rounds × s$Rounds, per-char backoff for out-of-population
+    * words, doc-level sums, multiplicative keep. */
+  def pplOracleSql(base: String = "documents"): String =
+    s"""${chainCtes(base)},
+       |dictp AS (
+       |  SELECT f.word, u.piece
+       |  FROM fin$Rounds f, UNNEST(string_split(trim(f.seg), ' ')) u(piece)
+       |  WHERE u.piece <> ''),
+       |dict AS MATERIALIZED (
+       |  SELECT d.word, CAST(COUNT(*) AS BIGINT) AS np,
+       |    CAST(SUM(COALESCE(s.s, $OovMicroNats)) AS BIGINT) AS wlp
+       |  FROM dictp d LEFT JOIN s$Rounds s ON s.piece = d.piece
+       |  GROUP BY d.word),
+       |cw AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM $base),
+       |jd AS MATERIALIZED (
+       |  SELECT cw.doc_id, cw.word, d.np, d.wlp
+       |  FROM cw LEFT JOIN dict d ON cw.word = d.word),
+       |oov AS (
+       |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS np,
+       |    CAST(SUM(COALESCE(cs.s, $OovMicroNats)) AS BIGINT) AS wlp
+       |  FROM (
+       |    SELECT doc_id, word, substr(word, CAST(i AS INT), 1) AS ch
+       |    FROM (SELECT doc_id, word FROM jd WHERE wlp IS NULL),
+       |      UNNEST(range(1, length(word) + 1)) a(i)) o
+       |  LEFT JOIN (SELECT piece, s FROM s$Rounds WHERE length(piece) = 1) cs
+       |    ON cs.piece = o.ch
+       |  GROUP BY doc_id, word),
+       |parts AS (
+       |  SELECT doc_id, np, wlp FROM jd WHERE wlp IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id, np, wlp FROM oov)
+       |SELECT doc_id, CAST(SUM(np) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(wlp) AS BIGINT) AS logprob_micro,
+       |  (SUM(wlp) >= $KeepPerPieceMicroNats * SUM(np)) AS keep
+       |FROM parts GROUP BY doc_id""".stripMargin
 
   /** The shared WITH-chain of both oracles: seed vocabulary + `Rounds`
     * unrolled EM rounds (ends after s$Rounds / fin$Rounds). */

@@ -62,6 +62,29 @@ class UnigramSpec extends SparkSpec {
     assert(!out.contains(8L), "a no-word doc has no token rows")
   }
 
+  test("pplScore: dict words score piece sums, OOV words char sums, " +
+      "unknown chars take the OOV penalty, keep is multiplicative") {
+    val train = Seq((1L, Seq.fill(20)("data").mkString(" ")))
+      .toDF("doc_id", "text")
+    val (vocab, segs) = Unigram.trainFull(train)
+    val scores = vocab.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // 'data' is one piece; 'taad' reuses trained chars; 'zz' is unseen
+    val out = Unigram.pplScore(
+      Seq((7L, "data"), (8L, "taad"), (9L, "zz"))
+        .toDF("doc_id", "text"), vocab, segs)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(7L)._1 == 1L && out(7L)._2 == scores("data"))
+    assert(out(8L)._1 == 4L &&
+      out(8L)._2 == scores("t") + 2 * scores("a") + scores("d"))
+    assert(out(9L)._1 == 2L &&
+      out(9L)._2 == 2 * Unigram.OovMicroNats && !out(9L)._3)
+    // keep: exact boundary — logprob == floor * n keeps
+    for ((_, (n, lp, k)) <- out)
+      assert(k == (lp >= Unigram.KeepPerPieceMicroNats * n))
+  }
+
   test("deterministic: two trainings of the same corpus agree exactly") {
     val texts = Seq("the merge window merges the sparks",
       "window after window the spark merges")
