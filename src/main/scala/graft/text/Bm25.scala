@@ -252,14 +252,53 @@ object Bm25 {
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).cast("long").as("tf"))
 
+  /** Swap-protocol selector for the lexicon's driver-size summaries:
+    * `rename` (default) = the two-rename directory swap ([[swapIn]],
+    * atomic on file:// and hdfs://); `pointer` = the committer-style
+    * versioned layout ([[graft.store.Versioned]]) — the REQUIRED
+    * setting when the lexicon root is an object store (s3a://), where
+    * directory renames are not atomic. Readers auto-detect the layout
+    * ([[summaryPath]]), so the conf only steers writers. */
+  val SwapProtocolConf = "spark.graft.swap.protocol"
+
+  private def pointerProtocol(s: org.apache.spark.sql.SparkSession): Boolean =
+    s.conf.getOption(SwapProtocolConf).contains("pointer")
+
+  /** Where summary `name` currently lives under `root` — the
+    * versioned layout's live version when present (either protocol
+    * may have written the store; detection is from the bytes, not the
+    * conf, so a pointer-written lexicon serves under any session). */
+  private[graft] def summaryPath(s: org.apache.spark.sql.SparkSession,
+      root: String, name: String): String =
+    if (graft.store.Versioned.isVersioned(s, root, name))
+      graft.store.Versioned.current(s, root, name)
+    else s"$root/$name"
+
+  /** Land summary `name` = `df` under the session's swap protocol:
+    * fresh write or full rewrite, never a torn read either way. */
+  private def writeSummary(s: org.apache.spark.sql.SparkSession,
+      root: String, name: String, df: DataFrame): Unit =
+    if (pointerProtocol(s))
+      graft.store.Versioned.rewrite(s, root, name)(dir =>
+        df.coalesce(1).write.mode("overwrite").parquet(dir))
+    else if (!new org.apache.hadoop.fs.Path(s"$root/$name").getFileSystem(
+        s.sessionState.newHadoopConf())
+        .exists(new org.apache.hadoop.fs.Path(s"$root/$name"))) {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$root/$name")
+    } else {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$root/$name.staging")
+      swapIn(s, root, name)
+    }
+
   def buildLexicon(docs: DataFrame, path: String, vocabCap: Int = VocabCap,
       vocabDocs: Option[DataFrame] = None,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val s = docs.sparkSession
     val toks = docs.select(col(idCol).as("doc_id"),
       Text.tokens(col(textCol)).as("toks"))
     val stats = toks.select(size(col("toks")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    writeSummary(s, path, "stats", stats)
     val postings = postingsOf(docs, idCol, textCol)
     // vocab MEMBERSHIP may come from a restricted population (the
     // incremental comparator trains it on the old slice, mirroring the
@@ -274,7 +313,7 @@ object Bm25 {
     val dfTab = postings.join(broadcast(vocabTerms), Seq("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("df"))
-    dfTab.coalesce(1).write.mode("overwrite").parquet(s"$path/df")
+    writeSummary(s, path, "df", dfTab)
     postings.join(broadcast(vocabTerms), Seq("term"))
       .write.mode("overwrite").partitionBy("term")
       .parquet(s"$path/postings")
@@ -289,9 +328,12 @@ object Bm25 {
     * rests on FileSystem.rename being a cheap metadata move, which
     * holds for file:// and hdfs:// but NOT for object stores (s3a://
     * renames are copy+delete — a crash mid-"rename" can leave a
-    * partial copy). On an object-store root use a committer-style
-    * write-then-repoint layout instead; this swap is only safe on
-    * filesystems with atomic directory rename. */
+    * partial copy). On an object-store root set [[SwapProtocolConf]]
+    * to `pointer`: [[graft.store.Versioned]]'s committer-style layout
+    * (immutable version dirs + a one-line CURRENT pointer flipped by a
+    * single-FILE replace) is safe on every FS; readers auto-detect
+    * which layout a store uses. This directory swap remains the
+    * default where renames are atomic — it needs no version GC. */
   private[graft] def swapIn(s: org.apache.spark.sql.SparkSession, root: String,
       name: String): Unit = {
     val rootP = new org.apache.hadoop.fs.Path(root)
@@ -342,7 +384,8 @@ object Bm25 {
   def appendLexicon(s: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val vocabTerms = s.read.parquet(s"$path/df").select(col("term"))
+    val vocabTerms = s.read.parquet(summaryPath(s, path, "df"))
+      .select(col("term"))
     val batch = postingsOf(newDocs, idCol, textCol)
       .join(broadcast(vocabTerms), Seq("term"))
     batch.write.mode("append").partitionBy("term")
@@ -352,24 +395,22 @@ object Bm25 {
     val dfDelta = batch.groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("d"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val dfOld = s.read.parquet(s"$path/df")
+    val dfOld = s.read.parquet(summaryPath(s, path, "df"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
     import s.implicits._
-    dfOld.map { case (t, d) => (t, d + dfDelta.getOrElse(t, 0L)) }.toSeq
-      .toDF("term", "df")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/df.staging")
-    swapIn(s, path, "df")
+    writeSummary(s, path, "df",
+      dfOld.map { case (t, d) => (t, d + dfDelta.getOrElse(t, 0L)) }.toSeq
+        .toDF("term", "df"))
     val Array(nNew, dlNew) = newDocs
       .select(size(Text.tokens(col(textCol))).cast("long").as("dl"))
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl")), lit(0L)).as("sumdl"))
       .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
-    val st = s.read.parquet(s"$path/stats").collect().head
-    Seq((st.getLong(st.fieldIndex("n")) + nNew,
-        st.getLong(st.fieldIndex("sumdl")) + dlNew))
-      .toDF("n", "sumdl")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats.staging")
-    swapIn(s, path, "stats")
+    val st = s.read.parquet(summaryPath(s, path, "stats")).collect().head
+    writeSummary(s, path, "stats",
+      Seq((st.getLong(st.fieldIndex("n")) + nNew,
+          st.getLong(st.fieldIndex("sumdl")) + dlNew))
+        .toDF("n", "sumdl"))
   }
 
   /**
@@ -387,9 +428,9 @@ object Bm25 {
       k: Int, terms: Seq[String] = Terms): DataFrame = {
     val post = s.read.parquet(s"$root/postings")
       .where(col("term").isin(terms: _*))
-    val dfTab = s.read.parquet(s"$root/df")
+    val dfTab = s.read.parquet(summaryPath(s, root, "df"))
       .where(col("term").isin(terms: _*))
-    val stats = s.read.parquet(s"$root/stats")
+    val stats = s.read.parquet(summaryPath(s, root, "stats"))
     val rows = post.join(broadcast(dfTab), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"),

@@ -184,4 +184,100 @@ class FileSystemSchemeSpec extends SparkSpec {
     assert(fs.exists(new Path(root, "df.staging/NEW")),
       "staging must survive for a retry")
   }
+
+  // ---- the pointer-file (committer-style) protocol: the object-store
+  // swap (graft.store.Versioned) driven through its full lifecycle and
+  // every crash-between-steps state, all on an explicit file:// root.
+
+  private def writeV(dir: String, rows: Seq[(String, Long)]): Unit =
+    rows.toDF("term", "df").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+
+  private def readV(dir: String): Set[(String, Long)] =
+    spark.read.parquet(dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+
+  test("pointer protocol: write→flip→read lifecycle, GC keeps previous") {
+    import graft.store.Versioned
+    val root = fileRoot("ptr")
+    val fs = fsOf(root)
+    Versioned.rewrite(spark, root, "df")(writeV(_, Seq("a" -> 1L)))
+    assert(readV(Versioned.current(spark, root, "df")) == Set(("a", 1L)))
+    Versioned.rewrite(spark, root, "df")(writeV(_, Seq("b" -> 2L)))
+    Versioned.rewrite(spark, root, "df")(writeV(_, Seq("c" -> 3L)))
+    assert(readV(Versioned.current(spark, root, "df")) == Set(("c", 3L)))
+    // GC: v2 live, v1 kept for in-flight readers, v0 gone
+    assert(fs.exists(new Path(root, "df.v1")))
+    assert(!fs.exists(new Path(root, "df.v0")), "v0 must be GCed")
+    assert(!fs.exists(new Path(root, "df.CURRENT.tmp")), "tmp swept")
+  }
+
+  test("pointer protocol crash sweep: every interrupted step still serves") {
+    import graft.store.Versioned
+    val root = fileRoot("ptr-crash")
+    val fs = fsOf(root)
+    Versioned.rewrite(spark, root, "df")(writeV(_, Seq("live" -> 1L)))
+
+    // (a) crash DURING the next version's write: dir exists, no
+    // _SUCCESS, pointer untouched → readers on old, commit refused
+    val (d1, v1) = Versioned.next(spark, root, "df")
+    fs.mkdirs(new Path(d1)); fs.create(new Path(d1, "part-0")).close()
+    assert(readV(Versioned.current(spark, root, "df")) == Set(("live", 1L)))
+    intercept[IllegalArgumentException](
+      Versioned.commit(spark, root, "df", v1))
+    // retry clears the torn dir and completes
+    val (d1b, v1b) = Versioned.next(spark, root, "df")
+    assert(v1b == v1 && !fs.exists(new Path(d1b, "part-0")))
+    writeV(d1b, Seq("two" -> 2L))
+
+    // (b) crash AFTER the write, BEFORE the flip: complete but
+    // unnamed; the pointer still serves old
+    assert(readV(Versioned.current(spark, root, "df")) == Set(("live", 1L)))
+    Versioned.commit(spark, root, "df", v1b)
+    assert(readV(Versioned.current(spark, root, "df")) == Set(("two", 2L)))
+
+    // (c) crash mid-flip: a leftover tmp never shadows the pointer,
+    // and the next commit sweeps it
+    val tmp = new Path(root, "df.CURRENT.tmp")
+    val out = fs.create(tmp, true); out.write("vGARBAGE".getBytes); out.close()
+    assert(readV(Versioned.current(spark, root, "df")) == Set(("two", 2L)))
+    Versioned.rewrite(spark, root, "df")(writeV(_, Seq("three" -> 3L)))
+    assert(readV(Versioned.current(spark, root, "df")) == Set(("three", 3L)))
+
+    // (d) the delete+rename fallback's gap (pointer absent): readers
+    // fall back to the highest COMPLETE version — the same answer
+    fs.delete(new Path(root, "df.CURRENT"), false)
+    assert(readV(Versioned.current(spark, root, "df")) == Set(("three", 3L)))
+    // and the next rewrite re-mints the pointer above the fallback
+    Versioned.rewrite(spark, root, "df")(writeV(_, Seq("four" -> 4L)))
+    assert(fs.exists(new Path(root, "df.CURRENT")))
+    assert(readV(Versioned.current(spark, root, "df")) == Set(("four", 4L)))
+  }
+
+  test("lexicon lifecycle under the pointer protocol equals the rename twin") {
+    val old = Seq(
+      (1L, "spark merge fast table"),
+      (2L, "merge merge slow"),
+      (4L, "spark spark spark scan")).toDF("doc_id", "text")
+    val batch = Seq((3L, "merge table table")).toDF("doc_id", "text")
+    val ptr = fileRoot("lex-ptr") + "/lexicon"
+    spark.conf.set(Bm25.SwapProtocolConf, "pointer")
+    try {
+      Bm25.buildLexicon(old, ptr)
+      Bm25.appendLexicon(spark, batch, ptr)
+    } finally spark.conf.unset(Bm25.SwapProtocolConf)
+    val fs = fsOf(ptr)
+    assert(fs.exists(new Path(ptr, "df.CURRENT")), "pointer layout used")
+    assert(!fs.exists(new Path(ptr, "df")), "no plain dir under pointer")
+    // a DIFFERENT session config (rename default) still reads it:
+    // layout detection is from the bytes, not the conf
+    val ren = fileRoot("lex-ren") + "/lexicon"
+    Bm25.buildLexicon(old, ren)
+    Bm25.appendLexicon(spark, batch, ren)
+    val a = Bm25.bm25FromLexicon(spark, ptr, 10, Seq("spark", "merge"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Bm25.bm25FromLexicon(spark, ren, 10, Seq("spark", "merge"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
