@@ -75,11 +75,28 @@ object Opq {
    * Rotate `vecCol` (array&lt;float&gt;, width [[Dim]]) in place; the
    * result is the scaled rotated DOUBLE array (kept double so the SQL
    * replay shares every bit — a float round-trip would fork the two
-   * engines' roundings).
+   * engines' roundings). Runs as ONE fused native expression
+   * ([[graft.functions.OpqRotate]], whole-stage codegen'd) — the six
+   * chained `transform` lambdas it replaces re-entered the lambda
+   * interpreter per stage per element, the §6.6 hot-path shape; the
+   * expression raises the same loud error on a non-[[Dim]] corpus the
+   * old assert_true guard did. [[rotatedHof]] keeps the composed-HOF
+   * formulation as the bit-equality reference (OpqSpec pins the two
+   * paths identical, and the DuckDB replay [[rotateCtes]] mirrors the
+   * HOF form stage for stage).
    */
-  def rotated(corpus: DataFrame, vecCol: String = "embedding"): DataFrame = {
+  def rotated(corpus: DataFrame, vecCol: String = "embedding"): DataFrame =
+    corpus.withColumn(vecCol, org.apache.spark.sql.graft.bridge.column(
+      graft.functions.OpqRotate(
+        org.apache.spark.sql.graft.bridge.expression(col(vecCol)),
+        signs.toArray, Scale)))
+
+  /** The composed-builtin twin of [[rotated]] (six chained transform
+    * stages) — retained as the native expression's bit-equality
+    * reference, not used in any hot path. */
+  private[graft] def rotatedHof(corpus: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
     val sg = lit(signs.toArray)
-    // the butterflies and the SQL replay are generated for width==Dim;
     // a narrower vector would silently yield nulls past the array end,
     // so a mismatched corpus must error loudly, per row, in the same
     // projected expression (a separate guard column could be pruned)

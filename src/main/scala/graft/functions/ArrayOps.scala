@@ -228,3 +228,106 @@ case class ArrayQuantize8(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(
       newChild: Expression): ArrayQuantize8 = copy(child = newChild)
 }
+
+/**
+ * The OPQ-lite structured rotation (1/√d)·H·D of graft.ann.Opq in ONE
+ * fused codegen'd pass: sign flip by the deterministic ±1 diagonal,
+ * log₂d in-register Walsh–Hadamard butterfly stages over two swap
+ * buffers, final exact 2⁻ᵏ scale — replacing the six chained
+ * `transform` lambdas that re-entered the expression interpreter per
+ * stage per element (SURVEY §6.6's banned hot-path shape; the rotate
+ * pass runs on EVERY corpus row at 100 TB). Arithmetic is the HOF
+ * chain's, operand for operand — (i&bit)==0 ? a[i]+a[i^bit] :
+ * a[i^bit]-a[i], fixed association — so results are bit-identical
+ * (OpqSpec pins equality against the retained HOF twin).
+ *
+ * Contract (loud, not silent): the width must equal `signs.length`
+ * (the rotation is generated for the corpus width) and elements must
+ * be non-null — a mismatched corpus throws per row with the same
+ * message the assert_true guard raised.
+ */
+case class OpqRotate(child: Expression, signs: Array[Double],
+    scale: Double) extends UnaryExpression {
+  import ArrayOps._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    check(prettyName, children)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_opq_rotate"
+
+  private def stages: Int = Integer.numberOfTrailingZeros(signs.length)
+
+  override protected def nullSafeEval(av: Any): Any = {
+    val x = av.asInstanceOf[ArrayData]
+    val et = elementType(child)
+    val d = signs.length
+    if (x.numElements() != d) throw new IllegalArgumentException(
+      s"Opq.rotated: input must be exactly $d-dim, got ${x.numElements()}")
+    var a = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      if (x.isNullAt(i)) throw new IllegalArgumentException(
+        s"Opq.rotated: null element at $i")
+      a(i) = get(et, x, i) * signs(i)
+      i += 1
+    }
+    var k = 0
+    while (k < stages) {
+      val bit = 1 << k
+      val b = new Array[Double](d)
+      i = 0
+      while (i < d) {
+        b(i) = if ((i & bit) == 0) a(i) + a(i ^ bit) else a(i ^ bit) - a(i)
+        i += 1
+      }
+      a = b
+      k += 1
+    }
+    i = 0
+    while (i < d) { a(i) *= scale; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(a)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val et = elementType(child)
+      val d = signs.length
+      val sg = ctx.addReferenceObj("opqSigns", signs, "double[]")
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
+      val t = ctx.freshName("t")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val bit = ctx.freshName("bit")
+      s"""
+         |if ($x.numElements() != $d) {
+         |  throw new IllegalArgumentException(
+         |    "Opq.rotated: input must be exactly $d-dim, got "
+         |      + $x.numElements());
+         |}
+         |double[] $a = new double[$d];
+         |double[] $b = new double[$d];
+         |for (int $i = 0; $i < $d; $i++) {
+         |  if ($x.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "Opq.rotated: null element at " + $i);
+         |  }
+         |  $a[$i] = ${getter(et, x, i)} * $sg[$i];
+         |}
+         |for (int $k = 0; $k < $stages; $k++) {
+         |  int $bit = 1 << $k;
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    $b[$i] = (($i & $bit) == 0)
+         |      ? $a[$i] + $a[$i ^ $bit] : $a[$i ^ $bit] - $a[$i];
+         |  }
+         |  double[] $t = $a; $a = $b; $b = $t;
+         |}
+         |for (int $i = 0; $i < $d; $i++) { $a[$i] *= $scale; }
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($a);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): OpqRotate = copy(child = newChild)
+}

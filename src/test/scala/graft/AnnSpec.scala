@@ -595,6 +595,23 @@ class AnnSpec extends SparkSpec {
       s"dot drift: $dOrig vs $dRot")
   }
 
+  test("native OpqRotate is BIT-identical to the composed-HOF twin") {
+    // the fused doGenCode expression replaced six interpreted
+    // transform stages (§6.6); the retained HOF formulation is the
+    // reference — every double must match to the BIT (doubleToLongBits,
+    // so a -0.0/+0.0 or NaN fork fails where SQL == would not)
+    val e = graft.sources.Sources.table(spark, sf001, "embeddings")
+    def bits(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)
+          .map(java.lang.Double.doubleToLongBits)).toMap
+    val native = bits(graft.ann.Opq.rotated(e))
+    val hof = bits(graft.ann.Opq.rotatedHof(e))
+    assert(native.keySet == hof.keySet && native.nonEmpty)
+    for ((id, v) <- native)
+      assert(v == hof(id), s"vec $id forked between native and HOF")
+  }
+
   test("rotated PQ: recall within the plain-PQ noise band, never collapsed") {
     // the synthetic corpus is ISOTROPIC, so the rotation cannot help
     // (it exists for variance concentrated in few dims) — the honest
