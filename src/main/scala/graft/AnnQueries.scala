@@ -641,6 +641,24 @@ object AnnQueries {
       },
       Some(ivfpqSql(lloyd = false))),
 
+    // #30e4 the rotation composed into the PRODUCTION index shape —
+    // OPQ as actually deployed (Ge et al. CVPR'13 pair R with IVFADC,
+    // not flat PQ): rotate first (one fused native expression), then
+    // the full IVF+PQ pipeline — coarse cells, nprobe pruning,
+    // sub-vector encode, LUT scoring — over the ROTATED corpus, query
+    // rotated with it. Geometry and sampling key off ids and counts,
+    // both rotation-invariant, so the oracle swaps only the normalize
+    // prefix for the bit-identical rotation replay.
+    Q("ann_ivfpq_rotated",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val re = graft.ann.Opq.rotated(e)
+        val (nl, np, mod) = ivfGeom(e)
+        Ann.ivfpqTopK(re, queryVec(re), 10, nlist = nl, nprobe = np,
+          modulus = mod, cbModulus = sampleMod(e))
+      },
+      Some(ivfpqSql(lloyd = false, rotated = true))),
+
     // #30e2 the PRODUCTION read path of the composed shape: search the
     // persisted fingerprint-cached artifact (centroids + codebooks +
     // cell-partitioned codes) — the CODE table access is pruned to the
@@ -1275,7 +1293,8 @@ object AnnQueries {
    * code) means over the WHOLE corpus (the ann_pq_lloyd family) —
    * before assignment/pruning/encoding.
    */
-  private def ivfpqSql(lloyd: Boolean, trainWhere: String = "TRUE"): String = {
+  private def ivfpqSql(lloyd: Boolean, trainWhere: String = "TRUE",
+      rotated: Boolean = false): String = {
     // the training population predicate over vec_id; `n` renames vec_id
     // to id, so derive that form ("vec_id" is a unique substring)
     val trainN = trainWhere.replace("vec_id", "id")
@@ -1338,11 +1357,24 @@ object AnnQueries {
           SELECT c.sub, c.cid, c.cv FROM csubs c
           WHERE NOT EXISTS (SELECT 1 FROM pqref r
                             WHERE r.sub = c.sub AND r.cid = c.cid)),"""
+    // the rotated variant swaps ONLY the n prefix (rotate, then
+    // normalize the rotated doubles) — geometry/sampling CTEs key off
+    // ids and corpus counts, both rotation-invariant
+    val nCtes =
+      if (rotated)
+        s"""eb AS (SELECT vec_id AS id, embedding FROM embeddings),
+           |${graft.ann.Opq.rotateCtes("eb", "embedding")},
+           |n AS (
+           |  SELECT id, list_transform(r, x -> x / ${normSqlOf("r")}) AS vn
+           |  FROM opqr)""".stripMargin
+      else
+        s"""n AS (
+           |  SELECT vec_id AS id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql)
+           |      AS vn
+           |  FROM embeddings)""".stripMargin
     s"""
-        WITH n AS (
-          SELECT vec_id AS id,
-            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),${ivfGeomCtes(trainWhere)}
+        WITH $nCtes,${ivfGeomCtes(trainWhere)}
         cent0 AS (
           SELECT id AS cid, vn AS cv FROM n, mm
           WHERE ($trainN)

@@ -25,6 +25,12 @@ import graft.text.{Text, Urls}
  */
 object UrlQueries {
 
+  /** Domain keep floor in milli-logits per token (the quality model's
+    * integer unit): the measured per-domain MEDIAN of the test corpus
+    * (-54; domain per-token values span -100..-9), so the blocklist
+    * decision genuinely splits. Applied multiplicatively. */
+  private[graft] val DomainFloorMilli = -54L
+
   private def withUrl(s: org.apache.spark.sql.SparkSession, dir: String) =
     Sources.table(s, dir, "documents")
       .select(col("doc_id"), col("text"),
@@ -96,6 +102,66 @@ object UrlQueries {
           count(DISTINCT path) AS n_pages,
           avg(q) AS avg_quality
         FROM t GROUP BY domain"""
+      }),
+
+    // #91d per-domain BLOCKLIST filtering — the curation decision the
+    // rollup exists for: a domain whose AGGREGATE quality sits below
+    // the floor drops wholesale (the spam-farm case per-doc filtering
+    // misses: occasional good pages on a bad domain). The decision is
+    // exact integer arithmetic end to end: the quality model's integer
+    // numerator summed per domain, floor applied multiplicatively
+    // (domain_num >= floor * domain_toks, both BIGINT) — no float, no
+    // division. The floor (-54 milli-logits/token) is the measured
+    // per-domain median, so the gate splits 11/12 instead of passing
+    // vacuously. One extra shuffle on the domain key; the 23-row
+    // domain aggregate joins back keyed (AQE broadcasts it).
+    Q("url_domain_filter",
+      (s, dir) => {
+        val host = parse_url(col("url"), lit("HOST"))
+        val d = withUrl(s, dir)
+          .select(col("doc_id"), Urls.registeredDomain(host).as("domain"))
+        val q = Text.qualityModelRaw(
+          Sources.table(s, dir, "documents"))
+        val perDoc = d.join(q, Seq("doc_id"))
+        val dom = perDoc.groupBy(col("domain"))
+          .agg(sum(col("num")).as("domain_num"),
+            sum(col("n_tokens")).as("domain_toks"))
+        perDoc.join(dom, Seq("domain"))
+          .select(col("doc_id"), col("domain"),
+            col("num").as("doc_num"),
+            col("domain_num"), col("domain_toks"),
+            (col("domain_num") - lit(DomainFloorMilli) * col("domain_toks")
+              >= 0L).as("kept"))
+      },
+      Some {
+        val h = graft.functions.XHash.h60Sql("'qm:' || t")
+        val b = Text.QmBuckets
+        val bias = Text.QmBiasNum
+        s"""
+        WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+          FROM documents),
+        feats AS (
+          SELECT doc_id,
+            ($h % $b) * 2654435761 % 2000 - 1000 AS wi
+          FROM toks),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(wi) + $bias * count(*) AS BIGINT) AS num
+          FROM feats GROUP BY doc_id),
+        d AS (
+          SELECT doc_id, ${Urls.registeredSql("doc_id")} AS domain
+          FROM documents),
+        dom AS (
+          SELECT domain, CAST(sum(num) AS BIGINT) AS domain_num,
+            CAST(sum(n_tokens) AS BIGINT) AS domain_toks
+          FROM d JOIN agg USING (doc_id) GROUP BY domain)
+        SELECT d.doc_id, d.domain, agg.num AS doc_num,
+          dom.domain_num, dom.domain_toks,
+          (dom.domain_num - ($DomainFloorMilli) * dom.domain_toks >= 0)
+            AS kept
+        FROM d JOIN agg USING (doc_id) JOIN dom USING (domain)"""
       }),
 
     // #91c URL normalization + url-keyed crawl dedup: utm_* params

@@ -66,6 +66,20 @@ class UrlSpec extends SparkSpec {
     assert(one(Urls.normalize(lit(only))) == "https://site4.com/p")
   }
 
+  test("domain blocklist decision is non-vacuous and domain-uniform") {
+    val out = UrlQueries.all.find(_.name == "url_domain_filter").get
+      .run(spark, "/root/testdata/sf0.001")
+      .select(col("domain"), col("kept")).collect()
+      .map(r => (r.getString(0), r.getBoolean(1)))
+    val byDomain = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    // every doc of a domain shares its domain's fate...
+    assert(byDomain.values.forall(_.size == 1), "split within a domain")
+    // ...and the floor genuinely splits the domains
+    val fates = byDomain.values.map(_.head).toSeq
+    assert(fates.contains(true) && fates.contains(false),
+      s"vacuous blocklist: all ${fates.headOption}")
+  }
+
   test("normalized URL is a pure function of id % 150 (dup groups real)") {
     val n = spark.range(450)
       .select((col("id") % 150).as("u"),
