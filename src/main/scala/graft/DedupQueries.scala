@@ -799,6 +799,24 @@ object DedupQueries {
         Sources.table(s, dir, "embeddings")),
       Some(DedupSql.pipeline())),
 
+    // #25j2 the pipeline with EVERY curation stage engaged — the
+    // round-13 rows composed into the closed loop: the per-domain
+    // BLOCKLIST (row 91's decision, the cheapest signal) prunes whole
+    // domains BEFORE any dedup join runs, and the pack tail applies
+    // the per-source token QUOTAS (row 92's mixture contract) to the
+    // curated, rewritten text, publishing the manifest at the
+    // (shard, source) grain. One plan, one composed oracle reusing
+    // the stage fragments — a drifted doc at ANY of the nine stages
+    // moves a count or checksum.
+    Q("corpus_pipeline_full",
+      (s, dir) => graft.dedup.Corpus.pipeline(docs(s, dir),
+        Sources.table(s, dir, "embeddings"),
+        domainFloorMilli = Some(UrlQueries.DomainFloorMilli),
+        quotas = PackQuotas),
+      Some(DedupSql.pipeline(
+        domainFloorMilli = Some(UrlQueries.DomainFloorMilli),
+        quotas = PackQuotas))),
+
     // #25k the pipeline's INCREMENTAL twin — crawl N+1's admission
     // chain: doc-level dedup against the persisted signature store,
     // chunk-level dedup against the persisted chunk store (text

@@ -647,15 +647,44 @@ object DedupSql {
     * [[AnnQueries]]' norm/dot/geometry SQL verbatim. */
   def pipeline(minQuality: Double = 0.3, nearDupJaccard: Double = 0.6,
       n: Int = 3, width: Int = graft.dedup.Dedup.ChunkWidth,
-      evalMod: Int = 97, seqLen: Int = 256, shards: Int = 8): String = {
+      evalMod: Int = 97, seqLen: Int = 256, shards: Int = 8,
+      domainFloorMilli: Option[Long] = None,
+      quotas: Seq[(String, Long)] = Nil): String = {
     val minCos = AnnQueries.SemDedupMinCos
     val qmB = graft.text.Text.QmBuckets
     val qmBias = graft.text.Text.QmBiasNum
     val qh = XHash.h60Sql("'qm:' || t")
     val sbIn = "vec_id IN (SELECT doc_id FROM sb)"
-    s"""WITH q AS (
+    // stage 0 (optional): the domain-blocklist CTEs — quality-model
+    // numerators over the RAW corpus, rolled up by the closed-form
+    // registered domain, floor applied multiplicatively
+    val domainCtes = domainFloorMilli.fold("") { floor =>
+      s"""dtoks AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+         |  FROM documents),
+         |dagg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(($qh % $qmB) * 2654435761 % 2000 - 1000)
+         |      + $qmBias * count(*) AS BIGINT) AS num
+         |  FROM dtoks GROUP BY doc_id),
+         |ddom AS (
+         |  SELECT doc_id, ${graft.text.Urls.registeredSql("doc_id")}
+         |    AS domain
+         |  FROM documents),
+         |dkeep AS (
+         |  SELECT domain FROM ddom JOIN dagg USING (doc_id)
+         |  GROUP BY domain
+         |  HAVING sum(num) - ($floor) * sum(n_tokens) >= 0),
+         |d0 AS (
+         |  SELECT doc_id FROM ddom JOIN dkeep USING (domain)),
+         |""".stripMargin
+    }
+    val domainWhere = if (domainFloorMilli.isDefined)
+      " AND doc_id IN (SELECT doc_id FROM d0)" else ""
+    s"""WITH ${domainCtes}q AS (
        |  SELECT doc_id, text FROM documents
-       |  WHERE ${qualitySql("text")} >= $minQuality),
+       |  WHERE ${qualitySql("text")} >= $minQuality$domainWhere),
        |fp AS (
        |  SELECT doc_id,
        |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
@@ -752,7 +781,14 @@ object DedupSql {
        |sel AS (
        |  SELECT m.doc_id FROM m JOIN cum USING (kc), bud
        |  WHERE cum <= budget),
-       |pt AS (
+       |${if (quotas.isEmpty) plainPackTail(seqLen, shards)
+          else quotaPackTail(seqLen, shards, quotas)}""".stripMargin
+  }
+
+  /** The default [[pipeline]] tail: pack every selected doc, manifest
+    * at the shard grain. */
+  private def plainPackTail(seqLen: Int, shards: Int): String =
+    s"""pt AS (
        |  SELECT sd.doc_id,
        |    ${XHash.h60Sql("CAST(sd.doc_id AS VARCHAR)")} % $shards AS shard,
        |    ${XHash.h60Sql("CAST(sd.doc_id AS VARCHAR)")} % 1000000 AS ck,
@@ -774,5 +810,46 @@ object DedupSql {
        |    AS BIGINT) AS straddlers,
        |  CAST(sum(doc_id % 1000003 * ck % 1000003) AS BIGINT) AS checksum
        |FROM pc GROUP BY shard""".stripMargin
+
+  /** The quota [[pipeline]] tail (row 92 applied to the CURATED,
+    * rewritten text): per-source ordered-prefix admission against the
+    * quota when-chain, then the manifest at the (shard, source)
+    * grain — the corpus_pack_quota shape. */
+  private def quotaPackTail(seqLen: Int, shards: Int,
+      quotas: Seq[(String, Long)]): String = {
+    val qcase = "CASE source " + quotas.map { case (s0, q) =>
+      s"WHEN '$s0' THEN $q" }.mkString(" ") + " ELSE -1 END"
+    s"""seld AS (
+       |  SELECT sd.doc_id, doc.source,
+       |    CAST(len(string_split_regex(trim(lower(sd.text)), '\\s+'))
+       |      AS BIGINT) AS n_toks
+       |  FROM sd JOIN sel USING (doc_id)
+       |  JOIN documents doc USING (doc_id)),
+       |qadm AS (
+       |  SELECT doc_id, source, n_toks FROM (
+       |    SELECT doc_id, source, n_toks,
+       |      SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM seld)
+       |  WHERE ($qcase) < 0 OR cum <= ($qcase)),
+       |qpt AS (
+       |  SELECT doc_id, source, n_toks,
+       |    ${XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % $shards AS shard,
+       |    ${XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 1000000 AS ck
+       |  FROM qadm),
+       |qpc AS (
+       |  SELECT doc_id, source, shard, ck, n_toks,
+       |    COALESCE(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS tok_offset
+       |  FROM qpt)
+       |SELECT CAST(shard AS BIGINT) AS shard, source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_toks,
+       |  CAST(sum(CASE WHEN tok_offset // $seqLen <>
+       |    (tok_offset + n_toks - 1) // $seqLen THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS straddlers,
+       |  CAST(sum(doc_id % 1000003 * ck % 1000003) AS BIGINT) AS checksum
+       |FROM qpc GROUP BY shard, source""".stripMargin
   }
 }

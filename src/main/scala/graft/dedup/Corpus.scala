@@ -686,10 +686,37 @@ object Corpus {
    * than one downstream stage reads them.
    */
   def pipeline(docs: DataFrame, embs: DataFrame, evalMod: Int = 97,
-      seqLen: Int = 256, shards: Int = 8): DataFrame = {
+      seqLen: Int = 256, shards: Int = 8,
+      /** Some(floor) prepends stage 0: the per-domain BLOCKLIST (row
+        * 91's url_domain_filter decision — drop every doc of a
+        * registered domain whose aggregate quality numerator sits
+        * below floor·tokens, exact integers). First because it is the
+        * cheapest signal: one quality pass + one 23-key rollup prunes
+        * whole domains before any dedup join sees them. */
+      domainFloorMilli: Option[Long] = None,
+      /** Non-empty prepends nothing but REPLACES the pack tail with
+        * per-source quota admission (row 92) over the curated,
+        * REWRITTEN text — the mixture contract applied to what
+        * actually packs — and the manifest gains the (shard, source)
+        * grain. */
+      quotas: Seq[(String, Long)] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // stage 0 (optional): domain blocklist over the raw corpus
+    val docs0 = domainFloorMilli.fold(docs) { floor =>
+      val host = parse_url(
+        graft.text.Urls.synthUrl(col("doc_id")), lit("HOST"))
+      val dd = docs.select(col("doc_id"),
+        graft.text.Urls.registeredDomain(host).as("domain"))
+      val keepDoms = dd.join(Text.qualityModelRaw(docs), Seq("doc_id"))
+        .groupBy(col("domain"))
+        .agg(sum(col("num")).as("dn"), sum(col("n_tokens")).as("dt"))
+        .where(col("dn") - lit(floor) * col("dt") >= 0L)
+        .select(col("domain"))
+      docs.join(dd.join(keepDoms, Seq("domain"), "left_semi")
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    }
     // A: document-level clean on the original text
-    val sa = clean(docs).select(col("doc_id"), col("text"))
+    val sa = clean(docs0).select(col("doc_id"), col("text"))
     // B: chunk dedup rewrites each survivor to its kept chunks
     val sb = Dedup.chunkDedup(sa)
       .where(col("kept_chunks") > 0)
@@ -729,16 +756,34 @@ object Corpus {
       .crossJoin(broadcast(budget))
       .where(col("cum") <= col("budget"))
       .select(col("doc_id"))
-    // G: pack the selected docs, publish the per-shard manifest
-    val packed = packChunks(sd.join(sel, Seq("doc_id"), "left_semi"),
-      seqLen = seqLen, shards = shards)
-    packed.groupBy(col("shard")).agg(
-      count(lit(1)).as("n_docs"),
-      (max(col("chunk_last")) + 1).as("n_seqs"),
-      sum(when(col("chunk_first") =!= col("chunk_last"), 1L)
-        .otherwise(0L)).as("straddlers"),
-      sum(col("doc_id") % lit(1000003L) *
-        (graft.functions.XHash.h60(col("doc_id").cast("string"))
-          % lit(1000000L)) % lit(1000003L)).as("checksum"))
+    // G: pack the selected docs, publish the per-shard manifest —
+    // with quotas, per-source admission first and the (shard, source)
+    // manifest grain (the corpus_pack_quota shape over curated text)
+    if (quotas.nonEmpty) {
+      val seld = sd.join(sel, Seq("doc_id"), "left_semi")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val adm = quotaAdmit(seld, quotas).localCheckpoint()
+      packMembers(adm, seqLen = seqLen, shards = shards)
+        .join(adm.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("shard"), col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_toks"),
+          sum(when(col("chunk_first") =!= col("chunk_last"), 1L)
+            .otherwise(0L)).as("straddlers"),
+          sum(col("doc_id") % lit(1000003L) *
+            (graft.functions.XHash.h60(col("doc_id").cast("string"))
+              % lit(1000000L)) % lit(1000003L)).as("checksum"))
+    } else {
+      val packed = packChunks(sd.join(sel, Seq("doc_id"), "left_semi"),
+        seqLen = seqLen, shards = shards)
+      packed.groupBy(col("shard")).agg(
+        count(lit(1)).as("n_docs"),
+        (max(col("chunk_last")) + 1).as("n_seqs"),
+        sum(when(col("chunk_first") =!= col("chunk_last"), 1L)
+          .otherwise(0L)).as("straddlers"),
+        sum(col("doc_id") % lit(1000003L) *
+          (graft.functions.XHash.h60(col("doc_id").cast("string"))
+            % lit(1000000L)) % lit(1000003L)).as("checksum"))
+    }
   }
 }

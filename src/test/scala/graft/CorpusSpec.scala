@@ -434,6 +434,59 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_full: a good doc on a BLOCKED domain is invisible; " +
+      "with a non-binding floor it packs (vacuity control)") {
+    // ids 20, 43, 66 share registered domain site20.* (i % 150 % 23 =
+    // 20). Doc 20's text is PLANTED to pack for certain: stopwords
+    // clear the heuristic floor, and every content token carries a
+    // near-max quality-model weight (wi ≈ +950), so its centi-logit
+    // bucket tops the fill order. 43/66 carry tokens at wi ≈ -1000,
+    // dragging the DOMAIN aggregate to ~-75 milli/token — below the
+    // -54 floor — while doc 20 stays individually keepable.
+    val good = (20L, "the tok83 and tok59 it tok48 we tok142 by tok115 " +
+      "was tok102 in tok51 and tok37 it tok105 we tok189")
+    val base = plBase.filterNot(_._1 == 20L) :+ good
+    val embIds = base.map(_._1).filter(i => i % 3 != 0 && i != 97L)
+    val junk = Seq(
+      (43L, "tok155 tok184 tok193 tok14 tok147 tok169 tok173 tok185 " +
+        "tok198 tok45"),
+      (66L, "tok155 tok184 tok193 tok14 tok147 tok169 tok173 tok185 " +
+        "tok198 tok45 tok155 tok184"))
+    def man(rows: Seq[(Long, String)], floor: Long): Seq[Seq[Any]] =
+      Corpus.pipeline(rows.toDF("doc_id", "text"), plEmb(embIds),
+        domainFloorMilli = Some(floor))
+        .orderBy("shard").collect().map(_.toSeq.toVector).toVector
+    // under the real floor, fixtures with and without doc 20 agree:
+    // the blocked domain makes it invisible end to end
+    val floor = graft.UrlQueries.DomainFloorMilli
+    assert(man(base ++ junk, floor) ==
+      man(base.filterNot(_._1 == 20L) ++ junk, floor),
+      "a doc on a blocked domain must be invisible to the manifest")
+    // control: a floor nothing fails → doc 20's presence moves the
+    // manifest, so the equality above is the blocklist, not drop-out
+    assert(man(base ++ junk, -1000000000L) !=
+      man(base.filterNot(_._1 == 20L) ++ junk, -1000000000L),
+      "doc 20 must reach packing under a non-binding floor")
+  }
+
+  test("pipeline_full: quota tail caps per-source tokens of the " +
+      "CURATED text and the manifest carries the source grain") {
+    val rows = (1L to 40L)
+      .map(i => (i, sentence(i.toInt), if (i % 2 == 0) "even" else "odd")) :+
+      ((97L, "held out benchmark question about the moon landing date",
+        "odd"))
+    val embIds = rows.map(_._1).filter(i => i % 3 != 0 && i != 97L)
+    val out = Corpus.pipeline(
+      rows.toDF("doc_id", "text", "source"), plEmb(embIds),
+      domainFloorMilli = None, quotas = Seq("even" -> 40L))
+      .collect()
+    assert(out.map(_.getAs[String]("source")).toSet.contains("odd"))
+    val evenToks = out.filter(_.getAs[String]("source") == "even")
+      .map(_.getAs[Long]("n_toks")).sum
+    assert(evenToks <= 40L, s"quota leaked: even packed $evenToks tokens")
+    assert(evenToks > 0L, "quota vacuous: nothing of 'even' admitted")
+  }
+
   test("pipeline: manifest shape — bounded shards, integral totals") {
     val base = plBase
     val out = manifestOf(base, base.map(_._1).filter(_ % 3 != 0))
