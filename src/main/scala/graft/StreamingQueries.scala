@@ -489,6 +489,64 @@ object StreamingQueries {
     // then makes only the crawl-WIDE decisions: fingerprint min-id
     // election, within-crawl LSH drops, chunk first-occurrence +
     // reassembly, decontam + quality on the REWRITTEN text.
+    // #25l a crawl admitted through the DOMAIN blocklist as a stream —
+    // the CommonCrawl front gate (row 91's decision) in its production
+    // shape: the blocklist is a persisted ~14-row artifact computed
+    // once from the reference (old) corpus, and each arriving doc runs
+    // one stateless probe — synthesize url → parse host → registered
+    // domain → stream-static inner join against the artifact. No
+    // state store, so the admitted set is carve-up independent by
+    // construction; the oracle replays blocklist + probe from raw.
+    Q("stream_url_filter",
+      (s, dir) => {
+        implicit val session: org.apache.spark.sql.SparkSession = s
+        val keep = s.read.parquet(UrlQueries.ensureBlocklist(s, dir))
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val crawl = s.readStream.schema(raw.schema)
+          .parquet(s"$dir/{documents}.parquet")
+          .where(expr(DedupQueries.NewWhere))
+        val host = parse_url(
+          graft.text.Urls.synthUrl(col("doc_id")), lit("HOST"))
+        val probed = crawl
+          .select(col("doc_id"),
+            graft.text.Urls.registeredDomain(host).as("domain"))
+          .join(keep, Seq("domain"))
+        drain(probed, "graft_stream_url_filter",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+          .select(col("doc_id"), col("domain"))
+      },
+      Some {
+        val h = graft.functions.XHash.h60Sql("'qm:' || t")
+        val b = graft.text.Text.QmBuckets
+        val bias = graft.text.Text.QmBiasNum
+        s"""
+        WITH od AS (
+          SELECT * FROM documents WHERE ${DedupQueries.OldWhere}),
+        toks AS (
+          SELECT doc_id,
+            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+          FROM od),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(($h % $b) * 2654435761 % 2000 - 1000)
+              + $bias * count(*) AS BIGINT) AS num
+          FROM toks GROUP BY doc_id),
+        ddom AS (
+          SELECT doc_id, ${graft.text.Urls.registeredSql("doc_id")}
+            AS domain
+          FROM od),
+        dkeep AS (
+          SELECT domain FROM ddom JOIN agg USING (doc_id)
+          GROUP BY domain
+          HAVING sum(num) - (${UrlQueries.DomainFloorMilli})
+            * sum(n_tokens) >= 0)
+        SELECT doc_id, ${graft.text.Urls.registeredSql("doc_id")} AS domain
+        FROM documents
+        WHERE ${DedupQueries.NewWhere}
+          AND ${graft.text.Urls.registeredSql("doc_id")}
+            IN (SELECT domain FROM dkeep)"""
+      }),
+
     Q("stream_pipeline_incremental",
       (s, dir) => {
         implicit val session: org.apache.spark.sql.SparkSession = s

@@ -36,6 +36,43 @@ object UrlQueries {
       .select(col("doc_id"), col("text"),
         Urls.synthUrl(col("doc_id")).as("url"))
 
+  /** The kept-domain set of `docs` under the blocklist floor — the
+    * one-column artifact the streaming admission probe joins against
+    * (url_domain_filter's decision, survivors only). */
+  private[graft] def keepDomains(
+      docs: org.apache.spark.sql.DataFrame,
+      floor: Long = DomainFloorMilli): org.apache.spark.sql.DataFrame = {
+    val host = parse_url(Urls.synthUrl(col("doc_id")), lit("HOST"))
+    val dd = docs.select(col("doc_id"),
+      Urls.registeredDomain(host).as("domain"))
+    dd.join(Text.qualityModelRaw(docs), Seq("doc_id"))
+      .groupBy(col("domain"))
+      .agg(sum(col("num")).as("dn"), sum(col("n_tokens")).as("dt"))
+      .where(col("dn") - lit(floor) * col("dt") >= 0L)
+      .select(col("domain"))
+  }
+
+  /** Persist the OLD slice's kept-domain blocklist once per dataset
+    * (fingerprint-keyed /tmp gate cache, the ensureStore discipline) —
+    * the artifact a crawl stream probes, so the static side of the
+    * stream-static join reads ~14 rows of parquet instead of
+    * recomputing a corpus quality pass per micro-batch. */
+  private[graft] def ensureBlocklist(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fp = graft.tools.LocalFs.fingerprint(
+      new java.io.File(s"$dir/documents.parquet"))
+    val path = s"/tmp/graft-blocklist/$dirKey-$fp"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-blocklist",
+        s"$dirKey-", new java.io.File(path).getName)
+      keepDomains(Sources.table(s, dir, "documents")
+          .where(expr(DedupQueries.OldWhere)))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
   def all: Seq[Q] = Seq(
     // #91a host extraction + URL anatomy: one projection of parse_url
     // components off the raw string. The oracle's closed forms prove

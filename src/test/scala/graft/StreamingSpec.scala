@@ -281,4 +281,42 @@ class StreamingSpec extends SparkSpec {
         s"${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
     assert(streamed.nonEmpty, "vacuous: nothing admitted")
   }
+
+  test("streamed domain-blocklist admission == batch twin across >= 4 " +
+      "real micro-batches") {
+    val dir = sf001
+    val d = graft.sources.Sources.table(spark, dir, "documents")
+    val crawl = d.where(expr(DedupQueries.NewWhere))
+    val base = Files.createTempDirectory("graft-urlf").toString
+    crawl.repartition(4).write.parquet(s"$base/in")
+    val raw = spark.read.parquet(s"$base/in")
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val keep = spark.read.parquet(UrlQueries.ensureBlocklist(spark, dir))
+    val host = org.apache.spark.sql.functions.parse_url(
+      graft.text.Urls.synthUrl(col("doc_id")),
+      org.apache.spark.sql.functions.lit("HOST"))
+    val probed = stream
+      .select(col("doc_id"),
+        graft.text.Urls.registeredDomain(host).as("domain"))
+      .join(keep, Seq("domain"))
+    val q = probed.writeStream.format("memory").queryName("t_urlf")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      s"expected >= 4 data-bearing micro-batches, got " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    val streamed = spark.table("t_urlf")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // the batch twin, from the same operators over the same artifact
+    val batch = crawl
+      .select(col("doc_id"),
+        graft.text.Urls.registeredDomain(host).as("domain"))
+      .join(keep, Seq("domain"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.size < crawl.count(), "vacuous: blocklist blocked nothing")
+  }
 }
