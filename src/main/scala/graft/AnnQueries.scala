@@ -147,7 +147,7 @@ object AnnQueries {
     * gates made, so the gates exercise the geometry that actually
     * scales (16 cells at the 500-vector gate by the min clamp, 32 at
     * the 20k-vector sf1 gate, ~√n/4 beyond). */
-  private def ivfGeom(e: org.apache.spark.sql.DataFrame): (Int, Int, Some[Long]) = {
+  private[graft] def ivfGeom(e: org.apache.spark.sql.DataFrame): (Int, Int, Some[Long]) = {
     val n = e.count()
     val nl = Ann.nlistFor(n)
     (nl, Ann.nprobeFor(nl), Some(math.max(1L, n / nl)))
@@ -591,6 +591,53 @@ object AnnQueries {
       },
       Some(pqBatchSql)),
 
+    // #30f4 LEARNED dimension permutation before the sub-vector split —
+    // the balanced-variance allocation rung of OPQ (see
+    // [[graft.ann.Permute]]: ranked by exact integer energy, dealt
+    // round-robin; the permutation rides the plan as one broadcast
+    // 64-element row, no driver collect). The oracle learns the SAME
+    // permutation in HUGEINT and replays the whole permuted PQ chain.
+    Q("ann_pq_permuted",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val pe = graft.ann.Permute.permuted(e,
+          graft.ann.Permute.permutation(e))
+        Ann.pqTopK(pe, queryVec(pe), 10, modulus = sampleMod(e))
+      },
+      Some(pqSql(lloyd = false, permuted = true))),
+
+    // #30f5 the RECALL FLOOR the r12 verdict asked for — deliverable by
+    // the permutation where the rotation provably could not (the
+    // inertness theorem): on the anisotropic fixture over the
+    // DEDUPLICATED population (cosine-dedup at 0.99 first — the 10×
+    // dir's synthetic near-copies otherwise turn recall@10 into a
+    // dedup measurement; at base scales the dedup is a no-op), the
+    // permuted PQ's 20-query hit total must beat plain PQ's by ≥
+    // [[MinPermMargin]] AND clear [[MinPermRecallHits]] absolutely.
+    // Measured: plain 40-42 vs permuted 82-86 of 200 at sf0.001 /
+    // sf0.01 / 10×-deduped — the floors sit at half the observed
+    // separation. An identity (no-op) permutation scores margin 0 and
+    // FAILS. The oracle replays dedup, fixture, permutation learning,
+    // BOTH PQ chains, the exact ground truth, and the per-qid counts.
+    Q("ann_recall_permuted",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val (nl, _, mod) = ivfGeom(e)
+        val kept = Ann.semanticDedup(e, minCos = PermDedupMinCos,
+          nlist = nl, modulus = mod).select(col("vec_id"))
+        val pop = anisoEmb(e.join(kept, Seq("vec_id"), "left_semi"))
+          .localCheckpoint()
+        val ppop = graft.ann.Permute.permuted(pop,
+          graft.ann.Permute.permutation(pop))
+        val popMod = Some(math.max(1L, pop.count() / 16))
+        val exact = Ann.bruteForceTopKBatch(pop, queryBatch(pop, 20), 10)
+        recallGate2(exact,
+          Ann.pqTopKBatch(ppop, queryBatch(ppop, 20), 10, modulus = popMod),
+          Ann.pqTopKBatch(pop, queryBatch(pop, 20), 10, modulus = popMod),
+          MinPermMargin, MinPermRecallHits)
+      },
+      Some(permRecallSql)),
+
     // #30f3 the ROTATION'S CONTRACT made falsifiable (the r12 verdict
     // item asked for a recall floor a no-op rotation fails; the
     // MEASURED finding is that no such floor exists — see the
@@ -973,6 +1020,111 @@ object AnnQueries {
       .orderBy(col("qid"))
   }
 
+  /** Dual-path recall gate: per-qid hits for the permuted and plain PQ
+    * paths against one exact ground truth; sep_ok asserts the batch
+    * totals separate by `minMargin` and clear `minHits` absolutely. */
+  private def recallGate2(exact: org.apache.spark.sql.DataFrame,
+      perm: org.apache.spark.sql.DataFrame,
+      plain: org.apache.spark.sql.DataFrame,
+      minMargin: Long, minHits: Long): org.apache.spark.sql.DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    def hits(ap: org.apache.spark.sql.DataFrame, name: String) =
+      exact.as("e").join(ap.as("a"),
+          col("e.qid") === col("a.qid") &&
+            col("e.vec_id") === col("a.vec_id"), "left")
+        .groupBy(col("e.qid").as("qid"))
+        .agg(count(col("a.vec_id")).as(name))
+    hits(perm, "hits_perm").join(hits(plain, "hits_plain"), Seq("qid"))
+      .select(col("qid"), col("hits_perm"), col("hits_plain"),
+        (sum(col("hits_perm")).over(all) >=
+            sum(col("hits_plain")).over(all) + minMargin &&
+          sum(col("hits_perm")).over(all) >= minHits).as("sep_ok"))
+      .orderBy(col("qid"))
+  }
+
+  /** Cosine threshold of the recall fixture's dedup pass: keep one
+    * vector per near-copy cluster (copies sit at cos ≈ 0.9999;
+    * distinct synthetic vectors far below), so recall@10 measures
+    * SEARCH, not duplicate retrieval, at every scale. */
+  private[graft] val PermDedupMinCos = 0.99
+
+  /** Floors of [[recallGate2]]'s sep_ok, pinned at ~half the measured
+    * separation (plain 40-42 vs permuted 82-86 of 200 across sf0.001 /
+    * sf0.01 / 10×-deduped): the margin a no-op permutation (margin 0)
+    * fails, and the absolute floor a collapsed permuted path fails. */
+  private[graft] val MinPermMargin = 20L
+  private[graft] val MinPermRecallHits = 60L
+
+  /** The [[recallGate2]] oracle: semantic dedup at
+    * [[PermDedupMinCos]] → anisotropic fixture → permutation learned
+    * in HUGEINT → plain + permuted batch-PQ chains → exact ground
+    * truth → per-qid hit counts, sep_ok as literal TRUE. */
+  private def permRecallSql: String = s"""
+        WITH n AS (
+          SELECT vec_id AS id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
+          FROM embeddings),${ivfGeomCtes()}
+        sd_cent AS (
+          SELECT id AS cid, vn AS cv FROM n, mm
+          WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
+            % mm.m = 0),
+        sd_dists AS (
+          SELECT n.id, n.vn, c.cid, ${dotSql("n.vn", "c.cv")} AS d
+          FROM n CROSS JOIN sd_cent c),
+        sd_asg AS (
+          SELECT id, vn, cid AS cell,
+            row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn
+          FROM sd_dists),
+        sd_a1 AS (SELECT id, vn, cell FROM sd_asg WHERE rn = 1),
+        sd_dup AS (
+          SELECT DISTINCT b.id AS id
+          FROM sd_a1 a JOIN sd_a1 b ON a.cell = b.cell AND a.id < b.id
+          WHERE ${dotSql("a.vn", "b.vn")} >= $PermDedupMinCos),
+        pop AS (
+          SELECT e.vec_id AS id,
+            list_transform(range(0, ${graft.ann.Opq.Dim}), i ->
+              CAST(e.embedding[i + 1] AS DOUBLE)
+                * CASE WHEN i < $AnisoBoostDims THEN 8.0 ELSE 0.125 END)
+              AS av
+          FROM embeddings e
+          WHERE e.vec_id NOT IN (SELECT id FROM sd_dup)),
+        ${graft.ann.Permute.permCtes("pop", "av")},
+        npl AS (
+          SELECT id, list_transform(av, x -> x / ${normSqlOf("av")}) AS vn
+          FROM pop),
+        npm AS (
+          SELECT id, list_transform(r, x -> x / ${normSqlOf("r")}) AS vn
+          FROM permr),
+        mmq AS (SELECT greatest(1, count(*) // 16) AS m FROM pop),
+        subIdx AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+        ${pqBatchCtes("pl", "npl", 20, "mmq")},
+        ${pqBatchCtes("pm", "npm", 20, "mmq")},
+        exq AS (SELECT id AS qid, vn AS qn FROM npl ORDER BY id LIMIT 20),
+        exsc AS (
+          SELECT exq.qid, npl.id AS vec_id,
+            ${dotSql("npl.vn", "exq.qn")} AS cos
+          FROM npl CROSS JOIN exq),
+        extop AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+                AS rn
+            FROM exsc)
+          WHERE rn <= 10),
+        hp AS (
+          SELECT ex.qid, count(t.vec_id) AS hits_perm
+          FROM extop ex LEFT JOIN pm_top t
+            ON ex.qid = t.qid AND ex.vec_id = t.vec_id
+          GROUP BY 1),
+        hl AS (
+          SELECT ex.qid, count(t.vec_id) AS hits_plain
+          FROM extop ex LEFT JOIN pl_top t
+            ON ex.qid = t.qid AND ex.vec_id = t.vec_id
+          GROUP BY 1)
+        SELECT hp.qid, hp.hits_perm, hl.hits_plain, TRUE AS sep_ok
+        FROM hp JOIN hl USING (qid) ORDER BY qid"""
+
   /** The recall gates' oracle: replay BOTH paths, count the per-qid
     * intersection, assert the quality contract as literal TRUE. */
   private def recallSql(approxSql: String, minHits: Int): String = s"""
@@ -1086,11 +1238,12 @@ object AnnQueries {
     * per-qid LUT, fixed-order score sum, per-qid ranking window —
     * ending in `${p}_top (qid, vec_id)`. [[Ann.pqTopKBatch]]'s replay,
     * instantiated once per branch of the rotated recall gate. */
-  private def pqBatchCtes(p: String, nRel: String): String = s"""
+  private def pqBatchCtes(p: String, nRel: String, nq: Int = 4,
+      mmRel: String = "mm"): String = s"""
         ${p}_cent AS (
-          SELECT id AS cid, vn AS cv FROM $nRel, mm
+          SELECT id AS cid, vn AS cv FROM $nRel, $mmRel
           WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
-            % mm.m = 0),
+            % $mmRel.m = 0),
         ${p}_subs AS (
           SELECT id, sub, list_slice(vn, sub*16 + 1, sub*16 + 16) AS sv
           FROM $nRel, subIdx),
@@ -1106,7 +1259,7 @@ object AnnQueries {
           SELECT id, sub, cid AS code,
             row_number() OVER (PARTITION BY id, sub ORDER BY dist, cid) AS rn
           FROM ${p}_dists),
-        ${p}_qs AS (SELECT id AS qid, vn AS qn FROM $nRel ORDER BY id LIMIT 4),
+        ${p}_qs AS (SELECT id AS qid, vn AS qn FROM $nRel ORDER BY id LIMIT $nq),
         ${p}_qsubs AS (
           SELECT qid, sub, list_slice(qn, sub*16 + 1, sub*16 + 16) AS qv
           FROM ${p}_qs, subIdx),
@@ -1198,7 +1351,8 @@ object AnnQueries {
    * score sum (each subspace partial in its own SUM, added
    * left-to-right — bit-identical to the Spark plan).
    */
-  private def pqSql(lloyd: Boolean, rotated: Boolean = false): String = {
+  private def pqSql(lloyd: Boolean, rotated: Boolean = false,
+      permuted: Boolean = false): String = {
     val nCtes =
       if (rotated)
         s"""eb AS (SELECT vec_id AS id, embedding FROM embeddings),
@@ -1206,6 +1360,12 @@ object AnnQueries {
            |n AS (
            |  SELECT id, list_transform(r, x -> x / ${normSqlOf("r")}) AS vn
            |  FROM opqr)""".stripMargin
+      else if (permuted)
+        s"""eb AS (SELECT vec_id AS id, embedding FROM embeddings),
+           |${graft.ann.Permute.permCtes("eb", "embedding")},
+           |n AS (
+           |  SELECT id, list_transform(r, x -> x / ${normSqlOf("r")}) AS vn
+           |  FROM permr)""".stripMargin
       else
         s"""n AS (
            |  SELECT vec_id AS id,

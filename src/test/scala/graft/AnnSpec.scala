@@ -687,6 +687,53 @@ class AnnSpec extends SparkSpec {
       "a no-op rotation would pass the gate — floors meaningless")
   }
 
+  test("Permute: valid permutation, deterministic, balances the " +
+      "aniso fixture's subspace energies") {
+    import graft.ann.Permute
+    val e = graft.sources.Sources.table(spark, sf001, "embeddings")
+    val fix = AnnQueries.anisoEmb(e)
+    def permOf(c: org.apache.spark.sql.DataFrame): Seq[Int] =
+      Permute.permutation(c).collect().head
+        .getSeq[Int](0).toSeq
+    val p1 = permOf(fix)
+    assert(p1.sorted == (0 until 64), s"not a permutation: $p1")
+    assert(p1 == permOf(fix), "permutation must be deterministic")
+    // balance: the 16 boosted dims (0-15) deal 4 per subspace
+    val bySub = p1.zipWithIndex.groupBy(_._2 / 16)
+      .view.mapValues(_.map(_._1).count(_ < 16))
+    assert(bySub.values.toSeq.forall(_ == 4),
+      s"boosted dims not dealt 4/subspace: ${bySub.toMap}")
+  }
+
+  test("recall-permuted gate: floors hold at sf0.001 and an IDENTITY " +
+      "permutation scores margin zero (no-op fails)") {
+    import graft.ann.Permute
+    val out = AnnQueries.all.find(_.name == "ann_recall_permuted").get
+      .run(spark, sf001).collect()
+    assert(out.length == 20 && out.forall(_.getAs[Boolean]("sep_ok")))
+    val hp = out.map(_.getAs[Long]("hits_perm")).sum
+    val hl = out.map(_.getAs[Long]("hits_plain")).sum
+    assert(hp >= hl + AnnQueries.MinPermMargin &&
+      hp >= AnnQueries.MinPermRecallHits, s"perm $hp vs plain $hl")
+    // the falsifiability arm: identity permutation == plain PQ top-k
+    // bit for bit, so its margin is exactly 0 and the floor fails it
+    val e = graft.sources.Sources.table(spark, sf001, "embeddings")
+    val fix = AnnQueries.anisoEmb(e).localCheckpoint()
+    import spark.implicits._
+    val idPerm = Seq(Tuple1((0 until 64).toArray)).toDF("perm")
+    val idp = Permute.permuted(fix, idPerm)
+    val mod = Some(math.max(1L, fix.count() / 16))
+    def tops(c: org.apache.spark.sql.DataFrame) = {
+      val q = c.orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Ann.pqTopKBatch(c, q, 10, modulus = mod)
+        .select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(tops(idp) == tops(fix),
+      "identity permutation must reproduce plain PQ exactly")
+  }
+
   test("Opq.rotated rejects a non-64-dim embedding loudly") {
     import spark.implicits._
     val narrow = Seq((0L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
