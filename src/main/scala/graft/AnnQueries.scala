@@ -706,6 +706,23 @@ object AnnQueries {
       },
       Some(ivfpqSql(lloyd = false, rotated = true))),
 
+    // #30e5 the LEARNED permutation (row 93) composed into the same
+    // production shape — the allocation that measurably lifts recall
+    // on unbalanced variance (unlike the rotation, which is inert
+    // there), deployed where OPQ deploys: before the IVF+PQ split,
+    // query permuted alongside, oracle learning the permutation in
+    // HUGEINT inside its own prefix.
+    Q("ann_ivfpq_permuted",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val pe = graft.ann.Permute.permuted(e,
+          graft.ann.Permute.permutation(e))
+        val (nl, np, mod) = ivfGeom(e)
+        Ann.ivfpqTopK(pe, queryVec(pe), 10, nlist = nl, nprobe = np,
+          modulus = mod, cbModulus = sampleMod(e))
+      },
+      Some(ivfpqSql(lloyd = false, permuted = true))),
+
     // #30e2 the PRODUCTION read path of the composed shape: search the
     // persisted fingerprint-cached artifact (centroids + codebooks +
     // cell-partitioned codes) — the CODE table access is pruned to the
@@ -1454,7 +1471,7 @@ object AnnQueries {
    * before assignment/pruning/encoding.
    */
   private def ivfpqSql(lloyd: Boolean, trainWhere: String = "TRUE",
-      rotated: Boolean = false): String = {
+      rotated: Boolean = false, permuted: Boolean = false): String = {
     // the training population predicate over vec_id; `n` renames vec_id
     // to id, so derive that form ("vec_id" is a unique substring)
     val trainN = trainWhere.replace("vec_id", "id")
@@ -1517,9 +1534,9 @@ object AnnQueries {
           SELECT c.sub, c.cid, c.cv FROM csubs c
           WHERE NOT EXISTS (SELECT 1 FROM pqref r
                             WHERE r.sub = c.sub AND r.cid = c.cid)),"""
-    // the rotated variant swaps ONLY the n prefix (rotate, then
-    // normalize the rotated doubles) — geometry/sampling CTEs key off
-    // ids and corpus counts, both rotation-invariant
+    // the rotated/permuted variants swap ONLY the n prefix (transform,
+    // then normalize the resulting doubles) — geometry/sampling CTEs
+    // key off ids and corpus counts, invariant to both transforms
     val nCtes =
       if (rotated)
         s"""eb AS (SELECT vec_id AS id, embedding FROM embeddings),
@@ -1527,6 +1544,12 @@ object AnnQueries {
            |n AS (
            |  SELECT id, list_transform(r, x -> x / ${normSqlOf("r")}) AS vn
            |  FROM opqr)""".stripMargin
+      else if (permuted)
+        s"""eb AS (SELECT vec_id AS id, embedding FROM embeddings),
+           |${graft.ann.Permute.permCtes("eb", "embedding")},
+           |n AS (
+           |  SELECT id, list_transform(r, x -> x / ${normSqlOf("r")}) AS vn
+           |  FROM permr)""".stripMargin
       else
         s"""n AS (
            |  SELECT vec_id AS id,
