@@ -489,6 +489,39 @@ object StreamingQueries {
     // then makes only the crawl-WIDE decisions: fingerprint min-id
     // election, within-crawl LSH drops, chunk first-occurrence +
     // reassembly, decontam + quality on the REWRITTEN text.
+    // #34h the PERPLEXITY admission filter on a live crawl — the CCNet
+    // rung (text_ppl_unigram) in its production shape: the model the
+    // engine itself trained serves as MAP LITERALS in the plan
+    // (WordCap-bounded dictionary + char table, the Bloom bit-words
+    // discipline), so each arriving doc scores in one STATELESS
+    // per-row expression — no join, no aggregation, no state store;
+    // the admitted set is carve-up independent by construction.
+    // Survivors (keep at the measured median floor) drain with their
+    // integer scores; oracle = the unrolled train chain scoring the
+    // crawl slice, filtered to keepers.
+    Q("stream_ppl_filter",
+      (s, dir) => {
+        implicit val session: org.apache.spark.sql.SparkSession = s
+        val root = TextQueries.ensureUnigram(s, dir)
+        val vocab = s.read.parquet(s"$root/vocab")
+        val segs = s.read.parquet(s"$root/segs")
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val crawl = s.readStream.schema(raw.schema)
+          .parquet(s"$dir/{documents}.parquet")
+          .where(expr(DedupQueries.NewWhere))
+        val scored = graft.text.Unigram.pplScoreStateless(
+          crawl, vocab, segs)
+        drain(scored, "graft_stream_ppl",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+          .where(col("keep"))
+          .select(col("doc_id"), col("n_pieces"), col("logprob_micro"))
+      },
+      Some(s"""
+        SELECT doc_id, n_pieces, logprob_micro
+        FROM (${graft.text.Unigram.pplOracleSql(
+          scoreWhere = DedupQueries.NewWhere)})
+        WHERE keep""")),
+
     // #25l a crawl admitted through the DOMAIN blocklist as a stream —
     // the CommonCrawl front gate (row 91's decision) in its production
     // shape: the blocklist is a persisted ~14-row artifact computed

@@ -64,7 +64,7 @@ object TextQueries {
     * training makes artifact == live output (UnigramSpec pins the
     * determinism). `java.io.File` probes are in-contract here: local
     * `/tmp` gate cache only ([[graft.tools.LocalFs]] scope contract). */
-  private def ensureUnigram(s: org.apache.spark.sql.SparkSession,
+  private[graft] def ensureUnigram(s: org.apache.spark.sql.SparkSession,
       dir: String): String = synchronized {
     import graft.text.Unigram
     val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")

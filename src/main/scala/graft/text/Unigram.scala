@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -266,6 +266,58 @@ object Unigram {
           lit(KeepPerPieceMicroNats) * col("n_pieces")).as("keep"))
   }
 
+  /**
+   * [[pplScore]] as a STATELESS per-row expression — the streaming
+   * admission shape: the trained dictionary (WordCap-bounded) and the
+   * char table (≤ alphabet) ride the plan as MAP LITERALS (the Bloom
+   * bit-words discipline: a driver-bounded artifact embedded in the
+   * expression), so an arriving doc scores in one pure map with NO
+   * join, NO aggregation, NO state — the drained set of a stream is
+   * independent of the micro-batch carve-up by construction. Sums are
+   * integer and per-doc, so the numbers equal [[pplScore]]'s exactly
+   * (its groupBy is also order-free). The nested `aggregate` lambdas
+   * run interpreted (§6.6) — acceptable in the micro-batch admission
+   * path, whose per-trigger volume is a crawl increment, not a corpus
+   * scan; the corpus-scale batch path stays on [[pplScore]]'s
+   * broadcast joins. Docs with no `[a-z]+` word are dropped, matching
+   * the batch grouping.
+   */
+  def pplScoreStateless(docs: DataFrame, vocab: DataFrame,
+      segs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val scores = vocab.select(col("piece"), col("score_micro"))
+    val dict = segs.select(col("word"),
+        explode(split(trim(col("seg")), " ")).as("piece"))
+      .where(col("piece") =!= "")
+      .join(scores, Seq("piece"), "left")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("np"),
+        sum(coalesce(col("score_micro"), lit(OovMicroNats))).as("wlp"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val chars = scores.where(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def mapLit(ks: Seq[String], vs: Seq[Long]) =
+      if (ks.isEmpty) map_from_arrays(array(), array())
+      else map_from_arrays(array(ks.map(lit): _*), array(vs.map(lit): _*))
+    val npMap = mapLit(dict.map(_._1).toSeq, dict.map(_._2).toSeq)
+    val lpMap = mapLit(dict.map(_._1).toSeq, dict.map(_._3).toSeq)
+    val chMap = mapLit(chars.map(_._1).toSeq, chars.map(_._2).toSeq)
+    val words = regexp_extract_all(lower(col(textCol)),
+      lit("[a-z]+"), lit(0))
+    def charSum(w: Column) =
+      aggregate(sequence(lit(1), length(w)), lit(0L), (a, i) =>
+        a + coalesce(element_at(chMap, w.substr(i, lit(1))),
+          lit(OovMicroNats)))
+    val np = aggregate(words, lit(0L), (a, w) =>
+      a + coalesce(element_at(npMap, w), length(w).cast("long")))
+    val lp = aggregate(words, lit(0L), (a, w) =>
+      a + coalesce(element_at(lpMap, w), charSum(w)))
+    docs.where(size(words) > 0)
+      .select(col(idCol), np.as("n_pieces"), lp.as("logprob_micro"))
+      .withColumn("keep",
+        col("logprob_micro") >= lit(KeepPerPieceMicroNats) * col("n_pieces"))
+  }
+
   // ---- generated DuckDB oracle: the identical chain, unrolled ----
 
   /** One DP CTE block for round `r`, positions 1..MaxWordLen. */
@@ -352,7 +404,8 @@ object Unigram {
     * scoring joins — word dictionary with piece logprobs off
     * fin$Rounds × s$Rounds, per-char backoff for out-of-population
     * words, doc-level sums, multiplicative keep. */
-  def pplOracleSql(base: String = "documents"): String =
+  def pplOracleSql(base: String = "documents",
+      scoreWhere: String = "TRUE"): String =
     s"""${chainCtes(base)},
        |dictp AS (
        |  SELECT f.word, u.piece
@@ -366,7 +419,7 @@ object Unigram {
        |cw AS (
        |  SELECT doc_id,
        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-       |  FROM $base),
+       |  FROM $base WHERE $scoreWhere),
        |jd AS MATERIALIZED (
        |  SELECT cw.doc_id, cw.word, d.np, d.wlp
        |  FROM cw LEFT JOIN dict d ON cw.word = d.word),

@@ -282,6 +282,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty, "vacuous: nothing admitted")
   }
 
+  test("streamed perplexity filter == batch pplScore across >= 4 real " +
+      "micro-batches (map-literal path equals the join path)") {
+    val dir = sf001
+    val root = TextQueries.ensureUnigram(spark, dir)
+    val vocab = spark.read.parquet(s"$root/vocab")
+    val segs = spark.read.parquet(s"$root/segs")
+    val d = graft.sources.Sources.table(spark, dir, "documents")
+    val crawl = d.where(expr(DedupQueries.NewWhere))
+    val base = Files.createTempDirectory("graft-ppl").toString
+    crawl.repartition(4).write.parquet(s"$base/in")
+    val raw = spark.read.parquet(s"$base/in")
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val scored = graft.text.Unigram.pplScoreStateless(stream, vocab, segs)
+    val q = scored.writeStream.format("memory").queryName("t_ppl")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("n_pieces"), col("logprob_micro"),
+        col("keep")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+    val streamed = rows(spark.table("t_ppl"))
+    // the batch twin uses broadcast JOINS, the stream map LITERALS —
+    // every integer must agree
+    val batch = rows(graft.text.Unigram.pplScore(crawl, vocab, segs))
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.exists(_._4) && streamed.exists(!_._4),
+      "vacuous: keep decision did not split the crawl")
+  }
+
   test("streamed domain-blocklist admission == batch twin across >= 4 " +
       "real micro-batches") {
     val dir = sf001
