@@ -36,6 +36,77 @@ object UrlQueries {
       .select(col("doc_id"), col("text"),
         Urls.synthUrl(col("doc_id")).as("url"))
 
+  /** The DOMAIN-keyed pack-time mixture contract (#91e/f): a web corpus
+    * has millions of registered domains, so unlike the per-source
+    * contract (row 92: name the sources you cap) the domain contract is
+    * a DEFAULT cap — no single domain exceeds [[DomainQuotaDefault]]
+    * tokens — with a short explicit-exception list: eight domains with
+    * tighter caps cycling 300/600/900 (all bind at sf0.01: per-domain
+    * mass spans ~900-1550 tokens) and one explicitly uncapped (-1).
+    * The default (1200) binds for the heaviest few domains at sf0.01
+    * and for ALL unlisted domains at 10×, so both regimes of the
+    * default path are exercised. */
+  private[graft] val DomainQuotaDefault = 1200L
+  private[graft] val DomainQuotas: Seq[(String, Long)] =
+    (0 until 8).map(d => Urls.domainName(d) -> (300L * (d % 3 + 1))) :+
+      (Urls.domainName(8) -> -1L)
+
+  /** DuckDB replay of the domain quota when-chain (ELSE = default). */
+  private def domainQuotaCaseSql(dom: String): String =
+    s"CASE $dom " + DomainQuotas.map { case (d0, q) =>
+      s"WHEN '$d0' THEN $q" }.mkString(" ") +
+      s" ELSE $DomainQuotaDefault END"
+
+  /** DuckDB replay of the domain-keyed quotaAdmit over `documents`:
+    * domain from the generator FORMULA (never a parsed URL), inclusive
+    * per-domain running token sum in doc-id order, kept while ≤ cap. */
+  private def domainAdmittedSql(): String =
+    s"""SELECT doc_id, domain, n_toks FROM (
+          SELECT doc_id, domain, n_toks,
+            SUM(n_toks) OVER (PARTITION BY domain ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM (
+            SELECT doc_id, ${Urls.registeredSql("doc_id")} AS domain,
+              CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                AS BIGINT) AS n_toks
+            FROM documents))
+        WHERE ${domainQuotaCaseSql("domain")} < 0
+           OR cum <= ${domainQuotaCaseSql("domain")}"""
+
+  /** `documents` with the registered domain computed from the URL
+    * STRING (synthesize → parse host → suffix-list rollup) — the real
+    * operator chain; only the oracle uses the closed form. */
+  private def docsWithDomain(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Sources.table(s, dir, "documents").select(
+      col("doc_id"), col("text"),
+      Urls.registeredDomain(
+        parse_url(Urls.synthUrl(col("doc_id")), lit("HOST"))).as("domain"))
+
+  /** The domain-quota-packed shard artifact (#91e/f), fingerprint-keyed
+    * (the ensureStore discipline); members carry `domain`. The offsets
+    * join is NOT forced broadcast — at web scale the per-(domain,
+    * bucket) offset table's cardinality follows the domain population,
+    * so the planner must pick the strategy from actual size. */
+  private def ensureDomainShards(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fp = graft.tools.LocalFs.fingerprint(
+      new java.io.File(s"$dir/documents.parquet"))
+    val path = s"/tmp/graft-domainshards/$dirKey-$fp"
+    val marker = new java.io.File(s"$path/_GRAFT_PACKED")
+    if (!marker.exists()) {
+      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-domainshards",
+        s"$dirKey-", new java.io.File(path).getName)
+      graft.tools.LocalFs.deleteRec(java.nio.file.Paths.get(path))
+      graft.dedup.Corpus.writeShardsQuota(docsWithDomain(s, dir), path,
+        DomainQuotas, seqLen = 256, shards = 8, srcCol = "domain",
+        default = DomainQuotaDefault, broadcastOffsets = false)
+      marker.createNewFile()
+    }
+    path
+  }
+
   /** The kept-domain set of `docs` under the blocklist floor — the
     * one-column artifact the streaming admission probe joins against
     * (url_domain_filter's decision, survivors only). */
@@ -227,6 +298,102 @@ object UrlQueries {
           count(*) OVER (PARTITION BY norm_url) AS dup_count,
           (doc_id = min(doc_id) OVER (PARTITION BY norm_url))
             AS is_canonical
-        FROM n"""))
+        FROM n""")),
+
+    // #91e DOMAIN-keyed token quotas at pack time — row 92's mixture
+    // contract moved to row 91's key: "no single registered domain
+    // exceeds N tokens in the packed corpus" (the anti-spam-farm /
+    // anti-boilerplate cap a CommonCrawl recipe applies, which no
+    // per-source quota can express: one crawl source spans every
+    // domain). The contract is a DEFAULT cap + a short exception list
+    // (millions of domains ⇒ the config can never enumerate them), and
+    // the offsets join is planner-chosen, not forced broadcast (the
+    // per-(domain, bucket) offset table follows the domain population).
+    // Domain comes from the URL STRING via parse_url + suffix list; the
+    // oracle replays the generator formula. Manifest at (shard, domain)
+    // grain recomputed FROM THE WRITTEN BYTES (row 86 discipline) — an
+    // over-quota doc in the artifact hash-mismatches.
+    Q("corpus_pack_domain_quota",
+      (s, dir) => {
+        val members = s.read.parquet(s"${ensureDomainShards(s, dir)}/members")
+        members.groupBy(col("shard"), col("domain")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_toks"),
+          sum(when(col("chunk_first") =!= col("chunk_last"), 1L)
+            .otherwise(0L)).as("straddlers"),
+          sum(col("doc_id") % lit(1000003L) *
+            (graft.functions.XHash.h60(col("doc_id").cast("string"))
+              % lit(1000000L)) % lit(1000003L)).as("checksum"))
+      },
+      Some(s"""
+        WITH a AS (${domainAdmittedSql()}),
+        m AS (
+          SELECT doc_id, domain, n_toks,
+            ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+            ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 1000000 AS ck,
+            COALESCE(SUM(n_toks) OVER (
+              PARTITION BY ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 8
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+          FROM a)
+        SELECT CAST(shard AS BIGINT) AS shard, domain,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_toks) AS BIGINT) AS n_toks,
+          CAST(sum(CASE WHEN tok_offset // 256 <>
+            (tok_offset + n_toks - 1) // 256 THEN 1 ELSE 0 END) AS BIGINT)
+            AS straddlers,
+          CAST(sum(doc_id % 1000003 * ck % 1000003) AS BIGINT) AS checksum
+        FROM m GROUP BY shard, domain""")),
+
+    // #91f the per-domain FILL report: cap (explicit, default, or -1),
+    // what the written artifact holds, what the quota rejected, fill
+    // rate in integer millionths — published next to the manifest.
+    // Non-vacuity lives in the constants: at sf0.01 the eight explicit
+    // caps all bind, site8.com admits everything, and the default
+    // binds for the heaviest unlisted domains only (UrlSpec pins both
+    // default regimes present).
+    Q("corpus_pack_domain_fill",
+      (s, dir) => {
+        val members = s.read.parquet(s"${ensureDomainShards(s, dir)}/members")
+        val admitted = members.groupBy(col("domain")).agg(
+          count(lit(1)).as("admitted_docs"),
+          sum(col("n_toks")).as("admitted_toks"))
+        val quota = DomainQuotas.foldLeft(
+            lit(DomainQuotaDefault): org.apache.spark.sql.Column) {
+          case (acc, (d0, q)) =>
+            when(col("domain") === d0, lit(q)).otherwise(acc)
+        }
+        docsWithDomain(s, dir).groupBy(col("domain"))
+          .agg(count(lit(1)).as("total_docs"))
+          .join(admitted, Seq("domain"), "left_outer")
+          .select(col("domain"), quota.as("quota"),
+            coalesce(col("admitted_docs"), lit(0L)).as("admitted_docs"),
+            coalesce(col("admitted_toks"), lit(0L)).as("admitted_toks"),
+            (col("total_docs") - coalesce(col("admitted_docs"), lit(0L)))
+              .as("dropped_docs"),
+            when(quota < 0L, lit(-1L))
+              .otherwise(expr(
+                "coalesce(admitted_toks, 0) * 1000000 div quota"))
+              .as("fill_millionths"))
+      },
+      Some(s"""
+        WITH a AS (${domainAdmittedSql()}),
+        g AS (
+          SELECT domain, CAST(count(*) AS BIGINT) AS admitted_docs,
+            CAST(sum(n_toks) AS BIGINT) AS admitted_toks
+          FROM a GROUP BY domain),
+        r AS (
+          SELECT domain, CAST(count(*) AS BIGINT) AS total_docs,
+            CAST(${domainQuotaCaseSql("domain")} AS BIGINT) AS quota
+          FROM (SELECT ${Urls.registeredSql("doc_id")} AS domain
+                FROM documents) GROUP BY domain)
+        SELECT r.domain, r.quota,
+          COALESCE(g.admitted_docs, 0) AS admitted_docs,
+          COALESCE(g.admitted_toks, 0) AS admitted_toks,
+          r.total_docs - COALESCE(g.admitted_docs, 0) AS dropped_docs,
+          CASE WHEN r.quota < 0 THEN CAST(-1 AS BIGINT)
+            ELSE COALESCE(g.admitted_toks, 0) * 1000000 // r.quota END
+            AS fill_millionths
+        FROM r LEFT JOIN g ON r.domain = g.domain"""))
   )
 }

@@ -274,8 +274,9 @@ object Corpus {
    */
   def quotaAdmit(docs: DataFrame, quotas: Seq[(String, Long)],
       idCol: String = "doc_id", textCol: String = "text",
-      srcCol: String = "source"): DataFrame = {
-    val q = quotaCol(quotas, srcCol)
+      srcCol: String = "source", default: Long = -1L,
+      broadcastOffsets: Boolean = true): DataFrame = {
+    val q = quotaCol(quotas, srcCol, default)
     val maxId = docs.agg(max(col(idCol))).head.getAs[Any](0) match {
       case null => 0L
       case l: Long => l
@@ -298,7 +299,8 @@ object Corpus {
       .partitionBy(col(srcCol), col("__b")).orderBy(col(idCol))
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    t.join(broadcast(offsets), Seq(srcCol, "__b"))
+    val off = if (broadcastOffsets) broadcast(offsets) else offsets
+    t.join(off, Seq(srcCol, "__b"))
       .withColumn("__cum", col("__off") + sum(col("__toks")).over(ww))
       .where(q < 0L || col("__cum") <= q)
       .select(docs.columns.map(col).toIndexedSeq: _*)
@@ -307,9 +309,20 @@ object Corpus {
   /** Offset-table grain of [[quotaAdmit]]'s two-pass prefix sum. */
   private[graft] val QuotaBuckets = 1024L
 
-  /** The quota when-chain: source → token cap, -1 = uncapped. */
-  private def quotaCol(quotas: Seq[(String, Long)], srcCol: String): Column =
-    quotas.foldLeft(lit(-1L): Column) { case (acc, (s0, lim)) =>
+  /** The quota when-chain: key → token cap, -1 = uncapped. `default`
+    * is what an UNLISTED key gets — -1 for the per-source contract
+    * (name the sources you cap), a positive cap for the per-DOMAIN
+    * contract (a web crawl has millions of registered domains; the
+    * contract is "no single domain exceeds N tokens" with a short
+    * explicit-exception list, never a million-entry when-chain). With
+    * a positive default the offsets table's cardinality is
+    * (distinct keys × occupied buckets) — pass
+    * `broadcastOffsets = false` there so the planner (AQE) picks the
+    * join strategy from actual size instead of forcing a broadcast of
+    * an unbounded-key table. */
+  private def quotaCol(quotas: Seq[(String, Long)], srcCol: String,
+      default: Long = -1L): Column =
+    quotas.foldLeft(lit(default): Column) { case (acc, (s0, lim)) =>
       when(col(srcCol) === s0, lit(lim)).otherwise(acc)
     }
 
@@ -321,8 +334,10 @@ object Corpus {
   def writeShardsQuota(docs: DataFrame, root: String,
       quotas: Seq[(String, Long)], seqLen: Int = 2048,
       shards: Int = DeriveShards, idCol: String = "doc_id",
-      textCol: String = "text", srcCol: String = "source"): Unit = {
-    val admitted = quotaAdmit(docs, quotas, idCol, textCol, srcCol)
+      textCol: String = "text", srcCol: String = "source",
+      default: Long = -1L, broadcastOffsets: Boolean = true): Unit = {
+    val admitted = quotaAdmit(docs, quotas, idCol, textCol, srcCol,
+        default, broadcastOffsets)
       .localCheckpoint()
     packMembers(admitted, seqLen, shards, idCol, textCol)
       .join(admitted.select(col(idCol), col(srcCol)), Seq(idCol))

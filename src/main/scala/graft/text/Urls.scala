@@ -33,6 +33,12 @@ object Urls {
     "co.uk", "com.au", "ac.uk", "de")
   private val Subs = Seq("www", "cdn", "blog", "m")
 
+  /** Registered domain `d` (0 ≤ d < 23) of the generator's host
+    * population — the key a quota/blocklist CONFIG names (a config
+    * constant, like a blocklist entry; the domain COLUMN itself is
+    * always computed from the URL string). */
+  def domainName(d: Int): String = s"site$d.${Tlds(d % 8)}"
+
   /** Public-suffix subset (two-level entries only — one-level TLDs need
     * no list). Deliberately a SUPERSET of what the generator draws from:
     * the rollup logic is general, not a generator replay. */

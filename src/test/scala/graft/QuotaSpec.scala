@@ -82,6 +82,30 @@ class QuotaSpec extends SparkSpec {
     assert(got == want && got.nonEmpty && got.size < 600)
   }
 
+  test("default cap binds unlisted keys; explicit -1 escapes it") {
+    // default 9: a admits only doc1 (cum 5, then 10 > 9), b admits both
+    // (cum 8, 9 — inclusive boundary on the DEFAULT cap), d admits both
+    // (cum 3, 6); c is explicitly -1 so the 100-token doc passes.
+    val got = Corpus.quotaAdmit(docs, Seq("c" -> -1L), default = 9L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L, 5L, 6L, 7L, 8L))
+  }
+
+  test("planner-chosen offsets join (broadcastOffsets=false) is identical") {
+    val big = spark.range(600).select(
+      (col("id") * 977L).as("doc_id"),
+      concat(lit("s"), col("id") % 5).as("source"),
+      concat_ws(" ", transform(sequence(lit(1), col("id") % 7 + 1),
+        _ => lit("w"))).as("text"))
+      .localCheckpoint()
+    val quotas = Seq("s0" -> 300L, "s1" -> -1L)
+    def run(bc: Boolean) =
+      Corpus.quotaAdmit(big, quotas, default = 150L, broadcastOffsets = bc)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (forced, chosen) = (run(true), run(false))
+    assert(forced == chosen && chosen.nonEmpty && chosen.size < 600)
+  }
+
   test("writeShardsQuota members carry source and respect quotas") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-quota-spec").toString

@@ -80,6 +80,28 @@ class UrlSpec extends SparkSpec {
       s"vacuous blocklist: all ${fates.headOption}")
   }
 
+  test("domain quota constants exercise all three regimes at sf0.01") {
+    // The fill report's contract lives in its constants: the regimes
+    // were MEASURED at sf0.01 (per-domain mass ~900-1550 tokens), so
+    // pin them there — explicit caps (300/600/900) all bind, the
+    // explicit -1 admits everything, and the 1200 default binds for
+    // the heaviest unlisted domains ONLY (both default regimes live).
+    val rows = UrlQueries.all.find(_.name == "corpus_pack_domain_fill").get
+      .run(spark, "/root/testdata/sf0.01")
+      .select(col("domain"), col("quota"), col("dropped_docs")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 23)
+    val explicit = rows.filter(r => r._2 > 0 && r._2 < 1200)
+    assert(explicit.length == 8 && explicit.forall(_._3 > 0),
+      "an explicit cap stopped binding")
+    val uncapped = rows.filter(_._2 < 0)
+    assert(uncapped.map(_._1).toSeq == Seq("site8.com") &&
+      uncapped.head._3 == 0L)
+    val default = rows.filter(_._2 == UrlQueries.DomainQuotaDefault)
+    assert(default.exists(_._3 > 0) && default.exists(_._3 == 0),
+      "default cap no longer splits the unlisted domains")
+  }
+
   test("normalized URL is a pure function of id % 150 (dup groups real)") {
     val n = spark.range(450)
       .select((col("id") % 150).as("u"),
