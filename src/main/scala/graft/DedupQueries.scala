@@ -97,6 +97,26 @@ object DedupQueries {
     path
   }
 
+  /** Eval fraction of the dedup-aware split (#38c/d): 1/SplitMod of
+    * docs by stable id hash — measured so the leakage gate is
+    * non-vacuous at sf0.001 AND sf0.01 (13 / 10 straddling verified
+    * pairs; mod 8 would leave 1 at the smallest fixture). */
+  private[graft] val SplitMod = 5L
+
+  /** The split side of a doc: one per-row hash expression, stable under
+    * any repartition or reordering (never positional). */
+  private def evalSide: org.apache.spark.sql.Column =
+    (pmod(graft.functions.XHash.h60(
+      concat(lit("sp:"), col("doc_id").cast("string"))), lit(SplitMod))
+      === 0L).as("is_eval")
+
+  /** DuckDB replay of the split assignment. */
+  private def splitAssignSql: String =
+    s"""SELECT doc_id,
+          (${graft.functions.XHash.h60Sql("'sp:' || CAST(doc_id AS VARCHAR)")}
+            % $SplitMod = 0) AS is_eval
+        FROM documents"""
+
   /** The pack-time mixture contract of the quota gates (#41e/f):
     * twelve capped sources cycling 400/800/1200 tokens (each binds —
     * every source holds ~1.3k tokens at sf0.01 and more at 10×), the
@@ -422,6 +442,96 @@ object DedupQueries {
           d.where(col("doc_id") % 97 === 0))
       },
       Some(DedupSql.decontamBloom())),
+
+    // #38c dedup-AWARE train/eval SPLIT — the leakage decontam (row
+    // 38) cannot see: a stable-hash doc split puts NEAR-duplicate pairs
+    // on opposite sides (Lee et al. 2022's train-test overlap), so eval
+    // scores measure memorization of a near-copy, not generalization.
+    // Split = one per-row hash expression (h60('sp:'||id) % 5 == 0 →
+    // eval, ~20%; stable under any repartition — never positional).
+    // Leakage evidence = the verified near-dup pairs (row 28's
+    // LSH-banded + Jaccard chain, bounded by HeavyBucket caps — linear
+    // in candidates at any corpus size) that STRADDLE the split; repair
+    // = drop the TRAIN member of every straddling pair (the benchmark
+    // side is immutable — dropping eval docs would change the eval
+    // set). Post-repair zero straddle is structural; non-vacuity
+    // (leaked > 0 at both sf, eval never dropped) is pinned in
+    // CorpusSpec. The pair table is tiny next to the corpus, so the
+    // two assignment joins stay keyed and the repair is one semi-join.
+    Q("corpus_split_leakage",
+      (s, dir) => {
+        val assign = docs(s, dir).select(col("doc_id"), evalSide)
+        val p = Dedup.jaccardVerified(docs(s, dir))
+          .join(assign.as("ea"),
+            col("doc_a") === col("ea.doc_id")).drop(col("ea.doc_id"))
+          .withColumnRenamed("is_eval", "eval_a")
+          .join(assign.as("eb"),
+            col("doc_b") === col("eb.doc_id")).drop(col("eb.doc_id"))
+          .withColumnRenamed("is_eval", "eval_b")
+          .where(col("eval_a") =!= col("eval_b"))
+        p.select(
+          when(col("eval_a"), col("doc_a")).otherwise(col("doc_b"))
+            .as("eval_id"),
+          when(col("eval_a"), col("doc_b")).otherwise(col("doc_a"))
+            .as("train_id"),
+          col("jaccard"))
+      },
+      Some(s"""
+        WITH pairs AS (${DedupSql.jaccardVerified()}),
+        a AS ($splitAssignSql),
+        s AS (
+          SELECT p.doc_a, p.doc_b, p.jaccard,
+            ea.is_eval AS eval_a, eb.is_eval AS eval_b
+          FROM pairs p
+          JOIN a ea ON ea.doc_id = p.doc_a
+          JOIN a eb ON eb.doc_id = p.doc_b
+          WHERE ea.is_eval <> eb.is_eval)
+        SELECT CASE WHEN eval_a THEN doc_a ELSE doc_b END AS eval_id,
+          CASE WHEN eval_a THEN doc_b ELSE doc_a END AS train_id,
+          jaccard
+        FROM s""")),
+
+    // #38d the REPAIRED assignment itself: every doc with its split,
+    // leak flag, and keep decision (eval always kept; train kept iff
+    // not the train member of a straddling pair).
+    Q("corpus_split",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val assign = d.select(col("doc_id"), evalSide)
+        val leakTrain = Dedup.jaccardVerified(d)
+          .join(assign.as("ea"),
+            col("doc_a") === col("ea.doc_id")).drop(col("ea.doc_id"))
+          .withColumnRenamed("is_eval", "eval_a")
+          .join(assign.as("eb"),
+            col("doc_b") === col("eb.doc_id")).drop(col("eb.doc_id"))
+          .withColumnRenamed("is_eval", "eval_b")
+          .where(col("eval_a") =!= col("eval_b"))
+          .select(when(col("eval_a"), col("doc_b")).otherwise(col("doc_a"))
+            .as("leak_id"))
+          .distinct()
+        assign.join(leakTrain, col("doc_id") === col("leak_id"),
+            "left_outer")
+          .select(col("doc_id"),
+            when(col("is_eval"), lit("eval")).otherwise(lit("train"))
+              .as("split"),
+            (!col("is_eval") && col("leak_id").isNotNull).as("leaked"),
+            (col("is_eval") || col("leak_id").isNull).as("kept"))
+      },
+      Some(s"""
+        WITH pairs AS (${DedupSql.jaccardVerified()}),
+        a AS ($splitAssignSql),
+        leak AS (
+          SELECT DISTINCT
+            CASE WHEN ea.is_eval THEN p.doc_b ELSE p.doc_a END AS leak_id
+          FROM pairs p
+          JOIN a ea ON ea.doc_id = p.doc_a
+          JOIN a eb ON eb.doc_id = p.doc_b
+          WHERE ea.is_eval <> eb.is_eval)
+        SELECT a.doc_id,
+          CASE WHEN a.is_eval THEN 'eval' ELSE 'train' END AS split,
+          (NOT a.is_eval AND l.leak_id IS NOT NULL) AS leaked,
+          (a.is_eval OR l.leak_id IS NULL) AS kept
+        FROM a LEFT JOIN leak l ON l.leak_id = a.doc_id""")),
 
     // #25g substring-level dedup signal: per-doc fraction of word
     // 5-gram slots covered by spans that exist in >= 2 docs — catches

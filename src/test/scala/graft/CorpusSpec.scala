@@ -495,4 +495,30 @@ class CorpusSpec extends SparkSpec {
     assert(nDocs >= 1 && nDocs <= base.size)
     assert(out.forall(_(2).asInstanceOf[Long] >= 1)) // n_seqs
   }
+
+  test("dedup-aware split: leakage real, eval immutable, repair closes it") {
+    import org.apache.spark.sql.functions.col
+    val split = DedupQueries.all.find(_.name == "corpus_split").get
+      .run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getBoolean(3)))
+    // the hash split lands in a sane band and leakage is non-vacuous
+    val evalIds = split.filter(_._2 == "eval").map(_._1).toSet
+    val frac = evalIds.size.toDouble / split.length
+    assert(frac > 0.10 && frac < 0.30, s"eval fraction $frac")
+    assert(split.count(_._3) > 0, "vacuous: no straddling near-dup pair")
+    // the benchmark side is immutable: every eval doc kept, none leaked
+    assert(split.filter(_._2 == "eval").forall(r => r._4 && !r._3))
+    // dropped ⇔ leaked train member
+    assert(split.forall(r => r._4 == !r._3))
+    // repair CLOSES the leak: re-verify pairs over the kept docs only —
+    // no surviving pair may straddle the split
+    val keptIds = split.filter(_._4).map(_._1).toSet
+    val kept = graft.sources.Sources.table(spark, sf001, "documents")
+      .where(col("doc_id").isin(keptIds.toSeq: _*))
+    val straddle = graft.dedup.Dedup.jaccardVerified(kept).collect()
+      .count(r => evalIds.contains(r.getLong(0)) !=
+        evalIds.contains(r.getLong(1)))
+    assert(straddle == 0, s"$straddle pairs still straddle after repair")
+  }
 }
