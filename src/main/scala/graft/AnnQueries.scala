@@ -368,37 +368,7 @@ object AnnQueries {
         WITH n AS (
           SELECT vec_id AS id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),${ivfGeomCtes()}
-        cent0 AS (
-          SELECT id AS cid, vn AS cv FROM n, mm
-          WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
-            % mm.m = 0),
-        d0 AS (
-          SELECT n.id, n.vn, c.cid, ${dotSql("n.vn", "c.cv")} AS d
-          FROM n CROSS JOIN cent0 c),
-        a0 AS (
-          SELECT id, vn, cid AS cell,
-            row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn
-          FROM d0),
-        dims AS (
-          SELECT cell, generate_subscripts(vn, 1) AS pos, unnest(vn) AS x
-          FROM a0 WHERE rn = 1),
-        means AS (
-          SELECT cell, pos, round(AVG(x), 6) AS m FROM dims GROUP BY 1, 2),
-        refined0 AS (
-          SELECT cell AS cid, list(m ORDER BY pos) AS cv0
-          FROM means GROUP BY 1),
-        refined AS (
-          SELECT cid,
-            CASE WHEN ${normSqlOf("cv0")} > 0
-              THEN list_transform(cv0, x -> x / ${normSqlOf("cv0")})
-              ELSE cv0 END AS cv
-          FROM refined0),
-        cent AS (
-          SELECT cid, cv FROM refined
-          UNION ALL
-          SELECT c0.cid, c0.cv FROM cent0 c0
-          WHERE c0.cid NOT IN (SELECT cid FROM refined)),
+          FROM embeddings),${ivfGeomCtes()}$lloydCentCtes
         d1 AS (
           SELECT n.id, n.vn, c.cid, ${dotSql("n.vn", "c.cv")} AS d
           FROM n CROSS JOIN cent c),
@@ -852,8 +822,151 @@ object AnnQueries {
           FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.id < b.id
           WHERE ${dotSql("a.vn", "b.vn")} >= $SemDedupMinCos)
         SELECT a.id AS vec_id FROM a1 a
-        WHERE a.id NOT IN (SELECT id FROM dup)"""))
+        WHERE a.id NOT IN (SELECT id FROM dup)""")),
+
+    // #31h TOPIC-balanced token quotas (SURVEY row 95): the pack-time
+    // mixture contract of rows 91/92 moved to EMBEDDING space — "no
+    // topic may exceed TopicCapNum/TopicCapDen × its fair share of the
+    // token budget", where a topic is a Lloyd-refined IVF cell (the
+    // engine's own replayable geometry, nlist derived from corpus
+    // size). This is the balance source/domain keys can't express: one
+    // source or domain spans every topic, but a crawl skewed toward one
+    // SUBJECT floods a single region of embedding space. Cap derives
+    // from two corpus stats (total tokens, nlist) — exact integer
+    // 21·total/(20·nl), i.e. 1.05× fair share, measured to bind 6/16
+    // cells and leave 10 unbound at sf0.001 AND sf0.01 (max topic share
+    // 1.30-1.34×, min 0.67-0.81× — both spec arms non-vacuous).
+    // Admission = Corpus.quotaAdmit keyed on the cell: the two-pass
+    // bucketed prefix sum (never Window.partitionBy(cell) — a hot topic
+    // at 100 TB is one task otherwise); assignment = one broadcast pass
+    // against ≤nlist centroids; offsets follow (cell × bucket) so the
+    // planner picks the join strategy (broadcastOffsets = false, the
+    // row-91 rationale: nlist reaches 65536 at scale). The oracle
+    // replays Lloyd (shared lloydCentCtes), the cap, and the per-cell
+    // running sum in HUGEINT-safe SQL — an over-cap doc hash-mismatches.
+    Q("corpus_topic_quota",
+      (s, dir) => {
+        val (j, nl) = topicJoined(s, dir)
+        graft.dedup.Corpus.quotaAdmit(j, Seq.empty, idCol = "doc_id",
+            textCol = "text", srcCol = "cell", default = topicCap(j, nl),
+            broadcastOffsets = false)
+          .select(col("doc_id"), col("cell"), col("n_toks"))
+      },
+      Some(s"""$topicCtes
+        SELECT c.doc_id, c.cell, c.n_toks
+        FROM cum c, cap WHERE c.cum <= cap.cap""")),
+
+    // #31h2 the topic FILL report: per cell, the cap, what the raw
+    // corpus holds, what the quota admitted/rejected, the fill rate in
+    // integer millionths, and whether the cap binds — the
+    // contract-compliance table published next to the balanced corpus
+    // (row 86/92 discipline: admitted_toks > cap structurally cannot
+    // pass the gate).
+    Q("corpus_topic_fill",
+      (s, dir) => {
+        val (j, nl) = topicJoined(s, dir)
+        val cap = topicCap(j, nl)
+        val admitted = graft.dedup.Corpus.quotaAdmit(j, Seq.empty,
+          idCol = "doc_id", textCol = "text", srcCol = "cell",
+          default = cap, broadcastOffsets = false)
+        val raw = j.groupBy(col("cell")).agg(
+          count(lit(1)).as("raw_docs"), sum(col("n_toks")).as("raw_toks"))
+        val adm = admitted.groupBy(col("cell")).agg(
+          count(lit(1)).as("admitted_docs"),
+          sum(col("n_toks")).as("admitted_toks"))
+        raw.join(adm, Seq("cell"), "left_outer")
+          .withColumn("admitted_docs", coalesce(col("admitted_docs"), lit(0L)))
+          .withColumn("admitted_toks", coalesce(col("admitted_toks"), lit(0L)))
+          .select(col("cell"), lit(cap).as("cap"),
+            col("raw_docs"), col("raw_toks"),
+            col("admitted_docs"), col("admitted_toks"),
+            (col("raw_toks") - col("admitted_toks")).as("rejected_toks"),
+            expr(s"(admitted_toks * 1000000) div ${cap}L")
+              .as("fill_millionths"),
+            (col("raw_toks") > lit(cap)).as("binding"))
+      },
+      Some(s"""$topicCtes,
+        adm AS (
+          SELECT cell, count(*) AS admitted_docs, sum(n_toks) AS admitted_toks
+          FROM cum, cap WHERE cum.cum <= cap.cap GROUP BY cell),
+        raw AS (
+          SELECT cell, count(*) AS raw_docs, sum(n_toks) AS raw_toks
+          FROM j GROUP BY cell)
+        SELECT r.cell, CAST(cap.cap AS BIGINT) AS cap,
+          CAST(r.raw_docs AS BIGINT) AS raw_docs,
+          CAST(r.raw_toks AS BIGINT) AS raw_toks,
+          CAST(COALESCE(a.admitted_docs, 0) AS BIGINT) AS admitted_docs,
+          CAST(COALESCE(a.admitted_toks, 0) AS BIGINT) AS admitted_toks,
+          CAST(r.raw_toks - COALESCE(a.admitted_toks, 0) AS BIGINT)
+            AS rejected_toks,
+          CAST((COALESCE(a.admitted_toks, 0) * 1000000) // cap.cap AS BIGINT)
+            AS fill_millionths,
+          r.raw_toks > cap.cap AS binding
+        FROM raw r LEFT JOIN adm a ON a.cell = r.cell CROSS JOIN cap"""))
   )
+
+  /** Topic-cap ratio: a topic may hold at most Num/Den × its fair
+    * share total/nlist of the token budget. 21/20 = 1.05× measured to
+    * make both quota arms non-vacuous on the test corpus (binding for
+    * the heavy topics, slack for the rest) — see corpus_topic_quota. */
+  private[graft] val TopicCapNum = 21L
+  private[graft] val TopicCapDen = 20L
+
+  /** Documents joined to their topic = Lloyd-refined IVF cell of the
+    * doc's embedding (1:1 on doc_id = vec_id), plus the derived nlist. */
+  private def topicJoined(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, Int) = {
+    val e = emb(s, dir)
+    val (nl, _, mod) = ivfGeom(e)
+    val refined = Ann.ivfRefine(e,
+      Ann.ivfCentroids(e, nlist = nl, modulus = mod))
+    val asg = Ann.ivfAssign(e, refined)
+      .select(col("id").as("doc_id"), col("cell"))
+    val d = Sources.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("n_toks", graft.text.Text.tokenCount(col("text"))
+        .cast("long"))
+    (d.join(asg, "doc_id"), nl)
+  }
+
+  /** The integer topic cap — one corpus-stats scalar (total tokens; the
+    * nVec discipline: hyperparameters derive from corpus size). */
+  private def topicCap(j: org.apache.spark.sql.DataFrame, nl: Int): Long = {
+    val total = j.agg(sum(col("n_toks"))).head.getLong(0)
+    math.max(1L, TopicCapNum * total / (TopicCapDen * nl))
+  }
+
+  /** Shared oracle prefix of the topic-quota family: normalize →
+    * derived geometry → [[lloydCentCtes]] → assignment → token counts →
+    * doc↔topic join → the integer cap → per-cell running sums. */
+  private def topicCtes: String = s"""
+        WITH n AS (
+          SELECT vec_id AS id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
+          FROM embeddings),${ivfGeomCtes()}$lloydCentCtes
+        d1 AS (
+          SELECT n.id, c.cid, ${dotSql("n.vn", "c.cv")} AS d
+          FROM n CROSS JOIN cent c),
+        asg AS (
+          SELECT id, cid AS cell,
+            row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn
+          FROM d1),
+        toks AS (
+          SELECT doc_id,
+            CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+              AS n_toks
+          FROM documents),
+        j AS (
+          SELECT t.doc_id, a.cell, t.n_toks
+          FROM toks t JOIN asg a ON a.id = t.doc_id AND a.rn = 1),
+        cap AS (
+          SELECT greatest(1, ($TopicCapNum * (SELECT sum(n_toks) FROM j))
+            // ($TopicCapDen * (SELECT nl FROM nlc))) AS cap),
+        cum AS (
+          SELECT doc_id, cell, n_toks,
+            SUM(n_toks) OVER (PARTITION BY cell ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM j)"""
 
   /** The semantic-dedup cosine threshold — hoisted to
     * [[graft.ann.Ann.SemDedupMinCos]] so graft.dedup shares the same
@@ -1324,6 +1437,44 @@ object AnnQueries {
           SELECT greatest(1,
             (SELECT count(*) FROM embeddings WHERE $trainWhere) // nl) AS m
           FROM nlc),"""
+
+  /** The deterministic one-iteration Lloyd centroid chain — sampled
+    * `cent0` → argmax-dot assign → grid-rounded spherical means →
+    * `cent` (empty cells keep their sampled centroid) — the SQL replay
+    * of [[graft.ann.Ann.ivfRefine]], shared by `ann_ivf_lloyd` and the
+    * topic-quota family. Expects the `n (id, vn)` CTE and the
+    * [[ivfGeomCtes]] scalars in scope; emits `cent (cid, cv)`. */
+  private[graft] def lloydCentCtes: String = s"""
+        cent0 AS (
+          SELECT id AS cid, vn AS cv FROM n, mm
+          WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
+            % mm.m = 0),
+        d0 AS (
+          SELECT n.id, n.vn, c.cid, ${dotSql("n.vn", "c.cv")} AS d
+          FROM n CROSS JOIN cent0 c),
+        a0 AS (
+          SELECT id, vn, cid AS cell,
+            row_number() OVER (PARTITION BY id ORDER BY d DESC, cid DESC) AS rn
+          FROM d0),
+        dims AS (
+          SELECT cell, generate_subscripts(vn, 1) AS pos, unnest(vn) AS x
+          FROM a0 WHERE rn = 1),
+        means AS (
+          SELECT cell, pos, round(AVG(x), 6) AS m FROM dims GROUP BY 1, 2),
+        refined0 AS (
+          SELECT cell AS cid, list(m ORDER BY pos) AS cv0
+          FROM means GROUP BY 1),
+        refined AS (
+          SELECT cid,
+            CASE WHEN ${normSqlOf("cv0")} > 0
+              THEN list_transform(cv0, x -> x / ${normSqlOf("cv0")})
+              ELSE cv0 END AS cv
+          FROM refined0),
+        cent AS (
+          SELECT cid, cv FROM refined
+          UNION ALL
+          SELECT c0.cid, c0.cv FROM cent0 c0
+          WHERE c0.cid NOT IN (SELECT cid FROM refined)),"""
 
   /** The probed-cell CTE over derived nprobe: row_number instead of
     * LIMIT so the bound can come from the [[ivfGeomCtes]] scalar. */

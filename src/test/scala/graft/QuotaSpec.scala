@@ -121,4 +121,38 @@ class QuotaSpec extends SparkSpec {
     assert(bySrc("b") == 9L && bySrc("d") == 6L) // uncapped intact
     graft.tools.LocalFs.deleteRec(java.nio.file.Paths.get(root))
   }
+
+  test("topic quota: cap formula, per-cell respect, both arms non-vacuous") {
+    // fill columns: cell, cap, raw_docs, raw_toks, admitted_docs,
+    // admitted_toks, rejected_toks, fill_millionths, binding
+    val fill = Registry.queries("corpus_topic_fill")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getBoolean(8)))
+    val cap = fill.head._2
+    assert(fill.forall(_._2 == cap), "cap must be one global constant")
+    // the balance contract: no topic's admitted tokens exceed the cap,
+    // and fill rate (integer millionths) never exceeds 1.0
+    assert(fill.forall(r => r._6 <= cap && r._8 <= 1000000L))
+    // both arms non-vacuous at gate scale: heavy topics bind, light
+    // topics keep slack (the 1.05×-fair-share measurement)
+    assert(fill.count(_._9) >= 2, "no binding topic — cap too loose")
+    assert(fill.count(!_._9) >= 2, "every topic binds — cap too tight")
+    // binding ⇔ rejection (raw > cap forces a drop; raw ≤ cap drops none)
+    assert(fill.forall(r => (r._7 > 0) == r._9))
+    // cap formula replay: 21·total/(20·nlist) off the same corpus stats
+    val total = fill.map(_._4).sum
+    val nl = graft.ann.Ann.nlistFor(
+      graft.sources.Sources.table(spark, sf001, "embeddings").count())
+    assert(cap == math.max(1L,
+      AnnQueries.TopicCapNum * total / (AnnQueries.TopicCapDen * nl)))
+    assert(fill.length <= nl && fill.length >= 2)
+    // the admitted-doc view agrees with the fill accounting
+    val adm = Registry.queries("corpus_topic_quota")(spark, sf001)
+      .groupBy(col("cell")).agg(sum(col("n_toks")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fill.foreach { r =>
+      assert(adm.getOrElse(r._1, 0L) == r._6, s"cell ${r._1} disagrees")
+    }
+  }
 }
