@@ -105,13 +105,39 @@ object DedupQueries {
 
   /** The split side of a doc: one per-row hash expression, stable under
     * any repartition or reordering (never positional). */
-  private def evalSide: org.apache.spark.sql.Column =
-    (pmod(graft.functions.XHash.h60(
-      concat(lit("sp:"), col("doc_id").cast("string"))), lit(SplitMod))
-      === 0L).as("is_eval")
+  private[graft] def isEval: org.apache.spark.sql.Column =
+    pmod(graft.functions.XHash.h60(
+      concat(lit("sp:"), col("doc_id").cast("string"))), lit(SplitMod)) === 0L
+
+  private def evalSide: org.apache.spark.sql.Column = isEval.as("is_eval")
+
+  /** Persisted eval-side LSH band artifact for the STREAMING split
+    * guard (stream_split_guard): the (k1, k2, eval_id) band rows of the
+    * EVAL docs, computed once from the reference corpus by the same
+    * per-row expression the stream probes with (Admission.bandProbes) —
+    * ~1/SplitMod of the corpus × 8 rows of hashes, the
+    * signature-store scale argument. Fingerprint-keyed like the other
+    * store artifacts. */
+  private[graft] def ensureEvalBands(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    synchronized {
+      val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"/tmp/graft-evalbands/$dirKey-${srcFingerprint(dir)}"
+      val marker = new java.io.File(s"$path/_GRAFT_BANDS")
+      if (!marker.exists()) {
+        graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-evalbands",
+          s"$dirKey-", new java.io.File(path).getName)
+        deleteRec(java.nio.file.Paths.get(path))
+        graft.streaming.Admission.bandProbes(docs(s, dir).where(isEval))
+          .withColumnRenamed("doc_id", "eval_id")
+          .write.parquet(path)
+        marker.createNewFile()
+      }
+      path
+    }
 
   /** DuckDB replay of the split assignment. */
-  private def splitAssignSql: String =
+  private[graft] def splitAssignSql: String =
     s"""SELECT doc_id,
           (${graft.functions.XHash.h60Sql("'sp:' || CAST(doc_id AS VARCHAR)")}
             % $SplitMod = 0) AS is_eval

@@ -580,6 +580,60 @@ object StreamingQueries {
             IN (SELECT domain FROM dkeep)"""
       }),
 
+    // #38e row 94's leakage repair enforced at ADMISSION time: an
+    // arriving crawl doc is REJECTED if it near-duplicates an EVAL doc,
+    // so the benchmark side stays immutable and training data can never
+    // re-introduce the leak the batch split repaired. The streaming leg
+    // is STATELESS: one native-expression MinHash signature + 8 LSH
+    // band keys per row (Admission.bandProbes, expression-equal to
+    // probeRows' kind-1 arm — StreamingSpec pins it) inner-joined
+    // against the persisted eval band artifact (ensureEvalBands,
+    // ~corpus/SplitMod × 8 rows of hashes — the signature-store scale
+    // argument), so candidate (train, eval) pairs drain with no state
+    // store and the candidate set is independent of the micro-batch
+    // carve-up BY CONSTRUCTION. The batch tail Jaccard-verifies the
+    // drained candidates over one shingle pass (keyed joins — the pair
+    // table is tiny next to the corpus) and anti-joins confirmed leaks:
+    // exactly corpus_split's train-side kept set, under an oracle built
+    // from the same fragments (so the stream and batch twins cannot
+    // drift).
+    Q("stream_split_guard",
+      (s, dir) => {
+        implicit val session: org.apache.spark.sql.SparkSession = s
+        val bands = s.read.parquet(DedupQueries.ensureEvalBands(s, dir))
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val crawl = s.readStream.schema(raw.schema)
+          .parquet(s"$dir/{documents}.parquet")
+          .where(!DedupQueries.isEval)
+        val cand = graft.streaming.Admission.bandProbes(crawl)
+          .join(bands, Seq("k1", "k2"))
+          .select(col("doc_id").as("train_id"), col("eval_id"))
+        val drained = drain(cand, "graft_stream_split_guard",
+          org.apache.spark.sql.streaming.OutputMode.Append()).distinct()
+        val d = graft.sources.Sources.table(s, dir, "documents")
+        val sh = graft.dedup.Dedup.shingleSets(d)
+        val leaked = drained
+          .join(sh.as("st"), col("train_id") === col("st.id"))
+          .join(sh.as("se"), col("eval_id") === col("se.id"))
+          .where(graft.dedup.Dedup.jaccard(col("st.sh"), col("se.sh"))
+            >= 0.6)
+          .select(col("train_id").as("doc_id")).distinct()
+        d.where(!DedupQueries.isEval).select(col("doc_id"))
+          .join(leaked, Seq("doc_id"), "left_anti")
+      },
+      Some(s"""
+        WITH pairs AS (${DedupSql.jaccardVerified()}),
+        a AS (${DedupQueries.splitAssignSql}),
+        leak AS (
+          SELECT DISTINCT
+            CASE WHEN ea.is_eval THEN p.doc_b ELSE p.doc_a END AS leak_id
+          FROM pairs p
+          JOIN a ea ON ea.doc_id = p.doc_a
+          JOIN a eb ON eb.doc_id = p.doc_b
+          WHERE ea.is_eval <> eb.is_eval)
+        SELECT t.doc_id FROM a t LEFT JOIN leak l ON l.leak_id = t.doc_id
+        WHERE NOT t.is_eval AND l.leak_id IS NULL""")),
+
     Q("stream_pipeline_incremental",
       (s, dir) => {
         implicit val session: org.apache.spark.sql.SparkSession = s

@@ -71,6 +71,28 @@ object Admission {
     probeRowsStaged(staged, width)
   }
 
+  /** Just the LSH band-bucket probe rows of each document —
+    * (doc_id, k1, k2) in [[probeRows]]'s kind-1 key space (pinned
+    * expression-equal by StreamingSpec) — for admission gates that need
+    * ONLY near-dup candidacy against a persisted band artifact (the
+    * eval-split guard), without paying the fingerprint/chunk arms. */
+  def bandProbes(newDocs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sig = org.apache.spark.sql.graft.bridge.column(
+      graft.functions.MinHashSig(
+        org.apache.spark.sql.graft.bridge.expression(
+          Dedup.shingles(col(textCol))), K))
+    newDocs.select(col(idCol).as("doc_id"), sig.as("__sig"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(Bands - 1)), b => struct(
+          b.cast("string").as("k1"),
+          concat_ws(",",
+            element_at(col("__sig"), b * RowsPerBand + 1).cast("string"),
+            element_at(col("__sig"), b * RowsPerBand + 2).cast("string"))
+            .as("k2")))).as("p"))
+      .select(col("doc_id"), col("p.k1").as("k1"), col("p.k2").as("k2"))
+  }
+
   private def probeRowsStaged(staged: DataFrame, width: Int): DataFrame = {
     val textCol = "__text"
     val sig = col("__sig")

@@ -353,4 +353,58 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
     assert(streamed.size < crawl.count(), "vacuous: blocklist blocked nothing")
   }
+
+  test("bandProbes == probeRows' kind-1 arm (the split guard's probe " +
+      "expression cannot drift from the admission pipeline's)") {
+    val d = graft.sources.Sources.table(spark, sf001, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val full = rows(graft.streaming.Admission.probeRows(d)
+      .where(col("kind") === 1).select(col("doc_id"), col("k1"), col("k2")))
+    val bands = rows(graft.streaming.Admission.bandProbes(d))
+    assert(bands == full && bands.nonEmpty)
+  }
+
+  test("streamed split guard == corpus_split's kept train set across " +
+      ">= 4 real micro-batches") {
+    val dir = sf001
+    val d = graft.sources.Sources.table(spark, dir, "documents")
+    val crawl = d.where(!DedupQueries.isEval)
+    val base = Files.createTempDirectory("graft-splitg").toString
+    crawl.repartition(4).write.parquet(s"$base/in")
+    val raw = spark.read.parquet(s"$base/in")
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val bands = spark.read.parquet(DedupQueries.ensureEvalBands(spark, dir))
+    val cand = graft.streaming.Admission.bandProbes(stream)
+      .join(bands, Seq("k1", "k2"))
+      .select(col("doc_id").as("train_id"), col("eval_id"))
+    val q = cand.writeStream.format("memory").queryName("t_splitg")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      s"expected >= 4 data-bearing micro-batches, got " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    val sh = graft.dedup.Dedup.shingleSets(d)
+    val leaked = spark.table("t_splitg").distinct()
+      .join(sh.as("st"), col("train_id") === col("st.id"))
+      .join(sh.as("se"), col("eval_id") === col("se.id"))
+      .where(graft.dedup.Dedup.jaccard(col("st.sh"), col("se.sh")) >= 0.6)
+      .select(col("train_id").as("doc_id")).distinct()
+    val streamed = crawl.select(col("doc_id"))
+      .join(leaked, Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    // the batch twin: corpus_split's train-side kept set
+    val batch = DedupQueries.all.find(_.name == "corpus_split").get
+      .run(spark, dir).where(col("split") === "train" && col("kept"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(streamed == batch,
+      s"streamed guard != batch split: only-streamed=" +
+        s"${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
+    assert(streamed.nonEmpty && streamed.size < crawl.count(),
+      "vacuous: guard rejected nothing")
+  }
 }
