@@ -35,6 +35,17 @@ object TextQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Sources.table(s, dir, "documents")
 
+  /** Learned-BPE piece count per doc off the persisted merge state —
+    * pieces are the space-separated cells minus the 
+    * word-boundary markers (the text_bpe_train_apply accounting,
+    * shared with the tokenizer-selection eval). */
+  private def bpeLearnedCounts(
+      state: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    state.select(col("doc_id"),
+      size(filter(split(trim(col("s")), " "),
+        t => t =!= "" && t =!= ""))
+        .cast("long").as("learned_tokens"))
+
   /** Persisted BPE-training artifact (final merged corpus state +
     * learned merge table), fingerprint-keyed like the lexicon and the
     * IVF+PQ artifacts: training runs ONCE per dataset per machine and
@@ -223,14 +234,80 @@ object TextQueries {
     // same unrolled CTE chain one select further, so a drifted
     // intermediate state fails BOTH gates coherently.
     Q("text_bpe_train_apply",
-      (s, dir) => {
-        val state = s.read.parquet(s"${ensureBpe(s, dir)}/state")
-        state.select(col("doc_id"),
-          size(filter(split(trim(col("s")), " "),
-            t => t =!= "" && t =!= ""))
-            .cast("long").as("learned_tokens"))
-      },
+      (s, dir) => bpeLearnedCounts(
+        s.read.parquet(s"${ensureBpe(s, dir)}/state")),
       Some(Text.bpeTrainApplyOracleSql())),
+
+    // #34i TOKENIZER SELECTION — the measurement that decides between
+    // the two subword families the engine TRAINS (BPE rows 70/77,
+    // unigram-LM row 87): per source, total pieces each tokenizer
+    // produces on the corpus, fertility (pieces per whitespace word)
+    // and compression (chars per piece) in integer millionths, and the
+    // winner ELECTION — fewer total pieces wins, a pure integer
+    // comparison no float ulp can flip. Both apply legs reuse the
+    // persisted fingerprint-keyed artifacts; the oracle nests BOTH
+    // unrolled train chains as derived tables (DuckDB scopes each WITH
+    // to its subquery) and replays the division in // arithmetic —
+    // all quantities positive, so trunc == floor cross-engine.
+    // Scale shape: two keyed joins on doc_id + one shuffle on the
+    // 12-value source key; the apply legs are the already-gated linear
+    // passes.
+    Q("text_tokenizer_eval",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val bpe = bpeLearnedCounts(
+          s.read.parquet(s"${ensureBpe(s, dir)}/state"))
+        val uni = graft.text.Unigram.applyCounts(d,
+          s.read.parquet(s"${ensureUnigram(s, dir)}/segs"))
+        val base = d.select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("chars"),
+          Text.tokenCount(col("text")).cast("long").as("words"))
+        base.join(bpe, Seq("doc_id")).join(uni, Seq("doc_id"))
+          .groupBy(col("source")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("chars")).as("chars"),
+            sum(col("words")).as("words"),
+            sum(col("learned_tokens")).as("bpe_pieces"),
+            sum(col("unigram_tokens")).as("uni_pieces"))
+          .select(col("source"), col("n_docs"), col("chars"),
+            col("words"), col("bpe_pieces"), col("uni_pieces"),
+            expr("(bpe_pieces * 1000000) div words")
+              .as("bpe_fertility_micro"),
+            expr("(uni_pieces * 1000000) div words")
+              .as("uni_fertility_micro"),
+            expr("(chars * 1000000) div bpe_pieces").as("bpe_cpp_micro"),
+            expr("(chars * 1000000) div uni_pieces").as("uni_cpp_micro"),
+            when(col("bpe_pieces") < col("uni_pieces"), lit("bpe"))
+              .when(col("uni_pieces") < col("bpe_pieces"), lit("unigram"))
+              .otherwise(lit("tie")).as("winner"))
+      },
+      Some(s"""
+        WITH bpe AS (SELECT * FROM (${Text.bpeTrainApplyOracleSql()})),
+        uni AS (SELECT * FROM (${graft.text.Unigram.applyOracleSql()})),
+        base AS (
+          SELECT doc_id, source, CAST(length(text) AS BIGINT) AS chars,
+            CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+              AS BIGINT) AS words
+          FROM documents),
+        agg AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(chars) AS BIGINT) AS chars,
+            CAST(sum(words) AS BIGINT) AS words,
+            CAST(sum(learned_tokens) AS BIGINT) AS bpe_pieces,
+            CAST(sum(unigram_tokens) AS BIGINT) AS uni_pieces
+          FROM base b JOIN bpe p USING (doc_id) JOIN uni u USING (doc_id)
+          GROUP BY source)
+        SELECT source, n_docs, chars, words, bpe_pieces, uni_pieces,
+          CAST((bpe_pieces * 1000000) // words AS BIGINT)
+            AS bpe_fertility_micro,
+          CAST((uni_pieces * 1000000) // words AS BIGINT)
+            AS uni_fertility_micro,
+          CAST((chars * 1000000) // bpe_pieces AS BIGINT) AS bpe_cpp_micro,
+          CAST((chars * 1000000) // uni_pieces AS BIGINT) AS uni_cpp_micro,
+          CASE WHEN bpe_pieces < uni_pieces THEN 'bpe'
+               WHEN uni_pieces < bpe_pieces THEN 'unigram'
+               ELSE 'tie' END AS winner
+        FROM agg""")),
 
     // #34b dragnet's quantize aggregation pointed at a pipeline signal:
     // power-of-two histogram of per-doc BPE-ish token counts — the

@@ -100,4 +100,34 @@ class UnigramSpec extends SparkSpec {
     val out = train(Seq(Seq.fill(10)("extraordinarily").mkString(" ")))
     assert(out.isEmpty, s"over-long word leaked: ${out.toSeq}")
   }
+
+  test("tokenizer eval: winner is the piece-count argmin, totals agree " +
+      "with the apply legs") {
+    import org.apache.spark.sql.functions.col
+    val sf001 = "/root/testdata/sf0.001"
+    // row: source, n_docs, chars, words, bpe_pieces, uni_pieces,
+    // bpe_fert, uni_fert, bpe_cpp, uni_cpp, winner
+    val rows = Registry.queries("text_tokenizer_eval")(spark, sf001)
+      .collect()
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      val (bpe, uni) = (r.getLong(4), r.getLong(5))
+      assert(Seq(2, 3, 4, 5, 6, 7, 8, 9).forall(i => r.getLong(i) > 0L))
+      val expect =
+        if (bpe < uni) "bpe" else if (uni < bpe) "unigram" else "tie"
+      assert(r.getString(10) == expect, s"winner mismatch on $r")
+      // fertility/compression replay off the row's own integers
+      assert(r.getLong(6) == bpe * 1000000L / r.getLong(3))
+      assert(r.getLong(9) == r.getLong(2) * 1000000L / uni)
+    }
+    // totals agree with the two underlying apply queries
+    val bpeTotal = Registry.queries("text_bpe_train_apply")(spark, sf001)
+      .agg(org.apache.spark.sql.functions.sum(col("learned_tokens")))
+      .head.getLong(0)
+    assert(rows.map(_.getLong(4)).sum == bpeTotal)
+    val uniTotal = Registry.queries("text_unigram_apply")(spark, sf001)
+      .agg(org.apache.spark.sql.functions.sum(col("unigram_tokens")))
+      .head.getLong(0)
+    assert(rows.map(_.getLong(5)).sum == uniTotal)
+  }
 }
