@@ -46,6 +46,111 @@ object TextQueries {
         t => t =!= "" && t =!= ""))
         .cast("long").as("learned_tokens"))
 
+  /** Repetition-plan budget: plan RepBudgetMult × the corpus's tokens
+    * (data-constrained training fills the shortfall by repetition). */
+  private[graft] val RepBudgetMult = 2L
+
+  /** Max epochs a source may repeat — the ~4-epoch knee past which
+    * repeated data stops adding value (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models", fig. 1). */
+  private[graft] val RepMaxEpochs = 4L
+
+  /** The per-source repetition plan (SURVEY row 97): mixture weight =
+    * quality ABOVE THE CORPUS MEAN by exact cross-multiplication
+    * (num_s·T − N·toks_s in decimal(38,0) — num_s·T overflows int64 at
+    * thousands of boosted rows, the row-93 lesson; DuckDB replays in
+    * HUGEINT), clamped at zero so below-mean sources are excluded;
+    * share quantized to integer millionths of the weight mass; target =
+    * RepBudgetMult·T·share/1e6; then the epoch split: full_epochs =
+    * min(RepMaxEpochs, target div toks), the rest a partial-epoch token
+    * residual. Everything integral — no float enters any decision. The
+    * per-source table is source-cardinality-bounded (crawl batches, not
+    * domains); its two scalar-total crossJoins broadcast one row each,
+    * and the corpus is read ONCE (the grouped table is checkpointed). */
+  private def repetitionPlan(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val d = docs(s, dir)
+    val dec = "decimal(38,0)"
+    val src = Text.qualityModelRaw(d)
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source")).agg(
+        sum(col("n_tokens")).as("toks"), sum(col("num")).as("qn"))
+      .localCheckpoint()
+    val tot = src.agg(sum(col("toks")).as("t_tot"),
+      sum(col("qn")).as("n_tot"))
+    val withW = src.crossJoin(broadcast(tot)).withColumn("w",
+      greatest(lit(0).cast(dec),
+        col("qn").cast(dec) * col("t_tot").cast(dec) -
+          col("n_tot").cast(dec) * col("toks").cast(dec)))
+      .localCheckpoint()
+    val wTot = withW.agg(sum(col("w")).as("w_tot"))
+    withW.crossJoin(broadcast(wTot))
+      .withColumn("share_micro", expr("w * 1000000 div w_tot"))
+      .withColumn("target", expr(
+        s"CAST($RepBudgetMult AS DECIMAL(38,0)) * t_tot * share_micro" +
+          " div 1000000"))
+      .withColumn("full_epochs",
+        least(lit(RepMaxEpochs), expr("target div toks")))
+      .withColumn("resid_toks",
+        when(col("full_epochs") < RepMaxEpochs,
+          least(col("toks"), col("target") -
+            col("full_epochs") * col("toks")))
+          .otherwise(lit(0L)))
+      .withColumn("planned_toks",
+        col("full_epochs") * col("toks") + col("resid_toks"))
+      .select(col("source"), col("toks"), col("qn"), col("share_micro"),
+        col("target"), col("full_epochs"), col("resid_toks"),
+        col("planned_toks"))
+  }
+
+  /** Shared oracle CTE chain of the repetition family: per-doc quality
+    * numerators → per-source sums → HUGEINT above-mean weights →
+    * millionth shares → targets → the epoch split. Emits `plan` and
+    * the per-doc `qd`. */
+  private def repetitionPlanCtes: String = {
+    val h = graft.functions.XHash.h60Sql("'qm:' || t")
+    s"""
+        WITH tk AS (
+          SELECT doc_id, source,
+            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+          FROM documents),
+        qd AS (
+          SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_toks,
+            CAST(sum(($h % ${Text.QmBuckets}) * 2654435761 % 2000 - 1000)
+              + ${Text.QmBiasNum} * count(*) AS BIGINT) AS num
+          FROM tk GROUP BY doc_id, source),
+        src AS (
+          SELECT source, CAST(sum(n_toks) AS BIGINT) AS toks,
+            CAST(sum(num) AS BIGINT) AS qn
+          FROM qd GROUP BY source),
+        tot AS (
+          SELECT CAST(sum(toks) AS BIGINT) AS t_tot,
+            CAST(sum(qn) AS BIGINT) AS n_tot
+          FROM src),
+        w8 AS (
+          SELECT s.source, s.toks, s.qn, t.t_tot,
+            greatest(CAST(0 AS HUGEINT),
+              CAST(s.qn AS HUGEINT) * t.t_tot
+                - CAST(t.n_tot AS HUGEINT) * s.toks) AS w
+          FROM src s CROSS JOIN tot t),
+        wt AS (SELECT sum(w) AS w_tot FROM w8),
+        p0 AS (
+          SELECT source, toks, qn,
+            CAST((w * 1000000) // w_tot AS BIGINT) AS share_micro,
+            CAST(($RepBudgetMult * CAST(t_tot AS HUGEINT)
+              * ((w * 1000000) // w_tot)) // 1000000 AS BIGINT) AS target
+          FROM w8 CROSS JOIN wt),
+        p1 AS (
+          SELECT *, least(CAST($RepMaxEpochs AS BIGINT), target // toks)
+            AS full_epochs
+          FROM p0),
+        plan AS (
+          SELECT *, CAST(CASE WHEN full_epochs < $RepMaxEpochs
+              THEN least(toks, target - full_epochs * toks)
+              ELSE 0 END AS BIGINT) AS resid_toks
+          FROM p1)"""
+  }
+
   /** Persisted BPE-training artifact (final merged corpus state +
     * learned merge table), fingerprint-keyed like the lexicon and the
     * IVF+PQ artifacts: training runs ONCE per dataset per machine and
@@ -308,6 +413,73 @@ object TextQueries {
                WHEN uni_pieces < bpe_pieces THEN 'unigram'
                ELSE 'tie' END AS winner
         FROM agg""")),
+
+    // #34j the DATA-REPETITION plan (SURVEY row 97): data-constrained
+    // training needs RepBudgetMult× the corpus's tokens, and the
+    // shortfall is filled by REPEATING good sources up to RepMaxEpochs
+    // (the Muennighoff et al. 2023 knee). Mixture weight per source =
+    // quality above the corpus mean, exact-integer by HUGEINT
+    // cross-multiplication, zero-clamped (below-mean sources are
+    // excluded entirely — the learned-mixture decision); target =
+    // budget × millionth-share; the epoch split is all integer
+    // division. Measured regimes at sf0.001 AND sf0.01: saturated
+    // 4-epoch sources, mid sources with a partial-epoch residual,
+    // partial-only sources, and excluded sources — all four arms
+    // non-vacuous (QuotaSpec pins them).
+    Q("corpus_repetition_plan",
+      (s, dir) => repetitionPlan(s, dir),
+      Some(s"""$repetitionPlanCtes
+        SELECT source, toks, qn, share_micro, target, full_epochs,
+          resid_toks, full_epochs * toks + resid_toks AS planned_toks
+        FROM plan""")),
+
+    // #34j2 the plan EXECUTED: the exact (doc_id, epoch) multiset a
+    // trainer consumes — every doc of a source repeated full_epochs
+    // times (explode over a ≤RepMaxEpochs sequence, linear) plus the
+    // partial epoch as a per-source doc-id-order token prefix admitted
+    // by Corpus.quotaAdmitWith with the plan's residual as the cap
+    // column (the two-pass bucketed prefix sum — no corpus-wide
+    // window; the plan joins by the planner's choice, it is
+    // source-cardinality rows). An over-plan repetition in the output
+    // hash-mismatches against the replayed plan.
+    Q("corpus_upsample",
+      (s, dir) => {
+        val plan = repetitionPlan(s, dir)
+          .select(col("source"), col("full_epochs"), col("resid_toks"))
+        val d = docs(s, dir).select(col("doc_id"), col("source"),
+          col("text"),
+          Text.tokenCount(col("text")).cast("long").as("n_toks"))
+        val withPlan = d.join(plan, Seq("source"))
+        val fullRows = withPlan.where(col("full_epochs") >= 1L)
+          .select(col("doc_id"),
+            explode(sequence(lit(1L), col("full_epochs"))).as("epoch"),
+            col("n_toks"))
+        val partial = graft.dedup.Corpus.quotaAdmitWith(
+            withPlan.where(col("resid_toks") > 0L), col("resid_toks"),
+            srcCol = "source", broadcastOffsets = false)
+          .select(col("doc_id"), (col("full_epochs") + 1L).as("epoch"),
+            col("n_toks"))
+        fullRows.union(partial)
+      },
+      Some(s"""$repetitionPlanCtes,
+        fulle AS (
+          SELECT qd.doc_id,
+            unnest(generate_series(1, p.full_epochs)) AS epoch,
+            qd.n_toks
+          FROM qd JOIN plan p USING (source)
+          WHERE p.full_epochs >= 1),
+        cum AS (
+          SELECT doc_id, source, n_toks,
+            SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM qd),
+        part AS (
+          SELECT c.doc_id, p.full_epochs + 1 AS epoch, c.n_toks
+          FROM cum c JOIN plan p USING (source)
+          WHERE p.resid_toks > 0 AND c.cum <= p.resid_toks)
+        SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, n_toks FROM fulle
+        UNION ALL
+        SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, n_toks FROM part""")),
 
     // #34b dragnet's quantize aggregation pointed at a pipeline signal:
     // power-of-two histogram of per-doc BPE-ish token counts — the

@@ -275,8 +275,21 @@ object Corpus {
   def quotaAdmit(docs: DataFrame, quotas: Seq[(String, Long)],
       idCol: String = "doc_id", textCol: String = "text",
       srcCol: String = "source", default: Long = -1L,
+      broadcastOffsets: Boolean = true): DataFrame =
+    quotaAdmitWith(docs, quotaCol(quotas, srcCol, default), idCol,
+      textCol, srcCol, broadcastOffsets)
+
+  /** [[quotaAdmit]] with the cap as an arbitrary EXPRESSION over the
+    * doc row — e.g. a per-source residual JOINED IN from a computed
+    * plan — instead of a literal when-chain: the learned-mixture shape,
+    * where the quotas are themselves corpus-derived columns (the
+    * repetition plan's partial-epoch admission). Same two-pass bucketed
+    * prefix sum, same inclusive boundary, negative cap = uncapped. */
+  def quotaAdmitWith(docs: DataFrame, quota: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      srcCol: String = "source",
       broadcastOffsets: Boolean = true): DataFrame = {
-    val q = quotaCol(quotas, srcCol, default)
+    val q = quota
     val maxId = docs.agg(max(col(idCol))).head.getAs[Any](0) match {
       case null => 0L
       case l: Long => l

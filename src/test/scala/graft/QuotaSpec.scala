@@ -155,4 +155,64 @@ class QuotaSpec extends SparkSpec {
       assert(adm.getOrElse(r._1, 0L) == r._6, s"cell ${r._1} disagrees")
     }
   }
+
+  test("quotaAdmitWith under a constant cap column == quotaAdmit") {
+    val byChain = Corpus.quotaAdmit(docs, Seq.empty, default = 9L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byCol = Corpus.quotaAdmitWith(docs,
+        org.apache.spark.sql.functions.lit(9L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byChain == byCol && byCol.nonEmpty && byCol.size < 8)
+  }
+
+  test("repetition plan: all four regimes, integer arithmetic, budget") {
+    // row: source, toks, qn, share_micro, target, full_epochs,
+    // resid_toks, planned_toks
+    val plan = Registry.queries("corpus_repetition_plan")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    val max = TextQueries.RepMaxEpochs
+    // the four measured regimes are all non-vacuous at gate scale
+    assert(plan.exists(p => p._6 == max && p._7 == 0L), "no saturated src")
+    assert(plan.exists(p => p._6 >= 1L && p._6 < max && p._7 > 0L),
+      "no mid-epoch source with a residual")
+    assert(plan.exists(p => p._6 == 0L && p._7 > 0L), "no partial-only")
+    assert(plan.exists(_._4 == 0L), "no excluded (below-mean) source")
+    // integer identities and bounds
+    val total = plan.map(_._2).sum
+    plan.foreach { p =>
+      assert(p._6 >= 0L && p._6 <= max && p._7 >= 0L && p._7 <= p._2)
+      assert(p._8 == p._6 * p._2 + p._7)
+      if (p._6 < max) assert(p._8 == math.min(p._5, p._6 * p._2 + p._7))
+      assert(p._4 >= 0L && p._4 <= 1000000L)
+    }
+    assert(plan.map(_._4).sum <= 1000000L, "shares exceed the mass")
+    assert(plan.map(_._8).sum <= TextQueries.RepBudgetMult * total)
+    // the executed multiset agrees with the plan exactly
+    val up = Registry.queries("corpus_upsample")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(up.distinct.length == up.length, "(doc, epoch) not unique")
+    val d = graft.sources.Sources.table(spark, sf001, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.text.Text.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val srcOf = d.map(r => r._1 -> r._2).toMap
+    val bySrc = up.groupBy(r => srcOf(r._1))
+    plan.foreach { p =>
+      val rows = bySrc.getOrElse(p._1, Array.empty[(Long, Long, Long)])
+      // the partial epoch is the MAXIMAL whole-doc prefix <= resid:
+      // replay it doc by doc in id order
+      val prefix = d.filter(_._2 == p._1).sortBy(_._1).map(_._3)
+        .scanLeft(0L)(_ + _).drop(1).takeWhile(_ <= p._7)
+      val expectExec = p._6 * p._2 + prefix.lastOption.getOrElse(0L)
+      assert(rows.map(_._3).sum == expectExec,
+        s"${p._1}: executed tokens != full epochs + maximal prefix")
+      assert(rows.map(_._3).sum <= p._8, s"${p._1}: executed over plan")
+      // epochs are contiguous from 1; the partial epoch is full+1
+      if (rows.nonEmpty)
+        assert(rows.map(_._2).max ==
+          p._6 + (if (prefix.nonEmpty) 1L else 0L))
+    }
+  }
 }
