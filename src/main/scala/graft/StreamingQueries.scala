@@ -611,7 +611,14 @@ object StreamingQueries {
         val drained = drain(cand, "graft_stream_split_guard",
           org.apache.spark.sql.streaming.OutputMode.Append()).distinct()
         val d = graft.sources.Sources.table(s, dir, "documents")
-        val sh = graft.dedup.Dedup.shingleSets(d)
+        // shingle ONLY the candidate docs (semi-join the tiny drained
+        // id set) — the verify tail's cost follows the candidates, not
+        // the corpus; checkpointed because both pair sides read it
+        val ids = drained.select(col("train_id").as("cid"))
+          .union(drained.select(col("eval_id").as("cid"))).distinct()
+        val sh = graft.dedup.Dedup.shingleSets(
+          d.join(ids, col("doc_id") === col("cid"), "left_semi"))
+          .localCheckpoint()
         val leaked = drained
           .join(sh.as("st"), col("train_id") === col("st.id"))
           .join(sh.as("se"), col("eval_id") === col("se.id"))

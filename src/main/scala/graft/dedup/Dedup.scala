@@ -41,7 +41,10 @@ object Dedup {
    * Documents shorter than n tokens contribute their whole text as a
    * single shingle so they still participate.
    */
-  def shingles(text: Column, n: Int = 3): Column = {
+  /** Default word-shingle width (the MinHash n-gram). */
+  val ShingleN = 3
+
+  def shingles(text: Column, n: Int = ShingleN): Column = {
     val t = Text.tokens(text)
     when(size(t) < n, array(concat_ws(" ", t)))
       .otherwise(array_distinct(transform(sequence(lit(0), size(t) - n),

@@ -25,23 +25,68 @@ object MinHashSigUtil {
     var j = 0
     val n = shingles.numElements()
     while (j < n) {
-      md.reset()
-      val d = md.digest(shingles.getUTF8String(j).getBytes)
-      var hi = 0L
-      var i = 0
-      while (i < 8) { hi = (hi << 8) | (d(i) & 0xffL); i += 1 }
-      var lo = 0L
-      i = 8
-      while (i < 16) { lo = (lo << 8) | (d(i) & 0xffL); i += 1 }
-      val h1 = hi >>> 4
-      val h2 = lo >>> 8
-      i = 0
-      while (i < k) {
-        val m = if (i == 0) h1 else (h1 + h2 * i) & XHash.Mask60
-        if (m < mins(i)) mins(i) = m
+      fold(md, shingles.getUTF8String(j).getBytes, mins, k)
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  /** md5 one shingle's bytes and fold its Kirsch–Mitzenmacher members
+    * into the running minima. */
+  private def fold(md: java.security.MessageDigest, bytes: Array[Byte],
+      mins: Array[Long], k: Int): Unit = {
+    md.reset()
+    val d = md.digest(bytes)
+    var hi = 0L
+    var i = 0
+    while (i < 8) { hi = (hi << 8) | (d(i) & 0xffL); i += 1 }
+    var lo = 0L
+    i = 8
+    while (i < 16) { lo = (lo << 8) | (d(i) & 0xffL); i += 1 }
+    val h1 = hi >>> 4
+    val h2 = lo >>> 8
+    i = 0
+    while (i < k) {
+      val m = if (i == 0) h1 else (h1 + h2 * i) & XHash.Mask60
+      if (m < mins(i)) mins(i) = m
+      i += 1
+    }
+  }
+
+  /** [[sig]] with the SHINGLING fused in: takes the raw token array
+    * (a codegen'd `split`) and digests each n-token window directly —
+    * the window bytes are the tokens' UTF-8 bytes joined on 0x20,
+    * byte-identical to `concat_ws(" ", slice(...))`, and fewer-than-n
+    * tokens digest as one all-tokens window, byte-identical to
+    * [[graft.dedup.Dedup.shingles]]' short arm. Shingle DEDUP is
+    * irrelevant here (min over the multiset == min over the set). This
+    * exists because the shingle-array HOF (transform + concat_ws in the
+    * lambda interpreter) costs ~1 ms/doc — 25× this whole kernel — and
+    * the admission path runs it per arriving row. */
+  def sigTokens(tokens: ArrayData, n: Int, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val cnt = tokens.numElements()
+    def windowBytes(from: Int, len: Int): Array[Byte] = {
+      var total = if (len > 0) len - 1 else 0
+      var i = from
+      while (i < from + len) { total += tokens.getUTF8String(i).numBytes(); i += 1 }
+      val out = new Array[Byte](total)
+      var pos = 0
+      i = from
+      while (i < from + len) {
+        if (i > from) { out(pos) = ' '.toByte; pos += 1 }
+        val b = tokens.getUTF8String(i).getBytes
+        System.arraycopy(b, 0, out, pos, b.length)
+        pos += b.length
         i += 1
       }
-      j += 1
+      out
+    }
+    if (cnt < n) fold(md, windowBytes(0, cnt), mins, k)
+    else {
+      var i = 0
+      while (i + n <= cnt) { fold(md, windowBytes(i, n), mins, k); i += 1 }
     }
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
@@ -75,5 +120,38 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
       s"${ev.value} = graft.functions.MinHashSigUtil.sig($c, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/**
+ * graft_shingle_minhash_sig(tokens, n, k) → array<bigint>:
+ * [[MinHashSig]] with the n-gram SHINGLING fused into the kernel — the
+ * child is the raw whitespace token array (a codegen'd `split`), so the
+ * interpreted higher-order shingle construction (≈1 ms/document, 25×
+ * the digest cost) never runs. Bit-identical to
+ * `MinHashSig(Dedup.shingles(text), k)` (DedupSpec pins it, window
+ * bytes == concat_ws(" ", ...) bytes by construction).
+ */
+case class ShingleMinHashSig(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSigUtil.sigTokens(input.asInstanceOf[ArrayData], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSigUtil.sigTokens($c, $n, $k);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleMinHashSig =
     copy(child = newChild)
 }

@@ -61,11 +61,11 @@ object Admission {
     // formulation re-evaluates the md5 pipeline per (member, shingle)
     // pair in the lambda interpreter (measured 22 s for the sf0.1
     // crawl's probe expansion alone; graft.functions.MinHashSig
-    // digests each shingle once, ~1 s)
-    val sig = org.apache.spark.sql.graft.bridge.column(
-      graft.functions.MinHashSig(
-        org.apache.spark.sql.graft.bridge.expression(
-          Dedup.shingles(col(textCol))), K))
+    // digests each shingle once, ~1 s). The SHINGLING is fused in too
+    // (ShingleMinHashSig over the raw codegen'd token split): building
+    // the shingle-string array through interpreted transform+concat_ws
+    // lambdas costs ~1 ms/doc, 25× the whole digest kernel.
+    val sig = rowSignature(col(textCol))
     val staged = newDocs.select(col(idCol).as("doc_id"),
       col(textCol).as("__text"), sig.as("__sig"))
     probeRowsStaged(staged, width)
@@ -76,21 +76,34 @@ object Admission {
     * expression-equal by StreamingSpec) — for admission gates that need
     * ONLY near-dup candidacy against a persisted band artifact (the
     * eval-split guard), without paying the fingerprint/chunk arms. */
+  /** One document's k-member MinHash signature as ONE native per-row
+    * expression, shingling fused (tokens → n-gram windows → digests →
+    * running minima all inside the kernel — no interpreted HOF). */
+  private def rowSignature(text: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.ShingleMinHashSig(
+        org.apache.spark.sql.graft.bridge.expression(
+          Text.tokens(text)), Dedup.ShingleN, K))
+
   def bandProbes(newDocs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sig = org.apache.spark.sql.graft.bridge.column(
-      graft.functions.MinHashSig(
-        org.apache.spark.sql.graft.bridge.expression(
-          Dedup.shingles(col(textCol))), K))
+    val sig = rowSignature(col(textCol))
+    // explode the band INDEX, not an array built from the signature:
+    // Generate is a projection-collapse barrier, so __sig is computed
+    // ONCE per document below it instead of being substituted into all
+    // 16 element_at references (measured 7 s -> ~1 s on the sf0.1
+    // corpus — the signature digests every shingle, so re-evaluating
+    // it per band key multiplies the whole MinHash cost by 16)
     newDocs.select(col(idCol).as("doc_id"), sig.as("__sig"))
+      .select(col("doc_id"), col("__sig"),
+        explode(sequence(lit(0), lit(Bands - 1))).as("__b"))
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(Bands - 1)), b => struct(
-          b.cast("string").as("k1"),
-          concat_ws(",",
-            element_at(col("__sig"), b * RowsPerBand + 1).cast("string"),
-            element_at(col("__sig"), b * RowsPerBand + 2).cast("string"))
-            .as("k2")))).as("p"))
-      .select(col("doc_id"), col("p.k1").as("k1"), col("p.k2").as("k2"))
+        col("__b").cast("string").as("k1"),
+        concat_ws(",",
+          element_at(col("__sig"), col("__b") * RowsPerBand + 1)
+            .cast("string"),
+          element_at(col("__sig"), col("__b") * RowsPerBand + 2)
+            .cast("string")).as("k2"))
   }
 
   private def probeRowsStaged(staged: DataFrame, width: Int): DataFrame = {

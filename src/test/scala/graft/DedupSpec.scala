@@ -455,4 +455,35 @@ class DedupSpec extends SparkSpec {
     assert(mismatches == 0, s"$mismatches docs with drifted signatures")
     assert(batch.count() == 200)
   }
+
+  test("ShingleMinHashSig (fused shingling) == MinHashSig over the " +
+      "shingle HOF, bit for bit, edges included") {
+    import org.apache.spark.sql.functions.{col => c, element_at}
+    import spark.implicits._
+    val k = 16
+    def both(df: org.apache.spark.sql.DataFrame) = df.select(
+      org.apache.spark.sql.graft.bridge.column(
+        graft.functions.MinHashSig(
+          org.apache.spark.sql.graft.bridge.expression(
+            Dedup.shingles(c("text"))), k)).as("a"),
+      org.apache.spark.sql.graft.bridge.column(
+        graft.functions.ShingleMinHashSig(
+          org.apache.spark.sql.graft.bridge.expression(
+            graft.text.Text.tokens(c("text"))), Dedup.ShingleN, k))
+        .as("b"))
+    // real corpus
+    val drift = both(graft.sources.Sources.table(spark, sf001, "documents"))
+      .where((1 to k).map(i =>
+        element_at(c("a"), i) =!= element_at(c("b"), i)).reduce(_ || _))
+      .count()
+    assert(drift == 0, s"$drift docs drifted")
+    // edges: empty, short (< n tokens), exactly n, multi-space,
+    // leading/trailing space, unicode
+    val edges = Seq("", "one", "one two", "one two three",
+      "a  b   c d", "  padded  ", "naïve café über tokens")
+      .toDF("text")
+    val rows = both(edges).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+      s"edge drifted: $r"))
+  }
 }
