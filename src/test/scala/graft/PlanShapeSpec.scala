@@ -19,6 +19,37 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-13 quota/repetition/guard families keep their scale shapes") {
+    // topic quota: the corpus meets the ≤nlist Lloyd centroids in a
+    // broadcast (never a shuffle join), and nothing globally sorts —
+    // the admission prefix sum is the (cell, bucket) two-pass form
+    val tq = SparkEntry.queries("corpus_topic_quota")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(tq.contains("BroadcastNestedLoopJoin"),
+      s"topic assignment lost its centroid broadcast:\n${tq.take(1200)}")
+    assert(!tq.toLowerCase.contains("rangepartitioning"),
+      s"corpus_topic_quota globally sorts:\n${tq.take(1200)}")
+    // repetition: the plan's two scalar totals ride as one-row
+    // broadcasts; the executed multiset never globally sorts and keeps
+    // the explode (a ≤RepMaxEpochs Generate, not a join)
+    val up = SparkEntry.queries("corpus_upsample")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(up.contains("Generate"),
+      s"corpus_upsample lost its epoch explode:\n${up.take(1200)}")
+    assert(!up.toLowerCase.contains("rangepartitioning"),
+      s"corpus_upsample globally sorts:\n${up.take(1200)}")
+    // the split guard's probe join: the persisted eval band artifact is
+    // the tiny side and must broadcast against the probe stream (assert
+    // on the batch analog — same operators, same sizes)
+    val d = graft.sources.Sources.table(spark, sf001, "documents")
+    val bands = spark.read.parquet(DedupQueries.ensureEvalBands(spark, sf001))
+    val probe = graft.streaming.Admission.bandProbes(d)
+      .join(bands, Seq("k1", "k2"))
+      .queryExecution.executedPlan.toString
+    assert(probe.contains("BroadcastHashJoin"),
+      s"band probe join lost the artifact broadcast:\n${probe.take(1200)}")
+  }
+
   test("semantic dedup broadcasts centroids; DSIR cutoff avoids a global sort") {
     // dedup_semantic's cell assignment is an argmax-dot over the
     // broadcast centroid sample — the corpus must meet it in a
