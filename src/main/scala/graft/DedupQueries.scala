@@ -333,6 +333,66 @@ object DedupQueries {
       (s, dir) => Dedup.clusters(docs(s, dir)),
       Some(DedupSql.clusters())),
 
+    // #28c QUALITY-aware canonical election: per near-dup cluster, keep
+    // the member with the BEST per-token quality instead of the min id
+    // — the dedup × quality interaction a real pipeline wants (the
+    // lowest-id copy of a page is often the worst-scraped one). The
+    // election key is exact-integer: per-token quality num/n ordered by
+    // the quantized (num + 940·n)·1000 div n — the +940·n shift (the
+    // model's per-token minimum is -940 milli: weight floor -1000 +
+    // bias 60) keeps the dividend NON-NEGATIVE so Spark's
+    // truncate-toward-zero div and DuckDB's floor // agree; ties elect
+    // the min id. One groupBy max_by (partial-agg, no per-cluster
+    // window — a pathological giant cluster stays distributed). The
+    // min-id baseline rides along with a `differs` flag, so the gate
+    // itself shows the quality election changing real decisions.
+    Q("dedup_canonical",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val q = graft.text.Text.qualityModelRaw(d)
+          .withColumn("qkey",
+            expr("(num + 940 * n_tokens) * 1000 div n_tokens"))
+          .select(col("doc_id"), col("qkey"))
+        Dedup.clusters(d).join(q, Seq("doc_id"))
+          .groupBy(col("cluster_id")).agg(
+            count(lit(1)).as("n_members"),
+            max_by(col("doc_id"),
+              struct(col("qkey"), col("doc_id") * lit(-1L)))
+              .as("canonical_id"),
+            min(col("doc_id")).as("minid_id"))
+          .withColumn("differs", col("canonical_id") =!= col("minid_id"))
+      },
+      Some {
+        val h = graft.functions.XHash.h60Sql("'qm:' || t")
+        s"""
+        WITH cl AS (SELECT * FROM (${DedupSql.clusters()})),
+        tk AS (
+          SELECT doc_id,
+            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+          FROM documents),
+        qd AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(($h % ${graft.text.Text.QmBuckets})
+                * 2654435761 % 2000 - 1000)
+              + ${graft.text.Text.QmBiasNum} * count(*) AS BIGINT) AS num
+          FROM tk GROUP BY doc_id),
+        m AS (
+          SELECT cl.cluster_id, cl.doc_id,
+            ((qd.num + 940 * qd.n_tokens) * 1000) // qd.n_tokens AS qkey
+          FROM cl JOIN qd USING (doc_id)),
+        r AS (
+          SELECT cluster_id, doc_id, qkey,
+            row_number() OVER (PARTITION BY cluster_id
+              ORDER BY qkey DESC, doc_id ASC) AS rn,
+            count(*) OVER (PARTITION BY cluster_id) AS n_members,
+            min(doc_id) OVER (PARTITION BY cluster_id) AS minid_id
+          FROM m)
+        SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+          doc_id AS canonical_id, minid_id,
+          doc_id <> minid_id AS differs
+        FROM r WHERE rn = 1"""
+      }),
+
     // #25d incremental CROSS-SNAPSHOT dedup — the operation a real
     // pipeline runs per crawl: dedup a NEW batch (doc_id % 3 = 0)
     // against the persisted signature store of the OLD snapshot

@@ -486,4 +486,35 @@ class DedupSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
       s"edge drifted: $r"))
   }
+
+  test("quality-aware canonical election: argmax replayed, member of " +
+      "its cluster, decision non-vacuous both ways") {
+    import org.apache.spark.sql.functions.{col => c, expr}
+    val d = graft.sources.Sources.table(spark, sf001, "documents")
+    val members = Dedup.clusters(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byCluster = members.groupBy(_._2)
+    val qkey = graft.text.Text.qualityModelRaw(d)
+      .select(c("doc_id"),
+        expr("(num + 940 * n_tokens) * 1000 div n_tokens").as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // row: cluster_id, n_members, canonical_id, minid_id, differs
+    val out = Registry.queries("dedup_canonical")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(out.nonEmpty && out.length == byCluster.size)
+    out.foreach { r =>
+      val ids = byCluster(r._1).map(_._1)
+      assert(ids.contains(r._3), s"canonical not in cluster ${r._1}")
+      assert(r._2 == ids.length && r._4 == ids.min)
+      // the election is the (qkey desc, id asc) argmax, replayed
+      val best = ids.minBy(id => (-qkey(id), id))
+      assert(r._3 == best, s"cluster ${r._1}: ${r._3} != replayed $best")
+      assert(r._5 == (r._3 != r._4))
+    }
+    // the quality election must actually change SOME decision, and the
+    // min-id baseline must also survive somewhere (both arms real)
+    assert(out.exists(_._5), "vacuous: quality argmax == min id always")
+    assert(out.exists(!_._5), "suspicious: min id never optimal")
+  }
 }
