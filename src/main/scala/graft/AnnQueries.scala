@@ -242,6 +242,70 @@ object AnnQueries {
       },
       Some(recallSql(ivfpqBatchSql, MinIvfpqHits))),
 
+    // #31f2 TWO-STAGE serving — ADC shortlists top-RerankCand, an
+    // exact re-rank over the float vectors elects the final 10 (the
+    // IVFADC + re-ranking read path, Jégou et al. TPAMI'11 §V-E's
+    // refinement stage). Candidates come from the PERSISTED artifact;
+    // only C float rows per query are ever re-opened (a keyed
+    // point-lookup via Ann.rerankExact — never a corpus scan) and the
+    // per-qid re-rank window is C-bounded by construction. Oracle = the
+    // batch chain with its rank cut at C plus the exact-dot re-rank
+    // replay.
+    Q("ann_ivfpq_rerank",
+      (s, dir) => {
+        val p = ensureIvfpqArtifact(s, dir)
+        val e = emb(s, dir)
+        val (_, np, _) = ivfGeom(e)
+        val q = queryBatch(e, 4)
+        Ann.rerankExact(
+          Ann.ivfpqTopKEncodedBatch(
+            s.read.parquet(s"$p/codes"),
+            s.read.parquet(s"$p/centroids"),
+            s.read.parquet(s"$p/codebooks"),
+            q, RerankCand, nprobe = np),
+          e, q, 10)
+      },
+      Some(ivfpqBatchSqlTrained(candK = RerankCand, rerank = true))),
+
+    // #31f3 RECALL GATE, re-rank: the refinement stage must actually
+    // refine — reranked recall holds a measured margin over the plain
+    // ADC top-10 AND an absolute floor, against the same exact ground
+    // truth. A re-rank that silently returns its input scores margin
+    // zero and fails; a collapsed candidate stage fails the floor.
+    Q("ann_recall_rerank",
+      (s, dir) => {
+        val p = ensureIvfpqArtifact(s, dir)
+        val e = emb(s, dir)
+        val (_, np, _) = ivfGeom(e)
+        val q = queryBatch(e, 4)
+        def serve(k: Int) = Ann.ivfpqTopKEncodedBatch(
+          s.read.parquet(s"$p/codes"),
+          s.read.parquet(s"$p/centroids"),
+          s.read.parquet(s"$p/codebooks"),
+          q, k, nprobe = np)
+        recallGate2(Ann.bruteForceTopKBatch(e, q, 10),
+          Ann.rerankExact(serve(RerankCand), e, q, 10),
+          serve(10), MinRerankMargin, MinRerankHits,
+          nameA = "hits_rerank", nameB = "hits_plain")
+      },
+      Some(s"""
+        WITH ex AS (SELECT * FROM ($exactBatchSql)),
+        rr AS (SELECT * FROM (${
+          ivfpqBatchSqlTrained(candK = RerankCand, rerank = true)})),
+        pl AS (SELECT * FROM ($ivfpqBatchSql)),
+        h1 AS (
+          SELECT ex.qid, count(rr.vec_id) AS hits_rerank
+          FROM ex LEFT JOIN rr
+            ON ex.qid = rr.qid AND ex.vec_id = rr.vec_id
+          GROUP BY 1),
+        h2 AS (
+          SELECT ex.qid, count(pl.vec_id) AS hits_plain
+          FROM ex LEFT JOIN pl
+            ON ex.qid = pl.qid AND ex.vec_id = pl.vec_id
+          GROUP BY 1)
+        SELECT h1.qid, h1.hits_rerank, h2.hits_plain, TRUE AS sep_ok
+        FROM h1 JOIN h2 USING (qid) ORDER BY qid""")),
+
     // #31g RECALL GATE, INCREMENTAL: the old-slice-trained artifact
     // serving the GROWN corpus (old ∪ appended batch) against the
     // exact ground truth over everything — the quality contract for
@@ -982,6 +1046,20 @@ object AnnQueries {
     * "only self" and the measured minimum with headroom for a data
     * regen, per-qid noise, and the nlist clamp edge. */
   private val MinLshHits = 6
+  /** ADC shortlist size of the two-stage read path (candidates per
+    * query handed to the exact re-rank). */
+  private[graft] val RerankCand = 50
+
+  /** Re-rank gate floors (recallGate2 semantics: reranked total ≥
+    * plain total + margin AND ≥ the absolute floor, of 40 possible
+    * hits). Measured rerank/plain: 20/9 at sf0.001, 15/9 at sf0.01,
+    * 40/28 at the 10× dir — margin pinned at half the weakest
+    * separation (6 at sf0.01), floor at half the weakest rerank total.
+    * A re-rank that returns its input scores margin 0 and fails; a
+    * collapsed candidate stage fails the absolute floor. */
+  private[graft] val MinRerankMargin = 3L
+  private[graft] val MinRerankHits = 8L
+
   private val MinIvfpqHits = 6
   /** Incremental-path floor, pinned from measurement (batch TOTAL of
     * 40 possible hits): 6 at sf0.01 (min clamp, PQ lossy at 500
@@ -1153,10 +1231,12 @@ object AnnQueries {
   /** Dual-path recall gate: per-qid hits for the permuted and plain PQ
     * paths against one exact ground truth; sep_ok asserts the batch
     * totals separate by `minMargin` and clear `minHits` absolutely. */
-  private def recallGate2(exact: org.apache.spark.sql.DataFrame,
+  private[graft] def recallGate2(exact: org.apache.spark.sql.DataFrame,
       perm: org.apache.spark.sql.DataFrame,
       plain: org.apache.spark.sql.DataFrame,
-      minMargin: Long, minHits: Long): org.apache.spark.sql.DataFrame = {
+      minMargin: Long, minHits: Long,
+      nameA: String = "hits_perm",
+      nameB: String = "hits_plain"): org.apache.spark.sql.DataFrame = {
     val all = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     def hits(ap: org.apache.spark.sql.DataFrame, name: String) =
@@ -1165,11 +1245,11 @@ object AnnQueries {
             col("e.vec_id") === col("a.vec_id"), "left")
         .groupBy(col("e.qid").as("qid"))
         .agg(count(col("a.vec_id")).as(name))
-    hits(perm, "hits_perm").join(hits(plain, "hits_plain"), Seq("qid"))
-      .select(col("qid"), col("hits_perm"), col("hits_plain"),
-        (sum(col("hits_perm")).over(all) >=
-            sum(col("hits_plain")).over(all) + minMargin &&
-          sum(col("hits_perm")).over(all) >= minHits).as("sep_ok"))
+    hits(perm, nameA).join(hits(plain, nameB), Seq("qid"))
+      .select(col("qid"), col(nameA), col(nameB),
+        (sum(col(nameA)).over(all) >=
+            sum(col(nameB)).over(all) + minMargin &&
+          sum(col(nameA)).over(all) >= minHits).as("sep_ok"))
       .orderBy(col("qid"))
   }
 
@@ -1782,8 +1862,11 @@ object AnnQueries {
   /** [[ivfpqBatchSql]] with the TRAINING population restricted by a
     * vec_id predicate (same plumbing as [[ivfpqSql]]'s trainWhere) —
     * the incremental recall gate replays the old-slice-trained
-    * artifact's batch serving this way. */
-  private def ivfpqBatchSqlTrained(trainWhere: String = "TRUE"): String = {
+    * artifact's batch serving this way. With `rerank`, the ADC ranking
+    * keeps `candK` candidates per query and an exact-dot re-rank over
+    * the float vectors elects the final 10 (Ann.rerankExact's replay). */
+  private def ivfpqBatchSqlTrained(trainWhere: String = "TRUE",
+      candK: Int = 10, rerank: Boolean = false): String = {
     val trainN = trainWhere.replace("vec_id", "id")
     s"""
         WITH n AS (
@@ -1856,12 +1939,23 @@ object AnnQueries {
           JOIN lut ON lut.qid = p.qid AND lut.sub = codes.sub
             AND lut.cid = codes.code
           GROUP BY 1, 2)
+        ,cand AS (
+          SELECT qid, vec_id, score FROM (
+            SELECT qid, id AS vec_id, score,
+              row_number() OVER (PARTITION BY qid ORDER BY score DESC, id)
+                AS rn
+            FROM scored)
+          WHERE rn <= $candK)
+        ${if (!rerank) "SELECT qid, vec_id, score FROM cand" else s"""
         SELECT qid, vec_id, score FROM (
-          SELECT qid, id AS vec_id, score,
-            row_number() OVER (PARTITION BY qid ORDER BY score DESC, id)
-              AS rn
-          FROM scored)
-        WHERE rn <= 10"""
+          SELECT c.qid, c.vec_id,
+            ${dotSql("n.vn", "q.qn")} AS score,
+            row_number() OVER (PARTITION BY c.qid
+              ORDER BY ${dotSql("n.vn", "q.qn")} DESC, c.vec_id) AS rn
+          FROM cand c
+          JOIN n ON n.id = c.vec_id
+          JOIN qs q ON q.qid = c.qid)
+        WHERE rn <= 10"""}"""
   }
 
   /** Sign bucket over dims 1-4 — mirrors Ann.signBucket(bits=4). */

@@ -888,6 +888,34 @@ object Ann {
    * geometry: same cell choice (dot-desc, cid tiebreak), same codes,
    * same fixed-order score sum, same (score desc, id) ranking.
    */
+  /**
+   * Exact RE-RANK of a per-query candidate table — the second stage of
+   * the standard two-stage serving shape (ADC shortlists top-C, exact
+   * distances re-order the shortlist and keep top-k): join the
+   * candidates back to the float corpus BY ID (the only rows whose
+   * vectors are ever re-opened — at scale a keyed point-lookup of C
+   * rows per query, never a corpus scan), broadcast the normalized
+   * queries, score with the exact dot, rank per query. The per-qid
+   * window is bounded by C rows by construction.
+   */
+  def rerankExact(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int, idCol: String = "vec_id", qidCol: String = "qid",
+      vecCol: String = "embedding"): DataFrame = {
+    val nn = withNormalized(corpus, vecCol, "vn")
+      .select(col(idCol), col("vn"))
+    val qn = broadcast(withNormalized(queries, vecCol, "qn")
+      .select(col(qidCol), col("qn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("score").desc, col(idCol))
+    cand.select(col(qidCol), col(idCol))
+      .join(nn, Seq(idCol))
+      .join(qn, Seq(qidCol))
+      .select(col(qidCol), col(idCol), dot(col("vn"), col("qn")).as("score"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k).drop("__rn")
+  }
+
   def ivfpqTopKEncodedBatch(encoded: DataFrame, centroids: DataFrame,
       cb: DataFrame, queries: DataFrame, topK: Int,
       idCol: String = "vec_id", qidCol: String = "qid",

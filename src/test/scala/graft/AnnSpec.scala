@@ -734,6 +734,45 @@ class AnnSpec extends SparkSpec {
       "identity permutation must reproduce plain PQ exactly")
   }
 
+  test("re-rank gate: floors hold at sf0.001, candidates contain the " +
+      "answer, and a NO-OP re-rank (plain top-10 as both sides) fails") {
+    val out = AnnQueries.all.find(_.name == "ann_recall_rerank").get
+      .run(spark, sf001).collect()
+    assert(out.length == 4 && out.forall(_.getAs[Boolean]("sep_ok")))
+    val hr = out.map(_.getAs[Long]("hits_rerank")).sum
+    val hp = out.map(_.getAs[Long]("hits_plain")).sum
+    assert(hr >= hp + AnnQueries.MinRerankMargin &&
+      hr >= AnnQueries.MinRerankHits, s"rerank $hr vs plain $hp")
+    // every reranked answer must come from the candidate stage, ordered
+    // by the exact score within its query
+    val e = graft.sources.Sources.table(spark, sf001, "embeddings")
+    val q = e.orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val candB = Ann.bruteForceTopKBatch(e, q, AnnQueries.RerankCand)
+    val rr = Ann.rerankExact(candB, e, q, 10).collect()
+    val candSet = candB.select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rr.length == 40)
+    rr.foreach(r =>
+      assert(candSet.contains((r.getLong(0), r.getLong(1)))))
+    rr.groupBy(_.getLong(0)).values.foreach { rows =>
+      val scores = rows.sortBy(_.getLong(1)).map(_.getDouble(2))
+      assert(rows.map(_.getDouble(2)).sorted.reverse.toSeq
+        == rows.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+          .map(_.getDouble(2)).toSeq)
+      assert(scores.forall(s => s <= 1.0001 && s >= -1.0001))
+    }
+    // falsifiability: feeding the plain top-10 as the "reranked" side
+    // yields margin exactly 0, which the pinned margin floor rejects
+    val plain = Ann.bruteForceTopKBatch(e, q, 10)
+    val noop = AnnQueries.recallGate2(
+      Ann.bruteForceTopKBatch(e, q, 10), plain, plain,
+      AnnQueries.MinRerankMargin, AnnQueries.MinRerankHits)
+      .collect()
+    assert(noop.forall(!_.getAs[Boolean]("sep_ok")),
+      "a no-op re-rank must fail the margin floor")
+  }
+
   test("Opq.rotated rejects a non-64-dim embedding loudly") {
     import spark.implicits._
     val narrow = Seq((0L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
