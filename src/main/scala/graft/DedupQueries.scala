@@ -500,6 +500,20 @@ object DedupQueries {
           col("n_chars").cast("long").as("n_chars")),
       Some(DedupSql.corpusCleanClusters())),
 
+    // #25d3 the cleaning pipeline under the QUALITY-canonical keep
+    // policy (row 98 composed into row 25's pipeline): one survivor per
+    // near-dup cluster, elected by best per-token model quality instead
+    // of min id — quality floor and exact dedup unchanged, so the
+    // survivor COUNT matches corpus_clean_cc while the membership
+    // shifts toward the better-scraped copies (CorpusSpec pins both).
+    Q("corpus_clean_best",
+      (s, dir) => graft.dedup.Corpus.clean(docs(s, dir),
+          graft.dedup.Corpus.CleanConfig(clusterDedup = true,
+            qualityCanonical = true))
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars")),
+      Some(DedupSql.corpusCleanBest())),
+
     // #25e benchmark decontamination: corpus docs sharing any word
     // 3-gram with the "eval set" (doc_id % 97 == 0 plays the benchmark
     // split). Eval shingles broadcast; the corpus side is one map pass +

@@ -406,6 +406,60 @@ object DedupSql {
        |FROM kept k WHERE NOT EXISTS (
        |  SELECT 1 FROM losers l WHERE l.doc_id = k.doc_id)""".stripMargin
 
+  /** [[corpusCleanClusters]] with the QUALITY-canonical election
+    * (corpus_clean_best): the cluster survivor is the per-token
+    * quality-model argmax over the kept docs (the dedup_canonical key —
+    * non-negative dividend, min-id ties) instead of the min id. */
+  def corpusCleanBest(minQuality: Double = 0.3,
+      nearDupJaccard: Double = 0.6, n: Int = 3): String = {
+    val h = graft.functions.XHash.h60Sql("'qm:' || t")
+    s"""WITH RECURSIVE q AS (
+       |  SELECT doc_id, text, lang, n_chars FROM documents
+       |  WHERE ${qualitySql("text")} >= $minQuality),
+       |fp AS (
+       |  SELECT doc_id,
+       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+       |  FROM q),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+       |kept AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+       |${shingleCtes("kept", n)},
+       |${minhashCtes(n, 8, 2)},
+       |$jaccardCtes,
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM jac WHERE jaccard >= $nearDupJaccard),
+       |und AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM edges
+       |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM edges),
+       |reach AS (
+       |  SELECT u, v FROM und
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+       |cmem AS (
+       |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |  FROM reach GROUP BY u),
+       |qtk AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+       |  FROM kept),
+       |qdq AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nt,
+       |    CAST(sum(($h % ${graft.text.Text.QmBuckets})
+       |        * 2654435761 % 2000 - 1000)
+       |      + ${graft.text.Text.QmBiasNum} * count(*) AS BIGINT) AS num
+       |  FROM qtk GROUP BY doc_id),
+       |qelect AS (
+       |  SELECT c.cluster_id, c.doc_id,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY ((d.num + 940 * d.nt) * 1000) // d.nt DESC,
+       |        c.doc_id ASC) AS rn
+       |  FROM cmem c JOIN qdq d USING (doc_id)),
+       |losers AS (SELECT doc_id FROM qelect WHERE rn > 1)
+       |SELECT CAST(k.doc_id AS BIGINT) AS doc_id, k.lang,
+       |  CAST(k.n_chars AS BIGINT) AS n_chars
+       |FROM kept k WHERE NOT EXISTS (
+       |  SELECT 1 FROM losers l WHERE l.doc_id = k.doc_id)""".stripMargin
+  }
+
   /** corpus_clean oracle: quality floor → exact dedup (keep lowest id
     * per normalized-content group) → near-dup removal (drop doc_b of
     * each Jaccard-verified pair). Output survivors' (doc_id, lang,

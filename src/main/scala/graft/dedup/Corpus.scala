@@ -31,6 +31,11 @@ object Corpus {
         * even when (a,c) was never a direct pair. Costs the label-
         * propagation iterations of [[Dedup.clusters]]. */
       clusterDedup: Boolean = false,
+      /** With [[clusterDedup]]: elect the cluster survivor by BEST
+        * per-token model quality instead of min id (the dedup_canonical
+        * election — the lowest-id copy of a page is often the
+        * worst-scraped one). Exact-integer key, min-id ties. */
+      qualityCanonical: Boolean = false,
       /** Strip lines repeated across ≥ N docs before anything else
         * ([[stripBoilerplate]]); None (default) skips the stage. */
       boilerplateMinDocs: Option[Long] = None,
@@ -104,7 +109,26 @@ object Corpus {
     // near-dup removal: greedy (drop doc_b of each verified pair) or
     // cluster-wide (keep only the min id of each connected component)
     val losers =
-      if (cfg.clusterDedup)
+      if (cfg.clusterDedup && cfg.qualityCanonical) {
+        // quality-aware canonical: drop every cluster member except the
+        // per-token quality argmax (exact-integer key — the +940·n
+        // shift keeps the dividend non-negative so both engines' int
+        // division agrees; ties elect min id). One groupBy max_by —
+        // no per-cluster window.
+        val cl = Dedup.clusters(exactKept, cfg.idCol, cfg.textCol,
+          minJaccard = cfg.nearDupJaccard)
+        val qk = Text.qualityModelRaw(exactKept, cfg.idCol, cfg.textCol)
+          .withColumn("__qkey",
+            expr("(num + 940 * n_tokens) * 1000 div n_tokens"))
+          .select(col("doc_id").as(cfg.idCol), col("__qkey"))
+        val win = cl.join(qk, Seq(cfg.idCol))
+          .groupBy(col("cluster_id"))
+          .agg(max_by(col(cfg.idCol),
+            struct(col("__qkey"), col(cfg.idCol) * lit(-1L))).as("__win"))
+        cl.join(win, Seq("cluster_id"))
+          .where(col(cfg.idCol) =!= col("__win"))
+          .select(cfg.idCol)
+      } else if (cfg.clusterDedup)
         Dedup.clusters(exactKept, cfg.idCol, cfg.textCol,
           minJaccard = cfg.nearDupJaccard)
           .where(col(cfg.idCol) =!= col("cluster_id"))

@@ -521,4 +521,25 @@ class CorpusSpec extends SparkSpec {
         evalIds.contains(r.getLong(1)))
     assert(straddle == 0, s"$straddle pairs still straddle after repair")
   }
+
+  test("quality-canonical clean: same survivor count as min-id clean, " +
+      "strictly better total quality, membership actually moves") {
+    import org.apache.spark.sql.functions.{col, expr}
+    def ids(name: String) = DedupQueries.all.find(_.name == name).get
+      .run(spark, sf001).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val best = ids("corpus_clean_best")
+    val cc = ids("corpus_clean_cc")
+    assert(best.size == cc.size,
+      "election must only swap survivors, never change the count")
+    assert(best != cc, "vacuous: quality election never moved a survivor")
+    // every swap strictly improves the elected key (ties keep min id ==
+    // the cc choice), so the kept total must be strictly higher
+    val qkey = graft.text.Text.qualityModelRaw(
+        graft.sources.Sources.table(spark, sf001, "documents"))
+      .select(col("doc_id"),
+        expr("(num + 940 * n_tokens) * 1000 div n_tokens").as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(best.toSeq.map(qkey).sum > cc.toSeq.map(qkey).sum)
+  }
 }
