@@ -278,14 +278,24 @@ object AnnQueries {
         val e = emb(s, dir)
         val (_, np, _) = ivfGeom(e)
         val q = queryBatch(e, 4)
-        def serve(k: Int) = Ann.ivfpqTopKEncodedBatch(
-          s.read.parquet(s"$p/codes"),
-          s.read.parquet(s"$p/centroids"),
-          s.read.parquet(s"$p/codebooks"),
-          q, k, nprobe = np)
+        // ONE ADC pass serves both sides: the plain top-10 is by
+        // construction the 10-prefix of the same (score desc, id)
+        // ranking that produced the C candidates — a per-qid window
+        // over C×|queries| rows, not a second codes scan
+        val cand = Ann.ivfpqTopKEncodedBatch(
+            s.read.parquet(s"$p/codes"),
+            s.read.parquet(s"$p/centroids"),
+            s.read.parquet(s"$p/codebooks"),
+            q, RerankCand, nprobe = np)
+          .localCheckpoint()
+        val w10 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("vec_id"))
+        val plain = cand.withColumn("__rn", row_number().over(w10))
+          .where(col("__rn") <= 10).drop("__rn")
         recallGate2(Ann.bruteForceTopKBatch(e, q, 10),
-          Ann.rerankExact(serve(RerankCand), e, q, 10),
-          serve(10), MinRerankMargin, MinRerankHits,
+          Ann.rerankExact(cand, e, q, 10),
+          plain, MinRerankMargin, MinRerankHits,
           nameA = "hits_rerank", nameB = "hits_plain")
       },
       Some(s"""
@@ -990,7 +1000,10 @@ object AnnQueries {
       .select(col("doc_id"), col("text"))
       .withColumn("n_toks", graft.text.Text.tokenCount(col("text"))
         .cast("long"))
-    (d.join(asg, "doc_id"), nl)
+    // materialized: the Lloyd chain + broadcast assignment would
+    // otherwise replay for every downstream action (the cap scalar,
+    // quotaAdmit's max-id scalar, and each branch of the final job)
+    (d.join(asg, "doc_id").localCheckpoint(), nl)
   }
 
   /** The integer topic cap — one corpus-stats scalar (total tokens; the

@@ -351,7 +351,7 @@ object DedupQueries {
         val d = docs(s, dir)
         val q = graft.text.Text.qualityModelRaw(d)
           .withColumn("qkey",
-            expr("(num + 940 * n_tokens) * 1000 div n_tokens"))
+            expr(graft.text.Text.qmKeyExpr))
           .select(col("doc_id"), col("qkey"))
         Dedup.clusters(d).join(q, Seq("doc_id"))
           .groupBy(col("cluster_id")).agg(
@@ -378,7 +378,7 @@ object DedupQueries {
           FROM tk GROUP BY doc_id),
         m AS (
           SELECT cl.cluster_id, cl.doc_id,
-            ((qd.num + 940 * qd.n_tokens) * 1000) // qd.n_tokens AS qkey
+            ${graft.text.Text.qmKeySql("qd.num", "qd.n_tokens")} AS qkey
           FROM cl JOIN qd USING (doc_id)),
         r AS (
           SELECT cluster_id, doc_id, qkey,

@@ -190,7 +190,7 @@ object DedupSql {
 
   /** dedup_jaccard oracle: verified near-dup pairs over `base`. */
   def jaccardVerified(base: String = "documents", n: Int = 3,
-      minJaccard: Double = 0.6): String =
+      minJaccard: Double = graft.dedup.Dedup.MinJaccard): String =
     s"""WITH ${shingleCtes(base, n)},
        |${minhashCtes(n, 8, 2)},
        |$jaccardCtes
@@ -450,7 +450,7 @@ object DedupSql {
        |qelect AS (
        |  SELECT c.cluster_id, c.doc_id,
        |    row_number() OVER (PARTITION BY c.cluster_id
-       |      ORDER BY ((d.num + 940 * d.nt) * 1000) // d.nt DESC,
+       |      ORDER BY ${graft.text.Text.qmKeySql("d.num", "d.nt")} DESC,
        |        c.doc_id ASC) AS rn
        |  FROM cmem c JOIN qdq d USING (doc_id)),
        |losers AS (SELECT doc_id FROM qelect WHERE rn > 1)

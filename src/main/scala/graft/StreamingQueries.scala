@@ -623,7 +623,7 @@ object StreamingQueries {
           .join(sh.as("st"), col("train_id") === col("st.id"))
           .join(sh.as("se"), col("eval_id") === col("se.id"))
           .where(graft.dedup.Dedup.jaccard(col("st.sh"), col("se.sh"))
-            >= 0.6)
+            >= graft.dedup.Dedup.MinJaccard)
           .select(col("train_id").as("doc_id")).distinct()
         d.where(!DedupQueries.isEval).select(col("doc_id"))
           .join(leaked, Seq("doc_id"), "left_anti")

@@ -84,8 +84,13 @@ object TextQueries {
           col("n_tot").cast(dec) * col("toks").cast(dec)))
       .localCheckpoint()
     val wTot = withW.agg(sum(col("w")).as("w_tot"))
+    // w_tot = 0 (every source exactly at the corpus mean — a uniform or
+    // single-source corpus) degrades to a defined empty plan instead of
+    // NULL shares / a division error
     withW.crossJoin(broadcast(wTot))
-      .withColumn("share_micro", expr("w * 1000000 div w_tot"))
+      .withColumn("share_micro", expr(
+        "CASE WHEN w_tot = 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE w * 1000000 div w_tot END"))
       .withColumn("target", expr(
         s"CAST($RepBudgetMult AS DECIMAL(38,0)) * t_tot * share_micro" +
           " div 1000000"))
@@ -136,9 +141,12 @@ object TextQueries {
         wt AS (SELECT sum(w) AS w_tot FROM w8),
         p0 AS (
           SELECT source, toks, qn,
-            CAST((w * 1000000) // w_tot AS BIGINT) AS share_micro,
+            CAST(CASE WHEN w_tot = 0 THEN 0
+              ELSE (w * 1000000) // w_tot END AS BIGINT) AS share_micro,
             CAST(($RepBudgetMult * CAST(t_tot AS HUGEINT)
-              * ((w * 1000000) // w_tot)) // 1000000 AS BIGINT) AS target
+              * (CASE WHEN w_tot = 0 THEN 0
+                 ELSE (w * 1000000) // w_tot END)) // 1000000 AS BIGINT)
+              AS target
           FROM w8 CROSS JOIN wt),
         p1 AS (
           SELECT *, least(CAST($RepMaxEpochs AS BIGINT), target // toks)

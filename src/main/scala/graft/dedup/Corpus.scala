@@ -119,7 +119,7 @@ object Corpus {
           minJaccard = cfg.nearDupJaccard)
         val qk = Text.qualityModelRaw(exactKept, cfg.idCol, cfg.textCol)
           .withColumn("__qkey",
-            expr("(num + 940 * n_tokens) * 1000 div n_tokens"))
+            expr(Text.qmKeyExpr))
           .select(col("doc_id").as(cfg.idCol), col("__qkey"))
         val win = cl.join(qk, Seq(cfg.idCol))
           .groupBy(col("cluster_id"))

@@ -36,14 +36,20 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
 
+  /** Default word-shingle width (the MinHash n-gram). */
+  val ShingleN = 3
+
+  /** The near-dup VERIFICATION threshold (Jaccard over shingle sets).
+    * Every consumer that must agree with [[jaccardVerified]]'s default
+    * — the split guard's verify tail, the DuckDB replay — references
+    * THIS constant, never a literal. */
+  val MinJaccard = 0.6
+
   /**
    * Word n-gram shingles (as space-joined strings) of the token array.
    * Documents shorter than n tokens contribute their whole text as a
    * single shingle so they still participate.
    */
-  /** Default word-shingle width (the MinHash n-gram). */
-  val ShingleN = 3
-
   def shingles(text: Column, n: Int = ShingleN): Column = {
     val t = Text.tokens(text)
     when(size(t) < n, array(concat_ws(" ", t)))
@@ -779,7 +785,8 @@ object Dedup {
    * sets — still linear in |candidates|, never corpus².
    */
   def jaccardVerified(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", n: Int = 3, minJaccard: Double = 0.6,
+      textCol: String = "text", n: Int = 3,
+      minJaccard: Double = MinJaccard,
       reliable: Boolean = false): DataFrame = {
     // ONE tokenize+shingle pass, materialized: both the signature stage
     // (exploded back to rows — min over the distinct set == min over the

@@ -71,11 +71,6 @@ object Admission {
     probeRowsStaged(staged, width)
   }
 
-  /** Just the LSH band-bucket probe rows of each document —
-    * (doc_id, k1, k2) in [[probeRows]]'s kind-1 key space (pinned
-    * expression-equal by StreamingSpec) — for admission gates that need
-    * ONLY near-dup candidacy against a persisted band artifact (the
-    * eval-split guard), without paying the fingerprint/chunk arms. */
   /** One document's k-member MinHash signature as ONE native per-row
     * expression, shingling fused (tokens → n-gram windows → digests →
     * running minima all inside the kernel — no interpreted HOF). */
@@ -85,6 +80,11 @@ object Admission {
         org.apache.spark.sql.graft.bridge.expression(
           Text.tokens(text)), Dedup.ShingleN, K))
 
+  /** Just the LSH band-bucket probe rows of each document —
+    * (doc_id, k1, k2) in [[probeRows]]'s kind-1 key space (pinned
+    * expression-equal by StreamingSpec) — for admission gates that need
+    * ONLY near-dup candidacy against a persisted band artifact (the
+    * eval-split guard), without paying the fingerprint/chunk arms. */
   def bandProbes(newDocs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val sig = rowSignature(col(textCol))

@@ -596,6 +596,24 @@ object Text {
     * denominator (bias = QmBiasNum / 1000). */
   val QmBiasNum = 60L
 
+  /** Shift that makes the per-token quality KEY's dividend
+    * non-negative: [[qmWeightMilli]]'s floor is -1000 milli and the
+    * bias adds [[QmBiasNum]] per token, so num/n >= -(1000 - bias).
+    * A non-negative dividend is what makes Spark's truncate-toward-
+    * zero integer division equal DuckDB's floor `//` in the canonical
+    * election key — every election site must reference THIS constant,
+    * never a literal. */
+  val QmKeyShift: Long = 1000L - QmBiasNum
+
+  /** The per-token quality election key over qualityModelRaw's
+    * (num, n_tokens) columns — Spark side. */
+  def qmKeyExpr: String =
+    s"(num + $QmKeyShift * n_tokens) * 1000 div n_tokens"
+
+  /** [[qmKeyExpr]]'s DuckDB replay over the given column names. */
+  def qmKeySql(num: String, n: String): String =
+    s"(($num + $QmKeyShift * $n) * 1000) // $n"
+
   /** Integer weight of one hashed feature bucket, in thousandths:
     * a pinned pseudo-random table over [-1000, 1000) derived from the
     * bucket index by Knuth multiplicative hashing. The TABLE is the

@@ -750,18 +750,19 @@ class AnnSpec extends SparkSpec {
       .select(col("vec_id").as("qid"), col("embedding"))
     val candB = Ann.bruteForceTopKBatch(e, q, AnnQueries.RerankCand)
     val rr = Ann.rerankExact(candB, e, q, 10).collect()
-    val candSet = candB.select(col("qid"), col("vec_id")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(rr.length == 40)
-    rr.foreach(r =>
-      assert(candSet.contains((r.getLong(0), r.getLong(1)))))
-    rr.groupBy(_.getLong(0)).values.foreach { rows =>
-      val scores = rows.sortBy(_.getLong(1)).map(_.getDouble(2))
-      assert(rows.map(_.getDouble(2)).sorted.reverse.toSeq
-        == rows.sortBy(r => (-r.getDouble(2), r.getLong(1)))
-          .map(_.getDouble(2)).toSeq)
-      assert(scores.forall(s => s <= 1.0001 && s >= -1.0001))
-    }
+    // the election replayed in the test: score EVERY candidate exactly
+    // (rerankExact at k = C returns all of them ranked), then the kept
+    // set per qid must be exactly the 10-prefix of (score desc, id asc)
+    val allScored = Ann.rerankExact(candB, e, q, AnnQueries.RerankCand)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = allScored.groupBy(_._1).values.flatMap(rows =>
+      rows.sortBy(r => (-r._3, r._2)).take(10).toSeq)
+      .map(r => (r._1, r._2)).toSet
+    assert(rr.map(r => (r._1, r._2)).toSet == expected,
+      "reranked top-10 != replayed (score desc, id asc) prefix")
+    assert(rr.forall(r => r._3 <= 1.0001 && r._3 >= -1.0001))
     // falsifiability: feeding the plain top-10 as the "reranked" side
     // yields margin exactly 0, which the pinned margin floor rejects
     val plain = Ann.bruteForceTopKBatch(e, q, 10)

@@ -538,7 +538,7 @@ class CorpusSpec extends SparkSpec {
     val qkey = graft.text.Text.qualityModelRaw(
         graft.sources.Sources.table(spark, sf001, "documents"))
       .select(col("doc_id"),
-        expr("(num + 940 * n_tokens) * 1000 div n_tokens").as("k"))
+        expr(graft.text.Text.qmKeyExpr).as("k"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(best.toSeq.map(qkey).sum > cc.toSeq.map(qkey).sum)
   }

@@ -496,7 +496,7 @@ class DedupSpec extends SparkSpec {
     val byCluster = members.groupBy(_._2)
     val qkey = graft.text.Text.qualityModelRaw(d)
       .select(c("doc_id"),
-        expr("(num + 940 * n_tokens) * 1000 div n_tokens").as("k"))
+        expr(graft.text.Text.qmKeyExpr).as("k"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // row: cluster_id, n_members, canonical_id, minid_id, differs
     val out = Registry.queries("dedup_canonical")(spark, sf001)

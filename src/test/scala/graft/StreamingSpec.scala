@@ -392,7 +392,8 @@ class StreamingSpec extends SparkSpec {
     val leaked = spark.table("t_splitg").distinct()
       .join(sh.as("st"), col("train_id") === col("st.id"))
       .join(sh.as("se"), col("eval_id") === col("se.id"))
-      .where(graft.dedup.Dedup.jaccard(col("st.sh"), col("se.sh")) >= 0.6)
+      .where(graft.dedup.Dedup.jaccard(col("st.sh"), col("se.sh"))
+        >= graft.dedup.Dedup.MinJaccard)
       .select(col("train_id").as("doc_id")).distinct()
     val streamed = crawl.select(col("doc_id"))
       .join(leaked, Seq("doc_id"), "left_anti")
