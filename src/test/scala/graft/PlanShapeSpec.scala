@@ -20,13 +20,13 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("round-13 quota/repetition/guard families keep their scale shapes") {
-    // topic quota: the corpus meets the ≤nlist Lloyd centroids in a
-    // broadcast (never a shuffle join), and nothing globally sorts —
-    // the admission prefix sum is the (cell, bucket) two-pass form
+    // topic quota: nothing globally sorts — the admission prefix sum is
+    // the (cell, bucket) two-pass form. (The centroid-broadcast shape of
+    // the assignment itself is pinned on Ann.ivfAssign in the semantic-
+    // dedup test below; here the doc-topic join is checkpointed before
+    // the final plan, so the assignment subtree is already materialized.)
     val tq = SparkEntry.queries("corpus_topic_quota")(spark, sf001)
       .queryExecution.executedPlan.toString
-    assert(tq.contains("BroadcastNestedLoopJoin"),
-      s"topic assignment lost its centroid broadcast:\n${tq.take(1200)}")
     assert(!tq.toLowerCase.contains("rangepartitioning"),
       s"corpus_topic_quota globally sorts:\n${tq.take(1200)}")
     // repetition: the plan's two scalar totals ride as one-row
