@@ -328,7 +328,8 @@ object TextQueries {
     // micro-nat logprob under the unigram LM the engine itself trained
     // (text_unigram_train's fingerprint-keyed artifact), char backoff
     // for out-of-population words, fixed OOV penalty, and the keep
-    // decision at -6.5 nats/piece made MULTIPLICATIVELY so no integer
+    // decision at Unigram.KeepPerPieceMicroNats (-3.43 nats/piece, the
+    // measured median) made MULTIPLICATIVELY so no integer
     // division (Spark truncates, DuckDB floors on negatives). Oracle =
     // the same unrolled train chain extended by the scoring joins.
     Q("text_ppl_unigram",

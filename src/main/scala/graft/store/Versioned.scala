@@ -32,8 +32,18 @@ import org.apache.spark.sql.SparkSession
  *  - during the flip: pointer is old or new, never torn; a leftover
  *    `.tmp` is swept by the next flip.
  *  - pointer DELETED or the delete+rename fallback's gap: readers
- *    fall back to the highest `_SUCCESS`-complete version — the same
- *    answer the pointer would have given.
+ *    fall back to the highest COMMITTED version — `_SUCCESS`-complete
+ *    AND not flagged by the sibling `<name>.v<N>.INPROGRESS` marker
+ *    that [[next]] plants and only [[commit]] removes. Without the
+ *    marker a writer crashing AFTER the version write but BEFORE the
+ *    flip would leave a complete-but-never-committed v(N+1) that the
+ *    fallback would wrongly prefer over the pointer's vN; with it,
+ *    the fallback gives the same answer the pointer would have.
+ *    (The marker is deleted right after the flip; a crash in that
+ *    one-file window parks the just-committed version behind a stale
+ *    marker, so a later pointer loss serves the PREVIOUS committed
+ *    version — stale but never uncommitted. The next commit sweeps
+ *    stale markers at or below it.)
  *
  * GC keeps the previous version alongside the live one (in-flight
  * readers that resolved the old pointer finish their scan against
@@ -49,6 +59,12 @@ object Versioned {
 
   private def versionDir(root: String, name: String, v: Int) =
     new Path(root, s"$name.v$v")
+
+  /** Sibling (NOT inside the version dir — parquet's overwrite would
+    * erase it) marker present from [[next]] until [[commit]]: while it
+    * exists the version is not servable by the pointer-loss fallback. */
+  private def inProgressMarker(root: String, name: String, v: Int) =
+    new Path(root, s"$name.v$v.INPROGRESS")
 
   /** Parse "…/<name>.v<N>" → N. */
   private def versionOf(p: Path, name: String): Option[Int] = {
@@ -75,14 +91,17 @@ object Versioned {
     }
   }
 
-  /** All `_SUCCESS`-complete version numbers on disk. */
+  /** All COMMITTED version numbers on disk: `_SUCCESS`-complete and
+    * not carrying an in-progress marker (a marker means the writer
+    * never reached [[commit]] — complete bytes, uncommitted state). */
   private def completeVersions(fs: FileSystem, root: String,
       name: String): Seq[Int] = {
     val glob = new Path(root, s"$name.v*")
     val stats = Option(fs.globStatus(glob)).getOrElse(Array.empty)
     stats.toIndexedSeq.filter(_.isDirectory)
       .flatMap(st => versionOf(st.getPath, name))
-      .filter(v => fs.exists(new Path(versionDir(root, name, v), "_SUCCESS")))
+      .filter(v => fs.exists(new Path(versionDir(root, name, v), "_SUCCESS")) &&
+        !fs.exists(inProgressMarker(root, name, v)))
   }
 
   /** The directory the NEXT version must be written to (pointer+1, or
@@ -95,6 +114,9 @@ object Versioned {
       .fold(0)(_ + 1)
     val dir = versionDir(root, name, v)
     if (fs.exists(dir)) fs.delete(dir, true)
+    // plant the marker BEFORE any version bytes exist, so there is no
+    // instant at which the version looks complete yet uncommitted
+    fs.create(inProgressMarker(root, name, v), true).close()
     (dir.toString, v)
   }
 
@@ -115,6 +137,15 @@ object Versioned {
     if (!renameOver(fs, tmp, cur))
       throw new IllegalStateException(
         s"versioned store $root/$name: pointer flip to v$version failed")
+    // the version is now named by the pointer: clear its marker, plus
+    // any stale marker a flip-window crash left on an older version
+    // (one glob, not one exists() per historical version)
+    val markerGlob = new Path(root, s"$name.v*.INPROGRESS")
+    Option(fs.globStatus(markerGlob)).getOrElse(Array.empty).foreach { st =>
+      val core = st.getPath.getName.stripSuffix(".INPROGRESS")
+      versionOf(new Path(core), name).filter(_ <= version)
+        .foreach(_ => fs.delete(st.getPath, false): Unit)
+    }
     completeVersions(fs, root, name)
       .filter(_ < version - 1)
       .foreach(old => fs.delete(versionDir(root, name, old), true): Unit)

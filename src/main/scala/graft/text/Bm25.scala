@@ -257,8 +257,10 @@ object Bm25 {
     * atomic on file:// and hdfs://); `pointer` = the committer-style
     * versioned layout ([[graft.store.Versioned]]) — the REQUIRED
     * setting when the lexicon root is an object store (s3a://), where
-    * directory renames are not atomic. Readers auto-detect the layout
-    * ([[summaryPath]]), so the conf only steers writers. */
+    * directory renames are not atomic. BOTH sides auto-detect an
+    * existing layout from the bytes ([[summaryPath]] for readers,
+    * [[writeSummary]] for rewrites of an already-versioned store);
+    * the conf only decides the layout of brand-new summaries. */
   val SwapProtocolConf = "spark.graft.swap.protocol"
 
   private def pointerProtocol(s: org.apache.spark.sql.SparkSession): Boolean =
@@ -274,11 +276,17 @@ object Bm25 {
       graft.store.Versioned.current(s, root, name)
     else s"$root/$name"
 
-  /** Land summary `name` = `df` under the session's swap protocol:
-    * fresh write or full rewrite, never a torn read either way. */
+  /** Land summary `name` = `df` under the store's EXISTING layout when
+    * there is one, else the session's swap protocol: a store that is
+    * already pointer-managed stays pointer-managed regardless of the
+    * conf (writers mirror [[summaryPath]]'s byte-level detection —
+    * otherwise a conf-less session would write a plain directory NEXT
+    * to the versioned one while every reader keeps serving the stale
+    * versioned copy). The conf only chooses the layout for brand-new
+    * summaries. Fresh write or full rewrite, never a torn read. */
   private def writeSummary(s: org.apache.spark.sql.SparkSession,
       root: String, name: String, df: DataFrame): Unit =
-    if (pointerProtocol(s))
+    if (pointerProtocol(s) || graft.store.Versioned.isVersioned(s, root, name))
       graft.store.Versioned.rewrite(s, root, name)(dir =>
         df.coalesce(1).write.mode("overwrite").parquet(dir))
     else if (!new org.apache.hadoop.fs.Path(s"$root/$name").getFileSystem(

@@ -10,9 +10,11 @@ import graft.ann.Ann
   * RECALL on the anisotropic fixture — the floor the r12 verdict
   * wanted, which the H·D rotation provably cannot provide there
   * (sampled-codebook inertness, AnnSpec theorem pin)? Reports
-  * recall@10 hits out of 40 (4 queries) for plain, permuted, and (the
-  * control) an identity permutation, on the boosted fixture and on the
-  * raw corpus. `MeasurePermutation <sfDir>` — one JSON line. */
+  * recall@10 hits out of 200 (20 queries, recallOf) for plain,
+  * permuted, and (the control) an identity permutation — the basis for
+  * the MinPermMargin / MinPermRecallHits floors — on the boosted
+  * fixture and on the raw corpus. `MeasurePermutation <sfDir>` — one
+  * JSON line. */
 object MeasurePermutation {
 
   /** Integer per-dim energy ranking → round-robin subspace assignment:

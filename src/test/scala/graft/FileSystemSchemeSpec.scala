@@ -254,6 +254,56 @@ class FileSystemSchemeSpec extends SparkSpec {
     assert(readV(Versioned.current(spark, root, "df")) == Set(("four", 4L)))
   }
 
+  test("uncommitted-but-complete version is never served by the fallback") {
+    import graft.store.Versioned
+    val root = fileRoot("ptr-uncommitted")
+    val fs = fsOf(root)
+    Versioned.rewrite(spark, root, "df")(writeV(_, Seq("committed" -> 1L)))
+    // crash AFTER the v1 write completed (bytes + _SUCCESS all there)
+    // but BEFORE commit: the INPROGRESS marker is still planted
+    val (d1, v1) = Versioned.next(spark, root, "df")
+    writeV(d1, Seq("never-committed" -> 2L))
+    assert(fs.exists(new Path(d1, "_SUCCESS")), "fixture: v1 is complete")
+    assert(fs.exists(new Path(root, s"df.v$v1.INPROGRESS")))
+    // pointer still serves v0 …
+    assert(readV(Versioned.current(spark, root, "df")) == Set(("committed", 1L)))
+    // … and so does the pointer-LOSS fallback: without the marker it
+    // would wrongly prefer the complete-but-never-committed v1
+    fs.delete(new Path(root, "df.CURRENT"), false)
+    assert(readV(Versioned.current(spark, root, "df")) == Set(("committed", 1L)))
+    // recovery: the next rewrite retakes v1 (clears the crashed bytes),
+    // commits, and the marker is gone
+    Versioned.rewrite(spark, root, "df")(writeV(_, Seq("recovered" -> 3L)))
+    assert(readV(Versioned.current(spark, root, "df")) == Set(("recovered", 3L)))
+    assert(Option(fs.globStatus(new Path(root, "df.v*.INPROGRESS")))
+      .getOrElse(Array.empty).isEmpty, "committed store carries no markers")
+  }
+
+  test("conf-less rewrite of a pointer-managed summary stays pointer-managed") {
+    // the writer mirrors the reader's byte-level layout detection: a
+    // session WITHOUT spark.graft.swap.protocol=pointer appending to a
+    // pointer-written lexicon must rewrite the versioned store, not
+    // drop a plain directory beside it that readers would ignore
+    val old = Seq(
+      (1L, "spark merge fast table"),
+      (2L, "merge merge slow")).toDF("doc_id", "text")
+    val batch = Seq((3L, "merge table table")).toDF("doc_id", "text")
+    val root = fileRoot("lex-mixed") + "/lexicon"
+    spark.conf.set(Bm25.SwapProtocolConf, "pointer")
+    try Bm25.buildLexicon(old, root)
+    finally spark.conf.unset(Bm25.SwapProtocolConf)
+    Bm25.appendLexicon(spark, batch, root) // conf-less session
+    val fs = fsOf(root)
+    assert(!fs.exists(new Path(root, "df")) && !fs.exists(new Path(root, "stats")),
+      "no plain directory may shadow the versioned store")
+    // and the append is VISIBLE to readers (stats rewrote in place):
+    // n grew 2 → 3 under the pointer layout
+    val st = spark.read.parquet(Bm25.summaryPath(spark, root, "stats"))
+      .collect().head
+    assert(st.getLong(st.fieldIndex("n")) == 3L,
+      "appendLexicon must land in the layout readers detect")
+  }
+
   test("lexicon lifecycle under the pointer protocol equals the rename twin") {
     val old = Seq(
       (1L, "spark merge fast table"),
