@@ -1010,19 +1010,24 @@ object DedupQueries {
       Some(DedupSql.pipeline())),
 
     // #25j2 the pipeline with EVERY curation stage engaged — the
-    // round-13 rows composed into the closed loop: the per-domain
+    // round-13 rows composed into the closed loop: the corpus arrives
+    // as synthesized HTML PAGES and row 100's extraction strips the
+    // markup as the true stage 0 (fromHtml=true; the round trip is
+    // byte-identical, so the composed oracle is UNCHANGED — the
+    // markup-invariance pin: a broken extractor moves every manifest
+    // checksum, a markup-only change moves nothing), the per-domain
     // BLOCKLIST (row 91's decision, the cheapest signal) prunes whole
     // domains BEFORE any dedup join runs, and the pack tail applies
     // the per-source token QUOTAS (row 92's mixture contract) to the
     // curated, rewritten text, publishing the manifest at the
     // (shard, source) grain. One plan, one composed oracle reusing
-    // the stage fragments — a drifted doc at ANY of the nine stages
+    // the stage fragments — a drifted doc at ANY of the ten stages
     // moves a count or checksum.
     Q("corpus_pipeline_full",
       (s, dir) => graft.dedup.Corpus.pipeline(docs(s, dir),
         Sources.table(s, dir, "embeddings"),
         domainFloorMilli = Some(UrlQueries.DomainFloorMilli),
-        quotas = PackQuotas),
+        quotas = PackQuotas, fromHtml = true),
       Some(DedupSql.pipeline(
         domainFloorMilli = Some(UrlQueries.DomainFloorMilli),
         quotas = PackQuotas))),

@@ -1137,6 +1137,33 @@ object TextQueries {
           MIN(ct.n) - p.exact AS overcount,
           MIN(ct.n) >= p.exact AS lower_bounded
         FROM probes p JOIN counters ct ON p.r = ct.r AND p.c = ct.c
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    // #100 HTML -> text extraction (SURVEY row 100): every real crawl
+    // pipeline's stage 0, previously missing — the engine started from
+    // clean text. A full page is synthesized around each doc's text as
+    // a closed form of (doc_id, text) (Html.synthHtml: script/style/
+    // nav/footer/comment chrome whose words must NOT survive, entity-
+    // escaped body with &nbsp; spaces on every third doc, inline
+    // <b>/<h1> wraps, a paragraph break), and Html.extractText inverts
+    // it EXACTLY: drop chrome blocks with content, unwrap tags, decode
+    // entities, collapse whitespace. The oracle replays the generator
+    // FORMULA and never parses HTML — by construction the round trip
+    // is the text column itself, so a no-op extractor (html passed
+    // through) or a tag-only strip (script/nav words leak) hash-fails;
+    // `title` proves real page bytes were consumed (its replay is the
+    // generator's 'Doc ' || doc_id). Per-row codegen'd regex/replace
+    // chains: no shuffle, no UDF — linear stage-0 shape at 100 TB.
+    Q("text_extract_html",
+      (s, dir) => {
+        val html = graft.text.Html.synthHtml(col("doc_id"), col("text"))
+        docs(s, dir).select(col("doc_id"), html.as("html"))
+          .select(col("doc_id"),
+            graft.text.Html.titleOf(col("html")).as("title"),
+            graft.text.Html.extractText(col("html")).as("text_extracted"))
+      },
+      Some("""
+        SELECT doc_id, 'Doc ' || doc_id AS title, text AS text_extracted
+        FROM documents"""))
   )
 }

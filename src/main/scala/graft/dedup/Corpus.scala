@@ -751,20 +751,36 @@ object Corpus {
         * REWRITTEN text — the mixture contract applied to what
         * actually packs — and the manifest gains the (shard, source)
         * grain. */
-      quotas: Seq[(String, Long)] = Nil): DataFrame = {
+      quotas: Seq[(String, Long)] = Nil,
+      /** true prepends the TRUE stage 0 (SURVEY row 100): the corpus
+        * arrives as synthesized HTML pages and Html.extractText strips
+        * the markup back to text before any curation signal runs. The
+        * extraction round-trips byte-identically (the row-100 gate),
+        * so the composed oracle is UNCHANGED — which IS the invariance
+        * pin: a markup-only change is invisible downstream, and any
+        * extraction defect moves every stage's manifest checksum.
+        * The extracted text is localCheckpointed — the in-plan twin of
+        * the WET artifact a crawl pipeline materializes — because
+        * three consumers read it (the domain-quality rollup, clean,
+        * and the eval split). */
+      fromHtml: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val docsIn = if (!fromHtml) docs else docs
+      .withColumn("text", graft.text.Html.extractText(
+        graft.text.Html.synthHtml(col("doc_id"), col("text"))))
+      .localCheckpoint()
     // stage 0 (optional): domain blocklist over the raw corpus
-    val docs0 = domainFloorMilli.fold(docs) { floor =>
+    val docs0 = domainFloorMilli.fold(docsIn) { floor =>
       val host = parse_url(
         graft.text.Urls.synthUrl(col("doc_id")), lit("HOST"))
-      val dd = docs.select(col("doc_id"),
+      val dd = docsIn.select(col("doc_id"),
         graft.text.Urls.registeredDomain(host).as("domain"))
-      val keepDoms = dd.join(Text.qualityModelRaw(docs), Seq("doc_id"))
+      val keepDoms = dd.join(Text.qualityModelRaw(docsIn), Seq("doc_id"))
         .groupBy(col("domain"))
         .agg(sum(col("num")).as("dn"), sum(col("n_tokens")).as("dt"))
         .where(col("dn") - lit(floor) * col("dt") >= 0L)
         .select(col("domain"))
-      docs.join(dd.join(keepDoms, Seq("domain"), "left_semi")
+      docsIn.join(dd.join(keepDoms, Seq("domain"), "left_semi")
         .select(col("doc_id")), Seq("doc_id"), "left_semi")
     }
     // A: document-level clean on the original text
@@ -787,7 +803,7 @@ object Corpus {
         Seq("doc_id"), "left_anti")
       .unionByName(sb.join(semKeep, Seq("doc_id"), "left_semi"))
     // D: decontamination — eval docs out of the corpus, contaminated out
-    val evalDocs = docs.where(col("doc_id") % evalMod === 0)
+    val evalDocs = docsIn.where(col("doc_id") % evalMod === 0)
     val cs = sc.where(col("doc_id") % evalMod =!= 0)
     val sd = cs.join(Dedup.contaminatedIds(cs, evalDocs),
         Seq("doc_id"), "left_anti")
@@ -813,7 +829,7 @@ object Corpus {
     // manifest grain (the corpus_pack_quota shape over curated text)
     if (quotas.nonEmpty) {
       val seld = sd.join(sel, Seq("doc_id"), "left_semi")
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .join(docsIn.select(col("doc_id"), col("source")), Seq("doc_id"))
       val adm = quotaAdmit(seld, quotas).localCheckpoint()
       packMembers(adm, seqLen = seqLen, shards = shards)
         .join(adm.select(col("doc_id"), col("source")), Seq("doc_id"))

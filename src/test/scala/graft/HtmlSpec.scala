@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Html
+
+/** SURVEY row 100: HTML→text extraction — the generator round trip,
+  * the chrome-drop and entity-decode load-bearing proofs, and the
+  * markup-invariance pin the pipeline composition rests on. */
+class HtmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def roundTrip(rows: Seq[(Long, String)]): Seq[(Long, String, String)] =
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        Html.extractText(Html.synthHtml(col("doc_id"), col("text")))
+          .as("out"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+  test("extract(synthHtml(text)) round-trips byte-identically on clean text") {
+    // ids cover every generator branch: %3 (nbsp), %2/%4/%7 (url-ish
+    // noise is elsewhere but keep spread), short and long texts
+    val rows = (0L to 23L).map(i =>
+      i -> s"alpha the bravo charlie delta echo foxtrot golf hotel the india juliet kilo word$i")
+    roundTrip(rows).foreach { case (id, text, out) =>
+      assert(out == text, s"doc $id")
+    }
+  }
+
+  test("edge texts: empty, one word, 'the' first, exactly 8 words") {
+    val rows = Seq(
+      0L -> "",
+      1L -> "solo",
+      2L -> "the quick fox",
+      3L -> "w1 w2 w3 w4 w5 w6 w7 w8", // paragraph-break boundary
+      4L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9",
+      6L -> "the the the") // nbsp variant (6%3==0) + bold wraps
+    roundTrip(rows).foreach { case (id, text, out) =>
+      assert(out == text, s"doc $id")
+    }
+  }
+
+  test("messy source text normalizes to collapsed single-space form") {
+    // a REAL extractor's contract on non-pristine text: markup round
+    // trip lands on whitespace-normalized text (the corpus tables are
+    // already in that normal form, which is why the oracle is `text`)
+    val rows = Seq(
+      10L -> "a  double  space",
+      11L -> " leading and trailing ",
+      12L -> "tab\tand\nnewline")
+    val got = roundTrip(rows)
+    val expect = Map(
+      10L -> "a double space",
+      11L -> "leading and trailing",
+      12L -> "tab and newline")
+    got.foreach { case (id, _, out) => assert(out == expect(id), s"doc $id") }
+  }
+
+  test("angle brackets and ampersands in the source text survive") {
+    // escape→decode identity, including literal entity spellings
+    val rows = Seq(
+      7L -> "if x<3 && y>2 then stop",
+      9L -> "literal &amp; stays &nbsp; spelled", // 9%3==0: nbsp branch
+      8L -> "a<b>c not a tag")
+    roundTrip(rows).foreach { case (id, text, out) =>
+      val expect = text.replaceAll("\\s+", " ").trim
+      assert(out == expect, s"doc $id")
+    }
+  }
+
+  test("chrome content is dropped, not just unwrapped (load-bearing blocks)") {
+    val html = Seq((5L, "keep these words"))
+      .toDF("doc_id", "text")
+      .select(Html.synthHtml(col("doc_id"), col("text")).as("h"))
+    val raw = html.select(col("h")).as[String].head()
+    // the page really contains chrome words and script/comment code …
+    assert(raw.contains("navigation") && raw.contains("boilerplate") &&
+      raw.contains("tracker") && raw.contains("i<9 && i>2") &&
+      raw.contains("x<3 && y>2"))
+    val out = html.select(Html.extractText(col("h"))).as[String].head()
+    assert(out == "keep these words")
+    // … and a NAIVE tag-only strip (no block/comment removal) leaks
+    // them — the block regexes are load-bearing, not decorative
+    val naive = html.select(trim(regexp_replace(regexp_replace(
+      col("h"), "<[^>]*>", " "), "\\s+", " "))).as[String].head()
+    assert(naive.contains("navigation") && naive.contains("boilerplate"),
+      "fixture must make a naive extractor observably wrong")
+  }
+
+  test("entity decode is load-bearing: the nbsp variant fails without it") {
+    val df = Seq((6L, "three spaced words here"))
+      .toDF("doc_id", "text")
+      .select(Html.synthHtml(col("doc_id"), col("text")).as("h"))
+    assert(df.select(col("h")).as[String].head().contains("&nbsp;"),
+      "doc_id % 3 == 0 must emit nbsp-encoded body spaces")
+    assert(df.select(Html.extractText(col("h"))).as[String].head()
+      == "three spaced words here")
+  }
+
+  test("markup invariance: any two noise values extract identically") {
+    val docs = graft.sources.Sources.table(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val twice = docs.select(
+      Html.extractText(Html.synthHtml(col("doc_id"), col("text"), lit(0)))
+        .as("a"),
+      Html.extractText(Html.synthHtml(col("doc_id"), col("text"), lit(13)))
+        .as("b"),
+      Html.synthHtml(col("doc_id"), col("text"), lit(0)).as("h0"),
+      Html.synthHtml(col("doc_id"), col("text"), lit(13)).as("h13"))
+    assert(twice.where(col("a") =!= col("b")).count() == 0,
+      "chrome-only changes must be invisible downstream")
+    assert(twice.where(col("h0") === col("h13")).count() == 0,
+      "…but the noise must actually change the page bytes")
+  }
+
+  test("titleOf recovers the page-metadata formula") {
+    val docs = graft.sources.Sources.table(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val bad = docs.select(col("doc_id"),
+        Html.titleOf(Html.synthHtml(col("doc_id"), col("text"))).as("t"))
+      .where(col("t") =!= concat(lit("Doc "), col("doc_id")))
+    assert(bad.count() == 0)
+  }
+}
