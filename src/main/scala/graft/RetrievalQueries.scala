@@ -31,6 +31,167 @@ object RetrievalQueries {
   private val FusedK = 10
   private val Bm25K = 25
 
+  // ---- known-item recall gates (r13 verdict item 2): the ann_recall_*
+  // discipline applied to the lexical and hybrid legs. Targets are the
+  // docs with doc_id % KiMod == KiRes; each target doc PLANTS its own
+  // query (BM25: its top-KiTerms terms by tf; dense: the SIGN vector of
+  // its embedding — a deterministically degraded memory of the item),
+  // and the gate measures whether retrieval finds the known item in the
+  // top-KiK. Floors are per-mille of the target count (the population
+  // scales with the corpus, unlike the fixed 4-query ann batches) and
+  // were MEASURED by tools/MeasureRetrieval — a deterministic-but-
+  // ranking-destroying bug (constant scores, idf dropped, fusion that
+  // returns one leg) lands far below them (RetrievalSpec drives those
+  // arms explicitly).
+
+  private[graft] val KiMod = 25
+  private[graft] val KiRes = 7
+  private[graft] val KiTerms = 3
+  private[graft] val KiDims = 16
+  private[graft] val KiK = 10
+
+  /** Measured floors (tools/MeasureRetrieval, per-mille of targets so
+    * the contract scales with the corpus — the target population grows
+    * with it, unlike the fixed 4-query ann batches):
+    *   bm25 hits/queries: 950‰ sf0.001, 1000‰ sf0.01, 460‰ 10×
+    *   dense(16-dim sign) : 950‰, 950‰, 565‰
+    *   rrf                : 1000‰, 1000‰, 845‰
+    *   const-score arm    : 50‰, 50‰, 5‰  (what a ranking-destroying
+    *                        bug scores — two orders below the floors)
+    * fusion margins: rrf ≥ bm25 at every scale (strictly +77 at 10×)
+    * and rrf ≥ dense + 1 at EVERY scale — so a "fusion" that returns
+    * the dense leg fails everywhere, and one returning the sparse leg
+    * fails at sf0.001 (19 < 19+1) and 10× (92 < 114). */
+  private[graft] val MinKiBm25PerMille = 400L
+  private[graft] val MinKiRrfPerMille = 750L
+
+  /** Per-target query terms: the target's top-`qTerms` terms by
+    * (tf desc, term asc) — integer-exact ordering, replayed verbatim
+    * by the oracle. The per-doc ranking window is vocabulary-bounded
+    * (≤ distinct terms per doc), never corpus-bounded. */
+  private[graft] def kiQueryTerms(posts: DataFrame,
+      qTerms: Int = KiTerms): DataFrame =
+    posts.where(col("doc_id") % KiMod === KiRes)
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("term"))))
+      .where(col("r") <= qTerms)
+      .select(col("doc_id").as("qid"), col("term"), col("r"))
+
+  /** Every (qid, candidate doc, BM25 score) for the known-item queries:
+    * postings join the broadcast query terms, then the per-(qid, doc)
+    * score is assembled by QUERY-TERM RANK into fixed slots and summed
+    * in fixed slot order — never an unordered float sum, so the doubles
+    * are bit-identical across engines and across runs (the pinned-fold
+    * discipline of Bm25.score applied to the multi-query shape).
+    * Scale: one posting pass; candidates are |queries| × matching docs
+    * — the eval-bounded ground-truth shape (cf. ann_topk_batch). */
+  private[graft] def kiBm25Scored(docs: DataFrame,
+      qTerms: Int = KiTerms): DataFrame = {
+    val posts = Bm25.postingsOf(docs)
+    val qt = kiQueryTerms(posts, qTerms)
+    val dfTab = posts.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val toks = docs.select(
+      size(graft.text.Text.tokens(col("text"))).cast("long").as("dl0"))
+    val stats = toks.agg(count(lit(1)).as("n"), sum(col("dl0")).as("sumdl"))
+    val c = Bm25.contribution(col("tf"), col("df"), col("dl"))
+    val slots = (1 to qTerms).map(i =>
+      sum(when(col("r") === i, c)).as(s"c$i"))
+    posts.join(broadcast(qt), Seq("term"))
+      .join(broadcast(dfTab), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(slots.head, slots.tail: _*)
+      .select(col("qid"), col("doc_id"),
+        (1 to qTerms).map(i => coalesce(col(s"c$i"), lit(0.0)))
+          .reduceLeft(_ + _).as("score"))
+  }
+
+  /** Target's rank per query WITHOUT a corpus-sized sort: count the
+    * candidates strictly ahead of the target on (score desc, id asc) —
+    * scores are bit-identical in both engines, so the comparison is
+    * deterministic. hit = rank ≤ [[KiK]]. */
+  private[graft] def kiRankOf(scored: DataFrame, idCol: String): DataFrame = {
+    val tgt = scored.where(col(idCol) === col("qid"))
+      .select(col("qid"), col("score").as("ts"))
+    scored.join(broadcast(tgt), Seq("qid"))
+      .groupBy(col("qid"))
+      .agg(sum(when(col("score") > col("ts") ||
+          (col("score") === col("ts") && col(idCol) < col("qid")),
+        1L).otherwise(0L)).as("better"))
+      .select(col("qid"), (col("better") + 1L).as("target_rank"),
+        (col("better") < KiK).as("hit"))
+  }
+
+  private[graft] def kiBm25Hits(docs: DataFrame,
+      qTerms: Int = KiTerms): DataFrame =
+    kiRankOf(kiBm25Scored(docs, qTerms), "doc_id")
+
+  private[graft] def kiDenseHits(embs: DataFrame,
+      keepDims: Int = KiDims): DataFrame =
+    kiRankOf(kiDenseScored(embs, keepDims), "vec_id")
+
+  /** Dense known-item scores: the query is the SIGN vector (±1.0) of
+    * the target's embedding — the corpus side stays full-precision.
+    * Arithmetic mirrors the ann batch ground truth (sequential-double
+    * norm + dot) so the oracle replays it bit for bit. */
+  private[graft] def kiDenseScored(embs: DataFrame,
+      keepDims: Int = KiDims): DataFrame = {
+    val sgn = transform(col("embedding"), (x, i) =>
+      when(i < keepDims,
+        when(x > 0, lit(1.0)).otherwise(lit(-1.0))).otherwise(lit(0.0)))
+    val q = Ann.withNormalized(
+      embs.where(col("vec_id") % KiMod === KiRes)
+        .select(col("vec_id").as("qid"), sgn.as("embedding")),
+      "embedding", "qn")
+      .select(col("qid"), col("qn"))
+    Ann.withNormalized(embs, "embedding", "vn")
+      .select(col("vec_id"), col("vn"))
+      .join(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        Ann.dot(col("vn"), col("qn")).as("score"))
+  }
+
+  /** Per-qid top-[[CandK]] cut of a scored candidate set. The ranking
+    * window partitions by qid — the eval-bounded batch shape
+    * (|queries| partitions), same as Ann.bruteForceTopKBatch. */
+  private def kiTopCand(scored: DataFrame, idCol: String): DataFrame =
+    scored.withColumn("r", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col(idCol))))
+      .where(col("r") <= CandK)
+      .select(col("qid"), col(idCol).as("id"), col("r"))
+
+  /** Known-item RRF: fuse the two per-qid top-[[CandK]] lists, then
+    * rank the target among the fused candidates (≤ 2·CandK per qid).
+    * A target absent from both lists is a miss by construction. */
+  private[graft] def kiRrfHits(docs: DataFrame, embs: DataFrame,
+      qTerms: Int = KiTerms, keepDims: Int = KiDims): DataFrame = {
+    val sp = kiTopCand(kiBm25Scored(docs, qTerms), "doc_id")
+      .select(col("qid"), col("id"), col("r").as("r_sparse"))
+    val dn = kiTopCand(kiDenseScored(embs, keepDims), "vec_id")
+      .select(col("qid"), col("id"), col("r").as("r_dense"))
+    val contrib = (r: String) =>
+      coalesce(lit(1.0) / (lit(Bm25.RrfK) + col(r)).cast("double"), lit(0.0))
+    val fused = sp.join(dn, Seq("qid", "id"), "full_outer")
+      .select(col("qid"), col("id"),
+        (contrib("r_sparse") + contrib("r_dense")).as("rrf"))
+    val tgt = fused.where(col("id") === col("qid"))
+      .select(col("qid"), col("rrf").as("ts"))
+    // left join: a qid whose target made neither list has no tgt row —
+    // max(ts) stays NULL there and the gate records an explicit miss,
+    // never a dropped query
+    fused.join(broadcast(tgt), Seq("qid"), "left")
+      .groupBy(col("qid"))
+      .agg(max(col("ts")).as("mts"),
+        sum(when(col("ts").isNotNull && (col("rrf") > col("ts") ||
+            (col("rrf") === col("ts") && col("id") < col("qid"))),
+          1L).otherwise(0L)).as("better"))
+      .select(col("qid"),
+        (col("mts").isNotNull && col("better") < KiK).as("hit_rrf"))
+  }
+
   /** Dense cosine CTEs — the ann_topk oracle arithmetic (sequential-
     * double dot, per-vector norms), ranked and cut to [[CandK]]. */
   private def denseSql(k: Int): String = s"""
@@ -78,6 +239,151 @@ object RetrievalQueries {
         (contrib("r_sparse") + contrib("r_dense")).as("rrf"))
       .orderBy(col("rrf").desc, col("id"))
       .limit(k)
+  }
+
+  // ---- known-item oracle SQL (full DuckDB replay of both legs) -------
+
+  /** CTE block scoring every (qid, doc) for the known-item BM25
+    * queries, ending in `sc(qid, doc_id, score)` — the slot-pivoted
+    * fixed-order sum, same tree as the Spark side. */
+  private def kiBm25Ctes: String = {
+    val toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    val z = "CAST(0.0 AS DOUBLE)"
+    val slotSums = (1 to KiTerms).map(i =>
+      s"sum(CASE WHEN r = $i THEN c END) AS s$i").mkString(", ")
+    val score = (1 to KiTerms).map(i => s"COALESCE(s$i, $z)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    s"""dtoks AS (SELECT doc_id, $toks AS t FROM documents),
+        dls AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM dtoks),
+        st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dls),
+        posts AS (
+          SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(t) AS term FROM dtoks)
+          WHERE term <> '' GROUP BY 1, 2),
+        dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM posts GROUP BY 1),
+        qt AS (
+          SELECT doc_id AS qid, term, r FROM (
+            SELECT doc_id, term, row_number() OVER (
+              PARTITION BY doc_id ORDER BY tf DESC, term) AS r
+            FROM posts WHERE doc_id % $KiMod = $KiRes)
+          WHERE r <= $KiTerms),
+        krows AS (
+          SELECT qt.qid, p.doc_id, qt.r,
+            ${Bm25.contributionSql("p.tf", "dfs.df", "d.dl")} AS c
+          FROM posts p
+          JOIN qt ON p.term = qt.term
+          JOIN dfs ON dfs.term = p.term
+          JOIN dls d ON d.doc_id = p.doc_id
+          CROSS JOIN st),
+        sc AS (
+          SELECT qid, doc_id, $score AS score
+          FROM (SELECT qid, doc_id, $slotSums
+                FROM krows GROUP BY 1, 2))"""
+  }
+
+  /** Target-rank block over a scored CTE: `$out(qid, target_rank,
+    * hit)` by counting candidates strictly ahead on (score desc, id). */
+  private def kiRankCtes(scored: String, idCol: String,
+      out: String): String = s"""
+        ${out}_t AS (SELECT qid, score AS ts FROM $scored
+          WHERE $idCol = qid),
+        $out AS (
+          SELECT s.qid, CAST(better + 1 AS BIGINT) AS target_rank,
+            better < $KiK AS hit
+          FROM (
+            SELECT s.qid, sum(CASE WHEN s.score > t.ts
+                OR (s.score = t.ts AND s.$idCol < s.qid)
+              THEN 1 ELSE 0 END) AS better
+            FROM $scored s JOIN ${out}_t t ON s.qid = t.qid
+            GROUP BY 1) s)"""
+
+  /** Dense-leg CTEs ending in `dsc(qid, vec_id, score)` — 16-dim sign
+    * query against the full-precision normalized corpus, sequential-
+    * double arithmetic (the ann batch ground-truth rendering). */
+  private def kiDenseCtes: String = {
+    val one = "CAST(1 AS DOUBLE)"
+    val sgn = s"""list_transform(list_zip(embedding, range(64)),
+          p -> CASE WHEN p[2] < $KiDims THEN
+                 (CASE WHEN p[1] > 0 THEN $one ELSE -$one END)
+               ELSE CAST(0 AS DOUBLE) END)"""
+    s"""qsgn AS (
+          SELECT vec_id AS qid, $sgn AS sgn FROM embeddings
+          WHERE vec_id % $KiMod = $KiRes),
+        qn AS (
+          SELECT qid, list_transform(sgn,
+            x -> CAST(x AS DOUBLE) / ${AnnQueries.normSqlOf("sgn")}) AS qv
+          FROM qsgn),
+        vns AS (
+          SELECT vec_id, list_transform(embedding,
+            x -> CAST(x AS DOUBLE) / ${AnnQueries.normSql}) AS vn
+          FROM embeddings),
+        dsc AS (
+          SELECT qn.qid, vns.vec_id,
+            ${AnnQueries.dotSql("vns.vn", "qn.qv")} AS score
+          FROM vns CROSS JOIN qn)"""
+  }
+
+  /** Oracle for retrieval_recall_bm25: the full replay plus the global
+    * per-mille floor (asserted TRUE — the approx_ok discipline). */
+  private def kiBm25OracleSql: String = s"""
+        WITH $kiBm25Ctes,
+        ${kiRankCtes("sc", "doc_id", "res")}
+        SELECT qid, target_rank, hit,
+          (SELECT sum(CASE WHEN hit THEN 1 ELSE 0 END) * 1000
+             >= $MinKiBm25PerMille * count(*) FROM res) AS recall_ok
+        FROM res ORDER BY qid"""
+
+  /** Oracle for retrieval_recall_rrf: both legs cut to top-[[CandK]]
+    * per qid, fused, target ranked among the fused candidates; the
+    * fusion contract (rrf ≥ bm25, rrf ≥ dense + 1, absolute floor)
+    * asserted TRUE. */
+  private def kiRrfOracleSql: String = {
+    val z = "CAST(0.0 AS DOUBLE)"
+    val contrib = (r: String) =>
+      s"COALESCE((CAST(1.0 AS DOUBLE) / CAST((${Bm25.RrfK} + $r) AS DOUBLE)), $z)"
+    s"""
+        WITH $kiBm25Ctes,
+        ${kiRankCtes("sc", "doc_id", "bres")},
+        $kiDenseCtes,
+        ${kiRankCtes("dsc", "vec_id", "dres")},
+        spc AS (
+          SELECT qid, doc_id AS id, r_sparse FROM (
+            SELECT qid, doc_id, row_number() OVER (
+              PARTITION BY qid ORDER BY score DESC, doc_id) AS r_sparse
+            FROM sc) WHERE r_sparse <= $CandK),
+        dnc AS (
+          SELECT qid, vec_id AS id, r_dense FROM (
+            SELECT qid, vec_id, row_number() OVER (
+              PARTITION BY qid ORDER BY score DESC, vec_id) AS r_dense
+            FROM dsc) WHERE r_dense <= $CandK),
+        fused AS (
+          SELECT COALESCE(spc.qid, dnc.qid) AS qid,
+            COALESCE(spc.id, dnc.id) AS id,
+            (${contrib("r_sparse")} + ${contrib("r_dense")}) AS rrf
+          FROM spc FULL OUTER JOIN dnc
+            ON spc.qid = dnc.qid AND spc.id = dnc.id),
+        ft AS (SELECT qid, rrf AS ts FROM fused WHERE id = qid),
+        rres AS (
+          SELECT f.qid, max(t.ts) IS NOT NULL AND
+            sum(CASE WHEN t.ts IS NOT NULL AND (f.rrf > t.ts
+                OR (f.rrf = t.ts AND f.id < f.qid))
+              THEN 1 ELSE 0 END) < $KiK AS hit_rrf
+          FROM fused f LEFT JOIN ft t ON f.qid = t.qid
+          GROUP BY 1),
+        agg AS (
+          SELECT sum(CASE WHEN b.hit THEN 1 ELSE 0 END) AS hb,
+            sum(CASE WHEN d.hit THEN 1 ELSE 0 END) AS hd,
+            sum(CASE WHEN r.hit_rrf THEN 1 ELSE 0 END) AS hr,
+            count(*) AS nq
+          FROM bres b JOIN dres d ON b.qid = d.qid
+          JOIN rres r ON b.qid = r.qid)
+        SELECT b.qid, b.hit AS hit_bm25, d.hit AS hit_dense, r.hit_rrf,
+          (SELECT hr >= hb AND hr >= hd + 1
+             AND hr * 1000 >= $MinKiRrfPerMille * nq FROM agg) AS fusion_ok
+        FROM bres b JOIN dres d ON b.qid = d.qid
+        JOIN rres r ON b.qid = r.qid
+        ORDER BY b.qid"""
   }
 
   /** Persisted-lexicon cache, fingerprint-keyed like the IVF+PQ and
@@ -185,6 +491,61 @@ object RetrievalQueries {
              + COALESCE((CAST(1.0 AS DOUBLE) / CAST((${Bm25.RrfK} + r_dense) AS DOUBLE)), CAST(0.0 AS DOUBLE))) AS rrf
           FROM sp FULL OUTER JOIN dn ON sid = did)
         SELECT id, r_sparse, r_dense, rrf FROM j
-        ORDER BY rrf DESC, id LIMIT $FusedK"""))
+        ORDER BY rrf DESC, id LIMIT $FusedK""")),
+
+    // #62b KNOWN-ITEM recall gate, BM25 (r13 verdict item 2): every
+    // target doc (doc_id % 25 == 7) plants its own query — its top-3
+    // terms by (tf desc, term asc) — and the gate ranks the target
+    // among ALL matching docs by counting candidates strictly ahead
+    // (never a corpus-sized sort; scores are slot-pivoted fixed-order
+    // sums, bit-identical across engines, so the comparison is
+    // deterministic). recall_ok asserts the measured per-mille floor —
+    // the contract the plain bm25 gates lacked: a deterministic
+    // ranking-destroying bug (constant scores ranks by id: 50‰ here,
+    // 5‰ at 10×) fails it even though it replays consistently.
+    Q("retrieval_recall_bm25",
+      (s, dir) => {
+        val all = Window.partitionBy()
+          .rowsBetween(Long.MinValue, Long.MaxValue)
+        kiBm25Hits(docs(s, dir))
+          .select(col("qid"), col("target_rank"), col("hit"),
+            (sum(when(col("hit"), 1L).otherwise(0L)).over(all) * 1000 >=
+              lit(MinKiBm25PerMille) * count(lit(1)).over(all))
+              .as("recall_ok"))
+          .orderBy(col("qid"))
+      },
+      Some(kiBm25OracleSql)),
+
+    // #62c KNOWN-ITEM recall gate, RRF fusion: the dense leg degrades
+    // the query to the sign pattern of its first 16 dims (a lossy
+    // memory of the item — measured 565‰ alone at 10×), the sparse leg
+    // is the top-3-term query (460‰ at 10×), and fusion_ok pins that
+    // fusing the two IMPERFECT, complementary views beats both: rrf ≥
+    // bm25 (strictly +77 at 10×) AND rrf ≥ dense + 1 at EVERY measured
+    // scale AND the absolute per-mille floor. A fusion that silently
+    // returns the dense list fails the +1 margin everywhere; one
+    // returning the sparse list fails at sf0.001 and 10×
+    // (RetrievalSpec drives both fake-fusion arms explicitly).
+    Q("retrieval_recall_rrf",
+      (s, dir) => {
+        val all = Window.partitionBy()
+          .rowsBetween(Long.MinValue, Long.MaxValue)
+        val d0 = docs(s, dir)
+        val e0 = emb(s, dir)
+        val b = kiBm25Hits(d0).select(col("qid"), col("hit").as("hit_bm25"))
+        val d = kiDenseHits(e0).select(col("qid"), col("hit").as("hit_dense"))
+        val r = kiRrfHits(d0, e0)
+        def h(c: String) = sum(when(col(c), 1L).otherwise(0L)).over(all)
+        b.join(d, Seq("qid")).join(r, Seq("qid"))
+          .select(col("qid"), col("hit_bm25"), col("hit_dense"),
+            col("hit_rrf"),
+            (h("hit_rrf") >= h("hit_bm25") &&
+              h("hit_rrf") >= h("hit_dense") + 1L &&
+              h("hit_rrf") * 1000 >=
+                lit(MinKiRrfPerMille) * count(lit(1)).over(all))
+              .as("fusion_ok"))
+          .orderBy(col("qid"))
+      },
+      Some(kiRrfOracleSql))
   )
 }

@@ -134,11 +134,15 @@ object Bm25 {
   private def termScore(t: String): Column =
     contribution(col(tfCol(t)), col(dfCol(t)), col("dl"))
 
-  private def termScoreSql(t: String): String = {
+  /** SQL twin of [[contribution]] over arbitrary column expressions —
+    * the row-major (posting rows) rendering the known-item recall
+    * oracle scores with; [[termScoreSql]] is its pivoted-column
+    * instantiation, so every serving shape replays ONE tree. */
+  def contributionSql(tf: String, df: String, dl: String): String = {
     val nD = "CAST(n AS DOUBLE)"
-    val dfD = s"CAST(${dfCol(t)} AS DOUBLE)"
-    val tfD = s"CAST(${tfCol(t)} AS DOUBLE)"
-    val dlD = "CAST(dl AS DOUBLE)"
+    val dfD = s"CAST($df AS DOUBLE)"
+    val tfD = s"CAST($tf AS DOUBLE)"
+    val dlD = s"CAST($dl AS DOUBLE)"
     val avgdl = s"(CAST(sumdl AS DOUBLE) / $nD)"
     val idfArg = s"(((($nD - $dfD) + ${d(0.5)}) / ($dfD + ${d(0.5)})) + ${d(1.0)})"
     val idf = lnSeriesSql(idfArg)
@@ -147,6 +151,9 @@ object Bm25 {
     val denom = s"($tfD + (${d(K1)} * $norm))"
     s"($idf * ($num / $denom))"
   }
+
+  private def termScoreSql(t: String): String =
+    contributionSql(tfCol(t), dfCol(t), "dl")
 
   /** Σ over terms, left-associated — the fold order IS the spec. */
   def score(terms: Seq[String] = Terms): Column =
@@ -241,9 +248,10 @@ object Bm25 {
    * deployment sizes it to its query log's vocabulary.
    */
   /** The tokenize-explode → (term, doc_id, dl, tf) posting pipeline —
-    * shared by build, append, and vocab selection. */
-  private def postingsOf(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
+    * shared by build, append, vocab selection, and the known-item
+    * recall gates' scorer. */
+  private[graft] def postingsOf(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         Text.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),

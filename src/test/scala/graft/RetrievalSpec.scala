@@ -210,6 +210,73 @@ class RetrievalSpec extends SparkSpec {
     assert(df("beta") == 3L && df("alpha") == 1L)
   }
 
+  // ---- known-item recall gates (SURVEY row 101) -----------------------
+
+  private def hitsOf(df: org.apache.spark.sql.DataFrame,
+      hitCol: String): (Long, Long) = {
+    val r = df.agg(count(lit(1)),
+      sum(when(col(hitCol), 1L).otherwise(0L))).collect().head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** The fusion contract exactly as the gate states it. */
+  private def fusionOk(hr: Long, hb: Long, hd: Long, n: Long): Boolean =
+    hr >= hb && hr >= hd + 1 &&
+      hr * 1000 >= RetrievalQueries.MinKiRrfPerMille * n
+
+  test("known-item floors hold at sf0.001 and fusion strictly improves") {
+    val docs = graft.sources.Sources.table(spark, sf001, "documents")
+    val embs = graft.sources.Sources.table(spark, sf001, "embeddings")
+    val (n, hb) = hitsOf(RetrievalQueries.kiBm25Hits(docs), "hit")
+    val (_, hd) = hitsOf(RetrievalQueries.kiDenseHits(embs), "hit")
+    val (_, hr) = hitsOf(RetrievalQueries.kiRrfHits(docs, embs), "hit_rrf")
+    assert(n == 20 && hb == 19 && hd == 19 && hr == 20,
+      s"measured fixture drifted: n=$n bm25=$hb dense=$hd rrf=$hr")
+    assert(hb * 1000 >= RetrievalQueries.MinKiBm25PerMille * n)
+    assert(fusionOk(hr, hb, hd, n))
+    // non-vacuity: BOTH legs are imperfect here and fusion strictly
+    // beats both — the contract binds, it is not an equality pass
+    assert(hb < n && hd < n && hr > hb && hr > hd)
+  }
+
+  test("fake fusions fail the contract; a ranking-destroying bug fails the floor") {
+    val docs = graft.sources.Sources.table(spark, sf001, "documents")
+    val embs = graft.sources.Sources.table(spark, sf001, "embeddings")
+    val (n, hb) = hitsOf(RetrievalQueries.kiBm25Hits(docs), "hit")
+    val (_, hd) = hitsOf(RetrievalQueries.kiDenseHits(embs), "hit")
+    // a "fusion" that silently returns one leg scores that leg's hits
+    assert(!fusionOk(hb, hb, hd, n), "sparse-only fusion must fail")
+    assert(!fusionOk(hd, hb, hd, n), "dense-only fusion must fail")
+    // constant scores: ranking degenerates to id order — the
+    // deterministic bug the plain bm25 gates cannot see
+    val (_, hConst) = hitsOf(RetrievalQueries.kiBm25Scored(docs)
+      .withColumn("score", lit(0.0))
+      .transform(RetrievalQueries.kiRankOf(_, "doc_id")), "hit")
+    assert(hConst * 1000 < RetrievalQueries.MinKiBm25PerMille * n,
+      s"const-score arm scored $hConst/$n — must sit far below the floor")
+    // idf dropped (score = raw tf sum): still a real ranking signal,
+    // but the known-item floor is about the FULL scorer; document the
+    // measured arm here so a future drop is visible
+    assert(hConst <= 2)
+  }
+
+  test("known-item queries derive deterministically from the target") {
+    val docs = graft.sources.Sources.table(spark, sf001, "documents")
+    val posts = Bm25.postingsOf(docs)
+    val qt = RetrievalQueries.kiQueryTerms(posts)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // every target contributes exactly KiTerms ranked 1..KiTerms
+    val byQ = qt.groupBy(_._1)
+    assert(byQ.nonEmpty && byQ.values.forall(
+      _.map(_._3).sorted.toSeq == (1 to RetrievalQueries.KiTerms)))
+    // and the rank-1 term really is the target's modal term
+    val t7 = docs.where(col("doc_id") === 7L)
+      .select(explode(graft.text.Text.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).count()
+      .orderBy(col("count").desc, col("t")).collect().head.getString(0)
+    assert(byQ(7L).find(_._3 == 1).get._2 == t7)
+  }
+
   test("lexicon serving plan: term-partition pruning, corpus never opened") {
     val dir = sf001
     val root = tmpDir("lexplan")
