@@ -394,6 +394,30 @@ object UrlQueries {
           CASE WHEN r.quota < 0 THEN CAST(-1 AS BIGINT)
             ELSE COALESCE(g.admitted_toks, 0) * 1000000 // r.quota END
             AS fill_millionths
-        FROM r LEFT JOIN g ON r.domain = g.domain"""))
+        FROM r LEFT JOIN g ON r.domain = g.domain""")),
+
+    // #91g FULL public-suffix-list semantics (SURVEY row 102, r13
+    // verdict item 3): registered-domain extraction through the real
+    // PSL resolution — wildcard rules (*.ck), exception rules
+    // (!www.ck), longest-match, implicit default — compiled to three
+    // map literals probed per row (element_at hash lookups: no join,
+    // no explode, no shuffle, and never a 9k-entry when-chain; the
+    // published ~9k-rule file loads through Psl.load as a config
+    // artifact). The synthesized host population cycles all four rule
+    // regimes, and the oracle replays the generator's closed-form
+    // expected domain — it never runs PSL logic, so a resolution bug
+    // in ANY branch (exception ignored, wildcard depth off by one,
+    // default misapplied) hash-fails.
+    Q("url_domain_psl",
+      (s, dir) => Sources.table(s, dir, "documents")
+        .select(col("doc_id"),
+          Urls.synthHostPsl(col("doc_id")).as("host"))
+        .select(col("doc_id"), col("host"),
+          graft.text.Psl.registeredDomain(col("host"),
+            graft.text.Psl.Fixture).as("domain")),
+      Some(s"""
+        SELECT doc_id, ${Urls.hostPslSql("doc_id")} AS host,
+          ${Urls.domainPslSql("doc_id")} AS domain
+        FROM documents"""))
   )
 }

@@ -110,7 +110,44 @@ object Urls {
         .otherwise(concat(lit("?"), array_join(kept, "&"))))
   }
 
+  /** PSL-branch host generator (SURVEY row 102): u = doc_id % 12
+    * cycles the four rule regimes — exception (`!www.ck`), wildcard
+    * (`*.ck`), two-level normal (`co.uk`), implicit default (`com`) —
+    * so every branch of [[Psl.registeredDomain]]'s resolution is
+    * population-exercised, with a closed-form expected domain the
+    * oracle replays without ever running PSL logic. */
+  def synthHostPsl(docId: Column): Column = {
+    val u = docId % 12
+    when(u % 4 === 0, concat(lit("a"), u, lit(".www.ck")))
+      .when(u % 4 === 1, concat(lit("b"), u, lit(".g"), u, lit(".ck")))
+      .when(u % 4 === 2, concat(lit("site"), u, lit(".co.uk")))
+      .otherwise(concat(lit("cdn.site"), u, lit(".com")))
+  }
+
   // ---- the oracle replay (DuckDB SQL over the FORMULA) ------------------
+
+  /** Closed-form replay of [[synthHostPsl]]. */
+  def hostPslSql(id: String): String = {
+    val u = s"(($id) % 12)"
+    s"""(CASE $u % 4
+          WHEN 0 THEN 'a' || $u || '.www.ck'
+          WHEN 1 THEN 'b' || $u || '.g' || $u || '.ck'
+          WHEN 2 THEN 'site' || $u || '.co.uk'
+          ELSE 'cdn.site' || $u || '.com' END)"""
+  }
+
+  /** Closed-form EXPECTED registered domain of [[synthHostPsl]] under
+    * [[Psl.Fixture]] — per branch: the exception strips back to
+    * www.ck; the wildcard makes g{u}.ck a public suffix so all three
+    * labels survive; co.uk keeps three; the default keeps two. */
+  def domainPslSql(id: String): String = {
+    val u = s"(($id) % 12)"
+    s"""(CASE $u % 4
+          WHEN 0 THEN 'www.ck'
+          WHEN 1 THEN 'b' || $u || '.g' || $u || '.ck'
+          WHEN 2 THEN 'site' || $u || '.co.uk'
+          ELSE 'site' || $u || '.com' END)"""
+  }
 
   /** DuckDB expressions replaying [[canonParts]] for `u = $id % 150`. */
   private def canonSql(id: String): (String, String, String, String, String) = {

@@ -53,6 +53,74 @@ class UrlSpec extends SparkSpec {
       assert(one(Urls.registeredDomain(lit(h))) == want, h)
   }
 
+  // ---- full PSL semantics (SURVEY row 102) ----------------------------
+
+  private def pslOne(h: String,
+      rules: graft.text.Psl.Rules = graft.text.Psl.Fixture): Option[String] = {
+    val r = spark.range(1)
+      .select(graft.text.Psl.registeredDomain(lit(h), rules)).head
+    if (r.isNullAt(0)) None else Some(r.getString(0))
+  }
+
+  test("PSL: wildcard and exception rules resolve per the published algorithm") {
+    // publicsuffix.org's own worked example family: *.ck + !www.ck
+    val cases = Seq(
+      "foo.bar.ck" -> Some("foo.bar.ck"),  // *.ck → bar.ck is a suffix
+      "a.foo.bar.ck" -> Some("foo.bar.ck"),
+      "www.ck" -> Some("www.ck"),          // !www.ck → ck is the suffix
+      "foo.www.ck" -> Some("www.ck"),      // exception beats wildcard
+      "bar.ck" -> None,                    // host IS a public suffix
+      "ck" -> None,                        // bare TLD
+      "www.site5.co.uk" -> Some("site5.co.uk"), // two-level normal
+      "co.uk" -> None,                     // bare two-level suffix
+      "a.b.site4.com" -> Some("site4.com"), // implicit * default
+      "site4.com" -> Some("site4.com"),
+      "com" -> None)
+    for ((h, want) <- cases) assert(pslOne(h) == want, h)
+  }
+
+  test("PSL: longest match prevails and deeper rule sets resolve") {
+    // a 3-level rule alongside its 2-level prefix: longest must win
+    val rules = graft.text.Psl.fromLines(Seq(
+      "// comment line", "", "uk", "co.uk", "ide.kyoto.jp", "jp",
+      "*.kawasaki.jp", "!city.kawasaki.jp"))
+    val cases = Seq(
+      "x.ide.kyoto.jp" -> Some("x.ide.kyoto.jp"),
+      "kyoto.jp" -> Some("kyoto.jp"),      // only 'jp' matches → eTLD+1
+      "a.b.kawasaki.jp" -> Some("a.b.kawasaki.jp"), // *.kawasaki.jp
+      "city.kawasaki.jp" -> Some("city.kawasaki.jp"), // exception
+      "x.city.kawasaki.jp" -> Some("city.kawasaki.jp"),
+      "kawasaki.jp" -> Some("kawasaki.jp")) // wildcard needs a label under
+    for ((h, want) <- cases) assert(pslOne(h, rules) == want, h)
+  }
+
+  test("PSL: load() parses the artifact file identically to fromLines") {
+    val f = java.io.File.createTempFile("psl", ".dat")
+    val lines = Seq("// The PSL fixture as a config artifact",
+      "co.uk", "*.ck", "!www.ck", "")
+    java.nio.file.Files.write(f.toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+    val loaded = graft.text.Psl.load(spark, f.getAbsolutePath)
+    assert(pslOne("foo.www.ck", loaded) == Some("www.ck"))
+    assert(pslOne("a.b.ck", loaded) == Some("a.b.ck"))
+    assert(pslOne("www.x.co.uk", loaded) == Some("x.co.uk"))
+    f.delete()
+  }
+
+  test("PSL(Fixture) agrees with the two-level fast path on generator hosts") {
+    // the synthetic URL population never emits bare suffixes, so the
+    // full resolution and the lenient last-two/suffix-list shortcut
+    // must coincide there — the shortcut stays valid for the rollup
+    val diff = spark.range(1000)
+      .select(parse_url(Urls.synthUrl(col("id")), lit("HOST")).as("h"))
+      .select(col("h"), Urls.registeredDomain(col("h")).as("fast"),
+        graft.text.Psl.registeredDomain(col("h"),
+          graft.text.Psl.Fixture).as("full"))
+      .where(col("full").isNull || col("fast") =!= col("full"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("normalize: strips utm_* and fragment, sorts params, keeps port") {
     val raw = "https://cdn.site3.io:8080/p/9/doc-3?utm_source=s5&id=7#sec2"
     assert(one(Urls.normalize(lit(raw))) ==
