@@ -88,19 +88,30 @@ object RetrievalQueries {
     * — the eval-bounded ground-truth shape (cf. ann_topk_batch). */
   private[graft] def kiBm25Scored(docs: DataFrame,
       qTerms: Int = KiTerms): DataFrame = {
-    val posts = Bm25.postingsOf(docs)
+    // the posting table feeds THREE consumers (query-term derivation,
+    // df, the scoring join): one materialization instead of three
+    // tokenize+groupBy passes — the same move a real eval harness makes
+    // by scoring against a built index (cf. retrieval_index_bm25; at
+    // full scale this is the persisted lexicon, not a checkpoint)
+    val posts = Bm25.postingsOf(docs).localCheckpoint()
     val qt = kiQueryTerms(posts, qTerms)
     val dfTab = posts.groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("df"))
     val toks = docs.select(
       size(graft.text.Text.tokens(col("text"))).cast("long").as("dl0"))
     val stats = toks.agg(count(lit(1)).as("n"), sum(col("dl0")).as("sumdl"))
+    // the contribution tree is PROJECTED per row before the groupBy:
+    // inside a sum(when(...)) aggregate update it evaluates in the
+    // interpreter (measured 22 s for 2.3M candidate rows at sf0.1 vs
+    // ~1 s as a whole-stage-codegen projection); the aggregate then
+    // carries one plain double per row
     val c = Bm25.contribution(col("tf"), col("df"), col("dl"))
     val slots = (1 to qTerms).map(i =>
-      sum(when(col("r") === i, c)).as(s"c$i"))
+      sum(when(col("r") === i, col("c"))).as(s"c$i"))
     posts.join(broadcast(qt), Seq("term"))
       .join(broadcast(dfTab), Seq("term"))
       .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"), col("r"), c.as("c"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(slots.head, slots.tail: _*)
       .select(col("qid"), col("doc_id"),
@@ -135,7 +146,18 @@ object RetrievalQueries {
   /** Dense known-item scores: the query is the SIGN vector (±1.0) of
     * the target's embedding — the corpus side stays full-precision.
     * Arithmetic mirrors the ann batch ground truth (sequential-double
-    * norm + dot) so the oracle replays it bit for bit. */
+    * norm + dot) so the oracle replays it bit for bit.
+    *
+    * Serving shape: the normalized query vectors COLLECT to a plan-
+    * carried matrix (eval-bounded — the targets, never the corpus; the
+    * ANN-LUT bounded-collect argument) and ONE corpus pass computes
+    * all dots per row through the native batch kernel
+    * ([[graft.functions.ArrayDotBatch]]), posexploded behind a
+    * Generate barrier. The per-pair BroadcastNestedLoopJoin form this
+    * replaces materialized |corpus|×|queries| rows each carrying two
+    * full vectors — ~20 s at sf0.1; this is sub-second. Scores are
+    * bit-identical (same sequential accumulation; RetrievalSpec pins
+    * the equality against the join form). */
   private[graft] def kiDenseScored(embs: DataFrame,
       keepDims: Int = KiDims): DataFrame = {
     val sgn = transform(col("embedding"), (x, i) =>
@@ -146,11 +168,18 @@ object RetrievalQueries {
         .select(col("vec_id").as("qid"), sgn.as("embedding")),
       "embedding", "qn")
       .select(col("qid"), col("qn"))
-    Ann.withNormalized(embs, "embedding", "vn")
+      .orderBy(col("qid"))
+      .collect()
+    val qids = lit(q.map(_.getLong(0)))
+    val mat: Seq[Seq[Double]] = q.toSeq.map(_.getSeq[Double](1).toSeq)
+    val vn = Ann.withNormalized(embs, "embedding", "vn")
       .select(col("vec_id"), col("vn"))
-      .join(broadcast(q))
-      .select(col("qid"), col("vec_id"),
-        Ann.dot(col("vn"), col("qn")).as("score"))
+    val scores = org.apache.spark.sql.graft.bridge.column(
+      graft.functions.ArrayDotBatch(
+        org.apache.spark.sql.graft.bridge.expression(col("vn")), mat))
+    vn.select(col("vec_id"), posexplode(scores).as(Seq("k", "score")))
+      .select(element_at(qids, col("k") + 1).as("qid"),
+        col("vec_id"), col("score"))
   }
 
   /** Per-qid top-[[CandK]] cut of a scored candidate set. The ranking
@@ -167,10 +196,18 @@ object RetrievalQueries {
     * rank the target among the fused candidates (≤ 2·CandK per qid).
     * A target absent from both lists is a miss by construction. */
   private[graft] def kiRrfHits(docs: DataFrame, embs: DataFrame,
-      qTerms: Int = KiTerms, keepDims: Int = KiDims): DataFrame = {
-    val sp = kiTopCand(kiBm25Scored(docs, qTerms), "doc_id")
+      qTerms: Int = KiTerms, keepDims: Int = KiDims): DataFrame =
+    kiRrfHitsFromScored(kiBm25Scored(docs, qTerms),
+      kiDenseScored(embs, keepDims))
+
+  /** RRF hits from already-scored (and usually checkpointed) candidate
+    * sets — the registry gate shares ONE scoring pass per leg between
+    * the per-leg hit columns and the fusion. */
+  private[graft] def kiRrfHitsFromScored(scoredB: DataFrame,
+      scoredD: DataFrame): DataFrame = {
+    val sp = kiTopCand(scoredB, "doc_id")
       .select(col("qid"), col("id"), col("r").as("r_sparse"))
-    val dn = kiTopCand(kiDenseScored(embs, keepDims), "vec_id")
+    val dn = kiTopCand(scoredD, "vec_id")
       .select(col("qid"), col("id"), col("r").as("r_dense"))
     val contrib = (r: String) =>
       coalesce(lit(1.0) / (lit(Bm25.RrfK) + col(r)).cast("double"), lit(0.0))
@@ -530,11 +567,16 @@ object RetrievalQueries {
       (s, dir) => {
         val all = Window.partitionBy()
           .rowsBetween(Long.MinValue, Long.MaxValue)
-        val d0 = docs(s, dir)
-        val e0 = emb(s, dir)
-        val b = kiBm25Hits(d0).select(col("qid"), col("hit").as("hit_bm25"))
-        val d = kiDenseHits(e0).select(col("qid"), col("hit").as("hit_dense"))
-        val r = kiRrfHits(d0, e0)
+        // ONE scoring pass per leg, checkpointed: the per-leg hit
+        // columns and the fusion's candidate cuts read the same
+        // materialized (qid, id, score) sets
+        val sb = kiBm25Scored(docs(s, dir)).localCheckpoint()
+        val sd = kiDenseScored(emb(s, dir)).localCheckpoint()
+        val b = kiRankOf(sb, "doc_id")
+          .select(col("qid"), col("hit").as("hit_bm25"))
+        val d = kiRankOf(sd, "vec_id")
+          .select(col("qid"), col("hit").as("hit_dense"))
+        val r = kiRrfHitsFromScored(sb, sd)
         def h(c: String) = sum(when(col(c), 1L).otherwise(0L)).over(all)
         b.join(d, Seq("qid")).join(r, Seq("qid"))
           .select(col("qid"), col("hit_bm25"), col("hit_dense"),

@@ -403,12 +403,16 @@ object StreamingQueries {
           .groupBy(col("h1"), col("h2")).count()
         val drained = drain(pairsAgg, "graft_stream_bloom",
           org.apache.spark.sql.streaming.OutputMode.Complete())
-        val pairs = drained.select(col("h1"), col("h2"))
-          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        // the drained pair state stays a DataFrame: m from one count,
+        // words from the distributed bit_or build — the driver holds
+        // m/64 longs, never the pair set (r13 verdict item 5)
+        val pairs = drained.select(col("h1"), col("h2")).localCheckpoint()
+        val m = graft.dedup.Dedup.bloomBitsFor(pairs.count())
+        val words = graft.dedup.Dedup.bloomWordsAgg(pairs, m)
         val d = graft.sources.Sources.table(s, dir, "documents")
-        graft.dedup.Dedup.bloomDecontamFromPairs(
+        graft.dedup.Dedup.bloomDecontamFromWords(
           d.where(col("doc_id") % 97 =!= 0),
-          d.where(col("doc_id") % 97 === 0), pairs)
+          d.where(col("doc_id") % 97 === 0), words, m)
       },
       Some(DedupSql.decontamBloom())),
 
@@ -425,10 +429,9 @@ object StreamingQueries {
         implicit val session: org.apache.spark.sql.SparkSession = s
         val d = graft.sources.Sources.table(s, dir, "documents")
         val pairs = graft.dedup.Dedup.bloomEvalPairs(
-            d.where(col("doc_id") % 97 === 0))
-          .collect().map(r => (r.getLong(0), r.getLong(1)))
-        val m = graft.dedup.Dedup.bloomBitsFor(pairs.length.toLong)
-        val words = graft.dedup.Dedup.bloomWords(pairs, m)
+            d.where(col("doc_id") % 97 === 0)).localCheckpoint()
+        val m = graft.dedup.Dedup.bloomBitsFor(pairs.count())
+        val words = graft.dedup.Dedup.bloomWordsAgg(pairs, m)
         val raw = s.read.parquet(s"$dir/documents.parquet")
         val corpusStream = s.readStream.schema(raw.schema)
           .parquet(s"$dir/{documents}.parquet")

@@ -45,36 +45,77 @@ object Dedup {
     * THIS constant, never a literal. */
   val MinJaccard = 0.6
 
+  // ---- LSH band geometry: DERIVED from a declared S-curve contract
+  // (r13 verdict item 7), not hand-picked. A (bands b, rowsPerBand r)
+  // geometry surfaces a pair with Jaccard s with probability
+  // 1-(1-s^r)^b; the banding must (a) surface nearly every pair the
+  // verify pass would KEEP (detection ≥ MinDetectAtVerify at
+  // MinJaccard — banding recall is the only approximate step between
+  // the corpus and the exact verifier) while (b) filtering the
+  // sub-threshold mass (detection ≤ MaxDetectAtNoise at NoiseJaccard —
+  // this bounds the candidate-pair volume the exact verifier pays
+  // for, the quantity that explodes at 100 TB). DedupSpec re-derives:
+  // (8, 2) is the CHEAPEST geometry meeting both bounds (no smaller
+  // member budget k = b·r passes) and the unique passing split of its
+  // k = 16 budget. Probe-count consequence: b band buckets per doc —
+  // 8 probe rows per arriving document in the streaming admission
+  // path, 8 bucket rows per doc in the batch banding.
+
+  /** Detection floor AT the verify threshold (missing ≤3% of
+    * verifier-keepable pairs at s = 0.6). */
+  val MinDetectAtVerify = 0.97
+
+  /** Sub-threshold similarity the corpus is mostly made of … */
+  val NoiseJaccard = 0.2
+
+  /** … and the detection ceiling there (≤35% of noise pairs may reach
+    * the exact verifier). */
+  val MaxDetectAtNoise = 0.35
+
+  /** P(some band matches | Jaccard s) — the LSH S-curve. */
+  def bandDetectP(s: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand.toDouble), bands.toDouble)
+
+  /** The derived geometry (see the contract above; spec-pinned). */
+  val Bands = 8
+  val RowsPerBand = 2
+
+  /** The slot-ordered shingle-window ARRAY of a token array as ONE
+    * native kernel call ([[graft.functions.ShingleWindows]]) — the
+    * generator half of the fused-shingling move; the signature half is
+    * [[graft.functions.ShingleMinHashSig]]. */
+  private def windowsOf(tokens: Column, n: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.ShingleWindows(
+        org.apache.spark.sql.graft.bridge.expression(tokens), n))
+
   /**
    * Word n-gram shingles (as space-joined strings) of the token array.
    * Documents shorter than n tokens contribute their whole text as a
-   * single shingle so they still participate.
+   * single shingle so they still participate. The window array is one
+   * native kernel pass — the interpreted transform+concat_ws HOF this
+   * replaces cost ~1 ms/document (the ShingleMinHashSig lesson applied
+   * to the generator side; DedupSpec pins bit-equality to the HOF
+   * form).
    */
-  def shingles(text: Column, n: Int = ShingleN): Column = {
-    val t = Text.tokens(text)
-    when(size(t) < n, array(concat_ws(" ", t)))
-      .otherwise(array_distinct(transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + lit(1), lit(n))))))
-  }
+  def shingles(text: Column, n: Int = ShingleN): Column =
+    array_distinct(windowsOf(Text.tokens(text), n))
 
   /**
-   * One row per (doc id, slot index, shingle): shingle INDICES are
-   * exploded and each shingle built with a codegen'd slice+concat_ws per
-   * row — building the shingle array via transform() would run the
-   * lambda interpreter (~7× slower). May contain duplicate shingles
-   * (at distinct slots).
+   * One row per (doc id, slot index, shingle): the whole window array
+   * is built by one native kernel call per document and posexploded —
+   * replacing a codegen'd slice+concat_ws per exploded slot row (which
+   * re-read the token array and re-allocated per row; the interpreted
+   * transform() form would be ~7× worse again). May contain duplicate
+   * shingles (at distinct slots).
    */
   def shingleRows(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3,
       rebalance: Boolean = true): DataFrame =
     (if (rebalance) docs.repartition(col(idCol)) else docs)
-      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
-      .select(col("id"), col("toks"),
-        explode(sequence(lit(0), greatest(size(col("toks")) - n, lit(0)))).as("i"))
-      .select(col("id"), col("i"),
-        when(size(col("toks")) < n, concat_ws(" ", col("toks")))
-          .otherwise(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n))))
-          .as("s"))
+      .select(col(idCol).as("id"),
+        windowsOf(Text.tokens(col(textCol)), n).as("ws"))
+      .select(col("id"), posexplode(col("ws")).as(Seq("i", "s")))
 
   /** Per-doc shingle SETS (one tokenize+shingle pass, collect_set per
     * doc) — the shared input of the signature and verify stages. */
@@ -100,10 +141,29 @@ object Dedup {
   /**
    * Per-doc MinHash signature columns m0..m{k-1}. Duplicate shingles
    * need no dedup: min over a multiset == min over its set.
+   *
+   * The whole signature is ONE fused native kernel per document
+   * ([[graft.functions.ShingleMinHashSig]]: tokens → n-gram windows →
+   * digests → running minima) — no explode, no repartition, no
+   * signature groupBy: the only shuffle left in the LSH path is the
+   * band-bucket key's. Values are bit-identical to min-aggregating
+   * member columns over exploded shingle rows (DedupSpec pins it; the
+   * streaming admission path shares the same kernel). The explode of a
+   * one-element array is the Generate projection-collapse barrier
+   * (the Admission.bandProbes move): the k element_at references below
+   * it read the SAME computed array instead of re-running the kernel
+   * per member column.
    */
   def minhashSignature(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", n: Int = 3, k: Int = 16): DataFrame =
-    signatureOfRows(shingleRows(docs, idCol, textCol, n), k)
+      textCol: String = "text", n: Int = 3, k: Int = 16): DataFrame = {
+    val sig = org.apache.spark.sql.graft.bridge.column(
+      graft.functions.ShingleMinHashSig(
+        org.apache.spark.sql.graft.bridge.expression(
+          Text.tokens(col(textCol))), n, k))
+    docs.select(col(idCol).as("id"), explode(array(sig)).as("sigarr"))
+      .select(col("id") +: (0 until k).map(i =>
+        element_at(col("sigarr"), i + 1).as(s"m$i")): _*)
+  }
 
   /**
    * MinHash+LSH candidate pairs: k=bands*rowsPerBand hash functions,
@@ -120,7 +180,7 @@ object Dedup {
    */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3,
-      bands: Int = 8, rowsPerBand: Int = 2,
+      bands: Int = Bands, rowsPerBand: Int = RowsPerBand,
       maxBucket: Option[Int] = None,
       heavyBucket: Int = HeavyBucket,
       reliable: Boolean = false): DataFrame =
@@ -136,7 +196,7 @@ object Dedup {
    */
   def bucketStats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3,
-      bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+      bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
     val sig = minhashSignature(docs, idCol, textCol, n, bands * rowsPerBand)
     bandedKeys(sig, bands, rowsPerBand)
       .groupBy(col("band"), col("bh"))
@@ -230,7 +290,7 @@ object Dedup {
    */
   def signatureStore(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3,
-      bands: Int = 8, rowsPerBand: Int = 2): DataFrame =
+      bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame =
     docs.select(col(idCol).as("id"), contentKey(col(textCol)).as("fp"))
       .join(minhashSignature(docs, idCol, textCol, n, bands * rowsPerBand),
         Seq("id"))
@@ -251,7 +311,7 @@ object Dedup {
   def appendKeepersToStore(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, storePath: String,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
-      bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+      bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
     val store = liveStore(spark.read.parquet(storePath))
     val kept = incrementalKeepers(newDocs, store, idCol, textCol, n,
       bands, rowsPerBand).localCheckpoint()
@@ -399,7 +459,7 @@ object Dedup {
    */
   def incrementalKeepers(newDocs: DataFrame, store: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
-      bands: Int = 8, rowsPerBand: Int = 2,
+      bands: Int = Bands, rowsPerBand: Int = RowsPerBand,
       heavyBucket: Int = HeavyBucket): DataFrame = {
     val k = bands * rowsPerBand
     val sig = minhashSignature(newDocs, idCol, textCol, n, k)
@@ -634,13 +694,38 @@ object Dedup {
   /** The bit array (64-bit words) for a collected eval-side (h1, h2)
     * set. Driver-side on purpose: the eval suite is serving-sized (a
     * benchmark corpus — thousands of docs), the same bounded-collect
-    * argument as the ANN LUT broadcast; the 100 TB side never collects. */
+    * argument as the ANN LUT broadcast; the 100 TB side never collects.
+    * The DISTRIBUTED twin is [[bloomWordsAgg]] — this array form
+    * remains the reference the spec pins it against. */
   def bloomWords(pairs: Array[(Long, Long)], m: Int, k: Int = BloomK): Array[Long] = {
     val words = new Array[Long](m / 64)
     for ((h1, h2) <- pairs; i <- 0 until k) {
       val p = bloomPos(h1, h2, i, m)
       words(p >>> 6) |= (1L << (p & 63))
     }
+    words
+  }
+
+  /** The bit array built DISTRIBUTED (r13 verdict item 5): per pair
+    * the k probe positions explode to (word index, single-bit mask)
+    * rows, bit_or-aggregated per word index — partials combine
+    * map-side, the shuffle and the driver collect carry at most m/64
+    * longs (≤ 2^18 at the m cap) no matter how large the eval suite
+    * grows. Bit-identical to [[bloomWords]] over the same pair set
+    * (DedupSpec pins it): same member family, same positions, OR is
+    * order-free. */
+  def bloomWordsAgg(pairs: DataFrame, m: Int, k: Int = BloomK): Array[Long] = {
+    val powers = lit((0 until 64).map(1L << _).toArray)
+    val probe = explode(array((0 until k).map(i =>
+      XHash.member(col("h1"), col("h2"), i) % m): _*)).as("p")
+    val rows = pairs.select(probe)
+      .select(shiftright(col("p"), 6).cast("int").as("w"),
+        element_at(powers, (col("p").bitwiseAND(lit(63L))).cast("int") + 1)
+          .as("mask"))
+      .groupBy(col("w")).agg(bit_or(col("mask")).as("bits"))
+      .collect()
+    val words = new Array[Long](m / 64)
+    rows.foreach(r => words(r.getInt(0)) = r.getLong(1))
     words
   }
 
@@ -680,6 +765,16 @@ object Dedup {
       textCol: String = "text", n: Int = 3, k: Int = BloomK): DataFrame = {
     val m = bloomBitsFor(pairs.length.toLong)
     val words = bloomWords(pairs, m, k)
+    bloomDecontamFromWords(docs, evalDocs, words, m, idCol, textCol, n, k)
+  }
+
+  /** The probe+verify composition from an already-built bit array —
+    * shared by the pair-array entry above and the distributed batch
+    * entry ([[bloomDecontam]]), which never materializes pairs on the
+    * driver. */
+  def bloomDecontamFromWords(docs: DataFrame, evalDocs: DataFrame,
+      words: Array[Long], m: Int, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, k: Int = BloomK): DataFrame = {
     val flagged = shingleRows(docs, idCol, textCol, n, rebalance = false)
       .select(col("id"), XHash.h60(col("s")).as("h1"),
         XHash.h56(col("s")).as("h2"))
@@ -704,13 +799,18 @@ object Dedup {
         coalesce(col("exact_hit"), lit(false)).as("exact_hit"))
   }
 
-  /** Batch entry: derive the pair set from the eval docs and compose. */
+  /** Batch entry: derive the pair set from the eval docs and compose —
+    * fully DISTRIBUTED: one count sizes m, one bit_or aggregate builds
+    * the words; the driver only ever holds m/64 longs, never the pair
+    * set (previously a pairs.collect() bounded by eval-suite size). */
   def bloomDecontam(docs: DataFrame, evalDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, k: Int = BloomK): DataFrame = {
     val pairs = bloomEvalPairs(evalDocs, idCol, textCol, n)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    bloomDecontamFromPairs(docs, evalDocs, pairs, idCol, textCol, n, k)
+      .localCheckpoint() // count + aggregate read one materialization
+    val m = bloomBitsFor(pairs.count())
+    val words = bloomWordsAgg(pairs, m, k)
+    bloomDecontamFromWords(docs, evalDocs, words, m, idCol, textCol, n, k)
   }
 
   /**

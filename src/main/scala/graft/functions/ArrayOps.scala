@@ -331,3 +331,82 @@ case class OpqRotate(child: Expression, signs: Array[Double],
   override protected def withNewChildInternal(
       newChild: Expression): OpqRotate = copy(child = newChild)
 }
+
+/**
+ * graft_dot_batch(v) → array<double>: the dot of one corpus vector
+ * against EVERY row of a plan-carried query matrix, in one kernel —
+ * the batch-serving shape for a ground-truth scoring pass over many
+ * queries. The per-pair alternative (BroadcastNestedLoopJoin against
+ * the query table, then ArrayDotProduct) materializes |corpus|×|queries|
+ * joined rows each carrying TWO full vectors before the dot projects
+ * them away — measured ~20 s for 200 queries × the sf0.1 corpus, vs
+ * well under a second here. Per query row the accumulation order and
+ * null handling are IDENTICAL to [[ArrayDotProduct]] (sequential i,
+ * null elements contribute 0, common-prefix length), so scores are
+ * bit-identical to the join formulation (RetrievalSpec pins it).
+ * The matrix is eval-bounded by construction (collected query vectors
+ * — the ANN-LUT bounded-collect argument); the corpus side never
+ * collects.
+ */
+case class ArrayDotBatch(child: Expression, queries: Seq[Seq[Double]])
+    extends UnaryExpression {
+  import ArrayOps._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    check(prettyName, children)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_dot_batch"
+
+  @transient private lazy val mat: Array[Array[Double]] =
+    queries.map(_.toArray).toArray
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val et = elementType(child)
+    val res = new Array[Double](mat.length)
+    var j = 0
+    while (j < mat.length) {
+      val q = mat(j)
+      val n = math.min(x.numElements(), q.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!x.isNullAt(i)) s += get(et, x, i) * q(i)
+        i += 1
+      }
+      res(j) = s
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(res)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val et = elementType(child)
+      val m = ctx.addReferenceObj("dotBatchMat", mat, "double[][]")
+      val res = ctx.freshName("res")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val q = ctx.freshName("q")
+      s"""
+         |double[] $res = new double[$m.length];
+         |for (int $j = 0; $j < $m.length; $j++) {
+         |  double[] $q = $m[$j];
+         |  int $n = java.lang.Math.min($x.numElements(), $q.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$x.isNullAt($i)) { $s += ${getter(et, x, i)} * $q[$i]; }
+         |  }
+         |  $res[$j] = $s;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($res);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ArrayDotBatch = copy(child = newChild)
+}

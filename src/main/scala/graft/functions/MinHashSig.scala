@@ -90,6 +90,43 @@ object MinHashSigUtil {
     }
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
+
+  /** The n-gram shingle STRINGS of a token array, slot-ordered with
+    * duplicates kept (one window per slot; fewer-than-n tokens yield
+    * the single all-tokens window) — byte-identical to the exploded
+    * `concat_ws(" ", slice(toks, i+1, n))` formulation, built in one
+    * kernel pass instead of one codegen'd slice+concat per slot row.
+    * Feeds the batch dedup family (jaccard / spans / decontam /
+    * bucket-stats) the way [[sigTokens]] feeds the signature path. */
+  def windows(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    def windowOf(from: Int, len: Int): org.apache.spark.unsafe.types.UTF8String = {
+      var total = if (len > 0) len - 1 else 0
+      var i = from
+      while (i < from + len) { total += tokens.getUTF8String(i).numBytes(); i += 1 }
+      val out = new Array[Byte](total)
+      var pos = 0
+      i = from
+      while (i < from + len) {
+        if (i > from) { out(pos) = ' '.toByte; pos += 1 }
+        val b = tokens.getUTF8String(i).getBytes
+        System.arraycopy(b, 0, out, pos, b.length)
+        pos += b.length
+        i += 1
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+    }
+    if (cnt < n) {
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](windowOf(0, cnt)))
+    } else {
+      val slots = cnt - n + 1
+      val arr = new Array[Any](slots)
+      var i = 0
+      while (i < slots) { arr(i) = windowOf(i, n); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    }
+  }
 }
 
 /**
@@ -153,5 +190,41 @@ case class ShingleMinHashSig(child: Expression, n: Int, k: Int)
 
   override protected def withNewChildInternal(
       newChild: Expression): ShingleMinHashSig =
+    copy(child = newChild)
+}
+
+/**
+ * graft_shingle_windows(tokens, n) → array<string>: the n-gram shingle
+ * strings of a token array, slot-ordered, duplicates kept — the
+ * GENERATOR half of the fused-shingling move ([[ShingleMinHashSig]] is
+ * the signature half): the batch dedup family explodes these rows for
+ * jaccard / spans / decontamination / bucket stats, and building the
+ * whole window array in one kernel pass replaces a codegen'd
+ * slice+concat_ws per exploded slot (which re-reads the token array
+ * and re-allocates per row). Bit-identical to
+ * `concat_ws(" ", slice(toks, i+1, n))` per slot and to
+ * [[graft.dedup.Dedup.shingles]]' short arm (DedupSpec pins both).
+ */
+case class ShingleWindows(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingle_windows"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSigUtil.windows(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSigUtil.windows($c, $n);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleWindows =
     copy(child = newChild)
 }

@@ -41,8 +41,10 @@ import graft.text.Text
  */
 object Admission {
 
-  private val Bands = 8
-  private val RowsPerBand = 2
+  // the batch family's derived S-curve geometry (Dedup.scala's declared
+  // detection-floor/noise-ceiling contract) — shared, never re-declared
+  private val Bands = Dedup.Bands
+  private val RowsPerBand = Dedup.RowsPerBand
   private val K = Bands * RowsPerBand
 
 

@@ -487,6 +487,93 @@ class DedupSpec extends SparkSpec {
       s"edge drifted: $r"))
   }
 
+  test("ShingleWindows (fused generator) == exploded slice+concat_ws, " +
+      "slots and edges included") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val n = Dedup.ShingleN
+    val edges = Seq((9001L, ""), (9002L, "one"), (9003L, "one two"),
+      (9004L, "one two three"), (9005L, "a  b   c d"),
+      (9006L, "  padded  "), (9007L, "naïve café über tokens west"))
+      .toDF("doc_id", "text")
+    val docs = graft.sources.Sources.table(spark, sf001, "documents")
+      .select(col("doc_id"), col("text")).limit(300)
+      .unionByName(edges)
+    // the pre-fusion formulation, rebuilt verbatim: explode slot
+    // indices, then a codegen'd slice+concat_ws per row
+    val toks = graft.text.Text.tokens(col("text"))
+    val old = docs
+      .select(col("doc_id").as("id"), toks.as("toks"))
+      .select(col("id"), col("toks"),
+        explode(sequence(lit(0),
+          greatest(size(col("toks")) - n, lit(0)))).as("i"))
+      .select(col("id"), col("i"),
+        when(size(col("toks")) < n, concat_ws(" ", col("toks")))
+          .otherwise(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n))))
+          .as("s_old"))
+    val fused = Dedup.shingleRows(docs, n = n, rebalance = false)
+    // same (id, i) key set, same shingle string at every slot
+    assert(old.count() == fused.count())
+    val drift = old.join(fused, old("id") === fused("id") &&
+        old("i") === fused("i"), "full_outer")
+      .where(old("s_old").isNull || fused("s").isNull ||
+        old("s_old") =!= fused("s"))
+      .count()
+    assert(drift == 0, s"$drift slots drifted from the slice+concat form")
+    // and shingles() == the old HOF transform+array_distinct form
+    val hof = when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+    val setDrift = docs.select(Dedup.shingles(col("text"), n).as("a"),
+        hof.as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(setDrift == 0, "shingles() drifted from the HOF form")
+  }
+
+  test("LSH band geometry derives from the declared S-curve contract") {
+    import Dedup._
+    def ok(b: Int, r: Int): Boolean =
+      bandDetectP(MinJaccard, b, r) >= MinDetectAtVerify &&
+        bandDetectP(NoiseJaccard, b, r) <= MaxDetectAtNoise
+    // the shipped geometry meets both declared bounds
+    assert(ok(Bands, RowsPerBand))
+    // …and the bounds BIND: one band fewer loses the detection floor,
+    // one row fewer floods the verifier past the noise ceiling
+    assert(bandDetectP(MinJaccard, Bands - 1, RowsPerBand)
+      < MinDetectAtVerify)
+    assert(bandDetectP(NoiseJaccard, Bands * 2, RowsPerBand - 1)
+      > MaxDetectAtNoise)
+    // cheapest: NO geometry with a smaller member budget k = b·r
+    // satisfies the contract (k is what every signature pays for)
+    val budget = Bands * RowsPerBand
+    val cheaper = for {
+      r <- 1 to 8; b <- 1 to 32 if b * r < budget
+    } yield (b, r)
+    assert(cheaper.forall { case (b, r) => !ok(b, r) },
+      "a cheaper geometry satisfying the contract exists — re-derive")
+    // unique: of the k = 16 budget's splits, only (8, 2) passes
+    val splits = Seq(1, 2, 4, 8, 16).map(r => (budget / r, r))
+    assert(splits.filter { case (b, r) => ok(b, r) } == Seq((Bands, RowsPerBand)))
+  }
+
+  test("distributed Bloom build (bit_or agg) == driver build, bit for bit") {
+    import org.apache.spark.sql.functions._
+    val eval = graft.sources.Sources.table(spark, sf001, "documents")
+      .where(col("doc_id") % 7 === 0)
+    val pairsDf = Dedup.bloomEvalPairs(eval).localCheckpoint()
+    val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val m = Dedup.bloomBitsFor(pairs.length.toLong)
+    assert(Dedup.bloomBitsFor(pairsDf.count()) == m)
+    val driver = Dedup.bloomWords(pairs, m)
+    val agg = Dedup.bloomWordsAgg(pairsDf, m)
+    assert(driver.length == agg.length)
+    val drift = driver.indices.count(i => driver(i) != agg(i))
+    assert(drift == 0, s"$drift of ${driver.length} words drifted")
+    // non-vacuous: the filter is neither empty nor saturated
+    val ones = agg.map(java.lang.Long.bitCount).sum
+    assert(ones > 0 && ones < m, s"degenerate filter: $ones of $m bits")
+  }
+
   test("quality-aware canonical election: argmax replayed, member of " +
       "its cluster, decision non-vacuous both ways") {
     import org.apache.spark.sql.functions.{col => c, expr}

@@ -260,6 +260,34 @@ class RetrievalSpec extends SparkSpec {
     assert(hConst <= 2)
   }
 
+  test("batch-dot dense scoring == per-pair dot join, bit for bit") {
+    import graft.ann.Ann
+    val embs = graft.sources.Sources.table(spark, sf001, "embeddings")
+    // the pre-kernel formulation, rebuilt verbatim: normalized sign
+    // queries broadcast-joined per pair, ArrayDotProduct per row
+    val sgn = transform(col("embedding"), (x, i) =>
+      when(i < RetrievalQueries.KiDims,
+        when(x > 0, lit(1.0)).otherwise(lit(-1.0))).otherwise(lit(0.0)))
+    val q = Ann.withNormalized(
+      embs.where(col("vec_id") % RetrievalQueries.KiMod ===
+          RetrievalQueries.KiRes)
+        .select(col("vec_id").as("qid"), sgn.as("embedding")),
+      "embedding", "qn")
+      .select(col("qid"), col("qn"))
+    val joined = Ann.withNormalized(embs, "embedding", "vn")
+      .select(col("vec_id"), col("vn"))
+      .join(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        Ann.dot(col("vn"), col("qn")).as("s_old"))
+    val kernel = RetrievalQueries.kiDenseScored(embs)
+    assert(joined.count() == kernel.count())
+    val drift = joined.join(kernel, Seq("qid", "vec_id"), "full_outer")
+      .where(col("s_old").isNull || col("score").isNull ||
+        col("s_old") =!= col("score"))
+      .count()
+    assert(drift == 0, s"$drift (qid, vec) scores drifted from the join form")
+  }
+
   test("known-item queries derive deterministically from the target") {
     val docs = graft.sources.Sources.table(spark, sf001, "documents")
     val posts = Bm25.postingsOf(docs)
