@@ -94,6 +94,14 @@ object Dn {
       |dn compact           [--interval=hour|day] [--metric=NAME]
       |                     DATASOURCE | --index=PATH
       |
+      |dn curate-add        --docs=PATH --embeddings=PATH [--out=PATH]
+      |                     [--domain-floor-milli=N] [--quotas=SRC:CAP[,...]]
+      |                     [--from-html=true|false] [--eval-mod=N]
+      |                     [--seq-len=N] [--shards=N] CURATION
+      |dn curate-list       [-v]
+      |dn curate-remove     CURATION
+      |dn curate            [--dry-run] CURATION
+      |
       |dn index-config      DATASOURCE
       |dn index-read        [--index-config=INDEX_CONFIG_FILE] [--metric=NAME]
       |                     [--interval=hour|day|all] DATASOURCE
@@ -118,14 +126,16 @@ object Dn {
 
   private val configModes = Set("datasource-add", "datasource-update",
     "datasource-list", "datasource-remove", "datasource-show",
-    "metric-add", "metric-list", "metric-remove", "index-config")
+    "metric-add", "metric-list", "metric-remove", "index-config",
+    "curate-add", "curate-remove", "curate-list")
   private val dataModes = Set("scan", "build", "query", "index-read",
-    "index-scan", "compact")
+    "index-scan", "compact", "curate")
 
   private val knownFlags = Set("data", "breakdowns", "filter", "time-field",
     "after", "before", "index", "interval", "metric-breakdowns",
     "data-format", "backend", "path", "index-path", "time-format", "metric",
-    "index-config")
+    "index-config", "docs", "embeddings", "out", "domain-floor-milli",
+    "quotas", "from-html", "eval-mod", "seq-len", "shards")
 
   def parseArgs(argv0: Seq[String]): DnArgs = {
     // leading -t (reference: bin/dn dnTrackTime) = print wall time to
@@ -271,6 +281,44 @@ object Dn {
       case "index-config" =>
         val Seq(ds) = need(a, 1)
         indexConfigJson(cfg, ds)
+      case "curate-add" =>
+        val Seq(name) = need(a, 1)
+        def intFlag(k: String, dflt: Int) = a.flags.get(k)
+          .map(v => v.toIntOption.getOrElse(
+            throw new GraftException(s"bad --$k: \"$v\""))).getOrElse(dflt)
+        val cur = DnConfig.Curation(name,
+          a.flags.getOrElse("docs",
+            throw new GraftException("\"docs\" option is required")),
+          a.flags.getOrElse("embeddings",
+            throw new GraftException("\"embeddings\" option is required")),
+          a.flags.get("out"),
+          a.flags.get("domain-floor-milli").map(v => v.toLongOption
+            .getOrElse(throw new GraftException(
+              s"bad --domain-floor-milli: \"$v\""))),
+          a.flags.get("quotas"),
+          a.flags.get("from-html").contains("true"),
+          intFlag("eval-mod", 97), intFlag("seq-len", 256),
+          intFlag("shards", 8))
+        DnConfig.save(cfg.curationAdd(cur), path)
+        ""
+      case "curate-remove" =>
+        val Seq(name) = need(a, 1)
+        DnConfig.save(cfg.curationRemove(name), path)
+        ""
+      case "curate-list" =>
+        need(a, 0)
+        cfg.curations.map { c =>
+          val head = f"${c.name}%-20s ${c.docs}"
+          if (a.verbose)
+            head + s"\n    embeddings: ${c.embeddings}" +
+              c.out.map(o => s"\n    out:        $o").getOrElse("") +
+              c.domainFloorMilli.map(f =>
+                s"\n    domainFloorMilli: $f").getOrElse("") +
+              c.quotas.map(q => s"\n    quotas:     $q").getOrElse("") +
+              s"\n    fromHtml:   ${c.fromHtml}  evalMod: ${c.evalMod}" +
+              s"  seqLen: ${c.seqLen}  shards: ${c.shards}"
+          else head
+        }.mkString("\n")
     }
   }
 
@@ -389,6 +437,34 @@ object Dn {
     * standing filter applies at all (reference: dragnet.js indexScan
     * passes `indexConfig.datasource.filter || null`, never the local
     * one). */
+  /** `dn curate PROFILE` — run the closed-loop curation pipeline
+    * (corpus_pipeline_full's engine entry, Corpus.pipeline) from a
+    * persisted profile: clean → chunk dedup → SemDeDup → decontam →
+    * quality keep → budget fill → quota-aware pack → manifest, with
+    * the profile choosing the HTML stage 0, the domain blocklist
+    * floor, and the per-source quotas. The manifest lands at the
+    * profile's `out` (skipped under --dry-run) and is returned for
+    * display — exactly how `build`/`query` drive the dragnet side. */
+  private def runCurate(spark: SparkSession, a: DnArgs,
+      dnCfg: DnConfig.Config): DataFrame = {
+    val Seq(name) = need(a, 1)
+    val cur = dnCfg.curation(name).getOrElse(
+      throw new GraftException(s"unknown curation: \"$name\""))
+    val docs = spark.read.parquet(cur.docs)
+    val embs = spark.read.parquet(cur.embeddings)
+    val manifest = graft.dedup.Corpus.pipeline(docs, embs,
+      evalMod = cur.evalMod, seqLen = cur.seqLen, shards = cur.shards,
+      domainFloorMilli = cur.domainFloorMilli,
+      quotas = DnConfig.parseQuotas(cur.quotas),
+      fromHtml = cur.fromHtml)
+    cur.out match {
+      case Some(o) if !a.dryRun =>
+        manifest.write.mode("overwrite").parquet(o)
+        spark.read.parquet(o) // serve the written artifact, no recompute
+      case _ => manifest
+    }
+  }
+
   private def resolveDatasource(a: DnArgs, dnCfg: DnConfig.Config,
       dsFilterOverride: Option[Option[String]] = None): DnArgs = {
     if (a.positional.isEmpty) {
@@ -531,6 +607,9 @@ object Dn {
     // one config snapshot for the whole invocation; an --index-config
     // file overrides the configured metrics (reference: metricsForIndex)
     val dnCfg = DnConfig.load(cfgPath)
+    // curate runs the curation pipeline from its named profile — it has
+    // no datasource/metric machinery to resolve
+    if (a0.mode == "curate") return runCurate(spark, a0, dnCfg)
     val fromConfig = a0.flags.get("index-config")
       .map(indexConfigMetrics)
       .getOrElse(configuredMetrics(a0, dnCfg))

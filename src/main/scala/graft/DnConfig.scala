@@ -36,9 +36,61 @@ object DnConfig {
       breakdowns: String, // attr-spec string, e.g. "host,latency[aggr=quantize]"
       filter: Option[String])
 
+  /** A named CURATION profile — everything `dn curate NAME` needs to
+    * drive the closed-loop pipeline (corpus_pipeline_full) the way
+    * datasources+metrics drive the dragnet side: source tables, the
+    * domain blocklist floor, per-source pack quotas, the HTML stage-0
+    * switch, split/packing knobs, and where the manifest lands. */
+  final case class Curation(
+      name: String,
+      docs: String,         // documents parquet path
+      embeddings: String,   // embeddings parquet path (vec_id-aligned)
+      out: Option[String],  // manifest output dir; absent = print-only
+      domainFloorMilli: Option[Long], // row-91 blocklist floor, milli-logits
+      quotas: Option[String], // "src0:1200,src1:-1" (-1 = uncapped)
+      fromHtml: Boolean,    // row-100 extraction as stage 0
+      evalMod: Int,         // eval split: doc_id % evalMod == 0
+      seqLen: Int,
+      shards: Int)
+
+  /** Parse a quotas flag: comma-separated `source:cap` entries, cap a
+    * long (-1 = explicitly uncapped). */
+  def parseQuotas(s: Option[String]): Seq[(String, Long)] =
+    s.toSeq.flatMap(_.split(",").toSeq.filter(_.nonEmpty).map { e =>
+      val i = e.lastIndexOf(':')
+      if (i <= 0 || i == e.length - 1)
+        throw new GraftException(s"bad quota entry: \"$e\" (want source:cap)")
+      val cap = e.substring(i + 1).toLongOption.getOrElse(
+        throw new GraftException(s"bad quota cap in \"$e\""))
+      e.substring(0, i) -> cap
+    })
+
   final case class Config(
       datasources: Vector[Datasource],
-      metrics: Vector[Metric]) {
+      metrics: Vector[Metric],
+      curations: Vector[Curation] = Vector.empty) {
+
+    def curation(name: String): Option[Curation] =
+      curations.find(_.name == name)
+
+    def curationAdd(c: Curation): Config = {
+      if (curation(c.name).isDefined)
+        throw new GraftException(s"curation exists: \"${c.name}\"")
+      if (c.docs.isEmpty || c.embeddings.isEmpty)
+        throw new GraftException("\"docs\" and \"embeddings\" are required")
+      parseQuotas(c.quotas) // validate eagerly, like metric breakdowns
+      if (c.evalMod < 2)
+        throw new GraftException("eval-mod must be >= 2")
+      if (c.seqLen < 1 || c.shards < 1)
+        throw new GraftException("seq-len and shards must be >= 1")
+      copy(curations = curations :+ c)
+    }
+
+    def curationRemove(name: String): Config = {
+      if (curation(name).isEmpty)
+        throw new GraftException(s"unknown curation: \"$name\"")
+      copy(curations = curations.filterNot(_.name == name))
+    }
 
     def datasource(name: String): Option[Datasource] =
       datasources.find(_.name == name)
@@ -134,7 +186,20 @@ object DnConfig {
           req(n, "breakdowns"), strOpt(n, "filter"))
       }.toVector
     }.getOrElse(Vector.empty)
-    Config(dss, ms)
+    val cs = Option(root.get("curations")).map(_.elements()).map { it =>
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).map { n =>
+        Curation(req(n, "name"), req(n, "docs"), req(n, "embeddings"),
+          strOpt(n, "out"),
+          Option(n.get("domainFloorMilli")).filterNot(_.isNull)
+            .map(_.asLong),
+          strOpt(n, "quotas"),
+          Option(n.get("fromHtml")).exists(_.asBoolean),
+          Option(n.get("evalMod")).map(_.asInt).getOrElse(97),
+          Option(n.get("seqLen")).map(_.asInt).getOrElse(256),
+          Option(n.get("shards")).map(_.asInt).getOrElse(8))
+      }.toVector
+    }.getOrElse(Vector.empty)
+    Config(dss, ms, cs)
   }
 
   def save(cfg: Config, path: Path = defaultPath): Unit = {
@@ -155,6 +220,18 @@ object DnConfig {
       n.put("name", m.name).put("datasource", m.datasource)
         .put("breakdowns", m.breakdowns)
       putOpt(n, "filter", m.filter)
+    }
+    val cArr = root.putArray("curations")
+    cfg.curations.foreach { c =>
+      val n = cArr.addObject()
+      n.put("name", c.name).put("docs", c.docs)
+        .put("embeddings", c.embeddings)
+      putOpt(n, "out", c.out)
+      c.domainFloorMilli.foreach(n.put("domainFloorMilli", _))
+      putOpt(n, "quotas", c.quotas)
+      n.put("fromHtml", c.fromHtml)
+      n.put("evalMod", c.evalMod).put("seqLen", c.seqLen)
+        .put("shards", c.shards)
     }
     val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
     if (path.getParent != null) Files.createDirectories(path.getParent)

@@ -735,4 +735,43 @@ class DnSpec extends SparkSpec {
     val out2 = Format.histogram(df2)
     assert(out2.contains("event_type=click"))
   }
+
+  test("curate lifecycle: add -> list -> run == library pipeline -> remove") {
+    val cfg = Files.createTempDirectory("graft-dn-curate")
+      .resolve("graftrc")
+    val out = Files.createTempDirectory("graft-dn-curate-out")
+      .toString + "/manifest"
+    val docs = s"$sf001/documents.parquet"
+    val embs = s"$sf001/embeddings.parquet"
+    Dn.runConfig(Seq("curate-add", "c1",
+      s"--docs=$docs", s"--embeddings=$embs", s"--out=$out",
+      "--quotas=src0:900,src1:-1", "--domain-floor-milli=-54",
+      "--from-html=true"), cfg)
+    assert(Dn.runConfig(Seq("curate-list", "-v"), cfg)
+      .contains("quotas:     src0:900,src1:-1"))
+    // the profile persists: a fresh load (what a new dn process does)
+    // drives the run
+    val got = Dn.run(spark, Seq("curate", "c1"), cfg)
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    // …and equals the library entry called with the same knobs
+    val want = graft.dedup.Corpus.pipeline(
+      spark.read.parquet(docs), spark.read.parquet(embs),
+      domainFloorMilli = Some(-54L),
+      quotas = Seq("src0" -> 900L, "src1" -> -1L), fromHtml = true)
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    // the manifest artifact landed at the profile's out
+    assert(spark.read.parquet(out).count() == got.size)
+    // --dry-run: plan only, nothing (re)written
+    val before = new java.io.File(out).lastModified()
+    Dn.run(spark, Seq("curate", "--dry-run", "c1"), cfg)
+    assert(new java.io.File(out).lastModified() == before)
+    // remove closes the lifecycle; running it again is an error
+    Dn.runConfig(Seq("curate-remove", "c1"), cfg)
+    intercept[GraftException](Dn.run(spark, Seq("curate", "c1"), cfg))
+    // bad quota strings are rejected at ADD time, not at run time
+    intercept[GraftException](Dn.runConfig(Seq("curate-add", "c2",
+      s"--docs=$docs", s"--embeddings=$embs", "--quotas=nocap"), cfg))
+  }
 }
