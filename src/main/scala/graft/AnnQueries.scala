@@ -898,6 +898,78 @@ object AnnQueries {
         SELECT a.id AS vec_id FROM a1 a
         WHERE a.id NOT IN (SELECT id FROM dup)""")),
 
+    // #25b2 SEMANTIC decontamination (SURVEY row 103): the embedding-
+    // space leg of row 38's story — n-gram overlap catches verbatim
+    // eval leakage, this catches the PARAPHRASED kind that shares no
+    // shingles but sits next to an eval doc in embedding space. Exact
+    // by construction (eval matrix is eval-bounded and rides the plan;
+    // one corpus pass through the fused ArrayDotBatch kernel — no
+    // join, no shuffle, threshold on a native array_max), so unlike
+    // the ann_* serving paths there is no recall floor to gate. At the
+    // house 0.35 bar the decision splits at every scale (7/494 flagged
+    // at sf0.01) and at 10× it catches the copy-cluster TRUE eval
+    // duplicates (max_cos ≈ 1). Oracle: full cross-join replay with
+    // the identical sequential-double dot.
+    Q("corpus_decontam_semantic",
+      (s, dir) => Ann.semanticDecontam(emb(s, dir),
+        col("vec_id") % 97 === 0),
+      Some(s"""
+        WITH n AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
+          FROM embeddings),
+        ev AS (SELECT vec_id AS eid, vn AS en FROM n WHERE vec_id % 97 = 0),
+        tr AS (SELECT vec_id, vn FROM n WHERE vec_id % 97 <> 0),
+        sc AS (
+          SELECT tr.vec_id, ${dotSql("tr.vn", "ev.en")} AS c
+          FROM tr CROSS JOIN ev)
+        SELECT vec_id,
+          CAST(sum(CASE WHEN c >= $SemDedupMinCos THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+          max(c) AS max_cos
+        FROM sc GROUP BY 1 HAVING max(c) >= $SemDedupMinCos""")),
+
+    // #25b3 decontamination COMBINED: the per-doc union of the lexical
+    // flag (row 38's shingle overlap) and the semantic flag (row 103)
+    // — what a curation pipeline actually acts on. The aligned
+    // doc_id/vec_id identity joins the two legs; output = every doc
+    // either leg flags, with both booleans (at sf0.01 the legs flag
+    // LARGELY DISJOINT populations — 169 lexical-only, 7 semantic-only,
+    // 2 both: verbatim leakage and embedding proximity are different
+    // signals, which is the row's point).
+    Q("corpus_decontam_combined",
+      (s, dir) => {
+        val d = Sources.table(s, dir, "documents")
+        val lex = graft.dedup.Dedup.contaminatedIds(
+            d.where(col("doc_id") % 97 =!= 0),
+            d.where(col("doc_id") % 97 === 0))
+          .select(col("doc_id"), lit(true).as("lex_hit"))
+        val sem = Ann.semanticDecontam(emb(s, dir),
+            col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("doc_id"), lit(true).as("sem_hit"))
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            coalesce(col("lex_hit"), lit(false)).as("lex_hit"),
+            coalesce(col("sem_hit"), lit(false)).as("sem_hit"))
+      },
+      Some(s"""
+        WITH lex AS (${graft.DedupSql.decontam()}),
+        n AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
+          FROM embeddings),
+        ev AS (SELECT vec_id AS eid, vn AS en FROM n WHERE vec_id % 97 = 0),
+        tr AS (SELECT vec_id, vn FROM n WHERE vec_id % 97 <> 0),
+        sem AS (
+          SELECT tr.vec_id AS doc_id
+          FROM tr CROSS JOIN ev
+          GROUP BY 1
+          HAVING max(${dotSql("tr.vn", "ev.en")}) >= $SemDedupMinCos)
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+          l.doc_id IS NOT NULL AS lex_hit,
+          s.doc_id IS NOT NULL AS sem_hit
+        FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id""")),
+
     // #31h TOPIC-balanced token quotas (SURVEY row 95): the pack-time
     // mixture contract of rows 91/92 moved to EMBEDDING space — "no
     // topic may exceed TopicCapNum/TopicCapDen × its fair share of the

@@ -1090,6 +1090,46 @@ object Ann {
     * dedup_embed's near-dup bar on this synthetic embedding corpus. */
   val SemDedupMinCos = 0.35
 
+  /**
+   * SEMANTIC decontamination (SURVEY row 103): flag every training
+   * vector whose cosine to ANY eval vector reaches `minCos` — the
+   * embedding-space leg of the decontamination story (row 38's n-gram
+   * overlap catches verbatim leakage; paraphrased eval material shares
+   * no shingles but sits next to the eval doc in embedding space).
+   *
+   * EXACT, not approximate: the eval matrix is eval-bounded (the
+   * ANN-LUT bounded-collect argument — thousands of rows, never the
+   * corpus), rides the plan once, and ONE corpus pass computes every
+   * dot through the fused [[graft.functions.ArrayDotBatch]] kernel —
+   * no join, no shuffle; the threshold test is a native array_max.
+   * Because it is exact there is no recall floor to gate; at an eval
+   * suite large enough to strain the per-row kernel (≫10⁴ vectors)
+   * the scale path is the IVF prune ([[semanticDedup]]'s cell
+   * machinery) in front of the same exact test. Output: the flagged
+   * ids with how many eval vectors they hit and the max cosine.
+   */
+  def semanticDecontam(corpus: DataFrame, evalPred: Column,
+      minCos: Double = SemDedupMinCos, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val n = withNormalized(corpus, vecCol, "vn")
+    val evalM: Seq[Seq[Double]] = n.where(evalPred)
+      .orderBy(col(idCol)).select(col("vn"))
+      .collect().toSeq.map(_.getSeq[Double](0).toSeq)
+    require(evalM.nonEmpty, "semanticDecontam: empty eval side")
+    val dots = org.apache.spark.sql.graft.bridge.column(
+      graft.functions.ArrayDotBatch(
+        org.apache.spark.sql.graft.bridge.expression(col("vn")), evalM))
+    n.where(!evalPred)
+      .select(col(idCol), dots.as("dots"))
+      .where(array_max(col("dots")) >= minCos)
+      // the count HOF runs only on the flagged survivors (rare), never
+      // the corpus — the hot path above is all native kernels
+      .select(col(idCol),
+        size(filter(col("dots"), d => d >= lit(minCos)))
+          .cast("long").as("n_hits"),
+        array_max(col("dots")).as("max_cos"))
+  }
+
   def semanticDedup(corpus: DataFrame, minCos: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       nlist: Int = DeriveNlist, modulus: Option[Long] = None): DataFrame = {

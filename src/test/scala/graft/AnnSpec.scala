@@ -785,4 +785,38 @@ class AnnSpec extends SparkSpec {
     assert(messages(ex).exists(_.contains("must be exactly 64-dim")),
       s"wrong error: ${messages(ex).mkString(" | ")}")
   }
+
+  test("semantic decontam (row 103): kernel == brute-force replay, " +
+      "two-sided, eval never flagged") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Sources.table(spark, sf001, "embeddings")
+    val pred = col("vec_id") % 97 === 0
+    val out = Ann.semanticDecontam(e, pred).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nTrain = e.where(!pred).count()
+    // non-degenerate: flags SOMETHING and not everything
+    assert(out.nonEmpty && out.length < nTrain,
+      s"degenerate flag set: ${out.length} of $nTrain")
+    // eval side can never flag itself
+    assert(out.forall(_._1 % 97 != 0))
+    // brute-force replay: per-pair dot via the independently-pinned
+    // join formulation, thresholded at the same constant
+    val qn = Ann.withNormalized(e.where(pred)
+        .select(col("vec_id").as("eid"), col("embedding")),
+      "embedding", "en").select(col("eid"), col("en"))
+    val want = Ann.withNormalized(e.where(!pred), "embedding", "vn")
+      .select(col("vec_id"), col("vn"))
+      .join(broadcast(qn))
+      .select(col("vec_id"), Ann.dot(col("vn"), col("en")).as("c"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("c") >= Ann.SemDedupMinCos, 1L).otherwise(0L))
+          .as("n_hits"),
+        max(col("c")).as("max_cos"))
+      .where(col("max_cos") >= Ann.SemDedupMinCos)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.sortBy(_._1).toSeq == want.sortBy(_._1).toSeq,
+      "kernel path drifted from the brute-force join replay")
+    // and every flagged row really crossed the bar
+    assert(out.forall(_._3 >= Ann.SemDedupMinCos))
+  }
 }
