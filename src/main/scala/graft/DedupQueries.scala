@@ -155,6 +155,56 @@ object DedupQueries {
     s"CASE $src " + PackQuotas.map { case (s0, q) =>
       s"WHEN '$s0' THEN $q" }.mkString(" ") + " ELSE -1 END"
 
+  /** Mixture weights for the water-filling solver (SURVEY row 104):
+    * the twenty named sources cycling weight 1..4 — every weight
+    * divides lcm 12, so the solver's rational sort key avail·12/w is
+    * integer-exact. Declared as a formula of the source NUMBER so the
+    * oracle replays it without a 20-entry case. */
+  private[graft] val MixWeights: Map[String, Long] =
+    (0 until 20).map(i => s"src$i" -> ((i % 4) + 1L)).toMap
+
+  /** DuckDB replay of Corpus.mixSolve over `documents`: one CTE chain
+    * ending in `solve(source, weight, avail, alloc, saturated)`. The
+    * budget is 9/10 of total tokens — measured to make the saturation
+    * decision genuinely split (high-weight sources saturate on their
+    * availability, low-weight ones stay proportional). */
+  private[graft] def mixSolveCtes(): String = s"""
+        av AS (
+          SELECT source,
+            CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+')))
+              AS BIGINT) AS avail,
+            (CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS w
+          FROM documents GROUP BY source),
+        tot AS (
+          SELECT CAST(sum(avail) AS BIGINT) AS ta,
+            CAST(sum(w) AS BIGINT) AS tw FROM av),
+        srt AS (
+          SELECT source, avail, w, ta * 9 // 10 AS bud, tw,
+            row_number() OVER (ORDER BY avail * 12 // w, source) AS pos,
+            CAST(sum(avail) OVER (ORDER BY avail * 12 // w, source
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+            CAST(sum(w) OVER (ORDER BY avail * 12 // w, source
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw
+          FROM av CROSS JOIN tot),
+        sat AS (
+          SELECT *, avail * (tw - (cumw - w)) <= (bud - (cuma - avail)) * w
+            AS satur
+          FROM srt),
+        ks AS (SELECT min(CASE WHEN NOT satur THEN pos END) AS kstar
+               FROM sat),
+        pre AS (
+          SELECT COALESCE(max(CASE WHEN pos < kstar THEN cuma END), 0)
+              AS cumaK,
+            COALESCE(max(CASE WHEN pos < kstar THEN cumw END), 0) AS cumwK
+          FROM sat CROSS JOIN ks),
+        solve AS (
+          SELECT source, CAST(w AS BIGINT) AS weight, avail,
+            CAST(CASE WHEN kstar IS NULL OR pos < kstar THEN avail
+              ELSE (bud - cumaK) * w // (tw - cumwK) END AS BIGINT)
+              AS alloc,
+            (kstar IS NULL OR pos < kstar) AS saturated
+          FROM sat CROSS JOIN ks CROSS JOIN pre)"""
+
   /** DuckDB replay of Corpus.quotaAdmit over `documents`: inclusive
     * per-source running token sum in doc-id order, kept while ≤ quota.
     * (The Spark side's two-pass bucket formulation computes the same
@@ -1108,6 +1158,72 @@ object DedupQueries {
         SELECT doc_id, source, unnest(range(copies)) AS dn_epoch
         FROM c WHERE copies > 0"""))
 
+    ,
+    // #40d mixture WATER-FILLING solver (SURVEY row 104): the
+    // feasibility step the mixture rows (40/92/97) assume someone ran —
+    // a weight schedule is a WISH; the corpus has hard per-source
+    // supplies, and the allocator spills a scarce source's unused share
+    // onto the others without disturbing their ratios. Exact classic
+    // water-filling over int64 (integer sort key avail·12/w, prefix-
+    // saturation lemma, floor division with non-negative operands), so
+    // both engines replay every decision bit for bit. The 9/10 budget
+    // makes the decision SPLIT: high-weight sources saturate on their
+    // availability, low-weight ones stay proportional (two-sided at
+    // sf0.01 and 10×; DedupSpec pins the invariants).
+    Q("corpus_mix_solve",
+      (s, dir) => graft.dedup.Corpus.mixSolve(docs(s, dir), MixWeights),
+      Some(s"""
+        WITH ${mixSolveCtes()}
+        SELECT source, weight, avail, alloc, saturated FROM solve""")),
+
+    // #40d2 the solved allocation EXECUTED: the alloc column joins back
+    // as each source's token cap and Corpus.quotaAdmitWith (row 97's
+    // cap-as-joined-column admission, two-pass bucketed prefix sum)
+    // admits docs in id order until the cap binds. Output: per-source
+    // admitted counts against the solved quota — admitted ≤ alloc by
+    // construction, and the shortfall is bounded by one document
+    // (inclusive-boundary admission), which fill_millionths makes
+    // visible. Closes the loop: plan (solve) → execution (admission)
+    // under ONE composed oracle.
+    Q("corpus_mix_solve_exec",
+      (s, dir) => {
+        val solve = graft.dedup.Corpus.mixSolve(docs(s, dir), MixWeights)
+          .select(col("source"), col("alloc")).localCheckpoint()
+        val joined = docs(s, dir).join(solve, Seq("source"))
+        val adm = graft.dedup.Corpus.quotaAdmitWith(joined, col("alloc"))
+        val agg = adm.groupBy(col("source")).agg(
+          count(lit(1)).as("ad"),
+          sum(graft.text.Text.tokenCount(col("text")).cast("long"))
+            .as("at"))
+        // LEFT from solve: a source whose cap admits nothing still
+        // reports a zero row, it does not vanish
+        solve.join(agg, Seq("source"), "left")
+          .select(col("source"), col("alloc"),
+            coalesce(col("ad"), lit(0L)).as("admitted_docs"),
+            coalesce(col("at"), lit(0L)).as("admitted_toks"),
+            expr("coalesce(at, 0L) * 1000000 div greatest(alloc, 1L)")
+              .as("fill_millionths"))
+      },
+      Some(s"""
+        WITH ${mixSolveCtes()},
+        adm AS (
+          SELECT doc_id, d.source, n_toks FROM (
+            SELECT doc_id, source,
+              CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                AS BIGINT) AS n_toks,
+              SUM(CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM documents) d
+          JOIN solve sv ON d.source = sv.source
+          WHERE sv.alloc < 0 OR d.cum <= sv.alloc)
+        SELECT sv.source, sv.alloc,
+          CAST(count(adm.doc_id) AS BIGINT) AS admitted_docs,
+          CAST(COALESCE(sum(adm.n_toks), 0) AS BIGINT) AS admitted_toks,
+          CAST(COALESCE(sum(adm.n_toks), 0) * 1000000
+            // greatest(sv.alloc, 1) AS BIGINT) AS fill_millionths
+        FROM solve sv LEFT JOIN adm ON adm.source = sv.source
+        GROUP BY sv.source, sv.alloc"""))
     ,
     // #40c per-source CAP (stratified sampling): at most N docs per
     // source, picked by smallest deterministic hash — the "cap any one

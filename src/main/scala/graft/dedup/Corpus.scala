@@ -438,6 +438,83 @@ object Corpus {
       sum(when(col("vn") > 1, 1L).otherwise(0L)).as("dup_vec_ids"))
   }
 
+  /**
+   * Mixture WATER-FILLING solver (SURVEY row 104): allocate a token
+   * budget across sources proportionally to declared weights, capped
+   * by each source's actual availability — the feasibility step every
+   * mixture recipe (rows 40/92/97) assumes someone already ran: a
+   * weight schedule like DoReMi's is a WISH; the corpus has hard
+   * per-source supplies, and the allocator must spill a scarce
+   * source's unused share onto the others without disturbing their
+   * ratios.
+   *
+   * Exact classic water-filling: sort sources by avail/weight
+   * ascending (the integer key avail·L/weight with L = lcm(weights),
+   * so the RATIONAL order is exact — no float quotients); the
+   * saturated set is a PREFIX of that order (standard water-filling
+   * lemma), found by the first position whose availability exceeds its
+   * proportional share of the REMAINING budget; everyone after gets
+   * floor(R·w/W') of the remaining pool. All decisions in int64 with
+   * non-negative operands (trunc == floor cross-engine); bounds:
+   * avail·Σw and B·w must stay under 2^63 — at 2.5e13 corpus tokens
+   * (100 TB) and Σw ≤ 10⁵ that holds with margin.
+   *
+   * Scale shape: one tokenize pass + one groupBy(source); everything
+   * after runs on the SOURCE table, which the mixture config bounds by
+   * construction (you name the sources you weight — the row-92
+   * argument), so the global sort windows sit above a bounded
+   * aggregate. Output: (source, weight, avail, alloc, saturated).
+   */
+  def mixSolve(docs: DataFrame, weights: Map[String, Long],
+      budgetNum: Long = 9L, budgetDen: Long = 10L,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixSolve: weights must be positive")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmW = weights.values.reduce((a, b) => a / gcd(a, b) * b)
+    val w = org.apache.spark.sql.expressions.Window
+    val byKey = w.orderBy(col("key"), col("source"))
+    val run = byKey.rowsBetween(w.unboundedPreceding, w.currentRow)
+    val all = w.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val avail = docs
+      .select(col(srcCol).as("source"),
+        Text.tokenCount(col(textCol)).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("avail"))
+      // an unweighted source is a CONFIG error, not a silent default
+      .withColumn("weight",
+        coalesce(element_at(typedLit(weights), col("source")),
+          raise_error(concat(lit("mixSolve: unweighted source "),
+            col("source"))).cast("long")))
+    val totals = avail.agg(sum(col("avail")).as("ta"),
+      sum(col("weight")).as("tw"))
+    val srt = avail.crossJoin(broadcast(totals))
+      .withColumn("bud", expr(s"ta * $budgetNum div $budgetDen"))
+      .withColumn("key", expr(s"avail * $lcmW div weight"))
+      .withColumn("pos", row_number().over(byKey))
+      .withColumn("cuma", sum(col("avail")).over(run))
+      .withColumn("cumw", sum(col("weight")).over(run))
+      // exclusive prefixes; saturated iff avail ≤ share of what's left
+      .withColumn("satur",
+        col("avail") * (col("tw") - (col("cumw") - col("weight"))) <=
+          (col("bud") - (col("cuma") - col("avail"))) * col("weight"))
+    srt
+      .withColumn("kstar",
+        min(when(!col("satur"), col("pos"))).over(all))
+      .withColumn("cumaK", coalesce(
+        max(when(col("pos") < col("kstar"), col("cuma"))).over(all),
+        lit(0L)))
+      .withColumn("cumwK", coalesce(
+        max(when(col("pos") < col("kstar"), col("cumw"))).over(all),
+        lit(0L)))
+      .select(col("source"), col("weight"), col("avail"),
+        when(col("kstar").isNull || col("pos") < col("kstar"),
+            col("avail"))
+          .otherwise(expr(
+            "(bud - cumaK) * weight div (tw - cumwK)")).as("alloc"),
+        (col("kstar").isNull || col("pos") < col("kstar"))
+          .as("saturated"))
+  }
+
   def mixBySource(docs: DataFrame, rates: Map[String, Double],
       default: Double = 0.0, sourceCol: String = "source",
       idCol: String = "doc_id"): DataFrame = {

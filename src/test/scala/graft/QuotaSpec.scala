@@ -215,4 +215,52 @@ class QuotaSpec extends SparkSpec {
           p._6 + (if (prefix.nonEmpty) 1L else 0L))
     }
   }
+
+  test("mix solver (row 104): water-filling invariants, two-sided split") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Sources.table(spark, sf001, "documents")
+    val weights = (0 until 20).map(i => s"src$i" -> ((i % 4) + 1L)).toMap
+    val out = graft.dedup.Corpus.mixSolve(docs, weights)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(out.length == 20)
+    val totalAvail = out.map(_._3).sum
+    val budget = totalAvail * 9 / 10
+    // feasibility: never over budget, never over availability
+    assert(out.map(_._4).sum <= budget)
+    out.foreach { case (s, _, avail, alloc, _) =>
+      assert(alloc <= avail, s"$s allocated past availability") }
+    // saturated sources take EXACTLY their availability
+    out.filter(_._5).foreach { case (s, _, avail, alloc, _) =>
+      assert(alloc == avail, s"saturated $s must take all of its supply") }
+    // the decision splits — both arms populated
+    val unsat = out.filterNot(_._5)
+    assert(unsat.nonEmpty && unsat.length < out.length,
+      s"degenerate solve: ${unsat.length} of ${out.length} unsaturated")
+    // floor rounding loses less than one token per unsaturated source
+    assert(budget - out.map(_._4).sum < unsat.length,
+      "unsaturated pool must be spent up to floor rounding")
+    // unsaturated allocations stay weight-proportional (cross-multiplied
+    // floor bound: |alloc_p·w_q − alloc_q·w_p| < w_p + w_q)
+    for ((_, wp, _, ap, _) <- unsat; (_, wq, _, aq, _) <- unsat)
+      assert(math.abs(ap * wq - aq * wp) < wp + wq,
+        "unsaturated shares drifted from the weight ratios")
+    // execution: admitted ≤ alloc, shortfall bounded by one document
+    val maxDoc = docs.select(
+        max(graft.text.Text.tokenCount(col("text")).cast("long")))
+      .head.getLong(0)
+    val exec = Registry.queries("corpus_mix_solve_exec")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    exec.foreach { case (s, alloc, admitted) =>
+      assert(admitted <= alloc, s"$s admitted past its cap")
+      assert(alloc - admitted <= maxDoc,
+        s"$s left more than one document's tokens unfilled")
+    }
+    // config error: an unweighted source fails loudly, not silently
+    val e = intercept[Exception](graft.dedup.Corpus.mixSolve(docs,
+      weights - "src0").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("unweighted source")))
+  }
 }
