@@ -1112,6 +1112,25 @@ object DedupQueries {
       },
       Some(DedupSql.pipelineIncremental(OldWhere, NewWhere))),
 
+    // #38e CHUNK-level decontamination (SURVEY row 105): EXCISE the
+    // contaminated spans and keep the rest of the document — the
+    // surgical alternative to row 38's drop-whole-doc decision (a long
+    // doc quoting one eval question loses eight tokens, not ten
+    // thousand). Shingles are matched on the UN-CHUNKED token stream
+    // and flag every chunk their slot span touches, so leakage
+    // straddling a chunk boundary kills BOTH chunks — per-chunk
+    // shingling would be blind to exactly those (DedupSpec drives a
+    // straddling fixture through both arms). Reassembly is the dedup
+    // legs' surviving-chunks rewrite, under one replayed oracle.
+    Q("corpus_decontam_chunks",
+      (s, dir) => {
+        val d = docs(s, dir)
+        Dedup.chunkDecontam(
+          d.where(col("doc_id") % 97 =!= 0),
+          d.where(col("doc_id") % 97 === 0))
+      },
+      Some(DedupSql.chunkDecontam())),
+
     // #25f source-weighted mixture sampling (domain reweighting):
     // per-source deterministic hash keep-rates, power-of-two rates so
     // rate×10⁶ is integer-exact in both engines. Output = per-source

@@ -577,6 +577,36 @@ object DedupSql {
        |    list(chunk ORDER BY idx) FILTER (WHERE kept), ' '), '') AS kept_text
        |FROM decided GROUP BY doc_id""".stripMargin
 
+  /** corpus_decontam_chunks oracle (SURVEY row 105): eval shingles
+    * matched on the UN-CHUNKED token stream flag every chunk their
+    * slot span ⌊i/width⌋..⌊(i+n−1)/width⌋ touches; each train doc
+    * reassembles from its unflagged chunks in position order. */
+  def chunkDecontam(base: String = "documents",
+      width: Int = graft.dedup.Dedup.ChunkWidth,
+      n: Int = graft.dedup.Dedup.ShingleN, evalMod: Int = 97): String =
+    s"""WITH ev AS (
+       |  SELECT doc_id, text FROM $base WHERE doc_id % $evalMod = 0),
+       |corpus AS (
+       |  SELECT doc_id, text FROM $base WHERE doc_id % $evalMod <> 0),
+       |${shingleCtes("ev", n, "e")},
+       |${shingleCtes("corpus", n, "c")},
+       |${chunkCtes("corpus", width)},
+       |bad AS (
+       |  SELECT DISTINCT doc_id, idx FROM (
+       |    SELECT c.doc_id,
+       |      unnest(range(i // $width, (i + ${n - 1}) // $width + 1)) AS idx
+       |    FROM csh c JOIN (SELECT DISTINCT s FROM esh) e USING (s))),
+       |decided AS (
+       |  SELECT h.doc_id, h.idx, h.chunk, b.idx IS NULL AS kept
+       |  FROM hashed h LEFT JOIN bad b
+       |    ON h.doc_id = b.doc_id AND h.idx = b.idx)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+       |  coalesce(array_to_string(
+       |    list(chunk ORDER BY idx) FILTER (WHERE kept), ' '), '') AS kept_text
+       |FROM decided GROUP BY doc_id""".stripMargin
+
   /** dedup_chunks_incremental oracle: the old snapshot's distinct chunk
     * hash set replayed from raw documents, the new batch's chunks kept
     * iff absent there AND first-in-batch at their (doc_id, idx). */

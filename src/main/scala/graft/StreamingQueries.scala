@@ -663,6 +663,31 @@ object StreamingQueries {
             .where(col("doc_id") % 97 === 0))
       },
       Some(DedupSql.pipelineIncremental(DedupQueries.OldWhere,
-        DedupQueries.NewWhere)))
+        DedupQueries.NewWhere))),
+
+    // #18d streaming HTML→text extraction (row 100's streaming twin):
+    // the crawl front runs stage 0 AS THE PAGES ARRIVE — a stateless
+    // per-row map (generator + extractor are pure string expressions),
+    // no state store, Append mode, carve-up independence by
+    // construction. Same oracle as the batch text_extract_html: the
+    // streamed extraction must land the identical byte-exact rows.
+    Q("stream_extract_html",
+      (s, dir) => {
+        implicit val session: org.apache.spark.sql.SparkSession = s
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val pages = s.readStream.schema(raw.schema)
+          .parquet(s"$dir/{documents}.parquet")
+          .select(col("doc_id"),
+            graft.text.Html.synthHtml(col("doc_id"), col("text"))
+              .as("html"))
+        val extracted = pages.select(col("doc_id"),
+          graft.text.Html.titleOf(col("html")).as("title"),
+          graft.text.Html.extractText(col("html")).as("text_extracted"))
+        drain(extracted, "graft_stream_extract_html",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      },
+      Some("""
+        SELECT doc_id, 'Doc ' || doc_id AS title, text AS text_extracted
+        FROM documents"""))
   )
 }

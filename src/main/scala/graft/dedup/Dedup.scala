@@ -979,6 +979,43 @@ object Dedup {
       .withColumn("kept", struct(col("doc_id"), col("idx")) === col("w")))
   }
 
+  /**
+   * CHUNK-level decontamination (SURVEY row 105): EXCISE the
+   * contaminated spans and keep the rest of the document — the
+   * surgical alternative to row 38's drop-the-whole-doc decision (a
+   * long document quoting one eval question loses eight tokens, not
+   * ten thousand). A chunk is contaminated iff ANY eval n-gram shingle
+   * of the ORIGINAL document overlaps it — shingles are matched on the
+   * un-chunked token stream and flag every chunk they touch
+   * (⌊i/width⌋..⌊(i+n−1)/width⌋), so leakage STRADDLING a chunk
+   * boundary kills both chunks; per-chunk shingling would be blind to
+   * exactly those. Reassembly is [[chunkReassemble]] — the same
+   * surviving-chunks rewrite the dedup legs use.
+   *
+   * Scale shape: contaminatedIds' broadcast semi-join over the shingle
+   * stream (eval-bounded broadcast), one ≤2-element span explode on
+   * the MATCHED slots only (rare), a distinct at (doc, chunk) grain,
+   * and one left join at the chunk table — all linear; the eval side
+   * never touches the corpus except through the broadcast.
+   */
+  def chunkDecontam(docs: DataFrame, evalDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      width: Int = ChunkWidth, n: Int = ShingleN): DataFrame = {
+    val evalShingles = shingleRows(evalDocs, idCol, textCol, n)
+      .select(col("s")).distinct()
+    val bad = shingleRows(docs, idCol, textCol, n, rebalance = false)
+      .join(broadcast(evalShingles), Seq("s"), "leftsemi")
+      .select(col("id").as("doc_id"),
+        explode(sequence(
+          expr(s"CAST(i div $width AS INT)"),
+          expr(s"CAST((i + ${n - 1}) div $width AS INT)"))).as("idx"))
+      .distinct()
+      .withColumn("bad", lit(true))
+    val chunks = chunkHashRows(docs, idCol, textCol, width)
+    chunkReassemble(chunks.join(bad, Seq("doc_id", "idx"), "left")
+      .withColumn("kept", col("bad").isNull))
+  }
+
   /** The persistable chunk-hash store: the distinct 116-bit pairs of
     * every chunk a corpus snapshot contains — 16 bytes per distinct
     * chunk, the artifact [[chunkDedupIncremental]] dedups new crawls

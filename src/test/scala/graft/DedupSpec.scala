@@ -556,6 +556,56 @@ class DedupSpec extends SparkSpec {
     assert(splits.filter { case (b, r) => ok(b, r) } == Seq((Bands, RowsPerBand)))
   }
 
+  test("chunk decontam (row 105): straddling leakage kills both chunks, " +
+      "flagged docs == the doc-level decision, excision is surgical") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // width=8: tokens w0..w7 are chunk 0, w8.. chunk 1. The eval
+    // 3-gram (w7 w8 w9) STRADDLES the boundary; a per-chunk shingler
+    // never sees it.
+    val train = Seq((1L, (0 to 15).map(i => s"w$i").mkString(" ")),
+      (2L, "clean words only here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val eval0 = Seq((97L, "w7 w8 w9")).toDF("doc_id", "text")
+    val out = Dedup.chunkDecontam(train, eval0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // doc 1: both straddled chunks gone (2 of 2), doc 2 untouched
+    assert(out(1L) == ((2L, 0L, "")),
+      s"straddling leakage must kill both chunks: ${out(1L)}")
+    assert(out(2L)._1 == out(2L)._2 && out(2L)._3.nonEmpty)
+    // the blind alternative (shingling each chunk separately) finds NO
+    // contaminated chunk here — the fixture proves the un-chunked
+    // matching is load-bearing
+    val perChunk = Dedup.chunkDecontam(
+      train.where(col("doc_id") === 1L)
+        .select(col("doc_id"),
+          // chunk 0 text only: the straddler's left half
+          concat_ws(" ", slice(graft.text.Text.tokens(col("text")), 1, 8))
+            .as("text")),
+      eval0).collect()
+    assert(perChunk.head.getLong(2) == perChunk.head.getLong(1),
+      "a chunk-local view must NOT flag (no full shingle fits inside)")
+    // corpus agreement: a doc loses ≥1 chunk here iff the doc-level
+    // decontam flags it (same shingle membership decides both)
+    val d = graft.sources.Sources.table(spark, sf001, "documents")
+    val trainD = d.where(col("doc_id") % 97 =!= 0)
+    val evalD = d.where(col("doc_id") % 97 === 0)
+    val trimmed = Dedup.chunkDecontam(trainD, evalD)
+      .where(col("kept_chunks") < col("n_chunks"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val flagged = Dedup.contaminatedIds(trainD, evalD)
+      .collect().map(_.getLong(0)).toSet
+    assert(trimmed == flagged)
+    // …and the excision is SURGICAL: most flagged docs keep most of
+    // their chunks (the row's point vs dropping whole docs)
+    val partial = Dedup.chunkDecontam(trainD, evalD)
+      .where(col("kept_chunks") < col("n_chunks") && col("kept_chunks") > 0)
+      .count()
+    assert(partial > 0 && partial * 2 >= trimmed.size,
+      s"excision should usually keep part of a doc: $partial of ${trimmed.size}")
+  }
+
   test("distributed Bloom build (bit_or agg) == driver build, bit for bit") {
     import org.apache.spark.sql.functions._
     val eval = graft.sources.Sources.table(spark, sf001, "documents")
