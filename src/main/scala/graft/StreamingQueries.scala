@@ -648,9 +648,17 @@ object StreamingQueries {
       (s, dir) => {
         implicit val session: org.apache.spark.sql.SparkSession = s
         val raw = s.read.parquet(s"$dir/documents.parquet")
+        // the crawl arrives as PAGES: row 100's extraction is the
+        // stream's stage 0, fused into the same stateless per-row map
+        // as the probe expansion. The round trip is byte-identical, so
+        // the composed oracle is UNCHANGED — the streaming twin of
+        // corpus_pipeline_full's fromHtml invariance pin.
         val crawl = s.readStream.schema(raw.schema)
           .parquet(s"$dir/{documents}.parquet")
           .where(expr(DedupQueries.NewWhere))
+          .select(col("doc_id"), graft.text.Html.extractText(
+            graft.text.Html.synthHtml(col("doc_id"), col("text")))
+            .as("text"))
         val keys = graft.streaming.Admission.storeKeys(
           s.read.parquet(DedupQueries.ensureStore(s, dir)),
           s.read.parquet(DedupQueries.ensureChunkStore(s, dir)))

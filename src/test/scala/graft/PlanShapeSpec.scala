@@ -418,4 +418,41 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n---\n"))
   }
+
+  test("round-14 additions keep their scale shapes") {
+    // HTML extraction is a PURE per-row map: no exchange, no join —
+    // one scan-project pipeline (the linear stage-0 shape)
+    val ex = SparkEntry.queries("text_extract_html")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!ex.contains("Exchange") && !ex.contains("Join"),
+      s"text_extract_html must stay a per-row map:\n${ex.take(1200)}")
+    // semantic decontam: the eval matrix rides the plan — no join at
+    // all, and the one pass stays whole-stage-codegen'd
+    val sd = SparkEntry.queries("corpus_decontam_semantic")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!sd.contains("Join"),
+      s"corpus_decontam_semantic must not join:\n${sd.take(1200)}")
+    assert(sd.contains("graft_dot_batch"),
+      "the fused batch-dot kernel must be in the plan")
+    // known-item BM25: the query-term and df sides BROADCAST (they are
+    // vocabulary/eval-bounded); the posting side never re-sorts
+    val kb = SparkEntry.queries("retrieval_recall_bm25")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(kb.contains("BroadcastHashJoin"),
+      s"known-item scoring must broadcast the bounded sides:\n${kb.take(1200)}")
+    // mix solver: everything after the per-source aggregate runs on the
+    // config-bounded source table — no corpus-sized range partitioning
+    val ms = SparkEntry.queries("corpus_mix_solve")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val corpusSorts = ms.split("\n").count(l =>
+      l.contains("rangepartitioning") && !l.contains("key"))
+    assert(corpusSorts == 0,
+      s"mix solver must only sort the source table:\n${ms.take(1200)}")
+    // chunk decontam: the eval side reaches the corpus ONLY as a
+    // broadcast (the contaminatedIds discipline)
+    val cd = SparkEntry.queries("corpus_decontam_chunks")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(cd.contains("BroadcastHashJoin"),
+      s"chunk decontam must broadcast eval shingles:\n${cd.take(1200)}")
+  }
 }
