@@ -358,6 +358,35 @@ object DedupQueries {
       (s, dir) => Dedup.minhashCandidates(docs(s, dir)),
       Some(DedupSql.minhashCandidates())),
 
+    // #26b MEASURED banding recall (SURVEY row 106): the S-curve
+    // contract (Dedup's declared detection floor, spec-derived
+    // geometry) is a THEOREM about random hash families; this gate
+    // measures what the SHIPPED hashes catch on the ACTUAL corpus —
+    // exact ground truth (co-rare-shingle candidates under the
+    // TruthDfCap, exact Jaccard verify, NO banding anywhere in the
+    // truth path) left-joined against the banding's candidate pairs,
+    // with the measured 950-per-mille floor asserted TRUE. A hash
+    // family or geometry change that degrades real detection turns
+    // this red even if it replays consistently in both engines —
+    // the approx_ok discipline applied to the dedup family's one
+    // approximate stage.
+    Q("dedup_banding_recall",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val all = org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+        Dedup.exactNearDupPairs(d)
+          .join(Dedup.minhashCandidates(d)
+            .withColumn("caught", lit(true)), Seq("doc_a", "doc_b"), "left")
+          .select(col("doc_a"), col("doc_b"), col("jaccard"),
+            coalesce(col("caught"), lit(false)).as("caught"))
+          .withColumn("recall_ok",
+            sum(when(col("caught"), 1L).otherwise(0L)).over(all) * 1000 >=
+              lit(Dedup.MinBandingRecallPerMille) * count(lit(1)).over(all))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(DedupSql.bandingRecall())),
+
     // #27 SimHash near-dups: 60-bit hash, 4×15-bit bands, hamming ≤ 3
     // verify (the full-recall bound for 4-band banding)
     Q("dedup_simhash",

@@ -168,6 +168,50 @@ object DedupSql {
        |${minhashCtes(n, bands, rowsPerBand)}
        |SELECT doc_a, doc_b FROM cand""".stripMargin
 
+  /** dedup_banding_recall oracle (SURVEY row 106): exact ground truth
+    * from co-rare-shingle candidates (the TruthDfCap replayed) + exact
+    * Jaccard, left-joined against the banding's candidate pairs; the
+    * measured recall floor asserted TRUE. */
+  def bandingRecall(base: String = "documents", n: Int = 3,
+      bands: Int = graft.dedup.Dedup.Bands,
+      rowsPerBand: Int = graft.dedup.Dedup.RowsPerBand,
+      minJ: Double = graft.dedup.Dedup.MinJaccard,
+      dfCap: Int = graft.dedup.Dedup.TruthDfCap,
+      perMille: Long = graft.dedup.Dedup.MinBandingRecallPerMille): String = {
+    val jac = "CAST(i.i AS DOUBLE) / " +
+      "CAST(greatest(ca.c + cb.c - i.i, 1) AS DOUBLE)"
+    s"""WITH ${shingleCtes(base, n)},
+       |${minhashCtes(n, bands, rowsPerBand)},
+       |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+       |dfx AS (SELECT s, count(*) AS nd FROM shd GROUP BY 1),
+       |rare AS (SELECT s FROM dfx WHERE nd BETWEEN 2 AND $dfCap),
+       |candx AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM shd x JOIN rare r ON x.s = r.s
+       |  JOIN shd y ON y.s = x.s AND x.doc_id < y.doc_id),
+       |scnt AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY 1),
+       |inter AS (
+       |  SELECT cx.doc_a, cx.doc_b, count(*) AS i
+       |  FROM candx cx
+       |  JOIN shd x ON x.doc_id = cx.doc_a
+       |  JOIN shd y ON y.doc_id = cx.doc_b AND y.s = x.s
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT i.doc_a, i.doc_b, $jac AS jaccard
+       |  FROM inter i
+       |  JOIN scnt ca ON ca.doc_id = i.doc_a
+       |  JOIN scnt cb ON cb.doc_id = i.doc_b
+       |  WHERE $jac >= $minJ),
+       |caughtx AS (
+       |  SELECT t.doc_a, t.doc_b, t.jaccard, c.doc_a IS NOT NULL AS caught
+       |  FROM truth t LEFT JOIN cand c
+       |    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+       |SELECT doc_a, doc_b, jaccard, caught,
+       |  (SELECT sum(CASE WHEN caught THEN 1 ELSE 0 END) * 1000
+       |     >= $perMille * count(*) FROM caughtx) AS recall_ok
+       |FROM caughtx ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** CTEs appended after minhashCtes: exact n-gram Jaccard per candidate
     * pair (jac). |A∪B| = |A| + |B| - |A∩B| over DISTINCT shingles. */
   private def jaccardCtes: String =

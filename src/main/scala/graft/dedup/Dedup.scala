@@ -80,6 +80,16 @@ object Dedup {
   val Bands = 8
   val RowsPerBand = 2
 
+  /** MEASURED banding recall floor (per-mille of exact-ground-truth
+    * pairs caught — SURVEY row 106's empirical companion to the
+    * S-curve theory above): the truth population's Jaccards sit at
+    * 0.9+, where the curve predicts ≥ 0.9998 detection; 950‰ leaves
+    * honest room for a boundary pair while still failing a geometry
+    * that degrades the curve (the 1×16 split of the same k=16 budget
+    * detects 0.97^16 ≈ 61% on the fixture's truth population —
+    * DedupSpec drives that arm). */
+  val MinBandingRecallPerMille = 950L
+
   /** The slot-ordered shingle-window ARRAY of a token array as ONE
     * native kernel call ([[graft.functions.ShingleWindows]]) — the
     * generator half of the fused-shingling move; the signature half is
@@ -897,6 +907,43 @@ object Dedup {
     candidatesOfSignature(signatureOfRows(rows, 16), 8, 2,
       reliable = reliable)
       .join(sh.as("sa"), col("doc_a") === col("sa.id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.id"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** DF cap for the exact-ground-truth candidate stage: a shingle in
+    * more than this many docs is boilerplate (the sourceRank argument)
+    * and is dropped before pair generation — bounding in-bucket
+    * expansion the same way the banding bounds it. */
+  val TruthDfCap = 64
+
+  /**
+   * EXACT near-dup ground truth (SURVEY row 106): every pair with
+   * n-gram Jaccard ≥ `minJaccard`, found WITHOUT the banding — the
+   * measured complement to the S-curve theory contract: the banding's
+   * detection probability is a formula about random hash families; this
+   * measures what the SHIPPED hashes actually catch on the actual
+   * corpus. Candidate stage = co-rare-shingle bucket pairs
+   * ([[bucketPairs]] with the [[TruthDfCap]] — a J ≥ 0.6 pair shares
+   * many shingles, so dropping ubiquitous ones loses no truth in
+   * practice and the oracle replays the identical cap), then the exact
+   * Jaccard verify over the checkpointed shingle sets. Linear in
+   * co-rare-shingle pairs; the audit shape a production pipeline runs
+   * periodically, not per-crawl.
+   */
+  def exactNearDupPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = ShingleN,
+      minJaccard: Double = MinJaccard,
+      maxDocs: Int = TruthDfCap): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, n).localCheckpoint()
+    val rows = sh.select(col("id"), explode(col("sh")).as("s"))
+    val cand = bucketPairs(
+        rows.select(col("s"), col("id").as("item")), Seq("s"),
+        heavy = HeavyBucket, maxBucket = Some(maxDocs))
+      .select(col("a").as("doc_a"), col("b").as("doc_b")).distinct()
+    cand.join(sh.as("sa"), col("doc_a") === col("sa.id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.id"))
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))

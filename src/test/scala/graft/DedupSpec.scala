@@ -530,6 +530,37 @@ class DedupSpec extends SparkSpec {
     assert(setDrift == 0, "shingles() drifted from the HOF form")
   }
 
+  test("measured banding recall (row 106): shipped geometry catches the " +
+      "ground truth; a degraded split of the same budget fails the floor") {
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Sources.table(spark, sf001, "documents")
+    val truth = Dedup.exactNearDupPairs(d)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture must contain true near-dup pairs")
+    def caughtBy(bands: Int, rows: Int): Int = {
+      val cand = Dedup.minhashCandidates(d, bands = bands,
+          rowsPerBand = rows).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.count(cand.contains)
+    }
+    val floor = Dedup.MinBandingRecallPerMille
+    // the shipped (8, 2) geometry clears the measured floor …
+    val shipped = caughtBy(Dedup.Bands, Dedup.RowsPerBand)
+    assert(shipped * 1000 >= floor * truth.size,
+      s"shipped geometry caught $shipped of ${truth.size}")
+    // … and the (1, 16) split of the SAME k=16 budget — which the
+    // S-curve spec already rejects on paper — fails it EMPIRICALLY
+    // too: the gate measures the curve, not just replays hashing.
+    // (The fixture's truth Jaccards sit near 0.97, where even (2, 8)
+    // still detects ~95% — the single-band arm is the one this truth
+    // population can falsify: 0.97^16 ≈ 0.61.)
+    val degraded = caughtBy(1, 16)
+    assert(degraded * 1000 < floor * truth.size,
+      s"degraded geometry caught $degraded of ${truth.size} — " +
+        "the floor no longer binds")
+  }
+
   test("LSH band geometry derives from the declared S-curve contract") {
     import Dedup._
     def ok(b: Int, r: Int): Boolean =
