@@ -184,17 +184,13 @@ object DedupSql {
        |${minhashCtes(n, bands, rowsPerBand)},
        |shd AS (SELECT DISTINCT doc_id, s FROM sh),
        |dfx AS (SELECT s, count(*) AS nd FROM shd GROUP BY 1),
-       |rare AS (SELECT s FROM dfx WHERE nd BETWEEN 2 AND $dfCap),
-       |candx AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM shd x JOIN rare r ON x.s = r.s
-       |  JOIN shd y ON y.s = x.s AND x.doc_id < y.doc_id),
-       |scnt AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY 1),
+       |sub AS (
+       |  SELECT x.doc_id, x.s FROM shd x
+       |  JOIN (SELECT s FROM dfx WHERE nd <= $dfCap) r ON x.s = r.s),
+       |scnt AS (SELECT doc_id, count(*) AS c FROM sub GROUP BY 1),
        |inter AS (
-       |  SELECT cx.doc_a, cx.doc_b, count(*) AS i
-       |  FROM candx cx
-       |  JOIN shd x ON x.doc_id = cx.doc_a
-       |  JOIN shd y ON y.doc_id = cx.doc_b AND y.s = x.s
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+       |  FROM sub x JOIN sub y ON y.s = x.s AND x.doc_id < y.doc_id
        |  GROUP BY 1, 2),
        |truth AS (
        |  SELECT i.doc_a, i.doc_b, $jac AS jaccard

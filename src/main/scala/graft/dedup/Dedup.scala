@@ -937,16 +937,38 @@ object Dedup {
       textCol: String = "text", n: Int = ShingleN,
       minJaccard: Double = MinJaccard,
       maxDocs: Int = TruthDfCap): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, n).localCheckpoint()
-    val rows = sh.select(col("id"), explode(col("sh")).as("s"))
-    val cand = bucketPairs(
-        rows.select(col("s"), col("id").as("item")), Seq("s"),
+    // distinct (id, shingle) rows once, restricted to the SUB-CAP
+    // (informative) shingles on BOTH sides of the statistic — a
+    // boilerplate shingle (> maxDocs docs) is neither similarity
+    // evidence (the sourceRank argument) nor union mass, so the
+    // Jaccard here is over the informative sets; at the base scales no
+    // shingle reaches the cap and it equals plain Jaccard exactly.
+    // bucketPairs then emits one row per SHARED shingle, so the
+    // per-pair count IS |A∩B| — no per-pair shingle-set join, no
+    // array ops: the exact Jaccard needs only (i, |A|, |B|), dividing
+    // the same integers the set formulation divides (bit-identical
+    // doubles; measured: the set-join form cost 9.5 s at sf0.1, this
+    // form ~2 s)
+    val shd0 = shingleRows(docs, idCol, textCol, n, rebalance = false)
+      .select(col("id"), col("s")).distinct()
+    val subcap = shd0.groupBy(col("s")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") <= maxDocs).select(col("s"))
+    val shd = shd0.join(subcap, Seq("s"), "leftsemi").localCheckpoint()
+    val cnt = shd.groupBy(col("id")).agg(count(lit(1)).as("c"))
+    val inter = bucketPairs(
+        shd.select(col("s"), col("id").as("item")), Seq("s"),
         heavy = HeavyBucket, maxBucket = Some(maxDocs))
-      .select(col("a").as("doc_a"), col("b").as("doc_b")).distinct()
-    cand.join(sh.as("sa"), col("doc_a") === col("sa.id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.id"))
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.select(col("id").as("doc_a"), col("c").as("ca")),
+        Seq("doc_a"))
+      .join(cnt.select(col("id").as("doc_b"), col("c").as("cb")),
+        Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
+        (col("i").cast("double") /
+          greatest(col("ca") + col("cb") - col("i"), lit(1L))
+            .cast("double")).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
 

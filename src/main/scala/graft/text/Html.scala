@@ -105,7 +105,12 @@ object Html {
     * the tags — the trafilatura-style chrome set. Matched with their
     * bodies via a back-referenced block regex, so `<` / `>` inside
     * script code or comment prose cannot confuse the tag unwrap that
-    * runs after. */
+    * runs after. Known limitation (regex, not a parser): a chrome
+    * block NESTED inside the same element kind ends at the first
+    * close tag, so the inner tail would unwrap as content — the
+    * stated contract covers the non-self-nested chrome real pages
+    * emit (HTML4 forbade nested forms of these; a full parser is a
+    * mapInPandas/mapPartitions job, the multimodal decode argument). */
   private val DropBlocks = "script|style|nav|footer|head"
 
   /** HTML → clean text: comments out first (they may contain raw `<`),
