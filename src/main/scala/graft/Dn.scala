@@ -96,6 +96,7 @@ object Dn {
       |
       |dn curate-add        --docs=PATH --embeddings=PATH [--out=PATH]
       |                     [--domain-floor-milli=N] [--quotas=SRC:CAP[,...]]
+      |                     [--weights=SRC:W[,...] [--budget=N/D]]
       |                     [--from-html=true|false] [--eval-mod=N]
       |                     [--seq-len=N] [--shards=N] CURATION
       |dn curate-list       [-v]
@@ -135,7 +136,8 @@ object Dn {
     "after", "before", "index", "interval", "metric-breakdowns",
     "data-format", "backend", "path", "index-path", "time-format", "metric",
     "index-config", "docs", "embeddings", "out", "domain-floor-milli",
-    "quotas", "from-html", "eval-mod", "seq-len", "shards")
+    "quotas", "from-html", "eval-mod", "seq-len", "shards", "weights",
+    "budget")
 
   def parseArgs(argv0: Seq[String]): DnArgs = {
     // leading -t (reference: bin/dn dnTrackTime) = print wall time to
@@ -298,7 +300,9 @@ object Dn {
           a.flags.get("quotas"),
           a.flags.get("from-html").contains("true"),
           intFlag("eval-mod", 97), intFlag("seq-len", 256),
-          intFlag("shards", 8))
+          intFlag("shards", 8),
+          a.flags.get("weights"),
+          budgetOf(a)._1, budgetOf(a)._2)
         DnConfig.save(cfg.curationAdd(cur), path)
         ""
       case "curate-remove" =>
@@ -315,6 +319,8 @@ object Dn {
               c.domainFloorMilli.map(f =>
                 s"\n    domainFloorMilli: $f").getOrElse("") +
               c.quotas.map(q => s"\n    quotas:     $q").getOrElse("") +
+              c.weights.map(w => s"\n    weights:    $w " +
+                s"(budget ${c.budgetNum}/${c.budgetDen})").getOrElse("") +
               s"\n    fromHtml:   ${c.fromHtml}  evalMod: ${c.evalMod}" +
               s"  seqLen: ${c.seqLen}  shards: ${c.shards}"
           else head
@@ -437,6 +443,18 @@ object Dn {
     * standing filter applies at all (reference: dragnet.js indexScan
     * passes `indexConfig.datasource.filter || null`, never the local
     * one). */
+  /** `--budget=N/D` → (N, D); default (9, 10). */
+  private def budgetOf(a: DnArgs): (Long, Long) =
+    a.flags.get("budget") match {
+      case None => (9L, 10L)
+      case Some(b) => b.split("/") match {
+        case Array(n, d) if n.toLongOption.isDefined &&
+            d.toLongOption.isDefined => (n.toLong, d.toLong)
+        case _ => throw new GraftException(
+          s"bad --budget: \"$b\" (want a fraction like 9/10)")
+      }
+    }
+
   /** `dn curate PROFILE` — run the closed-loop curation pipeline
     * (corpus_pipeline_full's engine entry, Corpus.pipeline) from a
     * persisted profile: clean → chunk dedup → SemDeDup → decontam →
@@ -452,10 +470,23 @@ object Dn {
       throw new GraftException(s"unknown curation: \"$name\""))
     val docs = spark.read.parquet(cur.docs)
     val embs = spark.read.parquet(cur.embeddings)
+    // a weighted profile SOLVES its quotas first (row 104): the
+    // water-filling allocation over the raw corpus's availability
+    // becomes the pack-tail caps — a config-bounded collect (one row
+    // per named source), the mixture contract made feasible
+    val quotas = cur.weights match {
+      case Some(_) =>
+        graft.dedup.Corpus.mixSolve(docs,
+            DnConfig.parseWeights(cur.weights),
+            budgetNum = cur.budgetNum, budgetDen = cur.budgetDen)
+          .select(col("source"), col("alloc"))
+          .collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
+      case None => DnConfig.parseQuotas(cur.quotas)
+    }
     val manifest = graft.dedup.Corpus.pipeline(docs, embs,
       evalMod = cur.evalMod, seqLen = cur.seqLen, shards = cur.shards,
       domainFloorMilli = cur.domainFloorMilli,
-      quotas = DnConfig.parseQuotas(cur.quotas),
+      quotas = quotas,
       fromHtml = cur.fromHtml)
     cur.out match {
       case Some(o) if !a.dryRun =>

@@ -51,7 +51,16 @@ object DnConfig {
       fromHtml: Boolean,    // row-100 extraction as stage 0
       evalMod: Int,         // eval split: doc_id % evalMod == 0
       seqLen: Int,
-      shards: Int)
+      shards: Int,
+      /** Alternative to explicit quotas: SOLVE them — mixture weights
+        * ("src0:3,src1:1", all named sources required, positive) fed
+        * to the row-104 water-filling allocator over the corpus's
+        * actual availability; the solved per-source token allocations
+        * become the pack-tail caps. */
+      weights: Option[String] = None,
+      /** Budget for the solve, as a fraction of total corpus tokens. */
+      budgetNum: Long = 9L,
+      budgetDen: Long = 10L)
 
   /** Parse a quotas flag: comma-separated `source:cap` entries, cap a
     * long (-1 = explicitly uncapped). */
@@ -64,6 +73,17 @@ object DnConfig {
         throw new GraftException(s"bad quota cap in \"$e\""))
       e.substring(0, i) -> cap
     })
+
+  /** Parse a weights flag: same grammar as quotas but every weight
+    * must be strictly positive (a mixture weight, not a cap). */
+  def parseWeights(s: Option[String]): Map[String, Long] = {
+    val w = parseQuotas(s).toMap
+    w.foreach { case (src, v) =>
+      if (v <= 0) throw new GraftException(
+        s"mixture weight must be positive: \"$src:$v\"")
+    }
+    w
+  }
 
   final case class Config(
       datasources: Vector[Datasource],
@@ -79,6 +99,13 @@ object DnConfig {
       if (c.docs.isEmpty || c.embeddings.isEmpty)
         throw new GraftException("\"docs\" and \"embeddings\" are required")
       parseQuotas(c.quotas) // validate eagerly, like metric breakdowns
+      parseWeights(c.weights)
+      if (c.quotas.isDefined && c.weights.isDefined)
+        throw new GraftException(
+          "quotas and weights are mutually exclusive: explicit caps OR " +
+            "a solved mixture, not both")
+      if (c.budgetNum < 1 || c.budgetDen < 1 || c.budgetNum > c.budgetDen)
+        throw new GraftException("budget must be a fraction in (0, 1]")
       if (c.evalMod < 2)
         throw new GraftException("eval-mod must be >= 2")
       if (c.seqLen < 1 || c.shards < 1)
@@ -196,7 +223,10 @@ object DnConfig {
           Option(n.get("fromHtml")).exists(_.asBoolean),
           Option(n.get("evalMod")).map(_.asInt).getOrElse(97),
           Option(n.get("seqLen")).map(_.asInt).getOrElse(256),
-          Option(n.get("shards")).map(_.asInt).getOrElse(8))
+          Option(n.get("shards")).map(_.asInt).getOrElse(8),
+          strOpt(n, "weights"),
+          Option(n.get("budgetNum")).map(_.asLong).getOrElse(9L),
+          Option(n.get("budgetDen")).map(_.asLong).getOrElse(10L))
       }.toVector
     }.getOrElse(Vector.empty)
     Config(dss, ms, cs)
@@ -232,6 +262,8 @@ object DnConfig {
       n.put("fromHtml", c.fromHtml)
       n.put("evalMod", c.evalMod).put("seqLen", c.seqLen)
         .put("shards", c.shards)
+      putOpt(n, "weights", c.weights)
+      n.put("budgetNum", c.budgetNum).put("budgetDen", c.budgetDen)
     }
     val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
     if (path.getParent != null) Files.createDirectories(path.getParent)

@@ -774,4 +774,41 @@ class DnSpec extends SparkSpec {
     intercept[GraftException](Dn.runConfig(Seq("curate-add", "c2",
       s"--docs=$docs", s"--embeddings=$embs", "--quotas=nocap"), cfg))
   }
+
+  test("curate with weights: quotas are SOLVED by the water-filling " +
+      "allocator, equal to the library composition") {
+    val cfg = Files.createTempDirectory("graft-dn-curatew")
+      .resolve("graftrc")
+    val docs = s"$sf001/documents.parquet"
+    val embs = s"$sf001/embeddings.parquet"
+    val weights = (0 until 20).map(i => s"src$i:${(i % 4) + 1}")
+      .mkString(",")
+    Dn.runConfig(Seq("curate-add", "cw",
+      s"--docs=$docs", s"--embeddings=$embs",
+      s"--weights=$weights", "--budget=4/5"), cfg)
+    assert(Dn.runConfig(Seq("curate-list", "-v"), cfg)
+      .contains("(budget 4/5)"))
+    val got = Dn.run(spark, Seq("curate", "cw"), cfg)
+      .collect().map(_.toSeq).toSet
+    // the library composition: solve the same mixture, feed the
+    // allocations as the pack-tail quotas
+    val d = spark.read.parquet(docs)
+    val solved = graft.dedup.Corpus.mixSolve(d,
+        (0 until 20).map(i => s"src$i" -> ((i % 4) + 1L)).toMap,
+        budgetNum = 4L, budgetDen = 5L)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("alloc"))
+      .collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
+    val want = graft.dedup.Corpus.pipeline(d, spark.read.parquet(embs),
+        quotas = solved)
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+    // weights and explicit quotas are mutually exclusive at add time
+    intercept[GraftException](Dn.runConfig(Seq("curate-add", "cboth",
+      s"--docs=$docs", s"--embeddings=$embs",
+      "--weights=src0:1", "--quotas=src0:100"), cfg))
+    // non-positive weights rejected at add time
+    intercept[GraftException](Dn.runConfig(Seq("curate-add", "cneg",
+      s"--docs=$docs", s"--embeddings=$embs", "--weights=src0:0"), cfg))
+  }
 }
