@@ -167,7 +167,10 @@ object DedupQueries {
     * ending in `solve(source, weight, avail, alloc, saturated)`. The
     * budget is 9/10 of total tokens — measured to make the saturation
     * decision genuinely split (high-weight sources saturate on their
-    * availability, low-weight ones stay proportional). */
+    * availability, low-weight ones stay proportional). Wide products
+    * (avail·(lcm/w), budget·w) run in HUGEINT — the twin of the Spark
+    * side's DECIMAL(38,0) overflow armor; these weights have gcd 1 so
+    * the normalized set the Spark side decides on is the declared one. */
   private[graft] def mixSolveCtes(): String = s"""
         av AS (
           SELECT source,
@@ -179,15 +182,19 @@ object DedupQueries {
           SELECT CAST(sum(avail) AS BIGINT) AS ta,
             CAST(sum(w) AS BIGINT) AS tw FROM av),
         srt AS (
-          SELECT source, avail, w, ta * 9 // 10 AS bud, tw,
-            row_number() OVER (ORDER BY avail * 12 // w, source) AS pos,
-            CAST(sum(avail) OVER (ORDER BY avail * 12 // w, source
+          SELECT source, avail, w, CAST(ta AS HUGEINT) * 9 // 10 AS bud, tw,
+            row_number() OVER (
+              ORDER BY CAST(avail AS HUGEINT) * (12 // w), source) AS pos,
+            CAST(sum(avail) OVER (
+              ORDER BY CAST(avail AS HUGEINT) * (12 // w), source
               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
-            CAST(sum(w) OVER (ORDER BY avail * 12 // w, source
+            CAST(sum(w) OVER (
+              ORDER BY CAST(avail AS HUGEINT) * (12 // w), source
               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw
           FROM av CROSS JOIN tot),
         sat AS (
-          SELECT *, avail * (tw - (cumw - w)) <= (bud - (cuma - avail)) * w
+          SELECT *, CAST(avail AS HUGEINT) * (tw - (cumw - w))
+              <= (bud - (cuma - avail)) * w
             AS satur
           FROM srt),
         ks AS (SELECT min(CASE WHEN NOT satur THEN pos END) AS kstar
@@ -375,6 +382,17 @@ object DedupQueries {
         val d = docs(s, dir)
         val all = org.apache.spark.sql.expressions.Window
           .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+        // truth_exact_ok: the ground truth's TruthDfCap is documented
+        // as linearity armor that never BINDS at the gated scales —
+        // assert that, so the "exact" in the contract stays literal: if
+        // boilerplate ever pushes a shingle's df past the cap, the
+        // truth set silently shifts to informative-shingle Jaccard and
+        // this column turns the gate red instead
+        val capOk = Dedup.shingleRows(d, rebalance = false)
+          .select(col("id"), col("s")).distinct()
+          .groupBy(col("s")).agg(count(lit(1)).as("nd"))
+          .agg((max(col("nd")) <= lit(Dedup.TruthDfCap.toLong))
+            .as("truth_exact_ok"))
         Dedup.exactNearDupPairs(d)
           .join(Dedup.minhashCandidates(d)
             .withColumn("caught", lit(true)), Seq("doc_a", "doc_b"), "left")
@@ -383,6 +401,7 @@ object DedupQueries {
           .withColumn("recall_ok",
             sum(when(col("caught"), 1L).otherwise(0L)).over(all) * 1000 >=
               lit(Dedup.MinBandingRecallPerMille) * count(lit(1)).over(all))
+          .crossJoin(broadcast(capOk))
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(DedupSql.bandingRecall())),

@@ -204,7 +204,8 @@ object DedupSql {
        |    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
        |SELECT doc_a, doc_b, jaccard, caught,
        |  (SELECT sum(CASE WHEN caught THEN 1 ELSE 0 END) * 1000
-       |     >= $perMille * count(*) FROM caughtx) AS recall_ok
+       |     >= $perMille * count(*) FROM caughtx) AS recall_ok,
+       |  (SELECT max(nd) <= $dfCap FROM dfx) AS truth_exact_ok
        |FROM caughtx ORDER BY doc_a, doc_b""".stripMargin
   }
 

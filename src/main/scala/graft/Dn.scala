@@ -288,6 +288,14 @@ object Dn {
         def intFlag(k: String, dflt: Int) = a.flags.get(k)
           .map(v => v.toIntOption.getOrElse(
             throw new GraftException(s"bad --$k: \"$v\""))).getOrElse(dflt)
+        // --budget scales the water-filling solve, which only runs for
+        // a WEIGHTED profile — accepting it alone would persist a knob
+        // nothing consults (the weights/quotas exclusivity discipline)
+        if (a.flags.contains("budget") && !a.flags.contains("weights"))
+          throw new GraftException(
+            "--budget requires --weights (it is the weighted solve's " +
+              "budget fraction; quotas/no-weights profiles never read it)")
+        val (budNum, budDen) = budgetOf(a)
         val cur = DnConfig.Curation(name,
           a.flags.getOrElse("docs",
             throw new GraftException("\"docs\" option is required")),
@@ -302,7 +310,7 @@ object Dn {
           intFlag("eval-mod", 97), intFlag("seq-len", 256),
           intFlag("shards", 8),
           a.flags.get("weights"),
-          budgetOf(a)._1, budgetOf(a)._2)
+          budNum, budDen)
         DnConfig.save(cfg.curationAdd(cur), path)
         ""
       case "curate-remove" =>
@@ -443,15 +451,18 @@ object Dn {
     * standing filter applies at all (reference: dragnet.js indexScan
     * passes `indexConfig.datasource.filter || null`, never the local
     * one). */
-  /** `--budget=N/D` → (N, D); default (9, 10). */
+  /** `--budget=N/D` → (N, D); default (9, 10). Validated eagerly —
+    * N ≥ 0 and D > 0 — so a nonsense fraction fails at curate-add
+    * time, not inside a later solve. */
   private def budgetOf(a: DnArgs): (Long, Long) =
     a.flags.get("budget") match {
       case None => (9L, 10L)
       case Some(b) => b.split("/") match {
-        case Array(n, d) if n.toLongOption.isDefined &&
-            d.toLongOption.isDefined => (n.toLong, d.toLong)
+        case Array(n, d) if n.toLongOption.exists(_ >= 0) &&
+            d.toLongOption.exists(_ > 0) => (n.toLong, d.toLong)
         case _ => throw new GraftException(
-          s"bad --budget: \"$b\" (want a fraction like 9/10)")
+          s"bad --budget: \"$b\" (want a fraction like 9/10 with " +
+            "a non-negative numerator and positive denominator)")
       }
     }
 

@@ -449,15 +449,26 @@ object Corpus {
    * ratios.
    *
    * Exact classic water-filling: sort sources by avail/weight
-   * ascending (the integer key avail·L/weight with L = lcm(weights),
-   * so the RATIONAL order is exact — no float quotients); the
-   * saturated set is a PREFIX of that order (standard water-filling
-   * lemma), found by the first position whose availability exceeds its
-   * proportional share of the REMAINING budget; everyone after gets
-   * floor(R·w/W') of the remaining pool. All decisions in int64 with
-   * non-negative operands (trunc == floor cross-engine); bounds:
-   * avail·Σw and B·w must stay under 2^63 — at 2.5e13 corpus tokens
-   * (100 TB) and Σw ≤ 10⁵ that holds with margin.
+   * ascending (the integer key avail·(L/weight) with L = lcm of the
+   * gcd-NORMALIZED weights, so the RATIONAL order is exact — no float
+   * quotients); the saturated set is a PREFIX of that order (standard
+   * water-filling lemma), found by the first position whose
+   * availability exceeds its proportional share of the REMAINING
+   * budget; everyone after gets floor(R·w/W') of the remaining pool.
+   *
+   * Overflow contract: weights are USER input (`dn curate-add
+   * --weights`, arbitrary positive longs). They are normalized by
+   * their gcd first (every decision below is scale-invariant in the
+   * weights — the rationals avail/w and R·w/W' are unchanged — so the
+   * OUTPUT carries the original weights); the lcm and Σw of the
+   * normalized set are computed with multiplyExact/addExact and a
+   * too-coprime set is REJECTED loudly instead of silently corrupting
+   * the sort order. Every product of a data-sized value (avail, the
+   * budget) with a weight-sized value runs in DECIMAL(38,0) (DuckDB:
+   * HUGEINT) — avail ≤ 2^63 times lcm/w ≤ 2^63 is < 8.6e37, inside
+   * 38 digits for ALL representable inputs — and the floor divisions
+   * land back in int64 (alloc ≤ budget). Non-negative operands keep
+   * trunc == floor cross-engine.
    *
    * Scale shape: one tokenize pass + one groupBy(source); everything
    * after runs on the SOURCE table, which the mixture config bounds by
@@ -470,8 +481,29 @@ object Corpus {
       srcCol: String = "source", textCol: String = "text"): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "mixSolve: weights must be positive")
+    require(budgetNum >= 0 && budgetDen > 0,
+      s"mixSolve: budget must be a non-negative fraction, " +
+        s"got $budgetNum/$budgetDen")
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-    val lcmW = weights.values.reduce((a, b) => a / gcd(a, b) * b)
+    // normalize by the gcd (decision-invariant), then lcm/Σ with exact
+    // arithmetic: a weight set whose lcm cannot be represented would
+    // silently corrupt the rational sort order — reject it instead
+    val g = weights.values.reduce(gcd)
+    val wn: Map[String, Long] = weights.map { case (k, v) => k -> v / g }
+    val (lcmW, twCheck) =
+      try (wn.values.reduce((a, b) => Math.multiplyExact(a / gcd(a, b), b)),
+        wn.values.reduce((a, b) => Math.addExact(a, b)))
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          "mixSolve: lcm or sum of the gcd-normalized weights overflows " +
+            "int64 — reduce the weight set (e.g. round near-coprime " +
+            s"weights to a common grid): ${weights.values.toSeq.sorted}")
+      }
+    require(twCheck > 0, "mixSolve: weight sum must be positive")
+    // per-source integer multiplier lcm/w — the division is exact, so
+    // key = avail·(lcm/w) carries the rational avail/w order without
+    // ever forming avail·lcm (which CAN overflow even decimal(38))
+    val lwOf: Map[String, Long] = wn.map { case (k, v) => k -> lcmW / v }
     val w = org.apache.spark.sql.expressions.Window
     val byKey = w.orderBy(col("key"), col("source"))
     val run = byKey.rowsBetween(w.unboundedPreceding, w.currentRow)
@@ -485,18 +517,24 @@ object Corpus {
         coalesce(element_at(typedLit(weights), col("source")),
           raise_error(concat(lit("mixSolve: unweighted source "),
             col("source"))).cast("long")))
+      // the gcd-normalized twin drives every DECISION; `weight` is
+      // what the caller declared and what the output reports
+      .withColumn("wn", element_at(typedLit(wn), col("source")))
     val totals = avail.agg(sum(col("avail")).as("ta"),
-      sum(col("weight")).as("tw"))
+      sum(col("wn")).as("tw"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val srt = avail.crossJoin(broadcast(totals))
-      .withColumn("bud", expr(s"ta * $budgetNum div $budgetDen"))
-      .withColumn("key", expr(s"avail * $lcmW div weight"))
+      .withColumn("bud",
+        expr(s"CAST(ta AS DECIMAL(38,0)) * $budgetNum div $budgetDen"))
+      .withColumn("key",
+        dec(col("avail")) * element_at(typedLit(lwOf), col("source")))
       .withColumn("pos", row_number().over(byKey))
       .withColumn("cuma", sum(col("avail")).over(run))
-      .withColumn("cumw", sum(col("weight")).over(run))
+      .withColumn("cumw", sum(col("wn")).over(run))
       // exclusive prefixes; saturated iff avail ≤ share of what's left
       .withColumn("satur",
-        col("avail") * (col("tw") - (col("cumw") - col("weight"))) <=
-          (col("bud") - (col("cuma") - col("avail"))) * col("weight"))
+        dec(col("avail")) * (col("tw") - (col("cumw") - col("wn"))) <=
+          dec(col("bud") - (col("cuma") - col("avail"))) * col("wn"))
     srt
       .withColumn("kstar",
         min(when(!col("satur"), col("pos"))).over(all))
@@ -510,7 +548,8 @@ object Corpus {
         when(col("kstar").isNull || col("pos") < col("kstar"),
             col("avail"))
           .otherwise(expr(
-            "(bud - cumaK) * weight div (tw - cumwK)")).as("alloc"),
+            "CAST(bud - cumaK AS DECIMAL(38,0)) * wn div (tw - cumwK)"))
+          .as("alloc"),
         (col("kstar").isNull || col("pos") < col("kstar"))
           .as("saturated"))
   }

@@ -171,6 +171,12 @@ object Dedup {
         org.apache.spark.sql.graft.bridge.expression(
           Text.tokens(col(textCol))), n, k))
     docs.select(col(idCol).as("id"), explode(array(sig)).as("sigarr"))
+      // NULL-text docs: the kernel is null-in-null-out, and explode of
+      // array(NULL) EMITS the row (unlike the pre-fusion explode over
+      // sequence(NULL), which dropped it) — filter it here, or every
+      // null-text doc would share the all-null band buckets and pair
+      // with every other one (DedupSpec pins the no-signature contract)
+      .where(col("sigarr").isNotNull)
       .select(col("id") +: (0 until k).map(i =>
         element_at(col("sigarr"), i + 1).as(s"m$i")): _*)
   }
@@ -941,8 +947,12 @@ object Dedup {
     // (informative) shingles on BOTH sides of the statistic — a
     // boilerplate shingle (> maxDocs docs) is neither similarity
     // evidence (the sourceRank argument) nor union mass, so the
-    // Jaccard here is over the informative sets; at the base scales no
-    // shingle reaches the cap and it equals plain Jaccard exactly.
+    // Jaccard here is over the informative sets; at the gated scales
+    // no shingle reaches the cap and it equals plain Jaccard exactly —
+    // and the dedup_banding_recall gate ASSERTS that (truth_exact_ok:
+    // max shingle df ≤ cap in both engines), so a corpus whose
+    // boilerplate silently shifted the truth statistic turns the gate
+    // red instead of mis-measuring recall.
     // bucketPairs then emits one row per SHARED shingle, so the
     // per-pair count IS |A∩B| — no per-pair shingle-set join, no
     // array ops: the exact Jaccard needs only (i, |A|, |B|), dividing

@@ -101,9 +101,17 @@ object Psl {
    * set's deepest anchor + 1 is unnecessary: anchors are probed
    * directly, the +1 arrives arithmetically via the wildcard/registered
    * offsets). NULL when the host is itself a public suffix.
+   *
+   * The host is canonicalized first, mirroring publicsuffix.org's
+   * algorithm step 1: rule matching is case-insensitive (lowercase the
+   * host — the rule anchors are already lowercase by list convention)
+   * and a fully-qualified trailing dot is ignored. Without this,
+   * 'Foo.CO.UK' or 'a.co.uk.' would miss every anchor and resolve via
+   * the implicit default instead of co.uk.
    */
   def registeredDomain(host: Column, rules: Rules): Column = {
-    val labels = split(host, "\\.")
+    val canon = lower(regexp_replace(host, "\\.$", ""))
+    val labels = split(canon, "\\.")
     val n = size(labels)
     def suffix(k: Int): Column = array_join(slice(labels, -k, k), ".")
     val probes = 1 to rules.maxProbe

@@ -164,6 +164,37 @@ class DedupSpec extends SparkSpec {
     } finally graft.tools.LocalFs.deleteRec(p.getParent)
   }
 
+  test("null-text docs carry no signature and pair with nobody (ADVICE r14)") {
+    // the fused kernel is null-in-null-out and explode(array(NULL))
+    // EMITS the row — without the signature-level filter, every
+    // null-text doc would share the all-null band buckets and pair
+    // with every other one (the pre-fusion explode dropped them)
+    val d = Seq((1L, "alpha beta gamma delta"), (2L, null),
+      (3L, null), (4L, null)).toDF("doc_id", "text")
+    assert(Dedup.minhashSignature(d).count() == 1)
+    assert(Dedup.minhashCandidates(d).count() == 0)
+  }
+
+  test("banding-recall truth cap: a bound shingle flips truth_exact_ok") {
+    // 70 docs sharing one shingle push its df past TruthDfCap=64 — the
+    // gate's truth set silently becomes informative-shingle Jaccard,
+    // which truth_exact_ok must surface as a red gate, not a
+    // mis-measured recall
+    import org.apache.spark.sql.functions._
+    def capOk(d: org.apache.spark.sql.DataFrame): Boolean =
+      Dedup.shingleRows(d, rebalance = false)
+        .select(col("id"), col("s")).distinct()
+        .groupBy(col("s")).agg(count(lit(1)).as("nd"))
+        .agg((max(col("nd")) <= lit(Dedup.TruthDfCap.toLong)).as("ok"))
+        .head.getBoolean(0)
+    val hot = (1L to 70L).map(i => (i, s"common boiler plate w$i"))
+      .toDF("doc_id", "text")
+    assert(!capOk(hot), "a df-65+ shingle must flip the assertion")
+    val cool = (1L to 70L).map(i => (i, s"only mine u$i v$i w$i"))
+      .toDF("doc_id", "text")
+    assert(capOk(cool))
+  }
+
   test("minhash candidates include both dup pairs, not the unrelated doc") {
     val pairs = Dedup.minhashCandidates(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

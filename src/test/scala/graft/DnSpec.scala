@@ -775,6 +775,22 @@ class DnSpec extends SparkSpec {
       s"--docs=$docs", s"--embeddings=$embs", "--quotas=nocap"), cfg))
   }
 
+  test("curate-add: --budget without --weights is rejected eagerly (ADVICE r14)") {
+    val cfg = Files.createTempDirectory("graft-dn-curatebv")
+      .resolve("graftrc")
+    val docs = s"$sf001/documents.parquet"
+    val embs = s"$sf001/embeddings.parquet"
+    // a budget nothing would ever consult must not persist silently
+    val e = intercept[GraftException](Dn.runConfig(Seq("curate-add", "cb",
+      s"--docs=$docs", s"--embeddings=$embs", "--budget=4/5"), cfg))
+    assert(e.getMessage.contains("--budget requires --weights"))
+    // nonsense fractions fail at add time, not inside a later solve
+    val e2 = intercept[GraftException](Dn.runConfig(Seq("curate-add", "cb",
+      s"--docs=$docs", s"--embeddings=$embs",
+      "--weights=src0:1", "--budget=1/0"), cfg))
+    assert(e2.getMessage.contains("bad --budget"))
+  }
+
   test("curate with weights: quotas are SOLVED by the water-filling " +
       "allocator, equal to the library composition") {
     val cfg = Files.createTempDirectory("graft-dn-curatew")

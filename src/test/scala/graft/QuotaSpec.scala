@@ -263,4 +263,32 @@ class QuotaSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("unweighted source")))
   }
+
+  test("mix solver: user-weight overflow armor (ADVICE r14)") {
+    val docs = graft.sources.Sources.table(spark, sf001, "documents")
+    val weights = (0 until 20).map(i => s"src$i" -> ((i % 4) + 1L)).toMap
+    def solve(w: Map[String, Long]) =
+      graft.dedup.Corpus.mixSolve(docs, w).collect()
+        .map(r => (r.getString(0), r.getLong(3), r.getBoolean(4)))
+        .sortBy(_._1).toSeq
+    // gcd normalization is decision-invariant: scaling every weight by
+    // 1e9 reproduces the allocation bit for bit (pre-fix, the lcm of
+    // the scaled set silently overflowed int64 and corrupted the sort)
+    assert(solve(weights) ==
+      solve(weights.map { case (k, v) => k -> v * 1000000000L }))
+    // a genuinely too-coprime set (lcm of 3·5·…·53 ≈ 1.6e19 > 2^63) is
+    // REJECTED loudly at solve time, never a corrupted rational order
+    val primes = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L,
+      37L, 41L, 43L, 47L, 53L)
+    val coprime = (0 until 20).map(i =>
+      s"src$i" -> (if (i < primes.length) primes(i) else 1L)).toMap
+    val e = intercept[IllegalArgumentException](
+      graft.dedup.Corpus.mixSolve(docs, coprime))
+    assert(e.getMessage.contains("overflows int64"))
+    // nonsense budget fractions fail eagerly too
+    val e2 = intercept[IllegalArgumentException](
+      graft.dedup.Corpus.mixSolve(docs, weights, budgetNum = 1L,
+        budgetDen = 0L))
+    assert(e2.getMessage.contains("budget"))
+  }
 }

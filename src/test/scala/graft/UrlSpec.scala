@@ -79,6 +79,18 @@ class UrlSpec extends SparkSpec {
     for ((h, want) <- cases) assert(pslOne(h) == want, h)
   }
 
+  test("PSL: host canonicalization — case-insensitive, trailing dot ignored (ADVICE r14)") {
+    // publicsuffix.org algorithm step 1: the host is lowercased and a
+    // fully-qualified trailing dot is ignored before rule matching —
+    // without it these resolve via the implicit default, not co.uk/ck
+    assert(pslOne("Foo.CO.UK") == Some("foo.co.uk"))
+    assert(pslOne("a.co.uk.") == Some("a.co.uk"))
+    assert(pslOne("WWW.SITE5.CO.UK.") == Some("site5.co.uk"))
+    assert(pslOne("CO.UK") == None)
+    assert(pslOne("Bar.CK.") == None) // wildcard: host IS a public suffix
+    assert(pslOne("FOO.WWW.CK") == Some("www.ck")) // exception, cased
+  }
+
   test("PSL: longest match prevails and deeper rule sets resolve") {
     // a 3-level rule alongside its 2-level prefix: longest must win
     val rules = graft.text.Psl.fromLines(Seq(
