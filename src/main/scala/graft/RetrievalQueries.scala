@@ -32,17 +32,23 @@ object RetrievalQueries {
   private val Bm25K = 25
 
   // ---- known-item recall gates (r13 verdict item 2): the ann_recall_*
-  // discipline applied to the lexical and hybrid legs. Targets are the
-  // docs with doc_id % KiMod == KiRes; each target doc PLANTS its own
-  // query (BM25: its top-KiTerms terms by tf; dense: the SIGN vector of
-  // its embedding — a deterministically degraded memory of the item),
-  // and the gate measures whether retrieval finds the known item in the
-  // top-KiK. Floors are per-mille of the target count (the population
-  // scales with the corpus, unlike the fixed 4-query ann batches) and
-  // were MEASURED by tools/MeasureRetrieval — a deterministic-but-
-  // ranking-destroying bug (constant scores, idf dropped, fusion that
-  // returns one leg) lands far below them (RetrievalSpec drives those
-  // arms explicitly).
+  // discipline applied to the lexical and hybrid legs. Targets are a
+  // FIXED-SIZE hash sample of the planted population (doc_id % KiMod ==
+  // KiRes): the TargetCap smallest ids by salted 60-bit hash (r14
+  // verdict item 1 — a bare residue class is a fixed FRACTION of the
+  // corpus, which made the collected query matrix and both legs'
+  // candidate sets O(n²); the cap keeps the query count — and with it
+  // the plan literal and the per-query candidate work — corpus-
+  // INDEPENDENT, so the whole gate is linear in the corpus). Each
+  // target doc PLANTS its own query (BM25: its top-KiTerms terms by
+  // tf; dense: the SIGN vector of its embedding — a deterministically
+  // degraded memory of the item), and the gate measures whether
+  // retrieval finds the known item in the top-KiK. Floors are
+  // per-mille of the SAMPLE (same statistical force at any corpus
+  // size) and were MEASURED by tools/MeasureRetrieval — a
+  // deterministic-but-ranking-destroying bug (constant scores, idf
+  // dropped, fusion that returns one leg) lands far below them
+  // (RetrievalSpec drives those arms explicitly).
 
   private[graft] val KiMod = 25
   private[graft] val KiRes = 7
@@ -50,28 +56,65 @@ object RetrievalQueries {
   private[graft] val KiDims = 16
   private[graft] val KiK = 10
 
-  /** Measured floors (tools/MeasureRetrieval, per-mille of targets so
-    * the contract scales with the corpus — the target population grows
-    * with it, unlike the fixed 4-query ann batches):
-    *   bm25 hits/queries: 950‰ sf0.001, 1000‰ sf0.01, 460‰ 10×
-    *   dense(16-dim sign) : 950‰, 950‰, 565‰
-    *   rrf                : 1000‰, 1000‰, 845‰
-    *   const-score arm    : 50‰, 50‰, 5‰  (what a ranking-destroying
-    *                        bug scores — two orders below the floors)
-    * fusion margins: rrf ≥ bm25 at every scale (strictly +77 at 10×)
-    * and rrf ≥ dense + 1 at EVERY scale — so a "fusion" that returns
-    * the dense leg fails everywhere, and one returning the sparse leg
-    * fails at sf0.001 (19 < 19+1) and 10× (92 < 114). */
+  /** Fixed target-sample size. Binds at the 10× gate dir and above
+    * (200 planted ids → 64 sampled); below the cap the sample is the
+    * whole planted population, so the sf0.001/sf0.01 measurements are
+    * unchanged. 64 keeps the per-mille floors meaningful (15.6‰
+    * granularity) while bounding the collected dense-query matrix at
+    * 64×64 doubles forever. */
+  private[graft] val TargetCap = 64
+
+  /** The target SAMPLE of a table's planted ids: the [[TargetCap]]
+    * smallest by salted cross-engine hash (ties on id — md5 collisions
+    * aside, a pure formality). orderBy+limit is TakeOrderedAndProject
+    * — per-partition heaps of 64 rows and a driver merge, never a
+    * global sort — and the ≤64-row result broadcasts into every
+    * consumer. Both engines replay the identical ORDER BY/LIMIT. */
+  private[graft] def kiTargets(tab: DataFrame, idCol: String): DataFrame =
+    tab.select(col(idCol).as("qid"))
+      .where(col("qid") % KiMod === KiRes)
+      .distinct()
+      .orderBy(graft.functions.XHash.h60(
+        concat(lit("ki:"), col("qid").cast("string"))), col("qid"))
+      .limit(TargetCap)
+
+  /** The SQL twin of [[kiTargets]] over table/id column (the DISTINCT
+    * runs in a subselect so the ORDER BY hash expression is legal). */
+  private def kiTargetsSql(tab: String, idCol: String): String =
+    s"""SELECT qid FROM (
+          SELECT DISTINCT $idCol AS qid FROM $tab
+          WHERE $idCol % $KiMod = $KiRes)
+        ORDER BY ${graft.functions.XHash.h60Sql(
+          "'ki:' || CAST(qid AS VARCHAR)")}, qid
+        LIMIT $TargetCap"""
+
+  /** Measured floors (tools/MeasureRetrieval, per-mille of the
+    * [[kiTargets]] SAMPLE — ≤ TargetCap queries at any corpus size, so
+    * the statistic has the same force at 100× that it has here):
+    *   n_queries          : 20 sf0.001, 20 sf0.01, 64 (capped) 10×
+    *   bm25 hits/queries  : 950‰, 1000‰, 531‰
+    *   dense(16-dim sign) : 950‰, 950‰, 562‰
+    *   rrf                : 1000‰, 1000‰, 906‰
+    *   const-score arm    : 50‰, 50‰, 0‰  (what a ranking-destroying
+    *                        bug scores — an order below the floors)
+    * fusion margins: rrf ≥ bm25 at every scale (strictly +24 hits at
+    * 10×) and rrf ≥ dense + 1 at EVERY scale — so a "fusion" that
+    * returns the dense leg fails everywhere, and one returning the
+    * sparse leg fails at sf0.001 (19 < 19+1) and 10× (34 < 37). */
   private[graft] val MinKiBm25PerMille = 400L
   private[graft] val MinKiRrfPerMille = 750L
 
   /** Per-target query terms: the target's top-`qTerms` terms by
     * (tf desc, term asc) — integer-exact ordering, replayed verbatim
-    * by the oracle. The per-doc ranking window is vocabulary-bounded
-    * (≤ distinct terms per doc), never corpus-bounded. */
+    * by the oracle. The target set is the broadcast [[kiTargets]]
+    * sample (≤ [[TargetCap]] rows), so the ranked population is
+    * ≤ TargetCap documents' postings; the per-doc ranking window is
+    * vocabulary-bounded (≤ distinct terms per doc), never
+    * corpus-bounded. */
   private[graft] def kiQueryTerms(posts: DataFrame,
       qTerms: Int = KiTerms): DataFrame =
-    posts.where(col("doc_id") % KiMod === KiRes)
+    posts.join(broadcast(kiTargets(posts, "doc_id")),
+        col("doc_id") === col("qid"))
       .withColumn("r", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("tf").desc, col("term"))))
@@ -105,6 +148,19 @@ object RetrievalQueries {
     // interpreter (measured 22 s for 2.3M candidate rows at sf0.1 vs
     // ~1 s as a whole-stage-codegen projection); the aggregate then
     // carries one plain double per row
+    kiSlotScore(posts, qt, dfTab, stats, qTerms)
+  }
+
+  /** The shared (qid, doc, score) assembly both BM25 serving shapes
+    * route through — postings join the broadcast query terms and the
+    * broadcast df/stats summaries, contributions project per row
+    * (codegen'd, never inside the aggregate update), then assemble by
+    * QUERY-TERM RANK into fixed slots summed in fixed slot order: the
+    * doubles are bit-identical between the scan path
+    * ([[kiBm25Scored]]) and the persisted-lexicon path
+    * ([[kiBm25ScoredFromLexicon]]), so ONE oracle gates both. */
+  private def kiSlotScore(posts: DataFrame, qt: DataFrame,
+      dfTab: DataFrame, stats: DataFrame, qTerms: Int): DataFrame = {
     val c = Bm25.contribution(col("tf"), col("df"), col("dl"))
     val slots = (1 to qTerms).map(i =>
       sum(when(col("r") === i, col("c"))).as(s"c$i"))
@@ -118,6 +174,24 @@ object RetrievalQueries {
         (1 to qTerms).map(i => coalesce(col(s"c$i"), lit(0.0)))
           .reduceLeft(_ + _).as("score"))
   }
+
+  /** The PRODUCTION read path of the known-item gate (r14 verdict
+    * item 3): identical scoring served from a persisted lexicon whose
+    * vocabulary is exactly the planted query-term set (the production
+    * move — you index your query log's vocabulary; df values and
+    * corpus stats count the FULL corpus). The scoring plan reads ONLY
+    * the lexicon — |query terms| posting directories, the df/stats
+    * summaries — and never opens the corpus (RetrievalSpec pins it);
+    * queries arrive from outside, as they do in serving. Scores are
+    * bit-identical to [[kiBm25Scored]] because the posting population
+    * for the query terms, the summaries, and the [[kiSlotScore]] tree
+    * all coincide. */
+  private[graft] def kiBm25ScoredFromLexicon(
+      s: org.apache.spark.sql.SparkSession, root: String,
+      qt: DataFrame, qTerms: Int = KiTerms): DataFrame =
+    kiSlotScore(s.read.parquet(s"$root/postings"), qt,
+      s.read.parquet(Bm25.summaryPath(s, root, "df")),
+      s.read.parquet(Bm25.summaryPath(s, root, "stats")), qTerms)
 
   /** Target's rank per query WITHOUT a corpus-sized sort: count the
     * candidates strictly ahead of the target on (score desc, id asc) —
@@ -149,13 +223,16 @@ object RetrievalQueries {
     * norm + dot) so the oracle replays it bit for bit.
     *
     * Serving shape: the normalized query vectors COLLECT to a plan-
-    * carried matrix (eval-bounded — the targets, never the corpus; the
-    * ANN-LUT bounded-collect argument) and ONE corpus pass computes
-    * all dots per row through the native batch kernel
+    * carried matrix that is CORPUS-INDEPENDENT by construction — the
+    * [[kiTargets]] hash cap bounds it at [[TargetCap]]×64 doubles (a
+    * require enforces the bound; RetrievalSpec pins it on a corpus
+    * whose planted population exceeds the cap) — and ONE corpus pass
+    * computes all dots per row through the native batch kernel
     * ([[graft.functions.ArrayDotBatch]]), posexploded behind a
-    * Generate barrier. The per-pair BroadcastNestedLoopJoin form this
-    * replaces materialized |corpus|×|queries| rows each carrying two
-    * full vectors — ~20 s at sf0.1; this is sub-second. Scores are
+    * Generate barrier: |corpus|·TargetCap score rows, linear in the
+    * corpus. The per-pair BroadcastNestedLoopJoin form this replaces
+    * materialized |corpus|×|queries| rows each carrying two full
+    * vectors — ~20 s at sf0.1; this is sub-second. Scores are
     * bit-identical (same sequential accumulation; RetrievalSpec pins
     * the equality against the join form). */
   private[graft] def kiDenseScored(embs: DataFrame,
@@ -164,12 +241,15 @@ object RetrievalQueries {
       when(i < keepDims,
         when(x > 0, lit(1.0)).otherwise(lit(-1.0))).otherwise(lit(0.0)))
     val q = Ann.withNormalized(
-      embs.where(col("vec_id") % KiMod === KiRes)
-        .select(col("vec_id").as("qid"), sgn.as("embedding")),
+      embs.join(broadcast(kiTargets(embs, "vec_id")),
+          col("vec_id") === col("qid"))
+        .select(col("qid"), sgn.as("embedding")),
       "embedding", "qn")
       .select(col("qid"), col("qn"))
       .orderBy(col("qid"))
       .collect()
+    require(q.length <= TargetCap,
+      s"known-item query matrix must be capped: ${q.length} > $TargetCap")
     val qids = lit(q.map(_.getLong(0)))
     val mat: Seq[Seq[Double]] = q.toSeq.map(_.getSeq[Double](1).toSeq)
     val vn = Ann.withNormalized(embs, "embedding", "vn")
@@ -299,11 +379,12 @@ object RetrievalQueries {
           WHERE term <> '' GROUP BY 1, 2),
         dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
           FROM posts GROUP BY 1),
+        tgt AS (${kiTargetsSql("posts", "doc_id")}),
         qt AS (
           SELECT doc_id AS qid, term, r FROM (
             SELECT doc_id, term, row_number() OVER (
               PARTITION BY doc_id ORDER BY tf DESC, term) AS r
-            FROM posts WHERE doc_id % $KiMod = $KiRes)
+            FROM posts WHERE doc_id IN (SELECT qid FROM tgt))
           WHERE r <= $KiTerms),
         krows AS (
           SELECT qt.qid, p.doc_id, qt.r,
@@ -344,9 +425,10 @@ object RetrievalQueries {
           p -> CASE WHEN p[2] < $KiDims THEN
                  (CASE WHEN p[1] > 0 THEN $one ELSE -$one END)
                ELSE CAST(0 AS DOUBLE) END)"""
-    s"""qsgn AS (
+    s"""dtgt AS (${kiTargetsSql("embeddings", "vec_id")}),
+        qsgn AS (
           SELECT vec_id AS qid, $sgn AS sgn FROM embeddings
-          WHERE vec_id % $KiMod = $KiRes),
+          WHERE vec_id IN (SELECT qid FROM dtgt)),
         qn AS (
           SELECT qid, list_transform(sgn,
             x -> CAST(x AS DOUBLE) / ${AnnQueries.normSqlOf("sgn")}) AS qv
@@ -472,6 +554,38 @@ object RetrievalQueries {
     path
   }
 
+  /** The known-item gate's target docs and their planted query terms —
+    * derived from the ≤[[TargetCap]] target docs ONLY (in production
+    * queries arrive from a query log; here each target plants its
+    * own), shared by the lexicon build (vocabulary) and the serving
+    * gate (the queries). */
+  private def kiGateQueries(d: DataFrame): DataFrame = {
+    val targetDocs = d.join(broadcast(kiTargets(d, "doc_id")),
+      col("doc_id") === col("qid")).select(d.columns.map(col): _*)
+    kiQueryTerms(Bm25.postingsOf(targetDocs))
+  }
+
+  /** Gate-lexicon cache (fingerprint-keyed, stale siblings swept): the
+    * persisted postings index whose VOCABULARY is the planted
+    * query-term set — built once per corpus fingerprint, then the
+    * recall gate reads ONLY it. */
+  private def ensureKiLexicon(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fp = graft.tools.LocalFs.fingerprint(
+      new java.io.File(s"$dir/documents.parquet"))
+    val key = s"$dirKey-$fp-t$TargetCap-q$KiTerms"
+    val path = s"/tmp/graft-kilex/$key"
+    if (!new java.io.File(s"$path/postings/_SUCCESS").exists()) {
+      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-kilex",
+        s"$dirKey-", key)
+      val d = docs(s, dir)
+      Bm25.buildLexicon(d, path,
+        vocabTermsOverride = Some(kiGateQueries(d).select(col("term"))))
+    }
+    path
+  }
+
   def all: Seq[Q] = Seq(
 
     // #61 BM25 top-k for the pinned query terms: one features pass, a
@@ -531,15 +645,18 @@ object RetrievalQueries {
         ORDER BY rrf DESC, id LIMIT $FusedK""")),
 
     // #62b KNOWN-ITEM recall gate, BM25 (r13 verdict item 2): every
-    // target doc (doc_id % 25 == 7) plants its own query — its top-3
-    // terms by (tf desc, term asc) — and the gate ranks the target
-    // among ALL matching docs by counting candidates strictly ahead
-    // (never a corpus-sized sort; scores are slot-pivoted fixed-order
-    // sums, bit-identical across engines, so the comparison is
-    // deterministic). recall_ok asserts the measured per-mille floor —
-    // the contract the plain bm25 gates lacked: a deterministic
-    // ranking-destroying bug (constant scores ranks by id: 50‰ here,
-    // 5‰ at 10×) fails it even though it replays consistently.
+    // SAMPLED target doc (the hash-capped kiTargets sample of
+    // doc_id % 25 == 7 — ≤ TargetCap queries at ANY corpus size, the
+    // r14 verdict fix that keeps this audit linear) plants its own
+    // query — its top-3 terms by (tf desc, term asc) — and the gate
+    // ranks the target among ALL matching docs by counting candidates
+    // strictly ahead (never a corpus-sized sort; scores are
+    // slot-pivoted fixed-order sums, bit-identical across engines, so
+    // the comparison is deterministic). recall_ok asserts the measured
+    // per-mille floor — the contract the plain bm25 gates lacked: a
+    // deterministic ranking-destroying bug (constant scores ranks by
+    // id: 50‰ here, 0‰ at 10×) fails it even though it replays
+    // consistently.
     Q("retrieval_recall_bm25",
       (s, dir) => {
         val all = Window.partitionBy()
@@ -555,14 +672,15 @@ object RetrievalQueries {
 
     // #62c KNOWN-ITEM recall gate, RRF fusion: the dense leg degrades
     // the query to the sign pattern of its first 16 dims (a lossy
-    // memory of the item — measured 565‰ alone at 10×), the sparse leg
-    // is the top-3-term query (460‰ at 10×), and fusion_ok pins that
-    // fusing the two IMPERFECT, complementary views beats both: rrf ≥
-    // bm25 (strictly +77 at 10×) AND rrf ≥ dense + 1 at EVERY measured
-    // scale AND the absolute per-mille floor. A fusion that silently
-    // returns the dense list fails the +1 margin everywhere; one
-    // returning the sparse list fails at sf0.001 and 10×
-    // (RetrievalSpec drives both fake-fusion arms explicitly).
+    // memory of the item — measured 562‰ alone at 10× on the capped
+    // sample), the sparse leg is the top-3-term query (531‰ at 10×),
+    // and fusion_ok pins that fusing the two IMPERFECT, complementary
+    // views beats both: rrf ≥ bm25 (strictly +24 hits at 10×) AND
+    // rrf ≥ dense + 1 at EVERY measured scale AND the absolute
+    // per-mille floor. A fusion that silently returns the dense list
+    // fails the +1 margin everywhere; one returning the sparse list
+    // fails at sf0.001 and 10× (RetrievalSpec drives both fake-fusion
+    // arms explicitly).
     Q("retrieval_recall_rrf",
       (s, dir) => {
         val all = Window.partitionBy()
@@ -588,6 +706,36 @@ object RetrievalQueries {
               .as("fusion_ok"))
           .orderBy(col("qid"))
       },
-      Some(kiRrfOracleSql))
+      Some(kiRrfOracleSql)),
+
+    // #62d the known-item gate pointed at the PRODUCTION READ PATH
+    // (SURVEY row 107, r14 verdict item 3): the same planted queries,
+    // floors and rank arithmetic as retrieval_recall_bm25, but every
+    // score is served from the PERSISTED lexicon (vocabulary = the
+    // planted query-term set, the query-log-vocabulary move; df/stats
+    // count the full corpus) — the quality floor now covers what
+    // serving actually reads, not a fresh postings pass. The scoring
+    // plan never opens the corpus (RetrievalSpec pins the plan and the
+    // bit-equality of the two serving shapes), and ONE oracle gates
+    // both paths because the posting population for the query terms,
+    // the summaries, and the slot-ordered score tree coincide.
+    Q("retrieval_recall_index",
+      (s, dir) => {
+        val all = Window.partitionBy()
+          .rowsBetween(Long.MinValue, Long.MaxValue)
+        val root = ensureKiLexicon(s, dir)
+        // the queries MATERIALIZE (≤ TargetCap·KiTerms rows) before
+        // scoring — in production they arrive as literals from a query
+        // log; with the checkpoint the scoring plan reads ONLY the
+        // lexicon, which is the row's whole point
+        val qt = kiGateQueries(docs(s, dir)).localCheckpoint()
+        kiRankOf(kiBm25ScoredFromLexicon(s, root, qt), "doc_id")
+          .select(col("qid"), col("target_rank"), col("hit"),
+            (sum(when(col("hit"), 1L).otherwise(0L)).over(all) * 1000 >=
+              lit(MinKiBm25PerMille) * count(lit(1)).over(all))
+              .as("recall_ok"))
+          .orderBy(col("qid"))
+      },
+      Some(kiBm25OracleSql))
   )
 }

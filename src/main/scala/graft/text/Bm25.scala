@@ -308,6 +308,12 @@ object Bm25 {
 
   def buildLexicon(docs: DataFrame, path: String, vocabCap: Int = VocabCap,
       vocabDocs: Option[DataFrame] = None,
+      /** An explicit vocabulary (one `term` column, driver-bounded —
+        * e.g. a query log's term set, or the known-item gate's planted
+        * query terms): indexes exactly these terms, skipping the
+        * df-ranked membership election. df VALUES still count the full
+        * indexed docs. */
+      vocabTermsOverride: Option[DataFrame] = None,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val s = docs.sparkSession
     val toks = docs.select(col(idCol).as("doc_id"),
@@ -318,14 +324,17 @@ object Bm25 {
     val postings = postingsOf(docs, idCol, textCol)
     // vocab MEMBERSHIP may come from a restricted population (the
     // incremental comparator trains it on the old slice, mirroring the
-    // ANN trainWhere); df VALUES always count the full indexed docs.
-    val vocabTerms = vocabDocs.map(postingsOf(_, idCol, textCol))
-      .getOrElse(postings)
-      .groupBy(col("term"))
-      .agg(count(lit(1)).cast("long").as("df_v"))
-      .orderBy(col("df_v").desc, col("term"))
-      .limit(vocabCap)
-      .select(col("term"))
+    // ANN trainWhere) or be declared outright; df VALUES always count
+    // the full indexed docs.
+    val vocabTerms = vocabTermsOverride
+      .map(_.select(col("term")).distinct())
+      .getOrElse(vocabDocs.map(postingsOf(_, idCol, textCol))
+        .getOrElse(postings)
+        .groupBy(col("term"))
+        .agg(count(lit(1)).cast("long").as("df_v"))
+        .orderBy(col("df_v").desc, col("term"))
+        .limit(vocabCap)
+        .select(col("term")))
     val dfTab = postings.join(broadcast(vocabTerms), Seq("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("df"))

@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 /**
  * Measurement harness for the KNOWN-ITEM retrieval recall gates (r13
- * verdict item 2): each target doc (doc_id % 25 == 7) plants its own
- * query (BM25: its top-4 terms by tf; dense: the sign vector of its
- * embedding), and recall@10 counts the targets found. Reports, per
+ * verdict item 2): each SAMPLED target doc (RetrievalQueries.kiTargets
+ * — the hash-capped sample of doc_id % 25 == 7, ≤ TargetCap queries at
+ * any corpus size) plants its own query (BM25: its top-k terms by tf;
+ * dense: the sign vector of its embedding), and recall@10 counts the
+ * targets found. Reports, per
  * corpus: hits for the BM25 leg, the dense leg, and the RRF fusion —
  * plus the BROKEN arms the floors must exclude (constant-score BM25 =
  * rank by doc id; a fusion that returns one leg is read directly off

@@ -288,6 +288,31 @@ class RetrievalSpec extends SparkSpec {
     assert(drift == 0, s"$drift (qid, vec) scores drifted from the join form")
   }
 
+  test("known-item target sample is corpus-independent (r14 verdict item 1)") {
+    // a corpus whose planted population (id % 25 == 7: 400 ids here)
+    // exceeds TargetCap: the sample must cap at exactly TargetCap,
+    // stay inside the planted population, replay deterministically,
+    // and resolve via TakeOrdered — never a global sort
+    val ids = spark.range(0, 10000).toDF("vec_id")
+      .withColumn("embedding",
+        array((0 until 4).map(i => lit(0.5 + i * 0.1)): _*))
+    val t = RetrievalQueries.kiTargets(ids, "vec_id")
+    assert(t.count() == RetrievalQueries.TargetCap)
+    assert(t.where(col("qid") % RetrievalQueries.KiMod =!=
+      RetrievalQueries.KiRes).count() == 0)
+    assert(t.collect().map(_.getLong(0)).sorted.toSeq ==
+      RetrievalQueries.kiTargets(ids, "vec_id")
+        .collect().map(_.getLong(0)).sorted.toSeq)
+    assert(t.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    // and the dense leg's plan-carried query matrix obeys the cap on
+    // this corpus (the require inside kiDenseScored enforces it; the
+    // distinct qid count proves the posexplode fan-out is capped too)
+    val scored = RetrievalQueries.kiDenseScored(ids)
+    assert(scored.select(col("qid")).distinct().count() ==
+      RetrievalQueries.TargetCap)
+  }
+
   test("known-item queries derive deterministically from the target") {
     val docs = graft.sources.Sources.table(spark, sf001, "documents")
     val posts = Bm25.postingsOf(docs)
@@ -303,6 +328,43 @@ class RetrievalSpec extends SparkSpec {
       .groupBy(col("t")).count()
       .orderBy(col("count").desc, col("t")).collect().head.getString(0)
     assert(byQ(7L).find(_._3 == 1).get._2 == t7)
+  }
+
+  test("known-item gate from the persisted lexicon == scan path, corpus never opened (r14 item 3)") {
+    val docs = graft.sources.Sources.table(spark, sf001, "documents")
+    // the gate's own cache-and-serve entry, driven through the registry
+    val viaIndex = SparkEntry.queries("retrieval_recall_index")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val viaScan = SparkEntry.queries("retrieval_recall_bm25")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(viaIndex.toSeq == viaScan.toSeq,
+      "lexicon-served ranks must reproduce the scan path exactly")
+    // bit-equality of the SCORES between the two serving shapes
+    val root = {
+      // rebuild a throwaway gate lexicon so the plan is inspectable
+      val p = tmpDir("kilex")
+      val tgt = RetrievalQueries.kiTargets(docs, "doc_id")
+      val targetDocs = docs.join(broadcast(tgt),
+        col("doc_id") === col("qid")).select(col("doc_id"), col("text"))
+      val qt = RetrievalQueries.kiQueryTerms(Bm25.postingsOf(targetDocs))
+        .localCheckpoint() // queries arrive as literals in production
+      Bm25.buildLexicon(docs, p,
+        vocabTermsOverride = Some(qt.select(col("term"))))
+      (p, qt)
+    }
+    val scored = RetrievalQueries.kiBm25ScoredFromLexicon(
+      spark, root._1, root._2)
+    val scan = RetrievalQueries.kiBm25Scored(docs)
+    assert(scored.join(scan.withColumnRenamed("score", "s2"),
+        Seq("qid", "doc_id"), "full_outer")
+      .where(col("score").isNull || col("s2").isNull ||
+        col("score") =!= col("s2")).count() == 0,
+      "every (qid, doc) score must be bit-identical across serving shapes")
+    // the quality floor now covers what serving READS: the scoring
+    // plan must never open the corpus parquet
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "lexicon-served scoring must not open the corpus")
   }
 
   test("lexicon serving plan: term-partition pruning, corpus never opened") {
