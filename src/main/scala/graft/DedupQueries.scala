@@ -1130,6 +1130,28 @@ object DedupQueries {
         domainFloorMilli = Some(UrlQueries.DomainFloorMilli),
         quotas = PackQuotas))),
 
+    // #25j3 the pipeline with SURGICAL decontamination (SURVEY row
+    // 108, r14 verdict item 2): stage D swaps row 38's drop-the-whole-
+    // doc action for row 105's chunk EXCISION — contaminated spans are
+    // cut out (straddled chunks included: the shingle match runs on
+    // the UN-chunked stream) and the REST of each document flows on
+    // into quality scoring, the token budget, and the quota-aware pack
+    // tail. Same ten-stage composition as corpus_pipeline_full (HTML
+    // stage 0, domain blocklist, quotas), so the two manifests differ
+    // ONLY by stage D's action — and CorpusSpec pins the payoff: the
+    // surgical manifest packs strictly MORE surviving tokens on the
+    // same corpus (the measured 171-doc-drop → 263-chunk-drop saving,
+    // end to end). Oracle: the composed CTE chain with row 105's
+    // excision fragment spliced in place of the anti-join.
+    Q("corpus_pipeline_surgical",
+      (s, dir) => graft.dedup.Corpus.pipeline(docs(s, dir),
+        Sources.table(s, dir, "embeddings"),
+        domainFloorMilli = Some(UrlQueries.DomainFloorMilli),
+        quotas = PackQuotas, fromHtml = true, decontam = "chunk"),
+      Some(DedupSql.pipeline(
+        domainFloorMilli = Some(UrlQueries.DomainFloorMilli),
+        quotas = PackQuotas, decontam = "chunk"))),
+
     // #25k the pipeline's INCREMENTAL twin — crawl N+1's admission
     // chain: doc-level dedup against the persisted signature store,
     // chunk-level dedup against the persisted chunk store (text

@@ -137,7 +137,7 @@ object Dn {
     "data-format", "backend", "path", "index-path", "time-format", "metric",
     "index-config", "docs", "embeddings", "out", "domain-floor-milli",
     "quotas", "from-html", "eval-mod", "seq-len", "shards", "weights",
-    "budget")
+    "budget", "decontam")
 
   def parseArgs(argv0: Seq[String]): DnArgs = {
     // leading -t (reference: bin/dn dnTrackTime) = print wall time to
@@ -310,7 +310,8 @@ object Dn {
           intFlag("eval-mod", 97), intFlag("seq-len", 256),
           intFlag("shards", 8),
           a.flags.get("weights"),
-          budNum, budDen)
+          budNum, budDen,
+          a.flags.getOrElse("decontam", "doc"))
         DnConfig.save(cfg.curationAdd(cur), path)
         ""
       case "curate-remove" =>
@@ -330,7 +331,8 @@ object Dn {
               c.weights.map(w => s"\n    weights:    $w " +
                 s"(budget ${c.budgetNum}/${c.budgetDen})").getOrElse("") +
               s"\n    fromHtml:   ${c.fromHtml}  evalMod: ${c.evalMod}" +
-              s"  seqLen: ${c.seqLen}  shards: ${c.shards}"
+              s"  seqLen: ${c.seqLen}  shards: ${c.shards}" +
+              s"  decontam: ${c.decontam}"
           else head
         }.mkString("\n")
     }
@@ -498,7 +500,8 @@ object Dn {
       evalMod = cur.evalMod, seqLen = cur.seqLen, shards = cur.shards,
       domainFloorMilli = cur.domainFloorMilli,
       quotas = quotas,
-      fromHtml = cur.fromHtml)
+      fromHtml = cur.fromHtml,
+      decontam = cur.decontam)
     cur.out match {
       case Some(o) if !a.dryRun =>
         manifest.write.mode("overwrite").parquet(o)

@@ -60,7 +60,11 @@ object DnConfig {
       weights: Option[String] = None,
       /** Budget for the solve, as a fraction of total corpus tokens. */
       budgetNum: Long = 9L,
-      budgetDen: Long = 10L)
+      budgetDen: Long = 10L,
+      /** Stage D's contamination action: `doc` (drop the whole
+        * document, row 38) or `chunk` (excise the contaminated chunks
+        * and keep the rest, row 105 — corpus_pipeline_surgical). */
+      decontam: String = "doc")
 
   /** Parse a quotas flag: comma-separated `source:cap` entries, cap a
     * long (-1 = explicitly uncapped). */
@@ -110,6 +114,9 @@ object DnConfig {
         throw new GraftException("eval-mod must be >= 2")
       if (c.seqLen < 1 || c.shards < 1)
         throw new GraftException("seq-len and shards must be >= 1")
+      if (c.decontam != "doc" && c.decontam != "chunk")
+        throw new GraftException(
+          s"""bad decontam: "${c.decontam}" (want doc or chunk)""")
       copy(curations = curations :+ c)
     }
 
@@ -226,7 +233,8 @@ object DnConfig {
           Option(n.get("shards")).map(_.asInt).getOrElse(8),
           strOpt(n, "weights"),
           Option(n.get("budgetNum")).map(_.asLong).getOrElse(9L),
-          Option(n.get("budgetDen")).map(_.asLong).getOrElse(10L))
+          Option(n.get("budgetDen")).map(_.asLong).getOrElse(10L),
+          strOpt(n, "decontam").getOrElse("doc"))
       }.toVector
     }.getOrElse(Vector.empty)
     Config(dss, ms, cs)
@@ -264,6 +272,7 @@ object DnConfig {
         .put("shards", c.shards)
       putOpt(n, "weights", c.weights)
       n.put("budgetNum", c.budgetNum).put("budgetDen", c.budgetDen)
+      n.put("decontam", c.decontam)
     }
     val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
     if (path.getParent != null) Files.createDirectories(path.getParent)

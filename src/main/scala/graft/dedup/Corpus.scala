@@ -879,7 +879,19 @@ object Corpus {
         * the WET artifact a crawl pipeline materializes — because
         * three consumers read it (the domain-quality rollup, clean,
         * and the eval split). */
-      fromHtml: Boolean = false): DataFrame = {
+      fromHtml: Boolean = false,
+      /** Stage D's ACTION on contamination (SURVEY row 108): `doc`
+        * drops every contaminated document whole (row 38); `chunk`
+        * EXCISES the contaminated chunks and keeps the rest of the
+        * document (row 105's surgical decision — the flagged-doc set
+        * is provably identical, so this strictly GROWS the surviving
+        * token mass on any corpus where contamination is partial;
+        * CorpusSpec measures the strict gain). Downstream stages
+        * (quality, budget, pack) read the REWRITTEN text either way —
+        * the composition is the point. */
+      decontam: String = "doc"): DataFrame = {
+    require(decontam == "doc" || decontam == "chunk",
+      s"pipeline: decontam must be 'doc' or 'chunk', got \"$decontam\"")
     import org.apache.spark.sql.expressions.Window
     val docsIn = if (!fromHtml) docs else docs
       .withColumn("text", graft.text.Html.extractText(
@@ -918,12 +930,18 @@ object Corpus {
     val sc = sb.join(embs.select(col("vec_id").as("doc_id")),
         Seq("doc_id"), "left_anti")
       .unionByName(sb.join(semKeep, Seq("doc_id"), "left_semi"))
-    // D: decontamination — eval docs out of the corpus, contaminated out
+    // D: decontamination — eval docs out of the corpus, then either
+    // the whole-doc drop (row 38) or the surgical chunk excision
+    // (row 105) on what remains
     val evalDocs = docsIn.where(col("doc_id") % evalMod === 0)
     val cs = sc.where(col("doc_id") % evalMod =!= 0)
-    val sd = cs.join(Dedup.contaminatedIds(cs, evalDocs),
+    val sd = (decontam match {
+      case "doc" => cs.join(Dedup.contaminatedIds(cs, evalDocs),
         Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+      case _ => Dedup.chunkDecontam(cs, evalDocs)
+        .where(col("kept_chunks") > 0)
+        .select(col("doc_id"), col("kept_text").as("text"))
+    }).localCheckpoint()
     // E: quality-model keep (integer numerator sign) at chunk-rewritten
     // text, with the centi-logit bucket for the budget stage
     val m = Text.qualityModelRaw(sd).where(col("num") >= 0L)

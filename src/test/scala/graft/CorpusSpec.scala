@@ -406,6 +406,44 @@ class CorpusSpec extends SparkSpec {
       "the benign twin must reach packing (otherwise the test is vacuous)")
   }
 
+  test("pipeline surgical: excision keeps the clean remainder; strictly more tokens pack (row 108)") {
+    val base = plBase
+    val embIds = base.map(_._1).filter(i => i % 3 != 0 && i != 97L)
+    // a LONG doc quoting one eval 3-gram in its FIRST chunk: the
+    // doc-drop action loses all of it, the surgical action loses only
+    // that chunk (the tail words are hash-model-positive so the
+    // remainder provably survives stage E — the quality model is a
+    // salted hash, so fixture words are chosen by measurement)
+    val quoting = base :+ (43L,
+      "notes mention the moon landing date among many " +
+        "river signal copper lantern garden warm happy blue " +
+        "it was keep about in engine window walked")
+    def manifest(dec: String, rows: Seq[(Long, String)]) =
+      Corpus.pipeline(rows.toDF("doc_id", "text"), plEmb(embIds),
+          decontam = dec)
+        .orderBy("shard").collect().map(_.toSeq.toVector).toVector
+    // doc mode: the quoting doc is invisible (row 38's decision)
+    assert(manifest("doc", quoting) == manifest("doc", base))
+    // chunk mode: its clean remainder reaches packing
+    assert(manifest("chunk", quoting) != manifest("doc", quoting),
+      "the excised doc's remainder must move the surgical manifest")
+    // end to end on the gate corpus: the surgical manifest packs
+    // strictly MORE tokens than the doc-drop manifest (quota tails
+    // carry n_toks; measured 881 → 1766 at sf0.001)
+    def packedToks(q: String): Long =
+      Registry.queries(q)(spark, sf001)
+        .agg(org.apache.spark.sql.functions.sum("n_toks"))
+        .head.getLong(0)
+    assert(packedToks("corpus_pipeline_surgical") >
+      packedToks("corpus_pipeline_full"),
+      "surgical decontam must strictly grow the packed token mass")
+    // config error: an unknown action fails loudly
+    val e = intercept[IllegalArgumentException](
+      Corpus.pipeline(base.toDF("doc_id", "text"), plEmb(embIds),
+        decontam = "both"))
+    assert(e.getMessage.contains("decontam"))
+  }
+
   test("packedSequences: windows are full, contiguous, and byte-faithful") {
     val docs = (1L to 12L)
       .map(i => (i, (1 to (3 + i % 5).toInt).map(k => s"d${i}w$k").mkString(" ")))

@@ -791,6 +791,27 @@ class DnSpec extends SparkSpec {
     assert(e2.getMessage.contains("bad --budget"))
   }
 
+  test("curate --decontam=chunk: profile round-trip, CLI == library, bad value rejected") {
+    val cfg = Files.createTempDirectory("graft-dn-curatedc")
+      .resolve("graftrc")
+    val docs = s"$sf001/documents.parquet"
+    val embs = s"$sf001/embeddings.parquet"
+    Dn.runConfig(Seq("curate-add", "sg",
+      s"--docs=$docs", s"--embeddings=$embs", "--decontam=chunk"), cfg)
+    assert(Dn.runConfig(Seq("curate-list", "-v"), cfg)
+      .contains("decontam: chunk"))
+    val got = Dn.run(spark, Seq("curate", "sg"), cfg)
+      .collect().map(_.toSeq).toSet
+    val want = graft.dedup.Corpus.pipeline(
+        spark.read.parquet(docs), spark.read.parquet(embs),
+        decontam = "chunk")
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "CLI surgical curate must equal the library call")
+    val e = intercept[GraftException](Dn.runConfig(Seq("curate-add", "sg2",
+      s"--docs=$docs", s"--embeddings=$embs", "--decontam=both"), cfg))
+    assert(e.getMessage.contains("bad decontam"))
+  }
+
   test("curate with weights: quotas are SOLVED by the water-filling " +
       "allocator, equal to the library composition") {
     val cfg = Files.createTempDirectory("graft-dn-curatew")
