@@ -929,6 +929,35 @@ object AnnQueries {
           max(c) AS max_cos
         FROM sc GROUP BY 1 HAVING max(c) >= $SemDedupMinCos""")),
 
+    // #25b4 the IVF-PRUNED escalation of row 103 (SURVEY row 109, r14
+    // verdict item 5): the same exact test, but the batch kernel
+    // touches only the cells the spherical triangle inequality cannot
+    // rule out — probe cell c iff max_e dot(cv, e) ≥ cos(r_c + θ),
+    // r_c the cell's measured member radius, θ = arccos(minCos). The
+    // prune is LOSSLESS by construction (ε only ever probes more), so
+    // the oracle IS row 103's unpruned cross-join replay: a pruning
+    // bug that loses one flagged doc hash-fails the gate, and AnnSpec
+    // pins both pruned ≡ unpruned and that cells are genuinely
+    // skipped on this corpus.
+    Q("corpus_decontam_semantic2",
+      (s, dir) => Ann.semanticDecontamPruned(emb(s, dir),
+        col("vec_id") % 97 === 0),
+      Some(s"""
+        WITH n AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
+          FROM embeddings),
+        ev AS (SELECT vec_id AS eid, vn AS en FROM n WHERE vec_id % 97 = 0),
+        tr AS (SELECT vec_id, vn FROM n WHERE vec_id % 97 <> 0),
+        sc AS (
+          SELECT tr.vec_id, ${dotSql("tr.vn", "ev.en")} AS c
+          FROM tr CROSS JOIN ev)
+        SELECT vec_id,
+          CAST(sum(CASE WHEN c >= $SemDedupMinCos THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+          max(c) AS max_cos
+        FROM sc GROUP BY 1 HAVING max(c) >= $SemDedupMinCos""")),
+
     // #25b3 decontamination COMBINED: the per-doc union of the lexical
     // flag (row 38's shingle overlap) and the semantic flag (row 103)
     // — what a curation pipeline actually acts on. The aligned

@@ -1130,6 +1130,91 @@ object Ann {
         array_max(col("dots")).as("max_cos"))
   }
 
+  /**
+   * IVF-PRUNED semantic decontamination (SURVEY row 109, r14 verdict
+   * item 5): [[semanticDecontam]]'s exact test behind a PROVABLY
+   * LOSSLESS cell prune — the escalation row 103 documented for eval
+   * suites big enough (≫10⁴ vectors) that running the batch kernel
+   * over every corpus row is wasteful when most cells sit nowhere near
+   * eval space.
+   *
+   * The prune is the spherical triangle inequality, not a heuristic:
+   * every corpus vector x lives in an IVF cell with centroid c and the
+   * cell's RADIUS r_c = max member angle to c (one min-dot aggregate
+   * over the assignment). If angle(x, e) ≤ θ = arccos(minCos) for some
+   * eval vector e, then angle(c, e) ≤ angle(c, x) + angle(x, e) ≤
+   * r_c + θ — so probing exactly the cells with
+   * max_e dot(c, e) ≥ cos(min(π, r_c + θ)) − ε cannot lose a flagged
+   * row (ε = 1e-9 absorbs float rounding in the SAFE direction: it
+   * only ever probes MORE cells). The flagged set — and every output
+   * value — is therefore IDENTICAL to the unpruned form, which is why
+   * the gate's oracle IS row 103's unpruned cross-join replay
+   * (AnnSpec additionally pins pruned ≡ unpruned and that the prune
+   * genuinely skips cells on the gate corpus).
+   *
+   * Scale shape: centroids are the hash-sampled ~√n broadcast
+   * ([[ivfCentroids]]); assignment is one linear pass; radius is one
+   * groupBy(cell) over it; the probe decision runs on the ≤nlist
+   * centroid rows against the eval-bounded matrix; the exact kernel
+   * then touches ONLY probed-cell members. Worst case (eval space
+   * covering all cells) degrades to row 103's full pass plus the
+   * assignment — never worse than quadratic in anything.
+   */
+  def semanticDecontamPruned(corpus: DataFrame, evalPred: Column,
+      minCos: Double = SemDedupMinCos, idCol: String = "vec_id",
+      vecCol: String = "embedding", nlist: Int = DeriveNlist,
+      modulus: Option[Long] = None): DataFrame = {
+    val (asg, probed, evalM) =
+      decontamProbe(corpus, evalPred, minCos, idCol, vecCol, nlist, modulus)
+    val dots = org.apache.spark.sql.graft.bridge.column(
+      graft.functions.ArrayDotBatch(
+        org.apache.spark.sql.graft.bridge.expression(col("vn")), evalM))
+    asg.join(broadcast(probed), Seq("cell"), "leftsemi")
+      .select(col("id").as(idCol), dots.as("dots"))
+      .where(array_max(col("dots")) >= minCos)
+      .select(col(idCol),
+        size(filter(col("dots"), d => d >= lit(minCos)))
+          .cast("long").as("n_hits"),
+        array_max(col("dots")).as("max_cos"))
+  }
+
+  /** The prune decision of [[semanticDecontamPruned]], exposed so the
+    * spec can measure it: (cell assignment of the non-eval corpus,
+    * the probed-cell set, the collected eval matrix). On a corpus
+    * with CLUSTER structure the bound skips the far cells; on an
+    * isotropic corpus (cell radii ≈ 90°, e.g. this repo's synthetic
+    * embeddings) it degrades gracefully to the full pass — correct
+    * either way, paying off exactly when real embeddings do. */
+  private[graft] def decontamProbe(corpus: DataFrame, evalPred: Column,
+      minCos: Double, idCol: String, vecCol: String, nlist: Int,
+      modulus: Option[Long]): (DataFrame, DataFrame, Seq[Seq[Double]]) = {
+    val n = withNormalized(corpus, vecCol, "vn")
+    val evalM: Seq[Seq[Double]] = n.where(evalPred)
+      .orderBy(col(idCol)).select(col("vn"))
+      .collect().toSeq.map(_.getSeq[Double](0).toSeq)
+    require(evalM.nonEmpty, "semanticDecontamPruned: empty eval side")
+    val train = corpus.where(!evalPred)
+    val cents = ivfCentroids(train, idCol, vecCol, nlist, modulus)
+    val asg = ivfAssign(train, cents, idCol, vecCol).localCheckpoint()
+    val clamp = (c: Column) => greatest(lit(-1.0), least(lit(1.0), c))
+    val rad = asg.join(broadcast(cents.select(
+        col("cid").as("cell"), col("cv"))), Seq("cell"))
+      .select(col("cell"), dot(col("vn"), col("cv")).as("dc"))
+      .groupBy(col("cell")).agg(min(col("dc")).as("min_dc"))
+    val centDots = org.apache.spark.sql.graft.bridge.column(
+      graft.functions.ArrayDotBatch(
+        org.apache.spark.sql.graft.bridge.expression(col("cv")), evalM))
+    val probed = cents.select(col("cid").as("cell"),
+        array_max(centDots).as("me"))
+      .join(rad, Seq("cell"))
+      .where(col("me") >=
+        cos(least(lit(math.Pi),
+          acos(clamp(col("min_dc"))) + lit(math.acos(minCos)))) -
+          lit(1e-9))
+      .select(col("cell"))
+    (asg, probed, evalM)
+  }
+
   def semanticDedup(corpus: DataFrame, minCos: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       nlist: Int = DeriveNlist, modulus: Option[Long] = None): DataFrame = {

@@ -104,24 +104,41 @@ object Html {
   /** Boilerplate/metadata elements whose CONTENT is dropped, not just
     * the tags — the trafilatura-style chrome set. Matched with their
     * bodies via a back-referenced block regex, so `<` / `>` inside
-    * script code or comment prose cannot confuse the tag unwrap that
-    * runs after. Known limitation (regex, not a parser): a chrome
-    * block NESTED inside the same element kind ends at the first
-    * close tag, so the inner tail would unwrap as content — the
+    * script code, comment prose, CDATA payloads, or QUOTED attribute
+    * values (the [[TagInnards]] alternation) cannot confuse the tag
+    * unwrap that runs after. Known limitation (regex, not a parser):
+    * a chrome block NESTED inside the same element kind ends at the
+    * first close tag, so the inner tail would unwrap as content — the
     * stated contract covers the non-self-nested chrome real pages
     * emit (HTML4 forbade nested forms of these; a full parser is a
     * mapInPandas/mapPartitions job, the multimodal decode argument). */
   private val DropBlocks = "script|style|nav|footer|head"
 
+  /** A tag's innards, quote-aware: a sequence of quoted strings or
+    * plain non-`>` chars — so a `>` INSIDE a quoted attribute value
+    * (`title="a > b"`) cannot end the tag early and leak the attribute
+    * tail into the text. Alternatives have disjoint first characters
+    * (`"`, `'`, other), so matching is linear, never backtracking; a
+    * tag with an UNCLOSED quote matches nothing and stays visible as
+    * raw text (malformed markup surfaces, it is not silently mangled). */
+  private val TagInnards = """(?:"[^"]*"|'[^']*'|[^>"'])*"""
+
   /** HTML → clean text: comments out first (they may contain raw `<`),
-    * then chrome blocks with their content, then every remaining tag
-    * unwrapped to a space (block boundaries must separate words), then
-    * entities, then whitespace collapse + trim. Per-row, codegen'd. */
+    * then CDATA sections whole (stray CDATA in HTML is a parse error
+    * the HTML5 tokenizer treats as bogus-comment chrome; its payload
+    * is raw data, not page text — dropping the section keeps `<`/`>`
+    * inside it from confusing the tag unwrap), then chrome blocks with
+    * their content, then every remaining tag unwrapped to a space
+    * (block boundaries must separate words; open tags quote-aware via
+    * [[TagInnards]]), then entities, then whitespace collapse + trim.
+    * Per-row, codegen'd. */
   def extractText(html: Column): Column = {
     val noComments = regexp_replace(html, "(?s)<!--.*?-->", " ")
-    val noBlocks = regexp_replace(noComments,
-      s"(?is)<($DropBlocks)\\b[^>]*>.*?</\\1\\s*>", " ")
-    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val noCdata = regexp_replace(noComments,
+      "(?s)<!\\[CDATA\\[.*?\\]\\]>", " ")
+    val noBlocks = regexp_replace(noCdata,
+      s"(?is)<($DropBlocks)\\b$TagInnards>.*?</\\1\\s*>", " ")
+    val noTags = regexp_replace(noBlocks, s"<$TagInnards>", " ")
     trim(regexp_replace(decodeEntities(noTags), "\\s+", " "))
   }
 

@@ -69,6 +69,28 @@ class HtmlSpec extends SparkSpec {
     }
   }
 
+  test("adversarial markup: quoted '>' attributes and CDATA (r14 verdict item 6)") {
+    def ext(html: String): String = spark.range(1)
+      .select(Html.extractText(lit(html))).head.getString(0)
+    // a '>' inside a QUOTED attribute value must not end the tag early
+    // (the pre-fix unwrap leaked `b">link` into the text)
+    assert(ext("""before <a href="x" title="a > b">link</a> after""") ==
+      "before link after")
+    assert(ext("""<p data-x='1 > 0'>body</p>""") == "body")
+    // chrome open tags get the same quote-aware innards
+    assert(ext("""keep <script type="a>b">var x = 1;</script> this""") ==
+      "keep this")
+    // CDATA sections drop WHOLE — their payload is raw data, and the
+    // '<'/'>' inside must not reach the tag unwrap
+    assert(ext("""before <![CDATA[ raw < > ]]&gt; stuff ]]> after""") ==
+      "before after")
+    assert(ext("""x <![CDATA[cdata]]> y""") == "x y")
+    // an UNCLOSED quote is malformed markup: the pseudo-tag stays
+    // visible as raw text instead of swallowing the rest of the page
+    assert(ext("""<a href="unclosed>text keeps flowing""")
+      .contains("text keeps flowing"))
+  }
+
   test("chrome content is dropped, not just unwrapped (load-bearing blocks)") {
     val html = Seq((5L, "keep these words"))
       .toDF("doc_id", "text")
