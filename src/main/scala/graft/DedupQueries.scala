@@ -212,6 +212,63 @@ object DedupQueries {
             (kstar IS NULL OR pos < kstar) AS saturated
           FROM sat CROSS JOIN ks CROSS JOIN pre)"""
 
+  /** DuckDB replay of Corpus.mixSolveRepeat (SURVEY row 111): the
+    * mixSolveCtes structure with SUPPLY = avail·epochs driving every
+    * decision (sort key, saturation, allocation) while the budget
+    * stays a fraction of Σavail — ends in `rsolve` carrying the epoch
+    * split. Same HUGEINT armor, same weight formula. */
+  private[graft] def mixSolveRepeatCtes(epochs: Int, budNum: Int,
+      budDen: Int): String = s"""
+        av AS (
+          SELECT source,
+            CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+')))
+              AS BIGINT) AS avail,
+            CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+')))
+              * $epochs AS BIGINT) AS sup,
+            (CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS w
+          FROM documents GROUP BY source),
+        tot AS (
+          SELECT CAST(sum(avail) AS BIGINT) AS ta,
+            CAST(sum(w) AS BIGINT) AS tw FROM av),
+        srt AS (
+          SELECT source, avail, sup, w,
+            CAST(ta AS HUGEINT) * $budNum // $budDen AS bud, tw,
+            row_number() OVER (
+              ORDER BY CAST(sup AS HUGEINT) * (12 // w), source) AS pos,
+            CAST(sum(sup) OVER (
+              ORDER BY CAST(sup AS HUGEINT) * (12 // w), source
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+            CAST(sum(w) OVER (
+              ORDER BY CAST(sup AS HUGEINT) * (12 // w), source
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw
+          FROM av CROSS JOIN tot),
+        sat AS (
+          SELECT *, CAST(sup AS HUGEINT) * (tw - (cumw - w))
+              <= (bud - (cuma - sup)) * w
+            AS satur
+          FROM srt),
+        ks AS (SELECT min(CASE WHEN NOT satur THEN pos END) AS kstar
+               FROM sat),
+        pre AS (
+          SELECT COALESCE(max(CASE WHEN pos < kstar THEN cuma END), 0)
+              AS cumaK,
+            COALESCE(max(CASE WHEN pos < kstar THEN cumw END), 0) AS cumwK
+          FROM sat CROSS JOIN ks),
+        solve AS (
+          SELECT source, CAST(w AS BIGINT) AS weight, avail, sup,
+            CAST(CASE WHEN kstar IS NULL OR pos < kstar THEN sup
+              ELSE (bud - cumaK) * w // (tw - cumwK) END AS BIGINT)
+              AS alloc,
+            (kstar IS NULL OR pos < kstar) AS saturated
+          FROM sat CROSS JOIN ks CROSS JOIN pre),
+        rsolve AS (
+          SELECT *,
+            CAST(CASE WHEN avail = 0 THEN 0 ELSE alloc // avail END
+              AS BIGINT) AS full_epochs,
+            CAST(CASE WHEN avail = 0 THEN 0 ELSE alloc % avail END
+              AS BIGINT) AS resid_toks
+          FROM solve)"""
+
   /** DuckDB replay of Corpus.quotaAdmit over `documents`: inclusive
     * per-source running token sum in doc-id order, kept while ≤ quota.
     * (The Spark side's two-pass bucket formulation computes the same
@@ -1313,6 +1370,101 @@ object DedupQueries {
             // greatest(sv.alloc, 1) AS BIGINT) AS fill_millionths
         FROM solve sv LEFT JOIN adm ON adm.source = sv.source
         GROUP BY sv.source, sv.alloc"""))
+    ,
+    // #40d3 water-filling WITH REPETITION (SURVEY row 111): row 104's
+    // solver composed with row 97's data-constrained epoch cap
+    // (Muennighoff 2023) — each source's SUPPLY is avail·4, the budget
+    // is 1.8× the unique corpus, and where row 97's planner TRUNCATES
+    // a capped source's excess, the solver SPILLS it onto the others
+    // at their weight ratios (the standard lemma on repeated
+    // supplies). The 28/10 budget makes the decision genuinely SPLIT:
+    // 5/20 sources saturate at the full 4 epochs (their spill funds
+    // the others) at sf0.01 AND 10×. Output carries the executor's
+    // epoch split: full_epochs whole copies + resid_toks of a partial
+    // epoch.
+    Q("corpus_mix_solve_repeat",
+      (s, dir) => graft.dedup.Corpus.mixSolveRepeat(docs(s, dir),
+        MixWeights, budgetNum = 28L),
+      Some(s"""
+        WITH ${mixSolveRepeatCtes(4, 28, 10)}
+        SELECT source, weight, avail, sup, alloc, saturated,
+          full_epochs, resid_toks
+        FROM rsolve""")),
+
+    // #40d4 the repeated allocation EXECUTED (the corpus_upsample
+    // machinery pointed at the SOLVED plan): full_epochs whole copies
+    // of every doc per source plus the maximal id-order prefix that
+    // fits resid_toks (quotaAdmitWith — the two-pass bucketed prefix
+    // sum, no corpus-sized window), reported per source against the
+    // plan. executed ≤ alloc with the shortfall bounded by one
+    // document; epochs are contiguous from 1.
+    Q("corpus_mix_solve_repeat_exec",
+      (s, dir) => {
+        val plan = graft.dedup.Corpus.mixSolveRepeat(docs(s, dir),
+            MixWeights, budgetNum = 28L)
+          .select(col("source"), col("alloc"), col("full_epochs"),
+            col("resid_toks")).localCheckpoint()
+        val d = docs(s, dir).select(col("doc_id"), col("source"),
+          col("text"),
+          graft.text.Text.tokenCount(col("text")).cast("long")
+            .as("n_toks"))
+        val withPlan = d.join(plan, Seq("source"))
+        val fullRows = withPlan.where(col("full_epochs") >= 1L)
+          .select(col("source"),
+            explode(sequence(lit(1L), col("full_epochs"))).as("epoch"),
+            col("n_toks"))
+        val partial = graft.dedup.Corpus.quotaAdmitWith(
+            withPlan.where(col("resid_toks") > 0L), col("resid_toks"),
+            srcCol = "source", broadcastOffsets = false)
+          .select(col("source"), (col("full_epochs") + 1L).as("epoch"),
+            col("n_toks"))
+        val agg = fullRows.union(partial).groupBy(col("source")).agg(
+          sum(col("n_toks")).as("executed_toks"),
+          max(col("epoch")).as("max_epoch"))
+        plan.join(agg, Seq("source"), "left")
+          .select(col("source"), col("alloc"),
+            coalesce(col("executed_toks"), lit(0L)).as("executed_toks"),
+            coalesce(col("max_epoch"), lit(0L)).as("max_epoch"),
+            expr("coalesce(executed_toks, 0L) * 1000000" +
+              " div greatest(alloc, 1L)").as("fill_millionths"))
+      },
+      Some(s"""
+        WITH ${mixSolveRepeatCtes(4, 28, 10)},
+        qd AS (
+          SELECT doc_id, source,
+            CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+              AS BIGINT) AS n_toks
+          FROM documents),
+        fulle AS (
+          SELECT qd.source,
+            unnest(generate_series(1, p.full_epochs)) AS epoch,
+            qd.n_toks
+          FROM qd JOIN rsolve p USING (source)
+          WHERE p.full_epochs >= 1),
+        cum AS (
+          SELECT doc_id, source, n_toks,
+            SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM qd),
+        part AS (
+          SELECT c.source, p.full_epochs + 1 AS epoch, c.n_toks
+          FROM cum c JOIN rsolve p USING (source)
+          WHERE p.resid_toks > 0 AND c.cum <= p.resid_toks),
+        ex AS (
+          SELECT source, CAST(epoch AS BIGINT) AS epoch, n_toks
+          FROM fulle
+          UNION ALL
+          SELECT source, CAST(epoch AS BIGINT), n_toks FROM part),
+        ag AS (
+          SELECT source, CAST(sum(n_toks) AS BIGINT) AS executed_toks,
+            CAST(max(epoch) AS BIGINT) AS max_epoch
+          FROM ex GROUP BY source)
+        SELECT p.source, p.alloc,
+          COALESCE(ag.executed_toks, 0) AS executed_toks,
+          COALESCE(ag.max_epoch, 0) AS max_epoch,
+          CAST(COALESCE(ag.executed_toks, 0) * 1000000
+            // greatest(p.alloc, 1) AS BIGINT) AS fill_millionths
+        FROM rsolve p LEFT JOIN ag ON ag.source = p.source"""))
     ,
     // #40c per-source CAP (stratified sampling): at most N docs per
     // source, picked by smallest deterministic hash — the "cap any one

@@ -648,6 +648,62 @@ object DedupSql {
        |    list(chunk ORDER BY idx) FILTER (WHERE kept), ' '), '') AS kept_text
        |FROM decided GROUP BY doc_id""".stripMargin
 
+  /** stream_decontam_surgical oracle (SURVEY row 110): the Bloom
+    * probe replayed bit for bit (same m derivation, same double-hash
+    * members — the decontamBloom CTEs) at SHINGLE-SLOT grain, matched
+    * slots flagging every chunk their span touches, each document
+    * reassembled from its unflagged chunks — rows 55 and 105 composed
+    * under one relational replay, so even a Bloom false positive is
+    * deterministic and gated. */
+  def bloomChunkExcise(base: String = "documents", n: Int = 3,
+      width: Int = graft.dedup.Dedup.ChunkWidth, evalMod: Int = 97,
+      k: Int = graft.dedup.Dedup.BloomK): String =
+    s"""WITH ev AS (
+       |  SELECT doc_id, text FROM $base WHERE doc_id % $evalMod = 0),
+       |corpus AS (
+       |  SELECT doc_id, text FROM $base WHERE doc_id % $evalMod <> 0),
+       |${shingleCtes("ev", n, "e")},
+       |${shingleCtes("corpus", n, "c")},
+       |epairs AS (
+       |  SELECT DISTINCT ${XHash.h60Sql("s")} AS h1, ${XHash.h56Sql("s")} AS h2
+       |  FROM esh),
+       |mbits AS (
+       |  SELECT COALESCE(MIN(CAST(1 AS BIGINT) << x), 1 << 24) AS m
+       |  FROM range(14, 25) r(x), (SELECT COUNT(*) AS n FROM epairs) en
+       |  WHERE (CAST(1 AS BIGINT) << x) >= 64 * GREATEST(en.n, 1)),
+       |pos AS (
+       |  SELECT DISTINCT ((h1 + rr.r * h2) & ${XHash.Mask60}) % m AS p
+       |  FROM epairs, range($k) rr(r), mbits),
+       |cpr AS (
+       |  SELECT doc_id, i, ${XHash.h60Sql("s")} AS h1,
+       |    ${XHash.h56Sql("s")} AS h2
+       |  FROM csh),
+       |matched AS (
+       |  SELECT doc_id, i FROM (
+       |    SELECT cp.doc_id, cp.i
+       |    FROM cpr cp
+       |    CROSS JOIN range($k) rr(r)
+       |    CROSS JOIN mbits
+       |    JOIN pos ON ((cp.h1 + rr.r * cp.h2) & ${XHash.Mask60}) % m = pos.p
+       |    GROUP BY 1, 2 HAVING COUNT(*) = $k)
+       |  GROUP BY 1, 2),
+       |bad AS (
+       |  SELECT DISTINCT doc_id, idx FROM (
+       |    SELECT doc_id,
+       |      unnest(range(i // $width, (i + ${n - 1}) // $width + 1)) AS idx
+       |    FROM matched)),
+       |${chunkCtes("corpus", width)},
+       |decided AS (
+       |  SELECT h.doc_id, h.idx, h.chunk, b.idx IS NULL AS kept
+       |  FROM hashed h LEFT JOIN bad b
+       |    ON h.doc_id = b.doc_id AND h.idx = b.idx)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+       |  coalesce(array_to_string(
+       |    list(chunk ORDER BY idx) FILTER (WHERE kept), ' '), '') AS kept_text
+       |FROM decided GROUP BY doc_id""".stripMargin
+
   /** dedup_chunks_incremental oracle: the old snapshot's distinct chunk
     * hash set replayed from raw documents, the new batch's chunks kept
     * iff absent there AND first-in-batch at their (doc_id, idx). */

@@ -416,6 +416,35 @@ object StreamingQueries {
       },
       Some(DedupSql.decontamBloom())),
 
+    // #38e SURGICAL decontamination as a STREAM (SURVEY row 110): the
+    // crawl pages scrub THEMSELVES as they arrive — rows 55 and 105
+    // composed into one stateless per-row map (tokens → slot-ordered
+    // shingle kernel → Bloom probe per slot → span-union of flagged
+    // chunks → reassembly, all inside one projection; Append mode, NO
+    // state store, any micro-batch carve-up). The eval side rides the
+    // plan as the Bloom bit array; no false negatives, so the excision
+    // is a superset of the exact one, and the oracle replays the probe
+    // bit for bit (same m, same double-hash members) so even a false
+    // positive is deterministic and gated — measured FP-free at the
+    // gate scales under the 64-bits-per-element sizing.
+    Q("stream_decontam_surgical",
+      (s, dir) => {
+        implicit val session: org.apache.spark.sql.SparkSession = s
+        val d = graft.sources.Sources.table(s, dir, "documents")
+        val pairs = graft.dedup.Dedup.bloomEvalPairs(
+            d.where(col("doc_id") % 97 === 0)).localCheckpoint()
+        val m = graft.dedup.Dedup.bloomBitsFor(pairs.count())
+        val words = graft.dedup.Dedup.bloomWordsAgg(pairs, m)
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val corpusStream = s.readStream.schema(raw.schema)
+          .parquet(s"$dir/{documents}.parquet")
+          .where(col("doc_id") % 97 =!= 0)
+        drain(graft.dedup.Dedup.bloomChunkExcise(corpusStream, words, m),
+          "graft_stream_surgical",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      },
+      Some(DedupSql.bloomChunkExcise())),
+
     // #38d the OTHER direction of the Bloom symmetry: the filter is
     // static (built batch-side from the eval docs) and the CORPUS
     // streams through it — the production filter-the-crawl-as-it-

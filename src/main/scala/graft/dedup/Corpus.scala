@@ -478,7 +478,47 @@ object Corpus {
    */
   def mixSolve(docs: DataFrame, weights: Map[String, Long],
       budgetNum: Long = 9L, budgetDen: Long = 10L,
+      srcCol: String = "source", textCol: String = "text"): DataFrame =
+    waterFill(docs, weights, budgetNum, budgetDen, 1L, srcCol, textCol)
+      .select(col("source"), col("weight"), col("avail"), col("alloc"),
+        col("saturated"))
+
+  /**
+   * Water-filling WITH REPETITION (SURVEY row 111): the row-104 solver
+   * composed with row 97's data-constrained epoch cap (Muennighoff et
+   * al. 2023: repeating data beyond ~4 epochs stops buying loss). Each
+   * source's SUPPLY is avail·maxEpochs — a scarce source may be
+   * repeated up to the cap before it saturates — and the budget may
+   * exceed the unique corpus (budgetNum/budgetDen is still a fraction
+   * of Σavail, e.g. 18/10 = train on 1.8× the corpus tokens). Where
+   * row 97's planner TRUNCATES a capped source's excess, the solver
+   * SPILLS it onto the uncapped sources at their weight ratios — the
+   * standard lemma, on the repeated supplies. Output adds the epoch
+   * split the executor consumes: full_epochs = alloc div avail whole
+   * copies plus resid_toks = alloc mod avail partial-epoch tokens.
+   */
+  def mixSolveRepeat(docs: DataFrame, weights: Map[String, Long],
+      budgetNum: Long = 18L, budgetDen: Long = 10L, maxEpochs: Long = 4L,
       srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(maxEpochs >= 1 && maxEpochs <= 16,
+      s"mixSolveRepeat: maxEpochs must be in [1, 16], got $maxEpochs")
+    waterFill(docs, weights, budgetNum, budgetDen, maxEpochs,
+        srcCol, textCol)
+      .select(col("source"), col("weight"), col("avail"), col("sup"),
+        col("alloc"), col("saturated"),
+        when(col("avail") === 0L, 0L)
+          .otherwise(expr("alloc div avail")).as("full_epochs"),
+        when(col("avail") === 0L, 0L)
+          .otherwise(col("alloc") % col("avail")).as("resid_toks"))
+  }
+
+  /** The shared exact water-fill: availability per source, SUPPLY =
+    * avail·epochCap drives every decision, budget stays a fraction of
+    * Σavail (the unique corpus). Returns one row per source with
+    * (source, weight, avail, sup, alloc, saturated). */
+  private def waterFill(docs: DataFrame, weights: Map[String, Long],
+      budgetNum: Long, budgetDen: Long, epochCap: Long,
+      srcCol: String, textCol: String): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "mixSolve: weights must be positive")
     require(budgetNum >= 0 && budgetDen > 0,
@@ -501,8 +541,8 @@ object Corpus {
       }
     require(twCheck > 0, "mixSolve: weight sum must be positive")
     // per-source integer multiplier lcm/w — the division is exact, so
-    // key = avail·(lcm/w) carries the rational avail/w order without
-    // ever forming avail·lcm (which CAN overflow even decimal(38))
+    // key = sup·(lcm/w) carries the rational sup/w order without
+    // ever forming sup·lcm (which CAN overflow even decimal(38))
     val lwOf: Map[String, Long] = wn.map { case (k, v) => k -> lcmW / v }
     val w = org.apache.spark.sql.expressions.Window
     val byKey = w.orderBy(col("key"), col("source"))
@@ -512,6 +552,7 @@ object Corpus {
       .select(col(srcCol).as("source"),
         Text.tokenCount(col(textCol)).cast("long").as("nt"))
       .groupBy(col("source")).agg(sum(col("nt")).as("avail"))
+      .withColumn("sup", col("avail") * lit(epochCap))
       // an unweighted source is a CONFIG error, not a silent default
       .withColumn("weight",
         coalesce(element_at(typedLit(weights), col("source")),
@@ -527,14 +568,14 @@ object Corpus {
       .withColumn("bud",
         expr(s"CAST(ta AS DECIMAL(38,0)) * $budgetNum div $budgetDen"))
       .withColumn("key",
-        dec(col("avail")) * element_at(typedLit(lwOf), col("source")))
+        dec(col("sup")) * element_at(typedLit(lwOf), col("source")))
       .withColumn("pos", row_number().over(byKey))
-      .withColumn("cuma", sum(col("avail")).over(run))
+      .withColumn("cuma", sum(col("sup")).over(run))
       .withColumn("cumw", sum(col("wn")).over(run))
-      // exclusive prefixes; saturated iff avail ≤ share of what's left
+      // exclusive prefixes; saturated iff supply ≤ share of what's left
       .withColumn("satur",
-        dec(col("avail")) * (col("tw") - (col("cumw") - col("wn"))) <=
-          dec(col("bud") - (col("cuma") - col("avail"))) * col("wn"))
+        dec(col("sup")) * (col("tw") - (col("cumw") - col("wn"))) <=
+          dec(col("bud") - (col("cuma") - col("sup"))) * col("wn"))
     srt
       .withColumn("kstar",
         min(when(!col("satur"), col("pos"))).over(all))
@@ -544,9 +585,9 @@ object Corpus {
       .withColumn("cumwK", coalesce(
         max(when(col("pos") < col("kstar"), col("cumw"))).over(all),
         lit(0L)))
-      .select(col("source"), col("weight"), col("avail"),
+      .select(col("source"), col("weight"), col("avail"), col("sup"),
         when(col("kstar").isNull || col("pos") < col("kstar"),
-            col("avail"))
+            col("sup"))
           .otherwise(expr(
             "CAST(bud - cumaK AS DECIMAL(38,0)) * wn div (tw - cumwK)"))
           .as("alloc"),

@@ -830,6 +830,72 @@ object Dedup {
   }
 
   /**
+   * STREAM-SHAPE surgical decontamination (SURVEY row 110): row 105's
+   * chunk excision as a PURE PER-ROW map — the form a crawl ingests
+   * through, where a page must be scrubbed as it arrives with no
+   * shuffle and no state. The eval side rides the plan as the Bloom
+   * bit array (rows 55/105 composed); per document, every shingle
+   * slot probes the filter, matched slots flag the chunks their span
+   * ⌊i/w⌋..⌊(i+n−1)/w⌋ touches (the straddle discipline — matching on
+   * the UN-chunked stream), and the document reassembles from its
+   * unflagged chunks — tokens → slot-ordered shingle kernel → probe →
+   * span-union → rebuild, all inside one projection.
+   *
+   * Bloom contract: no false negatives, so the excised set is a
+   * SUPERSET of the exact one — a false-positive shingle over-excises
+   * its ≤2 chunks (measured: zero FPs at the gate scales under the
+   * 64-bits-per-element sizing; DedupSpec pins kept_chunks ≤ exact and
+   * equality where FP-free). The oracle replays the probe bit for bit
+   * (same m derivation, same double-hash members), so even an FP is
+   * deterministic and gated, never drift.
+   *
+   * Scale: per-row only — the one shingle-hash per slot runs in the
+   * lambda interpreter (the chunk-row precedent in Admission); a
+   * corpus where that interpreter cost dominates escalates to the
+   * fused-kernel treatment ShingleMinHashSig got. Works identically
+   * on a static DataFrame (DedupSpec compares it to [[chunkDecontam]])
+   * and a streaming one (the registry gate drains it in Append mode —
+   * no state store at all).
+   */
+  def bloomChunkExcise(docs: DataFrame, words: Array[Long], m: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = ShingleN, width: Int = ChunkWidth,
+      k: Int = BloomK): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val sh = org.apache.spark.sql.graft.bridge.column(
+      graft.functions.ShingleWindows(
+        org.apache.spark.sql.graft.bridge.expression(col("__t")), n))
+    val lo = (i: Column) => floor(i / lit(width)).cast("int")
+    val hi = (i: Column) => floor((i + lit(n - 1)) / lit(width)).cast("int")
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("__t"))
+      // a zero-token doc has zero chunks: absent from the chunk table,
+      // exactly as the batch reassembly's group-by sees it
+      .where(size(col("__t")) > 0)
+      .select(col("doc_id"), col("__t"), sh.as("__sh"))
+      .select(col("doc_id"), col("__t"),
+        filter(transform(col("__sh"), (s, i) =>
+            when(bloomMightContain(words, m, k)(
+              graft.functions.XHash.h60(s),
+              graft.functions.XHash.h56(s)), i.cast("int"))
+              .otherwise(lit(-1))),
+          x => x >= 0).as("__bad"),
+        floor((size(col("__t")) - lit(1)) / lit(width)).cast("int")
+          .as("__last"))
+      .select(col("doc_id"),
+        (col("__last") + 1).cast("long").as("n_chunks"),
+        filter(sequence(lit(0), col("__last")), j =>
+          !exists(col("__bad"), i => lo(i) <= j && j <= hi(i)))
+          .as("__kept"),
+        col("__t"))
+      .select(col("doc_id"), col("n_chunks"),
+        size(col("__kept")).cast("long").as("kept_chunks"),
+        array_join(transform(col("__kept"), j =>
+          array_join(slice(col("__t"), j * lit(width) + 1, lit(width)),
+            " ")), " ").as("kept_text"))
+  }
+
+  /**
    * Substring-level dedup signal (the exact-substring-dedup
    * approximation): per doc, the fraction of its word n-gram SLOTS
    * covered by n-grams that also appear in ≥ `minDocs` distinct

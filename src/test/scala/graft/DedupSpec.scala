@@ -195,6 +195,33 @@ class DedupSpec extends SparkSpec {
     assert(capOk(cool))
   }
 
+  test("bloom chunk excision (row 110): per-row map == exact excision when FP-free, never under-excises") {
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Sources.table(spark, sf001, "documents")
+    val evalDocs = d.where(col("doc_id") % 97 === 0)
+    val corpus = d.where(col("doc_id") % 97 =!= 0)
+    val pairs = Dedup.bloomEvalPairs(evalDocs).localCheckpoint()
+    val m = Dedup.bloomBitsFor(pairs.count())
+    val words = Dedup.bloomWordsAgg(pairs, m)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3))).toMap
+    val streamedShape = keyed(Dedup.bloomChunkExcise(corpus, words, m))
+    val exact = keyed(Dedup.chunkDecontam(corpus, evalDocs))
+    assert(streamedShape.keySet == exact.keySet)
+    // no false negatives: the per-row Bloom form can only excise MORE
+    streamedShape.foreach { case (id, (nc, kc, _)) =>
+      assert(nc == exact(id)._1, s"doc $id chunk count drifted")
+      assert(kc <= exact(id)._2, s"doc $id under-excised")
+    }
+    // and at the 64-bits-per-element sizing it is FP-free here: the
+    // two forms agree byte for byte, excised docs included
+    assert(streamedShape == exact,
+      "measured FP-free: streamed-shape output must equal the exact form")
+    assert(streamedShape.values.exists(v => v._2 < v._1),
+      "fixture must actually excise something (non-vacuous)")
+  }
+
   test("minhash candidates include both dup pairs, not the unrelated doc") {
     val pairs = Dedup.minhashCandidates(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -264,6 +264,58 @@ class QuotaSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("unweighted source")))
   }
 
+  test("mix solver with repetition (row 111): epoch caps bind, spill preserves ratios, exec fills") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Sources.table(spark, sf001, "documents")
+    val weights = (0 until 20).map(i => s"src$i" -> ((i % 4) + 1L)).toMap
+    val out = graft.dedup.Corpus.mixSolveRepeat(docs, weights,
+        budgetNum = 28L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getLong(6),
+        r.getLong(7)))
+    assert(out.length == 20)
+    val budget = out.map(_._3).sum * 28 / 10
+    // feasibility against the REPEATED supplies
+    assert(out.map(_._5).sum <= budget)
+    out.foreach { case (s, _, avail, sup, alloc, sat, fe, rt) =>
+      assert(sup == avail * 4, s"$s supply must be avail*maxEpochs")
+      assert(alloc <= sup, s"$s allocated past 4 epochs")
+      assert(alloc == fe * avail + rt && rt >= 0 && (rt < avail || avail == 0),
+        s"$s epoch split must partition alloc")
+      if (sat) assert(alloc == sup && fe == 4 && rt == 0,
+        s"saturated $s must take exactly its 4 epochs")
+    }
+    // genuinely split: caps bind for some, others stay proportional
+    val sat = out.filter(_._6)
+    assert(sat.nonEmpty && sat.length < out.length,
+      s"degenerate repeat solve: ${sat.length}/20 saturated")
+    // unsaturated allocations stay weight-proportional
+    val unsat = out.filterNot(_._6)
+    for ((_, wp, _, _, ap, _, _, _) <- unsat;
+         (_, wq, _, _, aq, _, _, _) <- unsat)
+      assert(math.abs(ap * wq - aq * wp) < wp + wq,
+        "unsaturated shares drifted from the weight ratios")
+    // budget above the UNIQUE corpus is the point: total allocation
+    // exceeds what zero repetition could ever deliver
+    assert(out.map(_._5).sum > out.map(_._3).sum,
+      "the repeated solve must allocate beyond one epoch of the corpus")
+    // execution fills each source's plan up to one-document slack
+    val exec = Registry.queries("corpus_mix_solve_repeat_exec")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val maxDoc = docs.select(
+        max(graft.text.Text.tokenCount(col("text")).cast("long")))
+      .head.getLong(0)
+    exec.foreach { case (s, alloc, executed) =>
+      assert(executed <= alloc, s"$s executed past its plan")
+      assert(alloc - executed <= maxDoc,
+        s"$s left more than one document's tokens unfilled")
+    }
+    // an out-of-range epoch cap is a config error
+    val e = intercept[IllegalArgumentException](
+      graft.dedup.Corpus.mixSolveRepeat(docs, weights, maxEpochs = 0L))
+    assert(e.getMessage.contains("maxEpochs"))
+  }
+
   test("mix solver: user-weight overflow armor (ADVICE r14)") {
     val docs = graft.sources.Sources.table(spark, sf001, "documents")
     val weights = (0 until 20).map(i => s"src$i" -> ((i % 4) + 1L)).toMap
