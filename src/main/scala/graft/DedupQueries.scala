@@ -1239,6 +1239,40 @@ object DedupQueries {
       },
       Some(DedupSql.pipelineIncremental(OldWhere, NewWhere))),
 
+    // #25k2 the incremental admission chain with SURGICAL
+    // decontamination (SURVEY row 113): crawl N+1's stage 3 swaps the
+    // drop-the-whole-doc anti-join for row 105's chunk excision —
+    // the crawl's contaminated spans are cut and each admitted doc's
+    // clean remainder flows into the quality keep — so BOTH admission
+    // shapes (batch full pipeline, incremental crawl) now offer both
+    // decontamination actions. Old data is still touched only through
+    // the two persisted stores; the oracle splices the excision
+    // fragment into the incremental replay. A crawl doc quoting one
+    // eval question now contributes its other chunks' tokens instead
+    // of vanishing (strictly ≥ admitted token mass, spec-pinned).
+    Q("corpus_pipeline_incremental_surgical",
+      (s, dir) => {
+        val batch = docs(s, dir).where(expr(NewWhere))
+        val k1 = Dedup.incrementalKeepers(batch,
+          s.read.parquet(ensureStore(s, dir)))
+        val b1 = batch.join(k1, Seq("doc_id"), "left_semi")
+        val b2 = Dedup.chunkDedupIncremental(b1,
+            s.read.parquet(ensureChunkStore(s, dir)))
+          .where(col("kept_chunks") > 0)
+          .select(col("doc_id"), col("kept_text").as("text"))
+          .localCheckpoint()
+        val evalDocs = docs(s, dir).where(col("doc_id") % 97 === 0)
+        val cs = b2.where(col("doc_id") % 97 =!= 0)
+        val b3 = Dedup.chunkDecontam(cs, evalDocs)
+          .where(col("kept_chunks") > 0)
+          .select(col("doc_id"), col("kept_text").as("text"))
+        graft.text.Text.qualityModelRaw(b3).where(col("num") >= 0L)
+          .select(col("doc_id"),
+            col("n_tokens").cast("long").as("n_tokens"))
+      },
+      Some(DedupSql.pipelineIncremental(OldWhere, NewWhere,
+        decontam = "chunk"))),
+
     // #38e CHUNK-level decontamination (SURVEY row 105): EXCISE the
     // contaminated spans and keep the rest of the document — the
     // surgical alternative to row 38's drop-whole-doc decision (a long

@@ -742,7 +742,11 @@ object DedupSql {
       base: String = "documents", n: Int = 3,
       bands: Int = 8, rowsPerBand: Int = 2,
       width: Int = graft.dedup.Dedup.ChunkWidth,
-      evalMod: Int = 97): String = {
+      evalMod: Int = 97,
+      /** Stage-3 action: `doc` (drop contaminated batch docs whole) or
+        * `chunk` (excise the contaminated chunks — row 105's fragment
+        * at the crawl grain). */
+      decontam: String = "doc"): String = {
     val qmB = graft.text.Text.QmBuckets
     val qmBias = graft.text.Text.QmBiasNum
     val qh = XHash.h60Sql("'qm:' || t")
@@ -796,12 +800,31 @@ object DedupSql {
        |  SELECT doc_id, text FROM b2 WHERE doc_id % $evalMod <> 0),
        |${shingleCtes("ev", n, "e")},
        |${shingleCtes("cs", n, "c")},
-       |contam AS (
+       |${if (decontam == "doc") s"""contam AS (
        |  SELECT DISTINCT c.doc_id
        |  FROM csh c JOIN (SELECT DISTINCT s FROM esh) e USING (s)),
        |b3 AS (
        |  SELECT cs.doc_id, cs.text FROM cs WHERE NOT EXISTS (
-       |    SELECT 1 FROM contam x WHERE x.doc_id = cs.doc_id)),
+       |    SELECT 1 FROM contam x WHERE x.doc_id = cs.doc_id)),"""
+        else s"""${chunkCtes("cs", width, "dx")},
+       |dxbad AS (
+       |  SELECT DISTINCT doc_id, idx FROM (
+       |    SELECT c.doc_id,
+       |      unnest(range(i // $width, (i + ${n - 1}) // $width + 1)) AS idx
+       |    FROM csh c JOIN (SELECT DISTINCT s FROM esh) e USING (s))),
+       |dxdec AS (
+       |  SELECT h.doc_id, h.idx, h.chunk, b.idx IS NULL AS kept
+       |  FROM dxhashed h LEFT JOIN dxbad b
+       |    ON h.doc_id = b.doc_id AND h.idx = b.idx),
+       |b3 AS (
+       |  SELECT doc_id, kept_text AS text FROM (
+       |    SELECT doc_id,
+       |      sum(CASE WHEN kept THEN 1 ELSE 0 END) AS kept_chunks,
+       |      coalesce(array_to_string(
+       |        list(chunk ORDER BY idx) FILTER (WHERE kept), ' '), '')
+       |        AS kept_text
+       |    FROM dxdec GROUP BY doc_id)
+       |  WHERE kept_chunks > 0),"""}
        |qtoks AS (
        |  SELECT doc_id,
        |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t

@@ -586,6 +586,31 @@ object RetrievalQueries {
     path
   }
 
+  /** The incremental twin of [[ensureKiLexicon]]: the gate lexicon is
+    * BUILT from the old corpus slice (vocabulary = the planted
+    * query-term set, frozen there like any build-time vocab decision)
+    * and the new batch's postings APPEND with integer-added summaries
+    * — then the recall gate reads old ∪ new through the store. Own
+    * cache root so the base gate's sibling sweep can't collect it. */
+  private def ensureKiLexiconInc(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fp = graft.tools.LocalFs.fingerprint(
+      new java.io.File(s"$dir/documents.parquet"))
+    val key = s"$dirKey-$fp-t$TargetCap-q$KiTerms"
+    val path = s"/tmp/graft-kilexinc/$key"
+    if (!new java.io.File(s"$path/_APPENDED").exists()) {
+      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-kilexinc",
+        s"$dirKey-", key)
+      val d = docs(s, dir)
+      Bm25.buildLexicon(d.where(expr(LexOldWhere)), path,
+        vocabTermsOverride = Some(kiGateQueries(d).select(col("term"))))
+      Bm25.appendLexicon(s, d.where(expr(LexNewWhere)), path)
+      new java.io.File(s"$path/_APPENDED").createNewFile()
+    }
+    path
+  }
+
   def all: Seq[Q] = Seq(
 
     // #61 BM25 top-k for the pinned query terms: one features pass, a
@@ -728,6 +753,32 @@ object RetrievalQueries {
         // scoring — in production they arrive as literals from a query
         // log; with the checkpoint the scoring plan reads ONLY the
         // lexicon, which is the row's whole point
+        val qt = kiGateQueries(docs(s, dir)).localCheckpoint()
+        kiRankOf(kiBm25ScoredFromLexicon(s, root, qt), "doc_id")
+          .select(col("qid"), col("target_rank"), col("hit"),
+            (sum(when(col("hit"), 1L).otherwise(0L)).over(all) * 1000 >=
+              lit(MinKiBm25PerMille) * count(lit(1)).over(all))
+              .as("recall_ok"))
+          .orderBy(col("qid"))
+      },
+      Some(kiBm25OracleSql)),
+
+    // #62e the known-item gate over the INCREMENTAL lexicon (SURVEY
+    // row 112): the store is BUILT from the old corpus slice
+    // (vocabulary frozen = the planted query terms) and the new
+    // crawl's postings APPEND with integer-added df/stats — then the
+    // SAME floors must hold over old ∪ new through the store. A
+    // dropped batch, a stale summary, or an append that re-tokenized
+    // history shifts a score and hash-fails against row 101's full-
+    // corpus oracle; a recall-destroying append (e.g. df double-
+    // counting flattening idf) fails the per-mille floor. The quality
+    // contract now covers the full artifact LIFECYCLE, not just the
+    // fresh build.
+    Q("retrieval_recall_incremental",
+      (s, dir) => {
+        val all = Window.partitionBy()
+          .rowsBetween(Long.MinValue, Long.MaxValue)
+        val root = ensureKiLexiconInc(s, dir)
         val qt = kiGateQueries(docs(s, dir)).localCheckpoint()
         kiRankOf(kiBm25ScoredFromLexicon(s, root, qt), "doc_id")
           .select(col("qid"), col("target_rank"), col("hit"),

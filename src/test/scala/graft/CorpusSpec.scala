@@ -444,6 +444,24 @@ class CorpusSpec extends SparkSpec {
     assert(e.getMessage.contains("decontam"))
   }
 
+  test("incremental surgical admission (row 113): strictly more admitted tokens than doc-drop") {
+    def admitted(q: String): (Long, Long) = {
+      val r = Registry.queries(q)(spark, sf001)
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.sum("n_tokens"))
+        .head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (dDocs, dToks) = admitted("corpus_pipeline_incremental")
+    val (sDocs, sToks) = admitted("corpus_pipeline_incremental_surgical")
+    // every doc-drop survivor survives excision too (it had no
+    // contaminated chunk), and excised remainders ADD docs and tokens
+    assert(sDocs >= dDocs, "excision must never admit fewer docs")
+    assert(sToks > dToks,
+      s"surgical admission must strictly grow tokens: $sToks vs $dToks")
+  }
+
   test("packedSequences: windows are full, contiguous, and byte-faithful") {
     val docs = (1L to 12L)
       .map(i => (i, (1 to (3 + i % 5).toInt).map(k => s"d${i}w$k").mkString(" ")))

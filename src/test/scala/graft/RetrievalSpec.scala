@@ -367,6 +367,19 @@ class RetrievalSpec extends SparkSpec {
       "lexicon-served scoring must not open the corpus")
   }
 
+  test("known-item gate over the INCREMENTAL lexicon == scan path (row 112)") {
+    // build-from-old + append-new must reproduce the full-corpus
+    // ranks exactly: postings for the query terms cover old ∪ new,
+    // df/stats integer-add to the full-corpus values
+    val viaInc = SparkEntry.queries("retrieval_recall_incremental")(
+        spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val viaScan = SparkEntry.queries("retrieval_recall_bm25")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(viaInc.toSeq == viaScan.toSeq,
+      "append-maintained lexicon must reproduce the scan path's ranks")
+  }
+
   test("lexicon serving plan: term-partition pruning, corpus never opened") {
     val dir = sf001
     val root = tmpDir("lexplan")
