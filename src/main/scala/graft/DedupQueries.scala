@@ -1500,6 +1500,99 @@ object DedupQueries {
             // greatest(p.alloc, 1) AS BIGINT) AS fill_millionths
         FROM rsolve p LEFT JOIN ag ON ag.source = p.source"""))
     ,
+    // #40d5 the repeated allocation PACKED (SURVEY row 114): row 111's
+    // epoch plan made trainable — every copy gets a distinct id
+    // (doc_id·8 + epoch: epochs reach 5, so copies never collide and
+    // the oracle replays the arithmetic), the copies shard by the
+    // copy-id hash (repeats of one doc SPREAD across shards — what a
+    // loader wants), and the row-86 manifest summarizes the result:
+    // a drifted epoch count, a lost partial-prefix doc, or a reordered
+    // pack moves a count or checksum. Closes plan → execution → pack:
+    // "train on 2.8× the corpus" is now a physical artifact, not a
+    // table of intentions.
+    Q("corpus_pack_repeat",
+      (s, dir) => {
+        val plan = graft.dedup.Corpus.mixSolveRepeat(docs(s, dir),
+            MixWeights, budgetNum = 28L)
+          .select(col("source"), col("full_epochs"), col("resid_toks"))
+          .localCheckpoint()
+        val d = docs(s, dir).select(col("doc_id"), col("source"),
+          col("text"))
+        val withPlan = d.join(plan, Seq("source"))
+        val fullRows = withPlan.where(col("full_epochs") >= 1L)
+          .select(col("doc_id"),
+            explode(sequence(lit(1L), col("full_epochs"))).as("epoch"),
+            col("text"))
+        val partial = graft.dedup.Corpus.quotaAdmitWith(
+            withPlan.where(col("resid_toks") > 0L), col("resid_toks"),
+            srcCol = "source", broadcastOffsets = false)
+          .select(col("doc_id"), (col("full_epochs") + 1L).as("epoch"),
+            col("text"))
+        val copies = fullRows.union(partial)
+          .select((col("doc_id") * 8L + col("epoch")).as("cid"),
+            col("text"))
+        graft.dedup.Corpus.packMembers(copies, seqLen = 256, shards = 8,
+            idCol = "cid")
+          .groupBy(col("shard")).agg(
+            count(lit(1)).as("n_docs"),
+            (max(col("chunk_last")) + 1).as("n_seqs"),
+            sum(when(col("chunk_first") =!= col("chunk_last"), 1L)
+              .otherwise(0L)).as("straddlers"),
+            sum(col("cid") % lit(1000003L) *
+              (graft.functions.XHash.h60(col("cid").cast("string"))
+                % lit(1000000L)) % lit(1000003L)).as("checksum"))
+      },
+      Some(s"""
+        WITH ${mixSolveRepeatCtes(4, 28, 10)},
+        qd AS (
+          SELECT doc_id, source,
+            CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+              AS BIGINT) AS n_toks
+          FROM documents),
+        fulle AS (
+          SELECT qd.doc_id,
+            unnest(generate_series(1, p.full_epochs)) AS epoch,
+            qd.n_toks
+          FROM qd JOIN rsolve p USING (source)
+          WHERE p.full_epochs >= 1),
+        cum AS (
+          SELECT doc_id, source, n_toks,
+            SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM qd),
+        part AS (
+          SELECT c.doc_id, p.full_epochs + 1 AS epoch, c.n_toks
+          FROM cum c JOIN rsolve p USING (source)
+          WHERE p.resid_toks > 0 AND c.cum <= p.resid_toks),
+        cp AS (
+          SELECT doc_id * 8 + epoch AS cid, n_toks FROM (
+            SELECT doc_id, epoch, n_toks FROM fulle
+            UNION ALL
+            SELECT doc_id, epoch, n_toks FROM part)),
+        pt AS (
+          SELECT cid,
+            ${graft.functions.XHash.h60Sql("CAST(cid AS VARCHAR)")} % 8
+              AS shard,
+            ${graft.functions.XHash.h60Sql("CAST(cid AS VARCHAR)")}
+              % 1000000 AS ck,
+            n_toks
+          FROM cp),
+        pc AS (
+          SELECT cid, shard, ck, n_toks,
+            COALESCE(SUM(n_toks) OVER (PARTITION BY shard ORDER BY cid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS tok_offset
+          FROM pt)
+        SELECT CAST(shard AS BIGINT) AS shard,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(max((tok_offset + n_toks - 1) // 256) + 1 AS BIGINT)
+            AS n_seqs,
+          CAST(sum(CASE WHEN tok_offset // 256 <>
+            (tok_offset + n_toks - 1) // 256 THEN 1 ELSE 0 END)
+            AS BIGINT) AS straddlers,
+          CAST(sum(cid % 1000003 * ck % 1000003) AS BIGINT) AS checksum
+        FROM pc GROUP BY shard""")),
+
     // #40c per-source CAP (stratified sampling): at most N docs per
     // source, picked by smallest deterministic hash — the "cap any one
     // domain's share" mixture step. The oracle replays the hash ranking

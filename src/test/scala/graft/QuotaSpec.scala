@@ -316,6 +316,35 @@ class QuotaSpec extends SparkSpec {
     assert(e.getMessage.contains("maxEpochs"))
   }
 
+  test("packed repetition (row 114): manifest copy count == the executed plan, replayed independently") {
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Sources.table(spark, sf001, "documents")
+    val weights = (0 until 20).map(i => s"src$i" -> ((i % 4) + 1L)).toMap
+    val plan = graft.dedup.Corpus.mixSolveRepeat(d, weights,
+        budgetNum = 28L)
+      .collect().map(r => r.getString(0) -> (r.getLong(6), r.getLong(7)))
+      .toMap // source -> (full_epochs, resid_toks)
+    // driver replay of the copy population: full epochs × source size
+    // plus the maximal id-order prefix fitting resid_toks
+    val rows = d.select(col("doc_id"), col("source"),
+        graft.text.Text.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = plan.map { case (src, (fe, resid)) =>
+      val srcRows = rows.filter(_._2 == src).sortBy(_._1)
+      val prefix = srcRows.map(_._3).scanLeft(0L)(_ + _).drop(1)
+        .takeWhile(_ <= resid).length
+      fe * srcRows.length + (if (resid > 0) prefix else 0)
+    }.sum
+    val manifest = Registry.queries("corpus_pack_repeat")(spark, sf001)
+    val packed = manifest.agg(sum(col("n_docs"))).head.getLong(0)
+    assert(packed == expected,
+      s"manifest packs $packed copies, the plan executes $expected")
+    // and the artifact is deterministic: a second run is byte-equal
+    assert(manifest.collect().map(_.toSeq).toSet ==
+      Registry.queries("corpus_pack_repeat")(spark, sf001)
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("mix solver: user-weight overflow armor (ADVICE r14)") {
     val docs = graft.sources.Sources.table(spark, sf001, "documents")
     val weights = (0 until 20).map(i => s"src$i" -> ((i % 4) + 1L)).toMap
