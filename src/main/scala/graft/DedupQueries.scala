@@ -1408,7 +1408,8 @@ object DedupQueries {
     // #40d3 water-filling WITH REPETITION (SURVEY row 111): row 104's
     // solver composed with row 97's data-constrained epoch cap
     // (Muennighoff 2023) — each source's SUPPLY is avail·4, the budget
-    // is 1.8× the unique corpus, and where row 97's planner TRUNCATES
+    // is 2.8× the unique corpus (budgetNum=28/10; the solver's own
+    // DEFAULT is 1.8×), and where row 97's planner TRUNCATES
     // a capped source's excess, the solver SPILLS it onto the others
     // at their weight ratios (the standard lemma on repeated
     // supplies). The 28/10 budget makes the decision genuinely SPLIT:
@@ -1502,8 +1503,10 @@ object DedupQueries {
     ,
     // #40d5 the repeated allocation PACKED (SURVEY row 114): row 111's
     // epoch plan made trainable — every copy gets a distinct id
-    // (doc_id·8 + epoch: epochs reach 5, so copies never collide and
-    // the oracle replays the arithmetic), the copies shard by the
+    // (doc_id·32 + epoch: the stride covers mixSolveRepeat's whole
+    // legal range, maxEpochs ≤ 16 ⇒ epoch ≤ 17 < 32, so copies never
+    // collide for ANY caller — not just this query's budgetNum=28 —
+    // and the oracle replays the arithmetic), the copies shard by the
     // copy-id hash (repeats of one doc SPREAD across shards — what a
     // loader wants), and the row-86 manifest summarizes the result:
     // a drifted epoch count, a lost partial-prefix doc, or a reordered
@@ -1529,8 +1532,8 @@ object DedupQueries {
           .select(col("doc_id"), (col("full_epochs") + 1L).as("epoch"),
             col("text"))
         val copies = fullRows.union(partial)
-          .select((col("doc_id") * 8L + col("epoch")).as("cid"),
-            col("text"))
+          .select((col("doc_id") * graft.dedup.Corpus.CopyIdStride
+            + col("epoch")).as("cid"), col("text"))
         graft.dedup.Corpus.packMembers(copies, seqLen = 256, shards = 8,
             idCol = "cid")
           .groupBy(col("shard")).agg(
@@ -1565,7 +1568,7 @@ object DedupQueries {
           FROM cum c JOIN rsolve p USING (source)
           WHERE p.resid_toks > 0 AND c.cum <= p.resid_toks),
         cp AS (
-          SELECT doc_id * 8 + epoch AS cid, n_toks FROM (
+          SELECT doc_id * 32 + epoch AS cid, n_toks FROM (
             SELECT doc_id, epoch, n_toks FROM fulle
             UNION ALL
             SELECT doc_id, epoch, n_toks FROM part)),

@@ -558,9 +558,17 @@ object RetrievalQueries {
     * derived from the ≤[[TargetCap]] target docs ONLY (in production
     * queries arrive from a query log; here each target plants its
     * own), shared by the lexicon build (vocabulary) and the serving
-    * gate (the queries). */
+    * gate (the queries). Targets are sampled from the POSTINGS
+    * population — the same population `retrieval_recall_bm25` and the
+    * shared oracle's `kiTargetsSql("posts", …)` sample — so a planted
+    * doc with empty/whitespace text (no postings) can never put the
+    * lexicon gates' top-[[TargetCap]] sample out of sync with the scan
+    * gate's. Restricting the second tokenize pass to the ≤TargetCap
+    * target docs is safe: every target has postings by construction,
+    * so [[kiQueryTerms]]'s inner re-sample is the identity on it. */
   private def kiGateQueries(d: DataFrame): DataFrame = {
-    val targetDocs = d.join(broadcast(kiTargets(d, "doc_id")),
+    val targetDocs = d.join(
+      broadcast(kiTargets(Bm25.postingsOf(d), "doc_id")),
       col("doc_id") === col("qid")).select(d.columns.map(col): _*)
     kiQueryTerms(Bm25.postingsOf(targetDocs))
   }
@@ -574,7 +582,7 @@ object RetrievalQueries {
     val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val fp = graft.tools.LocalFs.fingerprint(
       new java.io.File(s"$dir/documents.parquet"))
-    val key = s"$dirKey-$fp-t$TargetCap-q$KiTerms"
+    val key = s"$dirKey-$fp-t$TargetCap-q$KiTerms-ptgt"
     val path = s"/tmp/graft-kilex/$key"
     if (!new java.io.File(s"$path/postings/_SUCCESS").exists()) {
       graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-kilex",
@@ -597,7 +605,7 @@ object RetrievalQueries {
     val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val fp = graft.tools.LocalFs.fingerprint(
       new java.io.File(s"$dir/documents.parquet"))
-    val key = s"$dirKey-$fp-t$TargetCap-q$KiTerms"
+    val key = s"$dirKey-$fp-t$TargetCap-q$KiTerms-ptgt"
     val path = s"/tmp/graft-kilexinc/$key"
     if (!new java.io.File(s"$path/_APPENDED").exists()) {
       graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-kilexinc",

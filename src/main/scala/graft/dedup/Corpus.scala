@@ -483,6 +483,21 @@ object Corpus {
       .select(col("source"), col("weight"), col("avail"), col("alloc"),
         col("saturated"))
 
+  /** Stride between a doc's copy ids at pack time (`corpus_pack_repeat`
+    * assigns cid = doc_id·stride + epoch, epochs starting at 1). Two
+    * docs' copy ranges stay disjoint iff the epoch SPAN stays under
+    * the stride, so the stride must exceed maxEpochs+1 (the partial
+    * copy's worst-case epoch) for EVERY legal maxEpochs — 32 covers
+    * the solver's whole [1, 16] range; 8 (the old stride) silently
+    * merged adjacent docs' training copies once maxEpochs reached 9
+    * (doc i epoch 9 = 8i+9 = 8(i+1)+1 = doc i+1 epoch 1), identical
+    * cid AND identical text, invisible to every downstream gate.
+    * Enforced by a `require` in [[mixSolveRepeat]] so the invariant is
+    * checked where the epochs are minted, not just where they are
+    * packed; QuotaSpec drives the epochCap=9 collision on the old
+    * arithmetic. */
+  val CopyIdStride = 32L
+
   /**
    * Water-filling WITH REPETITION (SURVEY row 111): the row-104 solver
    * composed with row 97's data-constrained epoch cap (Muennighoff et
@@ -502,6 +517,9 @@ object Corpus {
       srcCol: String = "source", textCol: String = "text"): DataFrame = {
     require(maxEpochs >= 1 && maxEpochs <= 16,
       s"mixSolveRepeat: maxEpochs must be in [1, 16], got $maxEpochs")
+    require(maxEpochs + 1 < CopyIdStride,
+      s"mixSolveRepeat: epoch can reach maxEpochs+1=${maxEpochs + 1}; " +
+        s"CopyIdStride=$CopyIdStride would collide copy ids at pack time")
     waterFill(docs, weights, budgetNum, budgetDen, maxEpochs,
         srcCol, textCol)
       .select(col("source"), col("weight"), col("avail"), col("sup"),

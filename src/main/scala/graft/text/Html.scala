@@ -120,7 +120,16 @@ object Html {
     * tail into the text. Alternatives have disjoint first characters
     * (`"`, `'`, other), so matching is linear, never backtracking; a
     * tag with an UNCLOSED quote matches nothing and stays visible as
-    * raw text (malformed markup surfaces, it is not silently mangled). */
+    * raw text (malformed markup surfaces, it is not silently mangled).
+    * Second known limitation (the dual of the first): a stray TEXT `<`
+    * followed by a PAIRED quote whose payload contains `>` — e.g.
+    * `x < "a>b" y > z` — quote-skips past the `>` inside the quotes,
+    * so the "tag" swallows through the SECOND `>` (`"a>b" y` goes with
+    * it) where the old `<[^>]*>` stopped at the first. Both readings
+    * are wrong on such input (it is not markup); HTML5's tokenizer
+    * makes the same quote-aware choice inside a tag, and real pages
+    * escape a text `<` as `&lt;`. HtmlSpec pins this behavior so a
+    * change is a decision, not drift. */
   private val TagInnards = """(?:"[^"]*"|'[^']*'|[^>"'])*"""
 
   /** HTML → clean text: comments out first (they may contain raw `<`),

@@ -345,6 +345,48 @@ class QuotaSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("copy-id stride (r15 verdict): no collisions at epochCap=9, where the old stride 8 merged copies") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // consecutive doc_ids, one source, budget = the full 9-epoch
+    // supply. Collision needs an epoch SPAN ≥ the stride: with stride
+    // 8 and epochs 1..9, doc i's epoch 9 is 8i+9 = 8(i+1)+1 — doc
+    // i+1's epoch 1 — so 5 of the 6 adjacent-doc pairs merge a
+    // training copy SILENTLY (identical cid, identical text: no gate
+    // downstream can tell). maxEpochs ≤ 8 was safe with stride 8 only
+    // by luck of the span; the solver's legal range goes to 16.
+    // Stride 32 keeps every doc's copy-id range disjoint for the
+    // whole [1, 16] range.
+    val docs = (0L until 6L).map(i => (i, "src0", "w " * 40))
+      .toDF("doc_id", "source", "text")
+    val plan = graft.dedup.Corpus.mixSolveRepeat(docs,
+        Map("src0" -> 1L), budgetNum = 90L, budgetDen = 10L,
+        maxEpochs = 9L)
+      .select(col("source"), col("full_epochs"), col("resid_toks"))
+    val copies = docs.join(plan, Seq("source"))
+      .where(col("full_epochs") >= 1L)
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), col("full_epochs"))).as("epoch"))
+    val n = copies.count()
+    assert(n == 54L, s"expected 6 docs x 9 epochs, got $n")
+    // the shipped stride: all copy ids distinct
+    val stride = graft.dedup.Corpus.CopyIdStride
+    assert(copies.select(col("doc_id") * stride + col("epoch"))
+      .distinct().count() == n)
+    // the OLD stride 8: the same population collides (this arm fails
+    // on the pre-fix arithmetic)
+    assert(copies.select(col("doc_id") * 8L + col("epoch"))
+      .distinct().count() == n - 5,
+      "stride 8 should merge the 5 adjacent-doc copy pairs at epochCap=9")
+    // and the invariant is enforced where epochs are minted: a stride
+    // that cannot cover maxEpochs+1 is rejected loudly (documented on
+    // Corpus.CopyIdStride; maxEpochs > 16 already rejected)
+    val e = intercept[IllegalArgumentException](
+      graft.dedup.Corpus.mixSolveRepeat(docs, Map("src0" -> 1L),
+        maxEpochs = 17L))
+    assert(e.getMessage.contains("maxEpochs"))
+  }
+
   test("mix solver: user-weight overflow armor (ADVICE r14)") {
     val docs = graft.sources.Sources.table(spark, sf001, "documents")
     val weights = (0 until 20).map(i => s"src$i" -> ((i % 4) + 1L)).toMap
