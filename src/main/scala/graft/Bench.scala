@@ -42,8 +42,16 @@ object Bench {
     // iteration order.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Registry-EXTERNAL entries: timed and folded like any op, but not
+    // part of the correctness surface (no oracle — they compute
+    // nothing). stream_noop is the measured micro-batch-overhead
+    // denominator bench_compare uses to separate "the box schedules
+    // micro-batches slowly today" from "a streaming op regressed".
+    val external: Seq[(String, (SparkSession, String) => DataFrame)] =
+      Seq("stream_noop" -> ((s: SparkSession, d: String) =>
+        StreamingQueries.noop(s, d)))
     val selected: Seq[(String, (SparkSession, String) => DataFrame)] =
-      Registry.all.map(q => q.name -> q.run)
+      (Registry.all.map(q => q.name -> q.run) ++ external)
         .filter(kv => only.forall(_(kv._1)))
     // Each query is timed once per SWEEP (default 2 sweeps) and scored
     // by its fastest sweep. One number per query is at the mercy of

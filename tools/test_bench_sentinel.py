@@ -10,6 +10,16 @@ dir and asserts the four behaviors that matter:
   3. contended run with one op regressed far
      beyond the contention envelope (~5x)     -> FAIL (that op only)
   4. --update on a contended run              -> REFUSED exit 1
+
+…and the streaming-overhead denominator (VERDICT r15 items 1+7):
+
+  6. batch quiet but stream_noop 1.7x and the
+     stream ops ~1.6x (the r15 failure shape) -> PASS, flags demoted to
+     overhead-explained annotations
+  7. stream_noop quiet, a stream op 1.6x      -> FAIL (a real streaming
+     regression is NOT excused by a quiet denominator)
+  8. stream_noop 1.7x but a stream op 5x
+     (far beyond noop * slack)                -> FAIL (that op only)
 Prints FIXTURE: PASS on success (the ToolsGateSpec contract).
 """
 import json, os, subprocess, sys, tempfile
@@ -80,6 +90,44 @@ with tempfile.TemporaryDirectory() as tmp:
     code, out = run(tmp, mk(dict(BASE_Q)), BASELINES)
     if code != 0 or "CONTENDED" in out or out.strip().rsplit(" ", 1)[-1] != "PASS":
         fails.append(f"case5: code={code}\n{out}")
+
+    # --- streaming-overhead denominator cases ---
+    SB = dict(BASE_Q)
+    SB.update({"stream_noop": 0.40, "stream_x": 1.0, "stream_y": 2.0})
+    SBASE = {"sfX": {"round": 1, "total": sum(SB.values()),
+                     "n": len(SB), "queries": SB}}
+
+    # 6. the r15 shape: batch families quiet, stream_noop measured 1.7x,
+    #    stream ops ~1.6x -> overhead-explained, PASS
+    q = dict(SB)
+    q.update({"stream_noop": 0.68, "stream_x": 1.6, "stream_y": 3.2})
+    code, out = run(tmp, mk(q), SBASE)
+    if code != 0 or "overhead-explained stream_x" not in out \
+            or "overhead-explained stream_y" not in out \
+            or "REGRESSED" in out:
+        fails.append(f"case6: code={code}\n{out}")
+
+    # 7. noop quiet -> a 1.6x stream op is a REAL regression
+    q = dict(SB); q["stream_y"] = 3.2
+    code, out = run(tmp, mk(q), SBASE)
+    if code != 1 or "REGRESSED stream_y" not in out:
+        fails.append(f"case7: code={code}\n{out}")
+
+    # 8. noop 1.7x but stream_y 5x: far beyond noop*slack -> FAIL it,
+    #    while stream_x at 1.6x stays explained
+    q = dict(SB)
+    q.update({"stream_noop": 0.68, "stream_x": 1.6, "stream_y": 10.0})
+    code, out = run(tmp, mk(q), SBASE)
+    if code != 1 or "REGRESSED stream_y" not in out \
+            or "overhead-explained stream_x" not in out \
+            or "REGRESSED stream_x" in out:
+        fails.append(f"case8: code={code}\n{out}")
+
+    # 9. the denominator itself is never flagged, even at 5x
+    q = dict(SB); q["stream_noop"] = 2.0
+    code, out = run(tmp, mk(q), SBASE)
+    if code != 0 or "REGRESSED stream_noop" in out:
+        fails.append(f"case9: code={code}\n{out}")
 
 if fails:
     print("\n---\n".join(fails))
