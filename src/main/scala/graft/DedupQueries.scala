@@ -76,6 +76,23 @@ object DedupQueries {
     path
   }
 
+  /** CDC chunk-hash store of the OLD snapshot — [[ensureChunkStore]]'s
+    * content-defined twin (own /tmp root; same fingerprint keying and
+    * stale-sibling sweep). */
+  private[graft] def ensureCdcChunkStore(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    synchronized {
+      val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"/tmp/graft-cdcstore/$dirKey-${srcFingerprint(dir)}"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-cdcstore",
+          s"$dirKey-", new java.io.File(path).getName)
+        Dedup.cdcChunkStore(docs(s, dir).where(expr(OldWhere)))
+          .write.mode("overwrite").parquet(path)
+      }
+      path
+    }
+
   /** Write the packed-shard artifact (members + physical sequence
     * files) once per dataset, fingerprint-keyed like the other caches
     * ([[graft.tools.LocalFs]] scope contract: local `/tmp` gate cache;
@@ -830,6 +847,35 @@ object DedupQueries {
     Q("dedup_chunks",
       (s, dir) => Dedup.chunkDedup(docs(s, dir)),
       Some(DedupSql.chunkDedup())),
+
+    // #25j CONTENT-DEFINED chunking (SURVEY row 115, r15 verdict item
+    // 2): row 66's operator with the boundary rule that survives
+    // unaligned repeats — a cut falls between tokens p and p+1 iff
+    // h60(bigram) ≡ 0 (mod 8), so a repeated span reproduces its
+    // INTERIOR cuts at any offset and dedups through its interior
+    // chunks. Fixed windows re-align on a one-token shift and miss the
+    // whole span (DedupSpec drives the pair the fixed operator
+    // provably misses) — the gap a real crawl's shifted boilerplate
+    // hits first (Lee et al. 2022). Same two-shuffle election +
+    // reassembly plan as dedup_chunks.
+    Q("dedup_chunks_cdc",
+      (s, dir) => Dedup.cdcChunkDedup(docs(s, dir)),
+      Some(DedupSql.cdcChunkDedup())),
+
+    // #25k the CDC incremental twin: a new crawl's content-defined
+    // chunks dedup against the persisted 16-bytes-per-chunk CDC store
+    // plus first-in-batch election — row 80's lifecycle on CDC
+    // boundaries, where shift-invariance matters MOST (cross-snapshot
+    // boilerplate arrives at arbitrary offsets inside fresh pages).
+    // The oracle replays the old slice's store from raw documents, so
+    // a stale or torn store hash-mismatches.
+    Q("dedup_chunks_cdc_incremental",
+      (s, dir) => {
+        val store = s.read.parquet(ensureCdcChunkStore(s, dir))
+        Dedup.cdcChunkDedupIncremental(
+          docs(s, dir).where(expr(NewWhere)), store)
+      },
+      Some(DedupSql.cdcChunkDedupIncremental(OldWhere, NewWhere))),
 
     // #20c link-analysis source ranking: PageRank over the source
     // co-duplication graph (edge weight = distinct shared word

@@ -596,6 +596,89 @@ object DedupSql {
        |    ${XHash.h56Sql("chunk")} AS h2
        |  FROM ${p}chunks)""".stripMargin
 
+  /** The CONTENT-DEFINED chunk CTE chain (base → {p}chunks → {p}hashed)
+    * — [[chunkCtes]]' CDC twin, replaying Dedup.cdcChunksArr's boundary
+    * rule bit for bit: token position i (1-based) starts a new chunk
+    * iff i ≥ 2 and h60(t[i-1] ⊔ t[i]) ≡ 0 (mod avgWidth); the chunk
+    * index is the running cut count. */
+  private def cdcChunkCtes(base: String, avgWidth: Int,
+      p: String = ""): String =
+    s"""${p}toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM $base),
+       |${p}trows AS (
+       |  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+       |  FROM ${p}toks),
+       |${p}flagged AS (
+       |  -- greatest(i-1, 1): at i = 1 the hash input must still be a
+       |  -- VALID string (vectorized CASE evaluates the branch for all
+       |  -- rows; t[0] is NULL and '0x' || NULL fails the BIGINT cast)
+       |  -- — the i >= 2 guard then discards the unused value
+       |  SELECT doc_id, i, t[i] AS tok,
+       |    CASE WHEN i >= 2 AND
+       |        ${XHash.h60Sql("t[greatest(i-1, 1)] || ' ' || t[i]")}
+       |          % $avgWidth = 0
+       |      THEN 1 ELSE 0 END AS f
+       |  FROM ${p}trows),
+       |${p}chunks AS (
+       |  SELECT doc_id, CAST(idx AS INT) AS idx,
+       |    string_agg(tok, ' ' ORDER BY i) AS chunk
+       |  FROM (
+       |    SELECT doc_id, i, tok,
+       |      SUM(f) OVER (PARTITION BY doc_id ORDER BY i
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS idx
+       |    FROM ${p}flagged)
+       |  GROUP BY doc_id, idx),
+       |${p}hashed AS (
+       |  SELECT doc_id, idx, chunk,
+       |    ${XHash.h60Sql("chunk")} AS h1,
+       |    ${XHash.h56Sql("chunk")} AS h2
+       |  FROM ${p}chunks)""".stripMargin
+
+  /** dedup_chunks_cdc oracle: [[chunkDedup]]'s election + reassembly
+    * over the content-defined chunk table. */
+  def cdcChunkDedup(base: String = "documents",
+      avgWidth: Int = graft.dedup.Dedup.CdcAvgWidth): String =
+    s"""WITH ${cdcChunkCtes(base, avgWidth)},
+       |w AS (
+       |  SELECT h1, h2, min({'doc_id': doc_id, 'idx': idx}) AS w
+       |  FROM hashed GROUP BY h1, h2),
+       |decided AS (
+       |  SELECT h.doc_id, h.idx, h.chunk,
+       |    ({'doc_id': h.doc_id, 'idx': h.idx} = w.w) AS kept
+       |  FROM hashed h JOIN w ON h.h1 = w.h1 AND h.h2 = w.h2)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+       |  coalesce(array_to_string(
+       |    list(chunk ORDER BY idx) FILTER (WHERE kept), ' '), '') AS kept_text
+       |FROM decided GROUP BY doc_id""".stripMargin
+
+  /** dedup_chunks_cdc_incremental oracle: the old slice's distinct CDC
+    * chunk-hash set replayed from raw documents, the new batch's CDC
+    * chunks kept iff absent there AND first-in-batch. */
+  def cdcChunkDedupIncremental(oldWhere: String, newWhere: String,
+      avgWidth: Int = graft.dedup.Dedup.CdcAvgWidth): String =
+    s"""WITH ${cdcChunkCtes(s"(SELECT * FROM documents WHERE $oldWhere)",
+            avgWidth, "o")},
+       |store AS (SELECT DISTINCT h1, h2 FROM ohashed),
+       |${cdcChunkCtes(s"(SELECT * FROM documents WHERE $newWhere)", avgWidth)},
+       |w AS (
+       |  SELECT h1, h2, min({'doc_id': doc_id, 'idx': idx}) AS w
+       |  FROM hashed GROUP BY h1, h2),
+       |decided AS (
+       |  SELECT h.doc_id, h.idx, h.chunk,
+       |    (NOT EXISTS (SELECT 1 FROM store s
+       |       WHERE s.h1 = h.h1 AND s.h2 = h.h2)
+       |     AND {'doc_id': h.doc_id, 'idx': h.idx} = w.w) AS kept
+       |  FROM hashed h JOIN w ON h.h1 = w.h1 AND h.h2 = w.h2)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+       |  coalesce(array_to_string(
+       |    list(chunk ORDER BY idx) FILTER (WHERE kept), ' '), '') AS kept_text
+       |FROM decided GROUP BY doc_id""".stripMargin
+
   /** dedup_chunks oracle: non-overlapping `width`-token chunks, the
     * lexicographically-first (doc_id, idx) occurrence of each chunk
     * text (elected via struct-min over the same [[XHash]] 116-bit pair

@@ -71,6 +71,28 @@ object StreamingQueries {
     s.table(name)
   }
 
+  /** Registry-EXTERNAL bench denominator (r15 verdict item 7): ONE
+    * micro-batch over the 5-row region table, stateless projection,
+    * memory sink — near-zero compute, so its wall time IS the
+    * micro-batch machinery (stream planning, file-source listing,
+    * offset/commit log, sink commit). Every `stream_*` query pays this
+    * fixed cost per batch, and a loaded box inflates it MORE than it
+    * inflates batch compute (scheduler latency, not CPU) — which is
+    * exactly the shape that made six streaming ops flag as phantom
+    * regressions in round 15. Timed by graft.Bench alongside the
+    * registry (it has no oracle — it computes nothing) and consumed by
+    * tools/bench_compare.py as the MEASURED streaming-overhead ratio:
+    * streaming regressions within noop_ratio × slack are
+    * overhead-explained instead of hand-adjudicated in prose. */
+  def noop(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    val schema = s.read.parquet(s"$dir/region.parquet").schema
+    val src = s.readStream.schema(schema).parquet(s"$dir/{region}.parquet")
+    drain(src.select(col("r_regionkey")), "stream_noop_sink",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   def all: Seq[Q] = Seq(
     Q("stream_window_counts",
       (s, dir) => {
@@ -700,6 +722,52 @@ object StreamingQueries {
             .where(col("doc_id") % 97 === 0))
       },
       Some(DedupSql.pipelineIncremental(DedupQueries.OldWhere,
+        DedupQueries.NewWhere))),
+
+    // #18e streaming CDC chunk dedup (row 115's streaming leg, wired
+    // through Admission.probeRows as the r15 verdict asked): the crawl
+    // chunk-probes ROW BY ROW on content-defined boundaries
+    // (probeRows(cdc = true), kinds = chunk-only so the stream pays no
+    // MinHash), ONE stream-static join against the persisted CDC
+    // chunk store marks stored chunks, and the batch tail runs only
+    // the crawl-wide first-occurrence election + reassembly over the
+    // drained rows. Stateless — no state store, carve-up independent
+    // by construction. Same oracle as the batch twin: the streamed
+    // admission must land byte-identical rewritten documents.
+    Q("stream_chunks_cdc",
+      (s, dir) => {
+        implicit val session: org.apache.spark.sql.SparkSession = s
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val crawl = s.readStream.schema(raw.schema)
+          .parquet(s"$dir/{documents}.parquet")
+          .where(expr(DedupQueries.NewWhere))
+        val keys = s.read.parquet(DedupQueries.ensureCdcChunkStore(s, dir))
+          .select(col("h1").cast("string").as("k1"),
+            col("h2").cast("string").as("k2"))
+          .withColumn("hit", lit(true))
+        val probed = graft.streaming.Admission
+          .probeRows(crawl, cdc = true, kinds = Set(2))
+          .join(keys, Seq("k1", "k2"), "left_outer")
+        val drained = drain(probed, "graft_stream_chunks_cdc",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        val crows = drained.select(col("doc_id"), col("idx"),
+          col("chunk"), col("k1"), col("k2"),
+          col("hit").isNotNull.as("in_store"))
+        // the election self-joins the sink view: alias the grouping
+        // keys so the aggregate mints fresh attribute ids (the raw
+        // groupBy would re-expose the view's k1/k2 exprIds and the
+        // join fails resolution with conflicting references)
+        val winners = crows.select(col("k1").as("wk1"),
+            col("k2").as("wk2"), col("doc_id"), col("idx"))
+          .groupBy(col("wk1"), col("wk2"))
+          .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+        graft.dedup.Dedup.chunkReassemble(
+          crows.join(winners, col("k1") === col("wk1") &&
+              col("k2") === col("wk2"))
+            .withColumn("kept", !col("in_store") &&
+              struct(col("doc_id"), col("idx")) === col("w")))
+      },
+      Some(DedupSql.cdcChunkDedupIncremental(DedupQueries.OldWhere,
         DedupQueries.NewWhere))),
 
     // #18d streaming HTML→text extraction (row 100's streaming twin):

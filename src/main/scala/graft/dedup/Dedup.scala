@@ -1161,6 +1161,114 @@ object Dedup {
       .withColumn("kept", col("bad").isNull))
   }
 
+  // ---- content-defined chunking (CDC) — the unaligned-repeat fix ----
+
+  /** Target mean CDC chunk width in tokens (the boundary test fires
+    * with probability 1/this per position, so chunk sizes are
+    * geometric with this mean — same expected granularity as the
+    * fixed [[ChunkWidth]], different boundary PLACEMENT). */
+  val CdcAvgWidth = 8
+
+  /**
+   * Content-defined chunk array of a token array (r15 verdict item 2 —
+   * the Gear/rolling-hash idea of Lee et al. 2022's
+   * deduplicate-text-datasets at token grain): a cut falls BETWEEN
+   * positions p and p+1 iff h60(t_p ⊔ t_{p+1}) ≡ 0 (mod
+   * [[CdcAvgWidth]]) — the boundary depends ONLY on the two tokens
+   * around it, so a repeated span reproduces its interior cuts at ANY
+   * offset, and its interior chunks hash-collide across copies. Fixed
+   * [[ChunkWidth]] chunking is blind to exactly this: shift a repeated
+   * span by one token and every 8-token window re-aligns, every chunk
+   * text changes, nothing dedups (DedupSpec drives the failing pair).
+   *
+   * The trade: boundaries are stochastic-by-content, so chunk sizes
+   * are geometric(1/avgWidth) — mean avgWidth, a measurable tail (a
+   * span of w tokens with no firing bigram makes one long chunk;
+   * P[>4·avg] ≈ e⁻⁴). Real CDC adds min/max size clamps; those
+   * re-introduce offset dependence (a clamp decision looks at DISTANCE
+   * from the previous cut, which depends on where the span started),
+   * so this operator keeps the pure content rule — the honest version
+   * of the shift-invariance contract it exists to provide.
+   *
+   * Shape: one filter + one transform over the token array — linear
+   * per document, computed inside a single projection (the per-row
+   * form [[graft.streaming.Admission.probeRows]] needs — a streaming
+   * crawl chunk-probes row by row with no shuffle). The lambda runs
+   * interpreted (Spark HOFs don't codegen) but evaluates h60 ONCE per
+   * token position; the fused-native escalation (cf.
+   * functions.ShingleMinHashSig) stays available if the bench flags it.
+   */
+  private[graft] def cdcChunksArr(ts: Column,
+      avgWidth: Int = CdcAvgWidth): Column = {
+    val n = size(ts)
+    // cut positions p (1-based): chunk ends at p, next starts at p+1.
+    // sequence(1, n-1) needs the n>1 guard — Spark's sequence(1, 0)
+    // is a DESCENDING [1, 0], not empty.
+    val cuts = when(n > 1,
+      filter(sequence(lit(1), n - 1), p =>
+        XHash.h60(concat_ws(" ", element_at(ts, p),
+          element_at(ts, p + 1))) % avgWidth === 0))
+      .otherwise(array().cast("array<int>"))
+    val bounds = concat(array(lit(0)), cuts, array(n))
+    transform(sequence(lit(1), size(bounds) - 1), j =>
+      concat_ws(" ", slice(ts, element_at(bounds, j) + 1,
+        element_at(bounds, j + 1) - element_at(bounds, j))))
+  }
+
+  /** One row per (doc, CDC chunk index) with the 116-bit hash pair —
+    * [[chunkHashRows]]' content-defined twin; downstream election and
+    * reassembly are shared verbatim. */
+  private[graft] def cdcChunkHashRows(docs: DataFrame, idCol: String,
+      textCol: String, avgWidth: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(cdcChunksArr(Text.tokens(col(textCol)), avgWidth)))
+      .toDF("doc_id", "idx", "chunk")
+      .select(col("doc_id"), col("idx"), col("chunk"),
+        XHash.h60(col("chunk")).as("h1"), XHash.h56(col("chunk")).as("h2"))
+
+  /** [[chunkDedup]] over content-defined chunks: same first-occurrence
+    * election on the hash pair, same reassembly — only the boundary
+    * rule changes, and with it WHICH repeats are catchable: a repeated
+    * span shifted by any offset now dedups through its interior
+    * chunks. Scale shape identical to [[chunkDedup]] (two corpus-byte
+    * shuffles, map-side combine on the hyper-duplicated chunks). */
+  def cdcChunkDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", avgWidth: Int = CdcAvgWidth): DataFrame = {
+    val hashed = cdcChunkHashRows(docs, idCol, textCol, avgWidth)
+    val winners = hashed.groupBy(col("h1"), col("h2"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+    chunkReassemble(hashed.join(winners, Seq("h1", "h2"))
+      .withColumn("kept", struct(col("doc_id"), col("idx")) === col("w")))
+  }
+
+  /** The CDC chunk-hash store — [[chunkStore]]'s content-defined twin
+    * (16 bytes per distinct chunk, the only artifact the incremental
+    * leg reads). */
+  def cdcChunkStore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", avgWidth: Int = CdcAvgWidth): DataFrame =
+    cdcChunkHashRows(docs, idCol, textCol, avgWidth)
+      .select(col("h1"), col("h2")).distinct()
+
+  /** Incremental [[cdcChunkDedup]]: a new crawl's content-defined
+    * chunks dedup against the persisted [[cdcChunkStore]] plus
+    * first-in-batch election — the row-80 lifecycle on CDC boundaries,
+    * which is where CDC matters MOST: cross-snapshot boilerplate
+    * arrives at arbitrary offsets inside fresh pages, exactly the
+    * alignment fixed chunks lose. */
+  def cdcChunkDedupIncremental(newDocs: DataFrame, store: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      avgWidth: Int = CdcAvgWidth): DataFrame = {
+    val hashed = cdcChunkHashRows(newDocs, idCol, textCol, avgWidth)
+    val flagged = hashed.join(
+      store.select(col("h1"), col("h2"), lit(true).as("in_store")),
+      Seq("h1", "h2"), "left_outer")
+    val winners = hashed.groupBy(col("h1"), col("h2"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+    chunkReassemble(flagged.join(winners, Seq("h1", "h2"))
+      .withColumn("kept", col("in_store").isNull &&
+        struct(col("doc_id"), col("idx")) === col("w")))
+  }
+
   /** The persistable chunk-hash store: the distinct 116-bit pairs of
     * every chunk a corpus snapshot contains — 16 bytes per distinct
     * chunk, the artifact [[chunkDedupIncremental]] dedups new crawls

@@ -55,8 +55,14 @@ object Admission {
     * kind 2 = one row per token chunk (carries idx + text for
     * reassembly). All string keys so the three key spaces share one
     * join. */
+  /** `kinds` selects which probe families to emit (default all three).
+    * A consumer that only chunk-dedups must not pay the MinHash: the
+    * signature is computed only when a kind-0/1 row asks for it —
+    * Catalyst cannot prune it away itself, because the kind filter
+    * sits above the explode of the concatenated arrays. */
   def probeRows(newDocs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", width: Int = Dedup.ChunkWidth): DataFrame = {
+      textCol: String = "text", width: Int = Dedup.ChunkWidth,
+      cdc: Boolean = false, kinds: Set[Int] = Set(0, 1, 2)): DataFrame = {
     // the signature lands in its OWN column: it is referenced 17 times
     // downstream (fp row + 16 band-key lookups), and it must be a
     // NATIVE expression — the HOF array_min(transform(member))
@@ -67,10 +73,11 @@ object Admission {
     // (ShingleMinHashSig over the raw codegen'd token split): building
     // the shingle-string array through interpreted transform+concat_ws
     // lambdas costs ~1 ms/doc, 25× the whole digest kernel.
-    val sig = rowSignature(col(textCol))
+    val sig = if (kinds(0) || kinds(1)) rowSignature(col(textCol))
+      else lit(null).cast("array<bigint>")
     val staged = newDocs.select(col(idCol).as("doc_id"),
       col(textCol).as("__text"), sig.as("__sig"))
-    probeRowsStaged(staged, width)
+    probeRowsStaged(staged, width, cdc, kinds)
   }
 
   /** One document's k-member MinHash signature as ONE native per-row
@@ -108,7 +115,16 @@ object Admission {
             .cast("string")).as("k2"))
   }
 
-  private def probeRowsStaged(staged: DataFrame, width: Int): DataFrame = {
+  /** `cdc = true` swaps the kind-2 chunk probes from fixed
+    * [[Dedup.ChunkWidth]] windows to content-defined boundaries
+    * ([[Dedup.cdcChunksArr]]) — same probe-row shape, same one
+    * stream-static join, so a crawl whose boilerplate arrives at
+    * arbitrary offsets (the case fixed windows lose) dedups through
+    * the SAME stateless admission plan. Still a pure per-row
+    * expansion: the chunk array is one projection over the token
+    * split, no shuffle, no state. */
+  private def probeRowsStaged(staged: DataFrame, width: Int,
+      cdc: Boolean = false, kinds: Set[Int] = Set(0, 1, 2)): DataFrame = {
     val textCol = "__text"
     val sig = col("__sig")
     val fpRow = array(struct(
@@ -129,20 +145,33 @@ object Admission {
         lit(null).cast("string").as("chunk"),
         lit(null).cast("array<bigint>").as("sig")))
     val ts = Text.tokens(col(textCol))
-    val chunkRows = transform(
-      sequence(lit(0), floor((size(ts) - 1) / lit(width)).cast("int")),
-      idx => {
-        val chunk = concat_ws(" ", slice(ts, idx * width + 1, lit(width)))
-        struct(
-          lit(2).as("kind"),
-          XHash.h60(chunk).cast("string").as("k1"),
-          XHash.h56(chunk).cast("string").as("k2"),
-          idx.as("idx"),
-          chunk.as("chunk"),
-          lit(null).cast("array<bigint>").as("sig"))
-      })
+    val chunkRows =
+      if (cdc)
+        transform(Dedup.cdcChunksArr(ts, width), (chunk, idx) =>
+          struct(
+            lit(2).as("kind"),
+            XHash.h60(chunk).cast("string").as("k1"),
+            XHash.h56(chunk).cast("string").as("k2"),
+            idx.cast("int").as("idx"),
+            chunk.as("chunk"),
+            lit(null).cast("array<bigint>").as("sig")))
+      else transform(
+        sequence(lit(0), floor((size(ts) - 1) / lit(width)).cast("int")),
+        idx => {
+          val chunk = concat_ws(" ", slice(ts, idx * width + 1, lit(width)))
+          struct(
+            lit(2).as("kind"),
+            XHash.h60(chunk).cast("string").as("k1"),
+            XHash.h56(chunk).cast("string").as("k2"),
+            idx.as("idx"),
+            chunk.as("chunk"),
+            lit(null).cast("array<bigint>").as("sig"))
+        })
+    val parts = Seq(0 -> fpRow, 1 -> bandRows, 2 -> chunkRows)
+      .collect { case (k, a) if kinds(k) => a }
+    require(parts.nonEmpty, "probeRows: kinds must select at least one family")
     staged.select(col("doc_id"),
-        explode(concat(fpRow, bandRows, chunkRows)).as("p"))
+        explode(if (parts.size == 1) parts.head else concat(parts: _*)).as("p"))
       .select(col("doc_id"), col("p.kind").as("kind"),
         col("p.k1").as("k1"), col("p.k2").as("k2"),
         col("p.idx").as("idx"), col("p.chunk").as("chunk"),

@@ -476,6 +476,71 @@ class DedupSpec extends SparkSpec {
     } finally graft.tools.LocalFs.deleteRec(p)
   }
 
+  test("CDC chunking (row 115): a one-token shift defeats fixed chunks; CDC still dedups the span") {
+    // one 80-token span embedded at offset 2 in doc 1 and offset 1 in
+    // doc 2 — the C4-boilerplate-shifted-by-a-token case (Lee et al.
+    // 2022). All tokens distinct, so any chunk equality is the span
+    // repeating, never an accident.
+    val span = (1 to 80).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (1L, s"alpha beta $span gamma"),
+      (2L, s"zeta $span omega")).toDF("doc_id", "text")
+    // the gap, demonstrated: fixed 8-token windows re-align on the
+    // shift, every chunk text of doc 2 is new, NOTHING dedups
+    val fx = Dedup.chunkDedup(d).where(col("doc_id") === 2L).head
+    assert(fx.getLong(1) === fx.getLong(2),
+      "fixed chunking should keep all of the shifted doc — that gap is why CDC exists")
+    // CDC: interior cuts depend only on span-internal bigrams, so the
+    // span's interior chunks hash-collide across the two offsets and
+    // doc 2 (higher id) loses them to doc 1's election
+    val cd = Dedup.cdcChunkDedup(d).where(col("doc_id") === 2L).head
+    assert(cd.getLong(2) < cd.getLong(1),
+      "CDC must drop at least one interior chunk of the shifted span")
+    // the incremental twin catches the same shift against a persisted
+    // store (the crawl shape: old snapshot's boilerplate arrives at a
+    // new offset inside a fresh page)
+    val store = Dedup.cdcChunkStore(d.where(col("doc_id") === 1L))
+    val inc = Dedup.cdcChunkDedupIncremental(
+      d.where(col("doc_id") === 2L), store).head
+    assert(inc.getLong(2) < inc.getLong(1),
+      "incremental CDC must drop stored interior chunks at the new offset")
+  }
+
+  test("CDC chunks partition the token stream; empty doc yields one empty chunk") {
+    import org.apache.spark.sql.functions.{array_join, expr}
+    val d = Seq((1L, "  The   quick brown fox JUMPS over the lazy dog  "),
+      (2L, ""), (3L, "one"), (4L, (1 to 200).map(i => s"w${i % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+    // boundaries only PARTITION — rejoining the chunk array restores
+    // the normalized token stream byte for byte, for every doc
+    val rows = d.select(col("doc_id"),
+      array_join(Dedup.cdcChunksArr(graft.text.Text.tokens(col("text"))),
+        " ").as("rejoined"),
+      expr("array_join(split(trim(lower(text)), '\\\\s+'), ' ')").as("norm"))
+    assert(rows.where(col("rejoined") =!= col("norm")).count() == 0)
+    // '' tokenizes to [''] → exactly one chunk, the empty chunk
+    assert(Dedup.cdcChunkDedup(d.where(col("doc_id") === 2L))
+      .head.getLong(1) == 1L)
+  }
+
+  test("Admission.probeRows(cdc) kind-2 rows == cdcChunkHashRows (the row-115 stream wiring)") {
+    val d = Seq((1L, "a b c d e f g h i j k l m n o p q r s t"),
+      (2L, "")).toDF("doc_id", "text")
+    val probe = graft.streaming.Admission
+      .probeRows(d, cdc = true, kinds = Set(2))
+      .select(col("doc_id"), col("idx"), col("chunk"),
+        col("k1"), col("k2"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSet
+    val batch = Dedup.cdcChunkHashRows(d, "doc_id", "text",
+        Dedup.CdcAvgWidth)
+      .select(col("doc_id"), col("idx"), col("chunk"),
+        col("h1").cast("string"), col("h2").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSet
+    assert(probe == batch)
+  }
+
   test("chunk dedup: chunk multiset is preserved across the edit") {
     // every distinct chunk text survives exactly once corpus-wide
     val d = Seq(
