@@ -172,6 +172,26 @@ object DedupQueries {
     s"CASE $src " + PackQuotas.map { case (s0, q) =>
       s"WHEN '$s0' THEN $q" }.mkString(" ") + " ELSE -1 END"
 
+  /** LANGUAGE quotas at pack time (SURVEY row 116, r15 verdict item 4
+    * — the mixture contract every production pipeline states BEFORE
+    * source: CommonCrawl-scale corpora quota by language or an
+    * anglophone crawl floods the pack). Keys are the PREDICTED langid
+    * bucket (row 32's classifier — the production shape; ground-truth
+    * labels don't exist on a real crawl). Honest corpus note: the
+    * driver's synthetic text is English-ish whatever its `lang` label,
+    * so lang_pred collapses to {en, und} here — which still exercises
+    * BOTH quota arms on the real gate data (en ≈ 24k tokens vs the 3k
+    * cap → binds hard at sf0.01 and 10×; und ≈ 1k tokens, uncapped →
+    * passes through whole), and QuotaSpec drives the es cap on a
+    * genuinely-Spanish fixture so the multi-language arm is pinned
+    * too, not latent. */
+  private[graft] val LangQuotas: Seq[(String, Long)] =
+    Seq("en" -> 3000L, "es" -> 2000L)
+
+  private def langQuotaCaseSql(lang: String): String =
+    s"CASE $lang " + LangQuotas.map { case (l, q) =>
+      s"WHEN '$l' THEN $q" }.mkString(" ") + " ELSE -1 END"
+
   /** Mixture weights for the water-filling solver (SURVEY row 104):
     * the twenty named sources cycling weight 1..4 — every weight
     * divides lcm 12, so the solver's rational sort key avail·12/w is
@@ -1196,6 +1216,73 @@ object DedupQueries {
             ELSE COALESCE(g.admitted_toks, 0) * 1000000 // r.quota END
             AS fill_millionths
         FROM r LEFT JOIN g ON r.source = g.source""")),
+
+    // #41g LANGUAGE-balanced pack quotas (SURVEY row 116, r15 verdict
+    // item 4): row 32's langid composed into rows 91/92's quota
+    // machinery — admission keyed on the PREDICTED language bucket
+    // (the production shape; a crawl has no ground-truth labels), so
+    // a lang-skewed crawl cannot flood the pack. Same ordered-prefix
+    // admission (quotaAdmit, two-pass bucketed prefix sum — no
+    // one-partition-per-language window), same pack manifest at
+    // (shard, lang) grain. Non-vacuity on THIS corpus (see LangQuotas'
+    // honest note): the en cap binds hard (24k→≤3k tokens), und passes
+    // through whole; the es cap is pinned by QuotaSpec's Spanish
+    // fixture. Oracle: the shared langPredSql fragment feeds the
+    // same prefix-admission and manifest replay — one language
+    // decision for both gates.
+    Q("corpus_pack_lang_quota",
+      (s, dir) => {
+        val d = docs(s, dir).withColumn("lang_pred",
+          graft.text.Text.langId(col("text")))
+        val admitted = graft.dedup.Corpus.quotaAdmit(d, LangQuotas,
+          srcCol = "lang_pred")
+        val members = graft.dedup.Corpus.packMembers(admitted,
+          seqLen = 256, shards = 8)
+        members.join(admitted.select(col("doc_id"),
+            col("lang_pred").as("lang")), Seq("doc_id"))
+          .groupBy(col("shard"), col("lang")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("n_toks"),
+            sum(when(col("chunk_first") =!= col("chunk_last"), 1L)
+              .otherwise(0L)).as("straddlers"),
+            sum(col("doc_id") % lit(1000003L) *
+              (graft.functions.XHash.h60(col("doc_id").cast("string"))
+                % lit(1000000L)) % lit(1000003L)).as("checksum"))
+      },
+      Some(s"""
+        WITH lp AS (${TextQueries.langPredSql("documents")}),
+        a AS (
+          SELECT doc_id, lang_pred, n_toks FROM (
+            SELECT doc_id, lang_pred,
+              CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                AS BIGINT) AS n_toks,
+              SUM(CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                AS BIGINT)) OVER (PARTITION BY lang_pred ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM lp)
+          WHERE ${langQuotaCaseSql("lang_pred")} < 0
+             OR cum <= ${langQuotaCaseSql("lang_pred")}),
+        m AS (
+          SELECT doc_id, lang_pred, n_toks,
+            ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 8
+              AS shard,
+            ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")}
+              % 1000000 AS ck,
+            COALESCE(SUM(n_toks) OVER (
+              PARTITION BY
+                ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 8
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS tok_offset
+          FROM a)
+        SELECT CAST(shard AS BIGINT) AS shard, lang_pred AS lang,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_toks) AS BIGINT) AS n_toks,
+          CAST(sum(CASE WHEN tok_offset // 256 <>
+            (tok_offset + n_toks - 1) // 256 THEN 1 ELSE 0 END) AS BIGINT)
+            AS straddlers,
+          CAST(sum(doc_id % 1000003 * ck % 1000003) AS BIGINT) AS checksum
+        FROM m GROUP BY shard, lang_pred""")),
 
     // #25j the CLOSED-LOOP curation pipeline: clean → chunk dedup
     // (text rewritten) → SemDeDup over survivor embeddings (geometry

@@ -97,6 +97,7 @@ object Dn {
       |dn curate-add        --docs=PATH --embeddings=PATH [--out=PATH]
       |                     [--domain-floor-milli=N] [--quotas=SRC:CAP[,...]]
       |                     [--weights=SRC:W[,...] [--budget=N/D]]
+      |                     [--lang-quotas=LANG:CAP[,...]]
       |                     [--from-html=true|false] [--eval-mod=N]
       |                     [--seq-len=N] [--shards=N] CURATION
       |dn curate-list       [-v]
@@ -137,7 +138,7 @@ object Dn {
     "data-format", "backend", "path", "index-path", "time-format", "metric",
     "index-config", "docs", "embeddings", "out", "domain-floor-milli",
     "quotas", "from-html", "eval-mod", "seq-len", "shards", "weights",
-    "budget", "decontam")
+    "budget", "decontam", "lang-quotas")
 
   def parseArgs(argv0: Seq[String]): DnArgs = {
     // leading -t (reference: bin/dn dnTrackTime) = print wall time to
@@ -311,7 +312,8 @@ object Dn {
           intFlag("shards", 8),
           a.flags.get("weights"),
           budNum, budDen,
-          a.flags.getOrElse("decontam", "doc"))
+          a.flags.getOrElse("decontam", "doc"),
+          a.flags.get("lang-quotas"))
         DnConfig.save(cfg.curationAdd(cur), path)
         ""
       case "curate-remove" =>
@@ -328,6 +330,8 @@ object Dn {
               c.domainFloorMilli.map(f =>
                 s"\n    domainFloorMilli: $f").getOrElse("") +
               c.quotas.map(q => s"\n    quotas:     $q").getOrElse("") +
+              c.langQuotas.map(q =>
+                s"\n    langQuotas: $q").getOrElse("") +
               c.weights.map(w => s"\n    weights:    $w " +
                 s"(budget ${c.budgetNum}/${c.budgetDen})").getOrElse("") +
               s"\n    fromHtml:   ${c.fromHtml}  evalMod: ${c.evalMod}" +
@@ -501,7 +505,8 @@ object Dn {
       domainFloorMilli = cur.domainFloorMilli,
       quotas = quotas,
       fromHtml = cur.fromHtml,
-      decontam = cur.decontam)
+      decontam = cur.decontam,
+      langQuotas = DnConfig.parseQuotas(cur.langQuotas))
     cur.out match {
       case Some(o) if !a.dryRun =>
         manifest.write.mode("overwrite").parquet(o)

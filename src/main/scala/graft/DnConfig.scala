@@ -64,7 +64,12 @@ object DnConfig {
       /** Stage D's contamination action: `doc` (drop the whole
         * document, row 38) or `chunk` (excise the contaminated chunks
         * and keep the rest, row 105 — corpus_pipeline_surgical). */
-      decontam: String = "doc")
+      decontam: String = "doc",
+      /** Row-116 language quotas at the pack tail: "en:3000,es:2000",
+        * keyed on the PREDICTED langid bucket of the curated text
+        * (-1 = explicitly uncapped). Applied before the per-source
+        * quota when both are set. */
+      langQuotas: Option[String] = None)
 
   /** Parse a quotas flag: comma-separated `source:cap` entries, cap a
     * long (-1 = explicitly uncapped). */
@@ -103,6 +108,7 @@ object DnConfig {
       if (c.docs.isEmpty || c.embeddings.isEmpty)
         throw new GraftException("\"docs\" and \"embeddings\" are required")
       parseQuotas(c.quotas) // validate eagerly, like metric breakdowns
+      parseQuotas(c.langQuotas)
       parseWeights(c.weights)
       if (c.quotas.isDefined && c.weights.isDefined)
         throw new GraftException(
@@ -234,7 +240,8 @@ object DnConfig {
           strOpt(n, "weights"),
           Option(n.get("budgetNum")).map(_.asLong).getOrElse(9L),
           Option(n.get("budgetDen")).map(_.asLong).getOrElse(10L),
-          strOpt(n, "decontam").getOrElse("doc"))
+          strOpt(n, "decontam").getOrElse("doc"),
+          strOpt(n, "langQuotas"))
       }.toVector
     }.getOrElse(Vector.empty)
     Config(dss, ms, cs)
@@ -273,6 +280,7 @@ object DnConfig {
       putOpt(n, "weights", c.weights)
       n.put("budgetNum", c.budgetNum).put("budgetDen", c.budgetDen)
       n.put("decontam", c.decontam)
+      putOpt(n, "langQuotas", c.langQuotas)
     }
     val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
     if (path.getParent != null) Files.createDirectories(path.getParent)

@@ -225,10 +225,13 @@ object TextQueries {
   }
 
 
-  /** The text_langid oracle (also the base of the eval rollup):
-    * generated from the SAME stopword profiles the Scala langId
-    * uses. */
-  private def langidOracleSql: String = {
+  /** Per-doc predicted language over any base relation — (doc_id,
+    * lang_actual, text, lang_pred) — generated from the SAME stopword
+    * profiles the Scala langId uses. The text_langid oracle projects
+    * it; the lang-quota composition (row 116) keys quota admission on
+    * lang_pred from the same fragment, so the two gates can never
+    * disagree about what language a document "is". */
+  private[graft] def langPredSql(base: String = "documents"): String = {
         val profiles = Seq(
           "en" -> Seq("the", "a", "an", "and", "of", "to", "in", "is",
             "that", "it", "was", "for", "on", "with", "as"),
@@ -251,20 +254,23 @@ object TextQueries {
         WITH t AS (
           SELECT doc_id, lang AS lang_actual, text,
             string_split_regex(trim(lower(text)), '\\s+') AS toks
-          FROM documents),
+          FROM $base),
         s AS (
-          SELECT doc_id, lang_actual,
+          SELECT doc_id, lang_actual, text,
             CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE)
               / CAST(greatest(length(text), 1) AS DOUBLE) AS cjk,
             $scoreCols
           FROM t),
         b AS (SELECT *, $best AS best FROM s)
-        SELECT doc_id, lang_actual,
+        SELECT doc_id, lang_actual, text,
           CASE WHEN cjk > 0.3 THEN 'zh'
           $tieBreak
           ELSE 'und' END AS lang_pred
         FROM b"""
       }
+
+  private def langidOracleSql: String =
+    s"SELECT doc_id, lang_actual, lang_pred FROM (${langPredSql()})"
 
   def all: Seq[Q] = Seq(
 

@@ -948,7 +948,15 @@ object Corpus {
         * CorpusSpec measures the strict gain). Downstream stages
         * (quality, budget, pack) read the REWRITTEN text either way —
         * the composition is the point. */
-      decontam: String = "doc"): DataFrame = {
+      decontam: String = "doc",
+      /** Non-empty applies LANGUAGE quota admission (SURVEY row 116)
+        * at the pack tail, keyed on the PREDICTED langid bucket of the
+        * curated, rewritten text — before the per-source quota if both
+        * are set (language is the outer mixture contract; source
+        * shares are balanced within what the language budget admits).
+        * Same ordered-prefix quotaAdmit machinery; -1/unlisted =
+        * uncapped. */
+      langQuotas: Seq[(String, Long)] = Nil): DataFrame = {
     require(decontam == "doc" || decontam == "chunk",
       s"pipeline: decontam must be 'doc' or 'chunk', got \"$decontam\"")
     import org.apache.spark.sql.expressions.Window
@@ -1019,9 +1027,19 @@ object Corpus {
       .select(col("doc_id"))
     // G: pack the selected docs, publish the per-shard manifest —
     // with quotas, per-source admission first and the (shard, source)
-    // manifest grain (the corpus_pack_quota shape over curated text)
+    // manifest grain (the corpus_pack_quota shape over curated text).
+    // Language quotas (row 116) gate FIRST when set: the langid bucket
+    // of the curated text caps each language's token mass, and the
+    // source quota then balances within the admitted pool.
+    val selected = {
+      val base = sd.join(sel, Seq("doc_id"), "left_semi")
+      if (langQuotas.isEmpty) base
+      else quotaAdmit(base.withColumn("__lang",
+          Text.langId(col("text"))), langQuotas, srcCol = "__lang")
+        .drop("__lang")
+    }
     if (quotas.nonEmpty) {
-      val seld = sd.join(sel, Seq("doc_id"), "left_semi")
+      val seld = selected
         .join(docsIn.select(col("doc_id"), col("source")), Seq("doc_id"))
       val adm = quotaAdmit(seld, quotas).localCheckpoint()
       packMembers(adm, seqLen = seqLen, shards = shards)
@@ -1035,7 +1053,7 @@ object Corpus {
             (graft.functions.XHash.h60(col("doc_id").cast("string"))
               % lit(1000000L)) % lit(1000003L)).as("checksum"))
     } else {
-      val packed = packChunks(sd.join(sel, Seq("doc_id"), "left_semi"),
+      val packed = packChunks(selected,
         seqLen = seqLen, shards = shards)
       packed.groupBy(col("shard")).agg(
         count(lit(1)).as("n_docs"),

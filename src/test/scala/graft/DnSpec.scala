@@ -812,6 +812,33 @@ class DnSpec extends SparkSpec {
     assert(e.getMessage.contains("bad decontam"))
   }
 
+  test("curate --lang-quotas: profile round-trip, CLI == library, bad value rejected (row 116)") {
+    val cfg = Files.createTempDirectory("graft-dn-curatelq")
+      .resolve("graftrc")
+    val docs = s"$sf001/documents.parquet"
+    val embs = s"$sf001/embeddings.parquet"
+    Dn.runConfig(Seq("curate-add", "lq",
+      s"--docs=$docs", s"--embeddings=$embs",
+      "--lang-quotas=en:300,es:200"), cfg)
+    assert(Dn.runConfig(Seq("curate-list", "-v"), cfg)
+      .contains("langQuotas: en:300,es:200"))
+    val got = Dn.run(spark, Seq("curate", "lq"), cfg)
+      .collect().map(_.toSeq).toSet
+    val want = graft.dedup.Corpus.pipeline(
+        spark.read.parquet(docs), spark.read.parquet(embs),
+        langQuotas = Seq("en" -> 300L, "es" -> 200L))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "CLI lang-quota curate must equal the library call")
+    // the cap must CHANGE the pack (non-vacuity at the CLI grain too)
+    val unq = graft.dedup.Corpus.pipeline(
+        spark.read.parquet(docs), spark.read.parquet(embs))
+      .collect().map(_.toSeq).toSet
+    assert(got != unq, "a binding lang quota must move the manifest")
+    val e = intercept[GraftException](Dn.runConfig(Seq("curate-add", "lq2",
+      s"--docs=$docs", s"--embeddings=$embs", "--lang-quotas=en"), cfg))
+    assert(e.getMessage.contains("bad quota entry"))
+  }
+
   test("curate with weights: quotas are SOLVED by the water-filling " +
       "allocator, equal to the library composition") {
     val cfg = Files.createTempDirectory("graft-dn-curatew")

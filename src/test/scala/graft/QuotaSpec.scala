@@ -387,6 +387,46 @@ class QuotaSpec extends SparkSpec {
     assert(e.getMessage.contains("maxEpochs"))
   }
 
+  test("language quotas (row 116): binding cap rejects docs, uncapped bucket passes through, es arm on a Spanish fixture") {
+    // --- corpus arms at sf0.001 (same generator as the gate data):
+    // lang_pred collapses to {en, und} on the synthetic text (see
+    // LangQuotas' honest note); a cap sized to bind on en must reject,
+    // and und (uncapped) must pass through to the token.
+    val d = graft.sources.Sources.table(spark, sf001, "documents")
+      .withColumn("lang_pred", graft.text.Text.langId(col("text")))
+    val totals = d.groupBy(col("lang_pred"))
+      .agg(sum(graft.text.Text.tokenCount(col("text")).cast("long"))
+        .as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals.getOrElse("en", 0L) > 300L,
+      s"fixture assumption broke: en bucket too small ($totals)")
+    val adm = Corpus.quotaAdmit(d, Seq("en" -> 300L),
+        srcCol = "lang_pred")
+      .groupBy(col("lang_pred"))
+      .agg(sum(graft.text.Text.tokenCount(col("text")).cast("long"))
+        .as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(adm("en") <= 300L && adm("en") < totals("en"),
+      s"binding en cap must reject tokens: $adm vs $totals")
+    for ((l, t) <- totals if l != "en")
+      assert(adm.get(l).contains(t), s"uncapped $l must pass whole")
+    // --- the es arm, pinned on text the classifier genuinely calls
+    // Spanish (pure es-profile stopwords, none shared with en's):
+    val es = (1L to 6L).map(i => (i, "x",
+      Seq.fill(10)("el la los las de que y un una por con para")
+        .mkString(" ")))
+      .toDF("doc_id", "source", "text")
+      .withColumn("lang_pred", graft.text.Text.langId(col("text")))
+    assert(es.where(col("lang_pred") =!= "es").count() == 0,
+      "fixture must classify as es")
+    // 6 docs x 120 tokens; cap 300 admits exactly the first 2 by id
+    val esAdm = Corpus.quotaAdmit(es, Seq("es" -> 300L),
+        srcCol = "lang_pred")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(esAdm == Set(1L, 2L),
+      s"es cap must admit the doc_id-ordered prefix, got $esAdm")
+  }
+
   test("mix solver: user-weight overflow armor (ADVICE r14)") {
     val docs = graft.sources.Sources.table(spark, sf001, "documents")
     val weights = (0 until 20).map(i => s"src$i" -> ((i % 4) + 1L)).toMap
