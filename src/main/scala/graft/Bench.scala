@@ -44,14 +44,26 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     // Registry-EXTERNAL entries: timed and folded like any op, but not
     // part of the correctness surface (no oracle — they compute
-    // nothing). stream_noop is the measured micro-batch-overhead
-    // denominator bench_compare uses to separate "the box schedules
-    // micro-batches slowly today" from "a streaming op regressed".
-    val external: Seq[(String, (SparkSession, String) => DataFrame)] =
+    // nothing new; the serve queries' oracles gate the artifacts).
+    // stream_noop is the measured micro-batch-overhead denominator
+    // bench_compare uses to separate "the box schedules micro-batches
+    // slowly today" from "a streaming op regressed". The
+    // retrieval_build_* legs run BEFORE the registry so
+    // retrieval_index_* always times pure SERVE over a warm artifact —
+    // even on a cold single-sweep run (the sf1 sweeps), where the r15
+    // baselines conflated the partitionBy("term") build with the read
+    // path and made the serving scale point unreadable.
+    val externalPre: Seq[(String, (SparkSession, String) => DataFrame)] =
+      Seq(
+        "retrieval_build_bm25" -> ((s: SparkSession, d: String) =>
+          RetrievalQueries.benchBuildLexicon(s, d)),
+        "retrieval_build_incremental" -> ((s: SparkSession, d: String) =>
+          RetrievalQueries.benchBuildLexiconInc(s, d)))
+    val externalPost: Seq[(String, (SparkSession, String) => DataFrame)] =
       Seq("stream_noop" -> ((s: SparkSession, d: String) =>
         StreamingQueries.noop(s, d)))
     val selected: Seq[(String, (SparkSession, String) => DataFrame)] =
-      (Registry.all.map(q => q.name -> q.run) ++ external)
+      (externalPre ++ Registry.all.map(q => q.name -> q.run) ++ externalPost)
         .filter(kv => only.forall(_(kv._1)))
     // Each query is timed once per SWEEP (default 2 sweeps) and scored
     // by its fastest sweep. One number per query is at the mercy of

@@ -200,6 +200,11 @@ object DedupQueries {
   private[graft] val MixWeights: Map[String, Long] =
     (0 until 20).map(i => s"src$i" -> ((i % 4) + 1L)).toMap
 
+  /** The epoch seed `corpus_pack_shuffled` gates at — an arbitrary
+    * epoch number; QuotaSpec exercises other seeds to pin
+    * seed-sensitivity, this one is merely the oracle-replayed sample. */
+  private[graft] val PackShuffleSeed = 7L
+
   /** DuckDB replay of Corpus.mixSolve over `documents`: one CTE chain
     * ending in `solve(source, weight, avail, alloc, saturated)`. The
     * budget is 9/10 of total tokens — measured to make the saturation
@@ -718,6 +723,24 @@ object DedupQueries {
           d.where(col("doc_id") % 97 === 0))
       },
       Some(DedupSql.decontam())),
+
+    // #38d the EVAL-side contamination report (SURVEY row 118): row 38
+    // names the TRAINING docs to drop; this is the other deliverable of
+    // the same overlap evidence — per BENCHMARK item, how much of it
+    // leaked (distinct n-grams, n-grams found anywhere in the corpus,
+    // corpus docs sharing one), zero-overlap items kept with zeros —
+    // what an eval maintainer publishes next to scores and what decides
+    // the "clean split" membership. The corpus side is restricted by
+    // the same broadcast semi-join before the exact per-item rollup, so
+    // the aggregation sees contamination-sized input, not corpus-sized.
+    Q("corpus_eval_overlap",
+      (s, dir) => {
+        val d = docs(s, dir)
+        Dedup.evalOverlap(
+          d.where(col("doc_id") % 97 =!= 0),
+          d.where(col("doc_id") % 97 === 0))
+      },
+      Some(DedupSql.evalOverlap())),
 
     // #38b decontamination as a Bloom prefilter (the 100 TB shape):
     // eval shingles → fixed bit array probed by pure column
@@ -1728,6 +1751,129 @@ object DedupQueries {
             AS BIGINT) AS straddlers,
           CAST(sum(cid % 1000003 * ck % 1000003) AS BIGINT) AS checksum
         FROM pc GROUP BY shard""")),
+
+    // #41e SEEDED GLOBAL SHUFFLE at pack time (SURVEY row 117): the
+    // trainer's data-order knob. The unshuffled pack reads the corpus
+    // in the SAME id order every epoch — correlated gradient steps;
+    // `df.sample`/`rand()` would reshuffle but their output depends on
+    // partition layout, so an epoch is unreplayable. The permutation
+    // key is h60(seed || ':' || id): shard assignment AND within-shard
+    // order both follow it, so one integer reorders the corpus
+    // globally while every epoch stays bit-replayable in any engine.
+    // The gate's checksum folds tok_offset — a pure function of the
+    // permutation — against the id, so a drifted order (not just a
+    // drifted membership) moves it; the oracle replays the seeded key,
+    // the shard hash, and the running offsets exactly. QuotaSpec pins
+    // the contract's two halves: different seed ⇒ different layout,
+    // same seed ⇒ same multiset of (id, n_toks) as the unshuffled pack.
+    Q("corpus_pack_shuffled",
+      (s, dir) => graft.dedup.Corpus.packMembers(docs(s, dir),
+          seqLen = 256, shards = 8, shuffleSeed = Some(PackShuffleSeed))
+        .groupBy(col("shard")).agg(
+          count(lit(1)).as("n_docs"),
+          (max(col("chunk_last")) + 1).as("n_seqs"),
+          sum(when(col("chunk_first") =!= col("chunk_last"), 1L)
+            .otherwise(0L)).as("straddlers"),
+          sum(col("tok_offset") % lit(1000003L) *
+            (col("doc_id") % lit(999983L)) % lit(1000003L))
+            .as("order_check")),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+            ${graft.functions.XHash.h60Sql(
+              s"CONCAT('$PackShuffleSeed:', CAST(doc_id AS VARCHAR))")}
+              AS k,
+            CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+              AS BIGINT) AS n_toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, k % 8 AS shard, n_toks,
+            COALESCE(SUM(n_toks) OVER (PARTITION BY k % 8
+              ORDER BY k, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS tok_offset
+          FROM t)
+        SELECT CAST(shard AS BIGINT) AS shard,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(max((tok_offset + n_toks - 1) // 256) + 1 AS BIGINT)
+            AS n_seqs,
+          CAST(sum(CASE WHEN tok_offset // 256 <>
+            (tok_offset + n_toks - 1) // 256 THEN 1 ELSE 0 END)
+            AS BIGINT) AS straddlers,
+          CAST(sum(tok_offset % 1000003 * (doc_id % 999983) % 1000003)
+            AS BIGINT) AS order_check
+        FROM c GROUP BY shard""")),
+
+    // #41f CURRICULUM packing (SURVEY row 119): the rows-117+68
+    // composition — within every shard the docs pack in ascending
+    // integer quality grade (the row-85 kc percent, model-scored), the
+    // seeded shuffle breaking ties WITHIN a grade, so a sequential
+    // reader anneals on the highest-quality data last (the
+    // decay-phase/midtraining data schedule) while shards stay
+    // hash-balanced (the grade orders, it never places). The manifest
+    // is per (shard, grade): doc/token mass, the grade's [first_off,
+    // end_off) stream span — contiguous by construction, which
+    // QuotaSpec asserts row-to-row — and the row-117 order_check, so a
+    // mis-ordered grade or a leaked tie-break moves the gate. Oracle
+    // replays the model scoring, the grade arithmetic, the seeded key,
+    // and the running offsets exactly.
+    Q("corpus_pack_curriculum",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val kc = graft.text.Text.qualityModelRaw(d)
+          .select(col("doc_id"),
+            expr("(num + 1000 * n_tokens) * 100 div (1000 * n_tokens)")
+              .as("kc"))
+        val graded = d.join(kc, Seq("doc_id"))
+        graft.dedup.Corpus.packMembers(graded, seqLen = 256, shards = 8,
+            shuffleSeed = Some(PackShuffleSeed),
+            orderPrefix = Some(col("kc")))
+          .join(graded.select(col("doc_id"), col("kc")), Seq("doc_id"))
+          .groupBy(col("shard"), col("kc")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("n_toks"),
+            min(col("tok_offset")).as("first_off"),
+            max(col("tok_offset") + col("n_toks")).as("end_off"),
+            sum(col("tok_offset") % lit(1000003L) *
+              (col("doc_id") % lit(999983L)) % lit(1000003L))
+              .as("order_check"))
+      },
+      Some {
+        val h = graft.functions.XHash.h60Sql("'qm:' || t")
+        s"""
+        WITH tk AS (
+          SELECT doc_id,
+            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+          FROM documents),
+        qd AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+            CAST(sum(($h % ${graft.text.Text.QmBuckets})
+                * 2654435761 % 2000 - 1000)
+              + ${graft.text.Text.QmBiasNum} * count(*) AS BIGINT) AS num
+          FROM tk GROUP BY doc_id),
+        m AS (
+          SELECT doc_id, n_toks,
+            (num + 1000 * n_toks) * 100 // (1000 * n_toks) AS kc,
+            ${graft.functions.XHash.h60Sql(
+              s"CONCAT('$PackShuffleSeed:', CAST(doc_id AS VARCHAR))")}
+              AS k
+          FROM qd),
+        c AS (
+          SELECT doc_id, kc, n_toks, k % 8 AS shard,
+            COALESCE(SUM(n_toks) OVER (PARTITION BY k % 8
+              ORDER BY kc, k, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS tok_offset
+          FROM m)
+        SELECT CAST(shard AS BIGINT) AS shard, CAST(kc AS BIGINT) AS kc,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_toks) AS BIGINT) AS n_toks,
+          CAST(min(tok_offset) AS BIGINT) AS first_off,
+          CAST(max(tok_offset + n_toks) AS BIGINT) AS end_off,
+          CAST(sum(tok_offset % 1000003 * (doc_id % 999983) % 1000003)
+            AS BIGINT) AS order_check
+        FROM c GROUP BY shard, kc"""
+      }),
 
     // #40c per-source CAP (stratified sampling): at most N docs per
     // source, picked by smallest deterministic hash — the "cap any one

@@ -81,6 +81,33 @@ object DedupSql {
        |SELECT DISTINCT CAST(c.doc_id AS BIGINT) AS doc_id
        |FROM csh c JOIN (SELECT DISTINCT s FROM esh) e USING (s)""".stripMargin
 
+  /** corpus_eval_overlap oracle: the eval-side grain of [[decontam]] —
+    * per benchmark item, distinct n-grams, n-grams found anywhere in
+    * the corpus, and distinct corpus docs sharing one; zero-overlap
+    * items kept with zeros. */
+  def evalOverlap(base: String = "documents", n: Int = 3,
+      evalMod: Int = 97): String =
+    s"""WITH ev AS (
+       |  SELECT doc_id, text FROM $base WHERE doc_id % $evalMod = 0),
+       |corpus AS (
+       |  SELECT doc_id, text FROM $base WHERE doc_id % $evalMod <> 0),
+       |${shingleCtes("ev", n, "e")},
+       |${shingleCtes("corpus", n, "c")},
+       |evd AS (SELECT DISTINCT doc_id AS eval_id, s FROM esh),
+       |trd AS (SELECT DISTINCT doc_id AS train_id, s FROM csh),
+       |tot AS (
+       |  SELECT eval_id, CAST(count(*) AS BIGINT) AS n_shingles
+       |  FROM evd GROUP BY eval_id),
+       |hit AS (
+       |  SELECT e.eval_id,
+       |    CAST(count(DISTINCT e.s) AS BIGINT) AS n_shared,
+       |    CAST(count(DISTINCT t.train_id) AS BIGINT) AS n_train_docs
+       |  FROM evd e JOIN trd t USING (s) GROUP BY e.eval_id)
+       |SELECT CAST(tot.eval_id AS BIGINT) AS eval_id, tot.n_shingles,
+       |  COALESCE(hit.n_shared, 0) AS n_shared,
+       |  COALESCE(hit.n_train_docs, 0) AS n_train_docs
+       |FROM tot LEFT JOIN hit USING (eval_id)""".stripMargin
+
   /** corpus_decontam_bloom / stream_decontam_bloom oracle: the Bloom
     * composition replayed relationally. The filter's SET BIT POSITIONS
     * are a derived relation (distinct eval pair × k family members, mod

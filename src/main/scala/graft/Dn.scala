@@ -99,7 +99,8 @@ object Dn {
       |                     [--weights=SRC:W[,...] [--budget=N/D]]
       |                     [--lang-quotas=LANG:CAP[,...]]
       |                     [--from-html=true|false] [--eval-mod=N]
-      |                     [--seq-len=N] [--shards=N] CURATION
+      |                     [--seq-len=N] [--shards=N]
+      |                     [--shuffle-seed=N] CURATION
       |dn curate-list       [-v]
       |dn curate-remove     CURATION
       |dn curate            [--dry-run] CURATION
@@ -138,7 +139,7 @@ object Dn {
     "data-format", "backend", "path", "index-path", "time-format", "metric",
     "index-config", "docs", "embeddings", "out", "domain-floor-milli",
     "quotas", "from-html", "eval-mod", "seq-len", "shards", "weights",
-    "budget", "decontam", "lang-quotas")
+    "budget", "decontam", "lang-quotas", "shuffle-seed")
 
   def parseArgs(argv0: Seq[String]): DnArgs = {
     // leading -t (reference: bin/dn dnTrackTime) = print wall time to
@@ -313,7 +314,9 @@ object Dn {
           a.flags.get("weights"),
           budNum, budDen,
           a.flags.getOrElse("decontam", "doc"),
-          a.flags.get("lang-quotas"))
+          a.flags.get("lang-quotas"),
+          a.flags.get("shuffle-seed").map(v => v.toLongOption.getOrElse(
+            throw new GraftException(s"bad --shuffle-seed: \"$v\""))))
         DnConfig.save(cfg.curationAdd(cur), path)
         ""
       case "curate-remove" =>
@@ -336,7 +339,8 @@ object Dn {
                 s"(budget ${c.budgetNum}/${c.budgetDen})").getOrElse("") +
               s"\n    fromHtml:   ${c.fromHtml}  evalMod: ${c.evalMod}" +
               s"  seqLen: ${c.seqLen}  shards: ${c.shards}" +
-              s"  decontam: ${c.decontam}"
+              s"  decontam: ${c.decontam}" +
+              c.shuffleSeed.map(s => s"  shuffleSeed: $s").getOrElse("")
           else head
         }.mkString("\n")
     }
@@ -506,7 +510,8 @@ object Dn {
       quotas = quotas,
       fromHtml = cur.fromHtml,
       decontam = cur.decontam,
-      langQuotas = DnConfig.parseQuotas(cur.langQuotas))
+      langQuotas = DnConfig.parseQuotas(cur.langQuotas),
+      shuffleSeed = cur.shuffleSeed)
     cur.out match {
       case Some(o) if !a.dryRun =>
         manifest.write.mode("overwrite").parquet(o)

@@ -69,7 +69,11 @@ object DnConfig {
         * keyed on the PREDICTED langid bucket of the curated text
         * (-1 = explicitly uncapped). Applied before the per-source
         * quota when both are set. */
-      langQuotas: Option[String] = None)
+      langQuotas: Option[String] = None,
+      /** Row-117 epoch seed: shuffle the pack layout globally and
+        * replayably (shard + within-shard order follow
+        * h60(seed:doc_id)); absent = the id-deterministic layout. */
+      shuffleSeed: Option[Long] = None)
 
   /** Parse a quotas flag: comma-separated `source:cap` entries, cap a
     * long (-1 = explicitly uncapped). */
@@ -241,7 +245,8 @@ object DnConfig {
           Option(n.get("budgetNum")).map(_.asLong).getOrElse(9L),
           Option(n.get("budgetDen")).map(_.asLong).getOrElse(10L),
           strOpt(n, "decontam").getOrElse("doc"),
-          strOpt(n, "langQuotas"))
+          strOpt(n, "langQuotas"),
+          Option(n.get("shuffleSeed")).filterNot(_.isNull).map(_.asLong))
       }.toVector
     }.getOrElse(Vector.empty)
     Config(dss, ms, cs)
@@ -281,6 +286,7 @@ object DnConfig {
       n.put("budgetNum", c.budgetNum).put("budgetDen", c.budgetDen)
       n.put("decontam", c.decontam)
       putOpt(n, "langQuotas", c.langQuotas)
+      c.shuffleSeed.foreach(n.put("shuffleSeed", _))
     }
     val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
     if (path.getParent != null) Files.createDirectories(path.getParent)

@@ -511,12 +511,18 @@ object RetrievalQueries {
     * `java.io.File` probes are in-contract here: local `/tmp` gate
     * cache only ([[graft.tools.LocalFs]] scope contract); Bm25's own
     * lexicon maintenance is scheme-agnostic (FileSystemSchemeSpec). */
-  private def ensureLexicon(s: org.apache.spark.sql.SparkSession,
-      dir: String): String = synchronized {
+  /** (sanitized dir key, fingerprinted cache key) shared by the base
+    * and incremental lexicon caches and the bench build legs. */
+  private def lexKey(dir: String): (String, String) = {
     val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val fp = graft.tools.LocalFs.fingerprint(
       new java.io.File(s"$dir/documents.parquet"))
-    val key = s"$dirKey-$fp-v${Bm25.VocabCap}"
+    (dirKey, s"$dirKey-$fp-v${Bm25.VocabCap}")
+  }
+
+  private def ensureLexicon(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    val (dirKey, key) = lexKey(dir)
     val path = s"/tmp/graft-lexicon/$key"
     if (!new java.io.File(s"$path/postings/_SUCCESS").exists()) {
       graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-lexicon",
@@ -524,6 +530,34 @@ object RetrievalQueries {
       Bm25.buildLexicon(docs(s, dir), path)
     }
     path
+  }
+
+  /** Bench-only BUILD legs (r15 verdict item 3): the sf1 sweep ran
+    * cold, so `retrieval_index_bm25`/`retrieval_index_incremental`
+    * paid the full partitionBy("term") lexicon BUILD inside what the
+    * baselines read as SERVE time — the one scale point that matters
+    * for serving (is the read path sublinear in corpus size?) was
+    * unreadable. These evict the canonical cache and rebuild it, so a
+    * bench sweep that runs them BEFORE the serve entries times build
+    * and serve as separate line items at every SF; the returned frame
+    * is a constant (the artifact write is eager inside ensure*), so
+    * the timing is the build, not a disguised read. Registry-external:
+    * they compute nothing gateable — the serve queries' oracles
+    * already gate the artifact's content. */
+  private[graft] def benchBuildLexicon(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    graft.tools.LocalFs.deleteRec(
+      java.nio.file.Paths.get(s"/tmp/graft-lexicon/${lexKey(dir)._2}"))
+    ensureLexicon(s, dir)
+    s.range(1).toDF("built")
+  }
+
+  private[graft] def benchBuildLexiconInc(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    graft.tools.LocalFs.deleteRec(
+      java.nio.file.Paths.get(s"/tmp/graft-lexinc/${lexKey(dir)._2}"))
+    ensureLexiconInc(s, dir)
+    s.range(1).toDF("built")
   }
 
   /** Old-corpus/new-batch split for the incremental lexicon gate —
@@ -538,10 +572,7 @@ object RetrievalQueries {
     * it. */
   private def ensureLexiconInc(s: org.apache.spark.sql.SparkSession,
       dir: String): String = synchronized {
-    val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val fp = graft.tools.LocalFs.fingerprint(
-      new java.io.File(s"$dir/documents.parquet"))
-    val key = s"$dirKey-$fp-v${Bm25.VocabCap}"
+    val (dirKey, key) = lexKey(dir)
     val path = s"/tmp/graft-lexinc/$key"
     if (!new java.io.File(s"$path/_APPENDED").exists()) {
       graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-lexinc",

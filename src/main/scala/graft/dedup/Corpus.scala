@@ -201,26 +201,61 @@ object Corpus {
    */
   def packChunks(docs: DataFrame, seqLen: Int = 2048,
       shards: Int = DeriveShards,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    packMembers(docs, seqLen, shards, idCol, textCol).drop("n_toks")
+      idCol: String = "doc_id", textCol: String = "text",
+      shuffleSeed: Option[Long] = None): DataFrame =
+    packMembers(docs, seqLen, shards, idCol, textCol, shuffleSeed)
+      .drop("n_toks")
 
   /** [[packChunks]] plus each member's token count — the full member
     * table [[writeShards]] persists so the manifest is recomputable
-    * from the artifact alone (offsets re-derive from n_toks). */
+    * from the artifact alone (offsets re-derive from n_toks).
+    *
+    * `shuffleSeed`: the trainer's data-order knob. Unseeded, the pack
+    * layout is id-deterministic — every epoch reads the corpus in the
+    * SAME order, which correlates adjacent gradient steps. Seeded, the
+    * permutation key becomes `h60(seed || ':' || id)`: shard
+    * assignment AND within-shard order both follow the key, so one
+    * integer reshuffles the whole corpus globally while staying fully
+    * replayable (re-running epoch 3 re-reads epoch 3's exact order —
+    * the property `df.sample`/`rand()` cannot give, since their output
+    * depends on partition layout). Same multiset of (id, tokens) for
+    * every seed — only the layout moves (QuotaSpec pins both). Id
+    * remains the tiebreak so determinism never rests on "h60 never
+    * collides". */
   def packMembers(docs: DataFrame, seqLen: Int = 2048,
       shards: Int = DeriveShards,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      shuffleSeed: Option[Long] = None,
+      /** Curriculum knob: a deterministic integer grade evaluated on
+        * the doc row, ordered BEFORE the shuffle key within each shard
+        * — so the pack reads grade 0's docs first and the top grade
+        * last (the anneal-on-high-quality-late schedule), while the
+        * seeded hash still shuffles within each grade. Shard
+        * assignment ignores it: shards stay hash-balanced, the
+        * curriculum is an ORDER contract, not a placement one. */
+      orderPrefix: Option[Column] = None): DataFrame = {
     require(seqLen > 0 && shards >= 0, "seqLen and shards must be positive")
     val nShards =
       if (shards == DeriveShards)
         shardsFor(graft.ann.Ann.estimatedRows(docs, BytesPerDocRow))
       else shards
-    val t = docs.select(col(idCol).as("id"),
-      pmod(graft.functions.XHash.h60(col(idCol).cast("string")),
-        lit(nShards.toLong)).as("shard"),
-      Text.tokenCount(col(textCol)).cast("long").as("n_toks"))
+    val key = shuffleSeed match {
+      case Some(seed) => graft.functions.XHash.h60(
+        concat(lit(s"$seed:"), col(idCol).cast("string")))
+      case None => graft.functions.XHash.h60(col(idCol).cast("string"))
+    }
+    val t = docs.select(col(idCol).as("id") +:
+      pmod(key, lit(nShards.toLong)).as("shard") +:
+      (shuffleSeed match {
+        case Some(_) => key
+        case None => col(idCol) // unseeded keeps the id's native order
+      }).as("ord") +:
+      Text.tokenCount(col(textCol)).cast("long").as("n_toks") +:
+      orderPrefix.map(_.as("grade")).toSeq: _*)
+    val ordCols = orderPrefix.map(_ => col("grade")).toSeq ++
+      Seq(col("ord"), col("id"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("id"))
+      .partitionBy(col("shard")).orderBy(ordCols: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     t.withColumn("tok_offset", coalesce(sum(col("n_toks")).over(w), lit(0L)))
       .select(col("id").as(idCol),
@@ -247,8 +282,10 @@ object Corpus {
    */
   def packedSequences(docs: DataFrame, seqLen: Int = 2048,
       shards: Int = DeriveShards,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val members = packMembers(docs, seqLen, shards, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text",
+      shuffleSeed: Option[Long] = None): DataFrame = {
+    val members = packMembers(docs, seqLen, shards, idCol, textCol,
+        shuffleSeed)
       .select(col(idCol), col("shard"), col("tok_offset"))
     docs.select(col(idCol), Text.tokens(col(textCol)).as("toks"))
       .join(members, Seq(idCol))
@@ -956,7 +993,13 @@ object Corpus {
         * shares are balanced within what the language budget admits).
         * Same ordered-prefix quotaAdmit machinery; -1/unlisted =
         * uncapped. */
-      langQuotas: Seq[(String, Long)] = Nil): DataFrame = {
+      langQuotas: Seq[(String, Long)] = Nil,
+      /** Row-117 epoch seed: Some(N) shuffles the pack tail's layout
+        * globally and replayably (shard assignment + within-shard
+        * order follow h60(seed:doc_id)); None keeps the
+        * id-deterministic layout. Orthogonal to admission — the seed
+        * permutes WHAT was admitted, it never changes it. */
+      shuffleSeed: Option[Long] = None): DataFrame = {
     require(decontam == "doc" || decontam == "chunk",
       s"pipeline: decontam must be 'doc' or 'chunk', got \"$decontam\"")
     import org.apache.spark.sql.expressions.Window
@@ -1042,7 +1085,8 @@ object Corpus {
       val seld = selected
         .join(docsIn.select(col("doc_id"), col("source")), Seq("doc_id"))
       val adm = quotaAdmit(seld, quotas).localCheckpoint()
-      packMembers(adm, seqLen = seqLen, shards = shards)
+      packMembers(adm, seqLen = seqLen, shards = shards,
+          shuffleSeed = shuffleSeed)
         .join(adm.select(col("doc_id"), col("source")), Seq("doc_id"))
         .groupBy(col("shard"), col("source")).agg(
           count(lit(1)).as("n_docs"),
@@ -1054,7 +1098,7 @@ object Corpus {
               % lit(1000000L)) % lit(1000003L)).as("checksum"))
     } else {
       val packed = packChunks(selected,
-        seqLen = seqLen, shards = shards)
+        seqLen = seqLen, shards = shards, shuffleSeed = shuffleSeed)
       packed.groupBy(col("shard")).agg(
         count(lit(1)).as("n_docs"),
         (max(col("chunk_last")) + 1).as("n_seqs"),

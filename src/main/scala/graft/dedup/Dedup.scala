@@ -671,6 +671,46 @@ object Dedup {
       .select(col("id").as(idCol)).distinct()
   }
 
+  /**
+   * The EVAL-side contamination report — the flip of [[contaminatedIds]]
+   * (which names the training docs to act on): per BENCHMARK item, how
+   * much of it leaked into the training corpus — what an eval
+   * maintainer publishes next to scores (the n-gram overlap appendix of
+   * GPT-3-era eval cards) and what decides which eval items to exclude
+   * from a "clean" split. Per eval doc: its distinct n-gram count, how
+   * many of those n-grams occur anywhere in the corpus, and how many
+   * distinct corpus docs share at least one — zero-overlap items kept
+   * (they ARE the clean set).
+   *
+   * Scale shape: the corpus side is first restricted by a BROADCAST
+   * semi-join on the eval shingle set (eval-suite-bounded, the
+   * [[contaminatedIds]] argument), so the exact per-eval-item
+   * aggregation only ever sees corpus rows that match an eval n-gram —
+   * contamination-sized, not corpus-sized. The residual risk is a
+   * degenerate shingle ("the the the") matching everything; real
+   * corpora cap that with a df bound (the HeavyBucket discipline), and
+   * the report's own n_train_docs column is where such a shingle
+   * surfaces first.
+   */
+  def evalOverlap(docs: DataFrame, evalDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    val ev = shingleRows(evalDocs, idCol, textCol, n)
+      .select(col("id").as("eval_id"), col("s")).distinct()
+    val tr = shingleRows(docs, idCol, textCol, n, rebalance = false)
+      .join(broadcast(ev.select(col("s")).distinct()), Seq("s"), "leftsemi")
+      .select(col("id").as("train_id"), col("s")).distinct()
+    val hits = ev.join(tr, Seq("s"))
+      .groupBy(col("eval_id")).agg(
+        countDistinct(col("train_id")).as("n_train_docs"),
+        countDistinct(col("s")).as("n_shared"))
+    ev.groupBy(col("eval_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"))
+  }
+
   // ---- Bloom-filter decontamination (the 100 TB prefilter shape) ----
   //
   // [[contaminatedIds]] broadcasts the eval shingle STRINGS; at a large

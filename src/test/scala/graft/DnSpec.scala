@@ -839,6 +839,36 @@ class DnSpec extends SparkSpec {
     assert(e.getMessage.contains("bad quota entry"))
   }
 
+  test("curate --shuffle-seed: profile round-trip, CLI == library, seed moves the layout (row 117)") {
+    val cfg = Files.createTempDirectory("graft-dn-curatess")
+      .resolve("graftrc")
+    val docs = s"$sf001/documents.parquet"
+    val embs = s"$sf001/embeddings.parquet"
+    Dn.runConfig(Seq("curate-add", "ss",
+      s"--docs=$docs", s"--embeddings=$embs", "--shuffle-seed=3"), cfg)
+    val got = Dn.run(spark, Seq("curate", "ss"), cfg)
+      .collect().map(_.toSeq).toSet
+    val want = graft.dedup.Corpus.pipeline(
+        spark.read.parquet(docs), spark.read.parquet(embs),
+        shuffleSeed = Some(3L))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "CLI seeded curate must equal the library call")
+    // the seed must MOVE the manifest (shard membership follows
+    // h60(seed:id), so per-shard counts change) while conserving mass
+    val unseeded = graft.dedup.Corpus.pipeline(
+        spark.read.parquet(docs), spark.read.parquet(embs))
+      .collect().map(_.toSeq).toSet
+    assert(got != unseeded, "the epoch seed must move the pack layout")
+    def totalDocs(m: Set[Seq[Any]]) =
+      m.toSeq.map(_(1).asInstanceOf[Long]).sum // col 1 = n_docs
+    assert(totalDocs(got) == totalDocs(unseeded),
+      "the shuffle is a permutation: same admitted doc count")
+    // a non-numeric seed is rejected at add time
+    val e = intercept[GraftException](Dn.runConfig(Seq("curate-add", "ss2",
+      s"--docs=$docs", s"--embeddings=$embs", "--shuffle-seed=x"), cfg))
+    assert(e.getMessage.contains("bad --shuffle-seed"))
+  }
+
   test("curate with weights: quotas are SOLVED by the water-filling " +
       "allocator, equal to the library composition") {
     val cfg = Files.createTempDirectory("graft-dn-curatew")
