@@ -1320,6 +1320,22 @@ object DedupQueries {
         Sources.table(s, dir, "embeddings")),
       Some(DedupSql.pipeline())),
 
+    // #25j5 the per-doc DISPOSITION LEDGER (SURVEY row 120) — the
+    // pipeline's audit artifact: EVERY input doc with the stage that
+    // removed it ('quality'/'exact_dup'/'near_dup'/'chunks_dup'/
+    // 'semantic_dup'/'eval_split'/'contaminated'/'model_quality'/
+    // 'budget') or 'packed'. Reads the SAME survivor frames the
+    // manifest packs (Corpus.pipelineStages — not a parallel
+    // reimplementation; CorpusSpec pins ledger['packed'] == the
+    // manifest's packed population), union-tagged with stage levels
+    // and max-aggregated per doc: ONE shuffle of id-only rows
+    // regardless of stage count. Oracle replays the identical chain
+    // CTEs with a level-union tail.
+    Q("corpus_pipeline_ledger",
+      (s, dir) => graft.dedup.Corpus.pipelineLedger(docs(s, dir),
+        Sources.table(s, dir, "embeddings")),
+      Some(DedupSql.pipelineLedger())),
+
     // #25j2 the pipeline with EVERY curation stage engaged — the
     // round-13 rows composed into the closed loop: the corpus arrives
     // as synthesized HTML PAGES and row 100's extraction strips the

@@ -966,7 +966,45 @@ object DedupSql {
       quotas: Seq[(String, Long)] = Nil,
       /** Stage D's action — `doc` (whole-doc drop, row 38) or `chunk`
         * (surgical excision, row 105's CTE fragment spliced in). */
-      decontam: String = "doc"): String = {
+      decontam: String = "doc"): String =
+    pipelinePrefix(minQuality, nearDupJaccard, n, width, evalMod,
+      domainFloorMilli, decontam) +
+      (if (quotas.isEmpty) plainPackTail(seqLen, shards)
+       else quotaPackTail(seqLen, shards, quotas))
+
+  /** corpus_pipeline_ledger oracle (SURVEY row 120): the identical
+    * admission-chain CTEs, tailed with the union-tagged max-level
+    * disposition — every input doc, the stage that removed it or
+    * 'packed'. Stage names shared with
+    * [[graft.dedup.Corpus.LedgerStageNames]] by construction. */
+  def pipelineLedger(minQuality: Double = 0.3,
+      nearDupJaccard: Double = 0.6, n: Int = 3,
+      width: Int = graft.dedup.Dedup.ChunkWidth,
+      evalMod: Int = 97, decontam: String = "doc"): String = {
+    val names = graft.dedup.Corpus.LedgerStageNames
+    val whens = names.zipWithIndex.map { case (nm, i) =>
+      s"WHEN $i THEN '$nm'" }.mkString(" ")
+    pipelinePrefix(minQuality, nearDupJaccard, n, width, evalMod,
+      None, decontam) +
+      s"""lvl AS (
+         |  SELECT doc_id, 0 AS l FROM documents
+         |  UNION ALL SELECT doc_id, 1 FROM q
+         |  UNION ALL SELECT doc_id, 2 FROM kept
+         |  UNION ALL SELECT doc_id, 3 FROM sa
+         |  UNION ALL SELECT doc_id, 4 FROM sb
+         |  UNION ALL SELECT doc_id, 5 FROM sc
+         |  UNION ALL SELECT doc_id, 6 FROM cs
+         |  UNION ALL SELECT doc_id, 7 FROM sd
+         |  UNION ALL SELECT doc_id, 8 FROM m
+         |  UNION ALL SELECT doc_id, 9 FROM sel)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CASE max(l) $whens ELSE 'packed' END AS disposition
+         |FROM lvl GROUP BY doc_id""".stripMargin
+  }
+
+  private def pipelinePrefix(minQuality: Double, nearDupJaccard: Double,
+      n: Int, width: Int, evalMod: Int,
+      domainFloorMilli: Option[Long], decontam: String): String = {
     val minCos = AnnQueries.SemDedupMinCos
     val qmB = graft.text.Text.QmBuckets
     val qmBias = graft.text.Text.QmBiasNum
@@ -1117,8 +1155,7 @@ object DedupSql {
        |sel AS (
        |  SELECT m.doc_id FROM m JOIN cum USING (kc), bud
        |  WHERE cum <= budget),
-       |${if (quotas.isEmpty) plainPackTail(seqLen, shards)
-          else quotaPackTail(seqLen, shards, quotas)}""".stripMargin
+       |""".stripMargin
   }
 
   /** The default [[pipeline]] tail: pack every selected doc, manifest

@@ -86,11 +86,25 @@ object Corpus {
       .drop(k, "_clean")
   }
 
+  /** [[clean]]'s intermediate survivor frames, exposed for the
+    * disposition ledger (row 120): `q` = past the base quality/lang
+    * filter, `exactKept` = past exact dedup, `losers` = the near-dup
+    * drop set over `exactKept`. `clean` == `exactKept` anti-join
+    * `losers` — one source of truth for both consumers. */
+  private[graft] final case class CleanStages(
+      q: DataFrame, exactKept: DataFrame, losers: DataFrame)
+
   /**
    * Clean the corpus. Output = surviving input rows (original columns),
    * deterministic for a given input.
    */
   def clean(docs: DataFrame, cfg: CleanConfig = CleanConfig()): DataFrame = {
+    val st = cleanStages(docs, cfg)
+    st.exactKept.join(st.losers, Seq(cfg.idCol), "left_anti")
+  }
+
+  private[graft] def cleanStages(docs: DataFrame,
+      cfg: CleanConfig = CleanConfig()): CleanStages = {
     // optional text-rewriting stages run FIRST: both change the text the
     // quality floor and the dedup fingerprints see
     var pre = docs
@@ -137,7 +151,7 @@ object Corpus {
         .jaccardVerified(exactKept, cfg.idCol, cfg.textCol,
           minJaccard = cfg.nearDupJaccard)
         .select(col("doc_b").as(cfg.idCol)).distinct()
-    exactKept.join(losers, Seq(cfg.idCol), "left_anti")
+    CleanStages(kept, exactKept, losers)
   }
 
   /** Sampling modulus: rates are expressed in millionths for exact
@@ -1021,8 +1035,75 @@ object Corpus {
       docsIn.join(dd.join(keepDoms, Seq("domain"), "left_semi")
         .select(col("doc_id")), Seq("doc_id"), "left_semi")
     }
-    // A: document-level clean on the original text
-    val sa = clean(docs0).select(col("doc_id"), col("text"))
+    val st = pipelineStages(docs0, docsIn, embs, evalMod, decontam)
+    val sd = st.sd
+    val sel = st.sel
+    // G: pack the selected docs, publish the per-shard manifest —
+    // with quotas, per-source admission first and the (shard, source)
+    // manifest grain (the corpus_pack_quota shape over curated text).
+    // Language quotas (row 116) gate FIRST when set: the langid bucket
+    // of the curated text caps each language's token mass, and the
+    // source quota then balances within the admitted pool.
+    val selected = {
+      val base = sd.join(sel, Seq("doc_id"), "left_semi")
+      if (langQuotas.isEmpty) base
+      else quotaAdmit(base.withColumn("__lang",
+          Text.langId(col("text"))), langQuotas, srcCol = "__lang")
+        .drop("__lang")
+    }
+    if (quotas.nonEmpty) {
+      val seld = selected
+        .join(docsIn.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val adm = quotaAdmit(seld, quotas).localCheckpoint()
+      packMembers(adm, seqLen = seqLen, shards = shards,
+          shuffleSeed = shuffleSeed)
+        .join(adm.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("shard"), col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_toks"),
+          sum(when(col("chunk_first") =!= col("chunk_last"), 1L)
+            .otherwise(0L)).as("straddlers"),
+          sum(col("doc_id") % lit(1000003L) *
+            (graft.functions.XHash.h60(col("doc_id").cast("string"))
+              % lit(1000000L)) % lit(1000003L)).as("checksum"))
+    } else {
+      val packed = packChunks(selected,
+        seqLen = seqLen, shards = shards, shuffleSeed = shuffleSeed)
+      packed.groupBy(col("shard")).agg(
+        count(lit(1)).as("n_docs"),
+        (max(col("chunk_last")) + 1).as("n_seqs"),
+        sum(when(col("chunk_first") =!= col("chunk_last"), 1L)
+          .otherwise(0L)).as("straddlers"),
+        sum(col("doc_id") % lit(1000003L) *
+          (graft.functions.XHash.h60(col("doc_id").cast("string"))
+            % lit(1000000L)) % lit(1000003L)).as("checksum"))
+    }
+  }
+
+  /** Every survivor frame of [[pipeline]]'s admission chain, in stage
+    * order — the single source of truth shared by the manifest tail and
+    * the row-120 disposition ledger. `q`→`sel` are strictly nested
+    * id-populations; `sb`/`sd` carry the REWRITTEN text their stage
+    * produced. */
+  private[graft] final case class PipelineStages(
+      q: DataFrame, kept: DataFrame, sa: DataFrame, sb: DataFrame,
+      sc: DataFrame, cs: DataFrame, sd: DataFrame, m: DataFrame,
+      sel: DataFrame)
+
+  /** Stages A-F of [[pipeline]] over an already-domain-filtered corpus
+    * (`docs0`); `docsIn` supplies the eval split (pre-blocklist, the
+    * benchmark is immutable). Extracted so [[pipelineLedger]] reads the
+    * SAME chain the manifest packs — not a parallel reimplementation. */
+  private[graft] def pipelineStages(docs0: DataFrame, docsIn: DataFrame,
+      embs: DataFrame, evalMod: Int, decontam: String): PipelineStages = {
+    import org.apache.spark.sql.expressions.Window
+    // A: document-level clean on the original text — sub-stages exposed
+    // (quality floor, exact dedup, near-dup election)
+    val cst = cleanStages(docs0)
+    val q = cst.q.select(col("doc_id"), col("text"))
+    val kept = cst.exactKept.select(col("doc_id"), col("text"))
+    val sa = cst.exactKept.join(cst.losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"))
     // B: chunk dedup rewrites each survivor to its kept chunks
     val sb = Dedup.chunkDedup(sa)
       .where(col("kept_chunks") > 0)
@@ -1068,45 +1149,49 @@ object Corpus {
       .crossJoin(broadcast(budget))
       .where(col("cum") <= col("budget"))
       .select(col("doc_id"))
-    // G: pack the selected docs, publish the per-shard manifest —
-    // with quotas, per-source admission first and the (shard, source)
-    // manifest grain (the corpus_pack_quota shape over curated text).
-    // Language quotas (row 116) gate FIRST when set: the langid bucket
-    // of the curated text caps each language's token mass, and the
-    // source quota then balances within the admitted pool.
-    val selected = {
-      val base = sd.join(sel, Seq("doc_id"), "left_semi")
-      if (langQuotas.isEmpty) base
-      else quotaAdmit(base.withColumn("__lang",
-          Text.langId(col("text"))), langQuotas, srcCol = "__lang")
-        .drop("__lang")
-    }
-    if (quotas.nonEmpty) {
-      val seld = selected
-        .join(docsIn.select(col("doc_id"), col("source")), Seq("doc_id"))
-      val adm = quotaAdmit(seld, quotas).localCheckpoint()
-      packMembers(adm, seqLen = seqLen, shards = shards,
-          shuffleSeed = shuffleSeed)
-        .join(adm.select(col("doc_id"), col("source")), Seq("doc_id"))
-        .groupBy(col("shard"), col("source")).agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("n_toks")).as("n_toks"),
-          sum(when(col("chunk_first") =!= col("chunk_last"), 1L)
-            .otherwise(0L)).as("straddlers"),
-          sum(col("doc_id") % lit(1000003L) *
-            (graft.functions.XHash.h60(col("doc_id").cast("string"))
-              % lit(1000000L)) % lit(1000003L)).as("checksum"))
-    } else {
-      val packed = packChunks(selected,
-        seqLen = seqLen, shards = shards, shuffleSeed = shuffleSeed)
-      packed.groupBy(col("shard")).agg(
-        count(lit(1)).as("n_docs"),
-        (max(col("chunk_last")) + 1).as("n_seqs"),
-        sum(when(col("chunk_first") =!= col("chunk_last"), 1L)
-          .otherwise(0L)).as("straddlers"),
-        sum(col("doc_id") % lit(1000003L) *
-          (graft.functions.XHash.h60(col("doc_id").cast("string"))
-            % lit(1000000L)) % lit(1000003L)).as("checksum"))
-    }
+    PipelineStages(q, kept, sa, sb, sc, cs, sd, m, sel)
+  }
+
+  /** Stage names in chain order: reaching level i but not i+1 means the
+    * doc exited at `LedgerStageNames(i)`; surviving all of them is
+    * `packed`. Shared with the ledger oracle via the same literals. */
+  private[graft] val LedgerStageNames: Seq[String] = Seq(
+    "quality", "exact_dup", "near_dup", "chunks_dup", "semantic_dup",
+    "eval_split", "contaminated", "model_quality", "budget")
+
+  /**
+   * The per-doc DISPOSITION LEDGER (SURVEY row 120) — the audit
+   * artifact a production curation pipeline publishes next to its
+   * manifest: for EVERY input document, the stage that removed it, or
+   * `packed`. Without it, "why did doc X disappear?" needs a rerun of
+   * the whole chain with instrumentation; with it, curation is
+   * debuggable (and the per-reason drop counts are the pipeline's
+   * health dashboard).
+   *
+   * Shape: the stage frames are the SAME nested survivor populations
+   * the manifest tail packs ([[pipelineStages]]), union-tagged with
+   * their stage level and max-aggregated per doc — ONE shuffle over
+   * id-only rows regardless of stage count, no per-stage join chain.
+   * The disposition is the name of the first stage the doc failed to
+   * reach. Eval-split docs flow through dedup like any doc (the
+   * benchmark must dedup against the corpus) and exit at stage D —
+   * `eval_split` is an exit, not a defect.
+   */
+  def pipelineLedger(docs: DataFrame, embs: DataFrame,
+      evalMod: Int = 97, decontam: String = "doc"): DataFrame = {
+    require(decontam == "doc" || decontam == "chunk",
+      s"pipelineLedger: decontam must be 'doc' or 'chunk', got \"$decontam\"")
+    val st = pipelineStages(docs, docs, embs, evalMod, decontam)
+    val stages = Seq(st.q, st.kept, st.sa, st.sb, st.sc, st.cs, st.sd,
+      st.m, st.sel)
+    val lvl = stages.zipWithIndex.map { case (s, i) =>
+      s.select(col("doc_id"), lit(i + 1).as("l"))
+    }.foldLeft(docs.select(col("doc_id"), lit(0).as("l")))(_ unionByName _)
+    val disposition = LedgerStageNames.zipWithIndex
+      .foldRight(lit("packed")) { case ((name, i), rest) =>
+        when(col("l") === i, name).otherwise(rest)
+      }
+    lvl.groupBy(col("doc_id")).agg(max(col("l")).as("l"))
+      .select(col("doc_id"), disposition.as("disposition"))
   }
 }

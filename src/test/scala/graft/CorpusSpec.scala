@@ -598,4 +598,32 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(best.toSeq.map(qkey).sum > cc.toSeq.map(qkey).sum)
   }
+
+  test("pipeline ledger (row 120): total coverage, packed == manifest, multiple reasons live") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val docs = graft.sources.Sources.table(spark, sf001, "documents")
+    val ledger = Registry.queries("corpus_pipeline_ledger")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // every input doc gets exactly one disposition — no doc silently
+    // vanishes from the audit trail
+    assert(ledger.length == docs.count(),
+      "the ledger must cover every input doc exactly once")
+    assert(ledger.map(_._1).distinct.length == ledger.length)
+    // the ledger's 'packed' population IS the manifest's: same chain,
+    // not a parallel reimplementation that can drift
+    val packed = ledger.count(_._2 == "packed")
+    val manifestDocs = Registry.queries("corpus_pipeline")(spark, sf001)
+      .agg(sum(col("n_docs"))).head.getLong(0)
+    assert(packed.toLong == manifestDocs,
+      s"ledger packs $packed docs, the manifest packs $manifestDocs")
+    // non-vacuity: the chain exercises several distinct drop reasons on
+    // the fixture (at minimum the eval split always fires), and every
+    // emitted name is a declared stage
+    val reasons = ledger.map(_._2).toSet
+    assert(reasons.contains("eval_split") && reasons.contains("packed"))
+    assert(reasons.size >= 4,
+      s"suspiciously few dispositions on the fixture: $reasons")
+    val legal = (graft.dedup.Corpus.LedgerStageNames :+ "packed").toSet
+    assert(reasons.subsetOf(legal), s"unknown disposition in $reasons")
+  }
 }
