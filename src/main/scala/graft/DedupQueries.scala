@@ -1891,6 +1891,50 @@ object DedupQueries {
         FROM c GROUP BY shard, kc"""
       }),
 
+    // #41g TOKENIZER-sized packing (SURVEY row 121): the row-86
+    // manifest with n_toks counted by the PINNED BPE tokenizer (row
+    // 51) instead of whitespace words. A trainer's loader consumes
+    // tokenizer tokens; BPE runs ~1.3-2× words (fertility), so a
+    // word-sized manifest mis-sizes every context window and every
+    // budget by that factor — this is the units fix that makes the
+    // pack, the token budget, and the tokenizer one story. Same
+    // two-shuffle pack plan (the counter is a pure expression in the
+    // first projection); the oracle counts tokens through the SAME
+    // generated merge-table expression text_tokens_bpe gates, so the
+    // two can never disagree about what a token is.
+    Q("corpus_pack_bpe",
+      (s, dir) => graft.dedup.Corpus.packMembers(docs(s, dir),
+          seqLen = 256, shards = 8,
+          tokenCount = graft.text.Text.bpeTokenCount)
+        .groupBy(col("shard")).agg(
+          count(lit(1)).as("n_docs"),
+          (max(col("chunk_last")) + 1).as("n_seqs"),
+          sum(col("n_toks")).as("n_toks"),
+          sum(when(col("chunk_first") =!= col("chunk_last"), 1L)
+            .otherwise(0L)).as("straddlers")),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+            ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 8
+              AS shard,
+            ${TextQueries.bpeCountSqlExpr("text")} AS n_toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, shard, n_toks,
+            COALESCE(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS tok_offset
+          FROM t)
+        SELECT CAST(shard AS BIGINT) AS shard,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(max((tok_offset + n_toks - 1) // 256) + 1 AS BIGINT)
+            AS n_seqs,
+          CAST(sum(n_toks) AS BIGINT) AS n_toks,
+          CAST(sum(CASE WHEN tok_offset // 256 <>
+            (tok_offset + n_toks - 1) // 256 THEN 1 ELSE 0 END)
+            AS BIGINT) AS straddlers
+        FROM c GROUP BY shard""")),
+
     // #40c per-source CAP (stratified sampling): at most N docs per
     // source, picked by smallest deterministic hash — the "cap any one
     // domain's share" mixture step. The oracle replays the hash ranking

@@ -56,6 +56,10 @@ object RetrievalQueries {
   private[graft] val KiDims = 16
   private[graft] val KiK = 10
 
+  /** Hard negatives mined per known-item query (row 122) — the DPR
+    * convention is a handful of top-ranked non-positives per query. */
+  private[graft] val HardNegK = 5
+
   /** Fixed target-sample size. Binds at the 10× gate dir and above
     * (200 planted ids → 64 sampled); below the cap the sample is the
     * whole planted population, so the sf0.001/sf0.01 measurements are
@@ -733,6 +737,42 @@ object RetrievalQueries {
           .orderBy(col("qid"))
       },
       Some(kiBm25OracleSql)),
+
+    // #61e HARD-NEGATIVE mining (SURVEY row 122) — the training-data
+    // artifact the retrieval stack exists to produce: per known-item
+    // query, the top-[[HardNegK]] BM25 candidates EXCLUDING the true
+    // item — (query, positive, hard negatives) is what a dual-encoder
+    // trains on, and BM25-top-ranked non-positives are the standard
+    // hard-negative source (DPR, Karpukhin et al. 2020). The planted
+    // query is the positive's own top terms, so its best-scoring
+    // non-self candidates are lexically closest — genuinely hard.
+    // (Production adds a verified-near-dup filter in front so a
+    // missed duplicate of the positive can't become a false negative;
+    // here row 25's exact dedup upstream plays that role.) Scale:
+    // rides [[kiBm25Scored]]'s one-postings-pass candidate set; the
+    // per-qid top-k window is candidate-bounded, never corpus-wide.
+    // The oracle replays scores bit-for-bit (slot-ordered double sum),
+    // so the gate hashes scores, not just ids.
+    Q("retrieval_hard_negatives",
+      (s, dir) => kiBm25Scored(docs(s, dir))
+        .where(col("doc_id") =!= col("qid"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .where(col("rank") <= HardNegK)
+        .select(col("qid"), col("rank"), col("doc_id").as("neg_id"),
+          col("score"))
+        .orderBy(col("qid"), col("rank")),
+      Some(s"""
+        WITH $kiBm25Ctes,
+        neg AS (
+          SELECT qid, doc_id AS neg_id, score,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY score DESC, doc_id) AS rank
+          FROM sc WHERE doc_id <> qid)
+        SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+          CAST(neg_id AS BIGINT) AS neg_id, score
+        FROM neg WHERE rank <= $HardNegK ORDER BY qid, rank""")),
 
     // #62c KNOWN-ITEM recall gate, RRF fusion: the dense leg degrades
     // the query to the sign pattern of its first 16 dims (a lossy

@@ -209,20 +209,27 @@ object TextQueries {
   /** The text_tokens_bpe oracle, generated from [[Text.BpeMerges]] —
     * the same pinned table, same pass count, same fence (chr(1)), so
     * the two engines run the identical merge cascade. */
-  private def bpeOracleSql: String = {
+  /** The pinned-merge-table BPE token count as a single generated SQL
+    * expression over `textExpr` — shared by the text_tokens_bpe oracle
+    * and the tokenizer-aware pack oracle (row 121), so the two gates
+    * can never disagree about what a token is. */
+  private[graft] def bpeCountSqlExpr(textExpr: String): String = {
     val init = "(' ' || array_to_string(list_transform(" +
-      "regexp_extract_all(lower(text), '[a-z]+'), " +
+      s"regexp_extract_all(lower($textExpr), '[a-z]+'), " +
       "w -> regexp_replace(w, '(.)', '\\1 ', 'g')), chr(1) || ' '))"
     val merged = Text.BpeMerges.foldLeft(init) { case (acc, (a, b)) =>
       (1 to Text.BpePasses).foldLeft(acc)((cur, _) =>
         s"replace($cur, ' $a $b ', ' $a$b ')")
     }
+    s"""CAST(len(list_filter(string_split(trim($merged), ' '),
+        t -> t <> chr(1) AND t <> '')) AS BIGINT)"""
+  }
+
+  private def bpeOracleSql: String =
     s"""
         SELECT doc_id,
-          CAST(len(list_filter(string_split(trim($merged), ' '),
-            t -> t <> chr(1) AND t <> '')) AS BIGINT) AS bpe_tokens
+          ${bpeCountSqlExpr("text")} AS bpe_tokens
         FROM documents"""
-  }
 
 
   /** Per-doc predicted language over any base relation — (doc_id,

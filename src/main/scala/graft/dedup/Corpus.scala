@@ -247,7 +247,14 @@ object Corpus {
         * seeded hash still shuffles within each grade. Shard
         * assignment ignores it: shards stay hash-balanced, the
         * curriculum is an ORDER contract, not a placement one. */
-      orderPrefix: Option[Column] = None): DataFrame = {
+      orderPrefix: Option[Column] = None,
+      /** What counts as a token. The whitespace default sizes manifests
+        * in WORDS; a trainer's loader consumes TOKENIZER tokens, which
+        * run ~1.3-2× words (fertility) — a whitespace-sized pack
+        * mis-sizes every context window by that factor. Pass the
+        * tokenizer's counter (e.g. [[Text.bpeTokenCount]]) to size the
+        * layout in the units the training run actually spends. */
+      tokenCount: Column => Column = Text.tokenCount): DataFrame = {
     require(seqLen > 0 && shards >= 0, "seqLen and shards must be positive")
     val nShards =
       if (shards == DeriveShards)
@@ -264,7 +271,7 @@ object Corpus {
         case Some(_) => key
         case None => col(idCol) // unseeded keeps the id's native order
       }).as("ord") +:
-      Text.tokenCount(col(textCol)).cast("long").as("n_toks") +:
+      tokenCount(col(textCol)).cast("long").as("n_toks") +:
       orderPrefix.map(_.as("grade")).toSeq: _*)
     val ordCols = orderPrefix.map(_ => col("grade")).toSeq ++
       Seq(col("ord"), col("id"))
