@@ -1238,22 +1238,46 @@ object Dedup {
    * token position; the fused-native escalation (cf.
    * functions.ShingleMinHashSig) stays available if the bench flags it.
    */
-  private[graft] def cdcChunksArr(ts: Column,
+  /** The CDC cut positions (1-based: a chunk ends at p, the next
+    * starts at p+1) — ONE md5 per adjacent token pair. EXPENSIVE and
+    * interpreter-bound (higher-order lambdas are CodegenFallback, and
+    * nothing eliminates common subexpressions inside them), so every
+    * consumer must stage this as its OWN projection attribute before
+    * referencing it from the chunk-assembly lambda: embedded inline,
+    * the assembly re-evaluates the whole md5 filter per output chunk —
+    * O(chunks × tokens) digests, measured 200 s for 5k docs at sf0.1
+    * vs ~2 s staged. CollapseProject keeps the stage split because the
+    * attribute is referenced more than once and the producer is not
+    * cheap. */
+  private[graft] def cdcCuts(ts: Column,
       avgWidth: Int = CdcAvgWidth): Column = {
     val n = size(ts)
-    // cut positions p (1-based): chunk ends at p, next starts at p+1.
     // sequence(1, n-1) needs the n>1 guard — Spark's sequence(1, 0)
     // is a DESCENDING [1, 0], not empty.
-    val cuts = when(n > 1,
+    when(n > 1,
       filter(sequence(lit(1), n - 1), p =>
         XHash.h60(concat_ws(" ", element_at(ts, p),
           element_at(ts, p + 1))) % avgWidth === 0))
       .otherwise(array().cast("array<int>"))
-    val bounds = concat(array(lit(0)), cuts, array(n))
+  }
+
+  /** Chunk assembly over a PRE-STAGED cut array (see [[cdcCuts]]):
+    * only integer bounds arithmetic and slices — cheap enough that its
+    * per-element re-evaluation inside the lambda doesn't matter. */
+  private[graft] def cdcChunksFromCuts(ts: Column, cuts: Column): Column = {
+    val bounds = concat(array(lit(0)), cuts, array(size(ts)))
     transform(sequence(lit(1), size(bounds) - 1), j =>
       concat_ws(" ", slice(ts, element_at(bounds, j) + 1,
         element_at(bounds, j + 1) - element_at(bounds, j))))
   }
+
+  /** One-expression convenience form (spec fixtures, tiny inputs ONLY):
+    * embeds [[cdcCuts]] inside the assembly, so it re-evaluates the md5
+    * filter per output chunk — quadratic. Hot paths stage the two
+    * halves instead ([[cdcChunkHashRows]], Admission.probeRows). */
+  private[graft] def cdcChunksArr(ts: Column,
+      avgWidth: Int = CdcAvgWidth): Column =
+    cdcChunksFromCuts(ts, cdcCuts(ts, avgWidth))
 
   /** One row per (doc, CDC chunk index) with the 116-bit hash pair —
     * [[chunkHashRows]]' content-defined twin; downstream election and
@@ -1261,7 +1285,11 @@ object Dedup {
   private[graft] def cdcChunkHashRows(docs: DataFrame, idCol: String,
       textCol: String, avgWidth: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        posexplode(cdcChunksArr(Text.tokens(col(textCol)), avgWidth)))
+        Text.tokens(col(textCol)).as("__ts"))
+      .select(col("doc_id"), col("__ts"),
+        cdcCuts(col("__ts"), avgWidth).as("__cuts"))
+      .select(col("doc_id"),
+        posexplode(cdcChunksFromCuts(col("__ts"), col("__cuts"))))
       .toDF("doc_id", "idx", "chunk")
       .select(col("doc_id"), col("idx"), col("chunk"),
         XHash.h60(col("chunk")).as("h1"), XHash.h56(col("chunk")).as("h2"))

@@ -145,9 +145,20 @@ object Admission {
         lit(null).cast("string").as("chunk"),
         lit(null).cast("array<bigint>").as("sig")))
     val ts = Text.tokens(col(textCol))
+    // cdc: the md5 cut array MUST stage as its own projection
+    // attribute before the assembly lambda references it — embedded
+    // inline it re-evaluates per output chunk (see Dedup.cdcCuts).
+    // Still a pure per-row expansion: two extra stateless projections,
+    // no shuffle, no state.
+    val stagedIn =
+      if (cdc) staged.withColumn("__cdcts", ts)
+        .withColumn("__cdccuts", Dedup.cdcCuts(col("__cdcts"), width))
+      else staged
     val chunkRows =
       if (cdc)
-        transform(Dedup.cdcChunksArr(ts, width), (chunk, idx) =>
+        transform(
+          Dedup.cdcChunksFromCuts(col("__cdcts"), col("__cdccuts")),
+          (chunk, idx) =>
           struct(
             lit(2).as("kind"),
             XHash.h60(chunk).cast("string").as("k1"),
@@ -170,7 +181,7 @@ object Admission {
     val parts = Seq(0 -> fpRow, 1 -> bandRows, 2 -> chunkRows)
       .collect { case (k, a) if kinds(k) => a }
     require(parts.nonEmpty, "probeRows: kinds must select at least one family")
-    staged.select(col("doc_id"),
+    stagedIn.select(col("doc_id"),
         explode(if (parts.size == 1) parts.head else concat(parts: _*)).as("p"))
       .select(col("doc_id"), col("p.kind").as("kind"),
         col("p.k1").as("k1"), col("p.k2").as("k2"),
