@@ -455,4 +455,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(cd.contains("BroadcastHashJoin"),
       s"chunk decontam must broadcast eval shingles:\n${cd.take(1200)}")
   }
+
+  test("CDC cut array stays a staged projection attribute (the 140x round-16 fix)") {
+    // The md5 boundary filter (Dedup.cdcCuts) must survive optimization
+    // as its OWN aliased projection, referenced by the chunk-assembly
+    // generator as an attribute. If a future optimizer change collapses
+    // the stage (inlining the filter into the Generate's lambda), the
+    // whole per-token digest filter re-evaluates per output chunk —
+    // O(chunks × tokens) digests, measured 199 s for 5k docs at sf0.1
+    // before the fix — while every correctness gate stays green. Pin:
+    // the optimized plan still carries the __cuts alias in a Project
+    // below the Generate.
+    import org.apache.spark.sql.functions.col
+    val d = graft.sources.Sources.table(spark, sf001, "documents")
+    val plan = graft.dedup.Dedup
+      .cdcChunkHashRows(d, "doc_id", "text", graft.dedup.Dedup.CdcAvgWidth)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__cuts"),
+      s"the CDC cut stage collapsed into the generator — the md5 filter " +
+        s"now re-evaluates per output chunk:\n${plan.take(1500)}")
+    // same discipline on the streaming probe's chunk rows
+    val probe = graft.streaming.Admission
+      .probeRows(d.select(col("doc_id"), col("text")), cdc = true,
+        kinds = Set(2))
+      .queryExecution.optimizedPlan.toString
+    assert(probe.contains("__cdccuts"),
+      s"the streaming CDC cut stage collapsed:\n${probe.take(1500)}")
+  }
 }
