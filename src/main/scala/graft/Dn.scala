@@ -100,7 +100,7 @@ object Dn {
       |                     [--lang-quotas=LANG:CAP[,...]]
       |                     [--from-html=true|false] [--eval-mod=N]
       |                     [--seq-len=N] [--shards=N]
-      |                     [--shuffle-seed=N] CURATION
+      |                     [--shuffle-seed=N] [--ledger-out=PATH] CURATION
       |dn curate-list       [-v]
       |dn curate-remove     CURATION
       |dn curate            [--dry-run] CURATION
@@ -139,7 +139,7 @@ object Dn {
     "data-format", "backend", "path", "index-path", "time-format", "metric",
     "index-config", "docs", "embeddings", "out", "domain-floor-milli",
     "quotas", "from-html", "eval-mod", "seq-len", "shards", "weights",
-    "budget", "decontam", "lang-quotas", "shuffle-seed")
+    "budget", "decontam", "lang-quotas", "shuffle-seed", "ledger-out")
 
   def parseArgs(argv0: Seq[String]): DnArgs = {
     // leading -t (reference: bin/dn dnTrackTime) = print wall time to
@@ -316,7 +316,8 @@ object Dn {
           a.flags.getOrElse("decontam", "doc"),
           a.flags.get("lang-quotas"),
           a.flags.get("shuffle-seed").map(v => v.toLongOption.getOrElse(
-            throw new GraftException(s"bad --shuffle-seed: \"$v\""))))
+            throw new GraftException(s"bad --shuffle-seed: \"$v\""))),
+          a.flags.get("ledger-out"))
         DnConfig.save(cfg.curationAdd(cur), path)
         ""
       case "curate-remove" =>
@@ -512,6 +513,19 @@ object Dn {
       decontam = cur.decontam,
       langQuotas = DnConfig.parseQuotas(cur.langQuotas),
       shuffleSeed = cur.shuffleSeed)
+    // row-120 audit artifact: the per-doc disposition ledger lands
+    // next to the manifest, accounting for the SAME optional stages
+    // (HTML extraction, domain blocklist, solved/explicit quotas,
+    // language quotas) the manifest packed with.
+    cur.ledgerOut.filter(_ => !a.dryRun).foreach { lo =>
+      graft.dedup.Corpus.pipelineLedger(docs, embs,
+        evalMod = cur.evalMod, decontam = cur.decontam,
+        domainFloorMilli = cur.domainFloorMilli,
+        quotas = quotas,
+        langQuotas = DnConfig.parseQuotas(cur.langQuotas),
+        fromHtml = cur.fromHtml)
+        .write.mode("overwrite").parquet(lo)
+    }
     cur.out match {
       case Some(o) if !a.dryRun =>
         manifest.write.mode("overwrite").parquet(o)

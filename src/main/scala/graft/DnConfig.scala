@@ -73,7 +73,11 @@ object DnConfig {
       /** Row-117 epoch seed: shuffle the pack layout globally and
         * replayably (shard + within-shard order follow
         * h60(seed:doc_id)); absent = the id-deterministic layout. */
-      shuffleSeed: Option[Long] = None)
+      shuffleSeed: Option[Long] = None,
+      /** Row-120 audit artifact: also write the per-doc disposition
+        * ledger (which stage removed each doc, or 'packed') to this
+        * path when the curation runs. Absent = manifest only. */
+      ledgerOut: Option[String] = None)
 
   /** Parse a quotas flag: comma-separated `source:cap` entries, cap a
     * long (-1 = explicitly uncapped). */
@@ -246,7 +250,8 @@ object DnConfig {
           Option(n.get("budgetDen")).map(_.asLong).getOrElse(10L),
           strOpt(n, "decontam").getOrElse("doc"),
           strOpt(n, "langQuotas"),
-          Option(n.get("shuffleSeed")).filterNot(_.isNull).map(_.asLong))
+          Option(n.get("shuffleSeed")).filterNot(_.isNull).map(_.asLong),
+          strOpt(n, "ledgerOut"))
       }.toVector
     }.getOrElse(Vector.empty)
     Config(dss, ms, cs)
@@ -287,6 +292,7 @@ object DnConfig {
       n.put("decontam", c.decontam)
       putOpt(n, "langQuotas", c.langQuotas)
       c.shuffleSeed.foreach(n.put("shuffleSeed", _))
+      putOpt(n, "ledgerOut", c.ledgerOut)
     }
     val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
     if (path.getParent != null) Files.createDirectories(path.getParent)

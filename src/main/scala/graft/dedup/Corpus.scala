@@ -1029,19 +1029,7 @@ object Corpus {
         graft.text.Html.synthHtml(col("doc_id"), col("text"))))
       .localCheckpoint()
     // stage 0 (optional): domain blocklist over the raw corpus
-    val docs0 = domainFloorMilli.fold(docsIn) { floor =>
-      val host = parse_url(
-        graft.text.Urls.synthUrl(col("doc_id")), lit("HOST"))
-      val dd = docsIn.select(col("doc_id"),
-        graft.text.Urls.registeredDomain(host).as("domain"))
-      val keepDoms = dd.join(Text.qualityModelRaw(docsIn), Seq("doc_id"))
-        .groupBy(col("domain"))
-        .agg(sum(col("num")).as("dn"), sum(col("n_tokens")).as("dt"))
-        .where(col("dn") - lit(floor) * col("dt") >= 0L)
-        .select(col("domain"))
-      docsIn.join(dd.join(keepDoms, Seq("domain"), "left_semi")
-        .select(col("doc_id")), Seq("doc_id"), "left_semi")
-    }
+    val docs0 = domainFloorMilli.fold(docsIn)(domainFilter(docsIn, _))
     val st = pipelineStages(docs0, docsIn, embs, evalMod, decontam)
     val sd = st.sd
     val sel = st.sel
@@ -1096,6 +1084,24 @@ object Corpus {
       q: DataFrame, kept: DataFrame, sa: DataFrame, sb: DataFrame,
       sc: DataFrame, cs: DataFrame, sd: DataFrame, m: DataFrame,
       sel: DataFrame)
+
+  /** The row-91 domain blocklist (pipeline stage 0): keep the docs of
+    * registered domains whose aggregate quality numerator clears
+    * floor·tokens — factored out so [[pipeline]] and
+    * [[pipelineLedger]] apply the identical decision. */
+  private def domainFilter(docsIn: DataFrame, floor: Long): DataFrame = {
+    val host = parse_url(
+      graft.text.Urls.synthUrl(col("doc_id")), lit("HOST"))
+    val dd = docsIn.select(col("doc_id"),
+      graft.text.Urls.registeredDomain(host).as("domain"))
+    val keepDoms = dd.join(Text.qualityModelRaw(docsIn), Seq("doc_id"))
+      .groupBy(col("domain"))
+      .agg(sum(col("num")).as("dn"), sum(col("n_tokens")).as("dt"))
+      .where(col("dn") - lit(floor) * col("dt") >= 0L)
+      .select(col("domain"))
+    docsIn.join(dd.join(keepDoms, Seq("domain"), "left_semi")
+      .select(col("doc_id")), Seq("doc_id"), "left_semi")
+  }
 
   /** Stages A-F of [[pipeline]] over an already-domain-filtered corpus
     * (`docs0`); `docsIn` supplies the eval split (pre-blocklist, the
@@ -1185,16 +1191,45 @@ object Corpus {
    * `eval_split` is an exit, not a defect.
    */
   def pipelineLedger(docs: DataFrame, embs: DataFrame,
-      evalMod: Int = 97, decontam: String = "doc"): DataFrame = {
+      evalMod: Int = 97, decontam: String = "doc",
+      /** The same optional stages [[pipeline]] takes — a profile's
+        * ledger must account for EVERY decision its manifest made:
+        * domainFloorMilli prepends a `domain` disposition, langQuotas/
+        * quotas append `lang_quota`/`source_quota` tail dispositions
+        * mirroring the pack-tail admission exactly. */
+      domainFloorMilli: Option[Long] = None,
+      quotas: Seq[(String, Long)] = Nil,
+      langQuotas: Seq[(String, Long)] = Nil,
+      fromHtml: Boolean = false): DataFrame = {
     require(decontam == "doc" || decontam == "chunk",
       s"pipelineLedger: decontam must be 'doc' or 'chunk', got \"$decontam\"")
-    val st = pipelineStages(docs, docs, embs, evalMod, decontam)
-    val stages = Seq(st.q, st.kept, st.sa, st.sb, st.sc, st.cs, st.sd,
-      st.m, st.sel)
-    val lvl = stages.zipWithIndex.map { case (s, i) =>
+    val docsIn = if (!fromHtml) docs else docs
+      .withColumn("text", graft.text.Html.extractText(
+        graft.text.Html.synthHtml(col("doc_id"), col("text"))))
+      .localCheckpoint()
+    val docs0 = domainFloorMilli.fold(docsIn)(domainFilter(docsIn, _))
+    val st = pipelineStages(docs0, docsIn, embs, evalMod, decontam)
+    // the pack-tail admissions, mirroring pipeline's stage G exactly
+    val base = st.sd.join(st.sel, Seq("doc_id"), "left_semi")
+    val lq =
+      if (langQuotas.isEmpty) base
+      else quotaAdmit(base.withColumn("__lang",
+          Text.langId(col("text"))), langQuotas, srcCol = "__lang")
+        .drop("__lang")
+    val sq =
+      if (quotas.isEmpty) lq
+      else quotaAdmit(lq.join(
+        docsIn.select(col("doc_id"), col("source")), Seq("doc_id")), quotas)
+    val chain: Seq[(String, DataFrame)] =
+      domainFloorMilli.map(_ => "domain" -> docs0).toSeq ++
+      (LedgerStageNames zip Seq(st.q, st.kept, st.sa, st.sb, st.sc,
+        st.cs, st.sd, st.m, st.sel)) ++
+      (if (langQuotas.nonEmpty) Seq("lang_quota" -> lq) else Nil) ++
+      (if (quotas.nonEmpty) Seq("source_quota" -> sq) else Nil)
+    val lvl = chain.zipWithIndex.map { case ((_, s), i) =>
       s.select(col("doc_id"), lit(i + 1).as("l"))
-    }.foldLeft(docs.select(col("doc_id"), lit(0).as("l")))(_ unionByName _)
-    val disposition = LedgerStageNames.zipWithIndex
+    }.foldLeft(docsIn.select(col("doc_id"), lit(0).as("l")))(_ unionByName _)
+    val disposition = chain.map(_._1).zipWithIndex
       .foldRight(lit("packed")) { case ((name, i), rest) =>
         when(col("l") === i, name).otherwise(rest)
       }

@@ -869,6 +869,44 @@ class DnSpec extends SparkSpec {
     assert(e.getMessage.contains("bad --shuffle-seed"))
   }
 
+  test("curate --ledger-out: the disposition ledger lands next to the manifest and accounts for the profile's quota tail (row 120)") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val cfg = Files.createTempDirectory("graft-dn-curatelg")
+      .resolve("graftrc")
+    val out = Files.createTempDirectory("graft-dn-curatelg-out")
+    val docs = s"$sf001/documents.parquet"
+    val embs = s"$sf001/embeddings.parquet"
+    // every source capped at 25 tokens — far below any doc population
+    // that reaches the pack tail, so the quota stage provably rejects
+    val caps = (0 until 20).map(i => s"src$i:25").mkString(",")
+    Dn.runConfig(Seq("curate-add", "lg",
+      s"--docs=$docs", s"--embeddings=$embs",
+      s"--out=${out.resolve("manifest")}",
+      s"--ledger-out=${out.resolve("ledger")}",
+      s"--quotas=$caps"), cfg)
+    val manifest = Dn.run(spark, Seq("curate", "lg"), cfg)
+    val ledger = spark.read.parquet(out.resolve("ledger").toString)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // total coverage of the input corpus, one disposition per doc
+    assert(ledger.length ==
+      spark.read.parquet(docs).count(), "ledger must cover every doc")
+    // the profile's quota tail is accounted: the binding src0 cap
+    // produces source_quota rejections, and packed == manifest's docs
+    assert(ledger.exists(_._2 == "source_quota"),
+      "a binding source quota must appear as a ledger disposition")
+    val packed = ledger.count(_._2 == "packed").toLong
+    val manifestDocs = manifest.agg(sum(col("n_docs"))).head.getLong(0)
+    assert(packed == manifestDocs,
+      s"ledger packs $packed docs, the manifest packs $manifestDocs")
+    // and the CLI artifact equals the library call with the same knobs
+    val want = graft.dedup.Corpus.pipelineLedger(
+        spark.read.parquet(docs), spark.read.parquet(embs),
+        quotas = (0 until 20).map(i => s"src$i" -> 25L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ledger.toMap == want,
+      "CLI ledger must equal the library pipelineLedger")
+  }
+
   test("curate with weights: quotas are SOLVED by the water-filling " +
       "allocator, equal to the library composition") {
     val cfg = Files.createTempDirectory("graft-dn-curatew")
