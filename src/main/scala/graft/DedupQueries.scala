@@ -1257,8 +1257,10 @@ object DedupQueries {
       (s, dir) => {
         val d = docs(s, dir).withColumn("lang_pred",
           graft.text.Text.langId(col("text")))
+        // two consumers (pack + lang re-join) — checkpoint, or the
+        // langid scoring and the bucketed admission run twice
         val admitted = graft.dedup.Corpus.quotaAdmit(d, LangQuotas,
-          srcCol = "lang_pred")
+          srcCol = "lang_pred").localCheckpoint()
         val members = graft.dedup.Corpus.packMembers(admitted,
           seqLen = 256, shards = 8)
         members.join(admitted.select(col("doc_id"),
@@ -1844,7 +1846,7 @@ object DedupQueries {
         graft.dedup.Corpus.packMembers(graded, seqLen = 256, shards = 8,
             shuffleSeed = Some(PackShuffleSeed),
             orderPrefix = Some(col("kc")))
-          .join(graded.select(col("doc_id"), col("kc")), Seq("doc_id"))
+          .withColumnRenamed("grade", "kc") // carried out — no re-join
           .groupBy(col("shard"), col("kc")).agg(
             count(lit(1)).as("n_docs"),
             sum(col("n_toks")).as("n_toks"),
@@ -1927,11 +1929,12 @@ object DedupQueries {
           FROM t)
         SELECT CAST(shard AS BIGINT) AS shard,
           CAST(count(*) AS BIGINT) AS n_docs,
-          CAST(max((tok_offset + n_toks - 1) // 256) + 1 AS BIGINT)
-            AS n_seqs,
+          CAST(max((tok_offset + greatest(n_toks, 1) - 1) // 256) + 1
+            AS BIGINT) AS n_seqs,
           CAST(sum(n_toks) AS BIGINT) AS n_toks,
           CAST(sum(CASE WHEN tok_offset // 256 <>
-            (tok_offset + n_toks - 1) // 256 THEN 1 ELSE 0 END)
+            (tok_offset + greatest(n_toks, 1) - 1) // 256
+            THEN 1 ELSE 0 END)
             AS BIGINT) AS straddlers
         FROM c GROUP BY shard""")),
 

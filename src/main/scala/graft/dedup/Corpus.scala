@@ -279,12 +279,23 @@ object Corpus {
       .partitionBy(col("shard")).orderBy(ordCols: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     t.withColumn("tok_offset", coalesce(sum(col("n_toks")).over(w), lit(0L)))
-      .select(col("id").as(idCol),
-        col("shard").cast("long").as("shard"),
-        col("n_toks"),
-        col("tok_offset"),
-        expr(s"tok_offset div $seqLen").as("chunk_first"),
-        expr(s"(tok_offset + n_toks - 1) div $seqLen").as("chunk_last"))
+      .select(col("id").as(idCol) +:
+        col("shard").cast("long").as("shard") +:
+        col("n_toks") +:
+        col("tok_offset") +:
+        expr(s"tok_offset div $seqLen").as("chunk_first") +:
+        // greatest(n_toks, 1): a ZERO-token doc (possible under a
+        // tokenizer counter — bpeTokenCount on letterless text; the
+        // whitespace counter never returns 0) must land as a zero-width
+        // member at its offset, chunk_first == chunk_last. Without the
+        // clamp the dividend goes to -1 at offset 0, where Spark's
+        // `div` (truncate: 0) and an oracle's `//` (floor: -1) disagree
+        // — a cross-engine trap only letterless docs would spring.
+        expr(s"(tok_offset + greatest(n_toks, 1) - 1) div $seqLen")
+          .as("chunk_last") +:
+        // the curriculum grade rides the member table out (consumers
+        // would otherwise recompute the scoring pass just to re-join it)
+        orderPrefix.map(_ => col("grade")).toSeq: _*)
   }
 
   /**
@@ -1039,17 +1050,11 @@ object Corpus {
     // Language quotas (row 116) gate FIRST when set: the langid bucket
     // of the curated text caps each language's token mass, and the
     // source quota then balances within the admitted pool.
-    val selected = {
-      val base = sd.join(sel, Seq("doc_id"), "left_semi")
-      if (langQuotas.isEmpty) base
-      else quotaAdmit(base.withColumn("__lang",
-          Text.langId(col("text"))), langQuotas, srcCol = "__lang")
-        .drop("__lang")
-    }
+    val (selected, admitted) =
+      packTailAdmit(sd.join(sel, Seq("doc_id"), "left_semi"), docsIn,
+        quotas, langQuotas)
     if (quotas.nonEmpty) {
-      val seld = selected
-        .join(docsIn.select(col("doc_id"), col("source")), Seq("doc_id"))
-      val adm = quotaAdmit(seld, quotas).localCheckpoint()
+      val adm = admitted.localCheckpoint()
       packMembers(adm, seqLen = seqLen, shards = shards,
           shuffleSeed = shuffleSeed)
         .join(adm.select(col("doc_id"), col("source")), Seq("doc_id"))
@@ -1073,6 +1078,31 @@ object Corpus {
           (graft.functions.XHash.h60(col("doc_id").cast("string"))
             % lit(1000000L)) % lit(1000003L)).as("checksum"))
     }
+  }
+
+  /** The pack-tail admission shared by [[pipeline]]'s stage G and
+    * [[pipelineLedger]] — ONE implementation, so the ledger's
+    * `lang_quota`/`source_quota` dispositions can never diverge from
+    * what the manifest packed. Language quota gates FIRST when set
+    * (the outer mixture contract: the langid bucket of the curated
+    * text caps each language's token mass), then the source quota
+    * balances within the admitted pool. Returns (lang-admitted,
+    * source-admitted-with-source-column); each leg is the identity
+    * when its quota list is empty. */
+  private def packTailAdmit(base: DataFrame, docsIn: DataFrame,
+      quotas: Seq[(String, Long)], langQuotas: Seq[(String, Long)])
+      : (DataFrame, DataFrame) = {
+    val lq =
+      if (langQuotas.isEmpty) base
+      else quotaAdmit(base.withColumn("__lang",
+          Text.langId(col("text"))), langQuotas, srcCol = "__lang")
+        .drop("__lang")
+    val sq =
+      if (quotas.isEmpty) lq
+      else quotaAdmit(lq.join(
+        docsIn.select(col("doc_id"), col("source")), Seq("doc_id")),
+        quotas)
+    (lq, sq)
   }
 
   /** Every survivor frame of [[pipeline]]'s admission chain, in stage
@@ -1209,17 +1239,11 @@ object Corpus {
       .localCheckpoint()
     val docs0 = domainFloorMilli.fold(docsIn)(domainFilter(docsIn, _))
     val st = pipelineStages(docs0, docsIn, embs, evalMod, decontam)
-    // the pack-tail admissions, mirroring pipeline's stage G exactly
-    val base = st.sd.join(st.sel, Seq("doc_id"), "left_semi")
-    val lq =
-      if (langQuotas.isEmpty) base
-      else quotaAdmit(base.withColumn("__lang",
-          Text.langId(col("text"))), langQuotas, srcCol = "__lang")
-        .drop("__lang")
-    val sq =
-      if (quotas.isEmpty) lq
-      else quotaAdmit(lq.join(
-        docsIn.select(col("doc_id"), col("source")), Seq("doc_id")), quotas)
+    // the pack-tail admissions: the SAME helper pipeline's stage G
+    // packs with — the ledger cannot drift from the manifest
+    val (lq, sq) = packTailAdmit(
+      st.sd.join(st.sel, Seq("doc_id"), "left_semi"), docsIn,
+      quotas, langQuotas)
     val chain: Seq[(String, DataFrame)] =
       domainFloorMilli.map(_ => "domain" -> docs0).toSeq ++
       (LedgerStageNames zip Seq(st.q, st.kept, st.sa, st.sb, st.sc,

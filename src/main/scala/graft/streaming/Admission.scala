@@ -150,9 +150,15 @@ object Admission {
     // inline it re-evaluates per output chunk (see Dedup.cdcCuts).
     // Still a pure per-row expansion: two extra stateless projections,
     // no shuffle, no state.
+    // the CDC boundary rule is the STORE's rule, not the probe's knob:
+    // cuts must use Dedup.CdcAvgWidth (what cdcChunkStore hashed with),
+    // never the fixed-chunk `width` parameter — a diverging modulus
+    // would make every probe key miss the persisted store and silently
+    // re-admit all stored boilerplate as new.
     val stagedIn =
       if (cdc) staged.withColumn("__cdcts", ts)
-        .withColumn("__cdccuts", Dedup.cdcCuts(col("__cdcts"), width))
+        .withColumn("__cdccuts",
+          Dedup.cdcCuts(col("__cdcts"), Dedup.CdcAvgWidth))
       else staged
     val chunkRows =
       if (cdc)
