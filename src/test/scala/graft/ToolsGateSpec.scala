@@ -50,4 +50,27 @@ class ToolsGateSpec extends AnyFunSuite {
     assert(code == 0, s"fixture test failed:\n$out")
     assert(out.contains("FIXTURE: PASS"), out)
   }
+
+  test("every registry query is cited in SURVEY §2 (r16 verdict item 8: " +
+      "new rows can't silently orphan queries)") {
+    val f = new java.io.File("SURVEY.md")
+    assume(f.exists(),
+      s"SURVEY.md not found at ${f.getAbsolutePath} — test JVM not " +
+        "rooted at the repo")
+    val txt = {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.mkString finally src.close()
+    }
+    val start = txt.indexOf("## §2")
+    val end = txt.indexOf("## §3")
+    assert(start >= 0 && end > start, "SURVEY.md lost its §2/§3 headers")
+    val s2 = txt.substring(start, end)
+    // a query is "cited" when its exact name appears in backticks
+    // anywhere in §2 (row tables or the §2.1 companion list)
+    val cited = "`([a-z0-9_]+)`".r.findAllMatchIn(s2).map(_.group(1)).toSet
+    val orphans = Registry.all.map(_.name).filterNot(cited)
+    assert(orphans.isEmpty,
+      s"registry queries uncited in SURVEY §2 — add them to their row " +
+        s"or to §2.1: ${orphans.mkString(", ")}")
+  }
 }

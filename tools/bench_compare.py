@@ -71,7 +71,8 @@ cpus = os.cpu_count()
 if update:
     # refuse to fold a contended run into the baseline (unless --force):
     # a loaded-machine fold poisons every later comparison
-    prev = baselines.get(sf, {}).get('queries', {})
+    prev_entry = baselines.get(sf, {})
+    prev = prev_entry.get('queries', {})
     sent = [q for q in prev
             if q in detail['queries'] and 0 < prev[q] <= SENTINEL_MAX_BASE]
     if len(sent) >= SENTINEL_MIN_N and '--force' not in sys.argv:
@@ -83,10 +84,63 @@ if update:
                   f"{med:.2f}x over {len(sent)} framework-floor ops); "
                   f"re-run idle or pass --force")
             sys.exit(1)
-    baselines[sf] = {"round": baselines.get(sf, {}).get("round", 0) + 1,
-                     "total": detail['value'], "n": detail['n'],
-                     "cpus": cpus,
-                     "queries": detail['queries']}
+    # --- non-absorbing refolds (VERDICT r16 item 2): a fold that resets
+    # every per-op baseline must not silently swallow a regression. Diff
+    # the fold candidate against the baseline it replaces with the SAME
+    # regression criteria the compare path uses; any op that worsened
+    # past threshold needs an explicit annotation
+    # (--accept=op:reason[,op:reason]) or the fold is refused. The diff
+    # is then recorded in a fold_diff block inside the baseline entry so
+    # the provenance of every reset survives in the committed artifact.
+    accepts = {}
+    for a in sys.argv[1:]:
+        if a.startswith('--accept='):
+            for kv in a[len('--accept='):].split(','):
+                k, _, r = kv.partition(':')
+                if k:
+                    accepts[k] = r or 'accepted'
+    fold_reg, fold_imp = [], []
+    for q in sorted(set(prev) & set(detail['queries'])):
+        if q == STREAM_NOOP:
+            continue  # the denominator, not an op
+        b, c = prev[q], detail['queries'][q]
+        if c > b * THRESH_RATIO and c - b > THRESH_ABS:
+            fold_reg.append((q, b, c))
+        elif b > c * THRESH_RATIO and b - c > THRESH_ABS:
+            fold_imp.append((q, b, c))
+    if fold_reg or fold_imp:
+        print(f"FOLD_DIFF [{sf}] vs round-{prev_entry.get('round', 0)} "
+              f"baseline (total {prev_entry.get('total', 0)}s -> "
+              f"{detail['value']}s):")
+        for q, b, c in fold_reg:
+            note = (f"accepted: {accepts[q]}" if q in accepts
+                    else "forced" if '--force' in sys.argv else "UNANNOTATED")
+            print(f"  worsened {q}: {b:.2f}s -> {c:.2f}s ({c/b:.1f}x) [{note}]")
+        for q, b, c in fold_imp:
+            print(f"  improved {q}: {b:.2f}s -> {c:.2f}s")
+    unexplained = [q for q, _, _ in fold_reg if q not in accepts]
+    if unexplained and '--force' not in sys.argv:
+        print(f"REFUSED --update: {len(unexplained)} op(s) worsened past "
+              f"{THRESH_RATIO}x across the refold without an annotation "
+              f"({', '.join(unexplained)}); fix them or pass "
+              f"--accept=op:reason[,op:reason]")
+        sys.exit(1)
+    entry = {"round": prev_entry.get("round", 0) + 1,
+             "total": detail['value'], "n": detail['n'],
+             "cpus": cpus,
+             "queries": detail['queries']}
+    if fold_reg or fold_imp:
+        entry["fold_diff"] = {
+            "prev_round": prev_entry.get('round', 0),
+            "prev_total": prev_entry.get('total'),
+            "worsened": [{"op": q, "prev": b, "new": c,
+                          "note": accepts.get(
+                              q, "forced" if '--force' in sys.argv
+                              else "accepted")}
+                         for q, b, c in fold_reg],
+            "improved": [{"op": q, "prev": b, "new": c}
+                         for q, b, c in fold_imp]}
+    baselines[sf] = entry
     json.dump(baselines, open(base_path, 'w'), indent=1, sort_keys=True)
     print(f"updated {base_path}[{sf}]: n={detail['n']} total={detail['value']}s")
     sys.exit(0)

@@ -20,6 +20,16 @@ dir and asserts the four behaviors that matter:
      regression is NOT excused by a quiet denominator)
   8. stream_noop 1.7x but a stream op 5x
      (far beyond noop * slack)                -> FAIL (that op only)
+
+…and the non-absorbing refold (VERDICT r16 item 2):
+
+  10. --update on a quiet run where one op
+      regressed 2.1x                          -> REFUSED, baseline file
+      untouched (a refold can't silently absorb a regression)
+  11. same with --accept=op:reason            -> folds; fold_diff block
+      written into the baseline with the annotation
+  12. same with --force                       -> folds; fold_diff note
+      says "forced"
 Prints FIXTURE: PASS on success (the ToolsGateSpec contract).
 """
 import json, os, subprocess, sys, tempfile
@@ -128,6 +138,50 @@ with tempfile.TemporaryDirectory() as tmp:
     code, out = run(tmp, mk(q), SBASE)
     if code != 0 or "REGRESSED stream_noop" in out:
         fails.append(f"case9: code={code}\n{out}")
+
+    # --- non-absorbing refold cases (quiet sentinels throughout) ---
+    bp = os.path.join(tmp, 'base.json')
+
+    # 10. a fold that would hide a 2.1x regression is REFUSED and the
+    #     baseline file is left untouched
+    q = dict(BASE_Q); q["heavy_a"] = 4.2
+    code, out = run(tmp, mk(q), BASELINES, extra=("--update",))
+    after = json.load(open(bp))
+    if code != 1 or "REFUSED --update" not in out \
+            or "worsened heavy_a" not in out or "UNANNOTATED" not in out \
+            or after != BASELINES:
+        fails.append(f"case10: code={code}\n{out}")
+
+    # 11. the same fold with an annotation lands, and the fold_diff
+    #     block records the op, both times, and the reason
+    code, out = run(tmp, mk(q), BASELINES,
+                    extra=("--update", "--accept=heavy_a:new 2x workload"))
+    after = json.load(open(bp))
+    fd = after.get("sfX", {}).get("fold_diff", {})
+    w = {e["op"]: e for e in fd.get("worsened", [])}
+    if code != 0 or "updated" not in out or "FOLD_DIFF" not in out \
+            or "heavy_a" not in w \
+            or w["heavy_a"]["note"] != "new 2x workload" \
+            or after["sfX"]["queries"]["heavy_a"] != 4.2:
+        fails.append(f"case11: code={code}\n{out}\n{fd}")
+
+    # 12. --force folds too, but the provenance says so
+    code, out = run(tmp, mk(q), BASELINES, extra=("--update", "--force"))
+    after = json.load(open(bp))
+    fd = after.get("sfX", {}).get("fold_diff", {})
+    w = {e["op"]: e for e in fd.get("worsened", [])}
+    if code != 0 or w.get("heavy_a", {}).get("note") != "forced":
+        fails.append(f"case12: code={code}\n{out}\n{fd}")
+
+    # 13. an improvement-only fold needs no annotation but still records
+    #     the diff
+    q = dict(BASE_Q); q["heavy_b"] = 1.0
+    code, out = run(tmp, mk(q), BASELINES, extra=("--update",))
+    after = json.load(open(bp))
+    fd = after.get("sfX", {}).get("fold_diff", {})
+    if code != 0 or "improved heavy_b" not in out \
+            or {e["op"] for e in fd.get("improved", [])} != {"heavy_b"}:
+        fails.append(f"case13: code={code}\n{out}\n{fd}")
 
 if fails:
     print("\n---\n".join(fails))
