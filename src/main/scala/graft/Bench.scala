@@ -24,6 +24,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Cluster-profile measurement aid: SPARK_GRAFT_LINEAGE=reliable
+    // times the suite under the fault-tolerant checkpoint policy
+    // (plans/Lineage.scala). The driver never sets it, so the scored
+    // bench always measures the default local policy.
+    sys.env.get("SPARK_GRAFT_LINEAGE").foreach { m =>
+      spark.conf.set(graft.plans.Lineage.ModeKey, m)
+      spark.conf.set(graft.plans.Lineage.DirKey, "/tmp/graft-bench-ckpt")
+    }
     // Untimed warmup: first-use session costs (codegen compiler, parquet
     // reader/writer init, committer) otherwise land on whichever query
     // happens to run first and swamp its number.

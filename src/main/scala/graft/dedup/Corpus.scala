@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.plans.Lineage.LineageOps
 import graft.text.Text
 
 /**
@@ -119,7 +120,7 @@ object Corpus {
     // the cut, the filter+self-join pipeline re-executes per consumer.
     val exactKept = kept.join(
       Dedup.exactKeepers(kept, cfg.idCol, cfg.textCol), cfg.idCol)
-      .localCheckpoint()
+      .lineageCut
     // near-dup removal: greedy (drop doc_b of each verified pair) or
     // cluster-wide (keep only the min id of each connected component)
     val losers =
@@ -444,7 +445,7 @@ object Corpus {
       default: Long = -1L, broadcastOffsets: Boolean = true): Unit = {
     val admitted = quotaAdmit(docs, quotas, idCol, textCol, srcCol,
         default, broadcastOffsets)
-      .localCheckpoint()
+      .lineageCut
     packMembers(admitted, seqLen, shards, idCol, textCol)
       .join(admitted.select(col(idCol), col(srcCol)), Seq(idCol))
       .write.mode("overwrite").parquet(s"$root/members")
@@ -783,7 +784,7 @@ object Corpus {
     // materialize the capped survivors once: the exactness guard and the
     // final output would otherwise each replay the thin+rank lineage
     val kept = rank(docs.join(counts, sourceCol).where(h <= thresh))
-      .localCheckpoint()
+      .lineageCut
     // shortfall detection must start from the FULL source list (counts):
     // a source whose survivors are zero is absent from `kept` entirely
     // and a guard built on kept alone would never see it
@@ -841,7 +842,7 @@ object Corpus {
         pmod(graft.functions.XHash.h60(col("f")), lit(buckets.toLong)).as("bkt"))
       .groupBy(col("id"), col("tgt"), col("bkt"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .lineageCut
     val ct = fcnt.where(col("tgt"))
       .groupBy(col("bkt")).agg(sum(col("n")).as("tc"))
     val cr = fcnt.groupBy(col("bkt")).agg(sum(col("n")).as("rc"))
@@ -916,15 +917,15 @@ object Corpus {
         heavy = Dedup.HeavyBucket, maxBucket = Some(maxSources))
       .groupBy(col("a").as("src"), col("b").as("dst"))
       .agg(count(lit(1)).cast("double").as("w"))
-      .localCheckpoint()
+      .lineageCut
     // the co-duplication graph is symmetric: mirror the ordered half
     val edges = half
       .union(half.select(col("dst").as("src"), col("src").as("dst"),
         col("w")))
-      .localCheckpoint()
+      .lineageCut
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-      .localCheckpoint()
-    val nodes = docs.select(col(srcCol).as("v")).distinct().localCheckpoint()
+      .lineageCut
+    val nodes = docs.select(col(srcCol).as("v")).distinct().lineageCut
     val nN = nodes.count().toDouble
     var pr = nodes.withColumn("p", lit(1.0) / lit(nN))
     for (_ <- 0 until iters) {
@@ -947,7 +948,7 @@ object Corpus {
         .select(col("v"),
           ((lit(1.0) - lit(damping)) / lit(nN) + lit(damping) *
             (coalesce(col("m"), lit(0.0)) + col("dm") / lit(nN))).as("p"))
-        .localCheckpoint()
+        .lineageCut
     }
     pr.select(col("v").as(srcCol), col("p").as("pr"))
   }
@@ -1038,7 +1039,7 @@ object Corpus {
     val docsIn = if (!fromHtml) docs else docs
       .withColumn("text", graft.text.Html.extractText(
         graft.text.Html.synthHtml(col("doc_id"), col("text"))))
-      .localCheckpoint()
+      .lineageCut
     // stage 0 (optional): domain blocklist over the raw corpus
     val docs0 = domainFloorMilli.fold(docsIn)(domainFilter(docsIn, _))
     val st = pipelineStages(docs0, docsIn, embs, evalMod, decontam)
@@ -1054,7 +1055,7 @@ object Corpus {
       packTailAdmit(sd.join(sel, Seq("doc_id"), "left_semi"), docsIn,
         quotas, langQuotas)
     if (quotas.nonEmpty) {
-      val adm = admitted.localCheckpoint()
+      val adm = admitted.lineageCut
       packMembers(adm, seqLen = seqLen, shards = shards,
           shuffleSeed = shuffleSeed)
         .join(adm.select(col("doc_id"), col("source")), Seq("doc_id"))
@@ -1151,7 +1152,7 @@ object Corpus {
     val sb = Dedup.chunkDedup(sa)
       .where(col("kept_chunks") > 0)
       .select(col("doc_id"), col("kept_text").as("text"))
-      .localCheckpoint()
+      .lineageCut
     // C: SemDeDup on the survivor embeddings, geometry from the subset
     val sbEmb = embs.join(sb.select(col("doc_id").as("vec_id")),
       Seq("vec_id"), "left_semi")
@@ -1175,13 +1176,13 @@ object Corpus {
       case _ => Dedup.chunkDecontam(cs, evalDocs)
         .where(col("kept_chunks") > 0)
         .select(col("doc_id"), col("kept_text").as("text"))
-    }).localCheckpoint()
+    }).lineageCut
     // E: quality-model keep (integer numerator sign) at chunk-rewritten
     // text, with the centi-logit bucket for the budget stage
     val m = Text.qualityModelRaw(sd).where(col("num") >= 0L)
       .select(col("doc_id"), col("n_tokens"),
         expr("(num + 1000 * n_tokens) * 100 div (1000 * n_tokens)").as("kc"))
-      .localCheckpoint()
+      .lineageCut
     // F: budget fill — half the kept tokens, whole buckets from the top
     val budget = m.agg(expr("sum(n_tokens) div 2").as("budget"))
     val hist = m.groupBy(col("kc")).agg(sum(col("n_tokens")).as("bt"))
@@ -1236,7 +1237,7 @@ object Corpus {
     val docsIn = if (!fromHtml) docs else docs
       .withColumn("text", graft.text.Html.extractText(
         graft.text.Html.synthHtml(col("doc_id"), col("text"))))
-      .localCheckpoint()
+      .lineageCut
     val docs0 = domainFloorMilli.fold(docsIn)(domainFilter(docsIn, _))
     val st = pipelineStages(docs0, docsIn, embs, evalMod, decontam)
     // the pack-tail admissions: the SAME helper pipeline's stage G

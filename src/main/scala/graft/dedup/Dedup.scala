@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.XHash
 import graft.text.Text
+import graft.plans.Lineage.LineageOps
 
 /**
  * Deduplication operators for training-data pipelines (SURVEY.md §2 rows
@@ -254,9 +255,11 @@ object Dedup {
   /** Lineage cut shared by the dedup pipeline stages: `reliable = true`
     * uses fault-tolerant `checkpoint()` (recomputable after executor
     * loss — requires `sparkContext.setCheckpointDir`); the default
-    * `localCheckpoint()` is faster but executor-pinned. */
+    * honors the session's [[graft.plans.Lineage]] policy
+    * (`spark.graft.lineage`), so a cluster profile can upgrade every
+    * cut to reliable without threading the parameter. */
   private def cut(df: DataFrame, reliable: Boolean): DataFrame =
-    if (reliable) df.checkpoint() else df.localCheckpoint()
+    graft.plans.Lineage.cut(df, force = reliable)
 
   private[graft] def bucketPairs(keyed: DataFrame, keyCols: Seq[String],
       heavy: Int, maxBucket: Option[Int],
@@ -330,7 +333,7 @@ object Dedup {
       bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
     val store = liveStore(spark.read.parquet(storePath))
     val kept = incrementalKeepers(newDocs, store, idCol, textCol, n,
-      bands, rowsPerBand).localCheckpoint()
+      bands, rowsPerBand).lineageCut
     val keptDocs = newDocs.join(kept, Seq(idCol), "left_semi")
     signatureStore(keptDocs, idCol, textCol, n, bands, rowsPerBand)
       .write.mode("append").parquet(storePath)
@@ -863,7 +866,7 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, k: Int = BloomK): DataFrame = {
     val pairs = bloomEvalPairs(evalDocs, idCol, textCol, n)
-      .localCheckpoint() // count + aggregate read one materialization
+      .lineageCut // count + aggregate read one materialization
     val m = bloomBitsFor(pairs.count())
     val words = bloomWordsAgg(pairs, m, k)
     bloomDecontamFromWords(docs, evalDocs, words, m, idCol, textCol, n, k)
@@ -1069,7 +1072,7 @@ object Dedup {
       .select(col("id"), col("s")).distinct()
     val subcap = shd0.groupBy(col("s")).agg(count(lit(1)).as("nd"))
       .where(col("nd") <= maxDocs).select(col("s"))
-    val shd = shd0.join(subcap, Seq("s"), "leftsemi").localCheckpoint()
+    val shd = shd0.join(subcap, Seq("s"), "leftsemi").lineageCut
     val cnt = shd.groupBy(col("id")).agg(count(lit(1)).as("c"))
     val inter = bucketPairs(
         shd.select(col("s"), col("id").as("item")), Seq("s"),

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.functions.XHash
 import graft.text.Text
+import graft.plans.Lineage.LineageOps
 
 /**
  * The incremental admission pipeline run as a STREAM — crawl N+1
@@ -221,7 +222,7 @@ object Admission {
     val fpRows = drained.where(col("kind") === 0)
       .select(col("doc_id"), col("k1").as("fp"), col("sig"),
         col("hit").isNotNull.as("in_store"))
-      .localCheckpoint()
+      .lineageCut
     // (a) lowest id of each within-crawl content group
     val exactKeep = fpRows.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("id")).select(col("id"))
@@ -255,7 +256,7 @@ object Admission {
           struct(col("doc_id"), col("idx")) === col("w")))
       .where(col("kept_chunks") > 0)
       .select(col("doc_id"), col("kept_text").as("text"))
-      .localCheckpoint()
+      .lineageCut
     // decontamination vs the eval split, then the quality keep — on
     // the REWRITTEN text, as the batch twin
     val cs = b2.where(col("doc_id") % 97 =!= 0)

@@ -482,4 +482,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(probe.contains("__cdccuts"),
       s"the streaming CDC cut stage collapsed:\n${probe.take(1500)}")
   }
+
+  test("lineage policy: reliable mode is a pure wall-clock/fault-tolerance " +
+      "trade — identical results on the iterative paths (r16 verdict 3)") {
+    import graft.plans.Lineage
+    // the misconfiguration is a real error, not a silent local fallback
+    // (guarded: another test in this JVM may already have set the dir)
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      spark.conf.set(Lineage.ModeKey, "reliable")
+      try intercept[IllegalStateException] {
+        Lineage.cut(spark.range(1).toDF())
+      } finally spark.conf.set(Lineage.ModeKey, "local")
+    }
+    // doubles compare at 12 significant digits: the reliable mode's FS
+    // round-trip can reorder a floating-point summation by one ULP
+    // (observed on sourceRank's src19: …27 vs …25 in the 17th digit) —
+    // execution-order noise, not a semantics change. Everything else
+    // (ids, counts, strings) must match exactly.
+    def collect(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf001).collect()
+        .map(_.toSeq.map {
+          case d: Double => f"$d%.12g"
+          case f: Float => f"$f%.6g"
+          case v => String.valueOf(v)
+        }.mkString("[", ",", "]")).sorted.toSeq
+    // cover the three families the knob exists for: sourceRank's
+    // PageRank states, pipelineStages' stage frames (corpus_pipeline),
+    // and the admission chain's probe frames (dedup_incremental)
+    val names = Seq("corpus_source_rank", "corpus_pipeline",
+      "dedup_incremental")
+    val local = names.map(n => n -> collect(n)).toMap
+    spark.conf.set(Lineage.ModeKey, "reliable")
+    spark.conf.set(Lineage.DirKey, "/tmp/graft-test-ckpt")
+    try names.foreach { n =>
+      assert(collect(n) == local(n),
+        s"$n results differ between lineage modes")
+    } finally spark.conf.set(Lineage.ModeKey, "local")
+    // and the reliable run really did write checkpoint files
+    assert(spark.sparkContext.getCheckpointDir.nonEmpty)
+  }
 }
