@@ -13,8 +13,17 @@ import graft.sources.Sources
  */
 object AnnQueries {
 
-  private def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
+  /** The ANN-family corpus: the embeddings table MINUS zero-norm
+    * vectors — invalid input (a failed encoder emits all-zeros; cosine
+    * over one is 0/0) dropped at the ingest boundary, the reference's
+    * bad-value row-drop semantics applied to vectors. The filter
+    * applies HERE, before counts and derived geometry, so the valid
+    * population is the single corpus notion on both engines — every
+    * oracle's `FROM embeddings` carries the identical norm>0
+    * predicate. Found by the FuzzCorpus gate. */
+  private[graft] def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
     Sources.table(s, dir, "embeddings")
+      .where(graft.ann.Ann.norm(col("embedding")) > 0)
 
   /** The query point: the lowest-id vector (deterministic, oracle-able). */
   private def queryVec(e: org.apache.spark.sql.DataFrame) =
@@ -162,7 +171,7 @@ object AnnQueries {
         Ann.bruteForceTopK(e, queryVec(e), 10)
       },
       Some("""
-        WITH q AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1),
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0 ORDER BY vec_id LIMIT 1),
         t AS (
           SELECT vec_id,
             list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -175,7 +184,7 @@ object AnnQueries {
             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
               list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
               (a, b) -> a + b)) AS nb
-          FROM embeddings, q)
+          FROM embeddings, q WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0)
         SELECT vec_id, dp / (na * nb) AS cos
         FROM t ORDER BY cos DESC, vec_id LIMIT 10""")),
 
@@ -191,7 +200,7 @@ object AnnQueries {
         WITH n AS (
           SELECT vec_id, $bucketSql AS b,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),
+          FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),
         q AS (SELECT b AS qb, vn AS qn FROM n ORDER BY vec_id LIMIT 1)
         SELECT vec_id, ${dotSql("vn", "qn")} AS cos
         FROM n, q WHERE b = qb ORDER BY cos DESC, vec_id LIMIT 10""")),
@@ -381,7 +390,7 @@ object AnnQueries {
         WITH n AS (
           SELECT vec_id, $bucketSql AS b,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),
+          FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),
         q AS (SELECT b AS qb, vn AS qn FROM n ORDER BY vec_id LIMIT 1)
         SELECT vec_id, ${dotSql("vn", "qn")} AS cos
         FROM n, q
@@ -406,7 +415,7 @@ object AnnQueries {
         WITH n AS (
           SELECT vec_id AS id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),${ivfGeomCtes()}
+          FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),${ivfGeomCtes()}
         cent AS (
           SELECT id AS cid, vn AS cv FROM n, mm
           WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
@@ -442,7 +451,7 @@ object AnnQueries {
         WITH n AS (
           SELECT vec_id AS id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),${ivfGeomCtes()}$lloydCentCtes
+          FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),${ivfGeomCtes()}$lloydCentCtes
         d1 AS (
           SELECT n.id, n.vn, c.cid, ${dotSql("n.vn", "c.cv")} AS d
           FROM n CROSS JOIN cent c),
@@ -511,7 +520,7 @@ object AnnQueries {
               * (127.0 / greatest(list_aggregate(
                    list_transform(embedding, y -> abs(CAST(y AS DOUBLE))),
                    'max'), 1e-30)) + 0.5)) AS q
-          FROM embeddings),
+          FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),
         qq AS (SELECT q AS query_q FROM qz ORDER BY vec_id LIMIT 1),
         scored AS (
           SELECT vec_id,
@@ -557,7 +566,7 @@ object AnnQueries {
               * (127.0 / greatest(list_aggregate(
                    list_transform(embedding, y -> abs(CAST(y AS DOUBLE))),
                    'max'), 1e-30)) + 0.5)) AS q
-          FROM embeddings),
+          FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),
         e AS (
           SELECT vec_id, label, d, q[d] AS qd
           FROM qz, UNNEST(range(1, len(q) + 1)) u(d)),
@@ -878,7 +887,7 @@ object AnnQueries {
         WITH n AS (
           SELECT vec_id AS id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),${ivfGeomCtes()}
+          FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),${ivfGeomCtes()}
         cent AS (
           SELECT id AS cid, vn AS cv FROM n, mm
           WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
@@ -917,7 +926,7 @@ object AnnQueries {
         WITH n AS (
           SELECT vec_id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),
+          FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),
         ev AS (SELECT vec_id AS eid, vn AS en FROM n WHERE vec_id % 97 = 0),
         tr AS (SELECT vec_id, vn FROM n WHERE vec_id % 97 <> 0),
         sc AS (
@@ -946,7 +955,7 @@ object AnnQueries {
         WITH n AS (
           SELECT vec_id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),
+          FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),
         ev AS (SELECT vec_id AS eid, vn AS en FROM n WHERE vec_id % 97 = 0),
         tr AS (SELECT vec_id, vn FROM n WHERE vec_id % 97 <> 0),
         sc AS (
@@ -986,7 +995,7 @@ object AnnQueries {
         n AS (
           SELECT vec_id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),
+          FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),
         ev AS (SELECT vec_id AS eid, vn AS en FROM n WHERE vec_id % 97 = 0),
         tr AS (SELECT vec_id, vn FROM n WHERE vec_id % 97 <> 0),
         sem AS (
@@ -1121,7 +1130,7 @@ object AnnQueries {
         WITH n AS (
           SELECT vec_id AS id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),${ivfGeomCtes()}$lloydCentCtes
+          FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),${ivfGeomCtes()}$lloydCentCtes
         d1 AS (
           SELECT n.id, c.cid, ${dotSql("n.vn", "c.cv")} AS d
           FROM n CROSS JOIN cent c),
@@ -1131,7 +1140,7 @@ object AnnQueries {
           FROM d1),
         toks AS (
           SELECT doc_id,
-            CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+            CAST(len(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')) AS BIGINT)
               AS n_toks
           FROM documents),
         j AS (
@@ -1215,7 +1224,7 @@ object AnnQueries {
         WITH n AS (
           SELECT vec_id, label,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),
+          FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),
         q AS (SELECT vn AS qn FROM n ORDER BY vec_id LIMIT 1)
         SELECT vec_id, ${dotSql("vn", "qn")} AS cos
         FROM n, q WHERE label = $FilterLabel
@@ -1227,7 +1236,7 @@ object AnnQueries {
         WITH n AS (
           SELECT vec_id AS id, label,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),${ivfGeomCtes()}
+          FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),${ivfGeomCtes()}
         np2c AS (
           SELECT least((SELECT nl FROM nlc), 2 * np) AS np2 FROM npc),
         cent AS (
@@ -1260,7 +1269,7 @@ object AnnQueries {
         WITH n AS (
           SELECT vec_id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),
+          FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),
         qs AS (SELECT vec_id AS qid, vn AS qn FROM n ORDER BY vec_id LIMIT 4),
         sc AS (
           SELECT qs.qid, n.vec_id, ${dotSql("n.vn", "qs.qn")} AS cos
@@ -1284,7 +1293,7 @@ object AnnQueries {
               * (127.0 / greatest(list_aggregate(
                    list_transform(embedding, y -> abs(CAST(y AS DOUBLE))),
                    'max'), 1e-30)) + 0.5)) AS q
-          FROM embeddings),
+          FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),
         qb AS (SELECT vec_id AS qid, q AS qq FROM qz ORDER BY vec_id LIMIT 4),
         sc AS (
           SELECT qb.qid, qz.vec_id,
@@ -1305,7 +1314,7 @@ object AnnQueries {
         WITH n AS (
           SELECT vec_id, $bucketSql AS b,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),
+          FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),
         qs AS (
           SELECT vec_id AS qid, b AS qb, vn AS qn
           FROM n ORDER BY vec_id LIMIT 4),
@@ -1388,7 +1397,7 @@ object AnnQueries {
         WITH n AS (
           SELECT vec_id AS id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),${ivfGeomCtes()}
+          FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),${ivfGeomCtes()}
         sd_cent AS (
           SELECT id AS cid, vn AS cv FROM n, mm
           WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
@@ -1412,7 +1421,7 @@ object AnnQueries {
                 * CASE WHEN i < $AnisoBoostDims THEN 8.0 ELSE 0.125 END)
               AS av
           FROM embeddings e
-          WHERE e.vec_id NOT IN (SELECT id FROM sd_dup)),
+          WHERE e.vec_id NOT IN (SELECT id FROM sd_dup) AND sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),
         ${graft.ann.Permute.permCtes("pop", "av")},
         npl AS (
           SELECT id, list_transform(av, x -> x / ${normSqlOf("av")}) AS vn
@@ -1539,8 +1548,8 @@ object AnnQueries {
           SELECT vec_id AS id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql)
               AS vn
-          FROM embeddings),
-        mm AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
+          FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),
+        mm AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),
         subIdx AS (SELECT unnest([0, 1, 2, 3]) AS sub),
         ${pqBatchCtes("b", "n")}
         SELECT qid, vec_id, score FROM b_top"""
@@ -1555,7 +1564,7 @@ object AnnQueries {
               CAST(embedding[i + 1] AS DOUBLE)
                 * CASE WHEN i < $AnisoBoostDims THEN 8.0 ELSE 0.125 END)
               AS av
-          FROM embeddings)"""
+          FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0)"""
 
   /** Batch-PQ CTE family over a normalized relation `nRel` (id, vn),
     * prefixed `p` — sampling at mm, sub-vector split, argmin encode,
@@ -1625,11 +1634,11 @@ object AnnQueries {
           SELECT least(65536, greatest(16,
             1::BIGINT << greatest(0,
               CAST(ceil(log2(greatest(count(*), 2))) AS INT) // 2 - 2)))
-            AS nl FROM embeddings WHERE $trainWhere),
+            AS nl FROM embeddings WHERE ($trainWhere) AND sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),
         npc AS (SELECT least(32, greatest(4, nl // 16)) AS np FROM nlc),
         mm AS (
           SELECT greatest(1,
-            (SELECT count(*) FROM embeddings WHERE $trainWhere) // nl) AS m
+            (SELECT count(*) FROM embeddings WHERE ($trainWhere) AND sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0) // nl) AS m
           FROM nlc),"""
 
   /** The deterministic one-iteration Lloyd centroid chain — sampled
@@ -1692,7 +1701,7 @@ object AnnQueries {
   private def derivedBitsCtes: String = s"""
         WITH nn AS (
           SELECT greatest(1, count(*) // ${Ann.QuadraticTargetBucket})
-            AS buckets FROM embeddings),
+            AS buckets FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),
         bb AS (
           SELECT greatest(4, least(16,
             CAST(ceil(log2(buckets)) AS INT))) AS bits FROM nn),
@@ -1702,7 +1711,7 @@ object AnnQueries {
               CASE WHEN embedding[CAST(j AS INT) + 1] > 0
                    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS b,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings, bb),"""
+          FROM embeddings, bb WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),"""
 
   /**
    * The PQ oracle, with or without one Lloyd refinement of the
@@ -1717,13 +1726,13 @@ object AnnQueries {
       permuted: Boolean = false): String = {
     val nCtes =
       if (rotated)
-        s"""eb AS (SELECT vec_id AS id, embedding FROM embeddings),
+        s"""eb AS (SELECT vec_id AS id, embedding FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),
            |${graft.ann.Opq.rotateCtes("eb", "embedding")},
            |n AS (
            |  SELECT id, list_transform(r, x -> x / ${normSqlOf("r")}) AS vn
            |  FROM opqr)""".stripMargin
       else if (permuted)
-        s"""eb AS (SELECT vec_id AS id, embedding FROM embeddings),
+        s"""eb AS (SELECT vec_id AS id, embedding FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),
            |${graft.ann.Permute.permCtes("eb", "embedding")},
            |n AS (
            |  SELECT id, list_transform(r, x -> x / ${normSqlOf("r")}) AS vn
@@ -1733,7 +1742,7 @@ object AnnQueries {
            |  SELECT vec_id AS id,
            |    list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql)
            |      AS vn
-           |  FROM embeddings)""".stripMargin
+           |  FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0)""".stripMargin
     val refineCtes = s"""
         rdists AS (
           SELECT s.id, s.sub, s.sv, c.cid,
@@ -1762,7 +1771,7 @@ object AnnQueries {
     val cbRel = if (lloyd) "cb" else "csubs"
     s"""
         WITH $nCtes,
-        mm AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
+        mm AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),
         cent AS (
           SELECT id AS cid, vn AS cv FROM n, mm
           WHERE ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
@@ -1884,13 +1893,13 @@ object AnnQueries {
     // key off ids and corpus counts, invariant to both transforms
     val nCtes =
       if (rotated)
-        s"""eb AS (SELECT vec_id AS id, embedding FROM embeddings),
+        s"""eb AS (SELECT vec_id AS id, embedding FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),
            |${graft.ann.Opq.rotateCtes("eb", "embedding")},
            |n AS (
            |  SELECT id, list_transform(r, x -> x / ${normSqlOf("r")}) AS vn
            |  FROM opqr)""".stripMargin
       else if (permuted)
-        s"""eb AS (SELECT vec_id AS id, embedding FROM embeddings),
+        s"""eb AS (SELECT vec_id AS id, embedding FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),
            |${graft.ann.Permute.permCtes("eb", "embedding")},
            |n AS (
            |  SELECT id, list_transform(r, x -> x / ${normSqlOf("r")}) AS vn
@@ -1900,7 +1909,7 @@ object AnnQueries {
            |  SELECT vec_id AS id,
            |    list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql)
            |      AS vn
-           |  FROM embeddings)""".stripMargin
+           |  FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0)""".stripMargin
     s"""
         WITH $nCtes,${ivfGeomCtes(trainWhere)}
         cent0 AS (
@@ -1922,7 +1931,7 @@ object AnnQueries {
           WHERE a.rn = 1),
         subIdx AS (SELECT unnest([0, 1, 2, 3]) AS sub),
         mk AS (SELECT greatest(1, count(*) // 16) AS m
-               FROM embeddings WHERE $trainWhere),
+               FROM embeddings WHERE ($trainWhere) AND sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),
         pqs AS (
           SELECT id AS cid, vn AS cv FROM n, mk
           WHERE ($trainN)
@@ -1986,7 +1995,7 @@ object AnnQueries {
         WITH n AS (
           SELECT vec_id AS id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
-          FROM embeddings),${ivfGeomCtes(trainWhere)}
+          FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),${ivfGeomCtes(trainWhere)}
         cent AS (
           SELECT id AS cid, vn AS cv FROM n, mm
           WHERE ($trainN)
@@ -2015,7 +2024,7 @@ object AnnQueries {
           WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM qc)),
         subIdx AS (SELECT unnest([0, 1, 2, 3]) AS sub),
         mk AS (SELECT greatest(1, count(*) // 16) AS m
-               FROM embeddings WHERE $trainWhere),
+               FROM embeddings WHERE ($trainWhere) AND sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),
         pqs AS (
           SELECT id AS cid, vn AS cv FROM n, mk
           WHERE ($trainN)

@@ -216,7 +216,7 @@ object DedupQueries {
   private[graft] def mixSolveCtes(): String = s"""
         av AS (
           SELECT source,
-            CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+')))
+            CAST(sum(len(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')))
               AS BIGINT) AS avail,
             (CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS w
           FROM documents GROUP BY source),
@@ -263,9 +263,9 @@ object DedupQueries {
       budDen: Int): String = s"""
         av AS (
           SELECT source,
-            CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+')))
+            CAST(sum(len(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')))
               AS BIGINT) AS avail,
-            CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+')))
+            CAST(sum(len(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')))
               * $epochs AS BIGINT) AS sup,
             (CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS w
           FROM documents GROUP BY source),
@@ -318,8 +318,8 @@ object DedupQueries {
   private def quotaAdmittedSql(): String =
     s"""SELECT doc_id, source, n_toks FROM (
           SELECT doc_id, source,
-            CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_toks,
-            SUM(CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT))
+            CAST(len(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')) AS BIGINT) AS n_toks,
+            SUM(CAST(len(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')) AS BIGINT))
               OVER (PARTITION BY source ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
           FROM documents)
@@ -452,7 +452,7 @@ object DedupQueries {
         .groupBy(Dedup.contentKey(col("text")).as("fp"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper")),
       Some("""
-        SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        SELECT md5(regexp_replace(regexp_replace(lower(text), '[ \t\n\f\r\x0B]+', ' ', 'g'), '(^ )|( $)', '', 'g')) AS fp,
           CAST(COUNT(*) AS BIGINT) AS n_docs,
           CAST(MIN(doc_id) AS BIGINT) AS keeper
         FROM documents GROUP BY 1""")),
@@ -565,7 +565,7 @@ object DedupQueries {
         WITH cl AS (SELECT * FROM (${DedupSql.clusters()})),
         tk AS (
           SELECT doc_id,
-            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+            unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')) AS t
           FROM documents),
         qd AS (
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
@@ -662,13 +662,13 @@ object DedupQueries {
             unnest(parts) AS ln
           FROM ls),
         hot AS (
-          SELECT trim(lower(ln)) AS n FROM lines
-          WHERE trim(lower(ln)) <> ''
+          SELECT regexp_replace(regexp_replace(lower(ln), '[ \t\n\f\r\x0B]+', ' ', 'g'), '(^ )|( $)', '', 'g') AS n FROM lines
+          WHERE regexp_replace(regexp_replace(lower(ln), '[ \t\n\f\r\x0B]+', ' ', 'g'), '(^ )|( $)', '', 'g') <> ''
           GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
         kept AS (
           SELECT doc_id, pos, ln FROM lines l
           WHERE NOT EXISTS (
-            SELECT 1 FROM hot h WHERE h.n = trim(lower(l.ln)))),
+            SELECT 1 FROM hot h WHERE h.n = regexp_replace(regexp_replace(lower(l.ln), '[ \t\n\f\r\x0B]+', ' ', 'g'), '(^ )|( $)', '', 'g'))),
         re AS (
           SELECT doc_id,
             array_to_string(list(ln ORDER BY pos), chr(10)) AS clean_text
@@ -948,13 +948,13 @@ object DedupQueries {
       Some("""
         WITH oldc AS (
           SELECT doc_id,
-            md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+            md5(regexp_replace(regexp_replace(lower(text), '[ \t\n\f\r\x0B]+', ' ', 'g'), '(^ )|( $)', '', 'g')) AS fp
           FROM documents WHERE doc_id % 5 <> 4),
         newc AS (
           SELECT doc_id,
-            md5(regexp_replace(trim(lower(
-              CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END)),
-              '\s+', ' ', 'g')) AS fp
+            md5(regexp_replace(regexp_replace(lower(
+              CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END),
+              '[ \t\n\f\r\x0B]+', ' ', 'g'), '(^ )|( $)', '', 'g')) AS fp
           FROM documents WHERE doc_id % 5 <> 0)
         SELECT CAST(COALESCE(o.doc_id, n.doc_id) AS BIGINT) AS doc_id,
           CASE WHEN o.doc_id IS NULL THEN 'added'
@@ -1004,7 +1004,7 @@ object DedupQueries {
         WITH t AS (
           SELECT doc_id,
             ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
-            CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_toks
+            CAST(len(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')) AS BIGINT) AS n_toks
           FROM documents),
         c AS (
           SELECT doc_id, shard, n_toks,
@@ -1046,7 +1046,7 @@ object DedupQueries {
           SELECT doc_id,
             ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
             ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 1000000 AS ck,
-            CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_toks
+            CAST(len(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')) AS BIGINT) AS n_toks
           FROM documents),
         c AS (
           SELECT doc_id, shard, ck, n_toks,
@@ -1093,7 +1093,7 @@ object DedupQueries {
           SELECT doc_id,
             ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
             ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 1000000 AS ck,
-            CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_toks
+            CAST(len(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')) AS BIGINT) AS n_toks
           FROM documents),
         c AS (
           SELECT doc_id, shard, ck, n_toks,
@@ -1135,7 +1135,7 @@ object DedupQueries {
         WITH t AS (
           SELECT doc_id,
             ${graft.functions.XHash.h60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
-            CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_toks
+            CAST(len(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')) AS BIGINT) AS n_toks
           FROM documents),
         c AS (
           SELECT doc_id, shard, n_toks,
@@ -1279,9 +1279,9 @@ object DedupQueries {
         a AS (
           SELECT doc_id, lang_pred, n_toks FROM (
             SELECT doc_id, lang_pred,
-              CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+              CAST(len(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+'))
                 AS BIGINT) AS n_toks,
-              SUM(CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+              SUM(CAST(len(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+'))
                 AS BIGINT)) OVER (PARTITION BY lang_pred ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
             FROM lp)
@@ -1563,9 +1563,9 @@ object DedupQueries {
         adm AS (
           SELECT doc_id, d.source, n_toks FROM (
             SELECT doc_id, source,
-              CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+              CAST(len(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+'))
                 AS BIGINT) AS n_toks,
-              SUM(CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+              SUM(CAST(len(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+'))
                 AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
             FROM documents) d
@@ -1641,7 +1641,7 @@ object DedupQueries {
         WITH ${mixSolveRepeatCtes(4, 28, 10)},
         qd AS (
           SELECT doc_id, source,
-            CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+            CAST(len(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+'))
               AS BIGINT) AS n_toks
           FROM documents),
         fulle AS (
@@ -1723,7 +1723,7 @@ object DedupQueries {
         WITH ${mixSolveRepeatCtes(4, 28, 10)},
         qd AS (
           SELECT doc_id, source,
-            CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+            CAST(len(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+'))
               AS BIGINT) AS n_toks
           FROM documents),
         fulle AS (
@@ -1801,7 +1801,7 @@ object DedupQueries {
             ${graft.functions.XHash.h60Sql(
               s"CONCAT('$PackShuffleSeed:', CAST(doc_id AS VARCHAR))")}
               AS k,
-            CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+            CAST(len(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+'))
               AS BIGINT) AS n_toks
           FROM documents),
         c AS (
@@ -1861,7 +1861,7 @@ object DedupQueries {
         s"""
         WITH tk AS (
           SELECT doc_id,
-            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+            unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')) AS t
           FROM documents),
         qd AS (
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
@@ -1967,7 +1967,7 @@ object DedupQueries {
         col("source") === "src0"),
       Some(s"""
         WITH tl AS (
-          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          SELECT doc_id, regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+') AS t
           FROM documents),
         uni AS (SELECT doc_id, unnest(t) AS f FROM tl),
         bi AS (

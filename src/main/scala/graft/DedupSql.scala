@@ -19,12 +19,12 @@ object DedupSql {
     * in one query (e.g. decontamination's corpus + eval set). */
   private def shingleCtes(base: String, n: Int, p: String = ""): String =
     s"""${p}toks AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+') AS t
        |  FROM $base),
        |${p}idx AS (
        |  SELECT doc_id, t,
        |    unnest(range(0, greatest(len(t) - $n, 0) + 1)) AS i
-       |  FROM ${p}toks),
+       |  FROM ${p}toks WHERE len(t) > 0),
        |${p}sh AS (
        |  SELECT doc_id, i,
        |    CASE WHEN len(t) < $n THEN array_to_string(t, ' ')
@@ -267,7 +267,7 @@ object DedupSql {
   /** Exact-dup content fingerprint — mirrors Dedup.contentKey
     * (md5 of whitespace-normalized lower text). */
   private def fpSql(text: String): String =
-    s"md5(regexp_replace(trim(lower($text)), '\\s+', ' ', 'g'))"
+    s"md5(${graft.text.Text.wsNormSql(text)})"
 
   /**
    * dedup_incremental oracle: replays BOTH snapshots — signs old and
@@ -374,7 +374,7 @@ object DedupSql {
       .mkString(" + ")
     s"""WITH tok AS (
        |  SELECT doc_id,
-       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+       |    unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')) AS t
        |  FROM $base),
        |th AS (SELECT doc_id, ${XHash.h60Sql("t")} AS h FROM tok),
        |bs AS (
@@ -433,9 +433,9 @@ object DedupSql {
     * Text.qualityScore term for term (same associativity). */
   def qualitySql(text: String): String =
     s"""least(CAST(length($text) AS DOUBLE) / 500.0, 1.0) * 0.4
-       |    + least((CAST(len(list_filter(string_split_regex(trim(lower($text)), '\\s+'),
+       |    + least((CAST(len(list_filter(regexp_extract_all(lower($text), '[^ \\t\\n\\f\\r\\x0B]+'),
        |        x -> list_contains(['the','a','an','and','of','to','in','is','that','it','was','for','on','with','as'], x))) AS DOUBLE)
-       |      / CAST(greatest(len(string_split_regex(trim(lower($text)), '\\s+')), 1) AS DOUBLE)) * 4.0, 1.0) * 0.4
+       |      / CAST(greatest(len(regexp_extract_all(lower($text), '[^ \\t\\n\\f\\r\\x0B]+')), 1) AS DOUBLE)) * 4.0, 1.0) * 0.4
        |    + (1.0 - least((CAST(len(regexp_extract_all($text, '[.,;:!?]')) AS DOUBLE)
        |      / CAST(greatest(length($text), 1) AS DOUBLE)) * 10.0, 1.0)) * 0.2""".stripMargin
 
@@ -450,7 +450,7 @@ object DedupSql {
        |  WHERE ${qualitySql("text")} >= $minQuality),
        |fp AS (
        |  SELECT doc_id,
-       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+       |    md5(regexp_replace(regexp_replace(lower(text), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g'), '(^ )|( $$)', '', 'g')) AS f
        |  FROM q),
        |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
        |kept AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
@@ -486,7 +486,7 @@ object DedupSql {
        |  WHERE ${qualitySql("text")} >= $minQuality),
        |fp AS (
        |  SELECT doc_id,
-       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+       |    md5(regexp_replace(regexp_replace(lower(text), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g'), '(^ )|( $$)', '', 'g')) AS f
        |  FROM q),
        |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
        |kept AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
@@ -507,7 +507,7 @@ object DedupSql {
        |  FROM reach GROUP BY u),
        |qtk AS (
        |  SELECT doc_id,
-       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+       |    unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')) AS t
        |  FROM kept),
        |qdq AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nt,
@@ -539,7 +539,7 @@ object DedupSql {
        |  WHERE ${qualitySql("text")} >= $minQuality),
        |fp AS (
        |  SELECT doc_id,
-       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+       |    md5(regexp_replace(regexp_replace(lower(text), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g'), '(^ )|( $$)', '', 'g')) AS f
        |  FROM q),
        |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
        |kept AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
@@ -562,13 +562,21 @@ object DedupSql {
   def sourceRank(base: String = "documents", n: Int = 5, iters: Int = 5,
       damping: Double = 0.85, maxSources: Int = 64): String = {
     val rounds = (0 until iters).map { i =>
+      // ORDERED folds, not sum(): FP addition is order-sensitive in
+      // the last ULP and each engine's sum() order is its own — on a
+      // hostile corpus the drift scrambles the gate's (pr, source)
+      // row sort (FuzzCorpus). Both engines fold src-ascending.
       s"""msg$i AS (
-         |  SELECT e.dst AS v, sum(pr.p * e.w / o.ow) AS m
+         |  SELECT e.dst AS v,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(pr.p * e.w / o.ow ORDER BY e.src)), (a, b) -> a + b)
+         |      AS m
          |  FROM e JOIN outw o ON o.src = e.src
          |  JOIN pr$i pr ON pr.v = e.src
          |  GROUP BY 1),
          |dang$i AS (
-         |  SELECT coalesce(sum(p), 0.0) AS dm FROM pr$i
+         |  SELECT coalesce(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list(p ORDER BY v)), (a, b) -> a + b), 0.0) AS dm FROM pr$i
          |  WHERE v NOT IN (SELECT src FROM outw)),
          |pr${i + 1} AS (
          |  SELECT nodes.v,
@@ -578,12 +586,12 @@ object DedupSql {
          |  LEFT JOIN msg$i ON msg$i.v = nodes.v)""".stripMargin
     }
     s"""WITH toks AS (
-       |  SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  SELECT source, regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+') AS t
        |  FROM $base),
        |idx AS (
        |  SELECT source, t,
        |    unnest(range(0, greatest(len(t) - $n, 0) + 1)) AS i
-       |  FROM toks),
+       |  FROM toks WHERE len(t) > 0),
        |sh AS (
        |  SELECT DISTINCT source AS v,
        |    CASE WHEN len(t) < $n THEN array_to_string(t, ' ')
@@ -610,13 +618,17 @@ object DedupSql {
     * batch and incremental chunk-dedup oracles. */
   private def chunkCtes(base: String, width: Int, p: String = ""): String =
     s"""${p}toks AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+') AS t
        |  FROM $base),
        |${p}chunks AS (
+       |  -- len(t) > 0: DuckDB's // TRUNCATES, so ((0-1)//w)+1 = 1 and a
+       |  -- zero-token doc would mint one NULL chunk (md5(NULL) then
+       |  -- poisons the hash CTE); the Spark chunker emits nothing there
        |  SELECT doc_id, i AS idx,
        |    array_to_string(list_slice(t, i * $width + 1, i * $width + $width),
        |      ' ') AS chunk
-       |  FROM ${p}toks, UNNEST(range(((len(t) - 1) // $width) + 1)) AS u(i)),
+       |  FROM ${p}toks, UNNEST(range(((len(t) - 1) // $width) + 1)) AS u(i)
+       |  WHERE len(t) > 0),
        |${p}hashed AS (
        |  SELECT doc_id, idx, chunk,
        |    ${XHash.h60Sql("chunk")} AS h1,
@@ -631,7 +643,7 @@ object DedupSql {
   private def cdcChunkCtes(base: String, avgWidth: Int,
       p: String = ""): String =
     s"""${p}toks AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+') AS t
        |  FROM $base),
        |${p}trows AS (
        |  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
@@ -661,6 +673,22 @@ object DedupSql {
        |    ${XHash.h60Sql("chunk")} AS h1,
        |    ${XHash.h56Sql("chunk")} AS h2
        |  FROM ${p}chunks)""".stripMargin
+
+  /** stream_chunks_cdc_state oracle (r16 verdict item 6): the crawl
+    * slice's distinct CDC chunk-key population, twice — the Spark side
+    * reports the state store's final `numRowsTotal` as `state_rows`
+    * and the sink's first-occurrence count as `distinct_keys`, so the
+    * hash gate pins STATE ROWS == DISTINCT KEYS == the relational
+    * replay: a leaked state row (dup key kept twice) or a lost one
+    * (key dropped) moves one of the three numbers. */
+  def cdcStateAccounting(newWhere: String,
+      avgWidth: Int = graft.dedup.Dedup.CdcAvgWidth): String =
+    s"""WITH ${cdcChunkCtes(s"(SELECT * FROM documents WHERE $newWhere)",
+            avgWidth)},
+       |k AS (SELECT DISTINCT h1, h2 FROM hashed)
+       |SELECT CAST(count(*) AS BIGINT) AS state_rows,
+       |  CAST(count(*) AS BIGINT) AS distinct_keys
+       |FROM k""".stripMargin
 
   /** dedup_chunks_cdc oracle: [[chunkDedup]]'s election + reassembly
     * over the content-defined chunk table. */
@@ -937,7 +965,7 @@ object DedupSql {
        |  WHERE kept_chunks > 0),"""}
        |qtoks AS (
        |  SELECT doc_id,
-       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+       |    unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')) AS t
        |  FROM b3),
        |feats AS (
        |  SELECT doc_id, ($qh % $qmB) * 2654435761 % 2000 - 1000 AS wi
@@ -1002,7 +1030,7 @@ object DedupSql {
          |FROM lvl GROUP BY doc_id""".stripMargin
   }
 
-  private def pipelinePrefix(minQuality: Double, nearDupJaccard: Double,
+  private[graft] def pipelinePrefix(minQuality: Double, nearDupJaccard: Double,
       n: Int, width: Int, evalMod: Int,
       domainFloorMilli: Option[Long], decontam: String): String = {
     val minCos = AnnQueries.SemDedupMinCos
@@ -1016,7 +1044,7 @@ object DedupSql {
     val domainCtes = domainFloorMilli.fold("") { floor =>
       s"""dtoks AS (
          |  SELECT doc_id,
-         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+         |    unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')) AS t
          |  FROM documents),
          |dagg AS (
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
@@ -1042,7 +1070,7 @@ object DedupSql {
        |  WHERE ${qualitySql("text")} >= $minQuality$domainWhere),
        |fp AS (
        |  SELECT doc_id,
-       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+       |    md5(regexp_replace(regexp_replace(lower(text), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g'), '(^ )|( $$)', '', 'g')) AS f
        |  FROM q),
        |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
        |kept AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
@@ -1133,7 +1161,7 @@ object DedupSql {
        |  WHERE kept_chunks > 0),"""}
        |qtoks AS (
        |  SELECT doc_id,
-       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+       |    unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')) AS t
        |  FROM sd),
        |feats AS (
        |  SELECT doc_id, ($qh % $qmB) * 2654435761 % 2000 - 1000 AS wi
@@ -1165,7 +1193,7 @@ object DedupSql {
        |  SELECT sd.doc_id,
        |    ${XHash.h60Sql("CAST(sd.doc_id AS VARCHAR)")} % $shards AS shard,
        |    ${XHash.h60Sql("CAST(sd.doc_id AS VARCHAR)")} % 1000000 AS ck,
-       |    CAST(len(string_split_regex(trim(lower(sd.text)), '\\s+'))
+       |    CAST(len(regexp_extract_all(lower(sd.text), '[^ \\t\\n\\f\\r\\x0B]+'))
        |      AS BIGINT) AS n_toks
        |  FROM sd JOIN sel USING (doc_id)),
        |pc AS (
@@ -1194,7 +1222,7 @@ object DedupSql {
       s"WHEN '$s0' THEN $q" }.mkString(" ") + " ELSE -1 END"
     s"""seld AS (
        |  SELECT sd.doc_id, doc.source,
-       |    CAST(len(string_split_regex(trim(lower(sd.text)), '\\s+'))
+       |    CAST(len(regexp_extract_all(lower(sd.text), '[^ \\t\\n\\f\\r\\x0B]+'))
        |      AS BIGINT) AS n_toks
        |  FROM sd JOIN sel USING (doc_id)
        |  JOIN documents doc USING (doc_id)),

@@ -22,7 +22,7 @@ object TextQueries {
   private[graft] def sketchOracle: String = s"""
         WITH ftoks AS (
           SELECT doc_id,
-            CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+            CAST(len(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+'))
               AS BIGINT) AS v
           FROM documents),
         stoks AS (
@@ -117,7 +117,7 @@ object TextQueries {
     s"""
         WITH tk AS (
           SELECT doc_id, source,
-            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+            unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')) AS t
           FROM documents),
         qd AS (
           SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_toks,
@@ -214,9 +214,9 @@ object TextQueries {
     * and the tokenizer-aware pack oracle (row 121), so the two gates
     * can never disagree about what a token is. */
   private[graft] def bpeCountSqlExpr(textExpr: String): String = {
-    val init = "(' ' || array_to_string(list_transform(" +
+    val init = "(' ' || coalesce(array_to_string(list_transform(" +
       s"regexp_extract_all(lower($textExpr), '[a-z]+'), " +
-      "w -> regexp_replace(w, '(.)', '\\1 ', 'g')), chr(1) || ' '))"
+      "w -> regexp_replace(w, '(.)', '\\1 ', 'g')), chr(1) || ' '), ''))"
     val merged = Text.BpeMerges.foldLeft(init) { case (acc, (a, b)) =>
       (1 to Text.BpePasses).foldLeft(acc)((cur, _) =>
         s"replace($cur, ' $a $b ', ' $a$b ')")
@@ -260,7 +260,7 @@ object TextQueries {
         s"""
         WITH t AS (
           SELECT doc_id, lang AS lang_actual, text,
-            string_split_regex(trim(lower(text)), '\\s+') AS toks
+            regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+') AS toks
           FROM $base),
         s AS (
           SELECT doc_id, lang_actual, text,
@@ -289,7 +289,7 @@ object TextQueries {
         Text.bpeCount(col("text")).cast("long").as("bpe_tokens")),
       Some("""
         SELECT doc_id,
-          CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,
+          CAST(len(regexp_extract_all(lower(text), '[^ \t\n\f\r\x0B]+')) AS BIGINT) AS ws_tokens,
           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
         FROM documents""")),
 
@@ -413,7 +413,7 @@ object TextQueries {
         uni AS (SELECT * FROM (${graft.text.Unigram.applyOracleSql()})),
         base AS (
           SELECT doc_id, source, CAST(length(text) AS BIGINT) AS chars,
-            CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+            CAST(len(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+'))
               AS BIGINT) AS words
           FROM documents),
         agg AS (
@@ -471,6 +471,11 @@ object TextQueries {
         val d = docs(s, dir).select(col("doc_id"), col("source"),
           col("text"),
           Text.tokenCount(col("text")).cast("long").as("n_toks"))
+          // zero-token docs carry no mass to repeat and are invisible
+          // to the quality scorer the plan derives from (its per-doc
+          // grain is the exploded-token aggregate) — exclude them from
+          // the executed multiset like the plan's qd does (FuzzCorpus)
+          .where(col("n_toks") > 0L)
         val withPlan = d.join(plan, Seq("source"))
         val fullRows = withPlan.where(col("full_epochs") >= 1L)
           .select(col("doc_id"),
@@ -560,9 +565,9 @@ object TextQueries {
             CAST(length(text) AS BIGINT) AS n_chars,
             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
               / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
-            CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+            CAST(len(list_filter(regexp_extract_all(lower(text), '[^ \t\n\f\r\x0B]+'),
                    x -> list_contains(['the','a','an','and','of','to','in','is','that','it','was','for','on','with','as'], x))) AS DOUBLE)
-              / CAST(greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1) AS DOUBLE) AS stopword_ratio
+              / CAST(greatest(len(regexp_extract_all(lower(text), '[^ \t\n\f\r\x0B]+')), 1) AS DOUBLE) AS stopword_ratio
           FROM documents)
         SELECT doc_id, n_chars, punct_ratio, stopword_ratio,
           least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
@@ -595,9 +600,9 @@ object TextQueries {
             CAST(length(text) AS BIGINT) AS n_chars,
             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
               / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
-            CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+            CAST(len(list_filter(regexp_extract_all(lower(text), '[^ \t\n\f\r\x0B]+'),
                    x -> list_contains(['the','a','an','and','of','to','in','is','that','it','was','for','on','with','as'], x))) AS DOUBLE)
-              / CAST(greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1) AS DOUBLE) AS stopword_ratio
+              / CAST(greatest(len(regexp_extract_all(lower(text), '[^ \t\n\f\r\x0B]+')), 1) AS DOUBLE) AS stopword_ratio
           FROM documents),
         scored AS (
           SELECT doc_id, source,
@@ -622,7 +627,8 @@ object TextQueries {
       Some("""
         WITH t AS (
           SELECT doc_id,
-            regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+            regexp_replace(regexp_replace(lower(text),
+              '[ \t\n\f\r\x0B]+', ' ', 'g'), '(^ )|( $)', '', 'g') AS norm
           FROM documents)
         SELECT doc_id, md5(norm) AS fp,
           list_reduce(
@@ -694,7 +700,7 @@ object TextQueries {
       Some("""
         WITH toks AS (
           SELECT doc_id,
-            unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+            unnest(regexp_extract_all(lower(text), '[^ \t\n\f\r\x0B]+')) AS t
           FROM documents),
         vocab AS (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY 1),
         tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
@@ -718,7 +724,7 @@ object TextQueries {
         maxVocab = 16, maxBigrams = 64),
       Some("""
         WITH parts AS (
-          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS p
+          SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\f\r\x0B]+') AS p
           FROM documents),
         toks AS (
           SELECT doc_id,
@@ -764,7 +770,7 @@ object TextQueries {
         maxVocab = 16, maxBigrams = 64, maxTrigrams = 128),
       Some("""
         WITH parts AS (
-          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS p
+          SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\f\r\x0B]+') AS p
           FROM documents),
         toks AS (
           SELECT doc_id,
@@ -841,7 +847,7 @@ object TextQueries {
       Some(s"""
         WITH toks AS (
           SELECT doc_id,
-            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+            unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')) AS t
           FROM documents),
         vocab AS (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY 1),
         tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
@@ -870,7 +876,7 @@ object TextQueries {
       (s, dir) => Text.repetitionTable(docs(s, dir)),
       Some("""
         WITH toks AS (
-          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+          SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\f\r\x0B]+') AS t
           FROM documents),
         words AS (SELECT doc_id, unnest(t) AS w FROM toks),
         wagg AS (
@@ -915,7 +921,7 @@ object TextQueries {
         s"""
         WITH toks AS (
           SELECT doc_id,
-            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+            unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')) AS t
           FROM documents),
         feats AS (
           SELECT doc_id,
@@ -967,7 +973,7 @@ object TextQueries {
         s"""
         WITH toks AS (
           SELECT doc_id,
-            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+            unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')) AS t
           FROM documents),
         feats AS (
           SELECT doc_id, ($h % $b) * 2654435761 % 2000 - 1000 AS wi
@@ -1004,13 +1010,13 @@ object TextQueries {
           .as("dup_docs")),
       Some("""
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
-          CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+          CAST(sum(len(regexp_extract_all(lower(text), '[^ \t\n\f\r\x0B]+')))
             AS BIGINT) AS n_tokens,
           CAST(sum(length(text)) AS BIGINT) AS n_chars,
           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
           CAST(count(*) - count(DISTINCT
-            md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))
+            md5(regexp_replace(regexp_replace(lower(text), '[ \t\n\f\r\x0B]+', ' ', 'g'), '(^ )|( $)', '', 'g')))
             AS BIGINT) AS dup_docs
         FROM documents""")),
 
@@ -1025,7 +1031,7 @@ object TextQueries {
           col("w6").cast("long").as("w6")),
       Some("""
         WITH toks AS (
-          SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+          SELECT regexp_extract_all(lower(text), '[^ \t\n\f\r\x0B]+') AS t
           FROM documents),
         p AS (
           SELECT t[i] AS x, t[i + d] AS y, d
@@ -1067,7 +1073,7 @@ object TextQueries {
         s"""
         WITH toks AS (
           SELECT doc_id,
-            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+            unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')) AS t
           FROM documents),
         feats AS (
           SELECT doc_id, ($h % $b) * 2654435761 % 2000 - 1000 AS wi
@@ -1104,7 +1110,7 @@ object TextQueries {
           col("pair_count").cast("long").as("pair_count"), col("pmi")),
       Some("""
         WITH toks AS (
-          SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+          SELECT regexp_extract_all(lower(text), '[^ \t\n\f\r\x0B]+') AS t
           FROM documents),
         tot AS (
           SELECT CAST(sum(len(t)) AS DOUBLE) AS n_tok,
@@ -1131,7 +1137,7 @@ object TextQueries {
       (s, dir) => graft.text.Text.cmsHeavyHitters(docs(s, dir)),
       Some(s"""
         WITH toks AS (
-          SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+          SELECT unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')) AS t
           FROM documents),
         ex AS (SELECT t, COUNT(*) AS exact FROM toks GROUP BY 1),
         top AS (SELECT t, exact FROM ex ORDER BY exact DESC, t LIMIT 20),
@@ -1176,7 +1182,9 @@ object TextQueries {
             graft.text.Html.extractText(col("html")).as("text_extracted"))
       },
       Some("""
-        SELECT doc_id, 'Doc ' || doc_id AS title, text AS text_extracted
+        SELECT doc_id, 'Doc ' || doc_id AS title,
+          regexp_replace(regexp_replace(text, '[ \t\n\f\r\x0B]+', ' ', 'g'),
+            '(^ )|( $)', '', 'g') AS text_extracted
         FROM documents"""))
   )
 }

@@ -67,7 +67,7 @@ object UrlQueries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
           FROM (
             SELECT doc_id, ${Urls.registeredSql("doc_id")} AS domain,
-              CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+              CAST(len(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+'))
                 AS BIGINT) AS n_toks
             FROM documents))
         WHERE ${domainQuotaCaseSql("domain")} < 0
@@ -248,7 +248,7 @@ object UrlQueries {
         s"""
         WITH toks AS (
           SELECT doc_id,
-            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+            unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')) AS t
           FROM documents),
         feats AS (
           SELECT doc_id,

@@ -4,35 +4,24 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors.toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // external bucketed tables keep data under /tmp; the catalog
-      // default location must not litter the repo cwd
-      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
-      .config("spark.sql.codegen.cache.maxEntries", "1000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** The dump body, callable in-process (FuzzSpec runs it over the
+    * adversarial corpus with the shared test session). Returns the
+    * names of queries that threw — the driver treats a missing result
+    * parquet as a FAIL, and so does the caller. */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      only: Option[Set[String]] = None): Seq[String] = {
     new java.io.File(outDir).mkdirs()
-    // Local iteration aid mirroring Bench: SPARK_GRAFT_ONLY=a,b dumps a
-    // subset. The driver never sets it, so the gate always runs all.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    val failed = Seq.newBuilder[String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
       }
       // queries are independent — free checkpoint blocks and streaming
       // memory-sink tables so 50+ queries don't accumulate storage
@@ -56,6 +45,29 @@ object Verify {
       .filter(kv => only.forall(_(kv._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    failed.result()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // external bucketed tables keep data under /tmp; the catalog
+      // default location must not litter the repo cwd
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // Local iteration aid mirroring Bench: SPARK_GRAFT_ONLY=a,b dumps a
+    // subset. The driver never sets it, so the gate always runs all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    run(spark, sfDir, outDir, only)
     spark.stop()
   }
 }

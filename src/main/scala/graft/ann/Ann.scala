@@ -47,6 +47,13 @@ object Ann {
    */
   def withNormalized(df: DataFrame, vecCol: String, out: String): DataFrame =
     df.withColumn("_nrm", norm(col(vecCol)))
+      // zero-norm vectors are INVALID INPUT, dropped at the ingest
+      // boundary (the reference's bad-value row-drop semantics applied
+      // to vectors): a failed encoder emits all-zeros, and cosine over
+      // it is 0/0 — ANSI Spark errors, IEEE engines emit NaN, and no
+      // two engines rank the poison the same way. Every oracle replays
+      // the same norm>0 filter. Found by the FuzzCorpus gate.
+      .where(col("_nrm") > 0)
       .withColumn(out, transform(col(vecCol), x => x.cast("double") / col("_nrm")))
       .drop("_nrm")
 

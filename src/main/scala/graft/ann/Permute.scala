@@ -42,6 +42,12 @@ object Permute {
   val Dim = 64
   val Subs = 4
 
+  /** Quantization clamp: coordinates saturate at ±ClampAbs before the
+    * 10⁶ scaling. Covers the 8× anisotropic boost fixture with slack;
+    * keeps q ≤ 1.6·10⁷ so q² fits int64 and n·Σq² fits decimal(38,0)
+    * up to ~6·10¹¹ rows. */
+  val ClampAbs = 16.0
+
   /** The learned permutation as ONE row (column `perm`: array&lt;int&gt;
     * of OLD positions in NEW order — rank r lands at slot
     * (r mod Subs)·(Dim/Subs) + r div Subs, the round-robin deal). */
@@ -53,7 +59,13 @@ object Permute {
     corpus
       .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
       .select(col("pos"),
-        floor(col("x").cast("double") * lit(1000000.0)).cast("long").as("q"))
+        // clamp |x| ≤ ClampAbs before quantizing: the ranking only
+        // needs RELATIVE energy, and a hostile coordinate (a 1e18
+        // float — found by the FuzzCorpus gate) would otherwise push
+        // q² past every integer width in both engines. Saturated
+        // coordinates still rank their dimension maximal.
+        floor(greatest(least(col("x").cast("double"), lit(ClampAbs)),
+          -lit(ClampAbs)) * lit(1000000.0)).cast("long").as("q"))
       .groupBy(col("pos"))
       .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
         sum(col("q").cast("decimal(38,0)")).as("s1"),
@@ -85,8 +97,9 @@ object Permute {
   def permCtes(base: String, vecExpr: String): String = s"""
       pe0 AS (
         SELECT CAST(a.pos AS INT) AS pos,
-          CAST(floor(1000000.0 * CAST($vecExpr[CAST(a.pos AS INT) + 1]
-            AS DOUBLE)) AS BIGINT) AS q
+          CAST(floor(1000000.0 * greatest(least(
+            CAST($vecExpr[CAST(a.pos AS INT) + 1] AS DOUBLE),
+            $ClampAbs), -$ClampAbs)) AS BIGINT) AS q
         FROM $base, UNNEST(range(0, $Dim)) a(pos)),
       pe AS (
         SELECT pos, COUNT(*) * SUM(q * q) - SUM(q) * SUM(q) AS energy

@@ -71,7 +71,7 @@ object Corpus {
     val k = "__bp_id"
     val lines = docs.select(col(idCol).as(k),
         posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "ln")))
-      .withColumn("n", trim(lower(col("ln"))))
+      .withColumn("n", Text.wsNorm(col("ln")))
     val hot = lines.where(col("n") =!= "")
       .groupBy(col("n"))
       .agg(countDistinct(col(k)).as("nd"))
@@ -929,14 +929,26 @@ object Corpus {
     val nN = nodes.count().toDouble
     var pr = nodes.withColumn("p", lit(1.0) / lit(nN))
     for (_ <- 0 until iters) {
+      // ordered fold, not sum(): FP addition is order-sensitive in the
+      // last ULP and partial-agg order is nondeterministic — on a
+      // hostile corpus the drift scrambles the gate's row sort
+      // (FuzzCorpus). Fold src-ascending, exactly like the oracle;
+      // fan-in is ≤ |sources| (the graph is source-grained), so the
+      // collected list is vocabulary-bounded, never corpus-sized.
       val msgs = edges
         .join(outw, Seq("src"))
         .join(pr.select(col("v").as("src"), col("p")), Seq("src"))
+        .select(col("dst"),
+          struct(col("src"), (col("p") * col("w") / col("ow")).as("t"))
+            .as("st"))
         .groupBy(col("dst").as("v"))
-        .agg(sum(col("p") * col("w") / col("ow")).as("m"))
+        .agg(aggregate(array_sort(collect_list(col("st"))), lit(0.0),
+          (a, x) => a + x.getField("t")).as("m"))
       val dang = pr
         .join(outw.select(col("src").as("v")), Seq("v"), "left_anti")
-        .agg(coalesce(sum(col("p")), lit(0.0)).as("dm"))
+        .select(struct(col("v"), col("p")).as("st"))
+        .agg(coalesce(aggregate(array_sort(collect_list(col("st"))),
+          lit(0.0), (a, x) => a + x.getField("p")), lit(0.0)).as("dm"))
       // localCheckpoint, not lazy persist: each pr is referenced twice
       // by the next state (messages + dangling) — eager checkpointing
       // cuts that to one computation AND keeps each iteration a flat

@@ -311,8 +311,14 @@ object Dedup {
       textCol: String = "text", n: Int = 3,
       bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame =
     docs.select(col(idCol).as("id"), contentKey(col(textCol)).as("fp"))
+      // LEFT join: zero-shingle docs have no signature row, but their
+      // FINGERPRINT must still enter the store — an inner join dropped
+      // them and a later crawl's identical empty doc sailed past the
+      // cross-snapshot exact filter (FuzzCorpus). Their member columns
+      // stay NULL; band keys from all-NULL members never match a probe
+      // (sig-less docs emit no band rows).
       .join(minhashSignature(docs, idCol, textCol, n, bands * rowsPerBand),
-        Seq("id"))
+        Seq("id"), "left_outer")
 
   /**
    * The store UPDATE step that closes the incremental loop: dedup a new
@@ -1132,7 +1138,10 @@ object Dedup {
       textCol: String, width: Int): DataFrame = {
     val rows = docs
       .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("ts"))
-      // '' splits to [''] so size >= 1 and every doc has >= 1 chunk
+      // zero-token docs have NOTHING to chunk — and sequence(0, -1)
+      // DESCENDS, so without the guard an empty doc minted idx -1
+      // rows (FuzzCorpus). They drop from chunk-grain outputs entirely
+      .where(size(col("ts")) > 0)
       .select(col("doc_id"),
         explode(sequence(lit(0),
           floor((size(col("ts")) - 1) / lit(width)).cast("int"))).as("idx"),
@@ -1289,6 +1298,9 @@ object Dedup {
       textCol: String, avgWidth: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         Text.tokens(col(textCol)).as("__ts"))
+      // zero-token docs chunk to nothing (the fixed-width chunker's
+      // contract; without the guard bounds [0,0] minted one "" chunk)
+      .where(size(col("__ts")) > 0)
       .select(col("doc_id"), col("__ts"),
         cdcCuts(col("__ts"), avgWidth).as("__cuts"))
       .select(col("doc_id"),

@@ -20,6 +20,9 @@ object MinHashSigUtil {
     * pipeline per (member, shingle) pair, this digests each shingle
     * once. */
   def sig(shingles: ArrayData, k: Int): ArrayData = {
+    // no shingles -> no signature (NULL): a zero-token doc must not
+    // get the md5("")-derived signature every other empty doc shares
+    if (shingles.numElements() == 0) return null
     val mins = Array.fill(k)(Long.MaxValue)
     val md = java.security.MessageDigest.getInstance("MD5")
     var j = 0
@@ -64,9 +67,10 @@ object MinHashSigUtil {
     * lambda interpreter) costs ~1 ms/doc — 25× this whole kernel — and
     * the admission path runs it per arriving row. */
   def sigTokens(tokens: ArrayData, n: Int, k: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    if (cnt == 0) return null // the [[sig]] zero-shingle contract
     val mins = Array.fill(k)(Long.MaxValue)
     val md = java.security.MessageDigest.getInstance("MD5")
-    val cnt = tokens.numElements()
     def windowBytes(from: Int, len: Int): Array[Byte] = {
       var total = if (len > 0) len - 1 else 0
       var i = from
@@ -116,7 +120,13 @@ object MinHashSigUtil {
       }
       org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
     }
-    if (cnt < n) {
+    if (cnt == 0) {
+      // a zero-token document has NOTHING to shingle: emitting the ""
+      // window made every empty/whitespace doc a near-dup candidate of
+      // every other and diverged from the oracle's empty list (the
+      // FuzzCorpus gate). Exact dedup still groups empty docs.
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    } else if (cnt < n) {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
         Array[Any](windowOf(0, cnt)))
     } else {
@@ -152,9 +162,12 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any =
     MinHashSigUtil.sig(input.asInstanceOf[ArrayData], k)
 
+  override def nullable: Boolean = true
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.MinHashSigUtil.sig($c, $k);")
+      s"""${ev.value} = graft.functions.MinHashSigUtil.sig($c, $k);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -184,9 +197,12 @@ case class ShingleMinHashSig(child: Expression, n: Int, k: Int)
   override protected def nullSafeEval(input: Any): Any =
     MinHashSigUtil.sigTokens(input.asInstanceOf[ArrayData], n, k)
 
+  override def nullable: Boolean = true
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.MinHashSigUtil.sigTokens($c, $n, $k);")
+      s"""${ev.value} = graft.functions.MinHashSigUtil.sigTokens($c, $n, $k);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
 
   override protected def withNewChildInternal(
       newChild: Expression): ShingleMinHashSig =

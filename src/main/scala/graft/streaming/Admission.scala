@@ -135,7 +135,9 @@ object Admission {
       lit(-1).as("idx"),
       lit(null).cast("string").as("chunk"),
       sig.as("sig")))
-    val bandRows = transform(sequence(lit(0), lit(Bands - 1)), b =>
+    // a zero-token doc has a NULL signature (no shingles) -> NO band
+    // rows; slice(x, 1, 0) is the correctly-typed empty array
+    val bandRows0 = transform(sequence(lit(0), lit(Bands - 1)), b =>
       struct(
         lit(1).as("kind"),
         b.cast("string").as("k1"),
@@ -145,6 +147,8 @@ object Admission {
         lit(-1).as("idx"),
         lit(null).cast("string").as("chunk"),
         lit(null).cast("array<bigint>").as("sig")))
+    val bandRows =
+      when(sig.isNotNull, bandRows0).otherwise(slice(bandRows0, 1, 0))
     val ts = Text.tokens(col(textCol))
     // cdc: the md5 cut array MUST stage as its own projection
     // attribute before the assembly lambda references it — embedded
@@ -185,7 +189,12 @@ object Admission {
             chunk.as("chunk"),
             lit(null).cast("array<bigint>").as("sig"))
         })
-    val parts = Seq(0 -> fpRow, 1 -> bandRows, 2 -> chunkRows)
+    // zero-token docs chunk to NOTHING (the batch chunkers' contract;
+    // the fixed arm's sequence(0, -1) would otherwise DESCEND and mint
+    // phantom idx -1 rows — FuzzCorpus)
+    val chunkRowsG =
+      when(size(ts) > 0, chunkRows).otherwise(slice(chunkRows, 1, 0))
+    val parts = Seq(0 -> fpRow, 1 -> bandRows, 2 -> chunkRowsG)
       .collect { case (k, a) if kinds(k) => a }
     require(parts.nonEmpty, "probeRows: kinds must select at least one family")
     stagedIn.select(col("doc_id"),

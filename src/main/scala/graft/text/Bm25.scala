@@ -183,7 +183,7 @@ object Bm25 {
   /** CTE prefix shared by the bm25 gate and the RRF oracle: per-doc
     * features `f`, corpus stats `st`, scored docs `sc`. */
   def sqlCtes(table: String, terms: Seq[String] = Terms): String = {
-    val toks = s"string_split_regex(trim(lower(text)), '\\s+')"
+    val toks = s"regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')"
     val tfs = terms.map(t =>
       s"CAST(len(list_filter($toks, x -> x = '$t')) AS BIGINT) AS ${tfCol(t)}")
       .mkString(",\n            ")
@@ -340,8 +340,23 @@ object Bm25 {
       .agg(count(lit(1)).cast("long").as("df"))
     writeSummary(s, path, "df", dfTab)
     postings.join(broadcast(vocabTerms), Seq("term"))
-      .write.mode("overwrite").partitionBy("term")
+      .withColumn("tkey", md5(col("term")))
+      .write.mode("overwrite").partitionBy("tkey")
       .parquet(s"$path/postings")
+  }
+
+  /** Posting-partition key: md5 hex of the term. Raw terms make
+    * hostile partition DIRECTORY names — an astral-plane token crashes
+    * the committer under a non-UTF-8 locale (found by the FuzzCorpus
+    * gate), and a 10 kB token exceeds path limits — so the layout
+    * partitions on this fixed-width path-safe derivation and keeps
+    * `term` as a data column. Serving prunes on tkey literals and
+    * re-filters on the term itself, so an md5 collision costs one
+    * extra directory read, never a wrong score. */
+  private[graft] def termKey(term: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"$b%02x").mkString
   }
 
   /** Two-metadata-rename swap of `$root/$name.staging` into
@@ -413,7 +428,8 @@ object Bm25 {
       .select(col("term"))
     val batch = postingsOf(newDocs, idCol, textCol)
       .join(broadcast(vocabTerms), Seq("term"))
-    batch.write.mode("append").partitionBy("term")
+    batch.withColumn("tkey", md5(col("term")))
+      .write.mode("append").partitionBy("tkey")
       .parquet(s"$path/postings")
     // summaries are vocab-cap / one-row bounded — driver-size by
     // construction, so the adds happen locally
@@ -451,8 +467,11 @@ object Bm25 {
    */
   def bm25FromLexicon(s: org.apache.spark.sql.SparkSession, root: String,
       k: Int, terms: Seq[String] = Terms): DataFrame = {
+    // tkey literals prune partitions; the term filter closes the
+    // (negligible) md5-collision hole
     val post = s.read.parquet(s"$root/postings")
-      .where(col("term").isin(terms: _*))
+      .where(col("tkey").isin(terms.map(termKey): _*) &&
+        col("term").isin(terms: _*))
     val dfTab = s.read.parquet(summaryPath(s, root, "df"))
       .where(col("term").isin(terms: _*))
     val stats = s.read.parquet(summaryPath(s, root, "stats"))

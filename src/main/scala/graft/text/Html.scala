@@ -148,7 +148,13 @@ object Html {
     val noBlocks = regexp_replace(noCdata,
       s"(?is)<($DropBlocks)\\b$TagInnards>.*?</\\1\\s*>", " ")
     val noTags = regexp_replace(noBlocks, s"<$TagInnards>", " ")
-    trim(regexp_replace(decodeEntities(noTags), "\\s+", " "))
+    // explicit ASCII class + regex strip, not \s/trim: Java's \s
+    // includes \x0B where RE2's doesn't, and a bare trim() means
+    // unicode spaces in DuckDB vs ASCII in Spark (Text.WsClass) —
+    // the oracle replays this collapse as the extraction contract
+    regexp_replace(
+      regexp_replace(decodeEntities(noTags), s"[${Text.WsClass}]+", " "),
+      "(^ )|( $)", "")
   }
 
   /** The page title (chrome the EXTRACTOR drops but a crawl pipeline

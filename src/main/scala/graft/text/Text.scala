@@ -12,7 +12,23 @@ import org.apache.spark.sql.functions._
 object Text {
 
   /** Lower-cased whitespace tokens. */
-  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+  /** ASCII whitespace, spelled as an explicit class. Java's `\s` and
+    * RE2's `\s` disagree at `\x0B` (Java includes the vertical tab,
+    * RE2 doesn't), and DuckDB's bare `trim()` strips UNICODE spaces
+    * (U+00A0 etc.) where Spark's strips ASCII — both found by the
+    * FuzzCorpus gate. Every tokenization/normalization both engines
+    * replay uses this class, never `\s` and never bare `trim`. */
+  val WsClass = " \\t\\n\\f\\r\\x0B"
+  /** The same class for RE2/DuckDB SQL fragments (single-escaped). */
+  val WsClassSql = " \\t\\n\\f\\r\\x0B"
+
+  /** Whitespace tokenization: the non-whitespace RUNS of the lowered
+    * text. Extraction (not split) so empty/whitespace-only text yields
+    * ZERO tokens — `split` yields `[""]` there, which once leaked an
+    * empty term into the partitionBy("term") lexicon write and made
+    * every degenerate doc count one phantom token. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(s"[^$WsClass]+"), lit(0))
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -167,9 +183,9 @@ object Text {
     * here would collapse the corpus state to zero rows on degenerate
     * corpora and silently diverge from the Spark side. */
   private def bpeTrainCtes(base: String, merges: Int, passes: Int): String = {
-    val init = "(' ' || array_to_string(list_transform(" +
+    val init = "(' ' || coalesce(array_to_string(list_transform(" +
       "regexp_extract_all(lower(text), '[a-z]+'), " +
-      "w -> regexp_replace(w, '(.)', '\\1 ', 'g')), chr(1) || ' '))"
+      "w -> regexp_replace(w, '(.)', '\\1 ', 'g')), chr(1) || ' '), ''))"
     val rounds = (0 until merges).map { i =>
       val rep = (1 to passes).foldLeft(s"s$i")((s, _) =>
         s"replace($s, ' ' || bb.a || ' ' || bb.b || ' ', " +
@@ -247,9 +263,22 @@ object Text {
       least(stopwordRatio(text) * lit(4.0), lit(1.0)) * lit(0.4) +
       (lit(1.0) - least(punctRatio(text) * lit(10.0), lit(1.0))) * lit(0.2)
 
+  /** Whitespace-normalize: collapse ASCII-whitespace runs of the
+    * lowered text to single spaces, then strip the (at most one)
+    * leading/trailing space. Explicit-class + regex-strip so both
+    * engines agree on NBSP and \x0B (see [[WsClass]]); empty and
+    * whitespace-only text normalize to "". */
+  def wsNorm(text: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(text), s"[$WsClass]+", " "), "(^ )|( $)", "")
+
+  /** The [[wsNorm]] twin as a DuckDB SQL fragment. */
+  def wsNormSql(text: String): String =
+    s"regexp_replace(regexp_replace(lower($text), " +
+      s"'[$WsClassSql]+', ' ', 'g'), '(^ )|( $$)', '', 'g')"
+
   /** Content fingerprint: md5 of the whitespace-normalized lower text. */
-  def fingerprint(text: Column): Column =
-    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+  def fingerprint(text: Column): Column = md5(wsNorm(text))
 
   /**
    * Rolling (polynomial) hash over the codepoints of the whitespace-
@@ -263,7 +292,7 @@ object Text {
    * tax on the scan at corpus scale.
    */
   def rollingHash(text: Column): Column = {
-    val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
+    val norm = wsNorm(text)
     org.apache.spark.sql.graft.bridge.column(
       graft.functions.RollingHash(
         org.apache.spark.sql.graft.bridge.expression(norm)))

@@ -506,7 +506,7 @@ class DedupSpec extends SparkSpec {
       "incremental CDC must drop stored interior chunks at the new offset")
   }
 
-  test("CDC chunks partition the token stream; empty doc yields one empty chunk") {
+  test("CDC chunks partition the token stream; empty doc yields no chunks") {
     import org.apache.spark.sql.functions.{array_join, expr}
     val d = Seq((1L, "  The   quick brown fox JUMPS over the lazy dog  "),
       (2L, ""), (3L, "one"), (4L, (1 to 200).map(i => s"w${i % 13}").mkString(" ")))
@@ -518,9 +518,9 @@ class DedupSpec extends SparkSpec {
         " ").as("rejoined"),
       expr("array_join(split(trim(lower(text)), '\\\\s+'), ' ')").as("norm"))
     assert(rows.where(col("rejoined") =!= col("norm")).count() == 0)
-    // '' tokenizes to [''] → exactly one chunk, the empty chunk
-    assert(Dedup.cdcChunkDedup(d.where(col("doc_id") === 2L))
-      .head.getLong(1) == 1L)
+    // '' tokenizes to ZERO tokens → no chunks, no output row (the
+    // FuzzCorpus zero-token contract; exact dedup still covers empties)
+    assert(Dedup.cdcChunkDedup(d.where(col("doc_id") === 2L)).count() == 0)
   }
 
   test("Admission.probeRows(cdc) kind-2 rows == cdcChunkHashRows (the row-115 stream wiring)") {
@@ -627,6 +627,9 @@ class DedupSpec extends SparkSpec {
     val toks = graft.text.Text.tokens(col("text"))
     val old = docs
       .select(col("doc_id").as("id"), toks.as("toks"))
+      // zero-token docs emit no windows (the kernel's FuzzCorpus
+      // contract) — the reference form must skip them too
+      .where(size(col("toks")) > 0)
       .select(col("id"), col("toks"),
         explode(sequence(lit(0),
           greatest(size(col("toks")) - n, lit(0)))).as("i"))
@@ -644,7 +647,10 @@ class DedupSpec extends SparkSpec {
       .count()
     assert(drift == 0, s"$drift slots drifted from the slice+concat form")
     // and shingles() == the old HOF transform+array_distinct form
-    val hof = when(size(toks) < n, array(concat_ws(" ", toks)))
+    // (with the zero-token arm yielding the EMPTY set — the FuzzCorpus
+    // contract: an empty doc has nothing to shingle)
+    val hof = when(size(toks) === 0, array().cast("array<string>"))
+      .when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(array_distinct(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
     val setDrift = docs.select(Dedup.shingles(col("text"), n).as("a"),

@@ -389,8 +389,25 @@ class RetrievalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("documents.parquet"),
       "serving must not open the corpus")
-    assert(plan.contains("PartitionFilters") && plan.contains("term#"),
+    assert(plan.contains("PartitionFilters") && plan.contains("tkey#"),
       plan.take(1200))
     assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("pipeline recall gate is non-vacuous at the gate dir and hits " +
+      "clear its floor (row 123)") {
+    val rows = SparkEntry.queries("retrieval_recall_pipeline")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3)))
+    val survived = rows.count(_._2)
+    val hits = rows.count(_._3)
+    assert(survived > 0,
+      "zero targets survived curation — the floor is vacuous; widen " +
+        "PipeTargetMod/PipeTargetCap")
+    assert(rows.forall(_._4), "recall_ok must hold at the gate dir")
+    assert(hits * 1000 >= RetrievalQueries.MinKiPipelinePerMille * survived)
+    // a hit requires survival by construction
+    assert(rows.forall(r => !r._3 || r._2))
   }
 }

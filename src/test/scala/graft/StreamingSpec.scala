@@ -228,6 +228,53 @@ class StreamingSpec extends SparkSpec {
     assert(streamedHist == batchHist, "streamed histogram != batch histogram")
   }
 
+  test("CDC chunk-window state rows == distinct chunk keys across >= 4 " +
+      "real micro-batches (r16 verdict item 6)") {
+    // the stream_chunks_cdc_state registry leg drains the gate corpus
+    // as one micro-batch; this arm pins the ACCOUNTING CONTRACT under
+    // a real multi-batch carve-up: dropDuplicates state must hold
+    // EXACTLY one row per distinct chunk key seen — a leak shows as
+    // state_rows > distinct, a loss as <, and repeated chunks across
+    // batches (doc 30 repeats doc 0's text) must not re-admit.
+    val base = Files.createTempDirectory("graft-cdcstate").toString
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4,
+      "lambda mu nu xi omicron pi rho sigma tau upsilon " * 4,
+      "phi chi psi omega alpha beta gamma delta epsilon zeta " * 4,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      Seq((i * 10L, t)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    val raw = spark.read.parquet(s"$base/in")
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val novel = graft.streaming.Admission
+      .probeRows(stream, cdc = true, kinds = Set(2))
+      .select(col("doc_id"), col("idx"), col("k1"), col("k2"))
+      .dropDuplicates("k1", "k2")
+    val q = novel.writeStream.format("memory").queryName("t_cdc_state")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      s"expected >= 4 data-bearing micro-batches, got " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal))
+      .maxOption.getOrElse(0L)
+    val distinctBatch = graft.streaming.Admission
+      .probeRows(raw, cdc = true, kinds = Set(2))
+      .select(col("k1"), col("k2")).distinct().count()
+    val sinkRows = spark.table("t_cdc_state").count()
+    assert(stateRows == distinctBatch,
+      s"state rows $stateRows != distinct chunk keys $distinctBatch")
+    assert(sinkRows == distinctBatch,
+      s"sink first-occurrences $sinkRows != distinct chunk keys " +
+        s"$distinctBatch (a repeated chunk crossed batches undeduped)")
+  }
+
   test("streamed admission pipeline == batch twin across >= 4 real " +
       "micro-batches, any carve-up") {
     // the registry gate drains the crawl as ONE micro-batch (single
