@@ -160,7 +160,24 @@ object Dn {
     var gnuplot = false
     var dryRun = false
     val positional = Seq.newBuilder[String]
-    val flags = argv.tail.flatMap {
+    // reference parity: -b/-f short flags take their value from the
+    // NEXT argv slot (bin/dn option tables), and -b is repeatable —
+    // `-b a -b b` means `-b a,b` (README.md:94-99)
+    val shortMap = Map("-b" -> "breakdowns", "-f" -> "filter")
+    val expanded = {
+      val out = Seq.newBuilder[String]
+      var rest = argv.tail.toList
+      while (rest.nonEmpty) rest match {
+        case s :: v :: tl if shortMap.contains(s) =>
+          out += s"--${shortMap(s)}=$v"; rest = tl
+        case s :: Nil if shortMap.contains(s) =>
+          throw new GraftException(s"$s requires a value")
+        case a :: tl => out += a; rest = tl
+        case Nil => ()
+      }
+      out.result()
+    }
+    val flagPairs = expanded.flatMap {
       case "--points" => points = true; None
       case "--counters" => counters = true; None
       // NOT an alias for --counters: normal output plus per-record drop
@@ -179,7 +196,13 @@ object Dn {
         Some(key -> f.substring(i + 1))
       case p if !p.startsWith("-") => positional += p; None
       case other => throw new GraftException(s"bad argument: $other")
-    }.toMap
+    }
+    // repeated --breakdowns/-b append in order; any other repeated flag
+    // keeps the last occurrence (Map semantics, as before)
+    val flags = flagPairs.groupBy(_._1).map { case (k, vs) =>
+      k -> (if (k == "breakdowns") vs.map(_._2).mkString(",")
+            else vs.last._2)
+    }
     if (counters && !Set("scan", "index-scan", "query").contains(mode))
       throw new GraftException(
         "--counters is only meaningful with scan, query, or index-scan")
@@ -906,7 +929,9 @@ object Dn {
       // materializing the whole result on the driver (toLocalIterator
       // holds at most one partition in memory)
       else if (a.raw) df.toJSON.toLocalIterator().forEachRemaining(println(_))
-      else if (lastAggr && !a.points && !a.counters) print(Format.histogram(df))
+      else if (lastAggr && !a.points && !a.counters)
+        print(Format.histogram(df, bds.last))
+      else if (!a.points && !a.counters) print(Format.table(df, bds))
       else df.show(1000, truncate = false)
     }
   }

@@ -63,6 +63,12 @@ object Index {
         hour(ts).as("dn_hour"))
       case "all" => Nil
     }
+    // a day/hour index has nowhere to put a record whose time is
+    // missing or unparseable — the reference warns and SKIPS it for
+    // EVERY metric (tests/data plants time:"invalid" and a time-less
+    // record; the README's `dn query` counts 2250 of 2252 records),
+    // where try_cast alone would file them under a NULL partition
+    if (interval != "all") cur = cur.where(ts.isNotNull)
     m.breakdowns.foreach { fs =>
       cur = cur.where(Scan.baseCol(fs, resolve).isNotNull)
     }

@@ -47,8 +47,17 @@ object Sources {
    * (README.md:33). Schema inference handles nested objects; dotted paths
    * (`req.method`) then resolve as struct field access.
    */
+  /** Options mirroring the reference reader's behavior (lib/fs-find.js
+    * + bin/dn warn-and-skip): walk the datasource tree RECURSIVELY (a
+    * path-only datasource-add scans nested `%Y/%m-%d` layouts without
+    * declaring them) and DROP malformed lines (tests/data plants an
+    * "intentionally invalid line"; the reference warns and skips it —
+    * counting it would put 2253 where the README prints 2252). */
+  private val NdjsonOpts =
+    Map("recursiveFileLookup" -> "true", "mode" -> "DROPMALFORMED")
+
   def ndjson(spark: SparkSession, path: String): DataFrame =
-    spark.read.json(path)
+    spark.read.options(NdjsonOpts).json(path)
 
   /**
    * Read dragnet's json-skinner point format — ndjson of
@@ -58,7 +67,7 @@ object Sources {
    * Scan with `valueField = Some("value")` re-aggregates losslessly.
    */
   def skinnerPoints(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.json(path)
+    val raw = spark.read.options(NdjsonOpts).json(path)
     raw.select(col("fields.*"), col("value"))
   }
 
@@ -146,9 +155,9 @@ object Sources {
       after: Option[java.time.Instant] = None,
       before: Option[java.time.Instant] = None): DataFrame = {
     val dirs = timeFormatDirs(spark, root, pattern, after, before).map(_._2)
-    if (dirs.nonEmpty) spark.read.json(dirs: _*)
+    if (dirs.nonEmpty) spark.read.options(NdjsonOpts).json(dirs: _*)
     else timeFormatDirs(spark, root, pattern, None, None).map(_._2) match {
-      case all if all.nonEmpty => spark.read.json(all.head).limit(0)
+      case all if all.nonEmpty => spark.read.options(NdjsonOpts).json(all.head).limit(0)
       case _ => spark.emptyDataFrame
     }
   }
@@ -176,9 +185,9 @@ object Sources {
       after: Option[java.time.Instant] = None,
       before: Option[java.time.Instant] = None): DataFrame = {
     val dirs = dateLayoutDirs(spark, root, after, before).map(_._2)
-    if (dirs.nonEmpty) spark.read.json(dirs: _*)
+    if (dirs.nonEmpty) spark.read.options(NdjsonOpts).json(dirs: _*)
     else dateLayoutDirs(spark, root, None, None).map(_._2) match {
-      case all if all.nonEmpty => spark.read.json(all.head).limit(0)
+      case all if all.nonEmpty => spark.read.options(NdjsonOpts).json(all.head).limit(0)
       case _ => spark.emptyDataFrame
     }
   }

@@ -724,16 +724,19 @@ class DnSpec extends SparkSpec {
   }
 
   test("histogram rendering shows scaled bars per bucket") {
+    val spec = AttrParser.parse("v[field=value,aggr=quantize]").head
     val df = Dn.run(spark, Seq("scan", s"--data=$events",
       "--breakdowns=v[field=value,aggr=quantize]"))
-    val out = Format.histogram(df)
-    assert(out.contains("Distribution"))
+    val out = Format.histogram(df, spec)
+    assert(out.contains("value  ------------- Distribution ------------- count"))
     assert(out.linesIterator.exists(l => l.contains("|@")))
-    // grouped variant: leading breakdown renders one histogram per group
+    // grouped variant: leading breakdown renders one histogram per
+    // group, labeled with the group VALUES joined ", " (the
+    // reference's dnOutputPrettyQuantized label format)
     val df2 = Dn.run(spark, Seq("scan", s"--data=$events",
       "--breakdowns=event_type,v[field=value,aggr=quantize]"))
-    val out2 = Format.histogram(df2)
-    assert(out2.contains("event_type=click"))
+    val out2 = Format.histogram(df2, spec)
+    assert(out2.linesIterator.contains("click"))
   }
 
   test("curate lifecycle: add -> list -> run == library pipeline -> remove") {
