@@ -26,9 +26,14 @@ object Text {
     * text. Extraction (not split) so empty/whitespace-only text yields
     * ZERO tokens — `split` yields `[""]` there, which once leaked an
     * empty term into the partitionBy("term") lexicon write and made
-    * every degenerate doc count one phantom token. */
+    * every degenerate doc count one phantom token. The run extraction
+    * is the native byte-scan kernel ([[graft.functions.WsTokens]] —
+    * `regexp_extract_all` over the same class measured 1.5-2× on every
+    * tokenize-heavy op at sf0.1); oracles keep the regexp rendering. */
   def tokens(text: Column): Column =
-    regexp_extract_all(lower(text), lit(s"[^$WsClass]+"), lit(0))
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.WsTokens(
+        org.apache.spark.sql.graft.bridge.expression(lower(text))))
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))

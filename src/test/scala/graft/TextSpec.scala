@@ -460,4 +460,24 @@ class TextSpec extends SparkSpec {
     val single = Seq((1L, "solo")).toDF("doc_id", "text")
     assert(graft.text.Text.collocations(single, minCount = 1L).count() == 0L)
   }
+
+  test("native WsTokens == regexp_extract_all over the explicit class, " +
+      "edges included (the oracle rendering)") {
+    // real corpus plus every degenerate shape the FuzzCorpus gate
+    // carries: empty, whitespace-only (incl. \x0B and NBSP — NBSP is
+    // NOT whitespace), astral-plane runs, mixed tabs/CRLF
+    val edges = Seq((9001L, ""), (9002L, " \t\r\n\f"), (9003L, ""),
+      (9004L, " "), (9005L, "ab c"), (9006L, "  x  "),
+      (9007L, new String(Character.toChars(0x1F680)) + " mixed"),
+      (9008L, "Tab\tsep\r\nlines")).toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.{lit, lower, regexp_extract_all}
+    val docs = graft.sources.Sources.table(spark, sf001, "documents")
+      .select(col("doc_id"), col("text")).unionByName(edges)
+    val drift = docs.select(
+        graft.text.Text.tokens(col("text")).as("a"),
+        regexp_extract_all(lower(col("text")),
+          lit("[^ \\t\\n\\f\\r\\x0B]+"), lit(0)).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(drift == 0, "WsTokens drifted from the regexp rendering")
+  }
 }
