@@ -116,6 +116,59 @@ object CoreScanQueries {
         })
       }),
 
+    // #9b the DATE-FORMAT CONTRACT pinned (r17 verdict "What's
+    // missing" #2): the reference's synthetic date fields go through JS
+    // Date.parse (stream-synthetic.js:68), which accepts ISO-8601 PLUS
+    // implementation-defined extras (RFC-2822 etc. — ECMA-262 §21.4.3.2
+    // mandates only the ISO format; the rest varies BY JS ENGINE, so it
+    // is not a portable contract even among dragnet deployments). graft
+    // pins the portable subset: numeric epoch-seconds and ISO-8601
+    // strings parse; everything else is a baddate → row DROPPED (the
+    // documented drop semantics, README.md:700-712). This query drives
+    // a five-way format zoo — ISO 'T'+Z, ISO space-separated, ISO
+    // date-only (midnight UTC), RFC-2822, garbage — through the same
+    // projected-string path as scan_date_parse; the oracle replays the
+    // CONTRACT (ISO forms parse, the last two drop), so a parser that
+    // silently started accepting or rejecting a class hash-fails.
+    Q("scan_date_formats",
+      (s, dir) => {
+        val cfg = QueryConfig(breakdowns = Seq(
+          FieldSpec("day", "ts_str", isDate = true,
+            aggr = Some("lquantize"), step = Some(86400)),
+          FieldSpec.plain("fmt")))
+        val v = col("user_id") % 5
+        val df = Sources.events(s, dir)
+          .withColumn("fmt", concat(lit("f"), v.cast("string")))
+          .withColumn("ts_str",
+            when(v === 0, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+              .when(v === 1, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+              .when(v === 2, date_format(col("ts"), "yyyy-MM-dd"))
+              .when(v === 3, date_format(col("ts"),
+                "EEE, dd MMM yyyy HH:mm:ss 'GMT'"))
+              .otherwise(lit("not a date")))
+        Scan.scan(df, cfg, rs)
+      },
+      Some {
+        val cfg = QueryConfig(breakdowns = Seq(
+          FieldSpec("day", "ts_str", isDate = true,
+            aggr = Some("lquantize"), step = Some(86400)),
+          FieldSpec.plain("fmt")))
+        Scan.scanSql("events", cfg, {
+          case "fmt" => "'f' || CAST(user_id % 5 AS VARCHAR)"
+          case "ts_str" =>
+            // the contract, not the string: ISO forms round-trip
+            // through strptime; RFC-2822 and garbage are NULL (dropped)
+            "CASE user_id % 5 " +
+              "WHEN 0 THEN strptime(strftime(ts, '%Y-%m-%dT%H:%M:%SZ'), " +
+                "'%Y-%m-%dT%H:%M:%SZ') " +
+              "WHEN 1 THEN strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), " +
+                "'%Y-%m-%d %H:%M:%S') " +
+              "WHEN 2 THEN CAST(CAST(ts AS DATE) AS TIMESTAMP) " +
+              "ELSE NULL END"
+          case f => f
+        })
+      }),
+
     // #10 per-day counts by type
     q("scan_per_day",
       QueryConfig(breakdowns =

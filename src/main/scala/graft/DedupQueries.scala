@@ -22,8 +22,8 @@ object DedupQueries {
     * batch A (even thirds) and batch B (odd thirds). */
   private[graft] val OldWhere = "doc_id % 3 <> 0"
   private[graft] val NewWhere = "doc_id % 3 = 0"
-  private val BatchAWhere = "doc_id % 6 = 0"
-  private val BatchBWhere = "doc_id % 6 = 3"
+  private[graft] val BatchAWhere = "doc_id % 6 = 0"
+  private[graft] val BatchBWhere = "doc_id % 6 = 3"
 
   /** Content fingerprint of the source documents table (length ⊕ mtime
     * over the parquet file/directory): a regenerated dataset changes the
@@ -89,6 +89,48 @@ object DedupQueries {
           s"$dirKey-", new java.io.File(path).getName)
         Dedup.cdcChunkStore(docs(s, dir).where(expr(OldWhere)))
           .write.mode("overwrite").parquet(path)
+      }
+      path
+    }
+
+  /** The CDC store AFTER one maintenance cycle: window A's
+    * (BatchAWhere) novel chunk keys appended to the OLD-slice store,
+    * then folded physical via the distinct-rewrite two-rename swap
+    * (Dedup.compactChunkStore). Built in a `.build` sibling and renamed
+    * into place so a crash mid-cycle can't leave a valid-looking but
+    * half-appended artifact behind the _SUCCESS gate. This executes the
+    * EVICTION rung of the streaming CDC dedup (SURVEY §4): the stream
+    * that restarts after the cycle probes the ENLARGED store with EMPTY
+    * state (stream_chunks_cdc_compacted), so streaming state is bounded
+    * by the compaction cadence, never the corpus. */
+  private[graft] def ensureCdcCompactedStore(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    synchronized {
+      val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"/tmp/graft-cdccompact/$dirKey-${srcFingerprint(dir)}"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-cdccompact",
+          s"$dirKey-", new java.io.File(path).getName)
+        val basePath = ensureCdcChunkStore(s, dir)
+        val build = s"$path.build"
+        val fs = new org.apache.hadoop.fs.Path(build)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(build), true)
+        // 1. the base artifact: the OLD snapshot's store
+        s.read.parquet(basePath).write.mode("overwrite").parquet(build)
+        // 2. the maintenance append — window A's NOVEL keys only (the
+        //    same anti-membership probe the stream ran); anti side reads
+        //    the ORIGINAL store path, never the dir being appended to
+        Dedup.cdcChunkStore(docs(s, dir).where(expr(BatchAWhere)))
+          .join(s.read.parquet(basePath), Seq("h1", "h2"), "left_anti")
+          .write.mode("append").parquet(build)
+        // 3. eviction made physical: distinct rewrite + two-rename swap
+        Dedup.compactChunkStore(s, build)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        if (!fs.rename(new org.apache.hadoop.fs.Path(build),
+            new org.apache.hadoop.fs.Path(path)))
+          throw new graft.GraftException(
+            s"cdc compacted store: rename $build -> $path failed")
       }
       path
     }

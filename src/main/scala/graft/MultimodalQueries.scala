@@ -244,6 +244,47 @@ object MultimodalQueries {
           CAST(doc_id % 360 + 16 AS BIGINT) AS height
         FROM documents""")),
 
+    // #36e REAL video FRAME-PIXEL decode (the round-18 close of the one
+    // remaining stub): every doc_id is rendered to an MJPEG-in-MP4 whose
+    // frames are real JPEG bytes in mdat located by real stsc/stsz/stco
+    // sample tables (Multimodal.mjpegMp4), then decoded back — the
+    // walker reconstructs each sample's byte range from the tables and
+    // ImageIO decodes the actual coded frame. Frames are solid gray at
+    // JPEG quality 1.0, which round-trips pixel-exactly (all-ones quant
+    // tables + DC-only constant blocks — proven per-value in
+    // MultimodalSpec), so the oracle states the decoded means in closed
+    // form from the id and never sees a byte of MP4 or JPEG.
+    Q("multimodal_video_frames",
+      (s, dir) => {
+        import s.implicits._
+        // rebalance before the generate+decode (see multimodal_image_meta)
+        val ids = Sources.table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
+        val mp4s = ids.map(id => (id, Multimodal.mjpegMp4(id)))
+          .toDF("doc_id", "payload")
+        Multimodal.videoFrames(mp4s, "payload")
+          .select(col("doc_id"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            col("codec"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("mean_r"), col("mean_g"), col("mean_b"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id, unnest(range(doc_id % 5 + 2)) AS k
+          FROM documents)
+        SELECT doc_id,
+          CAST(k AS BIGINT) AS frame_idx,
+          'jpeg' AS codec,
+          CAST((doc_id % 3) * 8 + 16 AS BIGINT) AS width,
+          CAST((doc_id % 2) * 8 + 16 AS BIGINT) AS height,
+          CAST((37 * doc_id + 61 * k) % 256 AS DOUBLE) AS mean_r,
+          CAST((37 * doc_id + 61 * k) % 256 AS DOUBLE) AS mean_g,
+          CAST((37 * doc_id + 61 * k) % 256 AS DOUBLE) AS mean_b
+        FROM f""")),
+
     // #36b frame sampling: one row per sampled frame index via a
     // distributed generator (explode(sequence)), aggregated back per
     // doc. n_frames is synthesized from doc length; the payload rides

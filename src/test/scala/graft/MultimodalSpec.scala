@@ -167,6 +167,52 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeMp4Meta(v1).isEmpty)
   }
 
+  test("jpeg q1.0: solid-gray frames round-trip pixel-EXACTLY") {
+    // the exactness the multimodal_video_frames oracle rests on: at
+    // explicit quality 1.0 the quant tables are all ones and a constant
+    // block's DCT is DC-only, so the lossy codec is lossless HERE
+    for (v <- 0 until 256 by 5; (w, h) <- Seq((16, 16), (24, 24), (32, 16), (13, 11))) {
+      val st = Multimodal.decodeImageStats(Multimodal.jpegGray(v, w, h)).get
+      assert(st == ((w, h, v.toDouble, v.toDouble, v.toDouble)),
+        s"v=$v ${w}x$h: $st")
+    }
+  }
+
+  test("mjpeg-in-mp4: sample-table walk decodes REAL frame pixels") {
+    // ids cover even/odd frame counts (single vs multi-entry stsc),
+    // every dim combination, and gray values that wrap mod 256
+    (0L until 30L).foreach { id =>
+      val frames = Multimodal.decodeMp4Frames(Multimodal.mjpegMp4(id)).get
+      val n = (id % 5 + 2).toInt
+      assert(frames.length == n, s"id=$id")
+      frames.zipWithIndex.foreach { case (f, k) =>
+        assert(f.idx == k && f.codec == "jpeg")
+        val (w, h, mr, mg, mb) = f.stats.get
+        assert(w == (id % 3) * 8 + 16 && h == (id % 2) * 8 + 16)
+        val v = ((37 * id + 61 * k) % 256).toDouble
+        assert(mr == v && mg == v && mb == v, s"id=$id k=$k: $mr vs $v")
+      }
+    }
+    // container metadata walker still reads the same file
+    val (_, ts, nt, w, _) = Multimodal.decodeMp4Meta(Multimodal.mjpegMp4(7L)).get
+    assert(ts == 600 && nt == 1 && w == (7 % 3) * 8 + 16)
+    // non-BMFF / truncated payloads → None, never a throw
+    assert(Multimodal.decodeMp4Frames("not an mp4".getBytes).isEmpty)
+    assert(Multimodal.decodeMp4Frames(Multimodal.mjpegMp4(3L).take(40)).isEmpty)
+    // metadata-only MP4 (no sample tables) → None: videoFrames emits 0 rows
+    assert(Multimodal.decodeMp4Frames(Multimodal.minimalMp4(3L)).isEmpty)
+    // a lying stsz (sizes past EOF) → frames with null stats, no throw
+    val mp4 = Multimodal.mjpegMp4(4L)
+    val lying = mp4.clone()
+    // find stsz and corrupt the first size field to a huge value
+    val stszAt = lying.sliding(4).indexWhere(_.sameElements("stsz".getBytes))
+    val bb = java.nio.ByteBuffer.wrap(lying)
+    // fourcc(4) + v/f(4) + uniform(4) + count(4) → first per-sample size
+    bb.putInt(stszAt + 16, Int.MaxValue)
+    val lied = Multimodal.decodeMp4Frames(lying).get
+    assert(lied.nonEmpty && lied.head.stats.isEmpty)
+  }
+
   test("dhash: decode matches the generator's closed-form replay") {
     def replay(id: Long): Long = {
       val w = (id % 17) + 4

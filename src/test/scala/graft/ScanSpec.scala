@@ -77,6 +77,35 @@ class ScanSpec extends SparkSpec {
     assert(Scan.scan(bad, cfg).count() == 1)
   }
 
+  test("date-format contract: ISO-8601 parses, Date.parse extras drop " +
+      "(ECMA-262 mandates only ISO; the rest is per-JS-engine)") {
+    val epoch = Instant.parse("2014-04-01T12:30:45Z").getEpochSecond
+    // (string, Some(expected epoch secs) | None = baddate → row drop)
+    val zoo: Seq[(String, Option[Long])] = Seq(
+      "2014-04-01T12:30:45Z" -> Some(epoch),          // ISO T + Z
+      "2014-04-01 12:30:45" -> Some(epoch),           // ISO space form
+      "2014-04-01T12:30:45.250Z" -> Some(epoch),      // fractional: FLOOR
+      "2014-04-01T12:30:45+00:00" -> Some(epoch),     // explicit offset
+      "2014-04-01T14:30:45+02:00" -> Some(epoch),     // non-UTC offset
+      "2014-04-01" -> Some(epoch - 45 - 30 * 60 - 12 * 3600), // date-only
+      // the implementation-defined Date.parse extras graft REJECTS:
+      "Tue, 01 Apr 2014 12:30:45 GMT" -> None,        // RFC 2822
+      "Apr 1, 2014" -> None,                          // US month-name
+      "04/01/2014" -> None,                           // slash date
+      "not a date" -> None,
+      "" -> None)
+    val in = zoo.zipWithIndex.map { case ((t, _), i) => (i.toLong, t) }
+      .toDF("id", "time")
+    val cfg = QueryConfig(breakdowns = Seq(
+      FieldSpec("t", "time", isDate = true), FieldSpec.plain("id")))
+    val got = Scan.scan(in, cfg).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    zoo.zipWithIndex.foreach { case ((str, want), i) =>
+      assert(got.get(i.toLong) == want,
+        s"'$str': got ${got.get(i.toLong)}, want $want")
+    }
+  }
+
   test("time bounds: after inclusive, before exclusive, ceil to seconds") {
     val cfg = QueryConfig(
       breakdowns = Seq(FieldSpec.plain("host")),
