@@ -20,6 +20,15 @@ object DedupQueries {
     * deterministic id partition, so the oracle can replay both sides.
     * The chained (two-crawl) gate splits the new space further into
     * batch A (even thirds) and batch B (odd thirds). */
+  /** Skew-gate fixture (r17 verdict item 6): a 60-token boilerplate
+    * span and the ABSOLUTE id cut below which every doc becomes a
+    * near-dup of it — sized so the shared LSH buckets cross
+    * Dedup.HeavyBucket at sf0.1 (~0.93·700 = 654 docs per band bucket)
+    * while the pair volume stays ~C(700,2) at any scale. */
+  private[graft] val SkewBoiler: String =
+    (0 until 60).map(i => s"boiler$i").mkString(" ")
+  private[graft] val SkewCut = 700L
+
   private[graft] val OldWhere = "doc_id % 3 <> 0"
   private[graft] val NewWhere = "doc_id % 3 = 0"
   private[graft] val BatchAWhere = "doc_id % 6 = 0"
@@ -505,6 +514,49 @@ object DedupQueries {
     Q("dedup_minhash",
       (s, dir) => Dedup.minhashCandidates(docs(s, dir)),
       Some(DedupSql.minhashCandidates())),
+
+    // #25s the SKEW gate (r17 verdict item 6): 100 TB crawls are not
+    // uniform — one domain's boilerplate can put thousands of near-dup
+    // pages in ONE LSH bucket, which is exactly the regime bucketPairs'
+    // heavy path (Dedup.HeavyBucket=512: sort-merge self-join instead
+    // of the in-memory array expansion) exists for. This leg derives a
+    // bounded skew IN-QUERY — every doc below SkewCut=1200 becomes the
+    // same 60-token boilerplate plus a distinct tail token — and runs
+    // the real banding + pair generation over it. At sf0.1 the 700-doc
+    // population shares band buckets (~93% per band: P(both row-mins
+    // from the 58 boilerplate shingles) = (58/60)^2 → ~654 docs), so
+    // max_bucket clears 512: the heavy regime EXECUTES in the driver
+    // bench and the gate hashes its output. At sf0.01 (500 docs) the
+    // same query exercises the boundary from below — engagement is a
+    // data-derived column on both sides, never a pinned literal, so
+    // the oracle stays green at every scale. Cost is bounded by
+    // construction: the skew population is ABSOLUTE (700), so the
+    // pair volume is ~C(700,2) at any sf — a gate, not a cliff. The
+    // signature computes ONCE (bounded localCheckpoint: one row per
+    // doc) and feeds both the pair generation and the bucket
+    // histogram.
+    Q("dedup_minhash_skew",
+      (s, dir) => {
+        val skewed = docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") < SkewCut,
+            concat(lit(SkewBoiler + " tail"),
+              col("doc_id").cast("string")))
+            .otherwise(col("text")).as("text"))
+        val sig = Dedup.minhashSignature(skewed).localCheckpoint()
+        val pairs = Dedup.candidatesOfSignature(sig,
+            Dedup.Bands, Dedup.RowsPerBand)
+          .agg(count(lit(1)).cast("long").as("n_pairs"))
+        val bs = Dedup.bandedKeys(sig, Dedup.Bands, Dedup.RowsPerBand)
+          .groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("c"))
+          .agg(max(col("c")).cast("long").as("max_bucket"),
+            sum(when(col("c") > Dedup.HeavyBucket, 1L).otherwise(0L))
+              .cast("long").as("heavy_buckets"))
+        pairs.crossJoin(bs).select(col("n_pairs"), col("max_bucket"),
+          col("heavy_buckets"),
+          (col("max_bucket") > Dedup.HeavyBucket).as("heavy_engaged"))
+      },
+      Some(DedupSql.minhashSkewGate(SkewBoiler, SkewCut))),
 
     // #26b MEASURED banding recall (SURVEY row 106): the S-curve
     // contract (Dedup's declared detection floor, spec-derived

@@ -195,6 +195,35 @@ object DedupSql {
        |${minhashCtes(n, bands, rowsPerBand)}
        |SELECT doc_a, doc_b FROM cand""".stripMargin
 
+  /** dedup_minhash_skew oracle (SURVEY row 25's skew gate, r17 verdict
+    * item 6): the same banding replay over the SKEWED corpus (docs
+    * below `cut` become boilerplate near-dups), reduced to the gate
+    * aggregates — candidate-pair count, the largest band bucket, the
+    * count of buckets past the heavy threshold, and the engagement
+    * flag. All four derive from the data on both sides, so the hash
+    * gate pins the heavy regime's OUTPUT, and at sf0.1 the max_bucket
+    * value itself demonstrates HeavyBucket was crossed. */
+  def minhashSkewGate(boiler: String, cut: Long,
+      heavy: Int = graft.dedup.Dedup.HeavyBucket, n: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 2): String =
+    s"""WITH skewed AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id < $cut
+       |      THEN '$boiler tail' || CAST(doc_id AS VARCHAR)
+       |      ELSE text END AS text
+       |  FROM documents),
+       |${shingleCtes("skewed", n)},
+       |${minhashCtes(n, bands, rowsPerBand)},
+       |bs AS (
+       |  SELECT band, bh, count(*) AS c FROM banded GROUP BY 1, 2)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_pairs,
+       |  CAST(max(c) AS BIGINT) AS max_bucket,
+       |  CAST(sum(CASE WHEN c > $heavy THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS heavy_buckets,
+       |  max(c) > $heavy AS heavy_engaged
+       |FROM bs""".stripMargin
+
   /** dedup_banding_recall oracle (SURVEY row 106): exact ground truth
     * from co-rare-shingle candidates (the TruthDfCap replayed) + exact
     * Jaccard, left-joined against the banding's candidate pairs; the

@@ -620,10 +620,11 @@ object RetrievalQueries {
     val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val fp = graft.tools.LocalFs.fingerprint(
       new java.io.File(s"$dir/documents.parquet"))
-    // l2 = the tkey-partitioned posting layout; bumping the token
+    // l2 = the tkey-partitioned posting layout (l3 = 4096-bucket
+    // prefix keys, r18); bumping the token
     // retires fingerprint-matched stores written under the old
     // partitionBy("term") layout (they lack the tkey column)
-    (dirKey, s"$dirKey-$fp-v${Bm25.VocabCap}-l2")
+    (dirKey, s"$dirKey-$fp-vall-l3")
   }
 
   private def ensureLexicon(s: org.apache.spark.sql.SparkSession,
@@ -719,7 +720,7 @@ object RetrievalQueries {
     val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val fp = graft.tools.LocalFs.fingerprint(
       new java.io.File(s"$dir/documents.parquet"))
-    val key = s"$dirKey-$fp-t$TargetCap-q$KiTerms-ptgt"
+    val key = s"$dirKey-$fp-t$TargetCap-q$KiTerms-ptgt-l3"
     val path = s"/tmp/graft-kilex/$key"
     if (!new java.io.File(s"$path/postings/_SUCCESS").exists()) {
       graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-kilex",
@@ -742,7 +743,7 @@ object RetrievalQueries {
     val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val fp = graft.tools.LocalFs.fingerprint(
       new java.io.File(s"$dir/documents.parquet"))
-    val key = s"$dirKey-$fp-t$TargetCap-q$KiTerms-ptgt"
+    val key = s"$dirKey-$fp-t$TargetCap-q$KiTerms-ptgt-l3"
     val path = s"/tmp/graft-kilexinc/$key"
     if (!new java.io.File(s"$path/_APPENDED").exists()) {
       graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-kilexinc",

@@ -250,12 +250,20 @@ object StreamingQueries {
     Q("stream_join",
       (s, dir) => {
         implicit val session: org.apache.spark.sql.SparkSession = s
+        // Watermark DELAY is a parameter (r17 verdict watch-item 2):
+        // production sets it to the source's out-of-orderness bound —
+        // a late row beyond it is DROPPED, the price of bounded state.
+        // The replay gate runs 0s deliberately: the drain sees all data
+        // in order, and 0s maximizes state GC pressure, so the gate
+        // exercises expiry hardest. spark.graft.streamLateness upgrades
+        // every gate stream without touching call sites.
+        val lateness = s.conf.get("spark.graft.streamLateness", "0 seconds")
         def side(tpe: String, pre: String) = eventStream(s, dir)
           .where(col("event_type") === tpe)
           .select(col("event_id").cast("long").as(s"${pre}_id"),
             col("user_id").as(s"${pre}_user"),
             col("ts").as(s"${pre}_ts"))
-          .withWatermark(s"${pre}_ts", "0 seconds")
+          .withWatermark(s"${pre}_ts", lateness)
         val joined = side("error", "err").join(side("click", "clk"),
           expr("clk_user = err_user AND " +
             "clk_ts BETWEEN err_ts - INTERVAL 1 HOUR AND err_ts"))

@@ -228,7 +228,20 @@ object Bm25 {
     * by (df desc, term asc) — the capped-broadcast-vocab move
     * text_logprob makes, applied to posting storage. An out-of-vocab
     * query term simply contributes nothing (pinned by spec). */
-  val VocabCap = 64
+  /** DEFAULT vocab policy: UNCAPPED (0) — index every term. A df-RANKED
+    * membership cap is exactly backwards for BM25 under crawl skew: the
+    * highest-df terms are boilerplate/stopwords (the least informative,
+    * the biggest postings) while the query terms users actually serve
+    * sit mid-df — the r18 skew gate caught the capped default dropping
+    * every pinned query term once 71 boilerplate words outranked them
+    * (scores halved, silently). Postings are term-partitioned on disk —
+    * executor state, not driver state — so vocabulary size never needed
+    * a cap there; the append path's summary merge is distributed (see
+    * [[appendLexicon]]), so it doesn't either. An explicit cap remains
+    * available for storage-budgeted builds (vocabCap > 0), and
+    * vocabTermsOverride / vocabDocs still restrict membership exactly
+    * as before. */
+  val VocabUncapped = 0
 
   /**
    * Build the persisted lexicon (inverted index) a standing-query
@@ -306,7 +319,8 @@ object Bm25 {
       swapIn(s, root, name)
     }
 
-  def buildLexicon(docs: DataFrame, path: String, vocabCap: Int = VocabCap,
+  def buildLexicon(docs: DataFrame, path: String,
+      vocabCap: Int = VocabUncapped,
       vocabDocs: Option[DataFrame] = None,
       /** An explicit vocabulary (one `term` column, driver-bounded —
         * e.g. a query log's term set, or the known-item gate's planted
@@ -326,37 +340,57 @@ object Bm25 {
     // incremental comparator trains it on the old slice, mirroring the
     // ANN trainWhere) or be declared outright; df VALUES always count
     // the full indexed docs.
-    val vocabTerms = vocabTermsOverride
+    // None = unrestricted membership (every term indexes) — no join at
+    // all, so an unrestricted build never shuffles postings against a
+    // vocabulary table. A restriction (explicit term set, restricted
+    // population, or an opt-in df-ranked cap) joins WITHOUT a forced
+    // broadcast: the override is query-log-sized but a frozen
+    // old-slice vocabulary follows the corpus — the planner picks the
+    // strategy from size.
+    val vocabTerms: Option[DataFrame] = vocabTermsOverride
       .map(_.select(col("term")).distinct())
-      .getOrElse(vocabDocs.map(postingsOf(_, idCol, textCol))
-        .getOrElse(postings)
-        .groupBy(col("term"))
-        .agg(count(lit(1)).cast("long").as("df_v"))
-        .orderBy(col("df_v").desc, col("term"))
-        .limit(vocabCap)
-        .select(col("term")))
-    val dfTab = postings.join(broadcast(vocabTerms), Seq("term"))
+      .orElse {
+        val basePop = vocabDocs.map(postingsOf(_, idCol, textCol))
+        if (vocabCap > 0)
+          Some(basePop.getOrElse(postings)
+            .groupBy(col("term"))
+            .agg(count(lit(1)).cast("long").as("df_v"))
+            .orderBy(col("df_v").desc, col("term"))
+            .limit(vocabCap)
+            .select(col("term")))
+        else basePop.map(_.select(col("term")).distinct())
+      }
+    def member(df: DataFrame): DataFrame =
+      vocabTerms.map(v => df.join(v, Seq("term"))).getOrElse(df)
+    val dfTab = member(postings)
       .groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("df"))
     writeSummary(s, path, "df", dfTab)
-    postings.join(broadcast(vocabTerms), Seq("term"))
-      .withColumn("tkey", md5(col("term")))
+    member(postings)
+      .withColumn("tkey", substring(md5(col("term")), 1, 3))
+      .repartition(col("tkey")).sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("tkey")
       .parquet(s"$path/postings")
   }
 
-  /** Posting-partition key: md5 hex of the term. Raw terms make
-    * hostile partition DIRECTORY names — an astral-plane token crashes
-    * the committer under a non-UTF-8 locale (found by the FuzzCorpus
-    * gate), and a 10 kB token exceeds path limits — so the layout
-    * partitions on this fixed-width path-safe derivation and keeps
-    * `term` as a data column. Serving prunes on tkey literals and
-    * re-filters on the term itself, so an md5 collision costs one
-    * extra directory read, never a wrong score. */
+  /** Posting-partition key: the first 3 hex chars of the term's md5 —
+    * a BOUNDED 4096-bucket layout. Raw terms make hostile partition
+    * DIRECTORY names (an astral-plane token crashes the committer
+    * under a non-UTF-8 locale — found by the FuzzCorpus gate — and a
+    * 10 kB token exceeds path limits); a FULL md5 per term makes one
+    * directory per vocabulary entry, which the r18 uncapped-vocabulary
+    * default turns into corpus-following directory fan-out (1e8 dirs
+    * at web scale: listing cost, tiny files, committer pressure). The
+    * bucket count is fixed at any scale; postings inside a bucket are
+    * written term-SORTED so parquet row-group min/max statistics prune
+    * the in-bucket term filter down to the query terms' row groups.
+    * Serving prunes on bucket literals and re-filters on the term
+    * itself, so a bucket collision costs row-group reads, never a
+    * wrong score. */
   private[graft] def termKey(term: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    d.map(b => f"$b%02x").mkString
+    d.take(2).map(b => f"$b%02x").mkString.take(3)
   }
 
   /** Two-metadata-rename swap of `$root/$name.staging` into
@@ -424,24 +458,31 @@ object Bm25 {
   def appendLexicon(s: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    // membership stays FROZEN at the build's vocabulary (the df
+    // summary's term set): novel batch terms are not indexed. The
+    // join is planner-chosen — a full vocabulary follows the corpus,
+    // so a forced broadcast would be the scale bug.
     val vocabTerms = s.read.parquet(summaryPath(s, path, "df"))
       .select(col("term"))
     val batch = postingsOf(newDocs, idCol, textCol)
-      .join(broadcast(vocabTerms), Seq("term"))
-    batch.withColumn("tkey", md5(col("term")))
+      .join(vocabTerms, Seq("term"))
+    batch.withColumn("tkey", substring(md5(col("term")), 1, 3))
+      .repartition(col("tkey")).sortWithinPartitions(col("term"))
       .write.mode("append").partitionBy("tkey")
       .parquet(s"$path/postings")
-    // summaries are vocab-cap / one-row bounded — driver-size by
-    // construction, so the adds happen locally
+    // df merge is DISTRIBUTED (vocabulary-sized, never a driver
+    // collect — the r18 uncapped default makes the vocabulary follow
+    // the corpus): old summary LEFT JOIN batch delta, integer add.
+    // writeSummary stages then swaps, so the read of the old summary
+    // completes before the artifact moves.
     val dfDelta = batch.groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("d"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val dfOld = s.read.parquet(summaryPath(s, path, "df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
     import s.implicits._
     writeSummary(s, path, "df",
-      dfOld.map { case (t, d) => (t, d + dfDelta.getOrElse(t, 0L)) }.toSeq
-        .toDF("term", "df"))
+      dfOld.join(dfDelta, Seq("term"), "left_outer")
+        .select(col("term"),
+          (col("df") + coalesce(col("d"), lit(0L))).as("df")))
     val Array(nNew, dlNew) = newDocs
       .select(size(Text.tokens(col(textCol))).cast("long").as("dl"))
       .agg(count(lit(1)).as("n"),
@@ -467,8 +508,9 @@ object Bm25 {
    */
   def bm25FromLexicon(s: org.apache.spark.sql.SparkSession, root: String,
       k: Int, terms: Seq[String] = Terms): DataFrame = {
-    // tkey literals prune partitions; the term filter closes the
-    // (negligible) md5-collision hole
+    // bucket literals prune partitions to the query terms' (≤ |terms|)
+    // buckets; the term filter then prunes row groups via the sorted
+    // layout's min/max stats and closes the bucket-collision hole
     val post = s.read.parquet(s"$root/postings")
       .where(col("tkey").isin(terms.map(termKey): _*) &&
         col("term").isin(terms: _*))
