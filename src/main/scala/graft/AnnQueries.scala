@@ -302,10 +302,19 @@ object AnnQueries {
           .orderBy(col("score").desc, col("vec_id"))
         val plain = cand.withColumn("__rn", row_number().over(w10))
           .where(col("__rn") <= 10).drop("__rn")
+        // ceiling = exact-top-10 members PRESENT in the candidate set —
+        // the best ANY reranker can extract. An exact reranker attains
+        // it BY CONSTRUCTION (a candidate outscoring an exact-top-10
+        // member would itself be exact-top-10), so the gate demands the
+        // margin only where plain is genuinely lossy: on a corpus where
+        // plain already sits at the ceiling (seed-2 FuzzCorpus: 128
+        // vectors, candidates ≈ the whole corpus) the margin is
+        // unattainable and at-ceiling IS the correctness proof.
         recallGate2(Ann.bruteForceTopKBatch(e, q, 10),
           Ann.rerankExact(cand, e, q, 10),
           plain, MinRerankMargin, MinRerankHits,
-          nameA = "hits_rerank", nameB = "hits_plain")
+          nameA = "hits_rerank", nameB = "hits_plain",
+          ceiling = Some(cand))
       },
       Some(s"""
         WITH ex AS (SELECT * FROM ($exactBatchSql)),
@@ -1354,12 +1363,21 @@ object AnnQueries {
   /** Dual-path recall gate: per-qid hits for the permuted and plain PQ
     * paths against one exact ground truth; sep_ok asserts the batch
     * totals separate by `minMargin` and clear `minHits` absolutely. */
+  /** `ceiling`: when set (the rerank gate), path A is an EXACT
+    * re-scorer whose attainable maximum is the exact-hit count inside
+    * this candidate frame — sep_ok then accepts margin-over-B OR
+    * A-at-ceiling, so a corpus where B already saturates the candidate
+    * recall (margin unattainable by construction) doesn't fail a
+    * correct reranker, while a reranker that leaves candidate hits on
+    * the table still goes red. */
   private[graft] def recallGate2(exact: org.apache.spark.sql.DataFrame,
       perm: org.apache.spark.sql.DataFrame,
       plain: org.apache.spark.sql.DataFrame,
       minMargin: Long, minHits: Long,
       nameA: String = "hits_perm",
-      nameB: String = "hits_plain"): org.apache.spark.sql.DataFrame = {
+      nameB: String = "hits_plain",
+      ceiling: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     val all = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     def hits(ap: org.apache.spark.sql.DataFrame, name: String) =
@@ -1368,11 +1386,18 @@ object AnnQueries {
             col("e.vec_id") === col("a.vec_id"), "left")
         .groupBy(col("e.qid").as("qid"))
         .agg(count(col("a.vec_id")).as(name))
-    hits(perm, nameA).join(hits(plain, nameB), Seq("qid"))
+    val sepA = sum(col(nameA)).over(all)
+    val margined = sepA >= sum(col(nameB)).over(all) + minMargin
+    val sep = ceiling match {
+      case Some(c) =>
+        margined || sepA >= sum(col("__ceil")).over(all)
+      case None => margined
+    }
+    val joined = hits(perm, nameA).join(hits(plain, nameB), Seq("qid"))
+    ceiling.map(c => joined.join(hits(c, "__ceil"), Seq("qid")))
+      .getOrElse(joined)
       .select(col("qid"), col(nameA), col(nameB),
-        (sum(col(nameA)).over(all) >=
-            sum(col(nameB)).over(all) + minMargin &&
-          sum(col(nameA)).over(all) >= minHits).as("sep_ok"))
+        (sep && sepA >= minHits).as("sep_ok"))
       .orderBy(col("qid"))
   }
 

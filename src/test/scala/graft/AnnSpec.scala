@@ -772,6 +772,26 @@ class AnnSpec extends SparkSpec {
       .collect()
     assert(noop.forall(!_.getAs[Boolean]("sep_ok")),
       "a no-op re-rank must fail the margin floor")
+    // the CEILING clause (r18, found by a seed-2 FuzzCorpus sweep): on
+    // a corpus where the plain path already saturates candidate recall
+    // the margin is unattainable BY CONSTRUCTION — an exact reranker at
+    // the ceiling must still pass…
+    val ceiled = AnnQueries.recallGate2(
+      Ann.bruteForceTopKBatch(e, q, 10), plain, plain,
+      AnnQueries.MinRerankMargin, AnnQueries.MinRerankHits,
+      ceiling = Some(plain))
+      .collect()
+    assert(ceiled.forall(_.getAs[Boolean]("sep_ok")),
+      "at-ceiling rerank must pass when the margin is unattainable")
+    // …while a reranker that leaves candidate hits on the table (here:
+    // an empty result) stays red even WITH the ceiling clause
+    val crippled = AnnQueries.recallGate2(
+      Ann.bruteForceTopKBatch(e, q, 10), plain.where("1 = 0"), plain,
+      AnnQueries.MinRerankMargin, AnnQueries.MinRerankHits,
+      ceiling = Some(plain))
+      .collect()
+    assert(crippled.forall(!_.getAs[Boolean]("sep_ok")),
+      "a crippled reranker must fail despite the ceiling clause")
   }
 
   test("Opq.rotated rejects a non-64-dim embedding loudly") {
