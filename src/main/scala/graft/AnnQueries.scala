@@ -366,6 +366,27 @@ object AnnQueries {
       (s, dir) => filteredIvf(s, dir),
       Some(filteredIvfSql)),
 
+    // #31h2 the ADAPTIVE switch's other arm, gated at driver scale
+    // (r18, found by a seed-3 FuzzCorpus sweep): a HIGHLY SELECTIVE
+    // predicate (label ∧ id mod 4 → ~12 vectors at sf0.01) routes to
+    // the exact pre-filter branch — brute force over the slice, both
+    // cheaper than probing and immune to the tiny-slice recall
+    // collapse IVF post-filtering suffers (a 13-vector slice measured
+    // 2/10 through the probe-only path). The oracle replays the
+    // DECISION, not just the chosen arm: the slice count picks exact
+    // vs IVF relationally, so at sf0.1 (~125 matches) the same query
+    // flips to the IVF arm and stays green. Together with
+    // ann_filtered (whose ~50-vector slice takes the IVF arm at
+    // sf0.01), both branches of the switch are oracle-gated in one
+    // driver run.
+    Q("ann_filtered_selective",
+      (s, dir) => filteredAdaptive(s, dir,
+        col("label") === FilterLabel && col("vec_id") % 4 === 3,
+        col("label") === FilterLabel && col("id") % 4 === 3),
+      Some(filteredAdaptiveSql(
+        s"label = $FilterLabel AND vec_id % 4 = 3",
+        s"a.label = $FilterLabel AND a.id % 4 = 3"))),
+
     // #31i RECALL GATE, FILTERED: the filtered IVF path against the
     // exact filtered ground truth (brute force over the label slice).
     // Both sides replay in SQL; recall_ok is the quality contract —
@@ -1215,33 +1236,69 @@ object AnnQueries {
     * cell, and the query has no self-hit — its own label differs). */
   private val MinFilteredHits = 3
 
-  /** The filtered IVF serving frame (ann_filtered + the recall gate's
-    * approximate side): full-corpus index, label predicate on
-    * probed-cell members only, nprobe doubled capped at nlist. */
+  /** Pre-filter/post-filter switch point of the adaptive filtered
+    * search (2·k): a slice at or below it brute-forces exactly (found
+    * by a seed-3 FuzzCorpus sweep: a 13-vector slice concentrated in
+    * unprobed cells measured 2/10 through IVF post-filtering); above
+    * it, the full-corpus IVF + on-assignment predicate. Sized so the
+    * driver corpus's ~50-vector label slice still exercises the IVF
+    * branch at sf0.01 while ann_filtered_selective's ~12-vector slice
+    * exercises the exact branch in the same gate run. */
+  private val FilteredExactMax = 20L
+
+  /** The adaptive filtered serving frame (ann_filtered + the recall
+    * gate's approximate side): [[graft.ann.Ann.filteredTopK]] with the
+    * label predicate, nprobe doubled capped at nlist. */
   private def filteredIvf(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String): org.apache.spark.sql.DataFrame =
+    filteredAdaptive(s, dir, col("label") === FilterLabel,
+      col("label") === FilterLabel)
+
+  private def filteredAdaptive(s: org.apache.spark.sql.SparkSession,
+      dir: String, pred: org.apache.spark.sql.Column,
+      asgPred: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
     val e = emb(s, dir)
     val (nl, np, mod) = ivfGeom(e)
-    val centroids = Ann.ivfCentroids(e, nlist = nl, modulus = mod)
-    val assigned = Ann.ivfAssign(e, centroids, keep = Seq("label"))
-    Ann.ivfTopKAssigned(assigned.where(col("label") === FilterLabel),
-      centroids, queryVec(e), 10, nprobe = math.min(nl, 2 * np))
+    Ann.filteredTopK(e, pred, asgPred, Seq("label"), queryVec(e), 10,
+      nlist = nl, nprobe = math.min(nl, 2 * np), modulus = mod,
+      exactThreshold = FilteredExactMax)
   }
 
-  /** Exact filtered ground truth: brute force over the label slice. */
-  private def exactFilteredSql: String = s"""
+  /** Exact filtered ground truth: brute force over the `pred` slice. */
+  private def exactFilteredPredSql(pred: String): String = s"""
         WITH n AS (
           SELECT vec_id, label,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
           FROM embeddings WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0),
         q AS (SELECT vn AS qn FROM n ORDER BY vec_id LIMIT 1)
         SELECT vec_id, ${dotSql("vn", "qn")} AS cos
-        FROM n, q WHERE label = $FilterLabel
+        FROM n, q WHERE $pred
         ORDER BY cos DESC, vec_id LIMIT 10"""
 
-  /** SQL twin of [[filteredIvf]]: ann_ivf's replay plus the label
+  private def exactFilteredSql: String =
+    exactFilteredPredSql(s"label = $FilterLabel")
+
+  /** The adaptive branch replayed relationally: the slice count (same
+    * zero-norm exclusion as the Spark side) picks the exact or the IVF
+    * arm — both fully replayed, so the DECISION is part of the oracle,
+    * not just the chosen arm's arithmetic. `predN` is the predicate
+    * over raw embeddings columns; `predAsg` the same over the
+    * assignment alias `a` (id, label). */
+  private def filteredAdaptiveSql(predN: String, predAsg: String): String = s"""
+        WITH sel AS (
+          SELECT count(*) AS c FROM embeddings
+          WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0
+            AND ($predN))
+        SELECT * FROM (${exactFilteredPredSql(predN)}) e
+        WHERE (SELECT c FROM sel) <= $FilteredExactMax
+        UNION ALL
+        SELECT * FROM (${filteredIvfPredSql(predAsg)}) i
+        WHERE (SELECT c FROM sel) > $FilteredExactMax"""
+
+  /** SQL twin of the IVF arm: ann_ivf's replay plus the predicate
     * carried through the assignment and the doubled-nprobe probe set. */
-  private def filteredIvfSql: String = s"""
+  private def filteredIvfPredSql(predAsg: String): String = s"""
         WITH n AS (
           SELECT vec_id AS id, label,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn
@@ -1269,8 +1326,12 @@ object AnnQueries {
           WHERE rn <= (SELECT np2 FROM np2c))
         SELECT a.id AS vec_id, ${dotSql("a.vn", "q.qn")} AS cos
         FROM asg a JOIN qc ON a.cell = qc.cell CROSS JOIN qn q
-        WHERE a.rn = 1 AND a.label = $FilterLabel
+        WHERE a.rn = 1 AND ($predAsg)
         ORDER BY cos DESC, vec_id LIMIT 10"""
+
+  private def filteredIvfSql: String =
+    filteredAdaptiveSql(s"label = $FilterLabel",
+      s"a.label = $FilterLabel")
 
   /** The exact batch ground truth (ann_topk_batch's oracle), shared
     * with the recall gates' SQL. */

@@ -428,6 +428,47 @@ object Ann {
       .limit(k)
   }
 
+  /**
+   * ADAPTIVE filtered search — the pre-filter / post-filter decision
+   * every production vector store makes. A predicate's population
+   * decides the plan: at or below `exactThreshold` matching vectors
+   * (default 2k), brute-force the SUBSET exactly — both CHEAPER than
+   * probing (≤ 2k dot products vs an nprobe-cell scan) and EXACT,
+   * where IVF post-filtering collapses (a tiny labeled population can
+   * concentrate entirely in unprobed cells: measured recall 2/10 on a
+   * 13-vector slice, found by a seed-3 FuzzCorpus sweep); above it,
+   * the standard full-corpus IVF with the predicate evaluated on
+   * probed-cell members (attributes ride on the assignment row — no
+   * corpus join at serve time) and `nprobe` as passed (callers double
+   * it — the usual compensation for filter-thinned candidates). The
+   * threshold count is one scan of the predicate's slice (metadata a
+   * real store keeps per predicate value); zero-norm vectors are
+   * excluded from both the count and the exact branch, matching the
+   * ingest-boundary drop semantics every other path applies.
+   *
+   * `predicate` must be expressed over the corpus frame; `assignedPred`
+   * is the same condition over the assignment frame (id column is
+   * `id` there, attributes from `keep` ride along).
+   */
+  def filteredTopK(corpus: DataFrame, predicate: Column,
+      assignedPred: Column, keep: Seq[String], query: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nlist: Int = DeriveNlist, nprobe: Int = DeriveNprobe,
+      modulus: Option[Long] = None, exactThreshold: Long = -1L): DataFrame = {
+    val thr = if (exactThreshold >= 0) exactThreshold else 2L * k
+    val sub = corpus.where(predicate).where(norm(col(vecCol)) > 0)
+    if (sub.count() <= thr) bruteForceTopK(sub, query, k, idCol, vecCol)
+    else {
+      val nl = if (nlist == DeriveNlist) nlistFor(estimatedRows(corpus))
+        else nlist
+      val np = if (nprobe == DeriveNprobe) nprobeFor(nl) else nprobe
+      val centroids = ivfCentroids(corpus, idCol, vecCol, nl, modulus)
+      ivfTopKAssigned(
+        ivfAssign(corpus, centroids, idCol, vecCol, keep).where(assignedPred),
+        centroids, query, k, idCol, vecCol, np)
+    }
+  }
+
   def ivfTopK(corpus: DataFrame, query: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       nlist: Int = DeriveNlist, nprobe: Int = DeriveNprobe,

@@ -75,6 +75,28 @@ class AnnSpec extends SparkSpec {
     val exact = Ann.bruteForceTopK(emb.where(col("label") === 3), q, 10)
       .collect().map(_.getLong(0)).toSet
     assert(servedAll == exact && exact.size == 10)
+    // the ADAPTIVE switch (r18, found by a seed-3 FuzzCorpus sweep):
+    // a slice at or below the threshold routes to the exact pre-filter
+    // branch — identical to brute force over the slice, by definition
+    val tiny = Ann.filteredTopK(emb,
+      col("label") === 3 && col("vec_id") % 4 === 3,
+      col("label") === 3 && col("id") % 4 === 3,
+      Seq("label"), q, 10, exactThreshold = 20L)
+      .collect().map(_.getLong(0)).toSet
+    val tinyExact = Ann.bruteForceTopK(
+      emb.where(col("label") === 3 && col("vec_id") % 4 === 3), q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(tiny == tinyExact && tiny.nonEmpty,
+      "a tiny slice must take the exact pre-filter branch")
+    // …and a slice above it takes the IVF arm (same results as the
+    // direct post-filter call with the same geometry)
+    val big = Ann.filteredTopK(emb, col("label") === 3,
+      col("label") === 3, Seq("label"), q, 10, exactThreshold = 20L)
+      .collect().map(_.getLong(0)).toSet
+    val bigDirect = Ann.ivfTopKAssigned(assigned.where(col("label") === 3),
+        centroids, q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(big == bigDirect, "a big slice must take the IVF arm")
     // with real pruning, everything served still carries the label
     val slice = emb.where(col("label") === 3)
       .select("vec_id").collect().map(_.getLong(0)).toSet
