@@ -1450,7 +1450,7 @@ object AnnQueries {
     val sepA = sum(col(nameA)).over(all)
     val margined = sepA >= sum(col(nameB)).over(all) + minMargin
     val sep = ceiling match {
-      case Some(c) =>
+      case Some(_) =>
         margined || sepA >= sum(col("__ceil")).over(all)
       case None => margined
     }

@@ -520,7 +520,7 @@ object DedupQueries {
     // pages in ONE LSH bucket, which is exactly the regime bucketPairs'
     // heavy path (Dedup.HeavyBucket=512: sort-merge self-join instead
     // of the in-memory array expansion) exists for. This leg derives a
-    // bounded skew IN-QUERY — every doc below SkewCut=1200 becomes the
+    // bounded skew IN-QUERY — every doc below SkewCut becomes the
     // same 60-token boilerplate plus a distinct tail token — and runs
     // the real banding + pair generation over it. At sf0.1 the 700-doc
     // population shares band buckets (~93% per band: P(both row-mins

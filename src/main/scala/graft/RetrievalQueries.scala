@@ -620,11 +620,11 @@ object RetrievalQueries {
     val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val fp = graft.tools.LocalFs.fingerprint(
       new java.io.File(s"$dir/documents.parquet"))
-    // l2 = the tkey-partitioned posting layout (l3 = 4096-bucket
-    // prefix keys, r18); bumping the token
-    // retires fingerprint-matched stores written under the old
-    // partitionBy("term") layout (they lack the tkey column)
-    (dirKey, s"$dirKey-$fp-vall-l3")
+    // l2 = the tkey-partitioned posting layout; l3 = 4096-bucket
+    // prefix keys (r18); l4 = positional postings (r19). Bumping the
+    // token retires fingerprint-matched stores written under the old
+    // layouts (they lack the tkey / pos columns)
+    (dirKey, s"$dirKey-$fp-vall-l4")
   }
 
   private def ensureLexicon(s: org.apache.spark.sql.SparkSession,
@@ -720,7 +720,7 @@ object RetrievalQueries {
     val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val fp = graft.tools.LocalFs.fingerprint(
       new java.io.File(s"$dir/documents.parquet"))
-    val key = s"$dirKey-$fp-t$TargetCap-q$KiTerms-ptgt-l3"
+    val key = s"$dirKey-$fp-t$TargetCap-q$KiTerms-ptgt-l4"
     val path = s"/tmp/graft-kilex/$key"
     if (!new java.io.File(s"$path/postings/_SUCCESS").exists()) {
       graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-kilex",
@@ -743,7 +743,7 @@ object RetrievalQueries {
     val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val fp = graft.tools.LocalFs.fingerprint(
       new java.io.File(s"$dir/documents.parquet"))
-    val key = s"$dirKey-$fp-t$TargetCap-q$KiTerms-ptgt-l3"
+    val key = s"$dirKey-$fp-t$TargetCap-q$KiTerms-ptgt-l4"
     val path = s"/tmp/graft-kilexinc/$key"
     if (!new java.io.File(s"$path/_APPENDED").exists()) {
       graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-kilexinc",
@@ -755,6 +755,126 @@ object RetrievalQueries {
       new java.io.File(s"$path/_APPENDED").createNewFile()
     }
     path
+  }
+
+  // ---- positional retrieval (r18 verdict item 3): phrase + proximity
+  // served from the positional lexicon, plus a known-item recall gate.
+
+  /** Phrase top-k depth. */
+  private val PhraseK = 25
+
+  /** Planted phrase length. 4 tokens over the 30-word synthetic vocab
+    * makes most planted phrases corpus-unique; a 2-token phrase is too
+    * common (~8% of docs share one) to rank the target by adjacency
+    * count alone. */
+  private[graft] val KiPhraseLen = 4
+
+  /** Measured known-item phrase floor (per-mille of the sampled
+    * queries hit at top-[[KiK]], MEASURED via the oracle replay):
+    * 1000‰ at sf0.001 (20 queries), sf0.01 (20), and sf0.1 (64,
+    * capped); the 3-token variant measured 875‰ at sf0.1, locating
+    * the cliff. A broken positional path (off-by-one shift, positions
+    * lost on append) drops the TARGET ITSELF out of the candidate set
+    * — a row-count and hash fail — and degrades every other match to
+    * co-occurrence noise, an order below this floor. */
+  private[graft] val MinKiPhrasePerMille = 800L
+
+  /** Per-target planted PHRASE: the target doc's FIRST [[KiPhraseLen]]
+    * tokens — a deterministic extraction both engines replay; shorter
+    * targets drop out of the query set. */
+  private[graft] def kiPhraseQueries(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), graft.text.Text.tokens(col("text")).as("t"))
+      .join(broadcast(kiTargets(Bm25.postingsOf(d), "doc_id")),
+        col("doc_id") === col("qid"))
+      .where(size(col("t")) >= KiPhraseLen)
+      .select(col("qid") +: (0 until KiPhraseLen).map(i =>
+        col("t").getItem(i).as(s"w${i + 1}")): _*)
+
+  /** Gate lexicon for the PHRASE recall gate: positional postings
+    * whose vocabulary is the planted first-two-token phrase terms
+    * (the query-log-vocabulary move of [[ensureKiLexicon]], phrase
+    * edition). */
+  private def ensureKiPhraseLexicon(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fp = graft.tools.LocalFs.fingerprint(
+      new java.io.File(s"$dir/documents.parquet"))
+    val key = s"$dirKey-$fp-t$TargetCap-ph2-l4"
+    val path = s"/tmp/graft-kiphrase/$key"
+    if (!new java.io.File(s"$path/postings/_SUCCESS").exists()) {
+      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-kiphrase",
+        s"$dirKey-", key)
+      val d = docs(s, dir)
+      val q = kiPhraseQueries(d)
+      Bm25.buildLexicon(d, path, vocabTermsOverride =
+        Some((1 to KiPhraseLen).map(i =>
+            q.select(col(s"w$i").as("term")): DataFrame)
+          .reduceLeft(_ union _)))
+    }
+    path
+  }
+
+  /** Oracle for retrieval_recall_phrase: adjacency replayed from the
+    * text, rank by candidates-strictly-ahead, global per-mille floor. */
+  private def kiPhraseOracleSql: String = {
+    val toks = "regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')"
+    s"""
+        WITH dtoks AS (SELECT doc_id, $toks AS t FROM documents),
+        posts AS (
+          SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(t) AS term FROM dtoks)
+          WHERE term <> '' GROUP BY 1, 2),
+        tgt AS (${kiTargetsSql("posts", "doc_id")}),
+        q AS (
+          SELECT doc_id AS qid, ${(1 to KiPhraseLen)
+            .map(i => s"t[$i] AS w$i").mkString(", ")} FROM dtoks
+          WHERE doc_id IN (SELECT qid FROM tgt)
+            AND len(t) >= $KiPhraseLen),
+        sc AS (
+          SELECT q.qid, d.doc_id,
+            CAST(len(list_filter(range(len(d.t) - ${KiPhraseLen - 1}),
+              i -> ${(1 to KiPhraseLen)
+                .map(i => s"d.t[i + $i] = q.w$i").mkString(" AND ")}))
+              AS BIGINT) AS score
+          FROM q CROSS JOIN dtoks d),
+        scm AS (SELECT * FROM sc WHERE score > 0),
+        ${kiRankCtes("scm", "doc_id", "res")}
+        SELECT qid, target_rank, hit,
+          (SELECT sum(CASE WHEN hit THEN 1 ELSE 0 END) * 1000
+             >= $MinKiPhrasePerMille * count(*) FROM res) AS recall_ok
+        FROM res ORDER BY qid"""
+  }
+
+  /** (qid, doc_id, score=phrase occurrences) for the planted phrase
+    * queries, served from a POSITIONAL lexicon: each query's two terms
+    * join the postings per doc and adjacency resolves by intersecting
+    * the shifted position arrays — candidates are df-bounded posting
+    * rows, never the corpus, and no position becomes a row. */
+  private[graft] def kiPhraseScored(s: org.apache.spark.sql.SparkSession,
+      root: String, q: DataFrame): DataFrame = {
+    val post = s.read.parquet(s"$root/postings")
+      .select(col("term"), col("doc_id"), col("pos"))
+    // slot 1 anchors (qid, doc, P_1); each further slot joins its
+    // term's postings for the same doc and intersects the shifted
+    // positions — the chain narrows monotonically, so the heaviest
+    // frame is the first join, bounded by Σ df over planted terms
+    val qb = broadcast(q)
+    val anchor = qb.join(post, col("w1") === col("term"))
+      .select(Seq(col("qid"), col("doc_id"), col("pos").as("chain")) ++
+        (2 to KiPhraseLen).map(i => col(s"w$i")): _*)
+    val chained = (2 to KiPhraseLen).foldLeft(anchor) { (acc, i) =>
+      val b = post.select(col("term").as(s"t$i"),
+        col("doc_id").as(s"d$i"), col("pos").as(s"p$i"))
+      acc.join(b, col(s"w$i") === col(s"t$i") &&
+          acc("doc_id") === col(s"d$i"))
+        .select(Seq(acc("qid"), acc("doc_id"),
+          array_intersect(col("chain"),
+            transform(col(s"p$i"), p => p - lit(i - 1))).as("chain")) ++
+          (i + 1 to KiPhraseLen).map(j => acc(s"w$j")): _*)
+    }
+    chained.select(col("qid"), col("doc_id"),
+        size(col("chain")).cast("long").as("score"))
+      .where(col("score") > 0)
   }
 
   def all: Seq[Q] = Seq(
@@ -789,6 +909,54 @@ object RetrievalQueries {
     Q("retrieval_index_incremental",
       (s, dir) => Bm25.bm25FromLexicon(s, ensureLexiconInc(s, dir), Bm25K),
       Some(Bm25.topKMatchingSql("documents", Bm25K))),
+
+    // #61f exact PHRASE from the POSITIONAL lexicon (r18 verdict item
+    // 3 — "the second thing every retrieval user types"): postings now
+    // carry each term's sorted token positions; the phrase's slots
+    // join per doc and adjacency resolves by intersecting the shifted
+    // position arrays — phrase_tf = |∩ (P_i − i)|, candidates bounded
+    // by the rarest term's df, corpus never opened. The oracle replays
+    // adjacency from the text, so a positional layout that lost or
+    // reordered positions hash-fails, not just rows-fails.
+    Q("retrieval_phrase",
+      (s, dir) => Bm25.phraseFromLexicon(s, ensureLexicon(s, dir), PhraseK),
+      Some(Bm25.phraseSql("documents", PhraseK))),
+
+    // #61g PROXIMITY-boosted retrieval from the same positional
+    // lexicon: boosted = bm25(t1)+bm25(t2) + 0.25·#{|p−q| ≤ 8} — the
+    // BM25 half routes through the one shared contribution tree
+    // (bit-identical doubles), the boost is an exact power-of-two
+    // multiple of an integer pair count, so the full boosted score
+    // replays IEEE-exactly in DuckDB. Population = docs matching ≥ 1
+    // term (what a postings index can see), like the bm25 index gates.
+    Q("retrieval_proximity",
+      (s, dir) => Bm25.proximityTopK(s, ensureLexicon(s, dir), Bm25K),
+      Some(Bm25.proximitySql("documents", Bm25K))),
+
+    // #61h KNOWN-ITEM recall gate, PHRASE (row 101's discipline on the
+    // positional path): every sampled target plants its own FIRST
+    // KiPhraseLen=4 TOKENS as an exact-phrase query, served from a
+    // positional lexicon whose vocabulary is the planted terms; rank =
+    // candidates strictly ahead on (phrase_tf desc, id). recall_ok
+    // pins the
+    // measured floor — an off-by-one in the position shift or
+    // positions dropped on the append path collapses the hit rate an
+    // order of magnitude below it (phrase_tf degrades to co-occurrence
+    // noise), which no determinism check would catch.
+    Q("retrieval_recall_phrase",
+      (s, dir) => {
+        val all = Window.partitionBy()
+          .rowsBetween(Long.MinValue, Long.MaxValue)
+        val root = ensureKiPhraseLexicon(s, dir)
+        val q = kiPhraseQueries(docs(s, dir)).localCheckpoint()
+        kiRankOf(kiPhraseScored(s, root, q), "doc_id")
+          .select(col("qid"), col("target_rank"), col("hit"),
+            (sum(when(col("hit"), 1L).otherwise(0L)).over(all) * 1000 >=
+              lit(MinKiPhrasePerMille) * count(lit(1)).over(all))
+              .as("recall_ok"))
+          .orderBy(col("qid"))
+      },
+      Some(kiPhraseOracleSql)),
 
     // #62 hybrid retrieval: RRF(BM25 top-50, cosine top-50) → top-10.
     // Integer ranks + rational fusion arithmetic — IEEE-exact in both

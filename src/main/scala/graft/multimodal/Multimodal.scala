@@ -729,6 +729,53 @@ object Multimodal {
     Some(out.result())
   }
 
+  /** Sample COUNT from the tables alone — the stsz sample_count of the
+    * first video track, with NO frame decode: the planning pass a frame
+    * sampler runs BEFORE fetching any sample bytes (decide which frames
+    * to decode from index metadata, then fetch only those). None for
+    * non-MP4 / corrupt payloads — same contract as [[decodeMp4Meta]]. */
+  private[graft] def mp4SampleCount(bytes: Array[Byte]): Option[Int] = {
+    if (bytes == null || bytes.length < 16) return None
+    def boxes(from: Int, until: Int) = boxWalk(bytes, from, until)
+    if (new String(bytes, 4, 4, "US-ASCII") != "ftyp") return None
+    val moov = boxes(0, bytes.length).collectFirst {
+      case ("moov", s, e) => (s, e)
+    }.getOrElse(return None)
+    val stbl = boxes(moov._1, moov._2).collect { case ("trak", s, e) =>
+      boxes(s, e).collectFirst { case ("mdia", ms, me) =>
+        boxes(ms, me).collectFirst { case ("minf", fs, fe) =>
+          boxes(fs, fe).collectFirst { case ("stbl", bs, be) => (bs, be) }
+        }.flatten
+      }.flatten
+    }.collectFirst { case Some(r) => r }.getOrElse(return None)
+    boxes(stbl._1, stbl._2).collectFirst {
+      case ("stsz", s, e) if e - s >= 12 => beU32(bytes, s + 8).toInt
+    }.filter(n => n >= 0 && n < (1 << 20))
+  }
+
+  /**
+   * Per-payload REAL frame count from the ISO-BMFF sample tables
+   * (appends `n_frames`, NULL for non-MP4/corrupt payloads) — the
+   * metadata-only half of [[videoFrames]]: a sampler plans its frame
+   * indices from this and fetches only the planned samples' byte
+   * ranges, never the whole mdat.
+   */
+  def videoSampleCounts(df: DataFrame, payloadCol: String,
+      batchSize: Int = 64, rebalance: Boolean = true): DataFrame = {
+    val outSchema = StructType(
+      df.schema :+ StructField("n_frames", IntegerType))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val in = if (rebalance) rebalanced(df) else df
+    in.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          Row.fromSeq(r.toSeq :+
+            mp4SampleCount(r.getAs[Array[Byte]](idx)).map(Int.box).orNull)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Output schema of [[videoFrames]]'s appended columns. */
   private val videoFrameFields = Seq(
     StructField("frame_idx", IntegerType),

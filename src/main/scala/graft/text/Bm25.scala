@@ -47,6 +47,19 @@ object Bm25 {
     * slightly different document frequencies. */
   val Terms: Seq[String] = Seq("spark", "vector", "merge", "window")
 
+  /** The pinned exact PHRASE for the positional-lexicon gates (occurs
+    * in ~8% of synthetic docs — present at every sf, selective enough
+    * that adjacency does real work beyond the terms' own dfs). */
+  val Phrase: Seq[String] = Seq("value", "table")
+
+  /** Proximity boost per within-window pair — an exact power of two,
+    * so `score + ProxBoost·pairs` is one exactly-representable
+    * multiply and one correctly-rounded add in BOTH engines. */
+  val ProxBoost = 0.25
+
+  /** Proximity window (|p−q| ≤ ProxWindow token positions). */
+  val ProxWindow = 8
+
   /** Truncated-series length: odd powers y^1..y^25. */
   val SeriesTerms = 13
 
@@ -273,6 +286,24 @@ object Bm25 {
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).cast("long").as("tf"))
 
+  /** [[postingsOf]] at the same grain plus `pos` — the term's sorted
+    * 0-based token positions in the doc (tf == size(pos)) — the
+    * positional half of the r18 verdict's phrase/proximity ask. The
+    * pipeline is the identical tokenize-explode shuffle; positions
+    * ride the explode (posexplode) and fold back per posting with a
+    * bounded collect_list (a posting's positions are capped by the
+    * doc's own length — document-bounded state, like the tf count). */
+  private[graft] def postingsWithPositions(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        Text.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        posexplode(col("toks")).as(Seq("p", "term")))
+      .where(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("tf"),
+        sort_array(collect_list(col("p"))).as("pos"))
+
   /** Swap-protocol selector for the lexicon's driver-size summaries:
     * `rename` (default) = the two-rename directory swap ([[swapIn]],
     * atomic on file:// and hdfs://); `pointer` = the committer-style
@@ -328,14 +359,23 @@ object Bm25 {
         * df-ranked membership election. df VALUES still count the full
         * indexed docs. */
       vocabTermsOverride: Option[DataFrame] = None,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+      idCol: String = "doc_id", textCol: String = "text",
+      /** Positional postings (default ON): each posting carries the
+        * term's sorted 0-based positions, enabling phrase and
+        * proximity serving ([[phraseFromLexicon]], [[proximityTopK]]).
+        * Storage follows the token stream (positions ≈ corpus tokens)
+        * — the honest cost every positional index pays; `false` keeps
+        * the tf-only layout for storage-budgeted builds. The bucket
+        * layout and every summary are unchanged either way. */
+      positional: Boolean = true): Unit = {
     val s = docs.sparkSession
     val toks = docs.select(col(idCol).as("doc_id"),
       Text.tokens(col(textCol)).as("toks"))
     val stats = toks.select(size(col("toks")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
     writeSummary(s, path, "stats", stats)
-    val postings = postingsOf(docs, idCol, textCol)
+    val postings = if (positional) postingsWithPositions(docs, idCol, textCol)
+      else postingsOf(docs, idCol, textCol)
     // vocab MEMBERSHIP may come from a restricted population (the
     // incremental comparator trains it on the old slice, mirroring the
     // ANN trainWhere) or be declared outright; df VALUES always count
@@ -464,7 +504,13 @@ object Bm25 {
     // so a forced broadcast would be the scale bug.
     val vocabTerms = s.read.parquet(summaryPath(s, path, "df"))
       .select(col("term"))
-    val batch = postingsOf(newDocs, idCol, textCol)
+    // the batch's posting shape follows the STORE's (schema-detected):
+    // a positional lexicon appends positional postings, a tf-only one
+    // appends tf-only — an append can never mix layouts
+    val positional = s.read.parquet(s"$path/postings")
+      .schema.fieldNames.contains("pos")
+    val batch = (if (positional) postingsWithPositions(newDocs, idCol, textCol)
+      else postingsOf(newDocs, idCol, textCol))
       .join(vocabTerms, Seq("term"))
     batch.withColumn("tkey", substring(md5(col("term")), 1, 3))
       .repartition(col("tkey")).sortWithinPartitions(col("term"))
@@ -530,5 +576,141 @@ object Bm25 {
         terms.map(t => col(s"c_$t")).reduceLeft(_ + _).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Bucket-pruned positional postings for a term set: partition
+    * pruning on the tkey literals, row-group pruning on the sorted
+    * term column — candidate rows = Σ df(term), never the corpus. */
+  private def positionalPostings(s: org.apache.spark.sql.SparkSession,
+      root: String, terms: Seq[String]): DataFrame =
+    s.read.parquet(s"$root/postings")
+      .where(col("tkey").isin(terms.map(termKey): _*) &&
+        col("term").isin(terms: _*))
+
+  /**
+   * Exact-phrase occurrence counts served from a POSITIONAL lexicon
+   * (r18 verdict item 3 — the second thing every retrieval user
+   * types): read the phrase terms' postings (bucket-pruned), join the
+   * phrase's slots per doc, and resolve adjacency by intersecting each
+   * slot's positions shifted back by its offset —
+   * `phrase_tf = |∩_i (P_i − i)|`. One |phrase|-way join keyed on
+   * doc_id over df-bounded posting rows; the corpus is never opened,
+   * and no position ever explodes to a row (array intersection is
+   * per-posting-pair work). Docs where the full chain never completes
+   * (empty intersection) are dropped — a phrase index serves matches.
+   */
+  def phraseFromLexicon(s: org.apache.spark.sql.SparkSession, root: String,
+      k: Int, phrase: Seq[String] = Phrase): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val post = positionalPostings(s, root, phrase.distinct)
+    val slots = phrase.zipWithIndex.map { case (t, i) =>
+      post.where(col("term") === lit(t))
+        .select(col("doc_id"),
+          transform(col("pos"), p => p - lit(i)).as(s"p$i"))
+    }
+    val joined = slots.reduceLeft((a, b) => a.join(b, Seq("doc_id")))
+    val chain = (1 until phrase.length).foldLeft(col("p0"))(
+      (acc, i) => array_intersect(acc, col(s"p$i")))
+    joined.select(col("doc_id"), size(chain).cast("long").as("phrase_tf"))
+      .where(col("phrase_tf") > 0)
+      .orderBy(col("phrase_tf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Oracle twin of [[phraseFromLexicon]]: adjacency replayed from the
+    * corpus text (1-based DuckDB list indexing; `range(len-…)` walks
+    * candidate start positions). */
+  def phraseSql(table: String, k: Int,
+      phrase: Seq[String] = Phrase): String = {
+    val toks = s"regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')"
+    val m = phrase.length
+    val chain = phrase.zipWithIndex
+      .map { case (t, i) => s"toks[i + ${i + 1}] = '$t'" }
+      .mkString(" AND ")
+    s"""
+        WITH t AS (SELECT doc_id, $toks AS toks FROM $table),
+        p AS (
+          SELECT doc_id,
+            CAST(len(list_filter(range(len(toks) - ${m - 1}),
+              i -> $chain)) AS BIGINT) AS phrase_tf
+          FROM t)
+        SELECT doc_id, phrase_tf FROM p WHERE phrase_tf > 0
+        ORDER BY phrase_tf DESC, doc_id LIMIT $k"""
+  }
+
+  /**
+   * Proximity-boosted two-term retrieval from the positional lexicon:
+   * `boosted = bm25(t1) + bm25(t2) + ProxBoost · pairs`, with
+   * `pairs = #{(p,q) : |p−q| ≤ window}` counted from the two posting
+   * rows' position arrays (per-doc array work, no position ever
+   * becomes a row). The BM25 half routes through the same pivoted
+   * [[contribution]] assembly as [[bm25FromLexicon]] — bit-identical
+   * doubles — and the boost is an exact power-of-two multiple of an
+   * integer, so the boosted double replays IEEE-exactly in the
+   * oracle. Population: docs matching ≥ 1 term (postings-visible);
+   * the boost joins in only where BOTH terms occur.
+   */
+  def proximityTopK(s: org.apache.spark.sql.SparkSession, root: String,
+      k: Int, t1: String = "spark", t2: String = "vector",
+      window: Int = ProxWindow): DataFrame = {
+    val terms = Seq(t1, t2)
+    val post = positionalPostings(s, root, terms)
+    val dfTab = s.read.parquet(summaryPath(s, root, "df"))
+      .where(col("term").isin(terms: _*))
+    val stats = s.read.parquet(summaryPath(s, root, "stats"))
+    val rows = post.join(broadcast(dfTab), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("pos"),
+        contribution(col("tf"), col("df"), col("dl")).as("c"))
+    val pivotAggs = terms.map(t =>
+      sum(when(col("term") === lit(t), col("c")).otherwise(lit(0.0)))
+        .as(s"c_$t"))
+    val scored = rows.groupBy(col("doc_id"))
+      .agg(pivotAggs.head, pivotAggs.tail: _*)
+      .select(col("doc_id"),
+        terms.map(t => col(s"c_$t")).reduceLeft(_ + _).as("score"))
+    val pairs = post.where(col("term") === lit(t1))
+      .select(col("doc_id"), col("pos").as("pa"))
+      .join(post.where(col("term") === lit(t2))
+        .select(col("doc_id"), col("pos").as("pb")), Seq("doc_id"))
+      .select(col("doc_id"),
+        aggregate(col("pa"), lit(0L), (acc, p) =>
+          acc + size(filter(col("pb"),
+            q => abs(q - p) <= lit(window))).cast("long"))
+          .as("prox_pairs"))
+    scored.join(pairs, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("score"),
+        coalesce(col("prox_pairs"), lit(0L)).as("prox_pairs"))
+      .withColumn("boosted",
+        col("score") + lit(ProxBoost) * col("prox_pairs").cast("double"))
+      .orderBy(col("boosted").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Oracle twin of [[proximityTopK]]: scoring via [[sqlCtes]] (the
+    * one shared BM25 tree), positions and the pair count replayed
+    * from the text, population = matching docs. */
+  def proximitySql(table: String, k: Int, t1: String = "spark",
+      t2: String = "vector", window: Int = ProxWindow): String = {
+    val terms = Seq(t1, t2)
+    val toks = s"regexp_extract_all(lower(text), '[^ \\t\\n\\f\\r\\x0B]+')"
+    def posOf(t: String) =
+      s"list_filter(range(len(toks)), i -> toks[i + 1] = '$t')"
+    val anyTf = terms.map(tfCol).reduceLeft((a, b) => s"($a + $b)")
+    s"""
+        WITH ${sqlCtes(table, terms)},
+        tx AS (SELECT doc_id, $toks AS toks FROM $table),
+        pr AS (
+          SELECT doc_id,
+            CAST(COALESCE(list_sum(list_transform(${posOf(t1)},
+              p -> len(list_filter(${posOf(t2)},
+                q -> abs(q - p) <= $window)))), 0) AS BIGINT) AS prox_pairs
+          FROM tx)
+        SELECT sc.doc_id, sc.score, pr.prox_pairs,
+          (sc.score + (${d(ProxBoost)} *
+            CAST(pr.prox_pairs AS DOUBLE))) AS boosted
+        FROM sc JOIN pr ON sc.doc_id = pr.doc_id
+        WHERE sc.doc_id IN (SELECT doc_id FROM f WHERE $anyTf > 0)
+        ORDER BY boosted DESC, sc.doc_id LIMIT $k"""
   }
 }

@@ -34,10 +34,13 @@ import org.apache.spark.sql.SparkSession
  */
 object ExecutorLossDrill {
 
-  private def executorPids(): Seq[Long] = {
+  private def executorPids(appId: String): Seq[Long] = {
     // /proc scan, not ProcessHandle.info().commandLine(): the executor
     // launch command carries every jar on -cp and the JDK truncates /
-    // omits oversized command lines in ProcessHandle.Info
+    // omits oversized command lines in ProcessHandle.Info. Candidates
+    // are filtered to THIS drill's executors via the --app-id argument
+    // on the executor launch command (r18 advice: a concurrent Spark
+    // job on the same host would otherwise trip the 2-executor check).
     val self = ProcessHandle.current().pid()
     val procDir = new java.io.File("/proc")
     Option(procDir.listFiles()).getOrElse(Array.empty).toSeq
@@ -47,7 +50,8 @@ object ExecutorLossDrill {
         try {
           val cmd = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(s"/proc/$pid/cmdline")), "UTF-8")
-          cmd.contains("CoarseGrainedExecutorBackend")
+          cmd.contains("CoarseGrainedExecutorBackend") &&
+            cmd.contains(appId)
         } catch { case _: java.io.IOException => false }
       }
       .sorted
@@ -77,7 +81,8 @@ object ExecutorLossDrill {
       // Lineage-cut under the session's policy
       val ranked = graft.dedup.Corpus.sourceRank(docs)
       val before = ranked.collect().map(_.toSeq).toSet
-      val pids = executorPids()
+      val appId = spark.sparkContext.applicationId
+      val pids = executorPids(appId)
       require(pids.size == 2, s"expected 2 executor JVMs, saw $pids")
       // phase 2: a REAL executor loss — SIGKILL every executor process.
       // Killing ALL of them makes the drill deterministic: the tiny
@@ -89,10 +94,10 @@ object ExecutorLossDrill {
       pids.foreach(pid => Runtime.getRuntime
         .exec(Array("kill", "-9", pid.toString)).waitFor())
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (executorPids().exists(pids.contains) &&
+      while (executorPids(appId).exists(pids.contains) &&
           System.nanoTime() < deadline)
         Thread.sleep(200)
-      require(!executorPids().exists(pids.contains),
+      require(!executorPids(appId).exists(pids.contains),
         "executors did not die")
       // phase 3: the successor job re-reads the cut frames
       val after =

@@ -93,6 +93,15 @@ object MakeSkew {
           (x + (pmod(hash(col("new_id"), i), lit(1000)) - lit(500))
             .cast("float") / lit(50000.0f)).cast("float")).as("embedding"),
         col("label"))
+    // the id % baseN join key assumes base vec_ids are contiguous
+    // 0..baseN-1; on a sparse-id corpus the inner join would silently
+    // drop rows and break the claimed doc↔vector coverage — fail loudly
+    // instead (r18 advice)
+    val extraN = extraEmbs.count()
+    require(extraN == extra.toLong,
+      s"heavy-doc embedding extension produced $extraN rows, expected " +
+        s"$extra — base embeddings do not carry contiguous vec_ids " +
+        s"0..${baseN - 1}")
     embs.unionByName(extraEmbs)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/embeddings.parquet")

@@ -187,6 +187,17 @@ class RetrievalSpec extends SparkSpec {
       slurp(full, "df", Seq("term", "df")))
     assert(slurp(inc, "postings", Seq("term", "doc_id", "dl", "tf")) ==
       slurp(full, "postings", Seq("term", "doc_id", "dl", "tf")))
+    // positions append positionally: the batch's postings carry the
+    // same sorted position arrays a full rebuild computes (r19)
+    assert(slurp(inc, "postings", Seq("term", "doc_id", "pos")) ==
+      slurp(full, "postings", Seq("term", "doc_id", "pos")))
+    // and PHRASE serving over the append-maintained store == rebuild
+    val pInc = Bm25.phraseFromLexicon(spark, inc, 10, Seq("merge", "table"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pFull = Bm25.phraseFromLexicon(spark, full, 10, Seq("merge", "table"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pInc == pFull && pInc.contains((3L, 1L)),
+      s"phrase over incremental store diverged: $pInc vs $pFull")
     // and the served scores agree exactly
     val a = Bm25.bm25FromLexicon(spark, inc, 10, Seq("spark", "merge"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
@@ -392,6 +403,72 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("tkey#"),
       plan.take(1200))
     assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("positional lexicon: phrase adjacency exact on a hand corpus; " +
+      "serving plan bucket-prunes and never opens a corpus") {
+    val docs = Seq(
+      (0L, "value table value table x"), // two adjacent occurrences
+      (1L, "value x table"),             // not adjacent
+      (2L, "table value"),               // wrong order
+      (3L, "x value table y value table value table")) // three
+      .toDF("doc_id", "text")
+    val root = tmpDir("lexphrase")
+    Bm25.buildLexicon(docs, root)
+    val df = Bm25.phraseFromLexicon(spark, root, 10)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((3L, 3L), (0L, 2L)),
+      s"phrase_tf must count exact adjacency, got $got")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tkey#"),
+      plan.take(1200))
+    assert(!plan.toLowerCase.contains("text#"),
+      "phrase serving must read postings, never document text")
+  }
+
+  test("proximity: within-window pairs counted from positions; the " +
+      "boost is exactly score + 0.25·pairs") {
+    val docs = Seq(
+      (0L, "spark vector"),                      // |0−1| = 1 → 1 pair
+      (1L, "spark a a a a a a a a vector"),      // |0−9| = 9 → 0 pairs
+      (2L, "spark a vector spark"),              // (0,2),(3,2) → 2
+      (3L, "spark only"))                        // one term only
+      .toDF("doc_id", "text")
+    val root = tmpDir("lexprox")
+    Bm25.buildLexicon(docs, root)
+    val rows = Bm25.proximityTopK(spark, root, 10).collect()
+    val pairs = rows.map(r => (r.getLong(r.fieldIndex("doc_id")),
+      r.getLong(r.fieldIndex("prox_pairs")))).toMap
+    assert(pairs == Map(0L -> 1L, 1L -> 0L, 2L -> 2L, 3L -> 0L),
+      s"pair counts wrong: $pairs")
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("boosted")) ==
+        r.getDouble(r.fieldIndex("score")) +
+          0.25 * r.getLong(r.fieldIndex("prox_pairs")),
+        "boosted must be exactly score + ProxBoost·pairs")
+    }
+  }
+
+  test("phrase gate falsification: an adjacency-blind scorer (all " +
+      "terms present, constant score) fails the recall floor") {
+    val d = graft.sources.Sources.table(spark, sf001, "documents")
+    val q = RetrievalQueries.kiPhraseQueries(d).localCheckpoint()
+    val nQ = q.count()
+    assert(nQ > 0, "no planted phrase queries — gate vacuous")
+    // the degraded arm: candidates = docs CONTAINING all four planted
+    // terms anywhere (score 1 each) — what phrase matching decays to
+    // if adjacency is lost; ranks collapse to id order
+    val toks = d.select(col("doc_id"),
+      graft.text.Text.tokens(col("text")).as("t"))
+    val cand = q.join(toks,
+        (1 to RetrievalQueries.KiPhraseLen).map(i =>
+          array_contains(col("t"), col(s"w$i"))).reduceLeft(_ && _))
+      .select(col("qid"), col("doc_id"), lit(1L).as("score"))
+    val hits = RetrievalQueries.kiRankOf(cand, "doc_id")
+      .where(col("hit")).count()
+    assert(hits * 1000 < RetrievalQueries.MinKiPhrasePerMille * nQ,
+      s"adjacency-blind scoring scored $hits/$nQ — the floor would " +
+        "not catch a broken positional path")
   }
 
   test("pipeline recall gate is non-vacuous at the gate dir and hits " +
