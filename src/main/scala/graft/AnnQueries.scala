@@ -353,6 +353,56 @@ object AnnQueries {
       },
       Some(recallSql(ivfpqBatchSqlTrained(AnnOldWhere), MinIncHits))),
 
+    // #31g2 DRIFT GATE (r18 verdict item 5): the index-lifecycle
+    // DECISION the recall floors lacked. The frozen geometry's
+    // training slice and the incoming batch each get a mean cosine
+    // quantization residual (1 − best-centroid dot — one
+    // |slice|×nlist pass, the cost of the assignment an append pays
+    // anyway); ratio > 1.25 (rounded to 6dp so both engines compare
+    // the identical number) flips retrain_due. The oracle replays
+    // centroid sampling, residuals, means, and the THRESHOLD
+    // COMPARISON itself — the adaptive-arm discipline applied to
+    // retraining. AnnSpec forces drift (a disjointly-distributed
+    // batch) and watches the flag flip; on the driver corpus the
+    // batch is same-distribution and the flag stays false.
+    Q("ann_drift_gate",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val eOld = e.where(expr(AnnOldWhere))
+        val (nl, _, mod) = ivfGeom(eOld)
+        Ann.driftGate(eOld, e.where(expr(AnnNewWhere)),
+          Ann.ivfCentroids(eOld, nlist = nl, modulus = mod))
+      },
+      Some(s"""
+        WITH n AS (
+          SELECT vec_id AS id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / $normSql) AS vn,
+            (vec_id % 3 <> 0) AS is_old
+          FROM embeddings WHERE $normSql > 0),${ivfGeomCtes(AnnOldWhere)}
+        cent AS (
+          SELECT id AS cid, vn AS cv FROM n, mm
+          WHERE n.is_old AND
+            ${graft.functions.XHash.h60Sql("CAST(id AS VARCHAR)")}
+              % mm.m = 0),
+        dm AS (
+          SELECT n.id, n.is_old, max(${dotSql("n.vn", "c.cv")}) AS dmax
+          FROM n CROSS JOIN cent c GROUP BY 1, 2),
+        e AS (
+          SELECT
+            avg(CASE WHEN is_old
+              THEN CAST(1.0 AS DOUBLE) - dmax END) AS err_trained,
+            avg(CASE WHEN NOT is_old
+              THEN CAST(1.0 AS DOUBLE) - dmax END) AS err_batch
+          FROM dm)
+        SELECT err_trained, err_batch,
+          CASE WHEN err_trained > 0
+            THEN round(err_batch / err_trained, 6) END AS ratio,
+          CASE WHEN err_trained > 0
+            THEN round(err_batch / err_trained, 6) >
+              CAST(${Ann.DriftRatioMax} AS DOUBLE)
+            ELSE err_batch > 0 END AS retrain_due
+        FROM e""")),
+
     // #31h FILTERED vector search (the serving shape every vector store
     // pairs with ANN: "nearest neighbors WHERE label = c"): the index is
     // built over the FULL corpus, the predicate evaluates on probed-cell
@@ -380,9 +430,7 @@ object AnnQueries {
     // sf0.01), both branches of the switch are oracle-gated in one
     // driver run.
     Q("ann_filtered_selective",
-      (s, dir) => filteredAdaptive(s, dir,
-        col("label") === FilterLabel && col("vec_id") % 4 === 3,
-        col("label") === FilterLabel && col("id") % 4 === 3),
+      (s, dir) => filteredAdaptive(s, dir, "label_eq_mod4"),
       Some(filteredAdaptiveSql(
         s"label = $FilterLabel AND vec_id % 4 = 3",
         s"a.label = $FilterLabel AND a.id % 4 = 3"))),
@@ -1249,21 +1297,67 @@ object AnnQueries {
   /** The adaptive filtered serving frame (ann_filtered + the recall
     * gate's approximate side): [[graft.ann.Ann.filteredTopK]] with the
     * label predicate, nprobe doubled capped at nlist. */
+  /** The serving predicates whose populations the slice-count store
+    * maintains — keyed by stable strings (a real store keys by the
+    * predicate literal from its query log). */
+  private[graft] val FilteredPredKeys: Seq[(String,
+      org.apache.spark.sql.Column)] = Seq(
+    "label_eq" -> (col("label") === FilterLabel),
+    "label_eq_mod4" ->
+      (col("label") === FilterLabel && col("vec_id") % 4 === 3))
+
+  /** Fingerprint-cached slice-count store (r18 verdict item 4): the
+    * per-predicate populations computed ONCE beside the artifact
+    * caches, so every filtered serve reads one stored row instead of
+    * re-counting its slice. */
+  private def ensureSliceCounts(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fp = graft.tools.LocalFs.fingerprint(
+      new java.io.File(s"$dir/embeddings.parquet"))
+    val key = s"$dirKey-$fp-p${FilteredPredKeys.size}"
+    val path = s"/tmp/graft-slicecnt/$key"
+    if (!new java.io.File(s"$path/_GRAFT_DONE").exists()) {
+      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-slicecnt",
+        s"$dirKey-", key)
+      Ann.writeSliceCounts(s, path,
+        Sources.table(s, dir, "embeddings"), FilteredPredKeys)
+      new java.io.File(s"$path/_GRAFT_DONE").createNewFile()
+    }
+    path
+  }
+
   private def filteredIvf(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    filteredAdaptive(s, dir, col("label") === FilterLabel,
-      col("label") === FilterLabel)
+    filteredAdaptive(s, dir, "label_eq")
 
+  /** Adaptive filtered serve for a MAINTAINED predicate: the arm
+    * decision reads the stored population (O(1) — no slice scan),
+    * then runs the chosen arm. The oracle replays the decision from
+    * the same relational count the store holds (SliceCountSpec pins
+    * store == direct count, and append == integer add). */
   private def filteredAdaptive(s: org.apache.spark.sql.SparkSession,
-      dir: String, pred: org.apache.spark.sql.Column,
-      asgPred: org.apache.spark.sql.Column)
+      dir: String, predKey: String)
       : org.apache.spark.sql.DataFrame = {
+    val (pred, asgPred) = filteredPredPair(predKey)
+    val n = Ann.sliceCount(s, ensureSliceCounts(s, dir), predKey)
     val e = emb(s, dir)
     val (nl, np, mod) = ivfGeom(e)
     Ann.filteredTopK(e, pred, asgPred, Seq("label"), queryVec(e), 10,
       nlist = nl, nprobe = math.min(nl, 2 * np), modulus = mod,
-      exactThreshold = FilteredExactMax)
+      exactThreshold = FilteredExactMax, sliceCount = Some(n))
   }
+
+  /** (corpus-frame predicate, assignment-frame predicate) per key. */
+  private def filteredPredPair(key: String)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =
+    key match {
+      case "label_eq" =>
+        (col("label") === FilterLabel, col("label") === FilterLabel)
+      case "label_eq_mod4" =>
+        (col("label") === FilterLabel && col("vec_id") % 4 === 3,
+          col("label") === FilterLabel && col("id") % 4 === 3)
+    }
 
   /** Exact filtered ground truth: brute force over the `pred` slice. */
   private def exactFilteredPredSql(pred: String): String = s"""

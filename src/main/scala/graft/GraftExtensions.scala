@@ -55,8 +55,16 @@ object GraftExtensions {
 
   private def lquantizeExpr(c: Expression, step: Double): Expression = {
     import org.apache.spark.sql.catalyst.expressions._
-    Cast(Multiply(Floor(Divide(Cast(c, org.apache.spark.sql.types.DoubleType),
-      Literal(step))), Literal(step)), org.apache.spark.sql.types.LongType)
+    // label type follows the step, mirroring functions.lquantize: an
+    // integral step yields BIGINT labels; a fractional step keeps the
+    // exact floor multiple as DOUBLE (the long cast truncates in Spark
+    // but rounds in SQL engines — QueryFuzzSpec's seed-19 find)
+    val m = Multiply(Floor(Divide(
+      Cast(c, org.apache.spark.sql.types.DoubleType),
+      Literal(step))), Literal(step))
+    if (step == step.longValue().toDouble)
+      Cast(m, org.apache.spark.sql.types.LongType)
+    else m
   }
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo,

@@ -763,6 +763,11 @@ object RetrievalQueries {
   /** Phrase top-k depth. */
   private val PhraseK = 25
 
+  /** OOV-mass threshold for the lexicon drift gate: a batch whose
+    * out-of-vocabulary token mass exceeds a quarter of its stream has
+    * drifted from the vocabulary's training corpus. */
+  private[graft] val OovMassMax = 0.25
+
   /** Planted phrase length. 4 tokens over the 30-word synthetic vocab
     * makes most planted phrases corpus-unique; a 2-token phrase is too
     * common (~8% of docs share one) to rank the target by adjacency
@@ -957,6 +962,66 @@ object RetrievalQueries {
           .orderBy(col("qid"))
       },
       Some(kiPhraseOracleSql)),
+
+    // #61i OOV-MASS drift gate for the frozen lexicon vocabulary (r18
+    // verdict item 5, lexical half): the fraction of the incoming
+    // batch's token OCCURRENCES whose term the build-time vocabulary
+    // does not hold. Above OovMassMax the appended crawls have drifted
+    // from the vocabulary's training corpus and a rebuild is due —
+    // the drift DECISION behind the r18 lexicon_novel_terms concern,
+    // pinned relationally (pure integer counts; the comparison runs
+    // in exact multiply form, oov > max·total, in both engines). On
+    // the driver corpus the shared synthetic vocab gives mass 0 and
+    // the flag stays false; RetrievalSpec forces a drifted batch and
+    // watches it flip.
+    Q("retrieval_drift_oov",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val vocab = Bm25.postingsOf(d.where(expr(LexOldWhere)))
+          .select(col("term")).distinct()
+        val newToks = d.where(expr(LexNewWhere))
+          .select(explode(graft.text.Text.tokens(col("text"))).as("term"))
+          .where(col("term") =!= "")
+        val oov = newToks.join(vocab, Seq("term"), "left_anti")
+          .agg(count(lit(1)).cast("long").as("oov_tokens"))
+        val tot = newToks
+          .agg(count(lit(1)).cast("long").as("total_tokens"))
+        oov.crossJoin(tot)
+          .select(col("oov_tokens"), col("total_tokens"),
+            when(col("total_tokens") > 0,
+              col("oov_tokens").cast("double") /
+                col("total_tokens").cast("double")).as("oov_mass"),
+            when(col("total_tokens") > 0,
+              col("oov_tokens").cast("double") >
+                lit(OovMassMax) * col("total_tokens").cast("double"))
+              .otherwise(lit(false)).as("retrain_due"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text),
+            '[^ \\t\\n\\f\\r\\x0B]+')) AS term
+          FROM documents),
+        vocab AS (
+          SELECT DISTINCT term FROM toks
+          WHERE doc_id % 3 <> 0 AND term <> ''),
+        nt AS (
+          SELECT term FROM toks WHERE doc_id % 3 = 0 AND term <> ''),
+        c AS (
+          SELECT
+            CAST(COALESCE(sum(CASE WHEN term NOT IN
+              (SELECT term FROM vocab) THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS oov_tokens,
+            CAST(count(*) AS BIGINT) AS total_tokens
+          FROM nt)
+        SELECT oov_tokens, total_tokens,
+          CASE WHEN total_tokens > 0
+            THEN CAST(oov_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+            END AS oov_mass,
+          CASE WHEN total_tokens > 0
+            THEN CAST(oov_tokens AS DOUBLE) >
+              CAST($OovMassMax AS DOUBLE) * CAST(total_tokens AS DOUBLE)
+            ELSE FALSE END AS retrain_due
+        FROM c""")),
 
     // #62 hybrid retrieval: RRF(BM25 top-50, cosine top-50) → top-10.
     // Integer ranks + rational fusion arithmetic — IEEE-exact in both

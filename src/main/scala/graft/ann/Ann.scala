@@ -454,10 +454,17 @@ object Ann {
       assignedPred: Column, keep: Seq[String], query: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       nlist: Int = DeriveNlist, nprobe: Int = DeriveNprobe,
-      modulus: Option[Long] = None, exactThreshold: Long = -1L): DataFrame = {
+      modulus: Option[Long] = None, exactThreshold: Long = -1L,
+      /** The predicate's precomputed population ([[sliceCount]] from a
+        * persisted [[writeSliceCounts]] store). None (ad-hoc predicates
+        * only) falls back to counting the slice — an extra pass PER
+        * CALL, the r18 watch-item; serving paths pass the stored count
+        * so the arm decision is O(1) at serve time. */
+      sliceCount: Option[Long] = None): DataFrame = {
     val thr = if (exactThreshold >= 0) exactThreshold else 2L * k
     val sub = corpus.where(predicate).where(norm(col(vecCol)) > 0)
-    if (sub.count() <= thr) bruteForceTopK(sub, query, k, idCol, vecCol)
+    if (sliceCount.getOrElse(sub.count()) <= thr)
+      bruteForceTopK(sub, query, k, idCol, vecCol)
     else {
       val nl = if (nlist == DeriveNlist) nlistFor(estimatedRows(corpus))
         else nlist
@@ -467,6 +474,110 @@ object Ann {
         ivfAssign(corpus, centroids, idCol, vecCol, keep).where(assignedPred),
         centroids, query, k, idCol, vecCol, np)
     }
+  }
+
+  // ---- per-predicate slice-count metadata (r18 verdict item 4) ----
+  // filteredTopK's pre/post-filter arm decision needs the predicate's
+  // population; counting it at serve time is an extra pass over the
+  // predicate's slice PER QUERY. A production vector store keeps this
+  // as metadata per predicate value, maintained at ingest — these
+  // three calls are that store: counts per predicate key at index
+  // BUILD, pure integer adds at APPEND (the BM25 df-summary move),
+  // one driver-side row read at SERVE. Layout: a single-file
+  // [[graft.store.Versioned]] parquet (pred_key, cnt) beside the IVF
+  // artifact — pointer-flip rewrites, safe on any FS, bounded by the
+  // number of DISTINCT serving predicates (query-log-sized, never
+  // corpus-sized).
+
+  /** Build the slice-count summary: one (pred_key, cnt) row per
+    * serving predicate, counting the predicate's NONZERO-NORM
+    * population (the same ingest-boundary drop every search path
+    * applies). */
+  def writeSliceCounts(s: org.apache.spark.sql.SparkSession, root: String,
+      corpus: DataFrame, preds: Seq[(String, Column)],
+      vecCol: String = "embedding"): Unit = {
+    val rows = sliceCountRows(corpus, preds, vecCol)
+    graft.store.Versioned.rewrite(s, root, "slice_counts")(dir =>
+      rows.coalesce(1).write.mode("overwrite").parquet(dir))
+  }
+
+  /** Absorb an appended batch: re-evaluate each predicate on the BATCH
+    * rows only and integer-add into the stored counts (disjoint ids →
+    * counts add; nothing already indexed is re-counted). */
+  def appendSliceCounts(s: org.apache.spark.sql.SparkSession, root: String,
+      batch: DataFrame, preds: Seq[(String, Column)],
+      vecCol: String = "embedding"): Unit = {
+    val delta = sliceCountRows(batch, preds, vecCol)
+      .withColumnRenamed("cnt", "d")
+    val old = s.read.parquet(
+      graft.store.Versioned.current(s, root, "slice_counts"))
+    val merged = old.join(delta, Seq("pred_key"), "full_outer")
+      .select(col("pred_key"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d"), lit(0L)))
+          .as("cnt"))
+    graft.store.Versioned.rewrite(s, root, "slice_counts")(dir =>
+      merged.coalesce(1).write.mode("overwrite").parquet(dir))
+  }
+
+  /** The stored population for one predicate key — the O(1) serve-time
+    * read [[filteredTopK]]'s `sliceCount` parameter wants. Throws on an
+    * unknown key: a predicate with no maintained count must fall back
+    * to counting EXPLICITLY, never silently. */
+  def sliceCount(s: org.apache.spark.sql.SparkSession, root: String,
+      key: String): Long =
+    s.read.parquet(graft.store.Versioned.current(s, root, "slice_counts"))
+      .where(col("pred_key") === lit(key))
+      .collect().headOption
+      .map(_.getAs[Long]("cnt"))
+      .getOrElse(throw new NoSuchElementException(
+        s"slice-count store $root has no key '$key'"))
+
+  private def sliceCountRows(corpus: DataFrame,
+      preds: Seq[(String, Column)], vecCol: String): DataFrame = {
+    require(preds.nonEmpty, "no predicates")
+    preds.map { case (k, p) =>
+      corpus.where(p).where(norm(col(vecCol)) > 0)
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .select(lit(k).as("pred_key"), col("cnt"))
+    }.reduceLeft(_ unionByName _)
+  }
+
+  /** Drift threshold for [[driftGate]]: a batch whose mean residual
+    * exceeds 1.25× the training slice's no longer looks like the data
+    * the geometry was trained on. */
+  val DriftRatioMax = 1.25
+
+  /**
+   * Quantization-drift gate for a FROZEN IVF geometry (r18 verdict
+   * item 5 — the index-lifecycle DECISION the recall floors lacked):
+   * mean cosine quantization residual (1 − best-centroid dot) of the
+   * TRAINING slice vs an incoming batch, their ratio, and the
+   * `retrain_due` flag the pipeline acts on. The ratio is rounded to
+   * 6 decimals before the threshold comparison (the grid-rounding
+   * discipline — both engines compare the identical number). A zero
+   * training residual (degenerate: every vector sampled as a
+   * centroid) pins `retrain_due = batch residual > 0`.
+   *
+   * Scale shape: one |slice|×nlist dot pass per side — the same cost
+   * as one assignment pass, which an append pays anyway; a production
+   * pipeline computes the batch half ON the append and keeps the
+   * training half as stored metadata beside the centroids.
+   */
+  def driftGate(trained: DataFrame, batch: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def meanErr(df: DataFrame, name: String) =
+      withNormalized(df, vecCol, "vn")
+        .select(col(idCol), col("vn"))
+        .crossJoin(broadcast(centroids))
+        .select(col(idCol), dot(col("vn"), col("cv")).as("d"))
+        .groupBy(col(idCol)).agg(max(col("d")).as("dmax"))
+        .agg(avg(lit(1.0) - col("dmax")).as(name))
+    val ratio = round(col("err_batch") / col("err_trained"), 6)
+    meanErr(trained, "err_trained").crossJoin(meanErr(batch, "err_batch"))
+      .select(col("err_trained"), col("err_batch"),
+        when(col("err_trained") > 0, ratio).as("ratio"),
+        when(col("err_trained") > 0, ratio > lit(DriftRatioMax))
+          .otherwise(col("err_batch") > 0).as("retrain_due"))
   }
 
   def ivfTopK(corpus: DataFrame, query: DataFrame, k: Int,

@@ -336,15 +336,21 @@ object Dedup {
   def appendKeepersToStore(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, storePath: String,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
-      bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
-    val store = liveStore(spark.read.parquet(storePath))
-    val kept = incrementalKeepers(newDocs, store, idCol, textCol, n,
-      bands, rowsPerBand).lineageCut
-    val keptDocs = newDocs.join(kept, Seq(idCol), "left_semi")
-    signatureStore(keptDocs, idCol, textCol, n, bands, rowsPerBand)
-      .write.mode("append").parquet(storePath)
-    kept
-  }
+      bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame =
+    // single-writer (r18 verdict item 6): the dedup-then-append cycle
+    // is a read-modify-write — two interleaved appends would each
+    // dedup against a store missing the other's keepers and admit
+    // cross-batch duplicates. Claim the store; a concurrent writer
+    // fails loudly and retries.
+    graft.store.Lease.withLease(spark, storePath) {
+      val store = liveStore(spark.read.parquet(storePath))
+      val kept = incrementalKeepers(newDocs, store, idCol, textCol, n,
+        bands, rowsPerBand).lineageCut
+      val keptDocs = newDocs.join(kept, Seq(idCol), "left_semi")
+      signatureStore(keptDocs, idCol, textCol, n, bands, rowsPerBand)
+        .write.mode("append").parquet(storePath)
+      kept
+    }
 
   /**
    * Store RETIREMENT — the `removed` leg of [[graft.dedup.Corpus.snapshotDiff]]'s
@@ -370,15 +376,16 @@ object Dedup {
    */
   def retireFromStore(spark: org.apache.spark.sql.SparkSession,
       retiredIds: DataFrame, storePath: String,
-      idCol: String = "doc_id"): Unit = {
-    val store = spark.read.parquet(storePath)
-    val ids = retiredIds.select(col(idCol).cast("long").as("id")).distinct()
-    val tomb = store.schema.fields.foldLeft(ids)((df, f) =>
-      if (f.name == "id") df
-      else df.withColumn(f.name, lit(null).cast(f.dataType)))
-      .select(store.columns.map(col): _*)
-    tomb.write.mode("append").parquet(storePath)
-  }
+      idCol: String = "doc_id"): Unit =
+    graft.store.Lease.withLease(spark, storePath) {
+      val store = spark.read.parquet(storePath)
+      val ids = retiredIds.select(col(idCol).cast("long").as("id")).distinct()
+      val tomb = store.schema.fields.foldLeft(ids)((df, f) =>
+        if (f.name == "id") df
+        else df.withColumn(f.name, lit(null).cast(f.dataType)))
+        .select(store.columns.map(col): _*)
+      tomb.write.mode("append").parquet(storePath)
+    }
 
   /** Resolve [[retireFromStore]] tombstones: an id holding any
     * tombstone row (NULL fp) drops entirely — data rows and the
@@ -408,6 +415,7 @@ object Dedup {
    */
   def compactStore(spark: org.apache.spark.sql.SparkSession,
       storePath: String, targetFiles: Int = 1): Int =
+    graft.store.Lease.withLease(spark, storePath) {
     // FileSystem.rename reports failure as false (HDFS) OR by throwing
     // (LocalFileSystem and other FS-contract stores); normalize to
     // false so the restore branches run in both dialects — but keep the
@@ -421,6 +429,7 @@ object Dedup {
       catch { case e: Throwable if mvErr.isDefined =>
         mvErr.foreach(e.addSuppressed); throw e }
     }
+    }
 
   /** [[compactStore]] for the (h1,h2) CHUNK-hash stores (fixed and
     * CDC): same staging + rename-aside swap and failure contract, but
@@ -433,15 +442,16 @@ object Dedup {
     * the enlarged store (stream_chunks_cdc_compacted executes the full
     * cycle). */
   def compactChunkStore(spark: org.apache.spark.sql.SparkSession,
-      storePath: String, targetFiles: Int = 1): Int = {
-    var mvErr: Option[java.io.IOException] = None
-    try compactStoreImpl(spark, storePath, targetFiles, (fs, a, b) =>
-      try fs.rename(a, b)
-      catch { case e: java.io.IOException => mvErr = Some(e); false },
-      rewrite = _.distinct())
-    catch { case e: Throwable if mvErr.isDefined =>
-      mvErr.foreach(e.addSuppressed); throw e }
-  }
+      storePath: String, targetFiles: Int = 1): Int =
+    graft.store.Lease.withLease(spark, storePath) {
+      var mvErr: Option[java.io.IOException] = None
+      try compactStoreImpl(spark, storePath, targetFiles, (fs, a, b) =>
+        try fs.rename(a, b)
+        catch { case e: java.io.IOException => mvErr = Some(e); false },
+        rewrite = _.distinct())
+      catch { case e: Throwable if mvErr.isDefined =>
+        mvErr.foreach(e.addSuppressed); throw e }
+    }
 
   /** [[compactStore]] with the rename injectable, so the spec can drive
     * the failed-swap path deterministically (a real FS rename cannot be

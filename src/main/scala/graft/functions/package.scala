@@ -45,16 +45,32 @@ package object functions {
       s"WHEN $b > $c THEN $b // 2 ELSE $b END"
   }
 
-  /** Linear bucketing (`aggr=lquantize,step=S`): floor(v/S)*S as BIGINT. */
+  /** Linear bucketing (`aggr=lquantize,step=S`): floor(v/S)·S. The
+    * bucket label's TYPE follows the step: an integral step yields
+    * BIGINT labels (the day/hour/integer-grid cases every index and
+    * gate uses); a FRACTIONAL step keeps the exact floor multiple as
+    * DOUBLE — casting it to long truncates in Spark but rounds in SQL
+    * engines, silently merging neighboring buckets differently per
+    * engine (found by QueryFuzzSpec seed 19: step=0.5 collapsed 1.0
+    * and 1.5 into one Spark bucket while DuckDB split them 17 rows
+    * apart). floor(v/S)·S is the same two IEEE ops in both renderings,
+    * so fractional labels stay bit-identical. */
   def lquantize(c: Column, step: Double): Column =
-    (floor(c / lit(step)) * lit(step)).cast("long")
+    if (step == step.longValue().toDouble)
+      (floor(c / lit(step)) * lit(step)).cast("long")
+    else floor(c / lit(step)) * lit(step)
 
-  /** SQL rendering of [[lquantize]] for DuckDB oracles. */
-  def lquantizeSql(c: String, step: Double): String = {
-    val s = if (step == step.longValue().toDouble) step.longValue().toString
-            else step.toString
-    s"CAST(floor($c / $s) * $s AS BIGINT)"
-  }
+  /** SQL rendering of [[lquantize]] for DuckDB oracles. A fractional
+    * step is forced DOUBLE (a bare 0.5 literal is DECIMAL in DuckDB,
+    * whose arithmetic would diverge from Spark's double math). */
+  def lquantizeSql(c: String, step: Double): String =
+    if (step == step.longValue().toDouble) {
+      val s = step.longValue().toString
+      s"CAST(floor($c / $s) * $s AS BIGINT)"
+    } else {
+      val s = s"CAST(${step.toString} AS DOUBLE)"
+      s"(floor($c / $s) * $s)"
+    }
 
   /**
    * Record timestamp -> unix seconds, dragnet's synthetic date field

@@ -447,7 +447,15 @@ object Bm25 {
     * (immutable version dirs + a one-line CURRENT pointer flipped by a
     * single-FILE replace) is safe on every FS; readers auto-detect
     * which layout a store uses. This directory swap remains the
-    * default where renames are atomic — it needs no version GC. */
+    * default where renames are atomic — it needs no version GC.
+    *
+    * SINGLE-WRITER: the swap (and the read-add-rewrite summary cycles
+    * around it) assumes one writer at a time. Mutating entry points
+    * claim the store through [[graft.store.Lease]] — a second
+    * concurrent writer gets a loud ConcurrentWriterException and
+    * retries after the holder finishes; a crashed holder's lease
+    * expires after `spark.graft.lease.ttlMs`. ConcurrencySpec drives
+    * the race. */
   private[graft] def swapIn(s: org.apache.spark.sql.SparkSession, root: String,
       name: String): Unit = {
     val rootP = new org.apache.hadoop.fs.Path(root)
@@ -497,7 +505,12 @@ object Bm25 {
    */
   def appendLexicon(s: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, path: String,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    // single-writer: the postings append + the two summary
+    // read-add-rewrite cycles must not interleave with another
+    // writer's (a concurrent append would lose df/stats adds, r18
+    // verdict item 6) — claim the store, fail a second writer loudly
+    graft.store.Lease.withLease(s, path) {
     // membership stays FROZEN at the build's vocabulary (the df
     // summary's term set): novel batch terms are not indexed. The
     // join is planner-chosen — a full vocabulary follows the corpus,
@@ -539,7 +552,7 @@ object Bm25 {
       Seq((st.getLong(st.fieldIndex("n")) + nNew,
           st.getLong(st.fieldIndex("sumdl")) + dlNew))
         .toDF("n", "sumdl"))
-  }
+  }: Unit
 
   /**
    * Serve BM25 top-k from the lexicon: term-partition pruning keeps the

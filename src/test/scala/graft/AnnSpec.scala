@@ -898,4 +898,33 @@ class AnnSpec extends SparkSpec {
     // and every flagged row really crossed the bar
     assert(out.forall(_._3 >= Ann.SemDedupMinCos))
   }
+
+  test("drift gate: a same-distribution batch stays quiet; a " +
+      "distribution-shifted batch flips retrain_due (r18 item 5)") {
+    import spark.implicits._
+    // training corpus: vectors hugging the first four axes (small
+    // deterministic off-axis noise so residuals are nonzero)
+    def axisVec(id: Long, axis: Int): Seq[Float] =
+      Seq.tabulate(8)(d =>
+        if (d == axis) 1f else 0.02f * (((id + d) % 3).toInt - 1))
+    val trained = (0L until 64L).map(i => (i, axisVec(i, (i % 4).toInt)))
+      .toDF("vec_id", "embedding")
+    val centroids = Ann.ivfCentroids(trained, nlist = 16,
+      modulus = Some(4L))
+    // same distribution, fresh ids → residuals comparable → quiet
+    val same = (100L until 164L).map(i => (i, axisVec(i, (i % 4).toInt)))
+      .toDF("vec_id", "embedding")
+    val quiet = Ann.driftGate(trained, same, centroids).head()
+    assert(!quiet.getAs[Boolean]("retrain_due"),
+      s"same-distribution batch flagged: $quiet")
+    // the shift: all mass on axes the training slice never used →
+    // best-centroid dot collapses → ratio far above the threshold
+    val shifted = (200L until 264L).map(i =>
+        (i, axisVec(i, 4 + (i % 4).toInt)))
+      .toDF("vec_id", "embedding")
+    val loud = Ann.driftGate(trained, shifted, centroids).head()
+    assert(loud.getAs[Boolean]("retrain_due"),
+      s"shifted batch not flagged: $loud")
+    assert(loud.getAs[Double]("ratio") > Ann.DriftRatioMax)
+  }
 }

@@ -8,6 +8,45 @@ package graft
  */
 class PlanShapeSpec extends SparkSpec {
 
+  test("filtered serving with a stored slice count runs NO job at " +
+      "serve-plan time; the fallback path pays a counting job " +
+      "(r18 watch-item 1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = (0L until 64L).map(i =>
+        (i, Seq.tabulate(4)(d => ((i + d) % 5 + 1).toFloat), i % 4))
+      .toDF("vec_id", "embedding", "label")
+    val q = e.orderBy(col("vec_id")).limit(1)
+    def jobsNow(): Int =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    def settle(prev: Int, expectMore: Boolean): Int = {
+      // statusTracker is listener-fed (async): poll to a deadline
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      var cur = jobsNow()
+      while (expectMore == (cur == prev) && System.nanoTime() < deadline) {
+        Thread.sleep(100); cur = jobsNow()
+      }
+      cur
+    }
+    val before = jobsNow()
+    // stored count provided, below threshold → exact arm, pure plan
+    // construction: NO Spark job may run (the r18 per-call sub.count()
+    // is exactly the job this asserts away)
+    graft.ann.Ann.filteredTopK(e, col("label") === 1, col("label") === 1,
+      Seq("label"), q, 3, exactThreshold = 20L, sliceCount = Some(16L))
+    val after = settle(before, expectMore = false)
+    assert(after == before,
+      s"serving with a stored count ran ${after - before} job(s) at " +
+        "plan time — the decision must be O(1)")
+    // no stored count → the documented fallback counts the slice NOW
+    graft.ann.Ann.filteredTopK(e, col("label") === 1, col("label") === 1,
+      Seq("label"), q, 3, exactThreshold = 20L)
+    val after2 = settle(after, expectMore = true)
+    assert(after2 > after,
+      "the ad-hoc fallback should pay a counting job (did the arm " +
+        "decision silently stop counting?)")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Single-row query-vector joins broadcast (BroadcastNestedLoopJoin
     // over a 1-row side is fine); an unconstrained CartesianProduct of

@@ -471,6 +471,25 @@ class RetrievalSpec extends SparkSpec {
         "not catch a broken positional path")
   }
 
+  test("oov drift gate: novel-vocabulary batch flips retrain_due; a " +
+      "same-vocabulary batch stays quiet (r18 item 5)") {
+    def runOn(texts: Seq[(Long, String)]): org.apache.spark.sql.Row = {
+      val dir = tmpDir("oovdrift")
+      texts.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      SparkEntry.queries("retrieval_drift_oov")(spark, dir).head()
+    }
+    // ids 1,2 are the old slice (doc_id % 3 <> 0), id 3 the batch
+    val loud = runOn(Seq((1L, "alpha beta gamma"), (2L, "beta delta"),
+      (3L, "zeta eta theta")))
+    assert(loud.getAs[Boolean]("retrain_due") &&
+      loud.getAs[Double]("oov_mass") == 1.0, s"novel batch: $loud")
+    val quiet = runOn(Seq((1L, "alpha beta gamma"), (2L, "beta delta"),
+      (3L, "alpha delta beta")))
+    assert(!quiet.getAs[Boolean]("retrain_due") &&
+      quiet.getAs[Double]("oov_mass") == 0.0, s"same-vocab batch: $quiet")
+  }
+
   test("pipeline recall gate is non-vacuous at the gate dir and hits " +
       "clear its floor (row 123)") {
     val rows = SparkEntry.queries("retrieval_recall_pipeline")(spark, sf001)

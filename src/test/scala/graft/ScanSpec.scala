@@ -60,6 +60,21 @@ class ScanSpec extends SparkSpec {
     assert(out == Seq(Row(0L, 3L), Row(10L, 1L), Row(100L, 1L)))
   }
 
+  test("fractional lquantize step keeps DOUBLE bucket labels " +
+      "(QueryFuzzSpec seed-19 find: the long cast truncated in Spark " +
+      "but rounded in DuckDB, merging neighbor buckets differently)") {
+    import spark.implicits._
+    val vals = Seq(0.2, 0.6, 1.0, 1.5, 1.7, -0.3).map(Tuple1(_))
+      .toDF("x")
+    val cfg = QueryConfig(breakdowns = Seq(
+      FieldSpec("b", "x", aggr = Some("lquantize"), step = Some(0.5))))
+    val out = Scan.scan(vals, cfg).collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(out == Seq((-0.5, 1L), (0.0, 1L), (0.5, 1L), (1.0, 1L),
+      (1.5, 2L)),
+      s"fractional buckets wrong: $out")
+  }
+
   test("date parse + per-day bucketing; filter applies before grouping") {
     val cfg = QueryConfig(
       filter = Some(Cmp("ne", "host", "c")),
