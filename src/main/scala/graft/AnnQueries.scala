@@ -130,8 +130,8 @@ object AnnQueries {
       // persisted halves (read back — the artifact is the contract,
       // not the in-memory frames), and append its files per cell
       Ann.boundedCellLayout(Ann.ivfpqEncode(e.where(expr(AnnNewWhere)),
-          s.read.parquet(s"$path/centroids"),
-          s.read.parquet(s"$path/codebooks")))
+          graft.sources.Sources.parquet(s, s"$path/centroids"),
+          graft.sources.Sources.parquet(s, s"$path/codebooks")))
         .write.mode("append")
         .partitionBy("cell").parquet(s"$path/codes")
       marker.createNewFile()
@@ -244,9 +244,9 @@ object AnnQueries {
         val q = queryBatch(e, 4)
         recallGate(Ann.bruteForceTopKBatch(e, q, 10),
           Ann.ivfpqTopKEncodedBatch(
-            s.read.parquet(s"$p/codes"),
-            s.read.parquet(s"$p/centroids"),
-            s.read.parquet(s"$p/codebooks"),
+            graft.sources.Sources.parquet(s, s"$p/codes"),
+            graft.sources.Sources.parquet(s, s"$p/centroids"),
+            graft.sources.Sources.parquet(s, s"$p/codebooks"),
             q, 10, nprobe = np), MinIvfpqHits)
       },
       Some(recallSql(ivfpqBatchSql, MinIvfpqHits))),
@@ -268,9 +268,9 @@ object AnnQueries {
         val q = queryBatch(e, 4)
         Ann.rerankExact(
           Ann.ivfpqTopKEncodedBatch(
-            s.read.parquet(s"$p/codes"),
-            s.read.parquet(s"$p/centroids"),
-            s.read.parquet(s"$p/codebooks"),
+            graft.sources.Sources.parquet(s, s"$p/codes"),
+            graft.sources.Sources.parquet(s, s"$p/centroids"),
+            graft.sources.Sources.parquet(s, s"$p/codebooks"),
             q, RerankCand, nprobe = np),
           e, q, 10)
       },
@@ -292,9 +292,9 @@ object AnnQueries {
         // ranking that produced the C candidates — a per-qid window
         // over C×|queries| rows, not a second codes scan
         val cand = Ann.ivfpqTopKEncodedBatch(
-            s.read.parquet(s"$p/codes"),
-            s.read.parquet(s"$p/centroids"),
-            s.read.parquet(s"$p/codebooks"),
+            graft.sources.Sources.parquet(s, s"$p/codes"),
+            graft.sources.Sources.parquet(s, s"$p/centroids"),
+            graft.sources.Sources.parquet(s, s"$p/codebooks"),
             q, RerankCand, nprobe = np)
           .localCheckpoint()
         val w10 = org.apache.spark.sql.expressions.Window
@@ -346,9 +346,9 @@ object AnnQueries {
         val q = queryBatch(e, 4)
         recallGate(Ann.bruteForceTopKBatch(e, q, 10),
           Ann.ivfpqTopKEncodedBatch(
-            s.read.parquet(s"$p/codes"),
-            s.read.parquet(s"$p/centroids"),
-            s.read.parquet(s"$p/codebooks"),
+            graft.sources.Sources.parquet(s, s"$p/codes"),
+            graft.sources.Sources.parquet(s, s"$p/centroids"),
+            graft.sources.Sources.parquet(s, s"$p/codebooks"),
             q, 10, nprobe = np), MinIncHits)
       },
       Some(recallSql(ivfpqBatchSqlTrained(AnnOldWhere), MinIncHits))),
@@ -870,9 +870,9 @@ object AnnQueries {
         val e = emb(s, dir)
         val (_, np, _) = ivfGeom(e)
         Ann.ivfpqTopKEncoded(
-          s.read.parquet(s"$p/codes"),
-          s.read.parquet(s"$p/centroids"),
-          s.read.parquet(s"$p/codebooks"),
+          graft.sources.Sources.parquet(s, s"$p/codes"),
+          graft.sources.Sources.parquet(s, s"$p/centroids"),
+          graft.sources.Sources.parquet(s, s"$p/codebooks"),
           queryVec(e), 10, nprobe = np)
       },
       Some(ivfpqSql(lloyd = false))),
@@ -891,9 +891,9 @@ object AnnQueries {
         val (p, np) = ensureIvfpqIncArtifact(s, dir)
         val e = emb(s, dir)
         Ann.ivfpqTopKEncoded(
-          s.read.parquet(s"$p/codes"),
-          s.read.parquet(s"$p/centroids"),
-          s.read.parquet(s"$p/codebooks"),
+          graft.sources.Sources.parquet(s, s"$p/codes"),
+          graft.sources.Sources.parquet(s, s"$p/centroids"),
+          graft.sources.Sources.parquet(s, s"$p/codebooks"),
           queryVec(e), 10, nprobe = np)
       },
       Some(ivfpqSql(lloyd = false, trainWhere = AnnOldWhere))),
@@ -910,9 +910,9 @@ object AnnQueries {
         val e = emb(s, dir)
         val (_, np, _) = ivfGeom(e)
         Ann.ivfpqTopKEncodedBatch(
-          s.read.parquet(s"$p/codes"),
-          s.read.parquet(s"$p/centroids"),
-          s.read.parquet(s"$p/codebooks"),
+          graft.sources.Sources.parquet(s, s"$p/codes"),
+          graft.sources.Sources.parquet(s, s"$p/centroids"),
+          graft.sources.Sources.parquet(s, s"$p/codebooks"),
           queryBatch(e, 4), 10, nprobe = np)
       },
       Some(ivfpqBatchSql)),

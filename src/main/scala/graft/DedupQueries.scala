@@ -126,12 +126,12 @@ object DedupQueries {
           .getFileSystem(s.sessionState.newHadoopConf())
         fs.delete(new org.apache.hadoop.fs.Path(build), true)
         // 1. the base artifact: the OLD snapshot's store
-        s.read.parquet(basePath).write.mode("overwrite").parquet(build)
+        graft.sources.Sources.parquet(s, basePath).write.mode("overwrite").parquet(build)
         // 2. the maintenance append — window A's NOVEL keys only (the
         //    same anti-membership probe the stream ran); anti side reads
         //    the ORIGINAL store path, never the dir being appended to
         Dedup.cdcChunkStore(docs(s, dir).where(expr(BatchAWhere)))
-          .join(s.read.parquet(basePath), Seq("h1", "h2"), "left_anti")
+          .join(graft.sources.Sources.parquet(s, basePath), Seq("h1", "h2"), "left_anti")
           .write.mode("append").parquet(build)
         // 3. eviction made physical: distinct rewrite + two-rename swap
         Dedup.compactChunkStore(s, build)
@@ -408,7 +408,7 @@ object DedupQueries {
     val marker = new java.io.File(s"$path/_GRAFT_CHAINED")
     if (!marker.exists()) {
       deleteRec(java.nio.file.Paths.get(path))
-      s.read.parquet(base).write.mode("overwrite").parquet(path)
+      graft.sources.Sources.parquet(s, base).write.mode("overwrite").parquet(path)
       Dedup.appendKeepersToStore(s,
         docs(s, dir).where(expr(BatchAWhere)), path)
       marker.createNewFile()
@@ -432,7 +432,7 @@ object DedupQueries {
     val marker = new java.io.File(s"$path/_GRAFT_RETIRED")
     if (!marker.exists()) {
       deleteRec(java.nio.file.Paths.get(path))
-      s.read.parquet(base).write.mode("overwrite").parquet(path)
+      graft.sources.Sources.parquet(s, base).write.mode("overwrite").parquet(path)
       Dedup.retireFromStore(s,
         docs(s, dir).where(expr(RetireWhere)).select(col("doc_id")), path)
       marker.createNewFile()
@@ -580,13 +580,19 @@ object DedupQueries {
         // assert that, so the "exact" in the contract stays literal: if
         // boilerplate ever pushes a shingle's df past the cap, the
         // truth set silently shifts to informative-shingle Jaccard and
-        // this column turns the gate red instead
-        val capOk = Dedup.shingleRows(d, rebalance = false)
-          .select(col("id"), col("s")).distinct()
-          .groupBy(col("s")).agg(count(lit(1)).as("nd"))
+        // this column turns the gate red instead.
+        // The distinct (id, shingle) frame and its df counts are
+        // materialized ONCE and shared with the truth path (r19, guide
+        // §2.4: this gate previously tokenized+shingled the corpus a
+        // second time just for the cap assertion).
+        val shd0 = Dedup.shingleRows(d, rebalance = false)
+          .select(col("id"), col("s")).distinct().localCheckpoint()
+        val dfc = shd0.groupBy(col("s")).agg(count(lit(1)).as("nd"))
+          .localCheckpoint()
+        val capOk = dfc
           .agg((max(col("nd")) <= lit(Dedup.TruthDfCap.toLong))
             .as("truth_exact_ok"))
-        Dedup.exactNearDupPairs(d)
+        Dedup.exactNearDupPairsFromRows(shd0, dfc)
           .join(Dedup.minhashCandidates(d)
             .withColumn("caught", lit(true)), Seq("doc_a", "doc_b"), "left")
           .select(col("doc_a"), col("doc_b"), col("jaccard"),
@@ -695,7 +701,7 @@ object DedupQueries {
     // within-batch candidate drop).
     Q("dedup_incremental",
       (s, dir) => {
-        val store = s.read.parquet(ensureStore(s, dir))
+        val store = graft.sources.Sources.parquet(s, ensureStore(s, dir))
         Dedup.incrementalKeepers(
           docs(s, dir).where(expr(NewWhere)), store)
           .select(col("doc_id").cast("long").as("doc_id"))
@@ -712,7 +718,7 @@ object DedupQueries {
     // plan reads old data and batch A only through the store parquet.
     Q("dedup_incremental2",
       (s, dir) => {
-        val store = s.read.parquet(ensureChainedStore(s, dir))
+        val store = graft.sources.Sources.parquet(s, ensureChainedStore(s, dir))
         Dedup.incrementalKeepers(
           docs(s, dir).where(expr(BatchBWhere)), store)
           .select(col("doc_id").cast("long").as("doc_id"))
@@ -732,7 +738,7 @@ object DedupQueries {
     Q("dedup_retire",
       (s, dir) => {
         val store = Dedup.liveStore(
-          s.read.parquet(ensureRetiredStore(s, dir)))
+          graft.sources.Sources.parquet(s, ensureRetiredStore(s, dir)))
         Dedup.incrementalKeepers(docs(s, dir).where(expr(NewWhere)), store)
           .select(col("doc_id").cast("long").as("doc_id"))
       },
@@ -967,7 +973,7 @@ object DedupQueries {
     // partial store hash-mismatches.
     Q("dedup_chunks_incremental",
       (s, dir) => {
-        val store = s.read.parquet(ensureChunkStore(s, dir))
+        val store = graft.sources.Sources.parquet(s, ensureChunkStore(s, dir))
         Dedup.chunkDedupIncremental(
           docs(s, dir).where(expr(NewWhere)), store)
       },
@@ -1008,7 +1014,7 @@ object DedupQueries {
     // a stale or torn store hash-mismatches.
     Q("dedup_chunks_cdc_incremental",
       (s, dir) => {
-        val store = s.read.parquet(ensureCdcChunkStore(s, dir))
+        val store = graft.sources.Sources.parquet(s, ensureCdcChunkStore(s, dir))
         Dedup.cdcChunkDedupIncremental(
           docs(s, dir).where(expr(NewWhere)), store)
       },
@@ -1166,8 +1172,8 @@ object DedupQueries {
     Q("corpus_pack_written",
       (s, dir) => {
         val root = ensureShards(s, dir)
-        val members = s.read.parquet(s"$root/members")
-        val seqs = s.read.parquet(s"$root/seqs")
+        val members = graft.sources.Sources.parquet(s, s"$root/members")
+        val seqs = graft.sources.Sources.parquet(s, s"$root/seqs")
         val fromSeqs = seqs.groupBy(col("shard")).agg(
           count(lit(1)).as("n_seqs"),
           sum(size(col("tokens"))).cast("long").as("n_toks"))
@@ -1214,7 +1220,7 @@ object DedupQueries {
     // artifact; the oracle recomputes from the raw corpus.
     Q("corpus_pack_stats",
       (s, dir) => {
-        val members = s.read.parquet(s"${ensureShards(s, dir)}/members")
+        val members = graft.sources.Sources.parquet(s, s"${ensureShards(s, dir)}/members")
         members.groupBy(col("shard")).agg(
           (max(col("chunk_last")) + 1).as("n_seqs"),
           sum(col("n_toks")).as("n_toks"))
@@ -1255,7 +1261,7 @@ object DedupQueries {
     // over-quota doc that leaked into the artifact hash-mismatches.
     Q("corpus_pack_quota",
       (s, dir) => {
-        val members = s.read.parquet(s"${ensureQuotaShards(s, dir)}/members")
+        val members = graft.sources.Sources.parquet(s, s"${ensureQuotaShards(s, dir)}/members")
         members.groupBy(col("shard"), col("source")).agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_toks")).as("n_toks"),
@@ -1294,7 +1300,7 @@ object DedupQueries {
     // pass the gate.
     Q("corpus_pack_quota_fill",
       (s, dir) => {
-        val members = s.read.parquet(s"${ensureQuotaShards(s, dir)}/members")
+        val members = graft.sources.Sources.parquet(s, s"${ensureQuotaShards(s, dir)}/members")
         val admitted = members.groupBy(col("source")).agg(
           count(lit(1)).as("admitted_docs"),
           sum(col("n_toks")).as("admitted_toks"))
@@ -1490,10 +1496,10 @@ object DedupQueries {
       (s, dir) => {
         val batch = docs(s, dir).where(expr(NewWhere))
         val k1 = Dedup.incrementalKeepers(batch,
-          s.read.parquet(ensureStore(s, dir)))
+          graft.sources.Sources.parquet(s, ensureStore(s, dir)))
         val b1 = batch.join(k1, Seq("doc_id"), "left_semi")
         val b2 = Dedup.chunkDedupIncremental(b1,
-            s.read.parquet(ensureChunkStore(s, dir)))
+            graft.sources.Sources.parquet(s, ensureChunkStore(s, dir)))
           .where(col("kept_chunks") > 0)
           .select(col("doc_id"), col("kept_text").as("text"))
           .localCheckpoint()
@@ -1522,10 +1528,10 @@ object DedupQueries {
       (s, dir) => {
         val batch = docs(s, dir).where(expr(NewWhere))
         val k1 = Dedup.incrementalKeepers(batch,
-          s.read.parquet(ensureStore(s, dir)))
+          graft.sources.Sources.parquet(s, ensureStore(s, dir)))
         val b1 = batch.join(k1, Seq("doc_id"), "left_semi")
         val b2 = Dedup.chunkDedupIncremental(b1,
-            s.read.parquet(ensureChunkStore(s, dir)))
+            graft.sources.Sources.parquet(s, ensureChunkStore(s, dir)))
           .where(col("kept_chunks") > 0)
           .select(col("doc_id"), col("kept_text").as("text"))
           .localCheckpoint()

@@ -201,9 +201,9 @@ object RetrievalQueries {
   private[graft] def kiBm25ScoredFromLexicon(
       s: org.apache.spark.sql.SparkSession, root: String,
       qt: DataFrame, qTerms: Int = KiTerms): DataFrame =
-    kiSlotScore(s.read.parquet(s"$root/postings"), qt,
-      s.read.parquet(Bm25.summaryPath(s, root, "df")),
-      s.read.parquet(Bm25.summaryPath(s, root, "stats")), qTerms)
+    kiSlotScore(graft.sources.Sources.parquet(s, s"$root/postings"), qt,
+      graft.sources.Sources.parquet(s, Bm25.summaryPath(s, root, "df")),
+      graft.sources.Sources.parquet(s, Bm25.summaryPath(s, root, "stats")), qTerms)
 
   /** Target's rank per query WITHOUT a corpus-sized sort: count the
     * candidates strictly ahead of the target on (score desc, id asc) —
@@ -627,11 +627,18 @@ object RetrievalQueries {
     (dirKey, s"$dirKey-$fp-vall-l4")
   }
 
+  /** A lexicon cache entry is complete only when BOTH the postings
+    * dir and the df summary landed (r19: buildLexicon derives df from
+    * the written postings, so summaries land after the artifact). */
+  private def lexBuilt(path: String): Boolean =
+    new java.io.File(s"$path/postings/_SUCCESS").exists() &&
+      new java.io.File(s"$path/df").exists()
+
   private def ensureLexicon(s: org.apache.spark.sql.SparkSession,
       dir: String): String = synchronized {
     val (dirKey, key) = lexKey(dir)
     val path = s"/tmp/graft-lexicon/$key"
-    if (!new java.io.File(s"$path/postings/_SUCCESS").exists()) {
+    if (!lexBuilt(path)) {
       graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-lexicon",
         s"$dirKey-", key)
       Bm25.buildLexicon(docs(s, dir), path)
@@ -722,7 +729,7 @@ object RetrievalQueries {
       new java.io.File(s"$dir/documents.parquet"))
     val key = s"$dirKey-$fp-t$TargetCap-q$KiTerms-ptgt-l4"
     val path = s"/tmp/graft-kilex/$key"
-    if (!new java.io.File(s"$path/postings/_SUCCESS").exists()) {
+    if (!lexBuilt(path)) {
       graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-kilex",
         s"$dirKey-", key)
       val d = docs(s, dir)
@@ -806,7 +813,7 @@ object RetrievalQueries {
       new java.io.File(s"$dir/documents.parquet"))
     val key = s"$dirKey-$fp-t$TargetCap-ph2-l4"
     val path = s"/tmp/graft-kiphrase/$key"
-    if (!new java.io.File(s"$path/postings/_SUCCESS").exists()) {
+    if (!lexBuilt(path)) {
       graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-kiphrase",
         s"$dirKey-", key)
       val d = docs(s, dir)
@@ -857,7 +864,7 @@ object RetrievalQueries {
     * rows, never the corpus, and no position becomes a row. */
   private[graft] def kiPhraseScored(s: org.apache.spark.sql.SparkSession,
       root: String, q: DataFrame): DataFrame = {
-    val post = s.read.parquet(s"$root/postings")
+    val post = graft.sources.Sources.parquet(s, s"$root/postings")
       .select(col("term"), col("doc_id"), col("pos"))
     // slot 1 anchors (qid, doc, P_1); each further slot joins its
     // term's postings for the same doc and intersects the shifted

@@ -26,7 +26,7 @@ object StreamingQueries {
     * (The file stream source wants a glob, not a bare file path.) */
   private def eventStream(s: org.apache.spark.sql.SparkSession, dir: String) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val raw = graft.sources.Sources.parquet(s, s"$dir/events.parquet")
     val stream = s.readStream.schema(raw.schema).parquet(s"$dir/{events}.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
@@ -139,7 +139,7 @@ object StreamingQueries {
   def noop(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     implicit val sp: org.apache.spark.sql.SparkSession = s
-    val schema = s.read.parquet(s"$dir/region.parquet").schema
+    val schema = graft.sources.Sources.parquet(s, s"$dir/region.parquet").schema
     val src = s.readStream.schema(schema).parquet(s"$dir/{region}.parquet")
     drain(src.select(col("r_regionkey")), "stream_noop_sink",
       org.apache.spark.sql.streaming.OutputMode.Append())
@@ -201,7 +201,7 @@ object StreamingQueries {
           s.conf.set(key, prev)
           StreamScan.restoreState(s, prevState)
         }
-        s.read.parquet(s"$tmp/idx")
+        graft.sources.Sources.parquet(s, s"$tmp/idx")
           // epoch-micros BIGINT bounds — same encoding-independence
           // reasoning as stream_window_counts
           .select(expr("unix_micros(window_start)").as("window_start"),
@@ -475,7 +475,7 @@ object StreamingQueries {
     Q("stream_decontam_bloom",
       (s, dir) => {
         implicit val session: org.apache.spark.sql.SparkSession = s
-        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val raw = graft.sources.Sources.parquet(s, s"$dir/documents.parquet")
         val evalStream = s.readStream.schema(raw.schema)
           .parquet(s"$dir/{documents}.parquet")
           .where(col("doc_id") % 97 === 0)
@@ -517,7 +517,7 @@ object StreamingQueries {
             d.where(col("doc_id") % 97 === 0)).localCheckpoint()
         val m = graft.dedup.Dedup.bloomBitsFor(pairs.count())
         val words = graft.dedup.Dedup.bloomWordsAgg(pairs, m)
-        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val raw = graft.sources.Sources.parquet(s, s"$dir/documents.parquet")
         val corpusStream = s.readStream.schema(raw.schema)
           .parquet(s"$dir/{documents}.parquet")
           .where(col("doc_id") % 97 =!= 0)
@@ -543,7 +543,7 @@ object StreamingQueries {
             d.where(col("doc_id") % 97 === 0)).localCheckpoint()
         val m = graft.dedup.Dedup.bloomBitsFor(pairs.count())
         val words = graft.dedup.Dedup.bloomWordsAgg(pairs, m)
-        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val raw = graft.sources.Sources.parquet(s, s"$dir/documents.parquet")
         val corpusStream = s.readStream.schema(raw.schema)
           .parquet(s"$dir/{documents}.parquet")
           .where(col("doc_id") % 97 =!= 0)
@@ -571,7 +571,7 @@ object StreamingQueries {
     Q("stream_quantile_sketch",
       (s, dir) => {
         implicit val session: org.apache.spark.sql.SparkSession = s
-        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val raw = graft.sources.Sources.parquet(s, s"$dir/documents.parquet")
         val sampleStream = s.readStream.schema(raw.schema)
           .parquet(s"$dir/{documents}.parquet")
           .select(col("doc_id"),
@@ -617,9 +617,9 @@ object StreamingQueries {
       (s, dir) => {
         implicit val session: org.apache.spark.sql.SparkSession = s
         val root = TextQueries.ensureUnigram(s, dir)
-        val vocab = s.read.parquet(s"$root/vocab")
-        val segs = s.read.parquet(s"$root/segs")
-        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val vocab = graft.sources.Sources.parquet(s, s"$root/vocab")
+        val segs = graft.sources.Sources.parquet(s, s"$root/segs")
+        val raw = graft.sources.Sources.parquet(s, s"$dir/documents.parquet")
         val crawl = s.readStream.schema(raw.schema)
           .parquet(s"$dir/{documents}.parquet")
           .where(expr(DedupQueries.NewWhere))
@@ -647,8 +647,8 @@ object StreamingQueries {
     Q("stream_url_filter",
       (s, dir) => {
         implicit val session: org.apache.spark.sql.SparkSession = s
-        val keep = s.read.parquet(UrlQueries.ensureBlocklist(s, dir))
-        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val keep = graft.sources.Sources.parquet(s, UrlQueries.ensureBlocklist(s, dir))
+        val raw = graft.sources.Sources.parquet(s, s"$dir/documents.parquet")
         val crawl = s.readStream.schema(raw.schema)
           .parquet(s"$dir/{documents}.parquet")
           .where(expr(DedupQueries.NewWhere))
@@ -714,8 +714,8 @@ object StreamingQueries {
     Q("stream_split_guard",
       (s, dir) => {
         implicit val session: org.apache.spark.sql.SparkSession = s
-        val bands = s.read.parquet(DedupQueries.ensureEvalBands(s, dir))
-        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val bands = graft.sources.Sources.parquet(s, DedupQueries.ensureEvalBands(s, dir))
+        val raw = graft.sources.Sources.parquet(s, s"$dir/documents.parquet")
         val crawl = s.readStream.schema(raw.schema)
           .parquet(s"$dir/{documents}.parquet")
           .where(!DedupQueries.isEval)
@@ -758,7 +758,7 @@ object StreamingQueries {
     Q("stream_pipeline_incremental",
       (s, dir) => {
         implicit val session: org.apache.spark.sql.SparkSession = s
-        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val raw = graft.sources.Sources.parquet(s, s"$dir/documents.parquet")
         // the crawl arrives as PAGES: row 100's extraction is the
         // stream's stage 0, fused into the same stateless per-row map
         // as the probe expansion. The round trip is byte-identical, so
@@ -771,8 +771,8 @@ object StreamingQueries {
             graft.text.Html.synthHtml(col("doc_id"), col("text")))
             .as("text"))
         val keys = graft.streaming.Admission.storeKeys(
-          s.read.parquet(DedupQueries.ensureStore(s, dir)),
-          s.read.parquet(DedupQueries.ensureChunkStore(s, dir)))
+          graft.sources.Sources.parquet(s, DedupQueries.ensureStore(s, dir)),
+          graft.sources.Sources.parquet(s, DedupQueries.ensureChunkStore(s, dir)))
         val probed = graft.streaming.Admission.probeRows(crawl)
           .join(keys, Seq("kind", "k1", "k2"), "left_outer")
         val drained = drain(probed, "graft_stream_admission",
@@ -797,11 +797,11 @@ object StreamingQueries {
     Q("stream_chunks_cdc",
       (s, dir) => {
         implicit val session: org.apache.spark.sql.SparkSession = s
-        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val raw = graft.sources.Sources.parquet(s, s"$dir/documents.parquet")
         val crawl = s.readStream.schema(raw.schema)
           .parquet(s"$dir/{documents}.parquet")
           .where(expr(DedupQueries.NewWhere))
-        val keys = s.read.parquet(DedupQueries.ensureCdcChunkStore(s, dir))
+        val keys = graft.sources.Sources.parquet(s, DedupQueries.ensureCdcChunkStore(s, dir))
           .select(col("h1").cast("string").as("k1"),
             col("h2").cast("string").as("k2"))
           .withColumn("hit", lit(true))
@@ -832,11 +832,11 @@ object StreamingQueries {
       (s, dir) => {
         implicit val session: org.apache.spark.sql.SparkSession = s
         val storePath = DedupQueries.ensureCdcCompactedStore(s, dir)
-        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val raw = graft.sources.Sources.parquet(s, s"$dir/documents.parquet")
         val crawl = s.readStream.schema(raw.schema)
           .parquet(s"$dir/{documents}.parquet")
           .where(expr(DedupQueries.BatchBWhere))
-        val keys = s.read.parquet(storePath)
+        val keys = graft.sources.Sources.parquet(s, storePath)
           .select(col("h1").cast("string").as("k1"),
             col("h2").cast("string").as("k2"))
           .withColumn("hit", lit(true))
@@ -868,7 +868,7 @@ object StreamingQueries {
     Q("stream_chunks_cdc_state",
       (s, dir) => {
         implicit val session: org.apache.spark.sql.SparkSession = s
-        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val raw = graft.sources.Sources.parquet(s, s"$dir/documents.parquet")
         val crawl = s.readStream.schema(raw.schema)
           .parquet(s"$dir/{documents}.parquet")
           .where(expr(DedupQueries.NewWhere))
@@ -894,7 +894,7 @@ object StreamingQueries {
     Q("stream_extract_html",
       (s, dir) => {
         implicit val session: org.apache.spark.sql.SparkSession = s
-        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val raw = graft.sources.Sources.parquet(s, s"$dir/documents.parquet")
         val pages = s.readStream.schema(raw.schema)
           .parquet(s"$dir/{documents}.parquet")
           .select(col("doc_id"),

@@ -310,7 +310,7 @@ object TextQueries {
     // as generated CTEs, pinning count, tie-break, and merge
     // application cross-engine at every intermediate state.
     Q("text_bpe_train",
-      (s, dir) => s.read.parquet(s"${ensureBpe(s, dir)}/learned"),
+      (s, dir) => graft.sources.Sources.parquet(s, s"${ensureBpe(s, dir)}/learned"),
       Some(Text.bpeTrainOracleSql())),
 
     // #34f unigram-LM (SentencePiece-style) tokenizer training — the
@@ -321,7 +321,7 @@ object TextQueries {
     // the training world; the oracle unrolls both EM rounds' DP as
     // generated CTEs.
     Q("text_unigram_train",
-      (s, dir) => s.read.parquet(s"${ensureUnigram(s, dir)}/vocab"),
+      (s, dir) => graft.sources.Sources.parquet(s, s"${ensureUnigram(s, dir)}/vocab"),
       Some(graft.text.Unigram.trainOracleSql())),
 
     // #34g the unigram train→apply loop CLOSED (the row-77 move for
@@ -333,7 +333,7 @@ object TextQueries {
     // drifted intermediate state fails BOTH unigram gates coherently.
     Q("text_unigram_apply",
       (s, dir) => graft.text.Unigram.applyCounts(docs(s, dir),
-        s.read.parquet(s"${ensureUnigram(s, dir)}/segs")),
+        graft.sources.Sources.parquet(s, s"${ensureUnigram(s, dir)}/segs")),
       Some(graft.text.Unigram.applyOracleSql())),
 
     // #34g the SELF-HOSTED perplexity filter (VERDICT r12 item 6, the
@@ -349,8 +349,8 @@ object TextQueries {
       (s, dir) => {
         val root = ensureUnigram(s, dir)
         graft.text.Unigram.pplScore(docs(s, dir),
-          s.read.parquet(s"$root/vocab"),
-          s.read.parquet(s"$root/segs"))
+          graft.sources.Sources.parquet(s, s"$root/vocab"),
+          graft.sources.Sources.parquet(s, s"$root/segs"))
       },
       Some(graft.text.Unigram.pplOracleSql())),
 
@@ -362,7 +362,7 @@ object TextQueries {
     // intermediate state fails BOTH gates coherently.
     Q("text_bpe_train_apply",
       (s, dir) => bpeLearnedCounts(
-        s.read.parquet(s"${ensureBpe(s, dir)}/state")),
+        graft.sources.Sources.parquet(s, s"${ensureBpe(s, dir)}/state")),
       Some(Text.bpeTrainApplyOracleSql())),
 
     // #34i TOKENIZER SELECTION — the measurement that decides between
@@ -383,9 +383,9 @@ object TextQueries {
       (s, dir) => {
         val d = docs(s, dir)
         val bpe = bpeLearnedCounts(
-          s.read.parquet(s"${ensureBpe(s, dir)}/state"))
+          graft.sources.Sources.parquet(s, s"${ensureBpe(s, dir)}/state"))
         val uni = graft.text.Unigram.applyCounts(d,
-          s.read.parquet(s"${ensureUnigram(s, dir)}/segs"))
+          graft.sources.Sources.parquet(s, s"${ensureUnigram(s, dir)}/segs"))
         val base = d.select(col("doc_id"), col("source"),
           length(col("text")).cast("long").as("chars"),
           Text.tokenCount(col("text")).cast("long").as("words"))
@@ -469,21 +469,27 @@ object TextQueries {
         val plan = repetitionPlan(s, dir)
           .select(col("source"), col("full_epochs"), col("resid_toks"))
         val d = docs(s, dir).select(col("doc_id"), col("source"),
-          col("text"),
           Text.tokenCount(col("text")).cast("long").as("n_toks"))
           // zero-token docs carry no mass to repeat and are invisible
           // to the quality scorer the plan derives from (its per-doc
           // grain is the exploded-token aggregate) — exclude them from
           // the executed multiset like the plan's qd does (FuzzCorpus)
           .where(col("n_toks") > 0L)
-        val withPlan = d.join(plan, Seq("source"))
+        // materialized ONCE (r19, guide §2.4): the full-epoch leg, the
+        // partial leg, and quotaAdmitWith's max-id/partials/join passes
+        // each evaluate this frame — without the cut the repetition
+        // plan (a quality+token corpus aggregate) re-derived 3-4×.
+        // Text is dropped above (n_toks is the only signal the executed
+        // multiset needs), so the cut frame is id/source/count rows.
+        val withPlan = d.join(plan, Seq("source")).localCheckpoint()
         val fullRows = withPlan.where(col("full_epochs") >= 1L)
           .select(col("doc_id"),
             explode(sequence(lit(1L), col("full_epochs"))).as("epoch"),
             col("n_toks"))
         val partial = graft.dedup.Corpus.quotaAdmitWith(
             withPlan.where(col("resid_toks") > 0L), col("resid_toks"),
-            srcCol = "source", broadcastOffsets = false)
+            srcCol = "source", broadcastOffsets = false,
+            tokens = Some(col("n_toks")))
           .select(col("doc_id"), (col("full_epochs") + 1L).as("epoch"),
             col("n_toks"))
         fullRows.union(partial)

@@ -315,7 +315,7 @@ object UrlQueries {
     // over-quota doc in the artifact hash-mismatches.
     Q("corpus_pack_domain_quota",
       (s, dir) => {
-        val members = s.read.parquet(s"${ensureDomainShards(s, dir)}/members")
+        val members = graft.sources.Sources.parquet(s, s"${ensureDomainShards(s, dir)}/members")
         members.groupBy(col("shard"), col("domain")).agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_toks")).as("n_toks"),
@@ -354,7 +354,7 @@ object UrlQueries {
     // default regimes present).
     Q("corpus_pack_domain_fill",
       (s, dir) => {
-        val members = s.read.parquet(s"${ensureDomainShards(s, dir)}/members")
+        val members = graft.sources.Sources.parquet(s, s"${ensureDomainShards(s, dir)}/members")
         val admitted = members.groupBy(col("domain")).agg(
           count(lit(1)).as("admitted_docs"),
           sum(col("n_toks")).as("admitted_toks"))

@@ -509,7 +509,7 @@ object Ann {
       vecCol: String = "embedding"): Unit = {
     val delta = sliceCountRows(batch, preds, vecCol)
       .withColumnRenamed("cnt", "d")
-    val old = s.read.parquet(
+    val old = graft.sources.Sources.parquet(s, 
       graft.store.Versioned.current(s, root, "slice_counts"))
     val merged = old.join(delta, Seq("pred_key"), "full_outer")
       .select(col("pred_key"),
@@ -525,7 +525,7 @@ object Ann {
     * to counting EXPLICITLY, never silently. */
   def sliceCount(s: org.apache.spark.sql.SparkSession, root: String,
       key: String): Long =
-    s.read.parquet(graft.store.Versioned.current(s, root, "slice_counts"))
+    graft.sources.Sources.parquet(s, graft.store.Versioned.current(s, root, "slice_counts"))
       .where(col("pred_key") === lit(key))
       .collect().headOption
       .map(_.getAs[Long]("cnt"))

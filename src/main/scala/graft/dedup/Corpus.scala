@@ -382,7 +382,12 @@ object Corpus {
   def quotaAdmitWith(docs: DataFrame, quota: Column,
       idCol: String = "doc_id", textCol: String = "text",
       srcCol: String = "source",
-      broadcastOffsets: Boolean = true): DataFrame = {
+      broadcastOffsets: Boolean = true,
+      /** Precomputed per-doc token count (r19): a caller that already
+        * carries the count (corpus_upsample's n_toks) passes it here so
+        * the admission never re-tokenizes the text — same integers,
+        * one fewer tokenize pass. None = count textCol. */
+      tokens: Option[Column] = None): DataFrame = {
     val q = quota
     val maxId = docs.agg(max(col(idCol))).head.getAs[Any](0) match {
       case null => 0L
@@ -390,7 +395,7 @@ object Corpus {
       case i: Int => i.toLong
     }
     val width = math.max(1L, maxId / QuotaBuckets + 1)
-    val toks = Text.tokenCount(col(textCol)).cast("long")
+    val toks = tokens.getOrElse(Text.tokenCount(col(textCol)).cast("long"))
     val t = docs.withColumn("__toks", toks)
       .withColumn("__b", expr(s"CAST($idCol AS BIGINT) div $width"))
     val partials = t.groupBy(col(srcCol).as("__s"), col("__b"))
@@ -926,6 +931,12 @@ object Corpus {
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
       .lineageCut
     val nodes = docs.select(col(srcCol).as("v")).distinct().lineageCut
+    // the DANGLING node set is static across iterations (it depends
+    // only on the edge table) — hoisted out of the loop (r19, guide
+    // §2.4: the per-iteration pr-vs-outw anti-join re-derived it every
+    // round). Source-cardinality rows, one cut.
+    val dangNodes = nodes.join(outw.select(col("src").as("v")),
+      Seq("v"), "left_anti").lineageCut
     val nN = nodes.count().toDouble
     var pr = nodes.withColumn("p", lit(1.0) / lit(nN))
     for (_ <- 0 until iters) {
@@ -945,7 +956,7 @@ object Corpus {
         .agg(aggregate(array_sort(collect_list(col("st"))), lit(0.0),
           (a, x) => a + x.getField("t")).as("m"))
       val dang = pr
-        .join(outw.select(col("src").as("v")), Seq("v"), "left_anti")
+        .join(dangNodes, Seq("v"), "left_semi")
         .select(struct(col("v"), col("p")).as("st"))
         .agg(coalesce(aggregate(array_sort(collect_list(col("st"))),
           lit(0.0), (a, x) => a + x.getField("p")), lit(0.0)).as("dm"))
@@ -1166,8 +1177,12 @@ object Corpus {
       .select(col("doc_id"), col("kept_text").as("text"))
       .lineageCut
     // C: SemDeDup on the survivor embeddings, geometry from the subset
+    // survivor embeddings, materialized ONCE: the geometry count, the
+    // centroid sample, the cell assignment, and the survivor-id read
+    // each evaluate this frame (4 embeddings scans + semi-joins without
+    // the cut — r19, guide §2.4)
     val sbEmb = embs.join(sb.select(col("doc_id").as("vec_id")),
-      Seq("vec_id"), "left_semi")
+      Seq("vec_id"), "left_semi").lineageCut
     val nVec = sbEmb.count()
     val nl = graft.ann.Ann.nlistFor(nVec)
     val semKeep = graft.ann.Ann.semanticDedup(sbEmb,
@@ -1195,15 +1210,25 @@ object Corpus {
       .select(col("doc_id"), col("n_tokens"),
         expr("(num + 1000 * n_tokens) * 100 div (1000 * n_tokens)").as("kc"))
       .lineageCut
-    // F: budget fill — half the kept tokens, whole buckets from the top
-    val budget = m.agg(expr("sum(n_tokens) div 2").as("budget"))
+    // F: budget fill — half the kept tokens, whole buckets from the top.
+    // The budget scalar rides the SAME ≤201-row histogram frame as the
+    // cumulative sum (the buckets' total == sum over m, exact integers),
+    // instead of a separate corpus-wide aggregate + crossJoin broadcast
+    // (r19, guide §2.4: one fewer corpus pass, two fewer jobs per
+    // pipeline run; both windows are partitionless over the bounded
+    // bucket frame). Each m row has exactly one kc bucket, so the
+    // inner-join+filter it replaces is the same id set as this semi
+    // join against the admitted buckets.
     val hist = m.groupBy(col("kc")).agg(sum(col("n_tokens")).as("bt"))
-    val cum = hist.withColumn("cum",
+    val cum = hist.select(col("kc"),
       sum(col("bt")).over(Window.orderBy(col("kc").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val sel = m.join(broadcast(cum.select(col("kc"), col("cum"))), Seq("kc"))
-      .crossJoin(broadcast(budget))
-      .where(col("cum") <= col("budget"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("cum"),
+      sum(col("bt")).over(Window.partitionBy()
+        .rowsBetween(Long.MinValue, Long.MaxValue)).as("tot"))
+    val sel = m.join(broadcast(
+        cum.where(col("cum") <= expr("tot div 2")).select(col("kc"))),
+      Seq("kc"), "left_semi")
       .select(col("doc_id"))
     PipelineStages(q, kept, sa, sb, sc, cs, sd, m, sel)
   }

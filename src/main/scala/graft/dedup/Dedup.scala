@@ -135,20 +135,6 @@ object Dedup {
     shingleRows(docs, idCol, textCol, n)
       .groupBy(col("id")).agg(collect_set(col("s")).as("sh"))
 
-  /** MinHash signature from (id, s) shingle rows: ONE md5 per row yields
-    * (h1, h2); member i = (h1 + i*h2) & mask60, each a plain codegen'd
-    * column min-aggregated per doc. The min() combines map-side, so the
-    * shuffle carries one row per doc per partition, not one per shingle. */
-  private def signatureOfRows(rows: DataFrame, k: Int): DataFrame = {
-    val hashed = rows
-      .select(col("id"), XHash.h60(col("s")).as("h1"), XHash.h56(col("s")).as("h2"))
-    val members = hashed.select(col("id") +: (0 until k).map(i =>
-      XHash.member(col("h1"), col("h2"), i).as(s"h$i")): _*)
-    members.groupBy(col("id"))
-      .agg((0 until k).map(i => min(col(s"h$i")).as(s"m$i")).head,
-           (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
-  }
-
   /**
    * Per-doc MinHash signature columns m0..m{k-1}. Duplicate shingles
    * need no dedup: min over a multiset == min over its set.
@@ -343,7 +329,7 @@ object Dedup {
     // cross-batch duplicates. Claim the store; a concurrent writer
     // fails loudly and retries.
     graft.store.Lease.withLease(spark, storePath) {
-      val store = liveStore(spark.read.parquet(storePath))
+      val store = liveStore(graft.sources.Sources.parquet(spark, storePath))
       val kept = incrementalKeepers(newDocs, store, idCol, textCol, n,
         bands, rowsPerBand).lineageCut
       val keptDocs = newDocs.join(kept, Seq(idCol), "left_semi")
@@ -378,7 +364,7 @@ object Dedup {
       retiredIds: DataFrame, storePath: String,
       idCol: String = "doc_id"): Unit =
     graft.store.Lease.withLease(spark, storePath) {
-      val store = spark.read.parquet(storePath)
+      val store = graft.sources.Sources.parquet(spark, storePath)
       val ids = retiredIds.select(col(idCol).cast("long").as("id")).distinct()
       val tomb = store.schema.fields.foldLeft(ids)((df, f) =>
         if (f.name == "id") df
@@ -471,7 +457,7 @@ object Dedup {
     // compaction is where retirement becomes physical: tombstoned ids
     // (retireFromStore) fold out of the rewrite, so the tombstone
     // volume is bounded by one compaction cycle
-    rewrite(spark.read.parquet(storePath)).repartition(targetFiles)
+    rewrite(graft.sources.Sources.parquet(spark, storePath)).repartition(targetFiles)
       .write.mode("overwrite").parquet(staging.toString)
     // a leftover aside dir from a crashed prior run would fail the
     // move-aside rename; the live store is root, so the leftover is dead
@@ -564,25 +550,24 @@ object Dedup {
   }
 
   /**
-   * Per-doc (id, sim) via explode + codegen'd aggregation: one row per
-   * token, each bit a SUM(bit_j) column combined map-side, majority vote
-   * after the aggregate. Bit-identical to [[simhash]].
+   * Per-doc (id, sim) — ONE fused native kernel pass per document
+   * ([[graft.functions.SimHashSig]]: per-token md5 h60 → per-bit
+   * counts → majority), r19's application of the ShingleMinHashSig
+   * move to the SimHash family. Bit-identical to [[simhash]] AND to
+   * the pre-r19 explode + per-bit-SUM aggregation (DedupSpec pins
+   * both), but with no repartition, no explode, and no 61-aggregate
+   * shuffle — the whole table is a projection. Zero-token docs emit no
+   * row (the exploded form had no rows to aggregate for them).
    */
   def simhashTable(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", bits: Int = 60): DataFrame = {
     require(bits <= 60, "simhash draws bits from a 60-bit token hash")
-    val tok = docs.repartition(col(idCol))
-      .select(col(idCol).as("id"),
-        explode(Text.tokens(col(textCol))).as("t"))
-      .select(col("id"), XHash.h60(col("t")).as("h"))
-    val bitSums = (0 until bits).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"s$j"))
-    tok.groupBy(col("id"))
-      .agg(count(lit(1)).as("n"), bitSums: _*)
-      .select(col("id"),
-        (0 until bits).map(j =>
-          when(col(s"s$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("sim"))
+    val sig = org.apache.spark.sql.graft.bridge.column(
+      graft.functions.SimHashSig(
+        org.apache.spark.sql.graft.bridge.expression(
+          Text.tokens(col(textCol))), bits))
+    docs.select(col(idCol).as("id"), sig.as("sim"))
+      .where(col("sim").isNotNull)
   }
 
   /** SimHash banding geometry: 4 bands × 15 bits over the 60-bit hash.
@@ -1051,14 +1036,26 @@ object Dedup {
       textCol: String = "text", n: Int = 3,
       minJaccard: Double = MinJaccard,
       reliable: Boolean = false): DataFrame = {
-    // ONE tokenize+shingle pass, materialized: both the signature stage
-    // (exploded back to rows — min over the distinct set == min over the
-    // multiset) and the verify joins read the same checkpointed sets
-    // instead of re-deriving shingles from raw text 2-3×.
-    val sh = cut(shingleSets(docs, idCol, textCol, n), reliable)
-    val rows = sh.select(col("id"), explode(col("sh")).as("s"))
-    candidatesOfSignature(signatureOfRows(rows, 16), 8, 2,
-      reliable = reliable)
+    // ONE tokenize+shingle pass AND one aggregation, materialized: the
+    // per-doc shingle SET (for the verify joins) and the 16 signature
+    // minima (for the banding) fold in the SAME groupBy — min over the
+    // occurrence multiset == min over the set, so hashing pre-aggregation
+    // is bit-identical to the old explode-the-set second pass while
+    // removing that pass's extra exchange and checkpoint (r19: the
+    // checkpointed set frame loses its partitioning, so the old
+    // signature groupBy paid a fresh corpus-sized shuffle).
+    val k = 16
+    val rows = shingleRows(docs, idCol, textCol, n)
+      .select(col("id"), col("s"),
+        XHash.h60(col("s")).as("h1"), XHash.h56(col("s")).as("h2"))
+    val members = rows.select(col("id") +: col("s") +: (0 until k).map(i =>
+      XHash.member(col("h1"), col("h2"), i).as(s"h$i")): _*)
+    val sh = cut(members.groupBy(col("id"))
+      .agg(collect_set(col("s")).as("sh"),
+        (0 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*), reliable)
+    candidatesOfSignature(
+      sh.select(col("id") +: (0 until k).map(i => col(s"m$i")): _*),
+      8, 2, reliable = reliable)
       .join(sh.as("sa"), col("doc_a") === col("sa.id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.id"))
       .select(col("doc_a"), col("doc_b"),
@@ -1108,8 +1105,20 @@ object Dedup {
     // form ~2 s)
     val shd0 = shingleRows(docs, idCol, textCol, n, rebalance = false)
       .select(col("id"), col("s")).distinct()
-    val subcap = shd0.groupBy(col("s")).agg(count(lit(1)).as("nd"))
-      .where(col("nd") <= maxDocs).select(col("s"))
+    exactNearDupPairsFromRows(shd0,
+      shd0.groupBy(col("s")).agg(count(lit(1)).as("nd")),
+      minJaccard, maxDocs)
+  }
+
+  /** [[exactNearDupPairs]] over an already-derived distinct (id, s)
+    * frame plus its per-shingle df counts — so a caller that ALSO needs
+    * those frames (dedup_banding_recall's truth_exact_ok cap assertion)
+    * materializes them once instead of re-tokenizing the corpus per
+    * consumer (r19, guide §2.4). */
+  private[graft] def exactNearDupPairsFromRows(shd0: DataFrame,
+      dfCounts: DataFrame, minJaccard: Double = MinJaccard,
+      maxDocs: Int = TruthDfCap): DataFrame = {
+    val subcap = dfCounts.where(col("nd") <= maxDocs).select(col("s"))
     val shd = shd0.join(subcap, Seq("s"), "leftsemi").lineageCut
     val cnt = shd.groupBy(col("id")).agg(count(lit(1)).as("c"))
     val inter = bucketPairs(

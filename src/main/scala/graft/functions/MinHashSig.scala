@@ -95,6 +95,40 @@ object MinHashSigUtil {
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
+  /** The `bits`-wide SimHash of a token array in one pass: per token
+    * one md5 (the h1 = first-8-bytes >>> 4 slice, exactly
+    * [[XHash.h60]]), per-bit counts, bit j set iff count·2 > n —
+    * bit-identical to the per-bit SUM aggregation over exploded token
+    * rows. `null` (boxed) on zero tokens. */
+  def simhashOrNull(tokens: ArrayData, bits: Int): java.lang.Long = {
+    val n = tokens.numElements()
+    if (n == 0) return null
+    val counts = new Array[Int](bits)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var j = 0
+    while (j < n) {
+      md.reset()
+      val d = md.digest(tokens.getUTF8String(j).getBytes)
+      var hi = 0L
+      var i = 0
+      while (i < 8) { hi = (hi << 8) | (d(i) & 0xffL); i += 1 }
+      val h1 = hi >>> 4
+      i = 0
+      while (i < bits) {
+        if (((h1 >> i) & 1L) == 1L) counts(i) += 1
+        i += 1
+      }
+      j += 1
+    }
+    var sim = 0L
+    var i = 0
+    while (i < bits) {
+      if (counts(i) * 2L > n) sim |= (1L << i)
+      i += 1
+    }
+    java.lang.Long.valueOf(sim)
+  }
+
   /** The n-gram shingle STRINGS of a token array, slot-ordered with
     * duplicates kept (one window per slot; fewer-than-n tokens yield
     * the single all-tokens window) — byte-identical to the exploded
@@ -137,6 +171,48 @@ object MinHashSigUtil {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
     }
   }
+}
+
+/**
+ * graft_simhash_sig(tokens, bits) → bigint: the whole `bits`-wide
+ * SimHash of one document's token array as a single native expression
+ * (r19): per token ONE md5 digest ([[MinHashSigUtil.fold]]'s h1 slice),
+ * per-bit counters, majority vote. Bit-identical to the explode +
+ * per-bit SUM-column aggregation it replaces in
+ * [[graft.dedup.Dedup.simhashTable]] (DedupSpec pins it) — but ONE
+ * corpus pass with no repartition, no explode, and no 61-aggregate
+ * shuffle, the [[ShingleMinHashSig]] move applied to the SimHash
+ * family. NULL on zero tokens (such docs had no exploded rows before —
+ * the table form filters them, keeping the population identical).
+ */
+case class SimHashSig(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_sig"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSigUtil.simhashOrNull(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("simhashRes")
+      s"""Object $r = graft.functions.MinHashSigUtil.simhashOrNull($c, $bits);
+         |${ev.isNull} = $r == null;
+         |${ev.value} = ${ev.isNull} ? -1L
+         |  : ((java.lang.Long) $r).longValue();""".stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHashSig =
+    copy(child = newChild)
 }
 
 /**

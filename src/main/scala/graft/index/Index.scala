@@ -239,7 +239,7 @@ object Index {
         .map(s => (s.getPath.getName, s.getModificationTime))
         .sortBy(_._1).toSeq
       val logBefore = sinkLogState
-      clustered(spark.read.parquet(mp))
+      clustered(graft.sources.Sources.parquet(spark, mp))
         .write.mode("overwrite").partitionBy("dn_date").parquet(staging.toString)
       if (sinkLogState != logBefore) {
         fs.delete(staging, true)
@@ -264,7 +264,7 @@ object Index {
       dayDirs.map(_.getPath.getName.stripPrefix("dn_date=")).toSeq.sorted
     } else {
       val days = fragmented
-      clustered(spark.read.parquet(mp).where(col("dn_date").isin(days: _*)))
+      clustered(graft.sources.Sources.parquet(spark, mp).where(col("dn_date").isin(days: _*)))
         .write.mode("overwrite").partitionBy("dn_date").parquet(staging.toString)
       // swap each staged day dir in with FS renames — the data moves
       // ONCE (the staging write); the dynamic-partition-overwrite this
@@ -311,7 +311,7 @@ object Index {
         s"no metrics available to serve query (need $needed)"))
     val mp = metricPath(path, interval, metric.name)
     var df =
-      try spark.read.parquet(mp)
+      try graft.sources.Sources.parquet(spark, mp)
       catch { case e: org.apache.spark.sql.AnalysisException =>
         throw new GraftException(
           s"no index built at $mp (interval=$interval): ${e.getMessage}") }

@@ -12,9 +12,49 @@ import org.apache.spark.sql.functions._
  */
 object Sources {
 
+  /** Schema METADATA cache for [[parquet]] — (qualified path →
+    * (mtime, schema)). Only the StructType is cached, never rows or
+    * file listings: every query still reads its data from the parquet
+    * bytes. Rationale (r19, guide §6): `spark.read.parquet` re-infers
+    * the schema from file footers on EVERY call — a driver-side
+    * footer-read job per query per table (measured ~130 ms at sf0.1,
+    * and at 100 TB inference touches every file's footer). Production
+    * engines serve schemas from catalog metadata (Hive/Iceberg); this
+    * cache is that move for the path-addressed layout. Invalidation:
+    * the path's modification time — a rebuilt or swapped artifact
+    * re-infers (two-rename swaps and fresh builds both touch the
+    * root's mtime); appends into an existing layout keep the schema by
+    * contract (appendLexicon/store appends are schema-detected against
+    * the store they extend). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Long, org.apache.spark.sql.types.StructType)]()
+
+  /** `spark.read.parquet(path)` with the inferred schema memoized per
+    * (path, mtime) — identical frame, no per-call footer job. Falls
+    * back to plain inference on any FS probe failure. */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val st = fs.getFileStatus(p)
+      val key = fs.makeQualified(p).toString
+      val mt = st.getModificationTime
+      val hit = schemaCache.get(key)
+      val sch = if (hit != null && hit._1 == mt) hit._2
+      else {
+        val s0 = spark.read.parquet(path).schema
+        schemaCache.put(key, (mt, s0))
+        s0
+      }
+      spark.read.schema(sch).parquet(path)
+    } catch {
+      case _: java.io.IOException => spark.read.parquet(path)
+    }
+
   /** Read a testdata star-schema table. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    parquet(spark, s"$sfDir/$name.parquet")
 
   /**
    * The events table with its `props` JSON string parsed to a struct so that

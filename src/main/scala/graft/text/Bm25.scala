@@ -402,15 +402,26 @@ object Bm25 {
       }
     def member(df: DataFrame): DataFrame =
       vocabTerms.map(v => df.join(v, Seq("term"))).getOrElse(df)
-    val dfTab = member(postings)
-      .groupBy(col("term"))
-      .agg(count(lit(1)).cast("long").as("df"))
-    writeSummary(s, path, "df", dfTab)
     member(postings)
       .withColumn("tkey", substring(md5(col("term")), 1, 3))
       .repartition(col("tkey")).sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("tkey")
       .parquet(s"$path/postings")
+    // df VALUES from the postings artifact just written — the build
+    // pays ONE tokenize+posting shuffle instead of two (r19, guide
+    // §2.3/§6: the old order ran the full member(postings) pipeline
+    // once for the df summary and again for the write; the read-back
+    // is a column-pruned scan of the compressed artifact, a fraction
+    // of a corpus pass at any scale). Counts are identical: df(term)
+    // == posting rows per term, and the artifact holds exactly
+    // member(postings). Summaries land AFTER the postings dir, so a
+    // crash mid-build leaves postings/_SUCCESS without a df summary —
+    // the gate caches probe both (a production build is wrapped in the
+    // store Lease + staging swap either way).
+    val dfTab = graft.sources.Sources.parquet(s, s"$path/postings")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    writeSummary(s, path, "df", dfTab)
   }
 
   /** Posting-partition key: the first 3 hex chars of the term's md5 —
@@ -515,12 +526,12 @@ object Bm25 {
     // summary's term set): novel batch terms are not indexed. The
     // join is planner-chosen — a full vocabulary follows the corpus,
     // so a forced broadcast would be the scale bug.
-    val vocabTerms = s.read.parquet(summaryPath(s, path, "df"))
+    val vocabTerms = graft.sources.Sources.parquet(s, summaryPath(s, path, "df"))
       .select(col("term"))
     // the batch's posting shape follows the STORE's (schema-detected):
     // a positional lexicon appends positional postings, a tf-only one
     // appends tf-only — an append can never mix layouts
-    val positional = s.read.parquet(s"$path/postings")
+    val positional = graft.sources.Sources.parquet(s, s"$path/postings")
       .schema.fieldNames.contains("pos")
     val batch = (if (positional) postingsWithPositions(newDocs, idCol, textCol)
       else postingsOf(newDocs, idCol, textCol))
@@ -536,7 +547,7 @@ object Bm25 {
     // completes before the artifact moves.
     val dfDelta = batch.groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("d"))
-    val dfOld = s.read.parquet(summaryPath(s, path, "df"))
+    val dfOld = graft.sources.Sources.parquet(s, summaryPath(s, path, "df"))
     import s.implicits._
     writeSummary(s, path, "df",
       dfOld.join(dfDelta, Seq("term"), "left_outer")
@@ -547,7 +558,7 @@ object Bm25 {
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl")), lit(0L)).as("sumdl"))
       .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
-    val st = s.read.parquet(summaryPath(s, path, "stats")).collect().head
+    val st = graft.sources.Sources.parquet(s, summaryPath(s, path, "stats")).collect().head
     writeSummary(s, path, "stats",
       Seq((st.getLong(st.fieldIndex("n")) + nNew,
           st.getLong(st.fieldIndex("sumdl")) + dlNew))
@@ -570,12 +581,12 @@ object Bm25 {
     // bucket literals prune partitions to the query terms' (≤ |terms|)
     // buckets; the term filter then prunes row groups via the sorted
     // layout's min/max stats and closes the bucket-collision hole
-    val post = s.read.parquet(s"$root/postings")
+    val post = graft.sources.Sources.parquet(s, s"$root/postings")
       .where(col("tkey").isin(terms.map(termKey): _*) &&
         col("term").isin(terms: _*))
-    val dfTab = s.read.parquet(summaryPath(s, root, "df"))
+    val dfTab = graft.sources.Sources.parquet(s, summaryPath(s, root, "df"))
       .where(col("term").isin(terms: _*))
-    val stats = s.read.parquet(summaryPath(s, root, "stats"))
+    val stats = graft.sources.Sources.parquet(s, summaryPath(s, root, "stats"))
     val rows = post.join(broadcast(dfTab), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"),
@@ -596,7 +607,7 @@ object Bm25 {
     * term column — candidate rows = Σ df(term), never the corpus. */
   private def positionalPostings(s: org.apache.spark.sql.SparkSession,
       root: String, terms: Seq[String]): DataFrame =
-    s.read.parquet(s"$root/postings")
+    graft.sources.Sources.parquet(s, s"$root/postings")
       .where(col("tkey").isin(terms.map(termKey): _*) &&
         col("term").isin(terms: _*))
 
@@ -668,9 +679,9 @@ object Bm25 {
       window: Int = ProxWindow): DataFrame = {
     val terms = Seq(t1, t2)
     val post = positionalPostings(s, root, terms)
-    val dfTab = s.read.parquet(summaryPath(s, root, "df"))
+    val dfTab = graft.sources.Sources.parquet(s, summaryPath(s, root, "df"))
       .where(col("term").isin(terms: _*))
-    val stats = s.read.parquet(summaryPath(s, root, "stats"))
+    val stats = graft.sources.Sources.parquet(s, summaryPath(s, root, "stats"))
     val rows = post.join(broadcast(dfTab), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"), col("pos"),

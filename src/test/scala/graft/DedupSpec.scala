@@ -263,6 +263,36 @@ class DedupSpec extends SparkSpec {
     assert(pairs.get((1L, 3L)).forall(_ <= 6))
   }
 
+  test("simhash kernel == explode + per-bit SUM aggregation (r19 fusion)") {
+    // the pre-r19 formulation, verbatim: one row per token, 60 SUM
+    // columns, majority vote after the aggregate — the kernel must be
+    // bit-identical on every doc, and zero-token/NULL docs must emit
+    // no row in both forms
+    import org.apache.spark.sql.functions._
+    val bits = 60
+    val hostile = docs.union(Seq(
+      (7L, ""), (8L, "   \t\n "), (9L, "one"),
+      (10L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text"))
+    val tok = hostile.repartition(col("doc_id"))
+      .select(col("doc_id").as("id"),
+        explode(graft.text.Text.tokens(col("text"))).as("t"))
+      .select(col("id"), graft.functions.XHash.h60(col("t")).as("h"))
+    val bitSums = (0 until bits).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"s$j"))
+    val agg = tok.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+      .select(col("id"),
+        (0 until bits).map(j =>
+          when(col(s"s$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kern = Dedup.simhashTable(hostile)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kern == agg)
+    assert(!kern.contains(7L) && !kern.contains(8L) && !kern.contains(10L))
+  }
+
   test("clusters: transitive near-dups land in one component, min id wins") {
     // 1-2 exact, 3 near 1, and a 5-6 pair in a separate component;
     // 4 is unrelated (no cluster row at all)

@@ -91,6 +91,29 @@ class SourcesSpec extends SparkSpec {
       Map("GET" -> 1L, "PUT" -> 1L))
   }
 
+  test("schema cache serves the current bytes and invalidates on rewrite") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-schemacache").toString
+    val p = s"$dir/t.parquet"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(p)
+    val first = Sources.parquet(spark, p)
+    assert(first.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(first.count() == 2)
+    // same mtime → cached schema, same rows
+    assert(Sources.parquet(spark, p).count() == 2)
+    // REWRITE with a different schema — the cache must re-infer (mtime
+    // moved). Local FS mtime granularity can be 1s; nudge it explicitly
+    // so the test never races the clock.
+    Seq((1L, "a", 9L)).toDF("id", "v", "extra")
+      .write.mode("overwrite").parquet(p)
+    val f = new java.io.File(p)
+    f.setLastModified(f.lastModified() + 2000)
+    val again = Sources.parquet(spark, p)
+    assert(again.schema.fieldNames.toSeq == Seq("id", "v", "extra"))
+    assert(again.count() == 1)
+  }
+
   test("gzipped ndjson reads transparently (manta-parity: compressed objects)") {
     // the reference's manta datasource gunzips objects in flight
     // (datasource-manta.js); here the Hadoop codec layer does it — same
