@@ -14,6 +14,17 @@ object Bench {
       // 100-entry codegen class cache thrashes across them (measured ~8%
       // of total bench time in recompiles)
       .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // AQE coalescing floor (r19, guide §2.5): several dedup/ANN
+      // stages are compute-dense but bytes-small (md5 per shingle row,
+      // in-bucket pair expansion), and the default 1 MB floor coalesces
+      // them to ONE task — a 32-core box runs the kernel serially
+      // (measured: dedup_banding_recall's heaviest stage 1.5 s on one
+      // task). 64k keeps such stages parallel at bench scale; at
+      // production scale post-shuffle partitions are orders of
+      // magnitude above EITHER floor, so the setting is inert there —
+      // it removes a small-input measurement artifact, it does not
+      // tune for local[32].
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       // dn_date partitioning and date parsing are TZ-sensitive; pin UTC
       // here too (build.sbt sets it for sbt-forked runs, but Bench must
       // not depend on the launcher)

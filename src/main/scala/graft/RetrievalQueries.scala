@@ -210,9 +210,15 @@ object RetrievalQueries {
     * scores are bit-identical in both engines, so the comparison is
     * deterministic. hit = rank ≤ [[KiK]]. */
   private[graft] def kiRankOf(scored: DataFrame, idCol: String): DataFrame = {
-    val tgt = scored.where(col(idCol) === col("qid"))
+    // candidate-bounded (|queries| × matching docs — eval-suite-sized
+    // at any corpus scale), materialized ONCE: the target-row filter
+    // and the ranking aggregation both read it, and without the cut
+    // each gate re-ran its whole scoring pipeline for the ≤TargetCap
+    // target rows (r19, guide §2.4)
+    val sc = scored.localCheckpoint()
+    val tgt = sc.where(col(idCol) === col("qid"))
       .select(col("qid"), col("score").as("ts"))
-    scored.join(broadcast(tgt), Seq("qid"))
+    sc.join(broadcast(tgt), Seq("qid"))
       .groupBy(col("qid"))
       .agg(sum(when(col("score") > col("ts") ||
           (col("score") === col("ts") && col(idCol) < col("qid")),

@@ -851,12 +851,22 @@ object Corpus {
     val ct = fcnt.where(col("tgt"))
       .groupBy(col("bkt")).agg(sum(col("n")).as("tc"))
     val cr = fcnt.groupBy(col("bkt")).agg(sum(col("n")).as("rc"))
-    val nt = ct.agg(coalesce(sum(col("tc")), lit(0L)).cast("double").as("nt"))
-    val nr = cr.agg(sum(col("rc")).cast("double").as("nr"))
     // every feature bucket appears in cr (raw spans all docs), so the
-    // model rows are cr left-joined with the target counts
+    // model rows are cr left-joined with the target counts — and the
+    // nt/nr normalizers ride the SAME ≤`buckets`-row frame as
+    // partitionless window sums (r19, guide §2.4: they were two
+    // separate fcnt aggregates + crossJoin broadcasts). Integer sums
+    // are order-independent, so the doubles cast after the window are
+    // bit-identical to the old scalar aggregates; sum(coalesce(tc, 0))
+    // over the left join == sum(tc) over ct because every ct bucket is
+    // a cr bucket.
+    val allW = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(Long.MinValue, Long.MaxValue)
     val model = cr.join(ct, Seq("bkt"), "left")
-      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("bkt"), col("tc"), col("rc"),
+        coalesce(sum(coalesce(col("tc"), lit(0L))).over(allW), lit(0L))
+          .cast("double").as("nt"),
+        sum(col("rc")).over(allW).cast("double").as("nr"))
       .select(col("bkt"),
         (log((coalesce(col("tc"), lit(0L)).cast("double") + 1.0)
             / (col("nt") + buckets))
@@ -1063,8 +1073,13 @@ object Corpus {
       .withColumn("text", graft.text.Html.extractText(
         graft.text.Html.synthHtml(col("doc_id"), col("text"))))
       .lineageCut
-    // stage 0 (optional): domain blocklist over the raw corpus
-    val docs0 = domainFloorMilli.fold(docsIn)(domainFilter(docsIn, _))
+    // stage 0 (optional): domain blocklist over the raw corpus —
+    // materialized when it ran (r19, guide §2.4): clean's quality
+    // filter and exact-dedup join both read docs0, and without the cut
+    // each read re-derives the blocklist's quality pass + domain
+    // rollup + two joins
+    val docs0 = domainFloorMilli.fold(docsIn)(f =>
+      domainFilter(docsIn, f).lineageCut)
     val st = pipelineStages(docs0, docsIn, embs, evalMod, decontam)
     val sd = st.sd
     val sel = st.sel
@@ -1275,7 +1290,11 @@ object Corpus {
       .withColumn("text", graft.text.Html.extractText(
         graft.text.Html.synthHtml(col("doc_id"), col("text"))))
       .lineageCut
-    val docs0 = domainFloorMilli.fold(docsIn)(domainFilter(docsIn, _))
+    // cut when the blocklist ran — same reasoning as [[pipeline]]'s
+    // stage 0 (the ledger additionally unions docs0 as the 'domain'
+    // disposition level, a third read)
+    val docs0 = domainFloorMilli.fold(docsIn)(f =>
+      domainFilter(docsIn, f).lineageCut)
     val st = pipelineStages(docs0, docsIn, embs, evalMod, decontam)
     // the pack-tail admissions: the SAME helper pipeline's stage G
     // packs with — the ledger cannot drift from the manifest

@@ -1303,16 +1303,22 @@ object Dedup {
     * attribute is referenced more than once and the producer is not
     * cheap. */
   private[graft] def cdcCuts(ts: Column,
-      avgWidth: Int = CdcAvgWidth): Column = {
-    val n = size(ts)
-    // sequence(1, n-1) needs the n>1 guard — Spark's sequence(1, 0)
-    // is a DESCENDING [1, 0], not empty.
-    when(n > 1,
-      filter(sequence(lit(1), n - 1), p =>
-        XHash.h60(concat_ws(" ", element_at(ts, p),
-          element_at(ts, p + 1))) % avgWidth === 0))
-      .otherwise(array().cast("array<int>"))
-  }
+      avgWidth: Int = CdcAvgWidth): Column =
+    // ONE native kernel pass (r19, guide item 4): the interpreted
+    // filter(sequence(...)) HOF paid the lambda interpreter plus
+    // re-built the pair string per position; the kernel digests each
+    // adjacent pair once and is bit-identical (DedupSpec pins it, and
+    // the byte stream == concat_ws(" ", t_p, t_{p+1}) by construction).
+    // coalesce preserves the old when/otherwise contract exactly:
+    // a NULL token array cuts to the EMPTY array, never NULL (the
+    // streaming probe expansion builds bounds from this — a NULL here
+    // would null the whole concat and silently drop every probe row
+    // of a null-text doc).
+    coalesce(
+      org.apache.spark.sql.graft.bridge.column(
+        graft.functions.CdcCuts(
+          org.apache.spark.sql.graft.bridge.expression(ts), avgWidth)),
+      array().cast("array<int>"))
 
   /** Chunk assembly over a PRE-STAGED cut array (see [[cdcCuts]]):
     * only integer bounds arithmetic and slices — cheap enough that its

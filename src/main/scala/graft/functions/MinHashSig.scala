@@ -129,6 +129,41 @@ object MinHashSigUtil {
     java.lang.Long.valueOf(sim)
   }
 
+  /** The 1-based CDC cut positions of a token array in one pass (r19):
+    * a cut falls between positions p and p+1 iff
+    * h60(md5(token_p ⊔ ' ' ⊔ token_{p+1})) ≡ 0 (mod avgWidth) — the
+    * byte stream is exactly `concat_ws(" ", t_p, t_{p+1})`, so the
+    * positions are bit-identical to the interpreted
+    * `filter(sequence(1, n-1), p -> h60(...) % avg == 0)` HOF this
+    * replaces (one md5 per adjacent pair either way; the HOF paid the
+    * lambda interpreter + expression re-evaluation per position).
+    * Empty (never null) for n ≤ 1. */
+  def cdcCuts(tokens: ArrayData, avgWidth: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n <= 1)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var p = 1
+    while (p < n) {
+      val a = tokens.getUTF8String(p - 1).getBytes
+      val b = tokens.getUTF8String(p).getBytes
+      val bytes = new Array[Byte](a.length + 1 + b.length)
+      System.arraycopy(a, 0, bytes, 0, a.length)
+      bytes(a.length) = ' '.toByte
+      System.arraycopy(b, 0, bytes, a.length + 1, b.length)
+      md.reset()
+      val d = md.digest(bytes)
+      var hi = 0L
+      var i = 0
+      while (i < 8) { hi = (hi << 8) | (d(i) & 0xffL); i += 1 }
+      if (((hi >>> 4) % avgWidth) == 0L) out += p
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** The n-gram shingle STRINGS of a token array, slot-ordered with
     * duplicates kept (one window per slot; fewer-than-n tokens yield
     * the single all-tokens window) — byte-identical to the exploded
@@ -171,6 +206,37 @@ object MinHashSigUtil {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
     }
   }
+}
+
+/**
+ * graft_cdc_cuts(tokens, avgWidth) → array<int>: the content-defined
+ * chunking cut positions as one native kernel call (r19) —
+ * bit-identical to the interpreted `filter(sequence(...))` HOF form
+ * (DedupSpec pins it); see [[MinHashSigUtil.cdcCuts]]. The CDC family
+ * (batch, incremental, streaming probes) stages this as its own
+ * projection attribute, exactly as before.
+ */
+case class CdcCuts(child: Expression, avgWidth: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_cdc_cuts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSigUtil.cdcCuts(input.asInstanceOf[ArrayData], avgWidth)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSigUtil.cdcCuts($c, $avgWidth);")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcCuts =
+    copy(child = newChild)
 }
 
 /**

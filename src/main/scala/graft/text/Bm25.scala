@@ -3,6 +3,8 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.plans.Lineage.LineageOps
+
 /**
  * BM25 lexical retrieval over the documents corpus — the SPARSE side of
  * the retrieval story (the dense side is `graft.ann`'s cosine family).
@@ -533,9 +535,14 @@ object Bm25 {
     // appends tf-only — an append can never mix layouts
     val positional = graft.sources.Sources.parquet(s, s"$path/postings")
       .schema.fieldNames.contains("pos")
+    // materialized ONCE (r19, guide §2.4): the postings append and the
+    // df delta both consume the batch's postings — without the cut the
+    // crawl batch re-paid its tokenize+count shuffle and the vocabulary
+    // join per consumer. Crawl-batch-sized, never corpus-sized.
     val batch = (if (positional) postingsWithPositions(newDocs, idCol, textCol)
       else postingsOf(newDocs, idCol, textCol))
       .join(vocabTerms, Seq("term"))
+      .lineageCut
     batch.withColumn("tkey", substring(md5(col("term")), 1, 3))
       .repartition(col("tkey")).sortWithinPartitions(col("term"))
       .write.mode("append").partitionBy("tkey")

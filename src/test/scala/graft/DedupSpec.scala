@@ -293,6 +293,33 @@ class DedupSpec extends SparkSpec {
     assert(!kern.contains(7L) && !kern.contains(8L) && !kern.contains(10L))
   }
 
+  test("cdc cuts kernel == interpreted filter-HOF form (r19 fusion)") {
+    import org.apache.spark.sql.functions._
+    val hostile = docs.union(Seq(
+      (7L, ""), (8L, " \t "), (9L, "one"), (10L, "two words"),
+      (11L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text"))
+    val ts = graft.text.Text.tokens(col("text"))
+    // the pre-r19 expression, verbatim
+    def hofCuts(avg: Int) = {
+      val n = size(ts)
+      when(n > 1,
+        filter(sequence(lit(1), n - 1), p =>
+          graft.functions.XHash.h60(concat_ws(" ", element_at(ts, p),
+            element_at(ts, p + 1))) % avg === 0))
+        .otherwise(array().cast("array<int>"))
+    }
+    for (avg <- Seq(2, 8)) {
+      val both = hostile.select(col("doc_id"),
+          hofCuts(avg).as("hof"), Dedup.cdcCuts(ts, avg).as("kern"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+          s"doc ${r.getLong(0)} avg=$avg: ${r.getSeq[Int](1)} vs ${r.getSeq[Int](2)}")
+      }
+    }
+  }
+
   test("clusters: transitive near-dups land in one component, min id wins") {
     // 1-2 exact, 3 near 1, and a 5-6 pair in a separate component;
     // 4 is unrelated (no cluster row at all)
