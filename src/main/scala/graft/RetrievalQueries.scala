@@ -718,8 +718,14 @@ object RetrievalQueries {
     * target docs is safe: every target has postings by construction,
     * so [[kiQueryTerms]]'s inner re-sample is the identity on it. */
   private def kiGateQueries(d: DataFrame): DataFrame = {
+    // the postings pass exists only to SAMPLE targets, and the target
+    // population is an id residue — tokenize just that residue class
+    // (r19, guide §2.3: the % filter commutes with postingsOf, so
+    // kiTargets reads identical rows at 1/KiMod the work)
     val targetDocs = d.join(
-      broadcast(kiTargets(Bm25.postingsOf(d), "doc_id")),
+      broadcast(kiTargets(
+        Bm25.postingsOf(d.where(col("doc_id") % KiMod === KiRes)),
+        "doc_id")),
       col("doc_id") === col("qid")).select(d.columns.map(col): _*)
     kiQueryTerms(Bm25.postingsOf(targetDocs))
   }
@@ -802,7 +808,11 @@ object RetrievalQueries {
     * targets drop out of the query set. */
   private[graft] def kiPhraseQueries(d: DataFrame): DataFrame =
     d.select(col("doc_id"), graft.text.Text.tokens(col("text")).as("t"))
-      .join(broadcast(kiTargets(Bm25.postingsOf(d), "doc_id")),
+      // target sampling over the residue class only — same
+      // commuting-filter argument as kiGateQueries (r19, guide §2.3)
+      .join(broadcast(kiTargets(
+          Bm25.postingsOf(d.where(col("doc_id") % KiMod === KiRes)),
+          "doc_id")),
         col("doc_id") === col("qid"))
       .where(size(col("t")) >= KiPhraseLen)
       .select(col("qid") +: (0 until KiPhraseLen).map(i =>
@@ -1242,7 +1252,16 @@ object RetrievalQueries {
         val st = graft.dedup.Corpus.pipelineStages(raw, raw, embs, 97, "doc")
         val survivors = st.sd.join(st.sel, Seq("doc_id"), "left_semi")
           .select(col("doc_id"), col("text")).localCheckpoint()
-        val rposts = Bm25.postingsOf(raw).localCheckpoint()
+        // the raw-corpus postings feed ONLY the target sample and the
+        // per-target query terms, and the target population is an id
+        // residue — so tokenize just that residue class (r19, guide
+        // §2.3: the filter commutes with postingsOf; kiTargets'
+        // distinct/hash-cap and the per-doc term ranking read the
+        // identical rows, 1/PipeTargetMod of the corpus instead of
+        // all of it)
+        val rposts = Bm25.postingsOf(
+            raw.where(col("doc_id") % PipeTargetMod === PipeTargetRes))
+          .localCheckpoint()
         val tgt = kiTargets(rposts, "doc_id", PipeTargetMod,
           PipeTargetRes, PipeTargetCap).localCheckpoint()
         val qt = rposts.join(broadcast(tgt), col("doc_id") === col("qid"))

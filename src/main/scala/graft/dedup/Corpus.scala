@@ -835,14 +835,22 @@ object Corpus {
       textCol: String = "text"): DataFrame = {
     val base = docs.select(col(idCol).as("id"), isTarget.as("tgt"),
       Text.tokens(col(textCol)).as("toks"))
-    val uni = base.select(col("id"), col("tgt"), explode(col("toks")).as("f"))
-    val bi = base.where(size(col("toks")) >= 2)
-      .select(col("id"), col("tgt"),
-        explode(sequence(lit(0), size(col("toks")) - 2)).as("i"),
-        col("toks"))
-      .select(col("id"), col("tgt"),
-        concat_ws(" ", slice(col("toks"), col("i") + 1, lit(2))).as("f"))
-    val fcnt = uni.union(bi)
+    // unigram + bigram features in ONE explode (r19, guide §2.4): the
+    // bigram window array comes from the native ShingleWindows kernel
+    // (byte-identical to concat_ws(" ", slice(toks, i+1, 2)) per slot)
+    // concatenated onto the token array — replacing two explode passes
+    // + a union. The size guard keeps the kernel's short-doc arm (a
+    // 1-token doc would otherwise mint its whole text as a "bigram",
+    // which the old >= 2 filter excluded); the feature MULTISET per
+    // doc is identical, and the bucket counts are order-independent.
+    val bigrams = org.apache.spark.sql.graft.bridge.column(
+      graft.functions.ShingleWindows(
+        org.apache.spark.sql.graft.bridge.expression(col("toks")), 2))
+    val feats = concat(col("toks"),
+      when(size(col("toks")) >= 2, bigrams)
+        .otherwise(array().cast("array<string>")))
+    val fcnt = base.select(col("id"), col("tgt"),
+        explode(feats).as("f"))
       .select(col("id"), col("tgt"),
         pmod(graft.functions.XHash.h60(col("f")), lit(buckets.toLong)).as("bkt"))
       .groupBy(col("id"), col("tgt"), col("bkt"))
@@ -1184,8 +1192,12 @@ object Corpus {
     val cst = cleanStages(docs0)
     val q = cst.q.select(col("doc_id"), col("text"))
     val kept = cst.exactKept.select(col("doc_id"), col("text"))
+    // cut: chunkDedup's election+join read sa twice and the ledger
+    // unions it a third time — each read re-ran the near-dup verify
+    // joins over the checkpointed shingle frames (r19, guide §2.4)
     val sa = cst.exactKept.join(cst.losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("text"))
+      .lineageCut
     // B: chunk dedup rewrites each survivor to its kept chunks
     val sb = Dedup.chunkDedup(sa)
       .where(col("kept_chunks") > 0)
@@ -1204,9 +1216,14 @@ object Corpus {
         minCos = graft.ann.Ann.SemDedupMinCos,
         nlist = nl, modulus = Some(math.max(1L, nVec / nl)))
       .select(col("vec_id").as("doc_id"))
+    // cut: the decontam arms read cs (a trivial filter of sc) twice —
+    // chunkDecontam shingles AND chunk-hashes the same frame — and the
+    // ledger unions sc and cs; without the cut each read re-ran the
+    // union's anti/semi joins (r19, guide §2.4)
     val sc = sb.join(embs.select(col("vec_id").as("doc_id")),
         Seq("doc_id"), "left_anti")
       .unionByName(sb.join(semKeep, Seq("doc_id"), "left_semi"))
+      .lineageCut
     // D: decontamination — eval docs out of the corpus, then either
     // the whole-doc drop (row 38) or the surgical chunk excision
     // (row 105) on what remains
