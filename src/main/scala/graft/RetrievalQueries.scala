@@ -210,15 +210,16 @@ object RetrievalQueries {
     * scores are bit-identical in both engines, so the comparison is
     * deterministic. hit = rank ≤ [[KiK]]. */
   private[graft] def kiRankOf(scored: DataFrame, idCol: String): DataFrame = {
-    // candidate-bounded (|queries| × matching docs — eval-suite-sized
-    // at any corpus scale), materialized ONCE: the target-row filter
-    // and the ranking aggregation both read it, and without the cut
-    // each gate re-ran its whole scoring pipeline for the ≤TargetCap
-    // target rows (r19, guide §2.4)
-    val sc = scored.localCheckpoint()
-    val tgt = sc.where(col(idCol) === col("qid"))
+    // NOT checkpointed (r19, measured and reverted): the target-row
+    // side looks like a second full scoring pass, but every scoring
+    // shape feeding this already reads a materialized frame (the
+    // checkpointed postings, or the persisted lexicon) and the
+    // id === qid filter PUSHES DOWN into that read — so the extra pass
+    // is a pruned re-scan, cheaper than materializing the full
+    // candidate score table just to filter ≤TargetCap rows out of it.
+    val tgt = scored.where(col(idCol) === col("qid"))
       .select(col("qid"), col("score").as("ts"))
-    sc.join(broadcast(tgt), Seq("qid"))
+    scored.join(broadcast(tgt), Seq("qid"))
       .groupBy(col("qid"))
       .agg(sum(when(col("score") > col("ts") ||
           (col("score") === col("ts") && col(idCol) < col("qid")),
