@@ -152,9 +152,20 @@ object RetrievalQueries {
     val qt = kiQueryTerms(posts, qTerms)
     val dfTab = posts.groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("df"))
-    val toks = docs.select(
-      size(graft.text.Text.tokens(col("text"))).cast("long").as("dl0"))
-    val stats = toks.agg(count(lit(1)).as("n"), sum(col("dl0")).as("sumdl"))
+    // corpus stats ride the CHECKPOINTED postings instead of a second
+    // full tokenize pass over the corpus (r19, guide §2.4):
+    // Σ tf over postings == Σ dl over docs exactly, because WsTokens
+    // never emits an empty token (every token lands in exactly one
+    // (term, doc) tf; a zero-token doc has no postings and contributes
+    // 0 either way) — a MAP-ONLY aggregate over the materialized
+    // postings, no groupBy, no shuffle. n is a column-pruned count(*)
+    // of the corpus (parquet row-count metadata, no text read).
+    // Values are the identical longs, so the contribution doubles are
+    // bit-identical. (The one divergent corner — EVERY doc zero-token
+    // — makes sumdl NULL here vs 0 before, but then posts is empty
+    // and the scored output is empty under both, so no gate sees it.)
+    val stats = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(posts.agg(sum(col("tf")).as("sumdl")))
     // the contribution tree is PROJECTED per row before the groupBy:
     // inside a sum(when(...)) aggregate update it evaluates in the
     // interpreter (measured 22 s for 2.3M candidate rows at sf0.1 vs
@@ -808,13 +819,18 @@ object RetrievalQueries {
     * tokens — a deterministic extraction both engines replay; shorter
     * targets drop out of the query set. */
   private[graft] def kiPhraseQueries(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), graft.text.Text.tokens(col("text")).as("t"))
-      // target sampling over the residue class only — same
-      // commuting-filter argument as kiGateQueries (r19, guide §2.3)
-      .join(broadcast(kiTargets(
+    // target sampling over the residue class only — same
+    // commuting-filter argument as kiGateQueries (r19, guide §2.3) —
+    // and the broadcast target join runs BEFORE the tokenize
+    // projection (r19, guide §2.4): the join needs only doc_id, so
+    // tokenizing after it touches ≤ TargetCap docs instead of the
+    // whole corpus (Catalyst never defers a projection past a join on
+    // its own; the pre-join form paid a corpus-wide tokenize)
+    d.join(broadcast(kiTargets(
           Bm25.postingsOf(d.where(col("doc_id") % KiMod === KiRes)),
           "doc_id")),
         col("doc_id") === col("qid"))
+      .select(col("qid"), graft.text.Text.tokens(col("text")).as("t"))
       .where(size(col("t")) >= KiPhraseLen)
       .select(col("qid") +: (0 until KiPhraseLen).map(i =>
         col("t").getItem(i).as(s"w${i + 1}")): _*)
@@ -1275,9 +1291,14 @@ object RetrievalQueries {
         val posts = Bm25.postingsOf(survivors).localCheckpoint()
         val dfTab = posts.groupBy(col("term"))
           .agg(count(lit(1)).cast("long").as("df"))
-        val stats = survivors.select(
-            size(graft.text.Text.tokens(col("text"))).cast("long").as("dl0"))
-          .agg(count(lit(1)).as("n"), sum(col("dl0")).as("sumdl"))
+        // stats from the CHECKPOINTED postings (Σ tf == Σ dl, the
+        // kiBm25Scored derivation — map-only, no second tokenize
+        // pass; r19, guide §2.4) + a count over the checkpointed
+        // survivors; every survivor has ≥ 1 token by chunkDedup's
+        // kept_chunks > 0 filter, so even the all-empty corner
+        // coincides
+        val stats = survivors.agg(count(lit(1)).as("n"))
+          .crossJoin(posts.agg(sum(col("tf")).as("sumdl")))
         val ranked = kiRankOf(kiSlotScore(posts, qt, dfTab, stats, KiTerms),
           "doc_id")
         broadcast(tgt)

@@ -371,11 +371,6 @@ object Bm25 {
         * layout and every summary are unchanged either way. */
       positional: Boolean = true): Unit = {
     val s = docs.sparkSession
-    val toks = docs.select(col(idCol).as("doc_id"),
-      Text.tokens(col(textCol)).as("toks"))
-    val stats = toks.select(size(col("toks")).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-    writeSummary(s, path, "stats", stats)
     val postings = if (positional) postingsWithPositions(docs, idCol, textCol)
       else postingsOf(docs, idCol, textCol)
     // vocab MEMBERSHIP may come from a restricted population (the
@@ -409,6 +404,28 @@ object Bm25 {
       .repartition(col("tkey")).sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("tkey")
       .parquet(s"$path/postings")
+    // corpus stats: an UNRESTRICTED build derives Σ dl from the
+    // artifact just written — Σ tf over the postings == Σ dl over the
+    // docs exactly, because WsTokens never emits an empty token (every
+    // token is exactly one posting occurrence; a zero-token doc holds
+    // no postings and contributes 0 either way) — plus a column-pruned
+    // count(*) of the corpus for n (parquet row-count metadata, no
+    // text read): the stats pass no longer re-tokenizes the corpus
+    // (r19, guide §2.3/§6). A RESTRICTED vocabulary drops out-of-vocab
+    // occurrences from the artifact, so those builds keep the direct
+    // tokenize pass (stats must count EVERY token). Summary order is
+    // postings → stats → df: the gate caches probe postings/_SUCCESS
+    // and the df summary, so df's presence still implies every
+    // summary landed (a production build is wrapped in the store
+    // Lease + staging swap either way).
+    val stats =
+      if (vocabTerms.isEmpty)
+        docs.agg(count(lit(1)).as("n")).crossJoin(
+          graft.sources.Sources.parquet(s, s"$path/postings")
+            .agg(sum(col("tf")).as("sumdl")))
+      else docs.select(size(Text.tokens(col(textCol))).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    writeSummary(s, path, "stats", stats)
     // df VALUES from the postings artifact just written — the build
     // pays ONE tokenize+posting shuffle instead of two (r19, guide
     // §2.3/§6: the old order ran the full member(postings) pipeline
@@ -416,10 +433,7 @@ object Bm25 {
     // is a column-pruned scan of the compressed artifact, a fraction
     // of a corpus pass at any scale). Counts are identical: df(term)
     // == posting rows per term, and the artifact holds exactly
-    // member(postings). Summaries land AFTER the postings dir, so a
-    // crash mid-build leaves postings/_SUCCESS without a df summary —
-    // the gate caches probe both (a production build is wrapped in the
-    // store Lease + staging swap either way).
+    // member(postings).
     val dfTab = graft.sources.Sources.parquet(s, s"$path/postings")
       .groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("df"))

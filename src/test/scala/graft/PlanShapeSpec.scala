@@ -17,8 +17,14 @@ class PlanShapeSpec extends SparkSpec {
         (i, Seq.tabulate(4)(d => ((i + d) % 5 + 1).toFloat), i % 4))
       .toDF("vec_id", "embedding", "label")
     val q = e.orderBy(col("vec_id")).limit(1)
-    def jobsNow(): Int =
-      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // the HIGHEST retained job id, not the retained COUNT: the status
+    // tracker evicts old jobs past spark.ui.retainedJobs (default
+    // 1000), so in a shared-session suite that has already run ≥1000
+    // jobs the count can go DOWN between samples (observed 1000→902)
+    // and a count-based "a job ran" check inverts. Job ids are
+    // monotonic, so the max only moves when a NEW job really ran.
+    def jobsNow(): Int = spark.sparkContext.statusTracker
+      .getJobIdsForGroup(null).foldLeft(-1)(math.max)
     def settle(prev: Int, expectMore: Boolean): Int = {
       // statusTracker is listener-fed (async): poll to a deadline
       val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
