@@ -71,9 +71,9 @@ object AnnQueries {
     // the geometry is part of the artifact's identity: same data under a
     // changed nlist derivation must rebuild, not serve the old layout
     val key = s"$dirKey-$fp-nl$nl"
-    val path = s"/tmp/graft-ivfpq/$key"
+    val path = s"${graft.tools.LocalFs.TmpRoot}/graft-ivfpq/$key"
     if (!new java.io.File(s"$path/codes/_SUCCESS").exists()) {
-      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-ivfpq",
+      graft.tools.LocalFs.dropStaleSiblings(s"${graft.tools.LocalFs.TmpRoot}/graft-ivfpq",
         s"$dirKey-", key)
       val centroids = Ann.ivfCentroids(e, nlist = nl, modulus = mod)
       val cb = Ann.pqCodebooks(e, modulus = sampleMod(e))
@@ -111,12 +111,12 @@ object AnnQueries {
     val eOld = e.where(expr(AnnOldWhere))
     val (nl, np, mod) = ivfGeom(eOld)
     val key = s"$dirKey-$fp-nl$nl"
-    val path = s"/tmp/graft-ivfpq-inc/$key"
+    val path = s"${graft.tools.LocalFs.TmpRoot}/graft-ivfpq-inc/$key"
     // marker AFTER the append (the chained-store pattern): an
     // interrupted build rebuilds cleanly instead of double-appending
     val marker = new java.io.File(s"$path/_GRAFT_APPENDED")
     if (!marker.exists()) {
-      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-ivfpq-inc",
+      graft.tools.LocalFs.dropStaleSiblings(s"${graft.tools.LocalFs.TmpRoot}/graft-ivfpq-inc",
         s"$dirKey-", key)
       graft.tools.LocalFs.deleteRec(java.nio.file.Paths.get(path))
       val centroids = Ann.ivfCentroids(eOld, nlist = nl, modulus = mod)
@@ -1316,9 +1316,9 @@ object AnnQueries {
     val fp = graft.tools.LocalFs.fingerprint(
       new java.io.File(s"$dir/embeddings.parquet"))
     val key = s"$dirKey-$fp-p${FilteredPredKeys.size}"
-    val path = s"/tmp/graft-slicecnt/$key"
+    val path = s"${graft.tools.LocalFs.TmpRoot}/graft-slicecnt/$key"
     if (!new java.io.File(s"$path/_GRAFT_DONE").exists()) {
-      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-slicecnt",
+      graft.tools.LocalFs.dropStaleSiblings(s"${graft.tools.LocalFs.TmpRoot}/graft-slicecnt",
         s"$dirKey-", key)
       Ann.writeSliceCounts(s, path,
         Sources.table(s, dir, "embeddings"), FilteredPredKeys)

@@ -23,8 +23,14 @@ object Bench {
       // production scale post-shuffle partitions are orders of
       // magnitude above EITHER floor, so the setting is inert there —
       // it removes a small-input measurement artifact, it does not
-      // tune for local[32].
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // tune for local[32]. Parameterised (r20) so the floor can be
+      // A/B'd on any box (SPARK_GRAFT_MINPART=1m restores the Spark
+      // default); the driver never sets it, so the scored bench always
+      // measures the committed 64k value. r20 same-box A/B at 32
+      // threads: full suite 194.2 s (64k) vs 202.6 s (1m) — see
+      // OPTIMIZATION_r20.md.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MINPART", "64k"))
       // dn_date partitioning and date parsing are TZ-sensitive; pin UTC
       // here too (build.sbt sets it for sbt-forked runs, but Bench must
       // not depend on the launcher)
@@ -95,6 +101,46 @@ object Bench {
     // suite apart in time — whereas back-to-back min-of-2 is blind to
     // any stall longer than one query.
     val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
+    // Box-identity evidence (r19 verdict: round-over-round comparisons
+    // were contaminated by an undetected box change). Recorded in the
+    // detail sidecar, never in the one-line contract: visible cores,
+    // 1-min load BEFORE the run (a loaded box inflates every number),
+    // and a small O_DSYNC write probe (the r19 boxes differed 87 vs
+    // 190 MB/s). ~0.3 s, untimed, before warmup.
+    // /proc/stat cpu jiffies (user..steal): steal delta over the run
+    // window is the one number that separates "the code regressed"
+    // from "the hypervisor starved the VM" (r19's 622 s run; this
+    // round measured 3.6% average steal with multi-minute bursts).
+    def cpuJiffies(): Option[(Long, Long)] = try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1)
+        .map(_.toLong)
+      Some((l.sum, l(7))) // (total, steal)
+    } catch { case _: Throwable => None }
+    val jiffies0 = cpuJiffies()
+    val boxEvidence: String = {
+      val la = try {
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .getSystemLoadAverage
+      } catch { case _: Throwable => -1.0 }
+      val dsyncMBs = try {
+        val f = java.io.File.createTempFile("graft-dsync-probe", ".bin")
+        f.deleteOnExit()
+        val ch = java.nio.channels.FileChannel.open(f.toPath,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.DSYNC)
+        val buf = java.nio.ByteBuffer.allocate(4 << 20)
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < 16) { buf.rewind(); ch.write(buf); i += 1 } // 64 MiB
+        ch.close(); val dt = (System.nanoTime() - t0) / 1e9
+        f.delete()
+        math.rint(64.0 / dt * 10) / 10
+      } catch { case _: Throwable => -1.0 }
+      s"""{"cpus_env":"$cpus","cpus_visible":${Runtime.getRuntime.availableProcessors},""" +
+        s""""load_avg_1m":${math.rint(la * 100) / 100},"dsync_mb_s":$dsyncMBs,""" +
+        s""""heap_max_gb":${Runtime.getRuntime.maxMemory / (1 << 30)}}"""
+    }
     // Queries are independent: drop localCheckpoint blocks and streaming
     // memory-sink tables between them (untimed) so storage pressure from
     // one query doesn't tax its successors' GC.
@@ -170,8 +216,14 @@ object Bench {
     val detailDefault =
       if (only.isDefined) "/tmp/BENCH_DETAIL_subset.json" else "BENCH_DETAIL.json"
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", detailDefault)
+    // run-window steal: >1-2% here means the numbers are contaminated
+    // by host-level contention and must not be compared round-to-round
+    val stealPct = (for { (t0, s0) <- jiffies0; (t1, s1) <- cpuJiffies() }
+      yield if (t1 > t0) math.rint((s1 - s0) * 10000.0 / (t1 - t0)) / 100
+        else -1.0).getOrElse(-1.0)
     val detail =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfName","n":${best.size},
+         |"box":$boxEvidence,"steal_pct_run":$stealPct,
          |"queries":${jmap(best)},
          |"phases":${jmap(phaseAcc.toSeq.sortBy(_._1))},
          |"sweeps":[${bySweep.indices.map(i => jmap(selected.map { case (n, _) => n -> bySweep(i)(n) })).mkString(",\n")}]}""".stripMargin

@@ -57,12 +57,12 @@ object DedupQueries {
   private[graft] def ensureStore(s: org.apache.spark.sql.SparkSession,
       dir: String): String = synchronized {
     val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val path = s"/tmp/graft-sigstore/$dirKey-${srcFingerprint(dir)}"
+    val path = s"${graft.tools.LocalFs.TmpRoot}/graft-sigstore/$dirKey-${srcFingerprint(dir)}"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       // a regenerated dataset mints a new fingerprint: drop the
       // superseded stores (and their -chain copies) so /tmp holds at
       // most one store per dataset, not one per regeneration
-      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-sigstore",
+      graft.tools.LocalFs.dropStaleSiblings(s"${graft.tools.LocalFs.TmpRoot}/graft-sigstore",
         s"$dirKey-", new java.io.File(path).getName)
       Dedup.signatureStore(docs(s, dir).where(expr(OldWhere)))
         .write.mode("overwrite").parquet(path)
@@ -75,9 +75,9 @@ object DedupQueries {
   private[graft] def ensureChunkStore(s: org.apache.spark.sql.SparkSession,
       dir: String): String = synchronized {
     val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val path = s"/tmp/graft-chunkstore/$dirKey-${srcFingerprint(dir)}"
+    val path = s"${graft.tools.LocalFs.TmpRoot}/graft-chunkstore/$dirKey-${srcFingerprint(dir)}"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-chunkstore",
+      graft.tools.LocalFs.dropStaleSiblings(s"${graft.tools.LocalFs.TmpRoot}/graft-chunkstore",
         s"$dirKey-", new java.io.File(path).getName)
       Dedup.chunkStore(docs(s, dir).where(expr(OldWhere)))
         .write.mode("overwrite").parquet(path)
@@ -92,9 +92,9 @@ object DedupQueries {
       s: org.apache.spark.sql.SparkSession, dir: String): String =
     synchronized {
       val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val path = s"/tmp/graft-cdcstore/$dirKey-${srcFingerprint(dir)}"
+      val path = s"${graft.tools.LocalFs.TmpRoot}/graft-cdcstore/$dirKey-${srcFingerprint(dir)}"
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-        graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-cdcstore",
+        graft.tools.LocalFs.dropStaleSiblings(s"${graft.tools.LocalFs.TmpRoot}/graft-cdcstore",
           s"$dirKey-", new java.io.File(path).getName)
         Dedup.cdcChunkStore(docs(s, dir).where(expr(OldWhere)))
           .write.mode("overwrite").parquet(path)
@@ -116,9 +116,9 @@ object DedupQueries {
       s: org.apache.spark.sql.SparkSession, dir: String): String =
     synchronized {
       val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val path = s"/tmp/graft-cdccompact/$dirKey-${srcFingerprint(dir)}"
+      val path = s"${graft.tools.LocalFs.TmpRoot}/graft-cdccompact/$dirKey-${srcFingerprint(dir)}"
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-        graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-cdccompact",
+        graft.tools.LocalFs.dropStaleSiblings(s"${graft.tools.LocalFs.TmpRoot}/graft-cdccompact",
           s"$dirKey-", new java.io.File(path).getName)
         val basePath = ensureCdcChunkStore(s, dir)
         val build = s"$path.build"
@@ -152,10 +152,10 @@ object DedupQueries {
   private def ensureShards(s: org.apache.spark.sql.SparkSession,
       dir: String): String = synchronized {
     val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val path = s"/tmp/graft-shards/$dirKey-${srcFingerprint(dir)}"
+    val path = s"${graft.tools.LocalFs.TmpRoot}/graft-shards/$dirKey-${srcFingerprint(dir)}"
     val marker = new java.io.File(s"$path/_GRAFT_PACKED")
     if (!marker.exists()) {
-      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-shards",
+      graft.tools.LocalFs.dropStaleSiblings(s"${graft.tools.LocalFs.TmpRoot}/graft-shards",
         s"$dirKey-", new java.io.File(path).getName)
       deleteRec(java.nio.file.Paths.get(path))
       graft.dedup.Corpus.writeShards(docs(s, dir), path,
@@ -190,10 +190,10 @@ object DedupQueries {
       s: org.apache.spark.sql.SparkSession, dir: String): String =
     synchronized {
       val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val path = s"/tmp/graft-evalbands/$dirKey-${srcFingerprint(dir)}"
+      val path = s"${graft.tools.LocalFs.TmpRoot}/graft-evalbands/$dirKey-${srcFingerprint(dir)}"
       val marker = new java.io.File(s"$path/_GRAFT_BANDS")
       if (!marker.exists()) {
-        graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-evalbands",
+        graft.tools.LocalFs.dropStaleSiblings(s"${graft.tools.LocalFs.TmpRoot}/graft-evalbands",
           s"$dirKey-", new java.io.File(path).getName)
         deleteRec(java.nio.file.Paths.get(path))
         graft.streaming.Admission.bandProbes(docs(s, dir).where(isEval))
@@ -382,10 +382,10 @@ object DedupQueries {
   private def ensureQuotaShards(s: org.apache.spark.sql.SparkSession,
       dir: String): String = synchronized {
     val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val path = s"/tmp/graft-quotashards/$dirKey-${srcFingerprint(dir)}"
+    val path = s"${graft.tools.LocalFs.TmpRoot}/graft-quotashards/$dirKey-${srcFingerprint(dir)}"
     val marker = new java.io.File(s"$path/_GRAFT_PACKED")
     if (!marker.exists()) {
-      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-quotashards",
+      graft.tools.LocalFs.dropStaleSiblings(s"${graft.tools.LocalFs.TmpRoot}/graft-quotashards",
         s"$dirKey-", new java.io.File(path).getName)
       deleteRec(java.nio.file.Paths.get(path))
       graft.dedup.Corpus.writeShardsQuota(docs(s, dir), path, PackQuotas,
@@ -472,7 +472,7 @@ object DedupQueries {
     * the same session (bench sweeps) is a metadata no-op. */
   private[graft] def ensureBucketedTables(s: org.apache.spark.sql.SparkSession,
       dir: String): Unit = synchronized {
-    val root = "/tmp/graft-bucketed"
+    val root = s"${graft.tools.LocalFs.TmpRoot}/graft-bucketed"
     val fp = srcFingerprint(dir) + "-" + graft.tools.LocalFs.fingerprint(
       new java.io.File(s"$dir/embeddings.parquet"))
     val marker = new java.io.File(s"$root/_FP_$fp")

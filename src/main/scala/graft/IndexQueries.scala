@@ -37,7 +37,7 @@ object IndexQueries {
       .fingerprint(new java.io.File(s"$sfDir/events.parquet"))}"
 
   private def indexPath(sfDir: String, interval: String): String =
-    s"/tmp/graft-index/${indexKey(sfDir)}/$interval"
+    s"${graft.tools.LocalFs.TmpRoot}/graft-index/${indexKey(sfDir)}/$interval"
 
   /** Recursive delete for the compact-roundtrip scratch tree. */
   private def deleteRec(p: java.nio.file.Path): Unit =
@@ -89,7 +89,7 @@ object IndexQueries {
     val marker = new java.io.File(
       s"${Index.metricPath(path, interval, metrics.head.name)}/_SUCCESS")
     if (!marker.exists()) {
-      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-index",
+      graft.tools.LocalFs.dropStaleSiblings(s"${graft.tools.LocalFs.TmpRoot}/graft-index",
         s"${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}-", indexKey(sfDir))
       Index.build(Sources.events(spark, sfDir), metrics, path,
         timeField = "ts", interval = interval)

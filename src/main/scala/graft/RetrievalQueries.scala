@@ -162,10 +162,11 @@ object RetrievalQueries {
     // of the corpus (parquet row-count metadata, no text read).
     // Values are the identical longs, so the contribution doubles are
     // bit-identical. (The one divergent corner — EVERY doc zero-token
-    // — makes sumdl NULL here vs 0 before, but then posts is empty
-    // and the scored output is empty under both, so no gate sees it.)
+    // — left sumdl NULL vs 0 before; coalesce removes the corner
+    // outright instead of documenting it. Scored output stays empty
+    // either way, so no gate sees a value change.)
     val stats = docs.agg(count(lit(1)).as("n"))
-      .crossJoin(posts.agg(sum(col("tf")).as("sumdl")))
+      .crossJoin(posts.agg(coalesce(sum(col("tf")), lit(0L)).as("sumdl")))
     // the contribution tree is PROJECTED per row before the groupBy:
     // inside a sum(when(...)) aggregate update it evaluates in the
     // interpreter (measured 22 s for 2.3M candidate rows at sf0.1 vs
@@ -655,9 +656,9 @@ object RetrievalQueries {
   private def ensureLexicon(s: org.apache.spark.sql.SparkSession,
       dir: String): String = synchronized {
     val (dirKey, key) = lexKey(dir)
-    val path = s"/tmp/graft-lexicon/$key"
+    val path = s"${graft.tools.LocalFs.TmpRoot}/graft-lexicon/$key"
     if (!lexBuilt(path)) {
-      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-lexicon",
+      graft.tools.LocalFs.dropStaleSiblings(s"${graft.tools.LocalFs.TmpRoot}/graft-lexicon",
         s"$dirKey-", key)
       Bm25.buildLexicon(docs(s, dir), path)
     }
@@ -679,7 +680,7 @@ object RetrievalQueries {
   private[graft] def benchBuildLexicon(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     graft.tools.LocalFs.deleteRec(
-      java.nio.file.Paths.get(s"/tmp/graft-lexicon/${lexKey(dir)._2}"))
+      java.nio.file.Paths.get(s"${graft.tools.LocalFs.TmpRoot}/graft-lexicon/${lexKey(dir)._2}"))
     ensureLexicon(s, dir)
     s.range(1).toDF("built")
   }
@@ -687,7 +688,7 @@ object RetrievalQueries {
   private[graft] def benchBuildLexiconInc(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     graft.tools.LocalFs.deleteRec(
-      java.nio.file.Paths.get(s"/tmp/graft-lexinc/${lexKey(dir)._2}"))
+      java.nio.file.Paths.get(s"${graft.tools.LocalFs.TmpRoot}/graft-lexinc/${lexKey(dir)._2}"))
     ensureLexiconInc(s, dir)
     s.range(1).toDF("built")
   }
@@ -705,9 +706,9 @@ object RetrievalQueries {
   private def ensureLexiconInc(s: org.apache.spark.sql.SparkSession,
       dir: String): String = synchronized {
     val (dirKey, key) = lexKey(dir)
-    val path = s"/tmp/graft-lexinc/$key"
+    val path = s"${graft.tools.LocalFs.TmpRoot}/graft-lexinc/$key"
     if (!new java.io.File(s"$path/_APPENDED").exists()) {
-      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-lexinc",
+      graft.tools.LocalFs.dropStaleSiblings(s"${graft.tools.LocalFs.TmpRoot}/graft-lexinc",
         s"$dirKey-", key)
       val d = docs(s, dir)
       Bm25.buildLexicon(d.where(expr(LexOldWhere)), path)
@@ -752,9 +753,9 @@ object RetrievalQueries {
     val fp = graft.tools.LocalFs.fingerprint(
       new java.io.File(s"$dir/documents.parquet"))
     val key = s"$dirKey-$fp-t$TargetCap-q$KiTerms-ptgt-l4"
-    val path = s"/tmp/graft-kilex/$key"
+    val path = s"${graft.tools.LocalFs.TmpRoot}/graft-kilex/$key"
     if (!lexBuilt(path)) {
-      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-kilex",
+      graft.tools.LocalFs.dropStaleSiblings(s"${graft.tools.LocalFs.TmpRoot}/graft-kilex",
         s"$dirKey-", key)
       val d = docs(s, dir)
       Bm25.buildLexicon(d, path,
@@ -775,9 +776,9 @@ object RetrievalQueries {
     val fp = graft.tools.LocalFs.fingerprint(
       new java.io.File(s"$dir/documents.parquet"))
     val key = s"$dirKey-$fp-t$TargetCap-q$KiTerms-ptgt-l4"
-    val path = s"/tmp/graft-kilexinc/$key"
+    val path = s"${graft.tools.LocalFs.TmpRoot}/graft-kilexinc/$key"
     if (!new java.io.File(s"$path/_APPENDED").exists()) {
-      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-kilexinc",
+      graft.tools.LocalFs.dropStaleSiblings(s"${graft.tools.LocalFs.TmpRoot}/graft-kilexinc",
         s"$dirKey-", key)
       val d = docs(s, dir)
       Bm25.buildLexicon(d.where(expr(LexOldWhere)), path,
@@ -845,9 +846,9 @@ object RetrievalQueries {
     val fp = graft.tools.LocalFs.fingerprint(
       new java.io.File(s"$dir/documents.parquet"))
     val key = s"$dirKey-$fp-t$TargetCap-ph2-l4"
-    val path = s"/tmp/graft-kiphrase/$key"
+    val path = s"${graft.tools.LocalFs.TmpRoot}/graft-kiphrase/$key"
     if (!lexBuilt(path)) {
-      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-kiphrase",
+      graft.tools.LocalFs.dropStaleSiblings(s"${graft.tools.LocalFs.TmpRoot}/graft-kiphrase",
         s"$dirKey-", key)
       val d = docs(s, dir)
       val q = kiPhraseQueries(d)

@@ -172,9 +172,9 @@ object TextQueries {
     val fp = graft.tools.LocalFs.fingerprint(
       new java.io.File(s"$dir/documents.parquet"))
     val key = s"$dirKey-$fp-m${Text.BpeTrainMerges}"
-    val path = s"/tmp/graft-bpe/$key"
+    val path = s"${graft.tools.LocalFs.TmpRoot}/graft-bpe/$key"
     if (!new java.io.File(s"$path/learned/_SUCCESS").exists()) {
-      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-bpe", s"$dirKey-", key)
+      graft.tools.LocalFs.dropStaleSiblings(s"${graft.tools.LocalFs.TmpRoot}/graft-bpe", s"$dirKey-", key)
       val (state, learned) = Text.bpeTrainFull(docs(s, dir))
       state.write.mode("overwrite").parquet(s"$path/state")
       learned.coalesce(1).write.mode("overwrite").parquet(s"$path/learned")
@@ -195,9 +195,9 @@ object TextQueries {
     val fp = graft.tools.LocalFs.fingerprint(
       new java.io.File(s"$dir/documents.parquet"))
     val key = s"$dirKey-$fp-r${Unigram.Rounds}v${Unigram.VocabTarget}"
-    val path = s"/tmp/graft-unigram/$key"
+    val path = s"${graft.tools.LocalFs.TmpRoot}/graft-unigram/$key"
     if (!new java.io.File(s"$path/segs/_SUCCESS").exists()) {
-      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-unigram",
+      graft.tools.LocalFs.dropStaleSiblings(s"${graft.tools.LocalFs.TmpRoot}/graft-unigram",
         s"$dirKey-", key)
       val (vocab, segs) = Unigram.trainFull(docs(s, dir))
       vocab.coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")

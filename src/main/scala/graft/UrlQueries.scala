@@ -93,10 +93,10 @@ object UrlQueries {
     val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val fp = graft.tools.LocalFs.fingerprint(
       new java.io.File(s"$dir/documents.parquet"))
-    val path = s"/tmp/graft-domainshards/$dirKey-$fp"
+    val path = s"${graft.tools.LocalFs.TmpRoot}/graft-domainshards/$dirKey-$fp"
     val marker = new java.io.File(s"$path/_GRAFT_PACKED")
     if (!marker.exists()) {
-      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-domainshards",
+      graft.tools.LocalFs.dropStaleSiblings(s"${graft.tools.LocalFs.TmpRoot}/graft-domainshards",
         s"$dirKey-", new java.io.File(path).getName)
       graft.tools.LocalFs.deleteRec(java.nio.file.Paths.get(path))
       graft.dedup.Corpus.writeShardsQuota(docsWithDomain(s, dir), path,
@@ -133,9 +133,9 @@ object UrlQueries {
     val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val fp = graft.tools.LocalFs.fingerprint(
       new java.io.File(s"$dir/documents.parquet"))
-    val path = s"/tmp/graft-blocklist/$dirKey-$fp"
+    val path = s"${graft.tools.LocalFs.TmpRoot}/graft-blocklist/$dirKey-$fp"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-      graft.tools.LocalFs.dropStaleSiblings("/tmp/graft-blocklist",
+      graft.tools.LocalFs.dropStaleSiblings(s"${graft.tools.LocalFs.TmpRoot}/graft-blocklist",
         s"$dirKey-", new java.io.File(path).getName)
       keepDomains(Sources.table(s, dir, "documents")
           .where(expr(DedupQueries.OldWhere)))

@@ -418,11 +418,19 @@ object Bm25 {
     // and the df summary, so df's presence still implies every
     // summary landed (a production build is wrapped in the store
     // Lease + staging swap either way).
+    // Explicit one-column schema on the read-back: a zero-token corpus
+    // writes a data-file-less postings dir, where schema INFERENCE
+    // fails before the stats summary lands; with the schema pinned the
+    // scan is simply empty and coalesce keeps sumdl = 0 (the value the
+    // direct pass would produce). Non-empty corpora read the identical
+    // tf longs, so the sum is bit-identical.
     val stats =
       if (vocabTerms.isEmpty)
         docs.agg(count(lit(1)).as("n")).crossJoin(
-          graft.sources.Sources.parquet(s, s"$path/postings")
-            .agg(sum(col("tf")).as("sumdl")))
+          s.read.schema(new org.apache.spark.sql.types.StructType()
+              .add("tf", org.apache.spark.sql.types.LongType))
+            .parquet(s"$path/postings")
+            .agg(coalesce(sum(col("tf")), lit(0L)).as("sumdl")))
       else docs.select(size(Text.tokens(col(textCol))).cast("long").as("dl"))
         .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
     writeSummary(s, path, "stats", stats)

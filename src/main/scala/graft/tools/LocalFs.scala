@@ -15,6 +15,16 @@ package graft.tools
   * `file://` URIs by FileSystemSchemeSpec — an artifact root that is a
   * URI must go through those APIs, not through this object. */
 object LocalFs {
+  /** Root directory for the fingerprint-keyed store caches
+    * (lexicons, chunk stores, PQ codebooks, …). "/tmp" everywhere the
+    * driver runs things (bench, verify, the CLI — the property is
+    * never set there, so artifact paths are unchanged). `sbt test`
+    * forks suites as CONCURRENT JVM groups (build.sbt) and gives each
+    * group its own root via -Dgraft.tmp.root: two suites in different
+    * groups cold-building the SAME fingerprint key would otherwise
+    * race on one staging dir + rename swap. */
+  val TmpRoot: String = sys.props.getOrElse("graft.tmp.root", "/tmp")
+
   /** Content fingerprint of a parquet file-or-directory (length ⊕ mtime
     * over the file / its children): regenerating the dataset changes the
     * fingerprint, so caches keyed on it REBUILD instead of silently

@@ -64,8 +64,10 @@ class ScaleJoinsSpec extends SparkSpec {
   test("bucketed tables join without a shuffle") {
     // a previous JVM's managed-table locations are invisible to this
     // session's fresh in-memory catalog — clear them
+    val wh = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
     for (t <- Seq("t_orders_b", "t_cust_b")) {
-      val dir = new java.io.File(s"/tmp/graft-test-warehouse/$t")
+      val dir = new java.io.File(s"$wh/$t")
       if (dir.exists()) {
         dir.listFiles().foreach(_.delete()); dir.delete()
       }

@@ -17,7 +17,11 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
+      // per-JVM warehouse: suites run in concurrently forked JVM groups
+      // (build.sbt Test/testGrouping), and bucketed-table writes from
+      // two groups must not collide on one fixed path
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-test-warehouse-${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
